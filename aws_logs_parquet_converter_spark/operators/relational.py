@@ -1,0 +1,653 @@
+"""Relational operator pack.
+
+Fills SURVEY.md §2.2's ABSENT rows — joins (inner/semi/anti/range), hash
+aggregation, distinct, rollup/cube/grouping-sets, window functions, set
+operations, global sort/limit/top-k, and the scalar function packs — as
+idiomatic DataFrame programs over the TPC-H-ish testdata tables.
+
+Scale notes baked into each query:
+* Dimension tables (region/nation/supplier/customer at log-scale) are
+  broadcast (`F.broadcast`) so fact-side scans never shuffle for the join.
+* Aggregations are expressed as groupBy().agg() -> Catalyst plans partial
+  (map-side) aggregation automatically; no collect()-side loops anywhere.
+* Top-k = orderBy(total order).limit(k): Spark executes TakeOrderedAndProject,
+  which is O(k) memory per partition and never materializes a global sort.
+* AQE (session default) coalesces shuffle partitions and handles skew joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filtered scan + hash aggregate with 8 aggregates.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_orders_by_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    doc="Filtered multi-key hash aggregate with min/max (exact on doubles).",
+)
+def q02_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join (broadcast customer dim) + agg + top-10.",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_volume",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way star join, all dims broadcast, local-supplier condition.",
+)
+def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    doc="Left-semi join: customers having at least one large order.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join: customers with no orders at all.",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(e.event_id) AS n_events
+    FROM orders o
+    LEFT JOIN events e
+      ON e.value >= o.o_totalprice / 10000.0
+     AND e.value <  o.o_totalprice / 10000.0 + 5.0
+    WHERE o.o_orderkey <= 100
+    GROUP BY o.o_orderkey
+    """,
+    doc="Non-equi (range) join: broadcast the small side, band-predicate match.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    e = _t(spark, sf_dir, "events")
+    lo = o.o_totalprice / 10000.0
+    cond = (e.value >= lo) & (e.value < lo + 5.0)
+    return (
+        F.broadcast(o)
+        .join(e, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_topn_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ) WHERE rn <= 3
+    """,
+    doc="Window top-N per group: each customer's 3 priciest orders.",
+)
+def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 100.0) AS running_spend
+    FROM orders
+    """,
+    doc="Running total per customer over time (exact decimal accumulation).",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from ..functions.numeric import cents
+
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_spend"
+        ),
+    )
+
+
+@register(
+    "q_window_lag_events",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+    FROM events
+    """,
+    doc="Sessionization primitive: previous event per user via LAG.",
+)
+def q_window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", "ts", F.lag("event_id").over(w).alias("prev_event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (flag, flag+status, grand total).",
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "q_cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over status x priority.",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')))
+    """,
+    doc="Explicit GROUPING SETS: by type and by day, in one pass.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day, COUNT(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')))
+        """
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="COUNT(DISTINCT) aggregation (expand-based distinct aggregates).",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     UNION
+     SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="UNION (distinct) then EXCEPT, mixed sources.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 8000).select("c_custkey")
+    finished = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.union(rich).distinct().exceptAll(finished.distinct())
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    doc="INTERSECT distinct of two key sets.",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = o.where(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_orders",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Global top-k: TakeOrderedAndProject, no full sort at scale.",
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"), "o_orderdate"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function packs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           REPLACE(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_name LIKE '%a%' AND p_size BETWEEN 5 AND 40
+    """,
+    doc="String scalar pack: upper/lower/length/substr/concat/replace + LIKE.",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%a%") & F.col("p_size").between(5, 40)).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    doc="Datetime scalar pack: year/month extract, trunc, day arithmetic.",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) / 100.0) AS disc_amount,
+           ABS(l_quantity - 25.0) AS qty_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           l_orderkey % 7 AS key_mod,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_band
+    FROM lineitem
+    WHERE l_linenumber <= 3
+    """,
+    doc="Math scalar pack: round/abs/ceil/floor/modulo/case-when.",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.where(F.col("l_linenumber") <= 3).select(
+        "l_orderkey",
+        "l_linenumber",
+        # round-to-2dp via integral rounding: ROUND(x,2) rounds .xx5 boundary
+        # cases differently across engines; round-to-integer does not.
+        (F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint") / F.lit(100.0)).alias("disc_amount"),
+        F.abs(q - 25.0).alias("qty_dev"),
+        F.ceil(q).alias("qty_ceil"),
+        F.floor(q).alias("qty_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.when(q < 10, "low").when(q < 30, "mid").otherwise("high").alias("qty_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-series / JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_daily",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {sql_dsum('value')} AS total_value
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+    doc="Daily per-type rollup — the canonical log-analytics query shape.",
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@register(
+    "q_events_hourly_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+    doc="Tumbling 1-hour window aggregate (F.window -> window.start).",
+)
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_events_json",
+    oracle="""
+    SELECT event_type,
+           CAST(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON field extraction from the props column + aggregate.",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    # avg over ints is exact in both engines (sum is integral, division IEEE)
+    return e.groupBy("event_type").agg(
+        F.avg(k).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array functions (on embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS FLOAT) AS first_component
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="Array scalar pack: size and element access on the vector column.",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    return em.where(F.col("vec_id") < 100).select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_component"),
+    )

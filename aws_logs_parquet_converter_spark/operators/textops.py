@@ -1,0 +1,110 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID heuristics, quality scoring, token counting, fingerprinting —
+all as native JVM expressions (regexp_extract_all / length / case-when), no
+Python UDFs: at 100 TB the text pass must stay inside whole-stage codegen.
+
+Cross-engine notes: token counts use ``regexp_extract_all`` + length, which
+Java regex and DuckDB's RE2 evaluate identically for the character classes
+used here; ratios divide integers into IEEE doubles (exact in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+_WS_TOKEN = r"\S+"
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation marks
+_BPE_TOKEN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_STOPWORDS = r"\b(the|and|of|to|a|in|is|for|on|with)\b"
+
+
+def _n_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{_WS_TOKEN}')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_TOKEN}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS INTEGER) AS n_punct
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens + punctuation.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        _n_matches(t, _WS_TOKEN).alias("n_ws_tokens"),
+        _n_matches(t, _BPE_TOKEN).alias("n_bpe_tokens"),
+        _n_matches(t, "[.!?,;:]").alias("n_punct"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS}')) AS INTEGER) AS n_stopwords,
+           (CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS}')) AS DOUBLE)
+            / NULLIF(len(regexp_extract_all(text, '{_WS_TOKEN}')), 0)) AS stopword_ratio,
+           (CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+            / NULLIF(LENGTH(text), 0)) AS punct_ratio,
+           CASE WHEN LENGTH(text) >= 100
+                 AND len(regexp_extract_all(text, '{_WS_TOKEN}')) >= 20
+                 AND (CAST(len(regexp_extract_all(lower(text), '{_STOPWORDS}')) AS DOUBLE)
+                      / NULLIF(len(regexp_extract_all(text, '{_WS_TOKEN}')), 0)) > 0.01
+                THEN 'keep' ELSE 'filter' END AS quality_gate
+    FROM documents
+    """,
+    doc="Quality scoring: stopword/punct ratios + keep/filter gate.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_stop = _n_matches(F.lower(t), _STOPWORDS)
+    n_tok = _n_matches(t, _WS_TOKEN)
+    n_punct = _n_matches(t, "[.!?,;:]")
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tok, F.lit(0))
+    punct_ratio = n_punct.cast("double") / F.nullif(F.length(t), F.lit(0))
+    gate = F.when(
+        (F.length(t) >= 100) & (n_tok >= 20) & (stop_ratio > 0.01), "keep"
+    ).otherwise("filter")
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        gate.alias("quality_gate"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_full,
+           md5(lower(regexp_replace(text, '[^0-9A-Za-z]+', '', 'g'))) AS md5_normalized
+    FROM documents
+    """,
+    doc="Document fingerprinting: raw digest + normalization-insensitive digest.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    norm = F.lower(F.regexp_replace(t, "[^0-9A-Za-z]+", ""))
+    return d.select(
+        "doc_id",
+        F.md5(t.cast("binary")).alias("md5_full"),
+        F.md5(norm.cast("binary")).alias("md5_normalized"),
+    )

@@ -52,6 +52,9 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas-UDF / toPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark's reader;
+        # read as long and convert in the catalog (catalog.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Small-file coalescing on read: a 100 TB log corpus is millions of
         # small objects; openCostInBytes packs them into sane splits.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
