@@ -1,23 +1,174 @@
 """Deduplication operators over the ``documents`` table.
 
-Training-data pipeline staples: exact dedup now; MinHash-LSH, SimHash and
-n-gram Jaccard variants build on the same shingling/hashing primitives
-(functions/text.py). All hashing is md5-derived so DuckDB oracles can compute
-the identical values (md5 exists in both engines; Spark's xxhash64/murmur are
-not portable).
+Training-data pipeline staples:
 
-Scale: exact dedup is a single hash-aggregate on a fingerprint — the shuffle
-key is the 128-bit digest, never the document body, so shuffle volume is
-O(rows), not O(bytes).
+* exact dedup            — md5-fingerprint hash aggregate
+* MinHash + LSH          — shingle -> 16 minhashes -> 4 bands -> bucket join
+* n-gram Jaccard         — exact set overlap via inverted-index join
+* SimHash                — 32-bit sign-sketch, banded candidate pairs + Hamming
+
+All hashing is md5-derived (functions/text.py) so DuckDB oracles compute
+bit-identical values; similarity scores are integer ratios (exact doubles).
+
+Scale design (100 TB):
+* Shuffle keys are digests/band-keys/shingles — never document bodies.
+* MinHash: one explode + one hash-aggregate per doc (16 mins computed in the
+  same aggregate), then an equi-join on band keys: O(n·shingles) map side,
+  candidate-pair output only. No all-pairs stage anywhere.
+* n-gram Jaccard uses the classic inverted-index (shingle) equi-join, which
+  Spark executes as a shuffled hash join keyed on the shingle — skew from
+  ultra-common shingles is handled by AQE skew-join splitting.
+* SimHash pairs come from 8-bit band buckets (4 bands), again equi-joins.
+
+Reference parity note: the reference engine has no dedup surface at all
+(SURVEY.md §2.2); these are the §2.4 north-star extensions.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.text import hash60, sql_hash60, sql_tokens, tokens
 from . import register
+
+# MinHash configuration: K signatures in B bands of R rows (K = B*R).
+K_MINHASH = 16
+N_BANDS = 4
+R_ROWS = K_MINHASH // N_BANDS
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAMMING = 8
+SHINGLE_W = 3
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle / signature builders (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct 3-token shingles per document: (doc_id, shingle).
+
+    posexplode + window-lead keeps the whole thing in native expressions; the
+    only shuffle is the per-doc window (partitioned by doc_id).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # concat propagates NULL (unlike concat_ws) -> incomplete tails drop out
+    sh = tok.select(
+        "doc_id",
+        F.concat(
+            F.col("tok"),
+            F.lit(" "),
+            F.lead("tok", 1).over(w),
+            F.lit(" "),
+            F.lead("tok", 2).over(w),
+        ).alias("shingle"),
+    )
+    return sh.where(F.col("shingle").isNotNull()).distinct()
+
+
+def minhash_signature(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15): min of 16 seeded 60-bit hashes over shingles."""
+    hashed = sh.select(
+        "doc_id",
+        *[hash60(F.col("shingle"), seed=f"mh{k}").alias(f"h{k}") for k in range(K_MINHASH)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"s{k}") for k in range(K_MINHASH)]
+    )
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key): md5 over each band's R signature values."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"s{b * R_ROWS + r}").cast("string") for r in range(R_ROWS)]
+        parts: list[Column] = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit(","))
+            parts.append(c)
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat(*parts).cast("binary")).alias("band_key"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band bucket."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB oracle fragments (kept in lockstep with the Spark builders)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = f"""
+d AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+p AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos FROM d),
+tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM p),
+sh0 AS (
+  SELECT doc_id,
+         tok || ' ' || LEAD(tok,1) OVER (PARTITION BY doc_id ORDER BY pos)
+             || ' ' || LEAD(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM tok),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+"""
+
+_SQL_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"MIN({sql_hash60('shingle', f'mh{k}')}) AS s{k}" for k in range(K_MINHASH))
+    + " FROM sh GROUP BY doc_id)"
+)
+
+
+def _sql_band_select(b: int) -> str:
+    key = " || ',' || ".join(
+        f"CAST(s{b * R_ROWS + r} AS VARCHAR)" for r in range(R_ROWS)
+    )
+    return f"SELECT doc_id, {b} AS band_id, md5({key}) AS band_key FROM sig"
+
+
+_SQL_BANDS = "bands AS (" + " UNION ALL ".join(
+    _sql_band_select(b) for b in range(N_BANDS)
+) + ")"
+
+_SQL_CAND = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
 
 
 def exact_dedup_keys(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,3 +205,201 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_only_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keys(load_table(spark, sf_dir, "documents")).where(F.col("n_copies") > 1)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs with minhash-estimated Jaccard (matches/16)."""
+    sh = shingles(docs)
+    sig = minhash_signature(sh).cache()
+    cand = candidate_pairs(lsh_bands(sig))
+    x = sig.alias("x")
+    y = sig.alias("y")
+    n_match: Column = sum(
+        F.when(F.col(f"x.s{k}") == F.col(f"y.s{k}"), 1).otherwise(0)
+        for k in range(K_MINHASH)
+    )
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("int").alias("n_matching_minhashes"),
+            (n_match / F.lit(float(K_MINHASH))).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle="WITH "
+    + ",".join([_SQL_SHINGLES, _SQL_SIG, _SQL_BANDS, _SQL_CAND])
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           CAST({' + '.join(f'(CASE WHEN x.s{k} = y.s{k} THEN 1 ELSE 0 END)' for k in range(K_MINHASH))} AS INTEGER)
+             AS n_matching_minhashes,
+           ({' + '.join(f'(CASE WHEN x.s{k} = y.s{k} THEN 1 ELSE 0 END)' for k in range(K_MINHASH))}) / {float(K_MINHASH)}
+             AS est_jaccard
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b
+    """,
+    doc="MinHash(16)+LSH(4 bands): near-dup candidate pairs with estimated Jaccard.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Exact shingle-set Jaccard >= threshold via inverted-index equi-join."""
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("int").alias("n_common_shingles"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="WITH "
+    + _SQL_SHINGLES
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS INTEGER) AS n_common_shingles,
+           (CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE (CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)) >= 0.1
+    """,
+    doc="Exact 3-gram-shingle Jaccard >= 0.1 via inverted-index join.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def simhash_sketch(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit sign sketch over distinct-shingle hashes.
+
+    Features are 3-gram shingles (not raw tokens): token vocabularies overlap
+    heavily across documents, which collapses token-feature sketches together;
+    shingles keep unrelated documents far apart in Hamming space.
+    """
+    th = shingles(docs).select("doc_id", hash60(F.col("shingle"), seed="sim").alias("h"))
+    bit_sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash: Column = sum(
+        F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    )
+    return bit_sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs: share an 8-bit simhash band, Hamming <= max_hamming."""
+    sk = simhash_sketch(docs).cache()
+    bands = None
+    for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
+        band = sk.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+_SQL_SIMHASH = (
+    _SQL_SHINGLES
+    + f""",
+    th AS (SELECT doc_id, {sql_hash60('shingle', 'sim')} AS h FROM sh),
+    bits AS (SELECT doc_id, """
+    + ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    + """ FROM th GROUP BY doc_id),
+    sk AS (SELECT doc_id, CAST("""
+    + " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    + """ AS BIGINT) AS simhash FROM bits),
+    bands AS ("""
+    + " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, (simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key FROM sk"
+        for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+    )
+    + ")"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle="WITH "
+    + _SQL_SIMHASH
+    + f"""
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc="SimHash(32-bit) near-dup pairs: banded candidates, Hamming <= 8.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,128 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
+
+Real pipelines carry images/audio/video as ``binary`` columns beside typed
+metadata and run decode / feature-extraction / frame-sampling as Arrow-batched
+Python over ``mapInPandas``. The image/audio codecs are not available in this
+container, so the DECODE step is stubbed (``decode_image`` raises
+``NotImplementedError``; ``mm_binary_features`` uses a deterministic
+md5/length extractor instead) — but the Spark-side plumbing is real and
+tested: binary column construction, schema declaration, Arrow batch shapes,
+and partition-parallel execution are exactly what a real decoder would use.
+
+Here the ``documents.text`` bytes stand in for encoded media payloads.
+
+Scale: mapInPandas streams Arrow record batches through one Python worker per
+core; payload bytes never transit the driver, and the extractor is
+embarrassingly parallel. Frame sampling is a generate-style explode
+(one row per sampled frame) — native expressions, no Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+FRAME_SIZE = 100  # stand-in "frame" = 100-byte window of the payload
+MAX_FRAMES = 5
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an encoded image payload to an array. STUB: requires an image
+    codec (PIL/opencv), not available in this environment."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; wire a codec here in production"
+    )
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque payload column + typed metadata struct."""
+    payload = F.col(text_col).cast("binary")
+    meta = F.struct(
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return docs.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def binary_feature_extract(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    Deterministic fake features (byte length + md5 digest) in place of a real
+    decoder — swap `_extract` internals for codec calls in production.
+    """
+
+    schema = "doc_id bigint, byte_len int, digest string"
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(_extract, schema)
+
+
+@register(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           md5(text) AS digest
+    FROM documents
+    """,
+    doc="Binary-column feature extraction via Arrow mapInPandas (len + digest).",
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_feature_extract(with_binary_payload(docs))
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(frame_id AS INTEGER) AS frame_id,
+           CAST(frame_id * {FRAME_SIZE} AS BIGINT) AS byte_offset,
+           md5(substr(text, frame_id * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_digest
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, least({MAX_FRAMES}, CAST(floor(octet_length(encode(text)) / {FRAME_SIZE}.0) AS BIGINT)))) AS frame_id
+      FROM documents
+    )
+    """,
+    doc="Frame sampling: one row per fixed-stride payload window, with digest.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.least(
+        F.lit(MAX_FRAMES),
+        F.floor(F.octet_length("text") / F.lit(float(FRAME_SIZE))).cast("bigint"),
+    )
+    # sequence(0, -1) would generate a DESCENDING range for empty payloads;
+    # guard with an empty array so zero-frame docs emit zero rows.
+    frame_ids = F.when(n_frames > 0, F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    frames = docs.select("doc_id", "text", F.explode(frame_ids).alias("frame_id"))
+    return frames.select(
+        "doc_id",
+        F.col("frame_id").cast("int").alias("frame_id"),
+        (F.col("frame_id") * FRAME_SIZE).cast("bigint").alias("byte_offset"),
+        F.md5(
+            F.substring(F.col("text"), F.col("frame_id") * FRAME_SIZE + 1, FRAME_SIZE).cast(
+                "binary"
+            )
+        ).alias("frame_digest"),
+    )

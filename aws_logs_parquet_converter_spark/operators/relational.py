@@ -556,6 +556,69 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             / COUNT(o_totalprice)
+      FROM orders
+    )
+    """,
+    doc="Scalar subquery: orders above 2x the (exact) average price.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(davg("o_totalprice", "a")).collect()[0][0]
+    # threshold is a scalar computed with the engine (single tiny job);
+    # semantically identical to a correlated-free scalar subquery.
+    return o.where(F.col("o_totalprice") > 2 * avg_price).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT 'order' AS kind, o_orderkey AS key, o_orderdate AS ts_col FROM orders WHERE o_orderkey <= 500
+    UNION ALL
+    SELECT 'line' AS kind, l_orderkey AS key, l_shipdate AS ts_col FROM lineitem WHERE l_orderkey <= 500
+    """,
+    doc="UNION ALL (bag semantics) of heterogeneous sources, tagged.",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    a = o.select(
+        F.lit("order").alias("kind"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").alias("ts_col"),
+    )
+    b = li.select(
+        F.lit("line").alias("kind"),
+        F.col("l_orderkey").alias("key"),
+        F.col("l_shipdate").alias("ts_col"),
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "q_approx_sketches",
+    oracle=None,  # approximate results are engine-specific -> rows-only check
+    doc="Approximate sketches: HLL++ distinct count + approximate percentiles.",
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events: time-series / JSON
 # ---------------------------------------------------------------------------

@@ -66,6 +66,104 @@ def brute_force_topk(
     )
 
 
+def ivf_topk_by_label(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cluster (the ``label``
+    column stands in for a centroid assignment).
+
+    At 100 TB the corpus is hash-partitioned by cluster id, so each query
+    only touches its cluster's partitions — the join below is an equi-join on
+    label, which Spark shuffles by label instead of broadcasting the corpus.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("e_label"),
+        F.col("embedding").alias("e_vec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("q_label") == F.col("e_label"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("e_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn")
+    )
+
+
+@register(
+    "sim_topk_ivf_label",
+    oracle="""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.embedding, e.embedding)
+             / (sqrt(list_dot_product(q.embedding, q.embedding))
+                * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+      FROM q JOIN embeddings e
+        ON e.label = q.label AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rn FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="IVF-bucketed ANN: probe only the query's label cluster, top-5 by cosine.",
+)
+def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_by_label(em, em.where(F.col("vec_id") < 20), k=5)
+
+
+@register(
+    "sim_pairs_threshold",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_dot_product(embedding, embedding)) AS nrm
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM n a JOIN n b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.75
+    """,
+    doc="All same-cluster pairs with cosine >= 0.75 (ids only, scores are not contract).",
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = em.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = em.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(cos >= 0.75)
+        .select("vec_a", "vec_b")
+    )
+
+
 @register(
     "sim_topk_bruteforce",
     oracle="""

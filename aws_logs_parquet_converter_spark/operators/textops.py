@@ -89,6 +89,47 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|it|was|for)\b",
+    "de": r"\b(der|die|das|und|nicht|ist|ich|sie|mit|ein)\b",
+    "fr": r"\b(le|la|les|et|est|une|que|pour|dans|pas)\b",
+    "es": r"\b(el|los|las|y|es|una|que|por|con|para)\b",
+}
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '{_LANG_STOPWORDS["en"]}')) AS en,
+             len(regexp_extract_all(lower(text), '{_LANG_STOPWORDS["de"]}')) AS de,
+             len(regexp_extract_all(lower(text), '{_LANG_STOPWORDS["fr"]}')) AS fr,
+             len(regexp_extract_all(lower(text), '{_LANG_STOPWORDS["es"]}')) AS es
+      FROM documents
+    )
+    """,
+    doc="Heuristic language-ID: stopword-hit argmax over en/de/fr/es, fixed tiebreak order.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    hits = {lang: _n_matches(low, pat) for lang, pat in _LANG_STOPWORDS.items()}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    predicted = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", "lang", predicted.alias("predicted_lang"))
+
+
 @register(
     "text_fingerprint",
     oracle="""
