@@ -1,0 +1,64 @@
+"""CLI mirroring the reference's argument surface
+(``s3_server_access_logs.py:469-534``), adapted to engine-native knobs:
+bucket/credential arguments become source/destination roots (any Hadoop
+filesystem URI: file://, s3a://, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+from datetime import date
+
+from .plans.compact import CompactionPolicy
+from .plans.incremental import RollupConfig, run
+from .session import build_session
+
+
+def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="S3 server-access-log compactor (Spark-native)")
+    p.add_argument("--source-root", required=True, help="Root URI of raw log files")
+    p.add_argument(
+        "--destination-root",
+        default=None,
+        help="Root URI for compacted parquet. Default: <source-root>/processed",
+    )
+    p.add_argument("--lookback-days", default=1, type=int, help="Days back to process (default 1)")
+    p.add_argument("--start-date", default=None, help="ISO date: backfill from here to lookback boundary")
+    p.add_argument("--num-output-files", default=10, type=int, help="Output files per day (default 10)")
+    p.add_argument(
+        "--hive-formatted-folders",
+        action="store_true",
+        help="Write real year=/month=/day= partition columns instead of plain date paths",
+    )
+    p.add_argument("--max-records-per-file", default=None, type=int)
+    p.add_argument("--master", default=None, help="Spark master override (default local[$SPARK_GRAFT_CPUS])")
+    return p.parse_args(argv)
+
+
+def config_from_args(args: argparse.Namespace) -> RollupConfig:
+    return RollupConfig(
+        source_root=args.source_root,
+        destination_root=args.destination_root or f"{args.source_root}/processed",
+        lookback_days=args.lookback_days,
+        start_date=args.start_date,
+        policy=CompactionPolicy(
+            num_output_files=args.num_output_files,
+            hive_partitioning=args.hive_formatted_folders,
+            max_records_per_file=args.max_records_per_file,
+        ),
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_arguments(argv)
+    cfg = config_from_args(args)
+    spark = build_session(app_name="log_compactor", master=args.master)
+    try:
+        processed = run(spark, cfg, today=date.today())
+        print(f"processed {len(processed)} day(s): {[d.isoformat() for d in processed]}")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Compaction write policy: small files in -> few large, time-clustered,
+partitioned, compressed Parquet files out.
+
+Reference behavior being re-expressed (``s3_server_access_logs.py:442-463``):
+``repartition(num_output_files).sortWithinPartitions(request_time)`` ->
+snappy parquet, overwrite, date in the *path* (``partitionBy([])``).
+
+Spark-first upgrades, chosen deliberately (SURVEY.md §4):
+
+* ``repartitionByRange(n, sort_key)`` instead of round-robin ``repartition(n)``:
+  the shuffle is the same cost, but afterwards each output file covers a
+  disjoint time range, so Parquet row-group min/max stats actually prune
+  whole FILES for time-predicate queries, not just row groups. (Round-robin
+  spreads every hour across every file — stats become useless at file level.)
+* Real Hive partition columns (``partitionBy("year","month","day")``) with
+  dynamic partition overwrite: reruns replace exactly one day (idempotent,
+  like the reference's per-date overwrite) without clobbering siblings.
+* ``maxRecordsPerFile`` as a guardrail so a skewed day cannot produce a
+  multi-GB file.
+
+At 100 TB: n_files scales with data volume (aim 128-512 MB per file), the
+range exchange is AQE-coalesced, and speculation stays off for S3 sinks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CompactionPolicy:
+    num_output_files: int = 10  # reference default (--num-output-files)
+    sort_keys: tuple[str, ...] = ("request_time",)
+    compression: str = "snappy"
+    hive_partitioning: bool = False  # reference default (--hive-formatted-folders)
+    max_records_per_file: int | None = None
+    extra_writer_options: dict[str, str] = field(default_factory=dict)
+
+
+def cluster_for_write(df: DataFrame, policy: CompactionPolicy) -> DataFrame:
+    """Range-partition to the target file count and sort within partitions."""
+    keys = [F.col(k) for k in policy.sort_keys]
+    return df.repartitionByRange(policy.num_output_files, *keys).sortWithinPartitions(
+        *policy.sort_keys
+    )
+
+
+def with_date_partitions(df: DataFrame, ts_col: str = "request_time") -> DataFrame:
+    """Materialize year/month/day partition columns from the event timestamp.
+
+    Zero-padded strings so directory names sort lexicographically
+    (year=2024/month=07/day=05), matching the reference's strftime layout.
+    """
+    return (
+        df.withColumn("year", F.date_format(ts_col, "yyyy"))
+        .withColumn("month", F.date_format(ts_col, "MM"))
+        .withColumn("day", F.date_format(ts_col, "dd"))
+    )
+
+
+def write_compacted(
+    df: DataFrame,
+    destination: str,
+    policy: CompactionPolicy | None = None,
+    ts_col: str = "request_time",
+) -> None:
+    """Compact + write. One Spark action; everything before it is lazy."""
+    policy = policy or CompactionPolicy()
+    out = df
+    partition_cols: list[str] = []
+    if policy.hive_partitioning:
+        out = with_date_partitions(out, ts_col)
+        partition_cols = ["year", "month", "day"]
+
+    out = cluster_for_write(out, policy)
+
+    writer = (
+        out.write.mode("overwrite")
+        .option("compression", policy.compression)
+        # replace only the partitions present in this run (idempotent rerun
+        # of one day), not the whole destination tree
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    if policy.max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(policy.max_records_per_file))
+    for k, v in policy.extra_writer_options.items():
+        writer = writer.option(k, v)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(destination)
