@@ -29,6 +29,29 @@ def sql_hash60(expr: str, seed: str = "") -> str:
     return f"CAST(('0x' || substr(md5({payload}), 1, 15)) AS BIGINT)"
 
 
+# Universal-hash family derived from ONE md5 per input (16x fewer digest
+# computations than seeding md5 per hash): split the 128-bit digest into two
+# 60-bit halves (h1, h2) and take h_k = (h1 + k*h2') mod P. P is a prime near
+# 2^40: k*h2' stays < 2^45, far from bigint overflow in either engine, and
+# 40-bit hash space is ample for minhash signatures.
+HASH_P = 1_099_511_627_689  # prime just above 2^40
+
+
+def hash_family(col: Column, k: int) -> Column:
+    """k-th universal hash of a string from a single md5 digest (portable)."""
+    digest = F.md5(col.cast("binary"))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % HASH_P
+    h2 = F.conv(F.substring(digest, 16, 15), 16, 10).cast("bigint") % HASH_P
+    return (h1 + F.lit(k) * h2) % HASH_P
+
+
+def sql_hash_family(expr: str, k: int) -> str:
+    return (
+        f"((CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {HASH_P}) "
+        f"+ {k} * (CAST(('0x' || substr(md5({expr}), 16, 15)) AS BIGINT) % {HASH_P})) % {HASH_P}"
+    )
+
+
 def tokens(text_col: Column) -> Column:
     """Lowercased word tokens (letters+digits runs)."""
     return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)

@@ -27,12 +27,18 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_volume",
     "q_window_topn_per_group",
+    "q_window_running_total",
     "q_events_daily",
+    "q_events_sessionize",
     "q_top_orders",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "text_stats",
     "sim_topk_bruteforce",
+    "mm_binary_features",
 ]
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
@@ -45,6 +51,11 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
     )
     queries = operators.all_queries()
+    # JVM/codegen warmup at the smallest SF so timings measure the engine,
+    # not first-query classloading.
+    for name in HEADLINE:
+        queries[name](spark, WARMUP_SF_DIR).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
