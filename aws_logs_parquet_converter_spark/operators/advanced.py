@@ -1,0 +1,362 @@
+"""Advanced relational pack: as-of join, outer joins, subqueries, map
+functions, pivot, exact percentiles, and window frames.
+
+Fills the remaining SURVEY.md §2.2 gaps beyond the core relational pack
+(`relational.py`): the reference has no joins at all
+(`/root/reference/converters/s3-server-access-log/s3_server_access_logs.py`
+contains zero `join` calls — SURVEY §2.2), so every operator here is a
+Spark-first design, not a translation.
+
+Scale notes:
+* **As-of join** uses the union+window merge pattern, NOT a range join: a
+  range join (`l.ts >= r.ts` band) explodes to O(|L|·|R|) per key before
+  picking the winner, while union+sort+last_value(ignorenulls) is one shuffle
+  on the key and an O(n log n) partition-local sort — the same plan shape
+  at 100 TB, with AQE handling partition sizing. Hot keys can additionally be
+  range-repartitioned on (key, time) since the window only needs
+  unboundedPreceding..current.
+* **NOT IN / EXISTS** are expressed in SQL so Catalyst plans null-aware anti
+  joins and semi joins (broadcast when the subquery side is small).
+* **Pivot** passes the explicit value list — without it Spark runs an extra
+  distinct job over the pivot column before planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import cents, dsum, sql_dsum
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series point-in-time lookup)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_value: str,
+) -> DataFrame:
+    """For each left row, the ``right_value`` of the latest right row with
+    the same key and ``right_time <= left_time`` (inclusive); NULL if none.
+
+    Union-merge implementation: tag both sides, sort each key partition by
+    (time, side) with right rows first at equal timestamps, then propagate the
+    last non-null right value forward. One shuffle, no row explosion.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(right.dtypes)[right_value]).alias("__rv"),
+        *[F.col(c) for c in lcols],
+    )
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_value).alias("__rv"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__rv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn(right_value, F.last("__rv", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+        .select(*lcols, right_value)
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey
+    FROM events e ASOF LEFT JOIN o2 o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="As-of join: each event matched to the user's latest order at or "
+    "before the event time (union+window merge, not a range join).",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # one row per (key, time): ties broken toward the max orderkey, so the
+    # as-of winner is deterministic in both engines
+    o2 = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join(
+        ev, o2,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_value="o_orderkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_left_join_agg",
+    oracle=f"""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({sql_dsum('o.o_totalprice')}, 0.0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    doc="Left outer join keeping customers with zero orders (count=0, spend=0).",
+)
+def q_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_full_outer_join",
+    oracle="""
+    WITH ed AS (SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n_events
+                FROM events GROUP BY 1),
+         od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n_orders
+                FROM orders GROUP BY 1)
+    SELECT COALESCE(ed.d, od.d) AS d,
+           COALESCE(ed.n_events, 0) AS n_events,
+           COALESCE(od.n_orders, 0) AS n_orders
+    FROM ed FULL OUTER JOIN od ON ed.d = od.d
+    """,
+    doc="Full outer join of daily event counts vs daily order counts.",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ed = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("ed_d"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        ed.join(od, ed.ed_d == od.od_d, "full_outer")
+        .select(
+            F.coalesce("ed_d", "od_d").alias("d"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (null-aware anti join, correlated EXISTS)
+# ---------------------------------------------------------------------------
+
+_NOT_IN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+"""
+
+_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+"""
+
+
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@register(
+    "q_not_in_subquery",
+    oracle=_NOT_IN_SQL,
+    doc="NOT IN subquery — Catalyst plans a null-aware anti join "
+    "(broadcast: the subquery side is an aggregated key set).",
+)
+def q_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _NOT_IN_SQL, ["customer", "orders"])
+
+
+@register(
+    "q_exists_correlated",
+    oracle=_EXISTS_SQL,
+    doc="Correlated EXISTS + NOT EXISTS — planned as left-semi then "
+    "left-anti hash joins on the correlation key.",
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _EXISTS_SQL, ["customer", "orders"])
+
+
+# ---------------------------------------------------------------------------
+# Map functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT user_id,
+           COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS clicks,
+           COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS views,
+           COUNT(DISTINCT event_type) AS n_types,
+           (COUNT(*) FILTER (WHERE event_type = 'error') > 0) AS has_error
+    FROM events GROUP BY user_id
+    """,
+    doc="Map construction + lookup: per-user event_type->count map via "
+    "map_from_entries, probed with try_element_at / map_contains_key. "
+    "Deterministic because map lookups are order-insensitive.",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.try_element_at("m", F.lit("click")), F.lit(0)).alias("clicks"),
+        F.coalesce(F.try_element_at("m", F.lit("view")), F.lit(0)).alias("views"),
+        F.size(F.map_keys("m")).cast("bigint").alias("n_types"),
+        F.map_contains_key("m", F.lit("error")).alias("has_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "q_pivot_events",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+           COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view,
+           COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+           COALESCE(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+           COALESCE(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot event_type to columns per day; explicit value list avoids "
+    "Spark's extra distinct-values job.",
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont; rounded to cents to absorb interpolation ULPs).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames: ntile, first_value, sliding frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / 100.0) AS mov_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window frame pack: ntile quartiles, first_value, and an exact "
+    "3-row sliding sum (integer cents) per priority partition.",
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        (F.sum(cents("o_totalprice")).over(wf).cast("double") / F.lit(100.0)).alias(
+            "mov_sum"
+        ),
+    )

@@ -418,3 +418,51 @@ _SQL_SIMHASH = (
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def embedding_cosine_dupes(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-based near-dup: vectors whose cosine to an earlier (smaller
+    id) same-cluster vector exceeds ``threshold``; canonical = min such id.
+
+    Blocked by the coarse ``label`` cluster so the self-join is per-block
+    O(n_b^2) instead of global O(n^2) — at 100 TB the corpus is partitioned
+    by label and each block joins co-located, no broadcast of the corpus.
+    """
+    from .similarity import cosine  # local import: avoid module cycle
+
+    a = embeddings.select(
+        F.col("vec_id").alias("canon_cand"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("canon_cand") < F.col("dup_id")))
+        .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .groupBy("dup_id")
+        .agg(F.min("canon_cand").alias("keep_vec_id"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_dot_product(embedding, embedding)) AS nrm
+      FROM embeddings
+    )
+    SELECT b.vec_id AS dup_id, MIN(a.vec_id) AS keep_vec_id
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.35
+    GROUP BY b.vec_id
+    """,
+    doc="Embedding-cosine near-dup (>=0.35 within label block): dup vector "
+    "-> canonical keeper (min earlier id).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_dupes(load_table(spark, sf_dir, "embeddings"))

@@ -144,9 +144,9 @@ def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM n a JOIN n b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.75
+    WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.3
     """,
-    doc="All same-cluster pairs with cosine >= 0.75 (ids only, scores are not contract).",
+    doc="All same-cluster pairs with cosine >= 0.3 (ids only, scores are not contract).",
 )
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -159,7 +159,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= 0.75)
+        .where(cos >= 0.3)
         .select("vec_a", "vec_b")
     )
 
