@@ -58,3 +58,40 @@ def test_parse_path_has_no_python_and_no_shuffle(spark, tmp_path):
 def test_semi_anti_join_operators(spark):
     assert "LeftSemi" in _plan(spark, "q_semi_join")
     assert "LeftAnti" in _plan(spark, "q_anti_join")
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """As-of join must be the union+window merge: no join node at all, and
+    only two shuffles (orders pre-agg + window partitioning)."""
+    plan = _plan(spark, "q_asof_join")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_not_in_is_null_aware_anti_join(spark):
+    plan = _plan(spark, "q_not_in_subquery")
+    # BroadcastHashJoin ..., LeftAnti, BuildRight, true  <- trailing flag is
+    # isNullAwareAntiJoin
+    assert re.search(r"LeftAnti, BuildRight, true", plan)
+
+
+def test_exists_correlated_plans_semi_and_anti(spark):
+    plan = _plan(spark, "q_exists_correlated")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_full_outer_join_is_sort_merge(spark):
+    # full outer cannot broadcast; must be a shuffle join, never a cartesian
+    plan = _plan(spark, "q_full_outer_join")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_pivot_plans_pivotfirst_aggregate(spark):
+    # explicit pivot values -> pivotfirst aggregate, two shuffles
+    # (pre-agg on (day, type), then pivot by day) and no separate
+    # distinct-values job before planning
+    plan = _plan(spark, "q_pivot_events")
+    assert "pivotfirst" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
