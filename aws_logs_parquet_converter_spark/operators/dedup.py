@@ -49,37 +49,49 @@ SHINGLE_W = 3
 # ---------------------------------------------------------------------------
 
 
+def shingle_array(text_col: Column) -> Column:
+    """Distinct 3-token shingles of a text as an array — fully narrow.
+
+    Built from three shifted ``slice``s of the token array combined with
+    ``zip_with`` instead of a per-doc window, so shingling costs ZERO
+    shuffles. Each slice references the token array at ROW level (evaluated
+    once per row); putting token lookups inside a per-element lambda would
+    let CollapseProject inline the regexp tokenizer into every element —
+    measured 50x slower.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    m = n - (SHINGLE_W - 1)  # number of shingles
+    a = F.slice(toks, 1, m)
+    b = F.slice(toks, 2, m)
+    c = F.slice(toks, 3, m)
+    pair = F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y))
+    tri = F.zip_with(pair, c, lambda p, z: F.concat(p, F.lit(" "), z))
+    return F.when(n >= SHINGLE_W, F.array_distinct(tri)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct 3-token shingles per document: (doc_id, shingle).
 
-    posexplode + window-lead keeps the whole thing in native expressions; the
-    only shuffle is the per-doc window (partitioned by doc_id).
+    ``array_distinct`` inside :func:`shingle_array` already dedupes per doc,
+    so no global distinct (= no shuffle) is needed after the explode.
     """
-    tok = docs.select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        F.explode(shingle_array(F.col(text_col))).alias("shingle"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    # concat propagates NULL (unlike concat_ws) -> incomplete tails drop out
-    sh = tok.select(
-        "doc_id",
-        F.concat(
-            F.col("tok"),
-            F.lit(" "),
-            F.lead("tok", 1).over(w),
-            F.lit(" "),
-            F.lead("tok", 2).over(w),
-        ).alias("shingle"),
-    )
-    return sh.where(F.col("shingle").isNotNull()).distinct()
 
 
 def minhash_signature(sh: DataFrame) -> DataFrame:
     """(doc_id, s0..s15): 16 minhashes from ONE md5 per shingle.
 
-    The md5 digest is computed once and split into two 60-bit halves; the k-th
-    hash is the universal-family combination (h1 + k*h2) mod P — 16x fewer
-    digest computations than seeding md5 per signature row.
+    The md5 digest is computed once per shingle row and split into two
+    60-bit halves; the k-th hash is the universal-family combination
+    (h1 + k*h2) mod P — 16x fewer digests than seeding md5 per signature.
+    The groupBy plans a map-side partial min, so only (doc_id, 16 longs)
+    per doc ever shuffles.
     """
     digest = F.md5(F.col("shingle").cast("binary"))
     halves = sh.select(
@@ -224,8 +236,7 @@ def dedup_exact_only_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs with minhash-estimated Jaccard (matches/16)."""
-    sh = shingles(docs)
-    sig = minhash_signature(sh).cache()
+    sig = minhash_signature(shingles(docs)).cache()
     cand = candidate_pairs(lsh_bands(sig))
     x = sig.alias("x")
     y = sig.alias("y")
