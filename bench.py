@@ -31,8 +31,12 @@ HEADLINE = [
     "q_events_daily",
     "q_events_sessionize",
     "q_top_orders",
+    "q_asof_join",
+    "q_left_join_agg",
+    "q_percentiles",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_stats",
     "sim_topk_bruteforce",
     "mm_binary_features",
@@ -55,6 +59,7 @@ def main() -> None:
     # not first-query classloading.
     for name in HEADLINE:
         queries[name](spark, WARMUP_SF_DIR).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()  # drop warmup caches before timing
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
