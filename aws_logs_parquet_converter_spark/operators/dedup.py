@@ -439,21 +439,35 @@ def embedding_cosine_dupes(embeddings: DataFrame, threshold: float = 0.35) -> Da
     O(n_b^2) instead of global O(n^2) — at 100 TB the corpus is partitioned
     by label and each block joins co-located, no broadcast of the corpus.
     """
-    from .similarity import cosine  # local import: avoid module cycle
+    from .similarity import dot  # local import: avoid module cycle
 
-    a = embeddings.select(
+    # Precompute each vector's norm ONCE (per row, before the join) and test
+    # dot(a,b) >= t * |a| * |b| — a per-pair cosine would recompute both
+    # norms inside the pair loop, tripling the interpreted array work.
+    n = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = n.select(
         F.col("vec_id").alias("canon_cand"),
         F.col("label").alias("la"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = embeddings.select(
+    b = n.select(
         F.col("vec_id").alias("dup_id"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("canon_cand") < F.col("dup_id")))
-        .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .where(
+            dot(F.col("va"), F.col("vb"))
+            >= F.lit(threshold) * F.col("na") * F.col("nb")
+        )
         .groupBy("dup_id")
         .agg(F.min("canon_cand").alias("keep_vec_id"))
     )
@@ -469,7 +483,7 @@ def embedding_cosine_dupes(embeddings: DataFrame, threshold: float = 0.35) -> Da
     )
     SELECT b.vec_id AS dup_id, MIN(a.vec_id) AS keep_vec_id
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.35
+    WHERE list_dot_product(a.embedding, b.embedding) >= 0.35 * a.nrm * b.nrm
     GROUP BY b.vec_id
     """,
     doc="Embedding-cosine near-dup (>=0.35 within label block): dup vector "

@@ -44,18 +44,26 @@ def brute_force_topk(
     ``queries`` must be small enough to broadcast; corpus side streams.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_nrm"),
     )
     e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("e_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("e_vec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("e_nrm"),
     )
+    # norms precomputed per row (once per vector, not once per pair)
     scored = (
         F.broadcast(q)
         .join(e, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("e_vec")).alias("cos"),
+            (
+                dot(F.col("q_vec"), F.col("e_vec"))
+                / (F.col("q_nrm") * F.col("e_nrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -80,11 +88,13 @@ def ivf_topk_by_label(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_vec"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
     )
     e = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("e_label"),
         F.col("embedding").alias("e_vec"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("e_nrm"),
     )
     scored = (
         F.broadcast(q)
@@ -96,7 +106,10 @@ def ivf_topk_by_label(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("e_vec")).alias("cos"),
+            (
+                dot(F.col("q_vec"), F.col("e_vec"))
+                / (F.col("q_nrm") * F.col("e_nrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -144,22 +157,36 @@ def sim_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM n a JOIN n b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) >= 0.3
+    WHERE list_dot_product(a.embedding, b.embedding) >= 0.3 * a.nrm * b.nrm
     """,
     doc="All same-cluster pairs with cosine >= 0.3 (ids only, scores are not contract).",
 )
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    a = em.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    # norms once per vector (row level), dot-only per pair: a per-pair
+    # cosine() would recompute both norms inside the pair loop (3x the
+    # interpreted array work)
+    n = em.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    b = em.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .where(cos >= 0.3)
+        .where(dot(F.col("va"), F.col("vb")) >= F.lit(0.3) * F.col("na") * F.col("nb"))
         .select("vec_a", "vec_b")
     )
 
