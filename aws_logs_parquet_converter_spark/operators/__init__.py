@@ -78,4 +78,7 @@ def _load_all() -> None:
         from . import multimodal  # noqa: F401
     except ImportError:
         pass
+    from ..streaming import events as _streaming_events
+
+    _streaming_events._register_gate_queries()
     _loaded = True

@@ -86,3 +86,129 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+USER_TOTALS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+USER_TOTALS_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("total_value", DoubleType())]
+)
+
+
+def _update_user_totals(key, pdf_iter, state):
+    """Fold each micro-batch's rows for one user into running totals.
+
+    State is the (count, sum) pair per user — O(1) per key, so total state
+    is bounded by the number of distinct users regardless of event volume.
+    Emits the updated running totals once per (user, micro-batch).
+    """
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Running per-user event count + value sum as an explicit-state stream.
+
+    This is the custom-stateful-operator surface the built-in windowed
+    aggregates can't express (arbitrary per-key state transition functions):
+    ``applyInPandasWithState`` ships Arrow batches per (key, micro-batch) to
+    a Python worker holding a typed GroupState. At scale the stream is
+    hash-partitioned by user_id, state lives in the state store per
+    partition, and each micro-batch touches only keys with new data.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=USER_TOTALS_OUTPUT_SCHEMA,
+        stateStructType=USER_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered gate query: the streaming surface, checked as a batch twin
+# ---------------------------------------------------------------------------
+
+PARQUET_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # parquet TIMESTAMP(NANOS) -> long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_STREAM_RUN_SEQ = 0
+
+
+def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful per-user operator over the events table AS A STREAM
+    (file source, availableNow) and return the final per-user event counts.
+
+    Exercises end-to-end Structured Streaming in the correctness gate: the
+    final state per user must equal the batch groupBy answer. Only the exact
+    integer count is contract — float running totals depend on accumulation
+    order and stay out of the comparison.
+    """
+    global _STREAM_RUN_SEQ
+    _STREAM_RUN_SEQ += 1
+    name = f"stream_user_counts_{_STREAM_RUN_SEQ}"
+
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # the file stream source needs a directory; select just the events
+    # table out of the scale-factor dir with a glob filter
+    stream = (
+        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    run_available_now(
+        stateful_user_totals(stream),
+        name,
+        tempfile.mkdtemp(prefix="ckpt_gate_"),
+        output_mode="update",
+    )
+    # keep each user's LAST update (the running count is monotone)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+def _register_gate_queries() -> None:
+    from ..operators import register
+
+    register(
+        "stream_user_event_counts",
+        oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+        doc="Structured Streaming gate: stateful applyInPandasWithState "
+        "per-user counts via availableNow file stream == batch groupBy.",
+    )(stream_user_event_counts)

@@ -116,3 +116,30 @@ def test_stream_incremental_second_batch(spark, tmp_path):
         )
     run_once()
     assert spark.read.parquet(sink).count() == len(ROWS) + 1
+
+
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.streaming.events import stateful_user_totals
+
+    src = str(tmp_path / "stateful_src")
+    _write_events(src)
+    run_available_now(
+        stateful_user_totals(read_event_stream(spark, src)),
+        "user_totals",
+        str(tmp_path / "ckpt_state"),
+        output_mode="update",
+    )
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM user_totals").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.tot, 6))
+        for r in (
+            spark.read.json(src)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+            .collect()
+        )
+    }
+    assert got == batch
