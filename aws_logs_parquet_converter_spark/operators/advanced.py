@@ -360,3 +360,83 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mov_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global sort + salted skew join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_global_sort",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_quantity >= 49
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    """,
+    doc="Global total-order sort (range-exchange + per-partition sort; the "
+    "one sort shape TakeOrderedAndProject doesn't cover).",
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") >= 49)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+N_SALTS = 8
+
+
+def salted_join_count(
+    facts: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """Per-key fact counts via an explicitly SALTED join.
+
+    For a hot key whose rows overwhelm one shuffle partition, append a random
+    salt in [0, N_SALTS) to the fact side and explode the (small) dim side to
+    all N_SALTS salts, so each hot key spreads over N_SALTS reducers. AQE's
+    skew-join split handles mid-size skew automatically; explicit salting is
+    the pattern for the pathological keys AQE can't split (single-key joins,
+    streaming state). Deterministic output: counts are aggregated after the
+    join, so the random salt never affects the result.
+    """
+    salted_facts = facts.withColumn(
+        "salt", (F.rand(seed=7) * N_SALTS).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    return (
+        salted_facts.join(
+            salted_dim,
+            (salted_facts[fact_key] == salted_dim[dim_key])
+            & (salted_facts["salt"] == salted_dim["salt"]),
+        )
+        .groupBy(dim_key)
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "q_salted_skew_join",
+    oracle="""
+    SELECT o.o_custkey, COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+    doc="Skew-resistant salted join: lineitem->orders then salted "
+    "orders->customer; salt spreads hot customers over N_SALTS reducers, "
+    "aggregation after the join makes the salt invisible in the result.",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    facts = li.join(o, li.l_orderkey == o.o_orderkey).select("o_custkey")
+    out = salted_join_count(facts, c, "o_custkey", "c_custkey")
+    return out.select(F.col("c_custkey").alias("o_custkey"), "n_rows")
