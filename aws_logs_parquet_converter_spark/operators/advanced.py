@@ -440,3 +440,93 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = li.join(o, li.l_orderkey == o.o_orderkey).select("o_custkey")
     out = salted_join_count(facts, c, "o_custkey", "c_custkey")
     return out.select(F.col("c_custkey").alias("o_custkey"), "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# Cross join, min_by/max_by, RANGE frames, LIKE-family filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="Deliberate cartesian product of two tiny dims (5 x 25) — the one "
+    "join shape where CartesianProduct/BroadcastNestedLoop is correct.",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+           arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="min_by/max_by (argmin/argmax) per group; the ordering value embeds "
+    "the unique orderkey so ties cannot make the answer engine-dependent.",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rank_val = cents("o_totalprice") * F.lit(10_000_000) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", rank_val).alias("cheapest_order"),
+        F.max_by("o_orderkey", rank_val).alias("priciest_order"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+             RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_within_50k_below
+    FROM orders
+    """,
+    doc="RANGE window frame (value-based, includes peers): per priority, how "
+    "many orders price within $50k at or below this one.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(cents("o_totalprice"))
+        .rangeBetween(-5_000_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count("*").over(w).alias("n_within_50k_below"),
+    )
+
+
+@register(
+    "q_like_filters",
+    oracle="""
+    SELECT lang,
+           COUNT(*) FILTER (WHERE text LIKE '%the%') AS n_like,
+           COUNT(*) FILTER (WHERE text ILIKE '%THE%') AS n_ilike,
+           COUNT(*) FILTER (WHERE regexp_matches(text, '[0-9]{2,}')) AS n_rlike,
+           COUNT(*) FILTER (WHERE starts_with(text, 'The')) AS n_prefix
+    FROM documents GROUP BY lang
+    """,
+    doc="LIKE / ILIKE / RLIKE / prefix predicate pack over documents.",
+)
+def q_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.when(F.col("text").like("%the%"), 1)).alias("n_like"),
+        F.count(F.when(F.col("text").ilike("%THE%"), 1)).alias("n_ilike"),
+        F.count(F.when(F.col("text").rlike("[0-9]{2,}"), 1)).alias("n_rlike"),
+        F.count(F.when(F.col("text").startswith("The"), 1)).alias("n_prefix"),
+    )
