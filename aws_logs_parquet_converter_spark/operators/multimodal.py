@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from ..catalog import load_table
 from . import register
@@ -126,3 +127,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized scalar pandas UDF (the Arrow-batched UDF surface)
+# ---------------------------------------------------------------------------
+
+
+# DataType instance (not a DDL string): string return types need an active
+# SparkContext to parse, which doesn't exist at import time.
+@F.pandas_udf(DoubleType())
+def _rational_score(value: pd.Series) -> pd.Series:
+    """(v^2 + 3v) / 7 — rational arithmetic only, so the result is
+    bit-identical in any IEEE-754 engine regardless of vectorization."""
+    return (value * value + 3.0 * value) / 7.0
+
+
+@register(
+    "q_pandas_udf_score",
+    oracle="""
+    SELECT event_id, ((value * value + 3.0 * value) / 7.0) AS score
+    FROM events WHERE value IS NOT NULL
+    """,
+    doc="Vectorized scalar pandas UDF (Arrow batches): per-event rational "
+    "polynomial score. Demonstrates the Python-UDF escape hatch at its "
+    "cheapest — still 10-100x slower than the equivalent native expression, "
+    "which is the production recommendation for anything expressible in SQL.",
+)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.select("event_id", _rational_score(F.col("value")).alias("score"))
