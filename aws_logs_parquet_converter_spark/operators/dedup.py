@@ -49,6 +49,20 @@ SHINGLE_W = 3
 # ---------------------------------------------------------------------------
 
 
+def spread_input(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the source is under-partitioned
+    (e.g. one unsplittable parquet row group) so per-row tokenize/hash work
+    can use every core. At production scale the input has >= cores
+    partitions already and this is a no-op — document bodies are never
+    shuffled unnecessarily.
+    """
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, target // 2):
+        return docs.repartition(target)
+    return docs
+
+
 def shingle_array(text_col: Column) -> Column:
     """Distinct 3-token shingles of a text as an array — fully narrow.
 
@@ -236,7 +250,7 @@ def dedup_exact_only_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs with minhash-estimated Jaccard (matches/16)."""
-    sig = minhash_signature(shingles(docs)).cache()
+    sig = minhash_signature(shingles(spread_input(docs))).cache()
     cand = candidate_pairs(lsh_bands(sig))
     x = sig.alias("x")
     y = sig.alias("y")
@@ -278,7 +292,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Exact shingle-set Jaccard >= threshold via inverted-index equi-join."""
-    sh = shingles(docs).cache()
+    sh = shingles(spread_input(docs)).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -340,7 +354,9 @@ def simhash_sketch(docs: DataFrame) -> DataFrame:
     heavily across documents, which collapses token-feature sketches together;
     shingles keep unrelated documents far apart in Hamming space.
     """
-    th = shingles(docs).select("doc_id", hash60(F.col("shingle"), seed="sim").alias("h"))
+    th = shingles(spread_input(docs)).select(
+        "doc_id", hash60(F.col("shingle"), seed="sim").alias("h")
+    )
     bit_sums = th.groupBy("doc_id").agg(
         *[
             F.sum(
