@@ -214,3 +214,110 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(em, em.where(F.col("vec_id") < 5), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (bucketed ANN without a precomputed cluster label)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix seeded from md5 — identical
+    literals are embedded in the DuckDB oracle, so both engines bucket
+    identically (no RNG, no state)."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for j in range(N_PLANES):
+        digest = b""
+        while len(digest) < DIM:
+            digest += hashlib.md5(f"rplsh:{j}:{len(digest)}".encode()).digest()
+        planes.append([1.0 if b & 1 else -1.0 for b in digest[:DIM]])
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def rp_bucket(vec: Column) -> Column:
+    """LSH bucket id: sign bit of the vector against each ±1 hyperplane.
+
+    Each plane dot is a row-level zip_with/aggregate against a LITERAL array
+    (evaluated once per row) — sequential double arithmetic, bit-identical
+    to the oracle's list_dot_product.
+    """
+    bits = []
+    for j, plane in enumerate(_PLANES):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = dot(vec, lit_plane)
+        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _sql_rp_bucket(vec_expr: str) -> str:
+    terms = []
+    for j, plane in enumerate(_PLANES):
+        arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """ANN candidate pairs: same random-hyperplane bucket, then exact cosine
+    filter. The bucket join is a plain equi-join — at 100 TB the corpus is
+    hash-partitioned by bucket and candidates never leave their partition;
+    no O(n^2) stage, no precomputed cluster labels needed (contrast
+    ivf_topk_by_label, which assumes labels exist)."""
+    base = embeddings.select(
+        "vec_id",
+        "embedding",
+        rp_bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("bucket").alias("ba"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .where(dot(F.col("va"), F.col("vb")) >= F.lit(threshold) * F.col("na") * F.col("nb"))
+        .select("vec_a", "vec_b", F.col("ba").alias("bucket"))
+    )
+
+
+@register(
+    "sim_ann_rplsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             {_sql_rp_bucket('embedding')} AS bucket,
+             sqrt(list_dot_product(embedding, embedding)) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket
+    FROM base a JOIN base b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding, b.embedding) >= 0.3 * a.nrm * b.nrm
+    """,
+    doc="Random-hyperplane LSH ANN: 8-bit sign bucket from a deterministic "
+    "seeded plane matrix, equi-join on bucket, exact cosine confirm.",
+)
+def sim_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rplsh_pairs(load_table(spark, sf_dir, "embeddings"))

@@ -106,3 +106,31 @@ def test_multimodal_plumbing_roundtrip(docs):
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """HLL++ distinct counts within 5% of exact; approx median within the
+    exact p40-p60 band — a real accuracy contract for the oracle-less query."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.relational import q_approx_sketches
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.l_returnflag: r for r in q_approx_sketches(spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.expr("percentile(l_extendedprice, array(0.4, 0.5, 0.6))").alias("p"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.n_parts) / e.n_parts < 0.05
+        p40, _, p60 = e.p
+        assert p40 <= a.price_quantiles[0] <= p60
