@@ -153,9 +153,10 @@ def parse_s3_access_log_lines(lines: DataFrame, value_col: str = "value") -> Dat
     ``spark.read.text``). Output: ``S3_ACCESS_LOG_SCHEMA`` — entirely native
     expressions, single stage, no shuffle.
     """
-    # Python str.strip() semantics (reference :135): strip ALL whitespace,
-    # drop empty; F.trim only handles spaces, so use a regex strip.
-    line = F.regexp_replace(F.col(value_col), r"^\s+|\s+$", "")
+    # Python str.strip() semantics (reference :135): strip ALL whitespace
+    # (unicode-aware — (?U) makes Java's \s match e.g.   like Python's
+    # str.strip does), drop empty; F.trim only handles spaces.
+    line = F.regexp_replace(F.col(value_col), r"(?U)^\s+|\s+$", "")
     df = lines.where(F.length(line) > 0).select(line.alias("_line"))
 
     # Regex exec #1: matched substring (search semantics; '' = no match).

@@ -50,9 +50,11 @@ def _fmt_num(v) -> str:
 def test_parser_totality_and_dead_letter(spark, lines):
     df = spark.createDataFrame([(ln,) for ln in lines], "value string")
     rows = parse_s3_access_log_lines(df).collect()
-    non_blank = [ln for ln in lines if ln.strip()]
+    # the reference strips each line BEFORE parsing/dead-lettering
+    # (s3_server_access_logs.py:135,163) — expectations use stripped lines
+    non_blank = [ln.strip() for ln in lines if ln.strip()]
     assert len(rows) == len(non_blank)
-    # every unparseable line is preserved verbatim; parsed rows have no error
+    # every unparseable line is preserved (stripped); parsed rows no error
     raw_failed = sorted(r.error_line for r in rows if r.error_line is not None)
     import re
 
