@@ -530,3 +530,81 @@ def q_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("text").rlike("[0-9]{2,}"), 1)).alias("n_rlike"),
         F.count(F.when(F.col("text").startswith("The"), 1)).alias("n_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank functions, conditional aggregates, string aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rank_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           round(PERCENT_RANK() OVER w, 8) AS prnk,
+           round(CUME_DIST() OVER w, 8) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+    """,
+    doc="rank / dense_rank / percent_rank / cume_dist over an exact integer "
+    "ordering key (ties are real and handled identically in both engines).",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 8).alias("prnk"),
+        F.round(F.cume_dist().over(w), 8).alias("cdist"),
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Conditional aggregation: count_if, bool_or/bool_and, case-sum.",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_finished"),
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Deterministic string aggregation: collect_list -> array_sort -> "
+    "array_join == string_agg(ORDER BY) (explicit order, never relies on "
+    "collection order).",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )

@@ -143,3 +143,53 @@ def test_stateful_user_totals_matches_batch(spark, tmp_path):
         )
     }
     assert got == batch
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Events older than the watermark are DROPPED in append mode — the
+    documented late-data policy (the reference instead re-runs a whole day)."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt_late")
+    _write_events(src)  # events at 2024-01-01 10:00 .. 11:30
+
+    sink = str(tmp_path / "late_sink")
+
+    def run_once():
+        q = (
+            windowed_counts(read_event_stream(spark, src), window="1 hour", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # batch 2: one event FAR older than max_seen(11:30) - 30min watermark
+    with open(os.path.join(src, "late.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"event_id": 99, "ts": "2024-01-01 08:00:00.000000", "user_id": 7,
+                 "event_type": "click", "value": 9.9, "props": "{}"}
+            )
+            + "\n"
+        )
+    run_once()
+    # batch 3: a future event pushes the watermark far past 09:00 — if the
+    # late row had survived in state, its 08:00 window would emit NOW
+    with open(os.path.join(src, "future.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"event_id": 100, "ts": "2024-01-01 14:00:00.000000", "user_id": 7,
+                 "event_type": "view", "value": 1.0, "props": "{}"}
+            )
+            + "\n"
+        )
+    run_once()
+    got = spark.read.parquet(sink).collect()
+    assert len(got) > 0
+    # every on-time window eventually emitted, the late 08:00 window never
+    assert any(str(r.window_start).startswith("2024-01-01 10") for r in got)
+    assert not any(str(r.window_start).startswith("2024-01-01 08") for r in got)
