@@ -33,6 +33,11 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
 
+    # managed-table warehouse (bucketed tables) outside the repo tree
+    import tempfile
+
+    warehouse = os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -59,6 +64,9 @@ def build_session(
         # small objects; openCostInBytes packs them into sane splits.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.files.openCostInBytes", "4194304")
+        # Managed tables (bucketed joins) live in tmp; derby metastore too.
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={warehouse}")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

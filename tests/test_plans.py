@@ -4,6 +4,8 @@ broadcast joins for dimension tables, no accidental cartesian products."""
 
 import re
 
+from pyspark.sql import functions as F
+
 from aws_logs_parquet_converter_spark.operators import all_queries
 
 SF = "/root/testdata/sf0.001"
@@ -95,3 +97,40 @@ def test_pivot_plans_pivotfirst_aggregate(spark):
     plan = _plan(spark, "q_pivot_events")
     assert "pivotfirst" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketing both sides by the join key at write time eliminates the
+    query-time shuffle entirely — the core fact-fact join strategy at 100 TB."""
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.plans.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # zero shuffles: bucketed scan on both sides
+        # and the answer is right
+        expected = (
+            load_table(spark, SF, "orders")
+            .join(
+                load_table(spark, SF, "lineitem"),
+                F.expr("o_orderkey = l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
