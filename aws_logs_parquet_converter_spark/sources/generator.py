@@ -100,3 +100,78 @@ def write_log_files(
             fh.write("\n".join(chunk) + "\n")
         paths.append(p)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# ALB / VPC-flow synthetic lines (same conventions: seeded, ~1% garbage)
+# ---------------------------------------------------------------------------
+
+GOLDEN_ALB_LINE = (
+    'https 2024-07-02T22:23:00.186641Z app/my-lb/50dc6c495c0c9188 '
+    '192.168.131.39:2817 10.0.0.1:80 0.000086 0.001048 0.001337 200 200 34 366 '
+    '"GET https://www.example.com:443/ HTTP/1.1" "curl/7.46.0" '
+    'ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2 '
+    'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+    '"Root=1-58337281-1d84f3d73c47ec4e58577259" "www.example.com" '
+    '"arn:aws:acm:us-east-2:123456789012:certificate/12345678-1234-1234-1234-123456789012" '
+    '0 2024-07-02T22:22:48.364000Z "forward" "-" "-" "10.0.0.1:80" "200" "-" "-"'
+)
+
+GOLDEN_VPC_FLOW_LINE = (
+    "2 123456789010 eni-1235b8ca123456789 172.31.16.139 172.31.16.21 "
+    "20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+)
+
+
+def generate_alb_lines(n: int, seed: int = 42, garbage_every: int = 97) -> list[str]:
+    rng = random.Random(seed)
+    start = datetime(2024, 7, 1, 0, 0, 0)
+    lines = []
+    for i in range(n):
+        if garbage_every and i % garbage_every == garbage_every - 1:
+            lines.append(f"not an alb line {i}")
+            continue
+        ts = start + timedelta(seconds=rng.randint(0, 30 * 24 * 3600))
+        t = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        status = rng.choice([200, 200, 200, 301, 404, 502])
+        tstatus = "-" if status == 502 else str(status)
+        ttime = "-1" if status == 502 else f"{rng.random() / 100:.6f}"
+        lines.append(
+            f"https {t} app/bench-lb/{rng.getrandbits(32):08x} "
+            f"10.0.{rng.randint(0, 255)}.{rng.randint(1, 254)}:{rng.randint(1024, 65535)} "
+            f"10.1.0.{rng.randint(1, 254)}:443 {rng.random() / 1000:.6f} {ttime} "
+            f"{rng.random() / 1000:.6f} {status} {tstatus} {rng.randint(30, 900)} "
+            f'{rng.randint(200, 100000)} "GET https://svc.example.com:443/p/{rng.randint(0, 999)} HTTP/1.1" '
+            f'"agent/{rng.randint(1, 9)}.0" ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2 '
+            f"arn:aws:elasticloadbalancing:us-east-1:1:targetgroup/tg/{rng.getrandbits(32):08x} "
+            f'"Root=1-{rng.getrandbits(32):08x}" "svc.example.com" "-" 0 {t} '
+            f'"forward" "-" "-" "10.1.0.1:443" "{tstatus}" "-" "-"'
+        )
+    return lines
+
+
+def generate_vpc_flow_lines(n: int, seed: int = 42, garbage_every: int = 97) -> list[str]:
+    rng = random.Random(seed)
+    base = 1720000000
+    lines = []
+    for i in range(n):
+        if garbage_every and i % garbage_every == garbage_every - 1:
+            lines.append(f"garbage {i}")
+            continue
+        if rng.random() < 0.02:  # NODATA record: sentinel-heavy
+            lines.append(
+                f"2 123456789010 eni-{rng.getrandbits(32):08x} - - - - - - - "
+                f"{base + i} {base + i + 60} - NODATA"
+            )
+            continue
+        start = base + rng.randint(0, 30 * 24 * 3600)
+        lines.append(
+            f"2 123456789010 eni-{rng.getrandbits(32):08x} "
+            f"172.31.{rng.randint(0, 255)}.{rng.randint(1, 254)} "
+            f"172.31.{rng.randint(0, 255)}.{rng.randint(1, 254)} "
+            f"{rng.randint(1024, 65535)} {rng.choice([22, 80, 443, 5432])} "
+            f"{rng.choice([6, 6, 6, 17])} {rng.randint(1, 500)} "
+            f"{rng.randint(40, 1_000_000)} {start} {start + 60} "
+            f"{rng.choice(['ACCEPT', 'ACCEPT', 'ACCEPT', 'REJECT'])} OK"
+        )
+    return lines

@@ -1,0 +1,105 @@
+"""ALB and VPC-flow parser tests: golden lines from the public AWS docs,
+dead-letter behavior, and registry dispatch — the formats the reference
+names as its roadmap but never shipped (`/root/reference/README.md:11`)."""
+
+from datetime import datetime
+
+from aws_logs_parquet_converter_spark.functions.alb_log_parse import (
+    ALB_LOG_SCHEMA,
+    parse_alb_log_lines,
+)
+from aws_logs_parquet_converter_spark.functions.vpc_flow_parse import (
+    VPC_FLOW_SCHEMA,
+    parse_vpc_flow_lines,
+)
+from aws_logs_parquet_converter_spark.sources.generator import (
+    GOLDEN_ALB_LINE,
+    GOLDEN_VPC_FLOW_LINE,
+    generate_alb_lines,
+    generate_vpc_flow_lines,
+)
+
+
+def _df(spark, lines):
+    return spark.createDataFrame([(ln,) for ln in lines], "value string")
+
+
+def test_alb_golden_line(spark):
+    row = parse_alb_log_lines(_df(spark, [GOLDEN_ALB_LINE])).collect()[0]
+    assert row.error_line is None
+    assert row.request_type == "https"
+    assert row.time == datetime(2024, 7, 2, 22, 23, 0, 186641)
+    assert row.elb == "app/my-lb/50dc6c495c0c9188"
+    assert row.client == "192.168.131.39:2817"
+    assert row.target == "10.0.0.1:80"
+    assert abs(row.request_processing_time - 0.000086) < 1e-12
+    assert row.elb_status_code == 200 and row.target_status_code == 200
+    assert row.received_bytes == 34 and row.sent_bytes == 366
+    assert row.request == "GET https://www.example.com:443/ HTTP/1.1"  # quotes stripped
+    assert row.user_agent == "curl/7.46.0"
+    assert row.ssl_protocol == "TLSv1.2"
+    assert row.trace_id == "Root=1-58337281-1d84f3d73c47ec4e58577259"
+    assert row.matched_rule_priority == 0
+    assert row.request_creation_time == datetime(2024, 7, 2, 22, 22, 48, 364000)
+    assert row.actions_executed == "forward"
+    assert row.redirect_url is None  # "-" sentinel
+    assert row.target_port_list == "10.0.0.1:80"
+
+
+def test_alb_dead_letter_and_schema(spark):
+    out = parse_alb_log_lines(_df(spark, ["garbage", GOLDEN_ALB_LINE, "  "]))
+    assert out.schema == ALB_LOG_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 2  # blank dropped
+    assert sorted(r.error_line is None for r in rows) == [False, True]
+
+
+def test_vpc_flow_golden_line(spark):
+    row = parse_vpc_flow_lines(_df(spark, [GOLDEN_VPC_FLOW_LINE])).collect()[0]
+    assert row.error_line is None
+    assert row.version == 2
+    assert row.account_id == "123456789010"
+    assert row.interface_id == "eni-1235b8ca123456789"
+    assert row.srcaddr == "172.31.16.139" and row.dstaddr == "172.31.16.21"
+    assert row.srcport == 20641 and row.dstport == 22
+    assert row.protocol == 6
+    assert row.packets == 20 and row.bytes == 4249
+    assert row.start_ts == datetime(2014, 12, 14, 4, 6, 50)  # epoch 1418530010 UTC
+    assert row.action == "ACCEPT" and row.log_status == "OK"
+
+
+def test_vpc_flow_nodata_sentinels(spark):
+    line = "2 123456789010 eni-abc - - - - - - - 1418530010 1418530070 - NODATA"
+    row = parse_vpc_flow_lines(_df(spark, [line])).collect()[0]
+    assert row.error_line is None
+    assert row.srcaddr is None and row.srcport is None and row.packets is None
+    assert row.action is None and row.log_status == "NODATA"
+
+
+def test_vpc_flow_wrong_arity_dead_letters(spark):
+    row = parse_vpc_flow_lines(_df(spark, ["1 2 3"])).collect()[0]
+    assert row.error_line == "1 2 3"
+    assert row.version is None
+
+
+def test_registry_dispatch(spark, tmp_path):
+    import os
+
+    from aws_logs_parquet_converter_spark.sources.registry import FORMATS, read_logs
+
+    alb_dir = tmp_path / "alb"
+    os.makedirs(alb_dir)
+    (alb_dir / "a.txt").write_text("\n".join(generate_alb_lines(200, seed=5)) + "\n")
+    alb = read_logs(spark, str(alb_dir) + "/*.txt", fmt="alb")
+    assert alb.schema == ALB_LOG_SCHEMA
+    n = alb.count()
+    ne = alb.where("error_line IS NOT NULL").count()
+    assert n == 200 and 0 < ne < 10
+
+    vpc_dir = tmp_path / "vpc"
+    os.makedirs(vpc_dir)
+    (vpc_dir / "v.txt").write_text("\n".join(generate_vpc_flow_lines(200, seed=5)) + "\n")
+    vpc = read_logs(spark, str(vpc_dir) + "/*.txt", fmt="vpcflow")
+    assert vpc.schema == VPC_FLOW_SCHEMA
+    assert vpc.where("error_line IS NULL").count() > 150
+    assert sorted(FORMATS) == ["alb", "s3", "vpcflow"]
