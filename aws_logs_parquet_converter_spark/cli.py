@@ -15,7 +15,7 @@ from .session import build_session
 
 
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
-    p = argparse.ArgumentParser(description="S3 server-access-log compactor (Spark-native)")
+    p = argparse.ArgumentParser(description="AWS log compactor (Spark-native): S3 / ALB / VPC-flow")
     p.add_argument("--source-root", required=True, help="Root URI of raw log files")
     p.add_argument(
         "--destination-root",
@@ -31,6 +31,12 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         help="Write real year=/month=/day= partition columns instead of plain date paths",
     )
     p.add_argument("--max-records-per-file", default=None, type=int)
+    p.add_argument(
+        "--log-format",
+        default="s3",
+        choices=["s3", "alb", "vpcflow"],
+        help="Input log format (default s3 server-access-log)",
+    )
     p.add_argument("--master", default=None, help="Spark master override (default local[$SPARK_GRAFT_CPUS])")
     return p.parse_args(argv)
 
@@ -41,6 +47,7 @@ def config_from_args(args: argparse.Namespace) -> RollupConfig:
         destination_root=args.destination_root or f"{args.source_root}/processed",
         lookback_days=args.lookback_days,
         start_date=args.start_date,
+        log_format=args.log_format,
         policy=CompactionPolicy(
             num_output_files=args.num_output_files,
             hive_partitioning=args.hive_formatted_folders,

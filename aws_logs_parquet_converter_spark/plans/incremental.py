@@ -20,9 +20,11 @@ from datetime import date, datetime, timedelta
 
 from pyspark.sql import SparkSession
 
-from ..functions.s3_log_parse import parse_s3_access_log_lines
-from ..sources.logs import read_text_lines
+from ..sources.registry import read_logs
 from .compact import CompactionPolicy, write_compacted
+
+# event-time column per log format (drives clustering + date partitioning)
+TS_COL = {"s3": "request_time", "alb": "time", "vpcflow": "start_ts"}
 
 log = logging.getLogger(__name__)
 
@@ -37,6 +39,7 @@ class RollupConfig:
     start_date: str | None = None  # ISO date -> backfill mode
     policy: CompactionPolicy = CompactionPolicy()
     date_path_format: str = "%Y/%m/%d"  # raw-log input layout
+    log_format: str = "s3"  # s3 | alb | vpcflow (sources/registry.py)
 
 
 def dates_to_process(cfg: RollupConfig, today: date | None = None) -> list[date]:
@@ -73,10 +76,15 @@ def compact_day(spark: SparkSession, cfg: RollupConfig, day: date) -> float | No
     from pyspark.errors.exceptions.captured import AnalysisException
 
     t0 = time.time()
+    ts_col = TS_COL[cfg.log_format]
+    policy = cfg.policy
+    if policy.sort_keys == ("request_time",) and ts_col != "request_time":
+        from dataclasses import replace
+
+        policy = replace(policy, sort_keys=(ts_col,))
     try:
-        lines = read_text_lines(spark, input_path_for(cfg, day))
-        parsed = parse_s3_access_log_lines(lines)
-        write_compacted(parsed, destination_for(cfg, day), cfg.policy)
+        parsed = read_logs(spark, input_path_for(cfg, day), fmt=cfg.log_format)
+        write_compacted(parsed, destination_for(cfg, day), policy, ts_col=ts_col)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
             log.info("no input for %s; skipping", day)

@@ -92,3 +92,30 @@ def test_cli_arguments_roundtrip():
     assert cfg.policy.num_output_files == 7
     assert cfg.policy.hive_partitioning is True
     assert cfg.start_date == "2024-01-01"
+
+
+def test_incremental_driver_alb_format(spark, tmp_path):
+    """The daily driver runs any registered format end-to-end (--log-format)."""
+    import os
+    from datetime import date
+
+    from aws_logs_parquet_converter_spark.plans.incremental import RollupConfig, run
+    from aws_logs_parquet_converter_spark.sources.generator import generate_alb_lines
+
+    day = date(2024, 7, 2)
+    src = tmp_path / "raw" / "2024" / "07" / "02"
+    os.makedirs(src)
+    (src / "a.log").write_text("\n".join(generate_alb_lines(300, seed=9)) + "\n")
+
+    cfg = RollupConfig(
+        source_root=str(tmp_path / "raw"),
+        destination_root=str(tmp_path / "out"),
+        lookback_days=1,
+        log_format="alb",
+        policy=CompactionPolicy(num_output_files=2),
+    )
+    processed = run(spark, cfg, today=date(2024, 7, 3))
+    assert processed == [day]
+    back = spark.read.parquet(str(tmp_path / "out" / "2024" / "07" / "02"))
+    assert back.count() == 300
+    assert "elb_status_code" in back.columns
