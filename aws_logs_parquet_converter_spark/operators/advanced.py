@@ -608,3 +608,60 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions + struct operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                'sum'), 6) AS sum_sq,
+           CAST(len(list_filter(embedding, x -> x < -0.5)) > 0 AS BOOLEAN) AS has_big_neg
+    FROM embeddings WHERE vec_id < 300
+    """,
+    doc="Array higher-order functions: filter, transform+aggregate (sum of "
+    "squares), exists — all row-level, zero shuffle.",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_sq"),
+        F.exists("embedding", lambda x: x < -0.5).alias("has_big_neg"),
+    )
+
+
+@register(
+    "q_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           (o_orderstatus = 'O') AS is_open
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    doc="Struct construction + field access: build a named struct per row, "
+    "project its fields back out (nested data shape round-trip).",
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    s = F.struct(
+        F.col("o_orderpriority").alias("priority"),
+        cents("o_totalprice").alias("price_cents"),
+        (F.col("o_orderstatus") == "O").alias("is_open"),
+    )
+    built = o.select("o_orderkey", s.alias("s"))
+    return built.select(
+        "o_orderkey",
+        F.col("s.priority").alias("priority"),
+        F.col("s.price_cents").alias("price_cents"),
+        F.col("s.is_open").alias("is_open"),
+    )
