@@ -459,6 +459,9 @@ def embedding_cosine_dupes(embeddings: DataFrame, threshold: float = 0.35) -> Da
     # Precompute each vector's norm ONCE (per row, before the join) and test
     # dot(a,b) >= t * |a| * |b| — a per-pair cosine would recompute both
     # norms inside the pair loop, tripling the interpreted array work.
+    # spread_input: the probe side of the (broadcast) pair join must not run
+    # as a single task when the source is one parquet row group.
+    embeddings = spread_input(embeddings)
     n = embeddings.select(
         "vec_id",
         "label",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from .dedup import spread_input
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -48,7 +49,7 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_nrm"),
     )
-    e = embeddings.select(
+    e = spread_input(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("e_vec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("e_nrm"),
@@ -90,7 +91,7 @@ def ivf_topk_by_label(
         F.col("embedding").alias("q_vec"),
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
     )
-    e = embeddings.select(
+    e = spread_input(embeddings).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("e_label"),
         F.col("embedding").alias("e_vec"),
@@ -166,7 +167,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per vector (row level), dot-only per pair: a per-pair
     # cosine() would recompute both norms inside the pair loop (3x the
     # interpreted array work)
-    n = em.select(
+    n = spread_input(em).select(
         "vec_id",
         "label",
         "embedding",
@@ -277,7 +278,7 @@ def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
     hash-partitioned by bucket and candidates never leave their partition;
     no O(n^2) stage, no precomputed cluster labels needed (contrast
     ivf_topk_by_label, which assumes labels exist)."""
-    base = embeddings.select(
+    base = spread_input(embeddings).select(
         "vec_id",
         "embedding",
         rp_bucket(F.col("embedding")).alias("bucket"),
