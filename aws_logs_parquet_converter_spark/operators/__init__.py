@@ -72,7 +72,15 @@ def _load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import advanced, dedup, python_udfs, relational, similarity, textops  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        dedup,
+        python_udfs,
+        relational,
+        sampling,
+        similarity,
+        textops,
+    )
 
     try:  # optional modules may arrive later
         from . import multimodal  # noqa: F401

@@ -1,0 +1,125 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline needs *reproducible* sampling: train/val/test splits
+that never move when the job re-runs or the cluster re-partitions, and
+stratified samples whose membership is a pure function of the row key. Spark's
+``df.sample()`` / ``TABLESAMPLE`` are seeded per-partition and change with the
+physical plan, so every operator here derives its randomness from an md5 hash
+of the row key instead — stable across engines, partitionings, and re-runs,
+and therefore DuckDB-oracle-checkable.
+
+Scale notes: hash-split and hash-sample are narrow (per-row) transforms — no
+shuffle, fully inside whole-stage codegen except the md5 call itself. The
+only exchange in the gate queries below is the final tiny aggregation.
+
+Reference scope: the reference repo (converters/s3-server-access-log/
+s3_server_access_logs.py) has no sampling surface; these implement the
+training-data extension ops required by the driver brief (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+#: number of hash buckets used for split/sample assignment
+N_BUCKETS = 100
+
+
+def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the md5 of the key.
+
+    Uses the first 15 hex digits (60 bits) of md5 so the value fits a signed
+    bigint identically in Spark (``conv``) and DuckDB (``'0x' || substr``).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return h % F.lit(n_buckets)
+
+
+def sql_hash_bucket(expr: str, n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB fragment computing the same bucket as :func:`hash_bucket`."""
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {n_buckets})"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    train: int = 80,
+    val: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to train/val/test by hash bucket of ``key_col``.
+
+    ``train`` + ``val`` are percentages; the remainder is test. Assignment is
+    a pure function of the key — re-runs, repartitions, and incremental
+    appends all agree, which is the property ``df.randomSplit`` lacks.
+    """
+    if not 0 <= train + val <= N_BUCKETS:
+        raise ValueError("train + val percentages must be within [0, 100]")
+    b = hash_bucket(key_col)
+    return df.withColumn(
+        split_col,
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
+    """Keep a deterministic ~percent% of rows by hash bucket of ``key_col``."""
+    if not 0 < percent <= N_BUCKETS:
+        raise ValueError("percent must be in (0, 100]")
+    return df.where(hash_bucket(key_col) < percent)
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
+                WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/val/test split via md5-bucket of doc_id.",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    WHERE {sql_hash_bucket("doc_id")} < 10
+    GROUP BY lang
+    """,
+    doc="Deterministic ~10% sample, audited per language stratum.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = hash_sample(load_table(spark, sf_dir, "documents"), "doc_id", 10)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
