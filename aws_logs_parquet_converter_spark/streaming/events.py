@@ -203,7 +203,52 @@ def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events file stream,
+    drained with ``availableNow`` — the built-in windowed-aggregate surface
+    (vs the custom-state surface of :func:`stream_user_event_counts`).
+
+    Complete output mode + a drained stream makes the result equal the batch
+    ``date_trunc('hour')`` group-by, so the DuckDB oracle applies. Sums use
+    the exact-cents scheme (functions/numeric.py) — a streaming sum folds in
+    micro-batch order, which double addition would turn into ULP drift.
+    """
+    global _STREAM_RUN_SEQ
+    _STREAM_RUN_SEQ += 1
+    name = f"stream_hourly_{_STREAM_RUN_SEQ}"
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import dsum
+
+    stream = (
+        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    res = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    run_available_now(
+        res, name, tempfile.mkdtemp(prefix="ckpt_gate_"), output_mode="complete"
+    )
+    return spark.table(name)
+
+
 def _register_gate_queries() -> None:
+    from ..functions.numeric import sql_dsum
     from ..operators import register
 
     register(
@@ -212,3 +257,17 @@ def _register_gate_queries() -> None:
         doc="Structured Streaming gate: stateful applyInPandasWithState "
         "per-user counts via availableNow file stream == batch groupBy.",
     )(stream_user_event_counts)
+
+    register(
+        "stream_hourly_window_counts",
+        oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum("value")} AS total_value
+        FROM events
+        GROUP BY 1, 2
+        """,
+        doc="Structured Streaming gate: watermarked tumbling-window "
+        "aggregate via availableNow file stream == batch date_trunc groupBy.",
+    )(stream_hourly_type_counts)
