@@ -781,3 +781,50 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "q_gap_fill_hourly",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY event_type
+    ),
+    hours AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM b
+    ),
+    c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT h.event_type,
+           strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM hours h LEFT JOIN c ON h.event_type = c.event_type AND h.hour = c.hour
+    """,
+    doc=(
+        "Time-series gap fill: per-type dense hourly grid built with "
+        "sequence()+explode, zero-filled via left join — the grid side is "
+        "per-group bounds only (tiny, broadcast), so the one shuffle is the "
+        "counts aggregate."
+    ),
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.date_trunc("hour", "ts"))
+    counts = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    hours = (
+        ev.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+        )
+    )
+    return F.broadcast(hours).join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )

@@ -134,3 +134,15 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q06_pushes_all_predicates_to_scan(spark):
+    from aws_logs_parquet_converter_spark.operators.relational import q06_revenue_delta
+
+    plan = q06_revenue_delta(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1][:400], col
+    # projection pruned to the four referenced columns
+    assert "l_extendedprice" in plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:300]
