@@ -26,6 +26,9 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_volume",
+    "q06_revenue_delta",
+    "q_gap_fill_hourly",
+    "q_hash_split",
     "q_window_topn_per_group",
     "q_window_running_total",
     "q_events_daily",
@@ -36,9 +39,11 @@ HEADLINE = [
     "q_percentiles",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "text_stats",
     "sim_topk_bruteforce",
+    "sim_ann_rplsh",
     "mm_binary_features",
 ]
 
