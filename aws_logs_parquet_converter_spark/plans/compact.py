@@ -7,11 +7,19 @@ snappy parquet, overwrite, date in the *path* (``partitionBy([])``).
 
 Spark-first upgrades, chosen deliberately (SURVEY.md §4):
 
-* ``repartitionByRange(n, sort_key)`` instead of round-robin ``repartition(n)``:
-  the shuffle is the same cost, but afterwards each output file covers a
-  disjoint time range, so Parquet row-group min/max stats actually prune
-  whole FILES for time-predicate queries, not just row groups. (Round-robin
-  spreads every hour across every file — stats become useless at file level.)
+* Partition mode is a policy choice, and the default is the reference's
+  round-robin ``repartition(n)`` — NOT ``repartitionByRange``. Range
+  partitioning plans a *sampling job* that executes the whole upstream plan
+  a second time (RangePartitioner sketches its input); on a text-parse
+  ingest that means reading and regex-parsing the raw corpus twice — a 1.6×
+  measured slowdown at bench scale and a second full scan of the raw bucket
+  at 100 TB. Round-robin is one pass, and ``sortWithinPartitions`` still
+  time-clusters every file internally, so Parquet ROW-GROUP min/max pruning
+  is intact; only file-level disjointness is lost, which the daily
+  ``partitionBy`` directories already provide at day granularity.
+* ``mode="range"`` stays available for write-once-read-many layouts where
+  file-disjoint time ranges are worth the extra upstream pass (e.g.
+  re-compacting already-parquet data, where the second pass is cheap).
 * Real Hive partition columns (``partitionBy("year","month","day")``) with
   dynamic partition overwrite: reruns replace exactly one day (idempotent,
   like the reference's per-date overwrite) without clobbering siblings.
@@ -19,7 +27,7 @@ Spark-first upgrades, chosen deliberately (SURVEY.md §4):
   multi-GB file.
 
 At 100 TB: n_files scales with data volume (aim 128-512 MB per file), the
-range exchange is AQE-coalesced, and speculation stays off for S3 sinks.
+exchange is AQE-coalesced, and speculation stays off for S3 sinks.
 """
 
 from __future__ import annotations
@@ -37,15 +45,23 @@ class CompactionPolicy:
     compression: str = "snappy"
     hive_partitioning: bool = False  # reference default (--hive-formatted-folders)
     max_records_per_file: int | None = None
+    # "roundrobin": one pass over the input (reference semantics); "range":
+    # file-disjoint sort-key ranges at the cost of a sampling pass that
+    # re-executes the upstream plan (see module docstring).
+    partition_mode: str = "roundrobin"
     extra_writer_options: dict[str, str] = field(default_factory=dict)
 
 
 def cluster_for_write(df: DataFrame, policy: CompactionPolicy) -> DataFrame:
-    """Range-partition to the target file count and sort within partitions."""
+    """Repartition to the target file count and sort within partitions."""
     keys = [F.col(k) for k in policy.sort_keys]
-    return df.repartitionByRange(policy.num_output_files, *keys).sortWithinPartitions(
-        *policy.sort_keys
-    )
+    if policy.partition_mode == "range":
+        out = df.repartitionByRange(policy.num_output_files, *keys)
+    elif policy.partition_mode == "roundrobin":
+        out = df.repartition(policy.num_output_files)
+    else:
+        raise ValueError(f"unknown partition_mode {policy.partition_mode!r}")
+    return out.sortWithinPartitions(*policy.sort_keys)
 
 
 def with_date_partitions(df: DataFrame, ts_col: str = "request_time") -> DataFrame:

@@ -82,7 +82,7 @@ def main() -> None:
     # The reference's actual workload: raw access-log text -> parsed,
     # time-clustered, compressed parquet (SURVEY §2.1 O5-O15). Setup
     # (synthetic log generation) is untimed; the timed span is read ->
-    # parse -> repartitionByRange -> sortWithinPartitions -> parquet.
+    # parse -> repartition -> sortWithinPartitions -> parquet.
     compression_ratio = None
     try:
         import glob

@@ -119,3 +119,21 @@ def test_incremental_driver_alb_format(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "out" / "2024" / "07" / "02"))
     assert back.count() == 300
     assert "elb_status_code" in back.columns
+
+
+def test_default_compaction_is_single_pass_roundrobin(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.compact import (
+        CompactionPolicy,
+        cluster_for_write,
+    )
+    from aws_logs_parquet_converter_spark.sources.generator import write_log_files
+    from aws_logs_parquet_converter_spark.sources.logs import read_s3_access_logs
+
+    write_log_files(str(tmp_path / "raw"), n_lines=500, n_files=2, seed=3)
+    df = read_s3_access_logs(spark, str(tmp_path / "raw") + "/*.txt")
+    plan = cluster_for_write(df, CompactionPolicy())._jdf.queryExecution().executedPlan().toString()
+    # round-robin exchange, no range sampling job re-executing the parse
+    assert "ROUND_ROBIN" in plan or "RoundRobinPartitioning" in plan
+    assert "rangepartitioning" not in plan.lower()
+    ranged = cluster_for_write(df, CompactionPolicy(partition_mode="range"))
+    assert "rangepartitioning" in ranged._jdf.queryExecution().executedPlan().toString().lower()
