@@ -75,6 +75,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         advanced,
         dedup,
+        graph,
         python_udfs,
         relational,
         sampling,

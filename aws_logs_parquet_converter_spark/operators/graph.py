@@ -1,0 +1,119 @@
+"""Iterative graph operators: connected components over the near-dup graph.
+
+Near-dedup pipelines need one step the pair-producing operators (minhash /
+simhash / ngram — dedup.py) don't give: grouping the pairs into duplicate
+CLUSTERS and electing one survivor per cluster. That is connected components
+— an inherently iterative algorithm, the one operator class here that a
+single declarative query cannot express.
+
+Implementation is min-label propagation as a driver-side loop of DataFrame
+joins: each iteration pushes every node's current component label to its
+neighbors and keeps the minimum. Iterations needed = graph diameter, which
+for near-dup clusters is small (members of a cluster are all near each
+other, so clusters are dense and shallow). Each iteration is ONE shuffle
+(the groupBy-min; the propagate join reuses the edge partitioning), and
+``localCheckpoint(eager=True)`` truncates lineage so the plan does not grow
+with iteration count — the standard Spark iterative-algorithm pattern. At
+100 TB-scale graphs with adversarial diameters, swap the propagation body
+for the large-star/small-star rounds of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SoCC'14) — same loop skeleton,
+O(log n) rounds.
+
+The reference has no graph surface (SURVEY.md §2.2); this is a §2.4
+training-data-pipeline extension. Correctness is still oracle-checked: the
+DuckDB twin computes the same closure with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, label) with label = min node id in the node's component.
+
+    Only nodes that appear in ``edges`` are labeled (isolated rows never
+    entered the pair graph and need no clustering).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # materialize once; the loop re-reads it
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        msgs = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """Per-cluster summary of a dup-pair graph: survivor id + member count."""
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("label").alias("component"), "n_members")
+    )
+
+
+def _components_oracle() -> str:
+    from .dedup import _SQL_BANDS, _SQL_CAND, _SQL_SHINGLES, _SQL_SIG
+
+    return (
+        "WITH RECURSIVE "
+        + ",".join([_SQL_SHINGLES, _SQL_SIG, _SQL_BANDS, _SQL_CAND])
+        + """,
+        und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+        reach(node, label) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.b, r.label FROM und u JOIN reach r ON r.node = u.a
+        ),
+        comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+        SELECT component, COUNT(*) AS n_members
+        FROM comp GROUP BY component
+        """
+    )
+
+
+@register(
+    "dedup_components",
+    oracle=_components_oracle(),
+    doc="Connected components over the MinHash-LSH dup-pair graph: iterative "
+    "min-label propagation (Spark) vs recursive-CTE closure (oracle).",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    return duplicate_clusters(pairs)

@@ -134,3 +134,33 @@ def test_approx_sketches_within_error_bounds(spark):
         assert abs(a.approx_parts - e.n_parts) / e.n_parts < 0.05
         p40, _, p60 = e.p
         assert p40 <= a.price_quantiles[0] <= p60
+
+
+def test_connected_components_on_known_graph(spark):
+    from aws_logs_parquet_converter_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_chain_diameter(spark):
+    # a 12-node path graph exercises multi-iteration propagation
+    from aws_logs_parquet_converter_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["doc_a", "doc_b"]
+    )
+    labels = connected_components(edges).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == 12
