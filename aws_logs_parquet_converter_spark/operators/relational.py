@@ -828,3 +828,37 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
     )
+
+
+@register(
+    "q_unpivot_lineitem",
+    oracle=f"""
+    WITH u AS (
+        SELECT l_returnflag, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           {sql_dsum('value')} AS total,
+           COUNT(*) AS n
+    FROM u GROUP BY l_returnflag, measure
+    """,
+    doc=(
+        "Unpivot/melt (inverse of q_pivot_events): wide money columns to "
+        "long (measure, value) rows, then re-aggregate — unpivot is a "
+        "narrow per-row expand, so the only shuffle is the final group-by."
+    ),
+)
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            ["l_returnflag"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(dsum("value", "total"), F.count("*").alias("n"))
+    )
