@@ -146,3 +146,47 @@ def test_q06_pushes_all_predicates_to_scan(spark):
     # projection pruned to the four referenced columns
     assert "l_extendedprice" in plan.split("ReadSchema")[1][:300]
     assert "l_orderkey" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.plans.zorder import quantize, zorder_key
+
+    rows = [(b, t) for b in range(64) for t in range(64)]
+    df = spark.createDataFrame(rows, ["bucket", "t"])
+    n_files = 16
+
+    def avg_span(d, col):
+        return (
+            d.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+
+    linear = df.repartitionByRange(n_files, F.col("t"))
+    zk = zorder_key(quantize("bucket", 0, 63, 6), quantize("t", 0, 63, 6), bits=6)
+    z = df.withColumn("zk", zk).repartitionByRange(n_files, F.col("zk"))
+
+    # time-sorted layout: every file spans (almost) all buckets
+    assert avg_span(linear, "bucket") > 50
+    # z-order layout: each file covers a small tile in BOTH dimensions
+    assert avg_span(z, "bucket") <= 24
+    assert avg_span(z, "t") <= 24
+
+
+def test_zorder_key_is_monotone_per_dimension(spark):
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.plans.zorder import zorder_key
+
+    df = spark.range(32).select(F.col("id").cast("bigint").alias("x"))
+    keys = [
+        r[0]
+        for r in df.select(zorder_key(F.col("x"), F.lit(0).cast("bigint"), bits=6))
+        .orderBy("x")
+        .collect()
+    ]
+    assert keys == sorted(keys)  # fixing one dim, key is monotone in the other
