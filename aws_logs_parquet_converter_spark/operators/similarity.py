@@ -322,3 +322,43 @@ def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
 )
 def sim_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rplsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_topk_with_metadata",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.embedding, e.embedding)
+             / (sqrt(list_dot_product(q.embedding, q.embedding))
+                * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    )
+    SELECT t.query_id, t.rn, t.neighbor_id, d.lang, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+    """,
+    doc=(
+        "Retrieval join: ANN top-k hits joined back to document metadata — "
+        "the hits side is tiny (k x queries), so the metadata join "
+        "broadcasts it against the documents table; no extra shuffle."
+    ),
+)
+def sim_topk_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    hits = brute_force_topk(em, em.where(F.col("vec_id") < 5), k=5)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return F.broadcast(hits).join(
+        docs, hits["neighbor_id"] == docs["doc_id"]
+    ).select("query_id", "rn", "neighbor_id", "lang", "source", "n_chars")
