@@ -1,0 +1,129 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+Every stage exists as its own audited operator (dedup.py, graph.py,
+textops.py, sampling.py); this module composes them the way a real corpus
+build runs them, as ONE declarative-plus-iterative job:
+
+    exact dedup (md5 survivors)
+      -> near-dup clustering (MinHash-LSH pairs -> connected components)
+         -> survivor election (keep the min doc_id per cluster)
+      -> quality gate (length + token-count thresholds)
+      -> deterministic train/val/test split (md5 buckets)
+      -> per-(split, lang) corpus accounting
+
+Scale shape: stages 1/3/4 are narrow or single-shuffle; the clustering
+stage inherits graph.py's iterative loop. Nothing collects to the driver —
+the pipeline output is the small accounting aggregate, and the survivor
+set itself stays a DataFrame a caller can write out.
+
+The DuckDB oracle mirrors the whole chain (recursive CTE for the
+components stage), so the composition — not just each piece — is
+hash-checked against an independent engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+from .sampling import hash_split, sql_hash_bucket
+
+#: quality gate thresholds (documented policy, mirrored in the oracle)
+MIN_CHARS, MAX_CHARS, MIN_TOKENS = 50, 10_000, 10
+
+_WS_TOKEN = r"\S+"
+
+
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """Surviving, quality-gated, split-labeled documents."""
+    from .dedup import minhash_lsh_pairs
+    from .graph import connected_components
+
+    # 1. exact dedup: keep the smallest doc_id per identical text
+    exact_keep = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(exact_keep, "doc_id", "left_semi")
+
+    # 2. near-dup clusters over the full corpus; drop non-minimal members
+    labels = connected_components(minhash_lsh_pairs(docs).select("doc_a", "doc_b"))
+    near_drop = labels.where(F.col("label") < F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = survivors.join(near_drop, "doc_id", "left_anti")
+
+    # 3. quality gate
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(_WS_TOKEN), 0))
+    survivors = survivors.where(
+        F.col("n_chars").between(MIN_CHARS, MAX_CHARS) & (n_tokens >= MIN_TOKENS)
+    )
+
+    # 4. deterministic split
+    return hash_split(survivors, "doc_id")
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=None,  # assembled below — needs the dedup CTE fragments
+    doc="Composed corpus build: exact dedup -> near-dup survivor election "
+    "-> quality gate -> hash split -> per-(split, lang) accounting.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curated = curate_corpus(load_table(spark, sf_dir, "documents"))
+    return curated.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _curation_oracle() -> str:
+    from .dedup import _SQL_BANDS, _SQL_CAND, _SQL_SHINGLES, _SQL_SIG
+
+    return (
+        "WITH RECURSIVE "
+        + ",".join([_SQL_SHINGLES, _SQL_SIG, _SQL_BANDS, _SQL_CAND])
+        + f""",
+        und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+        reach(node, label) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.b, r.label FROM und u JOIN reach r ON r.node = u.a
+        ),
+        comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+        near_drop AS (SELECT node FROM comp WHERE component < node),
+        exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        surv AS (
+            SELECT d.* FROM documents d
+            JOIN exact_keep k ON d.doc_id = k.doc_id
+            WHERE d.doc_id NOT IN (SELECT node FROM near_drop)
+              AND d.n_chars BETWEEN {MIN_CHARS} AND {MAX_CHARS}
+              AND len(regexp_extract_all(d.text, '{_WS_TOKEN}')) >= {MIN_TOKENS}
+        )
+        SELECT CASE WHEN {sql_hash_bucket("doc_id")} < 80 THEN 'train'
+                    WHEN {sql_hash_bucket("doc_id")} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc_id
+        FROM surv
+        GROUP BY 1, 2
+        """
+    )
+
+
+# attach the assembled oracle (kept out of the decorator so the dedup CTE
+# fragments resolve after module import order is settled)
+from . import REGISTRY as _REGISTRY  # noqa: E402
+from . import QuerySpec as _QuerySpec  # noqa: E402
+
+_spec = _REGISTRY["pipeline_corpus_curation"]
+_REGISTRY["pipeline_corpus_curation"] = _QuerySpec(
+    fn=_spec.fn, oracle=_curation_oracle(), doc=_spec.doc
+)
