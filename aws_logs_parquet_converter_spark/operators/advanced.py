@@ -665,3 +665,50 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.price_cents").alias("price_cents"),
         F.col("s.is_open").alias("is_open"),
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+             AS n_view_click,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                            AND t_purchase > t_click) AS n_funnel_complete
+    FROM per_user
+    """,
+    doc=(
+        "Ordered conversion funnel (view -> click -> purchase): one "
+        "conditional min-aggregate per stage collapses events to a row per "
+        "user, then a single-row conditional count — two aggregates, one "
+        "shuffle on user_id, no self-joins (the naive per-stage-join plan "
+        "would shuffle the events table once per stage). NULL comparisons "
+        "are falsy in both engines, so missing stages drop out identically."
+    ),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def stage_min(stage: str, alias: str):
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts"))).alias(alias)
+
+    per_user = ev.groupBy("user_id").agg(
+        stage_min("view", "t_view"),
+        stage_min("click", "t_click"),
+        stage_min("purchase", "t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    completed = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(completed, 1)).alias("n_funnel_complete"),
+    )

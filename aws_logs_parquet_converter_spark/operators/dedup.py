@@ -509,3 +509,42 @@ def embedding_cosine_dupes(embeddings: DataFrame, threshold: float = 0.35) -> Da
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dupes(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc=(
+        "CDC-style versioned dedup: keep the latest record per key "
+        "(row_number over user_id ordered by ts desc, event_id as the "
+        "deterministic tiebreak). One shuffle on the key; at 100 TB "
+        "pre-bucket the table by user_id (plans/bucketing.py) and the "
+        "window runs shuffle-free. max_by cannot express multi-column "
+        "payload carry-along; row_number does."
+    ),
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+        )
+    )

@@ -149,3 +149,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(t.cast("binary")).alias("md5_full"),
         F.md5(norm.cast("binary")).alias("md5_normalized"),
     )
+
+
+@register(
+    "text_top_terms",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+    doc=(
+        "Corpus heavy hitters: explode lowercase letter-run tokens, count, "
+        "top-50. The explode is a narrow per-row expand; the count gets "
+        "map-side partial aggregation so the shuffle carries one row per "
+        "distinct term per partition, not per token — at 100 TB the "
+        "distinct-term set (Zipf-bounded) is what crosses the wire, and "
+        "top-50 is TakeOrderedAndProject, never a global sort."
+    ),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )

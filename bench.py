@@ -27,6 +27,9 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_volume",
     "q06_revenue_delta",
+    "q10_returned_revenue",
+    "q18_large_volume_customers",
+    "q_events_funnel",
     "q_gap_fill_hourly",
     "q_hash_split",
     "q_window_topn_per_group",
@@ -38,6 +41,8 @@ HEADLINE = [
     "q_left_join_agg",
     "q_percentiles",
     "dedup_exact",
+    "dedup_latest_by_key",
+    "text_top_terms",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
