@@ -712,3 +712,39 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("n_view_click"),
         F.count(F.when(completed, 1)).alias("n_funnel_complete"),
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    c AS (SELECT user_id, MIN(d) AS cohort FROM d GROUP BY user_id)
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c.cohort, d.d) AS INTEGER) AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_users
+    FROM d JOIN c ON d.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Cohort retention matrix: users bucketed by first-seen day, "
+        "counted distinct at each day offset. The cohort date comes from a "
+        "min-window over user_id rather than an aggregate+self-join — one "
+        "shuffle on user_id serves both the cohort assignment and (after "
+        "the narrow datediff projection) feeds the final distinct count. "
+        "At 100 TB, pre-bucketing events by user_id makes the window "
+        "shuffle-free."
+    ),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("cohort", F.min("d").over(w))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

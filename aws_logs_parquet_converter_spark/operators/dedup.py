@@ -548,3 +548,63 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+def word_ngram_array(text_col: Column, n: int = 4) -> Column:
+    """All word n-grams (space-tokenized, duplicates kept) as an array.
+
+    Same narrow slice+zip_with construction as :func:`shingle_array` — the
+    token split stays a ROW-level expression evaluated once per row, never
+    inlined into a per-element lambda (the measured-50x CollapseProject
+    trap). Tokenization is a plain single-space split to match SQL
+    ``string_split(text, ' ')`` exactly.
+    """
+    w = F.split(text_col, " ")
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    out = F.slice(w, 1, m)
+    for k in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(w, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
+
+
+@register(
+    "dedup_contamination",
+    oracle="""
+    WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+    grams AS (
+      SELECT doc_id, source, array_to_string(w[i:i+3], ' ') AS g
+      FROM (SELECT doc_id, source, w,
+                   unnest(generate_series(1, greatest(len(w) - 3, 0))) AS i
+            FROM words)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+    SELECT grams.doc_id, COUNT(*) AS n_contaminated_grams
+    FROM grams JOIN bench ON grams.g = bench.g
+    WHERE grams.source <> 'src0'
+    GROUP BY grams.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination: flag corpus docs sharing any word "
+        "4-gram with the held-out set (source='src0' stands in for the "
+        "eval benchmark). The benchmark's distinct-gram set is tiny "
+        "relative to the corpus, so it broadcasts and the corpus side "
+        "left-semi probes it with NO shuffle of document text; the only "
+        "wide op is the per-doc count. This is the standard "
+        "train-set-decontamination shape at 100 TB."
+    ),
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_input(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(word_ngram_array(F.col("text"), 4)).alias("g")
+    )
+    bench = grams.where(F.col("source") == "src0").select("g").distinct()
+    return (
+        grams.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )

@@ -190,3 +190,37 @@ def test_zorder_key_is_monotone_per_dimension(spark):
         .collect()
     ]
     assert keys == sorted(keys)  # fixing one dim, key is monotone in the other
+
+
+def test_q04_exists_plans_left_semi_join(spark):
+    plan = _plan(spark, "q04_order_priority")
+    assert "LeftSemi" in plan
+    # orders-side date filter must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q14_q19_broadcast_part(spark):
+    for name in ("q14_promo_revenue", "q19_disjunctive_join"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q10_q18_top_k_is_take_ordered(spark):
+    for name in ("q10_returned_revenue", "q18_large_volume_customers"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        # lineitem-side filters (returnflag / none) must not force extra joins
+        assert "CartesianProduct" not in plan, name
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    plan = _plan(spark, "dedup_contamination")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_is_two_aggregates_no_join(spark):
+    plan = _plan(spark, "q_events_funnel")
+    assert "Join" not in plan  # no per-stage self-joins
+    assert plan.count("HashAggregate") >= 2
