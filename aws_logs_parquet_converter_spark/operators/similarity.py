@@ -362,3 +362,51 @@ def sim_topk_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(hits).join(
         docs, hits["neighbor_id"] == docs["doc_id"]
     ).select("query_id", "rn", "neighbor_id", "lang", "source", "n_chars")
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    s AS (SELECT label, pos,
+                 SUM(CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT)) AS sc,
+                 COUNT(*) AS n
+          FROM ex GROUP BY label, pos)
+    SELECT label,
+           list((CAST(sc AS DOUBLE) / 10000000) / n ORDER BY pos) AS centroid
+    FROM s GROUP BY label
+    """,
+    doc=(
+        "Per-label centroid vectors — the coarse-quantizer training step "
+        "behind IVF (each k-means iteration is exactly this: assign, then "
+        "recompute centroids). posexplode to (label, dim) cells, exact "
+        "integer-scaled sums (1e-7 resolution covers float32 inputs; "
+        "plain double sums would drift with partition order), then "
+        "re-assemble ordered arrays with array_sort(collect_list(struct)). "
+        "Shuffle volume is |labels|x|dims| cells after map-side combine — "
+        "independent of row count, so it scales to any corpus size."
+    ),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).withColumn("pos", F.col("pos0") + 1)
+    s = ex.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("v").cast("double") * 1e7).cast("bigint")).alias("sc"),
+        F.count("*").alias("n"),
+    )
+    cell = ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias("c")
+    return (
+        s.select("label", "pos", cell)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("centroid")
+        )
+    )

@@ -183,3 +183,44 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "term")
         .limit(50)
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct_terms,
+           CAST(MAX(c) AS BIGINT) AS max_term_freq,
+           (CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)) AS distinct_ratio,
+           (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)) AS max_term_ratio
+    FROM tf GROUP BY doc_id
+    """,
+    doc=(
+        "Repetition quality signals (Gopher-style): distinct-token ratio "
+        "and top-term mass per doc. Computed as explode -> (doc,term) count "
+        "-> per-doc rollup: both aggregates get map-side partial combine, "
+        "and the second group-by reuses the first's hash partitioning on "
+        "the doc_id prefix (no second full shuffle of token rows). Ratios "
+        "are integer/integer IEEE divisions — exact in both engines."
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct_terms"),
+        F.max("c").alias("max_term_freq"),
+        (F.count("*").cast("double") / F.sum("c")).alias("distinct_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("max_term_ratio"),
+    )

@@ -247,6 +247,42 @@ def stream_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window (30-min gap) aggregation over the events file stream,
+    drained with ``availableNow`` — the merging-window surface (sessions
+    grow/merge as events arrive, unlike fixed tumbling windows).
+
+    Complete output mode over a drained stream equals the batch
+    ``session_window`` group-by (q_events_sessionize), whose gaps-and-islands
+    DuckDB oracle applies unchanged minus the money column (float running
+    sums fold in micro-batch order; the count contract is exact).
+    """
+    global _STREAM_RUN_SEQ
+    _STREAM_RUN_SEQ += 1
+    name = f"stream_sessions_{_STREAM_RUN_SEQ}"
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    res = sessionized(ev, gap="30 minutes", watermark="2 hours").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+    run_available_now(
+        res, name, tempfile.mkdtemp(prefix="ckpt_gate_"), output_mode="complete"
+    )
+    return spark.table(name)
+
+
 def _register_gate_queries() -> None:
     from ..functions.numeric import sql_dsum
     from ..operators import register
@@ -271,3 +307,27 @@ def _register_gate_queries() -> None:
         doc="Structured Streaming gate: watermarked tumbling-window "
         "aggregate via availableNow file stream == batch date_trunc groupBy.",
     )(stream_hourly_type_counts)
+
+    register(
+        "stream_session_windows",
+        oracle="""
+        WITH flags AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flags)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        """,
+        doc="Structured Streaming gate: merging session windows (30-min "
+        "gap) via availableNow file stream == batch gaps-and-islands.",
+    )(stream_session_windows)
