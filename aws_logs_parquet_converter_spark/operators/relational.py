@@ -1064,3 +1064,39 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(dsum(rev, "revenue"))
     )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON TRUE
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc=(
+        "Correlated LATERAL subquery (top-2 orders per customer) through "
+        "the spark.sql surface. Catalyst decorrelates it into a broadcast "
+        "join + per-key window rather than executing the subquery per row "
+        "— asserted in tests/test_plans.py: no nested-loop/cartesian "
+        "product appears, so the plan scales like the window top-n it is."
+    ),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

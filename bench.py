@@ -28,8 +28,12 @@ HEADLINE = [
     "q05_region_volume",
     "q06_revenue_delta",
     "q10_returned_revenue",
+    "q14_promo_revenue",
     "q18_large_volume_customers",
+    "q19_disjunctive_join",
     "q_events_funnel",
+    "q_events_retention",
+    "q_lateral_topk",
     "q_gap_fill_hourly",
     "q_hash_split",
     "q_window_topn_per_group",
@@ -42,7 +46,10 @@ HEADLINE = [
     "q_percentiles",
     "dedup_exact",
     "dedup_latest_by_key",
+    "dedup_contamination",
     "text_top_terms",
+    "text_repetition",
+    "sim_ivf_assign",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

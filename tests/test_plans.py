@@ -224,3 +224,15 @@ def test_funnel_is_two_aggregates_no_join(spark):
     plan = _plan(spark, "q_events_funnel")
     assert "Join" not in plan  # no per-stage self-joins
     assert plan.count("HashAggregate") >= 2
+
+
+def test_lateral_topk_decorrelates(spark):
+    plan = _plan(spark, "q_lateral_topk")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    plan = _plan(spark, "sim_ivf_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
