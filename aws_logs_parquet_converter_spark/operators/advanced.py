@@ -780,3 +780,55 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "q_events_anomaly_hours",
+    oracle="""
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, COUNT(*) AS n,
+                  CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS s2
+           FROM h GROUP BY 1)
+    SELECT h.event_type, strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           h.c AS n_events
+    FROM h JOIN st ON h.event_type = st.event_type
+    WHERE st.n > 1
+      AND h.c > (CAST(s AS DOUBLE) / n)
+                + 2.5 * sqrt(CAST(n * s2 - s * s AS DOUBLE) / (n * (n - 1)))
+    """,
+    doc=(
+        "Volume-anomaly detection: hours whose event count exceeds the "
+        "per-type mean by >2.5 sample standard deviations. The variance "
+        "comes from exact integer count/sum/sum-of-squares moments "
+        "((n*S2 - S^2)/(n*(n-1))) rather than stddev_samp's streaming "
+        "double accumulation, so the threshold is bit-identical across "
+        "engines and partitionings. The per-type moment table is tiny and "
+        "broadcasts back onto the hourly counts — two aggregates and one "
+        "broadcast join, no window over the full table."
+    ),
+)
+def q_events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("c"))
+    )
+    st = h.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    return (
+        h.join(F.broadcast(st), "event_type")
+        .where((F.col("n") > 1) & (F.col("c") > mean + F.lit(2.5) * F.sqrt(var)))
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("c").alias("n_events"),
+        )
+    )
