@@ -236,3 +236,12 @@ def test_ivf_assign_broadcasts_centroids(spark):
     plan = _plan(spark, "sim_ivf_assign")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_text_repetition_has_no_key_shuffle(spark):
+    # fully row-level (sort+fold per doc): no hash shuffle, no aggregate.
+    # (spread_input's round-robin spread of the single-row-group testdata
+    # parquet is allowed — it's data-independent and disappears at scale.)
+    plan = _plan(spark, "text_repetition")
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
