@@ -1199,3 +1199,47 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE days(d) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1996-02-29'
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM days LEFT JOIN (
+      SELECT CAST(o_orderdate AS DATE) AS dd, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ) o ON days.d = o.dd
+    """,
+    doc=(
+        "Recursive CTE (Spark 4 WITH RECURSIVE): a 60-day date spine "
+        "unrolled by the UnionLoop operator, zero-filled against daily "
+        "order counts. Recursion depth = spine length (bounded, driver-"
+        "controlled), while the data-sized side stays a single aggregate; "
+        "the spine is a few dozen rows and broadcasts into the left join. "
+        "Unbounded-depth recursion over data-sized inputs belongs in the "
+        "iterative-DataFrame pattern instead (operators/graph.py)."
+    ),
+)
+def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT date_add(d, 1) FROM days WHERE d < DATE '1996-02-29'
+        )
+        SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+               COALESCE(o.n_orders, 0) AS n_orders
+        FROM days LEFT JOIN (
+          SELECT to_date(o_orderdate) AS dd, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        ) o ON days.d = o.dd
+        """
+    )
