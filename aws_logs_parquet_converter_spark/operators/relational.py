@@ -1243,3 +1243,25 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o ON days.d = o.dd
         """
     )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    doc=(
+        "Multiset INTERSECT ALL (min-multiplicity semantics): physically a "
+        "count-per-key aggregate on each side + a generate of "
+        "min(count_l, count_r) copies — distinct from the distinct-set "
+        "INTERSECT plan (left-semi). Duplicates are part of the contract, "
+        "so the hash compare covers multiplicities."
+    ),
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.intersectAll(b)
