@@ -157,3 +157,52 @@ def _rational_score(value: pd.Series) -> pd.Series:
 def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     return ev.select("event_id", _rational_score(F.col("value")).alias("score"))
+
+
+THUMB_BYTES = 64  # stand-in "resize": thumbnail = first 64 payload bytes
+
+
+def resize_payloads(docs_with_payload: DataFrame, max_bytes: int = THUMB_BYTES) -> DataFrame:
+    """Arrow-batched payload "resize" over mapInPandas.
+
+    Deterministic stub for the codec step (a real pipeline would decode,
+    rescale pixels, re-encode): the thumbnail is the payload truncated to
+    ``max_bytes``, with regenerated metadata. The Spark-side contract —
+    binary in, smaller binary + typed metadata struct out, streamed per
+    Arrow batch with payloads never touching the driver — is exactly the
+    production shape.
+    """
+
+    schema = "doc_id bigint, thumb_len int, thumb_digest string, original_len int"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            thumbs = payloads.map(lambda b: bytes(b)[:max_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_len": thumbs.map(len).astype("int32"),
+                    "thumb_digest": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "original_len": payloads.map(len).astype("int32"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(_resize, schema)
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(least(octet_length(encode(text)), {THUMB_BYTES}) AS INTEGER) AS thumb_len,
+           md5(substr(text, 1, {THUMB_BYTES})) AS thumb_digest,
+           CAST(octet_length(encode(text)) AS INTEGER) AS original_len
+    FROM documents
+    """,
+    doc="Payload resize/thumbnail via Arrow mapInPandas (decode-rescale-"
+    "reencode stubbed as deterministic truncation; Spark-side plumbing real).",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payloads(with_binary_payload(docs))
