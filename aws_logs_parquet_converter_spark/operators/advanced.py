@@ -832,3 +832,39 @@ def q_events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_events"),
         )
     )
+
+
+@register(
+    "q_events_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc=(
+        "Behavioral transition matrix: counts of consecutive event-type "
+        "bigrams per user (first-order Markov transitions). One lag window "
+        "over user_id feeds a tiny |types|^2 aggregate — the window shuffle "
+        "on user_id dominates and disappears entirely over a user-bucketed "
+        "table; event_id breaks timestamp ties so the sequence (and thus "
+        "the counts) is deterministic."
+    ),
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
