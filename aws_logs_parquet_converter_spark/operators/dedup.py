@@ -608,3 +608,51 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated_grams"))
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="WITH "
+    + _SQL_SHINGLES
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b,
+           (CAST(i.n_inter AS DOUBLE) / sa.n) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE (CAST(i.n_inter AS DOUBLE) / sa.n) >= 0.5
+    """,
+    doc=(
+        "Asymmetric shingle containment |A∩B|/|A| >= 0.5: catches "
+        "sub-document duplication (doc_a mostly contained in doc_b) that "
+        "symmetric Jaccard misses when sizes differ wildly — the standard "
+        "quote/boilerplate detector. Same inverted-index equi-join shape "
+        "as the Jaccard pass (shuffle on shingle, then on the pair), but "
+        "directional: both (a,b) and (b,a) can surface, normalized only "
+        "by the left side's shingle count."
+    ),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spread_input(load_table(spark, sf_dir, "documents"))).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n")
+    return (
+        inter.join(sizes, F.col("doc_a") == F.col("doc_id"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= 0.5)
+    )

@@ -1265,3 +1265,35 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
     b = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
     return a.intersectAll(b)
+
+
+@register(
+    "q_right_join",
+    oracle="""
+    SELECT n.n_name,
+           COALESCE(c.n_customers, 0) AS n_customers
+    FROM (
+      SELECT c_nationkey, COUNT(*) AS n_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ) c RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc=(
+        "RIGHT OUTER join preserving every nation (zero-filled counts for "
+        "nations with no rich customers) — completes the join-flavor set. "
+        "The preserved side of a right outer join cannot be the broadcast "
+        "build (its unmatched rows must all surface), so the hint goes on "
+        "the non-preserved aggregate side: BuildLeft broadcast, no shuffle."
+    ),
+)
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        F.broadcast(c).join(n, F.col("c_nationkey") == F.col("n_nationkey"), "right")
+        .select("n_name", F.coalesce("n_customers", F.lit(0)).alias("n_customers"))
+    )
