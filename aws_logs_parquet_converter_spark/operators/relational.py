@@ -1297,3 +1297,30 @@ def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(c).join(n, F.col("c_nationkey") == F.col("n_nationkey"), "right")
         .select("n_name", F.coalesce("n_customers", F.lit(0)).alias("n_customers"))
     )
+
+
+@register(
+    "q_rollup_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "ROLLUP with GROUPING() markers: the g_* columns disambiguate "
+        "'NULL because subtotal' from 'NULL because the data was NULL' — "
+        "required for correct downstream consumption of any rollup/cube at "
+        "scale, where subtotal rows and genuinely-null groups coexist. "
+        "Expansion happens after partial aggregation, as with plain rollup."
+    ),
+)
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+    )

@@ -244,3 +244,38 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_distinct_terms").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
         (F.col("max_term_freq").cast("double") / F.col("n_tokens")).alias("max_term_ratio"),
     )
+
+
+@register(
+    "text_doc_freq",
+    oracle="""
+    SELECT term, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents)
+    GROUP BY term
+    """,
+    doc=(
+        "Document-frequency table (the df half of TF-IDF; idf = ln(N/df) "
+        "is a one-column map the caller applies — kept out of the contract "
+        "because ln() is not bit-identical across libm builds). Distinct "
+        "per (term, doc) is array_distinct PER ROW before the explode — "
+        "the shuffle then carries each (term, doc) pair once, and no "
+        "global count-distinct state is needed: a plain count aggregates "
+        "the pre-deduped pairs."
+    ),
+)
+def text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                )
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
