@@ -82,6 +82,7 @@ def _load_all() -> None:
         sampling,
         similarity,
         textops,
+        tpch_more,
     )
 
     try:  # optional modules may arrive later

@@ -1,0 +1,509 @@
+"""TPC-H round-out pack II — the remaining query shapes (Q8, Q9, Q11, Q12,
+Q13, Q16, Q17, Q20, Q21, Q22), adapted to the trimmed testdata schema.
+
+The testdata star schema (TESTDATA.md) has no ``partsupp`` table and drops
+several TPC-H columns (``l_commitdate``/``l_receiptdate``/``l_shipmode``,
+``c_phone``, ``o_comment``, ``p_container``). Each query here preserves the
+*operator shape* of its TPC-H counterpart — the join graph, subquery
+structure, and aggregation pattern that make it a distinct physical plan —
+with filters re-targeted at columns that exist:
+
+* partsupp-bridged queries (Q9/Q11/Q16/Q20) use ``lineitem`` as the
+  part-supplier bridge;
+* lateness (Q12/Q21) is ``l_shipdate > o_orderdate + 90 days`` instead of
+  receipt-vs-commit dates;
+* Q22's phone-prefix country buckets become ``nation`` groups.
+
+Reference context: the reference engine ships no joins or aggregations at all
+(SURVEY.md §2.2 — ABSENT rows; verified against
+``converters/s3-server-access-log/s3_server_access_logs.py``); its query
+surface is delegated to Athena. This pack completes the declared downstream
+query capability as native Spark plans.
+
+Scale notes: all dimension sides (nation, region, supplier, part at
+log-scale, and every one-row scalar aggregate) are broadcast; the only wide
+shuffles are fact-fact equi-joins and the final aggregations, all of which
+partial-aggregate map-side and coalesce under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_VOL = "l_extendedprice * (1 - l_discount)"
+
+
+def _vol() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ({sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")})
+           / ({sql_dsum('volume')}) AS mkt_share
+    FROM (
+      SELECT strftime(o.o_orderdate, '%Y') AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc=(
+        "TPC-H Q8 shape: a nation's market share (its fraction of revenue "
+        "volume) within one region's LARGE-part trade, by order year. "
+        "Seven-table join where every dimension (part filter, supplier, "
+        "both nation copies, region) broadcasts, so lineitem is shuffled "
+        "only for the orders and customer equi-joins. The share is a "
+        "conditional-sum / total-sum ratio of exact cent sums, so the "
+        "division is bit-stable across engines and partitionings."
+    ),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "LARGE")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation"))
+    vol_cents = F.round(_vol() * 100).cast("bigint")
+    nation_cents = F.when(F.col("nation") == "NATION_3", vol_cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r), F.col("rk1") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            (
+                (F.sum(nation_cents).cast("double") / F.lit(100.0))
+                / (F.sum(vol_cents).cast("double") / F.lit(100.0))
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             strftime(o.o_orderdate, '%Y') AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc=(
+        "TPC-H Q9 shape: product-line profit by supplier nation and year. "
+        "The testdata has no partsupp, so cost is p_retailprice * quantity "
+        "instead of ps_supplycost * quantity — same join graph (part name "
+        "LIKE filter -> lineitem -> supplier -> orders -> nation), same "
+        "revenue-minus-cost arithmetic inside an exact cent sum. Part and "
+        "supplier broadcast; the LIKE filter prunes lineitem before its "
+        "only wide join (orders)."
+    ),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = _vol() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey, {sql_dsum(_VOL)} AS value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_acctbal > 0
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM val
+    WHERE value > (SELECT 1.2 * ((CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*)) FROM val)
+    """,
+    doc=(
+        "TPC-H Q11 shape: parts whose traded value exceeds a threshold "
+        "derived from the whole aggregate — a grouped aggregate "
+        "HAVING-filtered against a scalar subquery over itself. TPC-H "
+        "scales its fraction by 1/SF to keep the cut meaningful; with no "
+        "SF knob in the query text, the equivalent scale-free form is "
+        "value > 1.2x the mean per-part value. No partsupp table, so "
+        "value is lineitem revenue bridged through positive-balance "
+        "suppliers. The per-part aggregate is computed once and reused; "
+        "the global threshold is a one-row broadcast. Both levels are "
+        "exact cent sums, so the > comparison is engine-stable."
+    ),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0)
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(_vol(), "value"))
+    )
+    total = val.agg(
+        (
+            F.lit(1.2)
+            * (
+                (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / F.lit(100.0))
+                / F.count("*")
+            )
+        ).alias("threshold")
+    )
+    return (
+        val.join(F.broadcast(total), F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q12_late_shipping_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12 shape: late-shipment counts split by order priority. "
+        "The schema has no commit/receipt dates or shipmode, so 'late' is "
+        "shipped more than 90 days after the order date, grouped by "
+        "l_linestatus. The lateness predicate compares two columns of the "
+        "same joined row — evaluated as a post-join residual with no extra "
+        "exchange — and the CASE/SUM pair is a single-pass conditional "
+        "aggregate (partial map-side, as always)."
+    ),
+)
+def q12_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13 shape: distribution of order counts per customer — a "
+        "filtered LEFT OUTER join (the filter lives in the join condition, "
+        "so customers with only excluded orders still appear with count "
+        "0), then two stacked aggregations. The first groupBy is on the "
+        "join key itself, so Catalyst reuses the join's hash partitioning "
+        "without a second exchange; the histogram re-agg shuffles only "
+        "one row per customer-count value."
+    ),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("bigint").alias("custdist"))
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+    doc=(
+        "TPC-H Q16 shape: how many distinct suppliers serve each "
+        "brand/type bucket, excluding a blacklist via NOT IN. lineitem is "
+        "the part-supplier bridge (no partsupp table). The blacklist "
+        "subquery becomes a broadcast null-aware anti join (s_suppkey is "
+        "non-null, so it degenerates to a plain anti join); COUNT(DISTINCT) "
+        "expands to a two-phase aggregate where the first phase dedups "
+        "(brand, type, suppkey) map-side before the shuffle."
+    ),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT ({sql_dsum('l.l_extendedprice')}) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size < 10
+      AND l.l_quantity < (
+        SELECT 0.5 * {sql_davg('l2.l_quantity')}
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    doc=(
+        "TPC-H Q17 shape: revenue lost to small-quantity orders — a "
+        "correlated scalar aggregate subquery (per-part average quantity) "
+        "gating the fact scan. Implemented decorrelated: the per-part "
+        "average is one grouped aggregate on l_partkey joined back to the "
+        "filtered fact rows, exactly what Catalyst rewrites the subquery "
+        "to. The average uses exact cent sums so the 0.5*avg threshold is "
+        "bit-identical cross-engine; the final single-row sum/7 is exact "
+        "division of an exact sum."
+    ),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.5) * davg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ak"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_bulk_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey >= 10
+      AND s.s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 5500
+      )
+    """,
+    doc=(
+        "TPC-H Q20 shape: suppliers who moved bulk volume (>55 units of "
+        "one widget part in 1996) in a selected nation band — a chain of nested "
+        "IN subqueries: part-name filter feeding a grouped HAVING feeding "
+        "a semi join on supplier. Each IN becomes a left-semi join; the "
+        "part list and the qualifying-supplier list are both small and "
+        "broadcast. Quantity compared in exact integer centi-units. No "
+        "partsupp, so availqty-based thresholds become shipped-quantity "
+        "thresholds over the lineitem bridge."
+    ),
+)
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") >= 10)
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    bulk = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("centi_qty"))
+        .where(F.col("centi_qty") > 5500)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(bulk), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             COUNT(DISTINCT l.l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                                 THEN l.l_suppkey END) AS n_late,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN l.l_suppkey END) AS late_supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_order po JOIN supplier s ON po.late_supp = s.s_suppkey
+    WHERE po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+    doc=(
+        "TPC-H Q21 shape: suppliers who alone held up multi-supplier "
+        "orders. The classic formulation is a fact self-join with EXISTS "
+        "(another supplier in the order) and NOT EXISTS (another LATE "
+        "supplier); both existentials collapse into ONE per-order "
+        "aggregate — distinct suppliers, distinct late suppliers, and the "
+        "sole late supplier via MAX(CASE) — so the plan is a single "
+        "groupBy on l_orderkey instead of three shuffles of lineitem "
+        "against itself. 'Late' is shipped >90 days after order date "
+        "(schema has no commit/receipt dates)."
+    ),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c.c_custkey, c.c_acctbal, n.n_name
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM pool
+    WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM pool WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+    doc=(
+        "TPC-H Q22 shape: well-funded customers gone idle, bucketed by "
+        "geography. Phone-prefix country codes don't exist in the schema, "
+        "so buckets are nation names; and since this testdata gives every "
+        "customer at least one order, 'never ordered' degenerates to the "
+        "empty set — the non-degenerate equivalent is 'no order since "
+        "1999', which keeps the NOT EXISTS anti join (now against a "
+        "filtered orders subquery whose date predicate pushes into the "
+        "scan). Three classic pieces: an uncorrelated scalar average "
+        "(one-row broadcast cross join), the anti join (the only wide "
+        "join — on o_custkey), and a final small aggregation. Average "
+        "and sum are exact cent arithmetic."
+    ),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pool = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    avg_bal = pool.where(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("cutoff"))
+    return (
+        pool.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("cutoff"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
