@@ -24,7 +24,12 @@ from ..sources.registry import read_logs
 from .compact import CompactionPolicy, write_compacted
 
 # event-time column per log format (drives clustering + date partitioning)
-TS_COL = {"s3": "request_time", "alb": "time", "vpcflow": "start_ts"}
+TS_COL = {
+    "s3": "request_time",
+    "alb": "time",
+    "vpcflow": "start_ts",
+    "cloudfront": "request_ts",
+}
 
 log = logging.getLogger(__name__)
 
@@ -39,7 +44,7 @@ class RollupConfig:
     start_date: str | None = None  # ISO date -> backfill mode
     policy: CompactionPolicy = CompactionPolicy()
     date_path_format: str = "%Y/%m/%d"  # raw-log input layout
-    log_format: str = "s3"  # s3 | alb | vpcflow (sources/registry.py)
+    log_format: str = "s3"  # s3 | alb | vpcflow | cloudfront (sources/registry.py)
 
 
 def dates_to_process(cfg: RollupConfig, today: date | None = None) -> list[date]:

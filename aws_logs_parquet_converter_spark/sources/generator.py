@@ -175,3 +175,81 @@ def generate_vpc_flow_lines(n: int, seed: int = 42, garbage_every: int = 97) -> 
             f"{rng.choice(['ACCEPT', 'ACCEPT', 'ACCEPT', 'REJECT'])} OK"
         )
     return lines
+
+
+GOLDEN_CLOUDFRONT_LINE = (
+    "2019-12-04\t21:02:31\tLAX1\t392\t192.0.2.100\tGET\td111111abcdef8.cloudfront.net"
+    "\t/index.html\t200\t-\tMozilla/5.0%20(Windows%20NT%2010.0)\t-\t-\tHit"
+    "\tSOX4xwn4XV6Q4rgb7XiVGOHms_BGlTAC4KyHmureZmBNrjGdRLiNIQ=="
+    "\td111111abcdef8.cloudfront.net\thttps\t23\t0.001\t-\tTLSv1.2"
+    "\tECDHE-RSA-AES128-GCM-SHA256\tHit\tHTTP/2.0\t-\t-\t11040\t0.001\tHit"
+    "\ttext/html\t78\t-\t-"
+)
+
+CLOUDFRONT_FIELDS_HEADER = (
+    "#Fields: date time x-edge-location sc-bytes c-ip cs-method cs(Host) "
+    "cs-uri-stem sc-status cs(Referer) cs(User-Agent) cs-uri-query cs(Cookie) "
+    "x-edge-result-type x-edge-request-id x-host-header cs-protocol cs-bytes "
+    "time-taken x-forwarded-for ssl-protocol ssl-cipher "
+    "x-edge-response-result-type cs-protocol-version fle-status "
+    "fle-encrypted-fields c-port time-to-first-byte "
+    "x-edge-detailed-result-type sc-content-type sc-content-len "
+    "sc-range-start sc-range-end"
+)
+
+
+def generate_cloudfront_lines(n: int, seed: int = 42, garbage_every: int = 97) -> list[str]:
+    """CloudFront standard-log lines incl. the two `#` header lines."""
+    rng = random.Random(seed)
+    start = datetime(2024, 7, 1, 0, 0, 0)
+    lines = ["#Version: 1.0", CLOUDFRONT_FIELDS_HEADER]
+    edges = ["LAX1", "IAD79", "FRA56", "NRT12", "SYD4"]
+    results = ["Hit", "Hit", "Hit", "Miss", "RefreshHit", "Error"]
+    for i in range(n):
+        if garbage_every and i % garbage_every == garbage_every - 1:
+            lines.append(f"not a cloudfront line {i}")
+            continue
+        ts = start + timedelta(seconds=rng.randint(0, 30 * 24 * 3600))
+        status = rng.choice([200, 200, 200, 200, 304, 404, 502])
+        res = "Error" if status >= 500 else rng.choice(results)
+        ssl = rng.choice(["TLSv1.2", "TLSv1.3"])
+        lines.append(
+            "\t".join(
+                [
+                    ts.strftime("%Y-%m-%d"),
+                    ts.strftime("%H:%M:%S"),
+                    rng.choice(edges),
+                    str(rng.randint(200, 100000)),
+                    f"192.0.2.{rng.randint(1, 254)}",
+                    rng.choice(["GET", "GET", "GET", "HEAD", "POST"]),
+                    "d111111abcdef8.cloudfront.net",
+                    f"/asset/{rng.randint(0, 999)}.js",
+                    str(status),
+                    "-",
+                    f"agent/{rng.randint(1, 9)}.0",
+                    "-" if rng.random() < 0.7 else f"v={rng.randint(1, 99)}",
+                    "-",
+                    res,
+                    f"{rng.getrandbits(64):016x}==",
+                    "www.example.com",
+                    "https",
+                    str(rng.randint(20, 2000)),
+                    f"{rng.random() / 10:.3f}",
+                    "-",
+                    ssl,
+                    "ECDHE-RSA-AES128-GCM-SHA256",
+                    res,
+                    rng.choice(["HTTP/2.0", "HTTP/1.1"]),
+                    "-",
+                    "-",
+                    str(rng.randint(1024, 65535)),
+                    f"{rng.random() / 20:.3f}",
+                    res,
+                    "-" if status == 304 else "text/javascript",
+                    "-" if status == 304 else str(rng.randint(200, 100000)),
+                    "-",
+                    "-",
+                ]
+            )
+        )
+    return lines

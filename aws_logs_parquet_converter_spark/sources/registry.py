@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from ..functions.alb_log_parse import ALB_LOG_SCHEMA, parse_alb_log_lines
+from ..functions.cloudfront_log_parse import (
+    CLOUDFRONT_LOG_SCHEMA,
+    parse_cloudfront_log_lines,
+)
 from ..functions.s3_log_parse import S3_ACCESS_LOG_SCHEMA, parse_s3_access_log_lines
 from ..functions.vpc_flow_parse import VPC_FLOW_SCHEMA, parse_vpc_flow_lines
 from .logs import read_text_lines
@@ -36,6 +40,9 @@ FORMATS: dict[str, LogFormat] = {
     "s3": LogFormat("s3", S3_ACCESS_LOG_SCHEMA, parse_s3_access_log_lines),
     "alb": LogFormat("alb", ALB_LOG_SCHEMA, parse_alb_log_lines),
     "vpcflow": LogFormat("vpcflow", VPC_FLOW_SCHEMA, parse_vpc_flow_lines),
+    "cloudfront": LogFormat(
+        "cloudfront", CLOUDFRONT_LOG_SCHEMA, parse_cloudfront_log_lines
+    ),
 }
 
 

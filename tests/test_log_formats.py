@@ -8,14 +8,20 @@ from aws_logs_parquet_converter_spark.functions.alb_log_parse import (
     ALB_LOG_SCHEMA,
     parse_alb_log_lines,
 )
+from aws_logs_parquet_converter_spark.functions.cloudfront_log_parse import (
+    CLOUDFRONT_LOG_SCHEMA,
+    parse_cloudfront_log_lines,
+)
 from aws_logs_parquet_converter_spark.functions.vpc_flow_parse import (
     VPC_FLOW_SCHEMA,
     parse_vpc_flow_lines,
 )
 from aws_logs_parquet_converter_spark.sources.generator import (
     GOLDEN_ALB_LINE,
+    GOLDEN_CLOUDFRONT_LINE,
     GOLDEN_VPC_FLOW_LINE,
     generate_alb_lines,
+    generate_cloudfront_lines,
     generate_vpc_flow_lines,
 )
 
@@ -102,4 +108,57 @@ def test_registry_dispatch(spark, tmp_path):
     vpc = read_logs(spark, str(vpc_dir) + "/*.txt", fmt="vpcflow")
     assert vpc.schema == VPC_FLOW_SCHEMA
     assert vpc.where("error_line IS NULL").count() > 150
-    assert sorted(FORMATS) == ["alb", "s3", "vpcflow"]
+    assert sorted(FORMATS) == ["alb", "cloudfront", "s3", "vpcflow"]
+
+
+def test_cloudfront_golden_line(spark):
+    row = parse_cloudfront_log_lines(_df(spark, [GOLDEN_CLOUDFRONT_LINE])).collect()[0]
+    assert row.error_line is None
+    assert row.request_ts == datetime(2019, 12, 4, 21, 2, 31)
+    assert row.x_edge_location == "LAX1"
+    assert row.sc_bytes == 392
+    assert row.c_ip == "192.0.2.100"
+    assert row.cs_method == "GET"
+    assert row.cs_host == "d111111abcdef8.cloudfront.net"
+    assert row.cs_uri_stem == "/index.html"
+    assert row.sc_status == 200
+    assert row.cs_referer is None  # "-" sentinel
+    assert row.cs_user_agent == "Mozilla/5.0%20(Windows%20NT%2010.0)"  # stays encoded
+    assert row.x_edge_result_type == "Hit"
+    assert row.cs_protocol == "https"
+    assert row.cs_bytes == 23
+    assert abs(row.time_taken - 0.001) < 1e-12
+    assert row.ssl_protocol == "TLSv1.2"
+    assert row.cs_protocol_version == "HTTP/2.0"
+    assert row.fle_status is None and row.fle_encrypted_fields is None
+    assert row.c_port == 11040
+    assert abs(row.time_to_first_byte - 0.001) < 1e-12
+    assert row.sc_content_type == "text/html"
+    assert row.sc_content_len == 78
+    assert row.sc_range_start is None and row.sc_range_end is None
+
+
+def test_cloudfront_headers_dropped_garbage_dead_lettered(spark):
+    lines = ["#Version: 1.0", "#Fields: date time ...", "", "garbage line",
+             GOLDEN_CLOUDFRONT_LINE, "  "]
+    out = parse_cloudfront_log_lines(_df(spark, lines))
+    assert out.schema == CLOUDFRONT_LOG_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 2  # headers + blanks dropped, garbage kept as dead letter
+    assert sorted(r.error_line is None for r in rows) == [False, True]
+    bad = [r for r in rows if r.error_line is not None][0]
+    assert bad.error_line == "garbage line"
+    assert bad.request_ts is None and bad.sc_status is None
+
+
+def test_cloudfront_generator_roundtrip(spark):
+    lines = generate_cloudfront_lines(300, seed=7)
+    assert lines[0].startswith("#Version") and lines[1].startswith("#Fields")
+    out = parse_cloudfront_log_lines(_df(spark, lines))
+    n = out.count()
+    ne = out.where("error_line IS NOT NULL").count()
+    assert n == 300  # 302 lines minus 2 headers
+    assert 0 < ne < 10
+    ok = out.where("error_line IS NULL")
+    assert ok.where("request_ts IS NULL").count() == 0
+    assert ok.where("sc_status >= 500").count() > 0
