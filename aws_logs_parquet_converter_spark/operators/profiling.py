@@ -1,0 +1,165 @@
+"""Statistical moments + data-quality profiling operators.
+
+Two capabilities a standalone analytics engine owes its users that the
+reference delegates entirely to Athena (SURVEY.md §2.2 — the reference has
+no aggregation surface at all):
+
+* ``q_stats_moments`` — covariance / correlation / stddev. Spark's built-in
+  ``corr``/``covar_samp`` sum doubles in partition order, so their low bits
+  differ run-to-run and engine-to-engine. Here every raw moment (n, Sx, Sy,
+  Sxx, Syy, Sxy) is an EXACT integer sum — order-independent — and the
+  classic textbook formulas are applied as scalar IEEE double arithmetic on
+  those exact moments, which is bit-deterministic in any engine that
+  evaluates the same expression tree.
+
+* ``dq_profile`` — per-column null counts, distinct counts, and min/max in
+  ONE pass over the table (single wide aggregate, then an unpivot of the
+  one-row result — no per-column rescans). This is the shape of every
+  data-quality / profiling tool's core query; at 100 TB the difference
+  between one scan and one-scan-per-column is the whole game.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                      * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (sxy / n - (sx / n) * (sy / n)) * (n / (n - 1)) / (100.0 * 1.0) AS covar_qty_price,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           sqrt((sxx / n - (sx / n) * (sx / n)) * (n / (n - 1))) / 100.0 AS stddev_qty
+    FROM m
+    """,
+    doc=(
+        "Per-group covariance, Pearson correlation, and stddev of "
+        "(l_quantity, l_extendedprice) from exact integer moments: "
+        "quantity in exact cents, price rounded to exact whole dollars "
+        "(so the cross/square moment sums stay far inside BIGINT at any "
+        "scale - ~1e9 rows of dollar-squared terms is ~1e19/row-group "
+        "headroom; at larger scale the same sums would move to "
+        "DECIMAL(38,0)). The six sums are order-independent integers; "
+        "everything after is scalar IEEE arithmetic on identical doubles, "
+        "identical in any engine. Correlation is scale-invariant, so the "
+        "unit choices cancel; covariance/stddev divide the units back "
+        "out. One hash aggregate, map-side partials, no second pass."
+    ),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("bigint")  # exact centi-units
+    y = F.round(F.col("l_extendedprice")).cast("bigint")  # exact dollars
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        ((sxy / n - (sx / n) * (sy / n)) * (n / (n - 1)) / (F.lit(100.0) * F.lit(1.0))).alias(
+            "covar_qty_price"
+        ),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        (F.sqrt((sxx / n - (sx / n) * (sx / n)) * (n / (n - 1))) / F.lit(100.0)).alias(
+            "stddev_qty"
+        ),
+    )
+
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+@register(
+    "dq_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
+    FROM orders
+    """,
+    doc=(
+        "One-pass table profile: per-column null count, exact distinct "
+        "count, and min/max over orders. The Spark side is a SINGLE wide "
+        "aggregate (Catalyst plans the multi-column count-distinct via "
+        "one Expand + two-phase aggregate - still one scan of the table) "
+        "whose one-row result is unpivoted driver-free with stack(). The "
+        "oracle is the semantically-equal UNION-ALL-of-scans form DuckDB "
+        "optimizes on its own. Values are stringified for a uniform "
+        "schema; doubles via printf('%.2f') on both sides so the "
+        "rendering is engine-independent."
+    ),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__null"))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"))
+        if c == "o_totalprice":
+            aggs.append(F.format_string("%.2f", F.min(c)).alias(f"{c}__min"))
+            aggs.append(F.format_string("%.2f", F.max(c)).alias(f"{c}__max"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__null`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_null, n_distinct, min_val, max_val)"
+    )

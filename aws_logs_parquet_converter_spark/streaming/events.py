@@ -331,3 +331,61 @@ def _register_gate_queries() -> None:
         doc="Structured Streaming gate: merging session windows (30-min "
         "gap) via availableNow file stream == batch gaps-and-islands.",
     )(stream_session_windows)
+
+    register(
+        "stream_static_join",
+        oracle=f"""
+        SELECT c.c_mktsegment, COUNT(*) AS n_events,
+               {sql_dsum('e.value')} AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """,
+        doc="Structured Streaming gate: stateless stream-static broadcast "
+        "enrichment join + stateful aggregate via availableNow == batch "
+        "join+groupBy.",
+    )(stream_static_enrich)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events file stream enriched against the
+    static customer dimension (broadcast — stateless, re-read per
+    micro-batch), then aggregated per market segment.
+
+    This is the canonical streaming-enrichment shape: dimension lookups
+    need NO state store because the static side is a plain batch relation;
+    only the downstream aggregate keeps state. Drained with availableNow
+    in complete mode, the result equals the batch join+groupBy, so the
+    DuckDB oracle applies. Value sums use exact cents (micro-batch fold
+    order would drift double sums).
+    """
+    global _STREAM_RUN_SEQ
+    _STREAM_RUN_SEQ += 1
+    name = f"stream_enrich_{_STREAM_RUN_SEQ}"
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..functions.numeric import dsum
+
+    stream = (
+        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    res = (
+        stream.join(
+            F.broadcast(customers), stream.user_id == customers.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    run_available_now(
+        res, name, tempfile.mkdtemp(prefix="ckpt_gate_"), output_mode="complete"
+    )
+    return spark.table(name)
