@@ -279,3 +279,72 @@ def text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH tainted AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-0199 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IPV4_RE}', '<IP>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS INTEGER) AS n_ips
+    FROM tainted
+    """,
+    doc=(
+        "PII redaction: emails, North-American phone patterns, and IPv4 "
+        "addresses replaced with typed placeholder tokens, plus per-doc "
+        "redaction counts for audit. The synthetic corpus contains no PII, "
+        "so the query first plants deterministic doc_id-derived PII — both "
+        "engines build the identical tainted string, then scrub it, making "
+        "the redaction itself the thing under test. Three chained "
+        "regexp_replaces stay native JVM expressions (one projection, no "
+        "shuffle, no Python); phone runs before IPv4 so the digit-group "
+        "patterns can't partially overlap. The regexes use only syntax "
+        "Java regex and DuckDB's RE2 evaluate identically (classes, "
+        "bounded repeats, word boundaries)."
+    ),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tainted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(tainted, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        _n_matches(tainted, _EMAIL_RE).alias("n_emails"),
+        _n_matches(tainted, _PHONE_RE).alias("n_phones"),
+        _n_matches(tainted, _IPV4_RE).alias("n_ips"),
+    )

@@ -31,6 +31,10 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_join",
+    "q08_market_share",
+    "q09_product_profit",
+    "q13_customer_order_distribution",
+    "q21_waiting_suppliers",
     "q_events_funnel",
     "q_events_retention",
     "q_lateral_topk",
@@ -54,6 +58,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "text_stats",
+    "text_pii_scrub",
+    "q_stats_moments",
+    "dq_profile",
     "sim_topk_bruteforce",
     "sim_ann_rplsh",
     "mm_binary_features",
