@@ -163,3 +163,74 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_null, n_distinct, min_val, max_val)"
     )
+
+
+@register(
+    "q_forward_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+    doc=(
+        "Forward-fill / LOCF (last observation carried forward): every "
+        "event carries the value of the user's most recent purchase — the "
+        "canonical sparse-to-dense time-series imputation. last() with "
+        "ignorenulls over a running window is a single window pass: one "
+        "shuffle on user_id, per-partition sort, O(1) state per row (the "
+        "naive as-of self-join against the purchase subset shuffles twice "
+        "and explodes on users with many purchases). No arithmetic touches "
+        "the carried value, so doubles compare exactly cross-engine. "
+        "(ts, event_id) is a total order, making the fill deterministic."
+    ),
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           printf('%.2f', MIN(o_totalprice)) AS lo,
+           printf('%.2f', MAX(o_totalprice)) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc=(
+        "Equi-width histogram with a clamped overflow bucket: floor-divide "
+        "into 50k-wide bins, top bin open-ended — the profiling primitive "
+        "behind every distribution dashboard. One hash aggregate over the "
+        "bucket expression (10 groups regardless of table size, so the "
+        "shuffle is constant-size); floor() of an IEEE division is "
+        "bit-deterministic, and bin edges are stringified min/max via "
+        "printf on both engines."
+    ),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.format_string("%.2f", F.min("o_totalprice")).alias("lo"),
+            F.format_string("%.2f", F.max("o_totalprice")).alias("hi"),
+        )
+    )
