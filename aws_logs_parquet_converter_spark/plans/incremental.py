@@ -89,14 +89,16 @@ def compact_day(spark: SparkSession, cfg: RollupConfig, day: date) -> float | No
         policy = replace(policy, sort_keys=(ts_col,))
     try:
         parsed = read_logs(spark, input_path_for(cfg, day), fmt=cfg.log_format)
-        write_compacted(parsed, destination_for(cfg, day), policy, ts_col=ts_col)
+        dq = write_compacted(
+            parsed, destination_for(cfg, day), policy, ts_col=ts_col, observe=True
+        )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
             log.info("no input for %s; skipping", day)
             return None
         raise
     elapsed = time.time() - t0
-    log.info("compacted %s in %.1fs", day, elapsed)
+    log.info("compacted %s in %.1fs (observed: %s)", day, elapsed, dq)
     return elapsed
 
 

@@ -137,3 +137,21 @@ def test_default_compaction_is_single_pass_roundrobin(spark, tmp_path):
     assert "rangepartitioning" not in plan.lower()
     ranged = cluster_for_write(df, CompactionPolicy(partition_mode="range"))
     assert "rangepartitioning" in ranged._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_observed_dq_metrics_ride_the_write(spark, tmp_path):
+    """write_compacted(observe=True) returns row/dead-letter counts and the
+    time span accumulated during the single write pass (df.observe) — the
+    no-extra-scan quality gate. Counts must match a direct recount."""
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    write_log_files(raw, n_lines=1000, n_files=4, seed=9)
+    parsed = read_s3_access_logs(spark, raw + "/*.txt")
+    dq = write_compacted(parsed, out, CompactionPolicy(num_output_files=2), observe=True)
+    assert dq is not None
+    n = parsed.count()
+    n_dead = parsed.where("error_line IS NOT NULL").count()
+    assert dq["n_rows"] == n
+    assert dq["n_dead_letters"] == n_dead and n_dead > 0
+    assert dq["min_ts"] <= dq["max_ts"]
+    # and the write itself is unaffected
+    assert spark.read.parquet(out).count() == n
