@@ -234,3 +234,44 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%.2f", F.max("o_totalprice")).alias("hi"),
         )
     )
+
+
+@register(
+    "q_events_sliding_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+             event_type
+      FROM events)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding (hopping) windows: 1-hour windows every 30 minutes, so "
+        "each event lands in exactly window/slide = 2 windows. Spark's "
+        "window(ts, '1 hour', '30 minutes') plans an internal explode of "
+        "that factor BEFORE the partial aggregate - the shuffle carries "
+        "(window, type, partial count), never 2x raw events. The oracle "
+        "derives the same two window starts per event arithmetically "
+        "(time_bucket and its 30-minute predecessor). Overlap factor is "
+        "the state/compute multiplier to budget at scale: a 24h window "
+        "sliding hourly is 24x, better served by hourly tumbling + a "
+        "24-row rolling window over the aggregates (q_window_frames "
+        "pattern)."
+    ),
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -345,6 +345,21 @@ def _register_gate_queries() -> None:
         "join+groupBy.",
     )(stream_static_enrich)
 
+    register(
+        "stream_stream_join",
+        oracle="""
+        SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+        GROUP BY v.user_id
+        """,
+        doc="Structured Streaming gate: watermarked stream-stream inner "
+        "join (views x purchases, 1h attribution range bounding state) "
+        "via availableNow == batch self-join.",
+    )(stream_stream_attribution)
+
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events file stream enriched against the
@@ -389,3 +404,70 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         res, name, tempfile.mkdtemp(prefix="ckpt_gate_"), output_mode="complete"
     )
     return spark.table(name)
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases attributed to the
+    same user's views within the preceding hour, then counted per user
+    (the count runs as a batch query over the drained join output — the
+    join is the streaming surface under test).
+
+    Stream-stream joins are the hardest streaming operator: both sides
+    buffer state until the watermark plus the time-range condition prove a
+    row can never match again. The range predicate
+    ``view_ts <= purchase_ts < view_ts + 1h`` is what BOUNDS the state —
+    without it both sides buffer forever. Drained with availableNow, the
+    result equals the batch self-join, so the DuckDB oracle applies.
+    """
+    global _STREAM_RUN_SEQ
+    _STREAM_RUN_SEQ += 1
+    name = f"stream_attrib_{_STREAM_RUN_SEQ}"
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def _stream():
+        return (
+            spark.readStream.schema(PARQUET_EVENT_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    views = (
+        _stream()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        _stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    run_available_now(
+        joined, name, tempfile.mkdtemp(prefix="ckpt_gate_"), output_mode="append"
+    )
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_attributed"))
+    )
