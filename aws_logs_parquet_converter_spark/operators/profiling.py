@@ -12,11 +12,12 @@ no aggregation surface at all):
   those exact moments, which is bit-deterministic in any engine that
   evaluates the same expression tree.
 
-* ``dq_profile`` — per-column null counts, distinct counts, and min/max in
-  ONE pass over the table (single wide aggregate, then an unpivot of the
-  one-row result — no per-column rescans). This is the shape of every
-  data-quality / profiling tool's core query; at 100 TB the difference
-  between one scan and one-scan-per-column is the whole game.
+* ``dq_profile`` — per-column null counts, distinct counts, and min/max as
+  two single-purpose wide aggregates (not one mixed aggregate — see the
+  registered doc for the measured Expand-tax) unpivoted from their one-row
+  results. This is the shape of every data-quality / profiling tool's core
+  query; at 100 TB the difference between a constant number of scans and
+  one-scan-per-column is the whole game.
 """
 
 from __future__ import annotations
@@ -279,4 +280,49 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
         )
+    )
+
+
+@register(
+    "q_skew_keys",
+    oracle="""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+         t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total, CAST(MAX(n) AS DOUBLE) AS mx,
+                      CAST(COUNT(*) AS DOUBLE) AS nkeys FROM c)
+    SELECT o_custkey, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / t.total AS share,
+           t.mx / (t.total / t.nkeys) AS max_skew_ratio
+    FROM c, t
+    ORDER BY n DESC, o_custkey
+    LIMIT 10
+    """,
+    doc=(
+        "Skew diagnostics: the operational pre-join query behind every "
+        "salting decision - top-10 heaviest join keys with their share of "
+        "total rows, plus the global max/mean skew ratio (>> 1 means AQE "
+        "skew-split or explicit salting, see q_salted_skew_join). Two "
+        "stacked aggregates: per-key counts (map-side partial, one "
+        "shuffle), then a one-row total broadcast back. Top-k executes as "
+        "TakeOrderedAndProject with a unique key tiebreak; shares are "
+        "exact-integer ratios so the doubles match cross-engine."
+    ),
+)
+def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.max("n").cast("double").alias("mx"),
+        F.count("*").cast("double").alias("nkeys"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "o_custkey",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (F.col("mx") / (F.col("total") / F.col("nkeys"))).alias("max_skew_ratio"),
+        )
+        .orderBy(F.col("n").desc(), "o_custkey")
+        .limit(10)
     )

@@ -493,3 +493,57 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "own_label", F.col("cluster").alias("assigned_cluster"))
     )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(embedding,
+                x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_max,
+           CAST(list_min(list_transform(embedding,
+                x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_min
+    FROM s
+    """,
+    doc=(
+        "Symmetric int8 vector quantization (the embedding-store "
+        "compression step: 4x smaller than float32, 8x than float64): "
+        "per-vector scale = max|x|/127, elements round(x/scale) in "
+        "[-127, 127]. The contract exposes the scale plus exact integer "
+        "checksums (sum/max/min) of the quantized vector rather than the "
+        "array itself - scalars hash identically cross-engine while array "
+        "renderings do not. Implementation trap avoided: the lambda must "
+        "not reference the row-level `scale` column directly, or "
+        "CollapseProject inlines the array_max reduction into EVERY "
+        "element (64x recompute); zip_with against array_repeat(scale, d) "
+        "evaluates scale once per row. Fully narrow - zero shuffles, "
+        "zero Python."
+    ),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64  # embeddings table is fixed 64-dim (TESTDATA.md)
+    emb = F.col("embedding").cast("array<double>")
+    scale = (F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+        "scale"
+    )
+    with_scale = e.select("vec_id", emb.alias("emb"), scale)
+    q = F.zip_with(
+        F.col("emb"),
+        F.array_repeat(F.col("scale"), dim),
+        lambda x, s: F.round(x / s).cast("bigint"),
+    )
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("q_sum"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+    )
