@@ -49,6 +49,10 @@ class CompactionPolicy:
     # file-disjoint sort-key ranges at the cost of a sampling pass that
     # re-executes the upstream plan (see module docstring).
     partition_mode: str = "roundrobin"
+    # parquet (default; columnar + stats pruning) | orc (columnar alt) |
+    # json / csv (interchange exports — no row-group stats, use only when a
+    # downstream consumer can't read columnar)
+    output_format: str = "parquet"
     extra_writer_options: dict[str, str] = field(default_factory=dict)
 
 
@@ -128,5 +132,5 @@ def write_compacted(
         writer = writer.option(k, v)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(destination)
+    writer.format(policy.output_format).save(destination)
     return obs.get if obs is not None else None
