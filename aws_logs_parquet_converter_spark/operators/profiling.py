@@ -326,3 +326,40 @@ def q_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "o_custkey")
         .limit(10)
     )
+
+
+@register(
+    "q_window_distinct_running",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(DISTINCT event_type)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INTEGER) AS n_types_seen
+    FROM events
+    """,
+    doc=(
+        "Running distinct count per key (how many distinct event types "
+        "has this user produced so far) - a window shape Spark has no "
+        "direct function for (count_distinct is not a window function): "
+        "the idiom is size(collect_set() OVER running-frame), whose set "
+        "state is bounded by the attribute's cardinality (event types "
+        "here), NOT by history length - safe at any scale for "
+        "low-cardinality attributes, switch to approx sketches for "
+        "high-cardinality ones. One shuffle on user_id, one sort."
+    ),
+)
+def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )

@@ -360,6 +360,18 @@ def _register_gate_queries() -> None:
         "via availableNow == batch self-join.",
     )(stream_stream_attribution)
 
+    register(
+        "stream_dedup",
+        oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+        """,
+        doc="Structured Streaming gate: dropDuplicatesWithinWatermark over "
+        "a self-unioned (every event delivered twice) stream == batch "
+        "counts of the original table — at-least-once upstream delivery "
+        "made exactly-once with watermark-bounded dedup state.",
+    )(stream_dedup_events)
+
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events file stream enriched against the
@@ -471,3 +483,46 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(F.count("*").cast("bigint").alias("n_attributed"))
     )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events stream UNIONED WITH ITSELF
+    (every event arrives twice — simulating at-least-once upstream
+    delivery) deduped by event_id with dropDuplicatesWithinWatermark,
+    then aggregated per type.
+
+    The watermark bounds dedup state: an id is remembered only until the
+    watermark passes its event time, so state scales with the in-flight
+    window, not the full history (plain dropDuplicates on a stream
+    remembers every id forever). Drained with availableNow, the result
+    equals batch per-type counts of the ORIGINAL table — proving the
+    duplicates were eliminated.
+    """
+    global _STREAM_RUN_SEQ
+    _STREAM_RUN_SEQ += 1
+    name = f"stream_dedup_{_STREAM_RUN_SEQ}"
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def _stream():
+        return (
+            spark.readStream.schema(PARQUET_EVENT_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    doubled = _stream().unionAll(_stream())
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    res = deduped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    run_available_now(
+        res, name, tempfile.mkdtemp(prefix="ckpt_gate_"), output_mode="complete"
+    )
+    return spark.table(name)
