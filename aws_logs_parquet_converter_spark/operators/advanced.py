@@ -868,3 +868,43 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_ntile_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT NTILE(10) OVER (ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                             c_custkey) AS decile,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer)
+    SELECT decile, COUNT(*) AS n,
+           MIN(bal_cents) AS min_cents, MAX(bal_cents) AS max_cents
+    FROM t GROUP BY decile
+    """,
+    doc=(
+        "NTILE(10) decile assignment over a global total order (exact integer "
+        "cents + unique custkey tiebreak), then per-decile count/min/max. "
+        "NTILE needs a single total order, and Spark executes an "
+        "unpartitioned window by moving ALL rows to ONE partition — this "
+        "exact form is the correctness baseline, viable only because the "
+        "projection shrinks input to (bal_cents, custkey) pairs first. The "
+        "100 TB path is two-pass decile cutoffs: percentile_approx over the "
+        "column (map-side mergeable sketch, one tiny result row) broadcast "
+        "back as range predicates — fully parallel, no single-partition "
+        "stage, at the cost of approximate boundaries."
+    ),
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    t = c.select(cents("c_acctbal").alias("bal_cents"), "c_custkey")
+    w = Window.orderBy("bal_cents", "c_custkey")
+    return (
+        t.select(F.ntile(10).over(w).alias("decile"), "bal_cents")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("bal_cents").alias("min_cents"),
+            F.max("bal_cents").alias("max_cents"),
+        )
+    )

@@ -164,3 +164,23 @@ def test_connected_components_chain_diameter(spark):
     labels = connected_components(edges).collect()
     assert {r["label"] for r in labels} == {0}
     assert len(labels) == 12
+
+
+def test_levenshtein_pairs_blocked_near_dup(spark):
+    from aws_logs_parquet_converter_spark.operators.dedup import levenshtein_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    rows = [
+        (0, base),
+        (1, base.replace("sigma tau", "sigma taw")),  # 1 edit, same prefix
+        (2, "totally different text about query engines and shuffles"),
+        (3, "alpha beta gamma delta " + "x" * 200),  # same block, too distant
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b): r.edit_dist for r in levenshtein_pairs(docs).collect()}
+    assert pairs.get((0, 1)) == 1  # near-dup found with exact distance
+    assert all(a != 2 and b != 2 for a, b in pairs)  # different block: never a candidate
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # candidate but over threshold

@@ -245,3 +245,26 @@ def test_text_repetition_has_no_key_shuffle(spark):
     plan = _plan(spark, "text_repetition")
     assert "hashpartitioning" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_partitioned_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """Partition-pruning through a join: filtering the dim side prunes the
+    partitioned fact scan at RUNTIME (dynamicpruningexpression in the scan's
+    PartitionFilters). At 100 TB this is what keeps 'join logs to a filtered
+    dim' from scanning every date/priority directory."""
+    from aws_logs_parquet_converter_spark.catalog import load_table
+
+    dest = str(tmp_path / "orders_by_priority")
+    load_table(spark, SF, "orders").write.partitionBy("o_orderpriority").parquet(dest)
+    fact = spark.read.parquet(dest)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop")],
+        "p string, tag string",
+    )
+    joined = fact.join(dim.where(F.col("tag") == "keep"), fact.o_orderpriority == dim.p)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    expected = (
+        load_table(spark, SF, "orders").where(F.col("o_orderpriority") == "1-URGENT").count()
+    )
+    assert joined.count() == expected
