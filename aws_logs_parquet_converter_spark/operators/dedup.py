@@ -5,7 +5,7 @@ Training-data pipeline staples:
 * exact dedup            — md5-fingerprint hash aggregate
 * MinHash + LSH          — shingle -> 16 minhashes -> 4 bands -> bucket join
 * n-gram Jaccard         — exact set overlap via inverted-index join
-* SimHash                — 32-bit sign-sketch, banded candidate pairs + Hamming
+* SimHash                — 60-bit sign-sketch, banded candidate pairs + Hamming
 
 All hashing is md5-derived (functions/text.py) so DuckDB oracles compute
 bit-identical values; similarity scores are integer ratios (exact doubles).
@@ -18,7 +18,7 @@ Scale design (100 TB):
 * n-gram Jaccard uses the classic inverted-index (shingle) equi-join, which
   Spark executes as a shuffled hash join keyed on the shingle — skew from
   ultra-common shingles is handled by AQE skew-join splitting.
-* SimHash pairs come from 8-bit band buckets (4 bands), again equi-joins.
+* SimHash pairs come from 15-bit band buckets (4 bands), again equi-joins.
 
 Reference parity note: the reference engine has no dedup surface at all
 (SURVEY.md §2.2); these are the §2.4 north-star extensions.
@@ -37,8 +37,19 @@ from . import register
 K_MINHASH = 16
 N_BANDS = 4
 R_ROWS = K_MINHASH // N_BANDS
-SIMHASH_BITS = 32
-SIMHASH_BAND_BITS = 8
+# 60-bit sketch (the full width hash60 yields) in 4 bands of 15 bits: 32768
+# band values keep bucket occupancy ~corpus/32768 per band, so candidate
+# pairs grow LINEARLY with the corpus. The previous 32-bit/8-bit-band config
+# saturated its 256 bucket values — occupancy grew linearly and candidate
+# pairs quadratically (measured 6.7x runtime for 10x rows at sf0.1).
+# Guarantee: any pair with Hamming <= 3 shares >= 1 of the 4 bands
+# (pigeonhole) — the classic 64-bit/k=3 block-permutation design. Above 3
+# recall is probabilistic; short documents sketch noisily (1-2 word edits
+# on ~40-token docs land at Hamming ~7/60), so near-dup detection for
+# short docs belongs to MinHash-LSH, and simhash is the cheap tight-dup /
+# boilerplate detector.
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
 SIMHASH_MAX_HAMMING = 8
 SHINGLE_W = 3
 
@@ -347,7 +358,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_sketch(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit sign sketch over distinct-shingle hashes.
+    """(doc_id, simhash): 60-bit sign sketch over distinct-shingle hashes.
 
     Features are 3-gram shingles (not raw tokens): token vocabularies overlap
     heavily across documents, which collapses token-feature sketches together;
@@ -372,7 +383,7 @@ def simhash_sketch(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Near-dup pairs: share an 8-bit simhash band, Hamming <= max_hamming."""
+    """Near-dup pairs: share a 15-bit simhash band, Hamming <= max_hamming."""
     sk = simhash_sketch(docs).cache()
     bands = None
     for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
