@@ -363,3 +363,36 @@ def q_window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )
+
+
+@register(
+    "q_sketch_rollup",
+    # No oracle: HLL estimates are sketch-implementation-specific (Spark uses
+    # Apache DataSketches; DuckDB its own HLL) — driver runs the rows-only
+    # check; tests/test_extensions.py pins <2% relative error vs exact.
+    doc=(
+        "Sketch rollup table: per-day HLL sketches of distinct users "
+        "(hll_sketch_agg), re-aggregated to weekly estimates by merging the "
+        "DAILY SKETCHES (hll_union_agg) — never rescanning raw events. This "
+        "is the 100 TB pattern for distinct-count dashboards: the daily "
+        "sketch table is KBs per day regardless of event volume, sketches "
+        "merge associatively map-side like any partial aggregate, and any "
+        "rollup grain (week/month/rolling-28d) derives from the sketch "
+        "table at interactive cost. Exact count_distinct can't do this: "
+        "COUNT(DISTINCT) partials are the full key sets themselves."
+    ),
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "day").cast("date").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select("week", "est_users", "n_events")
+    )

@@ -90,3 +90,70 @@ def q_udtf_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.fragment "
         "FROM udtf_docs d, LATERAL split_on_the(d.text) s"
     )
+
+
+def _fulfillment(orders: pd.DataFrame, lines: pd.DataFrame) -> pd.DataFrame:
+    """Per-order fulfillment stats from the cogrouped (orders, lineitem) pair."""
+    key = orders["o_orderkey"].iloc[0]
+    if len(lines):
+        first = lines["l_shipdate"].min()
+        last = lines["l_shipdate"].max()
+        days_to_first = (first - orders["o_orderdate"].iloc[0]).days
+        span = (last - first).days
+        n = len(lines)
+    else:
+        days_to_first, span, n = None, None, 0
+    return pd.DataFrame(
+        {
+            "o_orderkey": [key],
+            "n_lines": [n],
+            "days_to_first_ship": [days_to_first],
+            "ship_span_days": [span],
+        }
+    )
+
+
+@register(
+    "q_cogroup_fulfillment",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS BIGINT)
+             AS days_to_first_ship,
+           CAST(date_diff('day', MIN(l.l_shipdate), MAX(l.l_shipdate)) AS BIGINT)
+             AS ship_span_days
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 1000
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    doc=(
+        "Cogrouped applyInPandas (the last Pandas-API shape after scalar UDF, "
+        "grouped UDAF, mapInPandas, applyInPandasWithState, UDTF): both "
+        "relations hash-partition on the key, each key's pair of Arrow "
+        "batches lands in one Python call. This logic IS SQL-expressible — "
+        "registered as the API-surface demonstration with the relational "
+        "oracle proving the cogroup path computes exactly the join+agg "
+        "answer; reach for cogroup only when per-key logic needs real "
+        "imperative Python (e.g. per-key model scoring over aligned "
+        "series). Keyed on a small key range so the Python-side cost stays "
+        "a demonstration, not a tax."
+    ),
+)
+def q_cogroup_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderdate")
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_shipdate")
+    )
+    return orders.groupBy("o_orderkey").cogroup(
+        lines.groupBy("l_orderkey")
+    ).applyInPandas(
+        _fulfillment,
+        schema="o_orderkey bigint, n_lines bigint, "
+        "days_to_first_ship bigint, ship_span_days bigint",
+    )

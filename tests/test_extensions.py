@@ -193,3 +193,24 @@ def test_levenshtein_pairs_blocked_near_dup(spark):
     assert pairs.get((0, 1)) == 1  # near-dup found with exact distance
     assert all(a != 2 and b != 2 for a, b in pairs)  # different block: never a candidate
     assert (0, 3) not in pairs and (1, 3) not in pairs  # candidate but over threshold
+
+
+def test_sketch_rollup_close_to_exact(spark):
+    from aws_logs_parquet_converter_spark.operators.profiling import q_sketch_rollup
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = {r.week: r.est_users for r in q_sketch_rollup(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for wk, e in est.items():
+        assert abs(e - exact[wk]) / exact[wk] < 0.02  # HLL default lgK=12: ~1.6% rse

@@ -268,3 +268,40 @@ def test_partitioned_join_uses_dynamic_partition_pruning(spark, tmp_path):
         load_table(spark, SF, "orders").where(F.col("o_orderpriority") == "1-URGENT").count()
     )
     assert joined.count() == expected
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE skew-join handling actually fires: a hot key (75% of the fact
+    table) gets its shuffle partition split at runtime — `skew=true` on the
+    SortMergeJoin and a `skewed` AQEShuffleRead in the FINAL adaptive plan.
+    This is the default-on safety net for key skew at 100 TB; explicit
+    salting (q_salted_skew_join) remains for single-key hotspots AQE can't
+    split (e.g. when the join's output partitioning is reused by a same-key
+    aggregate, where splitting is suppressed unless forceOptimizeSkewedJoin)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("attr")
+        )
+        j = fact.join(dim, "k")
+        assert j.count() == 200_000
+        j.collect()  # materialize the adaptive plan for THIS query object
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan.splitlines()[0]
+        assert "skew=true" in plan
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
