@@ -334,7 +334,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_frames",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           NTILE(4) OVER w AS quartile,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
            FIRST_VALUE(o_orderkey) OVER w AS first_key,
            (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
                  OVER (PARTITION BY o_orderpriority
@@ -541,8 +541,8 @@ def q_like_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_functions",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           RANK() OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
            round(PERCENT_RANK() OVER w, 8) AS prnk,
            round(CUME_DIST() OVER w, 8) AS cdist
     FROM orders
@@ -754,7 +754,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_json",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
              AS n_distinct_k
     FROM events
@@ -874,8 +874,8 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ntile_buckets",
     oracle="""
     WITH t AS (
-      SELECT NTILE(10) OVER (ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
-                             c_custkey) AS decile,
+      SELECT CAST(NTILE(10) OVER (ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                             c_custkey) AS INTEGER) AS decile,
              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
       FROM customer)
     SELECT decile, COUNT(*) AS n,

@@ -396,3 +396,45 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("week", "est_users", "n_events")
     )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT strftime(date_trunc('month', day), '%Y-%m') AS month,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM daily GROUP BY 1
+    """,
+    doc=(
+        "Incremental aggregate maintenance, exact-sum sibling of "
+        "q_sketch_rollup: the monthly rollup is computed FROM the daily "
+        "partial table (sum/count are algebraic — partials merge by "
+        "addition), not from raw orders. At 100 TB the daily partial table "
+        "is the materialization point: each day's batch appends one tiny "
+        "partial row per group, any coarser grain (month/quarter/rolling) "
+        "re-aggregates partials at interactive cost, and a late-arriving "
+        "day is repaired by overwriting ONE day's partials (the reference's "
+        "idempotent per-date overwrite, lifted to aggregates). Integer "
+        "cents keep re-aggregation bit-identical under any partitioning."
+    ),
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("cents"),
+        F.count("*").alias("n"),
+    )
+    return daily.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.sum("n").alias("n_orders"),
+    )

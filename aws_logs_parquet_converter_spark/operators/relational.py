@@ -248,8 +248,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
     FROM (
       SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
-                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS rn
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     ) WHERE rn <= 3
     """,
@@ -470,7 +470,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            UPPER(p_brand) AS brand_upper,
            LOWER(p_type) AS type_lower,
-           LENGTH(p_name) AS name_len,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
            SUBSTR(p_name, 1, 8) AS name_prefix,
            CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
            REPLACE(p_type, ' ', '_') AS type_snake

@@ -135,8 +135,8 @@ def ivf_topk_by_label(
     )
     SELECT query_id, neighbor_id, rn FROM (
       SELECT query_id, neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn
       FROM scored
     ) WHERE rn <= 5
     """,
@@ -205,8 +205,8 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, rn FROM (
       SELECT query_id, neighbor_id,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn
       FROM scored
     ) WHERE rn <= 5
     """,
@@ -338,8 +338,8 @@ def sim_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk AS (
       SELECT query_id, neighbor_id, rn FROM (
         SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cos DESC, neighbor_id) AS rn
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn
         FROM scored
       ) WHERE rn <= 5
     )

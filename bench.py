@@ -64,6 +64,8 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_ann_rplsh",
     "mm_binary_features",
+    "dedup_levenshtein",
+    "q_sketch_rollup",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -305,3 +305,23 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
+    """Selecting one struct field prunes the OTHER fields out of the parquet
+    ReadSchema — nested column pruning, the struct-typed analog of column
+    pruning. Matters once multimodal metadata rides in struct columns: a
+    query touching meta.lang must not deserialize meta.source or the
+    payload stats at 100 TB."""
+    from aws_logs_parquet_converter_spark.catalog import load_table
+
+    dest = str(tmp_path / "docs_nested")
+    load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.struct("lang", "source", F.length("text").alias("n_chars")).alias("meta"),
+    ).write.parquet(dest)
+    df = spark.read.parquet(dest).select("doc_id", F.col("meta.lang").alias("lang"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
