@@ -814,16 +814,24 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("hour", F.date_trunc("hour", "ts"))
-    counts = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    # The hourly aggregate is cached: both the spine (per-type min/max hour)
+    # and the probe side read it, and column pruning rewrites the aggregate
+    # differently per branch, so ReuseExchange's canonical-plan match fails
+    # and each branch would re-scan raw events. The cache holds
+    # |types x hours| rows — bounded by the time span, not event volume.
+    counts = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n")).cache()
     hours = (
-        ev.groupBy("event_type")
+        counts.groupBy("event_type")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
         .select(
             "event_type",
             F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
         )
     )
-    return F.broadcast(hours).join(counts, ["event_type", "hour"], "left").select(
+    # no broadcast hint: the build side of a LEFT join must be the right
+    # side (Spark ignores a left-side broadcast hint with a warning), and
+    # both inputs here are same-cardinality tiny aggregates anyway.
+    return hours.join(counts, ["event_type", "hour"], "left").select(
         "event_type",
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
@@ -1191,10 +1199,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    # max-vs-self via a window over the AGGREGATED rows: a separate
+    # rev.agg(max) subtree prunes columns differently, defeating Catalyst's
+    # ReuseExchange (canonical plans differ) and re-scanning lineitem.
+    # The window costs one exchange of (l_suppkey, total_revenue) pairs —
+    # |suppliers| narrow rows — while the fact table is scanned ONCE.
+    w = Window.partitionBy(F.lit(1))
     s = _t(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        rev.withColumn("mx", F.max("total_revenue").over(w))
+        .where(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

@@ -325,3 +325,26 @@ def test_nested_schema_pruning_reaches_scan(spark, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" in read_schema
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_q15_scans_lineitem_once(spark):
+    """Q15's max-vs-self is a window over the aggregated rows, not a second
+    aggregate subtree: the fact table is scanned ONCE (a separate agg(max)
+    subtree prunes differently, defeats ReuseExchange, and re-scans
+    lineitem — at 100 TB that is a second full pass of the fact table)."""
+    plan = _plan(spark, "q15_top_supplier")
+    li_scans = [
+        l for l in plan.splitlines() if "FileScan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1
+
+
+def test_gap_fill_reads_hourly_aggregate_from_cache(spark):
+    """Both consumers of the hourly aggregate (spine min/max + probe side)
+    hit the cache (InMemoryTableScan) instead of re-scanning raw events —
+    column pruning rewrites the aggregate differently per branch, so
+    ReuseExchange alone cannot deduplicate this shape."""
+    df = all_queries()["q_gap_fill_hourly"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
