@@ -908,3 +908,51 @@ def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bal_cents").alias("max_cents"),
         )
     )
+
+
+@register(
+    "q_events_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM changes
+    """,
+    doc=(
+        "SCD type-2 interval table from an event stream: change detection "
+        "(lag over user history drops consecutive repeats) then interval "
+        "construction (lead over the COMPRESSED stream; open intervals end "
+        "NULL). Both windows partition by user_id with the same ordering, "
+        "so Spark plans ONE shuffle — the change filter runs between two "
+        "window operators over the same exchange. event_id breaks ts ties, "
+        "making the run-length compression deterministic. At scale this is "
+        "the standard CDC-events -> dimension-history build; over a "
+        "user-bucketed table even the single shuffle disappears."
+    ),
+)
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )

@@ -123,3 +123,38 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE (CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10000) < (n_chars * 10000) // 1200
+    """,
+    doc=(
+        "Weight-proportional deterministic sampling: inclusion probability "
+        "~ n_chars/1200 (longer documents sampled more often — the standard "
+        "quality/length-weighted corpus draw), membership a pure function "
+        "of md5(doc_id). Exact INTEGER threshold compare (hash mod 10^4 vs "
+        "scaled weight) — no float rounding to drift between engines. Same "
+        "scale properties as hash_split: narrow, shuffle-free, stable "
+        "under re-runs/repartitioning, nestable by scaling the threshold."
+    ),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")).cast("binary")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 10000
+    )
+    return d.select("doc_id", "n_chars").where(
+        u < F.expr("CAST(n_chars AS BIGINT) * 10000 div 1200")
+    )

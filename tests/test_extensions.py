@@ -214,3 +214,25 @@ def test_sketch_rollup_close_to_exact(spark):
     assert set(est) == set(exact)
     for wk, e in est.items():
         assert abs(e - exact[wk]) / exact[wk] < 0.02  # HLL default lgK=12: ~1.6% rse
+
+
+def test_rplsh_multi_table_recall_floor(spark):
+    """OR-amplified sign-LSH: recall vs exact ground truth at cos>=0.3 must
+    clear 10% at sf0.01 (single-table measured 2.5%; 8 tables measured
+    ~15%). Precision is 1.0 by construction (exact cosine confirm)."""
+    import duckdb
+
+    from aws_logs_parquet_converter_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
+    truth = {tuple(r) for r in con.execute("""
+      SELECT a.vec_id, b.vec_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding, b.embedding) >= 0.3
+        * sqrt(list_dot_product(a.embedding, a.embedding))
+        * sqrt(list_dot_product(b.embedding, b.embedding))
+    """).fetchall()}
+    ann = {(r["vec_a"], r["vec_b"]) for r in all_queries()["sim_ann_rplsh"](spark, sf).collect()}
+    assert ann <= truth  # exact confirm: every emitted pair is a true pair
+    assert len(truth & ann) / len(truth) >= 0.10
