@@ -728,3 +728,54 @@ def levenshtein_pairs(docs: DataFrame) -> DataFrame:
         .where(F.col("edit_dist") * 5 <= F.col("max_len"))
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+@register(
+    "dedup_repeated_segments",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos FROM d),
+    seg AS (SELECT DISTINCT doc_id,
+                   array_to_string(toks[pos:pos+7], ' ') AS segment
+            FROM p)
+    SELECT segment,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM seg GROUP BY segment HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc=(
+        "Sub-document boilerplate mining: 8-token segments appearing in >= 2 "
+        "distinct documents — the repeated-segment table used to strip "
+        "shared headers/footers/templates before near-dup scoring (sentence "
+        "splitting is punctuation-fragile; fixed token windows are not). "
+        "Narrow slice-window expansion per row (same zero-shuffle shape as "
+        "the 3-gram shingler), one hash aggregate keyed on the segment; "
+        "map-side partial aggregation + HAVING >= 2 bound the output by the "
+        "Zipf-bounded repeated-segment set, not corpus token volume."
+    ),
+)
+def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_input(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    m = n - 7  # number of 8-token windows
+    parts = [F.slice(toks, k + 1, m) for k in range(8)]
+    seg = parts[0]
+    for q in parts[1:]:
+        seg = F.zip_with(seg, q, lambda a, b: F.concat(a, F.lit(" "), b))
+    segments = d.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= 8, F.array_distinct(seg)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("segment"),
+    )
+    return (
+        segments.groupBy("segment")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -348,3 +348,30 @@ def test_gap_fill_reads_hourly_aggregate_from_cache(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: day-2 files add a column; mergeSchema reads
+    both generations with NULL backfill, and a query touching only original
+    columns still prunes to them (ReadSchema). This is the contract that
+    lets a year of compacted log partitions survive a format addition
+    (e.g. the reference's acl_required column arriving mid-history)."""
+    from aws_logs_parquet_converter_spark.catalog import load_table
+
+    dest = str(tmp_path / "evolving")
+    o = load_table(spark, SF, "orders")
+    o.select("o_orderkey", "o_totalprice").write.parquet(dest + "/day=2024-01-01")
+    o.select(
+        "o_orderkey", "o_totalprice", F.lit("web").alias("channel")
+    ).write.parquet(dest + "/day=2024-01-02")
+
+    df = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert set(df.columns) == {"o_orderkey", "o_totalprice", "channel", "day"}
+    n = o.count()
+    assert df.count() == 2 * n
+    assert df.where(F.col("channel").isNull()).count() == n  # old gen backfills NULL
+
+    pruned = df.select("o_orderkey").where(F.col("o_orderkey") > 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "channel" not in read_schema
