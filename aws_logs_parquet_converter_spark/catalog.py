@@ -56,3 +56,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def register_compacted_table(
+    spark: SparkSession, name: str, location: str, partitioned: bool = True
+) -> None:
+    """Register compacted parquet output as a SQL-queryable external table —
+    the Spark-SQL analog of the reference's Athena DDL
+    (``converters/s3-server-access-log/example_sql/athena_create_table.sql:1-47``,
+    external table + partition projection over the produced parquet).
+
+    Schema comes from the parquet footers; for hive-partitioned layouts
+    (``CompactionPolicy(hive_partitioning=True)``) partition columns are
+    discovered from the directory tree and ``MSCK REPAIR`` (recover
+    partitions) loads them into the catalog, after which
+    ``WHERE year=... AND month=... AND day=...`` prunes directories exactly
+    like Athena partition projection — no data files are listed outside the
+    matching partitions.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{location}'")
+    if partitioned:
+        spark.sql(f"MSCK REPAIR TABLE {name}")

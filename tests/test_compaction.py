@@ -155,3 +155,33 @@ def test_observed_dq_metrics_ride_the_write(spark, tmp_path):
     assert dq["min_ts"] <= dq["max_ts"]
     # and the write itself is unaffected
     assert spark.read.parquet(out).count() == n
+
+
+def test_sql_table_over_compacted_output_prunes_partitions(spark, tmp_path):
+    """O22/O23 (SURVEY §2.1): compacted output registered as an external SQL
+    table (the athena_create_table.sql analog); a date-equality WHERE turns
+    into PartitionFilters on the scan — directory-level pruning, the whole
+    point of the layout."""
+    from aws_logs_parquet_converter_spark.catalog import register_compacted_table
+
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    write_log_files(raw, n_lines=1500, n_files=4, seed=5)
+    parsed = read_s3_access_logs(spark, raw + "/*.txt").where("error_line is null")
+    write_compacted(
+        parsed, out, CompactionPolicy(num_output_files=2, hive_partitioning=True)
+    )
+    register_compacted_table(spark, "s3_access_logs_sql", out)
+    try:
+        q = spark.sql(
+            "SELECT count(*) AS n FROM s3_access_logs_sql "
+            "WHERE year='2024' AND month='07' AND day='03'"
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters" in plan
+        expected = parsed.where(
+            F.date_format("request_time", "yyyy-MM-dd") == "2024-07-03"
+        ).count()
+        assert q.collect()[0].n == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS s3_access_logs_sql")
