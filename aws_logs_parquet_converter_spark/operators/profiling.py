@@ -438,3 +438,59 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("revenue_cents"),
         F.sum("n").alias("n_orders"),
     )
+
+
+@register(
+    "q_winsorize_mad",
+    oracle="""
+    WITH c AS (SELECT l_returnflag,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    med AS (SELECT median(cents) AS m FROM c),
+    mad AS (SELECT median(abs(cents - (SELECT m FROM med))) AS d FROM c),
+    b AS (SELECT (SELECT m FROM med) - 3 * (SELECT d FROM mad) AS lo,
+                 (SELECT m FROM med) + 3 * (SELECT d FROM mad) AS hi)
+    SELECT l_returnflag,
+           CAST(SUM(CAST(LEAST(GREATEST(CAST(cents AS DOUBLE), b.lo), b.hi)
+                         AS BIGINT)) AS BIGINT) AS winsorized_cents,
+           CAST(COUNT(*) FILTER (WHERE CAST(cents AS DOUBLE) < b.lo
+                                    OR CAST(cents AS DOUBLE) > b.hi)
+                AS BIGINT) AS n_clamped
+    FROM c CROSS JOIN b
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Robust-statistics winsorization: clamp values to median ± 3·MAD "
+        "(median absolute deviation), the outlier treatment feature "
+        "pipelines apply before normalization. Exact and cross-engine "
+        "deterministic because every intermediate — integer cents, exact "
+        "medians (integer or half-integer), MAD, bounds — is exactly "
+        "representable in doubles: no interpolation ULP drift. Cost is two "
+        "median passes + one clamp pass; exact median is the correctness "
+        "baseline (Spark sorts per group), approx_percentile partials are "
+        "the 100 TB path, same plan shape."
+    ),
+)
+def q_winsorize_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select("l_returnflag", cents("l_extendedprice").alias("cents"))
+    m = c.agg(F.median("cents").alias("m"))
+    d = c.crossJoin(F.broadcast(m)).agg(
+        F.median(F.abs(F.col("cents") - F.col("m"))).alias("d")
+    )
+    b = m.crossJoin(d).select(
+        (F.col("m") - 3 * F.col("d")).alias("lo"),
+        (F.col("m") + 3 * F.col("d")).alias("hi"),
+    )
+    v = F.col("cents").cast("double")
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(clamped.cast("bigint")).alias("winsorized_cents"),
+            F.count_if((v < F.col("lo")) | (v > F.col("hi"))).alias("n_clamped"),
+        )
+    )
