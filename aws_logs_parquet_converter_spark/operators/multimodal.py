@@ -206,3 +206,52 @@ def resize_payloads(docs_with_payload: DataFrame, max_bytes: int = THUMB_BYTES) 
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return resize_payloads(with_binary_payload(docs))
+
+
+def binary_feature_extract_arrow(docs_with_payload: DataFrame) -> DataFrame:
+    """mapInArrow twin of :func:`binary_feature_extract`: the batches arrive
+    as ``pyarrow.RecordBatch`` (no pandas materialization), which skips the
+    Arrow->pandas conversion entirely — the right variant when the Python
+    step only slices/hashes bytes and never needs pandas semantics. Same
+    schema contract and per-core parallelism as the mapInPandas path."""
+    import pyarrow as pa
+
+    def _extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column("doc_id")
+            payloads = batch.column("payload")
+            digests = [
+                hashlib.md5(p.as_py()).hexdigest() if p.is_valid else None
+                for p in payloads
+            ]
+            lens = [len(p.as_py()) if p.is_valid else None for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(lens, pa.int32()), pa.array(digests, pa.string())],
+                names=["doc_id", "byte_len", "digest"],
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInArrow(
+        _extract, schema="doc_id bigint, byte_len int, digest string"
+    )
+
+
+@register(
+    "mm_binary_features_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+           md5(text) AS digest
+    FROM documents
+    """,
+    doc=(
+        "mapInArrow feature extraction over binary payloads — identical "
+        "contract to mm_binary_features (mapInPandas) but batches stay "
+        "pyarrow.RecordBatch end-to-end: no Arrow->pandas conversion tax "
+        "for byte-slicing/hashing workloads. Completes the Arrow API "
+        "family: pandas_udf, pandas UDAF, mapInPandas, cogrouped "
+        "applyInPandas, applyInPandasWithState, UDTF, mapInArrow."
+    ),
+)
+def mm_binary_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_feature_extract_arrow(with_binary_payload(docs))

@@ -1,0 +1,69 @@
+"""Regenerate PLANS.md: formatted physical plans for representative queries.
+
+Usage: python tools/gen_plans.py  (from the repo root)
+
+The properties called out per plan are asserted in tests/test_plans.py; this
+file is the human-readable snapshot of the same evidence.
+"""
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from aws_logs_parquet_converter_spark import operators  # noqa: E402
+from aws_logs_parquet_converter_spark.session import build_session  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+PICKS = {
+    "q06_revenue_delta": "all predicates + column pruning reach the parquet scan; one partial+final agg, no join",
+    "q05_region_volume": "star join: every dimension broadcast, fact scanned once, zero SortMergeJoin",
+    "q_top_orders": "top-k via TakeOrderedAndProject — never a global sort",
+    "q_asof_join": "as-of join as union+window merge — one exchange, no Join node, no row explosion",
+    "q15_top_supplier": "max-vs-self via window over aggregated rows — lineitem scanned once",
+    "dedup_minhash_lsh": "shingle/signature stages narrow; only (doc_id, 16 longs) and band keys shuffle",
+    "text_repetition": "per-row array fold — zero hash-partition exchanges",
+    "log_compaction: parse path": None,
+}
+
+
+def main() -> None:
+    spark = build_session(extra_conf={"spark.ui.enabled": "false"})
+    out = [
+        "# PLANS — formatted physical plans for representative queries",
+        "",
+        "Regenerate with `python tools/gen_plans.py` (writes this file). Captured on",
+        "local[32] at sf0.001; the properties called out per plan are asserted in",
+        "`tests/test_plans.py`, so they cannot silently regress.",
+        "",
+    ]
+    qs = operators.all_queries()
+    for name, note in PICKS.items():
+        if name.startswith("log_compaction"):
+            import tempfile
+
+            from aws_logs_parquet_converter_spark.sources.generator import write_log_files
+            from aws_logs_parquet_converter_spark.sources.logs import read_s3_access_logs
+
+            d = tempfile.mkdtemp()
+            write_log_files(d, n_lines=100, n_files=1, seed=1)
+            df = read_s3_access_logs(spark, d + "/*.txt")
+            note = (
+                "whole parse in one WholeStageCodegen span: no Exchange, no "
+                "Python eval between text scan and output"
+            )
+        else:
+            df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        out += [f"## {name}", "", f"**Property:** {note}", "", "```", plan.strip()[:6000], "```", ""]
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
