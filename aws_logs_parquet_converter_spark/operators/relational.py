@@ -1338,3 +1338,46 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_range_join_banded",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(e.event_id) AS n_events
+    FROM orders o
+    LEFT JOIN events e
+      ON e.value >= o.o_totalprice / 10000.0
+     AND e.value <  o.o_totalprice / 10000.0 + 5.0
+    WHERE o.o_orderkey <= 100
+    GROUP BY o.o_orderkey
+    """,
+    doc=(
+        "Banded range join — the scale path when NEITHER side broadcasts: "
+        "quantize both sides to width-5 bands (an interval of width 5 spans "
+        "at most 2 bands, so the interval side explodes x2), equi-join on "
+        "the band index, exact residual filter. Same oracle as "
+        "q_range_join proves identical semantics; the plan is a shuffled "
+        "HASH join on the band key (AQE-splittable, partition-parallel) "
+        "instead of a BroadcastNestedLoopJoin that requires one side to "
+        "fit in memory and compares every row pair. Each event lands in "
+        "exactly ONE band, so no dedup pass is needed after the residual."
+    ),
+)
+def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    e = _t(spark, sf_dir, "events")
+    lo = (F.col("o_totalprice") / 10000.0).alias("lo")
+    bands = o.select("o_orderkey", lo).select(
+        "o_orderkey",
+        "lo",
+        F.explode(
+            F.array(F.floor(F.col("lo") / 5.0), F.floor(F.col("lo") / 5.0) + 1)
+        ).alias("band"),
+    )
+    e2 = e.select("event_id", "value", F.floor(F.col("value") / 5.0).alias("band"))
+    residual = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("lo") + 5.0)
+    return (
+        bands.join(e2, (bands.band == e2.band) & residual, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events"))
+    )

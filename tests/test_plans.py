@@ -375,3 +375,16 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderkey" in read_schema and "channel" not in read_schema
+
+
+def test_banded_range_join_avoids_nested_loop(spark):
+    """The banded range join plans a HASH join on the band key (shuffled,
+    AQE-splittable) — not the BroadcastNestedLoopJoin of the direct
+    band-predicate form, which requires one side in memory and compares
+    every row pair."""
+    plan = _plan(spark, "q_range_join_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
