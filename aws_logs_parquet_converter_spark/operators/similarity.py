@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
+from ..functions.text import hash60
 from .dedup import spread_input
 
 
@@ -582,3 +583,107 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(q).alias("q_max"),
         F.array_min(q).alias("q_min"),
     )
+
+
+def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    Per iteration (composing the registered assign/centroid steps into the
+    full training loop):
+
+    * **assign**: centroids (k rows, half-norms precomputed) broadcast; the
+      nearest centroid comes from ``max_by(cluster, (score, -cluster))`` in
+      a plain hash aggregate keyed on vec_id — map-side partial max, so the
+      broadcast-cross rows collapse per partition and neither a window sort
+      nor a join-back touches the corpus. ``any_value(emb)`` rides along
+      (all copies per vec_id are identical), so recompute needs NO join.
+    * **recompute**: posexplode to (cluster, dim) cells, exact 1e-7-scaled
+      integer sums (order-independent => identical at any partition count).
+    * **lineage**: the k-row centroid frame is ``localCheckpoint``-ed each
+      round, so iteration N's plan does not replay rounds 1..N-1 (same
+      skeleton as graph.connected_components).
+
+    Determinism end-to-end: md5-ranked init, integer-scaled sums, explicit
+    argmax tiebreak toward the smaller cluster id.
+    """
+    e = spread_input(embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    h = hash60(F.col("vec_id").cast("string"), seed="km")
+    w0 = Window.orderBy("h", "vec_id")
+    cents = (
+        e.select("vec_id", "emb", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select((F.row_number().over(w0) - 1).alias("cluster"), F.col("emb").alias("centroid"))
+        .localCheckpoint()
+    )
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    for _ in range(n_iters):
+        c2 = cents.select(
+            "cluster",
+            "centroid",
+            (
+                F.lit(0.5)
+                * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
+            ).alias("half_cnorm"),
+        )
+        score = (
+            F.aggregate(F.zip_with("emb", "centroid", mul), F.lit(0.0), add)
+            - F.col("half_cnorm")
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(c2))
+            .select("vec_id", "emb", "cluster", score.alias("score"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias(
+                    "cluster"
+                ),
+                F.any_value("emb").alias("emb"),
+            )
+        )
+        ex = assigned.select(
+            "cluster", F.posexplode("emb").alias("pos", "v")
+        )
+        cell = ex.groupBy("cluster", "pos").agg(
+            F.sum(F.round(F.col("v") * 1e7).cast("bigint")).alias("sc"),
+            F.count("*").alias("n"),
+        )
+        cents = (
+            cell.select(
+                "cluster",
+                "pos",
+                ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias("c"),
+                F.col("n").alias("n_members"),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+                ).alias("centroid"),
+                F.first("n_members").alias("n_members"),
+            )
+            .localCheckpoint()
+        )
+    return cents.select("cluster", "n_members", "centroid")
+
+
+@register(
+    "sim_kmeans_train",
+    # No oracle: iterative driver-loop algorithm (the documented rows-only
+    # class); determinism + convergence are pinned by tests/test_extensions.
+    doc=(
+        "Full Lloyd's k-means training loop (k=4, 3 iterations) over the "
+        "embeddings table — the IVF coarse-quantizer BUILD, composing the "
+        "oracle-checked assign (sim_ivf_assign) and centroid "
+        "(sim_label_centroids) steps with localCheckpoint lineage "
+        "truncation. Per iteration: one broadcast, one hash aggregate over "
+        "the corpus, one |k x dims|-cell aggregate; corpus vectors shuffle "
+        "as (vec_id, emb) once per iteration in the partial-agg merge, "
+        "nothing is ever collected to the driver."
+    ),
+)
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_train(load_table(spark, sf_dir, "embeddings"), k=4, n_iters=3)

@@ -236,3 +236,34 @@ def test_rplsh_multi_table_recall_floor(spark):
     ann = {(r["vec_a"], r["vec_b"]) for r in all_queries()["sim_ann_rplsh"](spark, sf).collect()}
     assert ann <= truth  # exact confirm: every emitted pair is a true pair
     assert len(truth & ann) / len(truth) >= 0.10
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    """3 well-separated Gaussian blobs: after 3 iterations the trained
+    centroids land near the blob means and the run is deterministic
+    (integer-scaled sums + md5 init => identical across invocations)."""
+    import random
+
+    from aws_logs_parquet_converter_spark.operators.similarity import kmeans_train
+
+    rng = random.Random(11)
+    means = [[8.0] * 8, [-8.0] * 8, [8.0] * 4 + [-8.0] * 4]
+    rows = []
+    for i in range(240):
+        m = means[i % 3]
+        rows.append((i, [float(x + rng.gauss(0, 0.3)) for x in m]))
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r.cluster: r for r in kmeans_train(em, k=3, n_iters=3).collect()}
+    assert len(out) == 3
+    assert sum(r.n_members for r in out.values()) == 240
+    # every trained centroid sits within 0.5 of one true blob mean
+    for r in out.values():
+        best = min(
+            max(abs(a - b) for a, b in zip(r.centroid, m)) for m in means
+        )
+        assert best < 0.5, (r.cluster, best)
+    # deterministic re-run
+    again = {r.cluster: r.centroid for r in kmeans_train(em, k=3, n_iters=3).collect()}
+    assert {c: tuple(v) for c, v in again.items()} == {
+        c: tuple(r.centroid) for c, r in out.items()
+    }
