@@ -96,3 +96,30 @@ def dead_letter_stats(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("error_line").alias("n_dead_letters"),
     )
+
+
+def read_binary_blobs(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Multimodal blob ingest via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content binary).
+
+    This is the ingestion end of the multimodal pipeline (image/audio/video
+    files on object storage -> binary column + metadata), feeding the
+    Arrow-batched extractors in operators/multimodal.py. Scale notes:
+
+    * The JVM reader streams file bytes straight into the ``content``
+      column — no Python, no driver transit; partition planning packs
+      small files per ``maxPartitionBytes`` like any file scan.
+    * Filter on ``length``/``path`` BEFORE touching ``content``: those
+      metadata columns come from the file listing, and a pushed
+      ``length < N`` filter skips oversized blobs without reading them
+      (spark.sql.sources.binaryFile.maxLength guards the hard cap).
+    * For corpora of many tiny blobs, compact into parquet with a binary
+      column (write once, scan forever) rather than re-listing millions of
+      objects per job — the same small-files economics as the log path.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -88,3 +88,35 @@ def test_compaction_json_sink(spark, tmp_path):
     )
     back = spark.read.json(out)
     assert back.count() == parsed.count()
+
+
+def test_binary_blob_ingest_feeds_multimodal_extract(spark, tmp_path):
+    """binaryFile source -> mapInArrow feature extraction end-to-end: bytes
+    survive ingestion exactly (md5 parity with the on-disk files)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.operators.multimodal import (
+        binary_feature_extract_arrow,
+    )
+    from aws_logs_parquet_converter_spark.sources.structured import read_binary_blobs
+
+    blobs = {f"b{i}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_blobs(spark, str(tmp_path), glob="*.bin")
+    assert df.count() == 5
+    named = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.xxhash64(F.element_at(F.split("path", "/"), -1)).alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = binary_feature_extract_arrow(named.select("doc_id", "payload"))
+    got = {
+        r.name: (r.byte_len, r.digest)
+        for r in feats.join(named.select("doc_id", "name"), "doc_id").collect()
+    }
+    for name, data in blobs.items():
+        assert got[name] == (len(data), hashlib.md5(data).hexdigest())
