@@ -1381,3 +1381,37 @@ def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("event_id").alias("n_events"))
     )
+
+
+@register(
+    "q_union_schema_drift",
+    oracle="""
+    SELECT o_orderkey AS key, o_orderpriority AS priority, NULL AS qty
+    FROM orders WHERE o_orderkey <= 200
+    UNION ALL BY NAME
+    SELECT l_orderkey AS key, NULL AS priority, CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    doc=(
+        "Schema-drift union: unionByName(allowMissingColumns=True) aligns "
+        "relations whose column sets diverged (a later pipeline generation "
+        "added/dropped fields) by NAME with NULL backfill — positional "
+        "UNION would silently misalign. The narrow-union analog of the "
+        "mergeSchema read audit; zero shuffle, pure scan-concat."
+    ),
+)
+def q_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 200)
+        .select(F.col("o_orderkey").alias("key"), F.col("o_orderpriority").alias("priority"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 200)
+        .select(
+            F.col("l_orderkey").alias("key"),
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True)

@@ -134,3 +134,27 @@ def write_compacted(
         writer = writer.partitionBy(*partition_cols)
     writer.format(policy.output_format).save(destination)
     return obs.get if obs is not None else None
+
+
+def audit_file_sizes(spark, dest: str):
+    """Per-output-file bytes and row counts for a compacted destination —
+    the ops check that file-count/size policy actually landed (target
+    128–512 MB files at production scale; `num_output_files` /
+    `max_records_per_file` are the knobs). Uses `input_file_name()` over
+    one metadata-cheap scan; returns (file, n_rows, bytes) ordered by
+    bytes descending, with bytes from the filesystem listing, not a data
+    read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(dest)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("n_rows"))
+    ).collect()
+    out = []
+    for r in rows:
+        path = r.file.replace("file:", "")
+        out.append((r.file, r.n_rows, os.path.getsize(path)))
+    return sorted(out, key=lambda t: -t[2])

@@ -185,3 +185,46 @@ def test_sql_table_over_compacted_output_prunes_partitions(spark, tmp_path):
         assert q.collect()[0].n == expected
     finally:
         spark.sql("DROP TABLE IF EXISTS s3_access_logs_sql")
+
+
+def test_audit_file_sizes_reports_every_file(spark, tmp_path):
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    write_log_files(raw, n_lines=900, n_files=3, seed=9)
+    parsed = read_s3_access_logs(spark, raw + "/*.txt")
+    write_compacted(parsed, out, CompactionPolicy(num_output_files=3))
+    from aws_logs_parquet_converter_spark.plans.compact import audit_file_sizes
+
+    audit = audit_file_sizes(spark, out)
+    assert 1 <= len(audit) <= 3
+    assert sum(n for _, n, _ in audit) == parsed.count()
+    assert all(b > 0 for _, _, b in audit)
+
+
+def test_corrupt_file_tolerance(spark, tmp_path):
+    """ignoreCorruptFiles: a truncated parquet file in the destination is
+    skipped with the rest of the dataset intact — the operational posture
+    for petabyte archives where one bad object must not kill every reader."""
+    import glob as g
+
+    import os
+
+    dest = str(tmp_path / "data")
+    spark.range(1000).withColumn("v", F.col("id") * 2).repartition(4).write.parquet(dest)
+    schema = spark.read.parquet(dest).schema
+    victim = sorted(g.glob(dest + "/part-*.parquet"))[0]
+    n_victim = spark.read.parquet(victim).count()
+    with open(victim, "r+b") as f:
+        f.truncate(50)  # destroy footer + data
+    # drop the local-FS checksum sidecar: Hadoop's ChecksumException fires
+    # below the parquet layer and is not the corruption ignoreCorruptFiles
+    # handles (object stores have no such sidecar)
+    crc = os.path.join(os.path.dirname(victim), "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.schema(schema).parquet(dest).count()
+        assert got == 1000 - n_victim
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
