@@ -228,3 +228,43 @@ def test_corrupt_file_tolerance(spark, tmp_path):
         assert got == 1000 - n_victim
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_partition_scoped_upsert_touches_only_changed_partitions(spark, tmp_path):
+    """MERGE for plain parquet: changed keys' partitions are rewritten
+    (update applied, insert added, other rows preserved); partitions
+    without changes keep their exact files on disk (same inode paths,
+    same mtimes) — they were never read or written."""
+    import glob as g
+    import os
+
+    from aws_logs_parquet_converter_spark.plans.upsert import upsert_partitioned
+
+    dest = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", f"p{k % 3}") for k in range(30)], "k bigint, v string, p string"
+    )
+    base.write.partitionBy("p").parquet(dest)
+    untouched_files = {
+        f: os.path.getmtime(f) for f in g.glob(dest + "/p=p1/*.parquet") + g.glob(dest + "/p=p2/*.parquet")
+    }
+
+    changes = spark.createDataFrame(
+        [(0, "UPDATED", "p0"), (999, "NEW", "p0")], "k bigint, v string, p string"
+    )
+    n = upsert_partitioned(spark, dest, changes, ["k"], "p")
+    assert n == 1
+
+    back = {r.k: r.v for r in spark.read.parquet(dest).collect()}
+    assert back[0] == "UPDATED" and back[999] == "NEW"
+    assert len(back) == 31
+    assert back[3] == "v3"  # p0 neighbor rows preserved
+    # untouched partitions: identical files, untouched mtimes
+    now = {
+        f: os.path.getmtime(f) for f in g.glob(dest + "/p=p1/*.parquet") + g.glob(dest + "/p=p2/*.parquet")
+    }
+    assert now == untouched_files
+
+    # idempotent re-apply
+    upsert_partitioned(spark, dest, changes, ["k"], "p")
+    assert {r.k: r.v for r in spark.read.parquet(dest).collect()} == back
