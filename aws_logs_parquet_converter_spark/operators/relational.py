@@ -1415,3 +1415,43 @@ def q_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(li, allowMissingColumns=True)
+
+
+@register(
+    "q_percent_of_total",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name, {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, revenue,
+           round(revenue / SUM(revenue) OVER (), 8) AS share
+    FROM rev
+    """,
+    doc=(
+        "Share-of-total: per-nation revenue divided by the grand total via "
+        "an unpartitioned window over the AGGREGATE rows (|nations| rows "
+        "through one partition — trivially safe; over raw rows it would "
+        "not be). One fact scan; the alternative agg-then-crossjoin-scalar "
+        "plan scans the aggregate twice. Division order fixed and rounded "
+        "to 8dp so both engines emit identical doubles."
+    ),
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 8).alias("share"),
+    )

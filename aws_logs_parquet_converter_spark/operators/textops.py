@@ -348,3 +348,34 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n_matches(tainted, _PHONE_RE).alias("n_phones"),
         _n_matches(tainted, _IPV4_RE).alias("n_ips"),
     )
+
+
+@register(
+    "text_extract_structured",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS emails,
+           regexp_extract_all(text, 'https?://[^\s]+') AS urls,
+           regexp_extract_all(text, '[0-9]{4}-[0-9]{2}-[0-9]{2}') AS iso_dates,
+           CAST(len(regexp_extract_all(text, '[0-9]+(\.[0-9]+)?')) AS INTEGER) AS n_numbers
+    FROM documents
+    """,
+    doc=(
+        "Structured-entity extraction: emails / URLs / ISO dates as array "
+        "columns plus a numeric-literal count — the inverse of "
+        "text_pii_scrub (that op redacts; this one harvests, e.g. for link "
+        "graphs or contactability audits). Pure per-row regexp_extract_all "
+        "in codegen: no shuffle, no Python, arrays stay columnar for "
+        "downstream explode/dedup."
+    ),
+)
+def text_extract_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), 0).alias("emails"),
+        F.regexp_extract_all(t, F.lit(r"https?://[^\s]+"), 0).alias("urls"),
+        F.regexp_extract_all(t, F.lit(r"[0-9]{4}-[0-9]{2}-[0-9]{2}"), 0).alias("iso_dates"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+(\.[0-9]+)?"), 0)).alias("n_numbers"),
+    )
