@@ -162,3 +162,53 @@ def test_cloudfront_generator_roundtrip(spark):
     ok = out.where("error_line IS NULL")
     assert ok.where("request_ts IS NULL").count() == 0
     assert ok.where("sc_status >= 500").count() > 0
+
+
+def test_normalized_http_union_across_formats(spark, tmp_path):
+    """read_http_events: S3 + ALB + CloudFront parse into ONE schema; counts
+    add up, every format contributes typed rows, dead letters survive, and
+    a cross-format aggregate runs on the union."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.sources.generator import (
+        generate_alb_lines,
+        generate_cloudfront_lines,
+        write_log_files,
+    )
+    from aws_logs_parquet_converter_spark.sources.registry import (
+        HTTP_EVENT_COLUMNS,
+        read_http_events,
+    )
+
+    s3_dir = str(tmp_path / "s3"); write_log_files(s3_dir, n_lines=200, n_files=1, seed=7)
+    alb_dir = str(tmp_path / "alb"); os.makedirs(alb_dir)
+    with open(alb_dir + "/a.log", "w") as f:
+        f.write("\n".join(generate_alb_lines(150, seed=7)))
+    cf_dir = str(tmp_path / "cf"); os.makedirs(cf_dir)
+    with open(cf_dir + "/c.log", "w") as f:
+        f.write("\n".join(generate_cloudfront_lines(120, seed=7)))
+
+    ev = read_http_events(
+        spark,
+        {"s3": s3_dir + "/*.txt", "alb": alb_dir + "/*.log", "cloudfront": cf_dir + "/*.log"},
+    )
+    assert tuple(ev.columns) == HTTP_EVENT_COLUMNS
+    by_fmt = {r.source_format: r for r in ev.groupBy("source_format").agg(
+        F.count("*").alias("n"),
+        F.count("error_line").alias("n_dead"),
+        F.count("http_method").alias("n_method"),
+        F.count("event_time").alias("n_ts"),
+    ).collect()}
+    assert set(by_fmt) == {"s3", "alb", "cloudfront"}
+    for fmt, r in by_fmt.items():
+        assert r.n > 0 and r.n_dead > 0, fmt          # dead letters preserved
+        assert r.n_ts == r.n - r.n_dead, fmt           # parsed rows fully typed
+        assert r.n_method <= r.n - r.n_dead, fmt       # '-' requests -> NULL method
+    # cross-format aggregate runs on the union
+    agg = ev.where(F.col("status") >= 200).groupBy("source_format").count().collect()
+    assert len(agg) == 3
+    # methods look like HTTP verbs everywhere
+    methods = {r.http_method for r in ev.where(F.col("http_method").isNotNull()).select("http_method").distinct().collect()}
+    assert methods and all(m.isupper() and m != "-" for m in methods)
