@@ -158,3 +158,149 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "n_chars").where(
         u < F.expr("CAST(n_chars AS BIGINT) * 10000 div 1200")
     )
+
+
+# Domain-mix targets: up-weighted "curated" sources get 2x the budget of the
+# long tail; K docs per weight unit at the sf0.01 reference point.
+_MIX_WEIGHTS = {f"src{i}": 2 for i in range(5)}
+_MIX_DEFAULT_W = 1
+_MIX_K = 15
+
+
+def _mix_weight_sql() -> str:
+    pairs = " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"CASE source {pairs} ELSE {_MIX_DEFAULT_W} END"
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY source) AS n_src,
+             {_mix_weight_sql()} AS w
+      FROM documents),
+    kept AS (
+      SELECT source, n_src, w,
+             CASE WHEN (CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 10000)
+                  < LEAST(10000, (w * {_MIX_K} * 10000) // n_src)
+                  THEN 1 ELSE 0 END AS keep
+      FROM counted)
+    SELECT source,
+           CAST(MAX(n_src) AS BIGINT) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept
+    FROM kept GROUP BY source
+    """,
+    doc=(
+        "Domain mixing: rebalance a multi-source corpus toward target "
+        "weights (curated sources 2x the tail) by per-source deterministic "
+        "hash sampling — keep probability min(1, w*K/n_src) as an exact "
+        "INTEGER threshold on md5(doc_id). The per-source counts are a "
+        "tiny aggregate joined back broadcast; membership is a pure "
+        "function of (doc_id, per-source count), so the mix is stable "
+        "under re-runs and repartitioning, and nested budgets (K' < K) "
+        "carve subsets of the same sample. This is the data-mixture "
+        "rebalancing step (e.g. up-weighting curated sources) every "
+        "multi-source training corpus build runs."
+    ),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    w = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(wt)) for s, wt in sorted(_MIX_WEIGHTS.items())],
+        F.lit(_MIX_DEFAULT_W),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 10000
+    )
+    thresh = F.least(
+        F.lit(10000),
+        F.expr(f"CAST(w * {_MIX_K} * 10000 div n_src AS BIGINT)"),
+    )
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .withColumn("w", w)
+        .withColumn("keep", F.when(u < thresh, 1).otherwise(0))
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_src").alias("n_total"),
+        F.sum("keep").alias("n_kept"),
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents),
+    packed AS (
+      SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM toks)
+    SELECT doc_id, bucket,
+           (cum - n_tokens) // 2048 AS bin_in_bucket,
+           (cum - n_tokens) % 2048 AS start_offset,
+           n_tokens
+    FROM packed
+    """,
+    doc=(
+        "Sequence packing: assign documents to fixed-capacity (2048-token) "
+        "training bins via a running token-count cumsum in md5-shuffled "
+        "order — the standard pack-short-docs-into-context-windows step. "
+        "Packing is inherently order-dependent, so the order is made "
+        "deterministic (md5 of doc_id), and the corpus first hash-buckets "
+        "64 ways so each bucket packs independently in parallel — one "
+        "shuffle, 64-way parallel cumsum windows, no global sort. Bins "
+        "overflow at bucket boundaries only (docs spanning a bin boundary "
+        "start mid-bin; a strict no-split variant rounds cum up to the "
+        "next bin before assignment — same plan shape)."
+    ),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")).cast("binary")),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    toks = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).cast("bigint").alias("n_tokens"),
+        (h % 64).alias("bucket"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "bucket",
+        F.expr("(cum - n_tokens) div 2048").alias("bin_in_bucket"),
+        (start % 2048).alias("start_offset"),
+        "n_tokens",
+    )
