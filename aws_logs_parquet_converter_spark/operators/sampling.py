@@ -255,8 +255,8 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum
       FROM toks)
     SELECT doc_id, bucket,
-           (cum - n_tokens) // 2048 AS bin_in_bucket,
-           (cum - n_tokens) % 2048 AS start_offset,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_in_bucket,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset,
            n_tokens
     FROM packed
     """,
