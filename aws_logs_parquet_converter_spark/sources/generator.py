@@ -253,3 +253,60 @@ def generate_cloudfront_lines(n: int, seed: int = 42, garbage_every: int = 97) -
             )
         )
     return lines
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: synthetic S3 access-log lines as a first-class
+# parallel source (spark.read.format("synthetic_s3_logs"))
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0 only
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SyntheticLogPartition(InputPartition):
+        def __init__(self, index: int, n_lines: int, seed: int):
+            self.index = index
+            self.n_lines = n_lines
+            self.seed = seed
+
+    class _SyntheticLogReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_partitions = int(options.get("partitions", "4"))
+            self.lines_per_partition = int(options.get("lines_per_partition", "1000"))
+            self.seed = int(options.get("seed", "42"))
+
+        def partitions(self):
+            return [
+                _SyntheticLogPartition(i, self.lines_per_partition, self.seed + i)
+                for i in range(self.n_partitions)
+            ]
+
+        def read(self, partition: "_SyntheticLogPartition"):
+            # deterministic per-partition generation — each task re-derives
+            # its slice from (seed + partition index); no driver-side data
+            for line in generate_log_lines(partition.n_lines, seed=partition.seed):
+                yield (line,)
+
+    class SyntheticS3LogDataSource(DataSource):
+        """Spark 4 Python DataSource emitting synthetic S3 access-log lines.
+
+        The extensibility demo SURVEY §4.3 calls for: a source that is not a
+        file format, registered like any other (`spark.dataSource.register`),
+        read with `spark.read.format("synthetic_s3_logs")`, planned with one
+        task per InputPartition (parallel, no driver materialization, no
+        shuffle). Feeds the same native-expression parsers as file input —
+        load-generation and soak tests without touching object storage.
+        """
+
+        @classmethod
+        def name(cls):
+            return "synthetic_s3_logs"
+
+        def schema(self):
+            return "value string"
+
+        def reader(self, schema):
+            return _SyntheticLogReader(self.options)
+
+except ImportError:  # pragma: no cover - pyspark < 4
+    SyntheticS3LogDataSource = None  # type: ignore[assignment]

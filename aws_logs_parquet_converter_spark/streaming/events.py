@@ -557,3 +557,68 @@ def publish_snapshot_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas (successor stateful API)
+# ---------------------------------------------------------------------------
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user totals on Spark 4's ``transformWithStateInPandas`` —
+    the successor to applyInPandasWithState: state is a named, typed handle
+    (ValueState/ListState/MapState) managed by the state store, with
+    lifecycle hooks (init/close), timers, and TTL support — instead of one
+    opaque tuple per key. Same scale properties: hash-partitioned by key,
+    O(1) state per user, micro-batches touch only keys with new data.
+
+    Requires the RocksDB state store provider AND a working protobuf
+    install (the TWS driver worker speaks protobuf to the JVM) — call
+    :func:`tws_available` first; this container lacks protobuf, so the
+    applyInPandasWithState twin (:func:`stateful_user_totals`) is the
+    tested default here and TWS is the documented upgrade path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events bigint, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotals(),
+        outputStructType=USER_TOTALS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can run (protobuf importable)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -123,3 +123,34 @@ def test_generator_roundtrip(spark, tmp_path):
     # parsed rows carry a timestamp and valid status
     assert df.where("error_line is null and request_time is null").count() == 0
     assert df.where("error_line is null and http_status is null").count() == 0
+
+
+def test_python_datasource_feeds_parser(spark):
+    """Spark 4 Python DataSource: synthetic log lines from a registered
+    non-file source, planned one-task-per-partition, parsed by the same
+    native-expression parser as file input."""
+    from aws_logs_parquet_converter_spark.functions.s3_log_parse import (
+        parse_s3_access_log_lines,
+    )
+    from aws_logs_parquet_converter_spark.sources.generator import (
+        SyntheticS3LogDataSource,
+    )
+
+    spark.dataSource.register(SyntheticS3LogDataSource)
+    raw = (
+        spark.read.format("synthetic_s3_logs")
+        .option("partitions", "3")
+        .option("lines_per_partition", "200")
+        .option("seed", "5")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 3
+    assert raw.count() == 600
+    parsed = parse_s3_access_log_lines(raw)
+    n = parsed.count()
+    # blank lines are dropped by contract (SURVEY §2.3); everything else rows
+    n_blank = raw.where("trim(value) = ''").count()
+    assert n == 600 - n_blank
+    dead = parsed.where("error_line IS NOT NULL").count()
+    assert 0 < dead < n  # generator plants garbage lines; the rest parse
+    assert parsed.where("error_line IS NULL AND request_time IS NULL").count() == 0

@@ -236,3 +236,39 @@ def test_foreach_batch_snapshot_publish_idempotent(spark, tmp_path):
     }
     assert first == expected
     assert run("cp2") == first  # replay publishes the identical snapshot
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the applyInPandasWithState
+    operator: running per-user totals equal the batch groupBy answer after
+    availableNow catch-up."""
+    import pytest
+
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stateful_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs protobuf (absent here)")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "ev")
+    _write_events(src)
+    stream = stateful_user_totals_tws(read_event_stream(spark, src))
+    run_available_now(stream, "tws_totals", str(tmp_path / "cp"), output_mode="update")
+    try:
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM tws_totals").collect()
+        }
+        assert got == {7: (3, 6.0), 8: (2, 9.0)}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
