@@ -1030,3 +1030,60 @@ def q_window_range_frame_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT user_id, value,
+             CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dur_s
+      FROM seg WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) * dur_s) AS BIGINT)
+             AS weighted_cents_seconds,
+           CAST(SUM(dur_s) AS BIGINT) AS total_seconds,
+           round(CAST(SUM(CAST(round(value * 100) AS BIGINT) * dur_s) AS DOUBLE)
+                 / 100.0 / NULLIF(SUM(dur_s), 0), 8) AS time_weighted_avg
+    FROM w GROUP BY user_id
+    """,
+    doc=(
+        "Time-weighted average (telemetry staple — a reading holds until "
+        "the next one): each value weighted by its holding duration via "
+        "ONE lead window per user, then exact integer (cents x seconds) "
+        "sums — order-independent, so the average is bit-identical at any "
+        "partitioning. The naive approach joins each reading to a time "
+        "grid (explodes rows by grid resolution); the lead-window form is "
+        "O(n) after one shuffle on the key, exact at native resolution."
+    ),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_ts").isNotNull())
+    dur = (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("dur_s")
+    cw = (cents("value") * F.col("dur_s")).alias("cw")
+    agg = seg.select("user_id", dur, cents("value").alias("c")).groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("dur_s")).alias("weighted_cents_seconds"),
+        F.sum("dur_s").alias("total_seconds"),
+    )
+    return agg.select(
+        "user_id",
+        "weighted_cents_seconds",
+        "total_seconds",
+        F.round(
+            F.col("weighted_cents_seconds").cast("double")
+            / 100.0
+            / F.nullif(F.col("total_seconds"), F.lit(0)),
+            8,
+        ).alias("time_weighted_avg"),
+    )

@@ -779,3 +779,44 @@ def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id,
+           arg_max(source, CAST(n_chars AS BIGINT) * 10000000 - doc_id) AS best_source,
+           arg_max(lang, CAST(n_chars AS BIGINT) * 10000000 - doc_id) AS best_lang,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc=(
+        "Survivorship / golden-record merge: duplicate groups (exact text "
+        "fingerprint) collapse to one record whose per-column values are "
+        "chosen by explicit rules — max_by(col, quality-with-embedded-id): best "
+        "metadata wins, unique doc_id breaks ties so the golden record is "
+        "deterministic in any engine at any partitioning. One hash "
+        "aggregate (max_by/min partials merge map-side); no self-join, no "
+        "window. The MDM companion to dedup_exact: that op elects a "
+        "surviving ROW, this one assembles the best COLUMN VALUES across "
+        "the duplicate group."
+    ),
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # quality key with unique tiebreak embedded as one integer (doc_id
+    # < 1e7 at every test SF; same embedding trick as q_minmax_by)
+    pref = F.col("n_chars").cast("bigint") * 10000000 - F.col("doc_id")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max_by("source", pref).alias("best_source"),
+            F.max_by("lang", pref).alias("best_lang"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
