@@ -24,6 +24,8 @@ PICKS = {
     "q15_top_supplier": "max-vs-self via window over aggregated rows — lineitem scanned once",
     "dedup_minhash_lsh": "shingle/signature stages narrow; only (doc_id, 16 longs) and band keys shuffle",
     "text_repetition": "per-row array fold — zero hash-partition exchanges",
+    "q_range_join_banded": "non-equi band predicate as a quantized-band HASH join — no BroadcastNestedLoopJoin",
+    "q_window_range_frame_scalable": "sliding RANGE frame as difference of two growing frames — incremental, no per-row frame recompute",
     "log_compaction: parse path": None,
 }
 
