@@ -66,6 +66,13 @@ HEADLINE = [
     "mm_binary_features",
     "dedup_levenshtein",
     "q_sketch_rollup",
+    "q_range_join_banded",
+    "q_window_range_frame_scalable",
+    "dedup_survivorship",
+    "q_pack_sequences",
+    "q_domain_mix",
+    "q_incremental_rollup",
+    "dq_expectations",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -87,10 +94,11 @@ def main() -> None:
         queries[name](spark, WARMUP_SF_DIR).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()  # drop warmup caches before timing
 
-    # two timed passes per query, keep the min: single-shot numbers on a
-    # shared box wobble +-0.5s from GC/JIT; min measures the engine.
+    # three timed passes per query, keep the min: single-shot numbers on a
+    # shared box wobble from GC/JIT and neighboring jobs (observed up to
+    # 5x one-off spikes); min-of-3 measures the engine.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
