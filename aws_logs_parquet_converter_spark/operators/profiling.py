@@ -563,3 +563,72 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.select("rule", "n_violations", (F.col("n_violations") == 0).alias("pass"))
+
+
+@register(
+    "dq_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 'ref' ELSE 'cur' END AS period,
+             LEAST(9, CAST(round(o_totalprice * 100) AS BIGINT) // 6000000) AS bucket
+      FROM orders),
+    c AS (SELECT period, bucket, COUNT(*) AS n FROM b GROUP BY period, bucket),
+    t AS (SELECT period, SUM(n) AS tot FROM c GROUP BY period),
+    sh AS (
+      SELECT c.bucket,
+             MAX(CASE WHEN c.period = 'ref' THEN CAST(c.n AS DOUBLE) / t.tot END) AS share_ref,
+             MAX(CASE WHEN c.period = 'cur' THEN CAST(c.n AS DOUBLE) / t.tot END) AS share_cur
+      FROM c JOIN t ON c.period = t.period
+      GROUP BY c.bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           round(COALESCE(share_ref, 0), 8) AS share_ref,
+           round(COALESCE(share_cur, 0), 8) AS share_cur,
+           round((COALESCE(share_cur, 1e-9) - COALESCE(share_ref, 1e-9))
+                 * ln(COALESCE(share_cur, 1e-9) / COALESCE(share_ref, 1e-9)), 8)
+             AS psi_term
+    FROM sh
+    """,
+    doc=(
+        "Distribution drift (population-stability-index terms) between a "
+        "reference and a current period over fixed integer price buckets — "
+        "the dataset-version drift monitor ML pipelines run before "
+        "retraining. FIXED bucket edges (not per-period percentiles) keep "
+        "bucket membership an exact integer function — comparable across "
+        "runs and engines; per-bucket PSI terms are emitted unsummed so "
+        "no cross-bucket double-sum order exists to drift (sum the column "
+        "for the scalar PSI). One scan, one (period, bucket) aggregate, "
+        "tiny join on the two period totals."
+    ),
+)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "ref"
+        ).otherwise("cur").alias("period"),
+        F.least(F.lit(9), F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 6000000")).alias("bucket"),
+    )
+    c = b.groupBy("period", "bucket").agg(F.count("*").alias("n"))
+    t = c.groupBy("period").agg(F.sum("n").alias("tot"))
+    sh = (
+        c.join(F.broadcast(t), "period")
+        .groupBy("bucket")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "ref", F.col("n").cast("double") / F.col("tot"))
+            ).alias("share_ref"),
+            F.max(
+                F.when(F.col("period") == "cur", F.col("n").cast("double") / F.col("tot"))
+            ).alias("share_cur"),
+        )
+    )
+    sr = F.coalesce(F.col("share_ref"), F.lit(1e-9))
+    sc = F.coalesce(F.col("share_cur"), F.lit(1e-9))
+    return sh.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.round(F.coalesce(F.col("share_ref"), F.lit(0.0)), 8).alias("share_ref"),
+        F.round(F.coalesce(F.col("share_cur"), F.lit(0.0)), 8).alias("share_cur"),
+        F.round((sc - sr) * F.log(sc / sr), 8).alias("psi_term"),
+    )
