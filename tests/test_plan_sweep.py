@@ -1,0 +1,48 @@
+"""Global plan-safety sweep: every registered query's physical plan is free
+of accidental scale killers — CartesianProduct and BroadcastNestedLoopJoin
+appear ONLY where a query deliberately uses them (explicit allowlist with
+the reason). Catches a regression in any future operator the moment its
+plan degenerates, without writing a per-query plan test."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_logs_parquet_converter_spark.operators import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+# query -> reason the nested-loop/cartesian is intentional
+BNLJ_ALLOWED = {
+    "q_cross_join": "cross join IS the operator (tiny dims)",
+    "q_range_join": "broadcast band-predicate form (small side broadcast); "
+    "q_range_join_banded is the no-broadcast path",
+    "q_scalar_subquery": "one-row subquery join",
+    "q11_important_parts": "one-row threshold scalar vs aggregate",
+    "q22_idle_customers": "one-row scalar avg broadcast",
+    "q17_small_quantity_revenue": "one-row scalar bound",
+    "q15_top_supplier": "one-row max scalar",
+    "q_skew_keys": "one-row totals cross join (broadcast)",
+    "q_stats_moments": "one-row moment sums cross join",
+    "dq_profile": "two one-row aggregate legs cross-joined",
+    "q_winsorize_mad": "one-row median/MAD bounds broadcast",
+    "q_histogram": "one-row min/max bounds broadcast",
+    "sim_ivf_assign": "K-row centroid table cross join (broadcast)",
+    "sim_topk_bruteforce": "small query set vs corpus (broadcast)",
+    "sim_pairs_threshold": "small query set vs corpus (broadcast)",
+    "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
+    "sim_topk_ivf_label": "small query set, label-pruned corpus",
+    "mm_resize": "policy constants cross join (1 row)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_accidental_cartesian(spark, name):
+    if name.startswith("stream_"):
+        pytest.skip("streaming plans are checked in test_streaming")
+    df = all_queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    has_bnlj = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if name in BNLJ_ALLOWED:
+        return  # deliberate; reason documented above
+    assert not has_bnlj, f"{name} plans a nested-loop/cartesian join"
