@@ -1087,3 +1087,106 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("time_weighted_avg"),
     )
+
+
+_OVERLAP_K = 16
+
+
+@register(
+    "q_audience_overlap",
+    oracle=f"""
+    WITH hs AS (
+      SELECT DISTINCT event_type, user_id,
+             (CAST(('0x' || substr(md5('ov:' || CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1099511627689) AS h1,
+             (CAST(('0x' || substr(md5('ov:' || CAST(user_id AS VARCHAR)), 16, 15))
+                   AS BIGINT) % 1099511627689) AS h2
+      FROM events),
+    sig AS (SELECT event_type,
+      {", ".join(f"MIN((h1 + {k} * h2) % 1099511627689) AS s{k}" for k in range(16))}
+      FROM hs GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT i.type_a, i.type_b,
+           round(CAST(({" + ".join(f"(CASE WHEN sa.s{k} = sb.s{k} THEN 1 ELSE 0 END)" for k in range(16))})
+                 AS DOUBLE) / 16, 8) AS est_jaccard,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (ea.n_users + eb.n_users - i.n_inter), 8) AS exact_jaccard
+    FROM inter i
+    JOIN sig sa ON sa.event_type = i.type_a
+    JOIN sig sb ON sb.event_type = i.type_b
+    JOIN ex ea ON ea.event_type = i.type_a
+    JOIN ex eb ON eb.event_type = i.type_b
+    """,
+    doc=(
+        "Audience overlap between event-type segments: per-segment MinHash "
+        "signature of the distinct-user set (16 md5-derived universal "
+        "hashes, map-side-mergeable mins) gives O(|segments| x 16) "
+        "sketches whose matching-coordinate fraction estimates Jaccard — "
+        "the segment-overlap dashboard primitive that never joins user "
+        "sets. The exact intersection (distinct-pair self-join) rides "
+        "along here as the accuracy reference; at 100 TB you ship ONLY "
+        "the sketch path (tiny state, any pair queryable after one pass) "
+        "and skip the quadratic exact join entirely. Deterministic: "
+        "md5-derived hashes make the estimate itself oracle-checkable."
+    ),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import HASH_P
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    digest = F.md5(F.concat(F.lit("ov:"), F.col("user_id").cast("string")).cast("binary"))
+    hs = ev.select(
+        "event_type",
+        "user_id",
+        (F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % HASH_P).alias("h1"),
+        (F.conv(F.substring(digest, 16, 15), 16, 10).cast("bigint") % HASH_P).alias("h2"),
+    )
+    sig = hs.groupBy("event_type").agg(
+        *[
+            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % HASH_P).alias(f"s{k}")
+            for k in range(_OVERLAP_K)
+        ]
+    )
+    ex = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+    a, b = ev.alias("a"), ev.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sig.select(F.col("event_type").alias("type_a"), *[F.col(f"s{k}").alias(f"a{k}") for k in range(_OVERLAP_K)])
+    sb = sig.select(F.col("event_type").alias("type_b"), *[F.col(f"s{k}").alias(f"b{k}") for k in range(_OVERLAP_K)])
+    ea = ex.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    eb = ex.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(_OVERLAP_K)
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(matches.cast("double") / _OVERLAP_K, 8).alias("est_jaccard"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                8,
+            ).alias("exact_jaccard"),
+        )
+    )
