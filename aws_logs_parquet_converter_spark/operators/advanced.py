@@ -1190,3 +1190,47 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "q_events_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT p2 AS step1, p1 AS step2, event_type AS step3, COUNT(*) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY p2, p1, event_type
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT 20
+    """,
+    doc=(
+        "Top user journey paths: 3-step event sequences (trigrams) per "
+        "user from TWO lag offsets over ONE window — the same single "
+        "user_id shuffle as the bigram transition matrix, never a "
+        "per-step self-join (which would shuffle events once per path "
+        "step and explode on power users). The |types|^3 aggregate is "
+        "tiny; top-k is TakeOrderedAndProject with full tiebreak."
+    ),
+)
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(20)
+    )
