@@ -300,9 +300,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
-    """Exact shingle-set Jaccard >= threshold via inverted-index equi-join."""
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.1, max_doc_frequency: float | None = None
+) -> DataFrame:
+    """Exact shingle-set Jaccard >= threshold via inverted-index equi-join.
+
+    ``max_doc_frequency`` (e.g. 0.01) drops shingles present in more than
+    that fraction of documents BEFORE the self-join — the standard
+    stop-shingle cap for corpora where ultra-common boilerplate shingles
+    create quadratic hot keys the skew-split can only shard, not shrink.
+    Dropping them changes the Jaccard denominator for affected docs, so
+    the cap is OFF by default (the registered oracle-checked query uses
+    the exact form) and is the documented knob for corpus-scale runs;
+    the DF table is one tiny aggregate broadcast into a filter.
+    """
     sh = shingles(spread_input(docs)).cache()
+    if max_doc_frequency is not None:
+        n_docs = docs.count()
+        cap = int(n_docs * max_doc_frequency)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -117,3 +117,85 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return duplicate_clusters(pairs)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(node, label) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds regardless of graph DIAMETER, where
+    min-label propagation needs diameter rounds (and silently mislabels
+    anything deeper than its iteration cap). Use this variant for
+    adversarial/chain-shaped graphs; propagation remains cheapest for the
+    shallow dense clusters near-dup graphs produce.
+
+    Each round is two hash aggregates + joins over the EDGE set, with
+    ``localCheckpoint`` truncating lineage. Convergence = edge multiset
+    fixed point (cheap count + hash check per round).
+    """
+
+    def sym(e: DataFrame) -> DataFrame:
+        return (
+            e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    nbrs = sym(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    sig = signature(nbrs)
+    for _ in range(max_rounds):
+        # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            nbrs.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        keep_small = nbrs.where(F.col("v") < F.col("u"))
+        nbrs = sym(large.unionByName(keep_small)).localCheckpoint(eager=True)
+
+        # small-star: neighbors v <= u (and u itself) link to the local min
+        low = nbrs.where(F.col("v") < F.col("u"))
+        m2 = low.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            low.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+        )
+        keep_large = nbrs.where(F.col("v") > F.col("u"))
+        nbrs = sym(small.unionByName(keep_large)).localCheckpoint(eager=True)
+
+        new_sig = signature(nbrs)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged: every node's smallest neighbor IS its component root
+    labels = (
+        nbrs.where(F.col("v") < F.col("u"))
+        .groupBy("u")
+        .agg(F.min("v").alias("label"))
+        .select(F.col("u").alias("node"), "label")
+    )
+    roots = (
+        nbrs.select("u")
+        .distinct()
+        .join(labels.select(F.col("node").alias("u")), "u", "left_anti")
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+    )
+    return labels.unionByName(roots)

@@ -267,3 +267,54 @@ def test_kmeans_recovers_planted_blobs(spark):
     assert {c: tuple(v) for c, v in again.items()} == {
         c: tuple(r.centroid) for c, r in out.items()
     }
+
+
+def test_jaccard_doc_frequency_cap_drops_boilerplate_shingles(spark):
+    """The DF cap removes ultra-common (boilerplate) shingles from the
+    inverted index: docs related ONLY through the boilerplate stop pairing,
+    while genuinely near-dup docs still pair."""
+    from aws_logs_parquet_converter_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for updates and offers every day now"
+    rows = [
+        (0, BASE + " " + boiler),
+        (1, NEAR_DUP + " " + boiler),
+        (2, UNRELATED + " " + boiler),
+        (3, "completely separate text on gardening tips " + boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_doc_frequency=0.6).collect()
+    }
+    assert (2, 3) in uncapped  # boilerplate alone pairs unrelated docs
+    assert (2, 3) not in capped  # the cap removes that false pair
+    assert (0, 1) in capped  # true near-dups survive the cap
+
+
+def test_star_components_match_propagation_and_handle_long_chains(spark):
+    import random
+
+    from aws_logs_parquet_converter_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # random graph: both algorithms agree exactly
+    rng = random.Random(3)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got_star = {(r.node, r.label) for r in connected_components_star(e).collect()}
+    got_prop = {(r.node, r.label) for r in connected_components(e).collect()}
+    assert got_star == got_prop
+
+    # 120-node chain: diameter exceeds propagation budgets quickly; the
+    # star method stays O(log n) rounds and labels the whole chain 0
+    chain = spark.createDataFrame([(i, i + 1) for i in range(119)], ["doc_a", "doc_b"])
+    labels = connected_components_star(chain, max_rounds=12).collect()
+    assert len(labels) == 120
+    assert {r.label for r in labels} == {0}
