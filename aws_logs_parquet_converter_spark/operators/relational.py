@@ -561,21 +561,25 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.5 * (
       SELECT (CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
              / COUNT(o_totalprice)
       FROM orders
     )
     """,
-    doc="Scalar subquery: orders above 2x the (exact) average price.",
+    doc="Scalar subquery: orders above 1.5x the (exact) average price.",
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    avg_price = o.agg(davg("o_totalprice", "a")).collect()[0][0]
-    # threshold is a scalar computed with the engine (single tiny job);
-    # semantically identical to a correlated-free scalar subquery.
-    return o.where(F.col("o_totalprice") > 2 * avg_price).select(
-        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    # Single-plan scalar subquery: the 1-row aggregate is broadcast and
+    # cross-joined, so the whole query is ONE job with no driver round-trip
+    # (a driver-side collect()-then-inline would serialize the pipeline at
+    # scale). Catalyst plans the broadcast side first via BroadcastExchange.
+    avg_df = o.agg(davg("o_totalprice", "_avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > 1.5 * F.col("_avg_price"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
     )
 
 

@@ -29,11 +29,50 @@ BNLJ_ALLOWED = {
     "q_histogram": "one-row min/max bounds broadcast",
     "sim_ivf_assign": "K-row centroid table cross join (broadcast)",
     "sim_topk_bruteforce": "small query set vs corpus (broadcast)",
-    "sim_pairs_threshold": "small query set vs corpus (broadcast)",
     "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
     "sim_topk_ivf_label": "small query set, label-pruned corpus",
     "mm_resize": "policy constants cross join (1 row)",
 }
+
+
+def test_no_driver_side_collect_in_operators():
+    """No registered operator computes on the driver: `.collect(` may appear
+    in operator source ONLY at the documented allowlisted sites. A collect
+    inside a query body splits it into multiple serialized jobs and moves
+    data through the driver — the anti-pattern q_scalar_subquery used to
+    have (VERDICT r1 #2) and must not regrow."""
+    import pathlib
+
+    ops_dir = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "aws_logs_parquet_converter_spark"
+    )
+    # file -> allowed occurrence count, reason
+    allowed = {
+        "operators/graph.py": (
+            1,
+            "connected-components per-round convergence check: 1-row count, "
+            "inherent to the iterative algorithm (VERDICT r1 accepts it)",
+        ),
+        "plans/compact.py": (
+            1,
+            "audit_file_sizes ops utility: returns a per-file listing to the "
+            "caller (one row per output file), not part of any query plan",
+        ),
+        "plans/upsert.py": (
+            1,
+            "distinct partition values of the (small) change set drive the "
+            "dynamic-overwrite scope — rows = touched partitions, not data",
+        ),
+    }
+    for py in sorted(ops_dir.rglob("*.py")):
+        rel = str(py.relative_to(ops_dir))
+        n = py.read_text(encoding="utf-8").count(".collect(")
+        cap = allowed.get(rel, (0, ""))[0]
+        assert n <= cap, (
+            f"{rel} has {n} .collect( call(s), allowed {cap} — registered "
+            "operators must be single-plan (no driver round-trips)"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
