@@ -38,6 +38,20 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         help="Input log format (default s3 server-access-log)",
     )
     p.add_argument("--master", default=None, help="Spark master override (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument(
+        "--cloud",
+        action="store_true",
+        help="Ship hadoop-aws and an object-store-safe committer for s3a:// "
+        "roots. Credentials resolve via the S3A default provider chain "
+        "(env vars -> profile -> IAM role); no keys on the command line.",
+    )
+    p.add_argument(
+        "--committer",
+        default="v2",
+        choices=["v2", "magic"],
+        help="Object-store commit protocol when --cloud: fileoutputcommitter "
+        "algorithm v2 (reference parity) or the S3A magic committer",
+    )
     return p.parse_args(argv)
 
 
@@ -59,7 +73,12 @@ def config_from_args(args: argparse.Namespace) -> RollupConfig:
 def main(argv: list[str] | None = None) -> None:
     args = parse_arguments(argv)
     cfg = config_from_args(args)
-    spark = build_session(app_name="log_compactor", master=args.master)
+    spark = build_session(
+        app_name="log_compactor",
+        master=args.master,
+        cloud=args.cloud,
+        committer=args.committer,
+    )
     try:
         processed = run(spark, cfg, today=date.today())
         print(f"processed {len(processed)} day(s): {[d.isoformat() for d in processed]}")

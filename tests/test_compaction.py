@@ -4,6 +4,8 @@ reference's compact() dataflow (which its own tests never covered)."""
 
 import glob
 import os
+
+import pytest
 from datetime import date
 
 from pyspark.sql import functions as F
@@ -92,6 +94,36 @@ def test_cli_arguments_roundtrip():
     assert cfg.policy.num_output_files == 7
     assert cfg.policy.hive_partitioning is True
     assert cfg.start_date == "2024-01-01"
+    assert args.cloud is False and args.committer == "v2"  # local-safe defaults
+
+
+def test_session_sets_object_store_committer(spark):
+    # Reference parity (s3_server_access_logs.py:65-68): task commits rename
+    # directly to the destination — required for correctness/speed on S3.
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        pytest.skip("vanilla-session mode deliberately omits build_session confs")
+    assert (
+        spark.conf.get("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version")
+        == "2"
+    )
+
+
+def test_cloud_conf_v2_and_magic():
+    from aws_logs_parquet_converter_spark.session import cloud_conf
+
+    v2 = cloud_conf("v2")
+    assert v2["spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"] == "2"
+    assert "hadoop-aws" in v2["spark.jars.packages"]
+    # no credential material ever lands in conf: identity comes from the
+    # S3A default provider chain (env -> profile -> IAM role)
+    assert not any("secret" in k.lower() or "access.key" in k for k in v2)
+
+    magic = cloud_conf("magic")
+    assert magic["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert "PathOutputCommitProtocol" in magic["spark.sql.sources.commitProtocolClass"]
+
+    with pytest.raises(ValueError):
+        cloud_conf("v1")
 
 
 def test_incremental_driver_alb_format(spark, tmp_path):
