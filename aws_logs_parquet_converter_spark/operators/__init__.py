@@ -76,6 +76,7 @@ def _load_all() -> None:
         advanced,
         dedup,
         graph,
+        logetl,
         pipeline,
         profiling,
         python_udfs,
