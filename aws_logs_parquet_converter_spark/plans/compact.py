@@ -25,6 +25,9 @@ Spark-first upgrades, chosen deliberately (SURVEY.md §4):
   like the reference's per-date overwrite) without clobbering siblings.
 * ``maxRecordsPerFile`` as a guardrail so a skewed day cannot produce a
   multi-GB file.
+* Default codec is zstd (reference: snappy) — 1.7x smaller output for free
+  on a parse-bound write; see the ``CompactionPolicy.compression`` comment
+  for the measured numbers.
 
 At 100 TB: n_files scales with data volume (aim 128-512 MB per file), the
 exchange is AQE-coalesced, and speculation stays off for S3 sinks.
@@ -42,7 +45,15 @@ from pyspark.sql import functions as F
 class CompactionPolicy:
     num_output_files: int = 10  # reference default (--num-output-files)
     sort_keys: tuple[str, ...] = ("request_time",)
-    compression: str = "snappy"
+    # zstd, not the reference's snappy: measured on the synthetic corpus at
+    # 200k lines, zstd lands 0.184x raw vs snappy's 0.307x at IDENTICAL
+    # write wall-time (the pass is parse-bound, not codec-bound), and every
+    # consumer that matters (Spark, Athena engine v3, DuckDB, Arrow) reads
+    # zstd parquet natively. Adding a (bucket, operation, key) sort ahead
+    # of time gained nothing over zstd alone (0.185), so time stays the
+    # sole clustering key for row-group pruning. compression="snappy"
+    # remains one knob away for legacy readers.
+    compression: str = "zstd"
     hive_partitioning: bool = False  # reference default (--hive-formatted-folders)
     max_records_per_file: int | None = None
     # "roundrobin": one pass over the input (reference semantics); "range":
