@@ -1,0 +1,94 @@
+"""Retrieval-quality pins for the RP-LSH ANN path (VERDICT r1 #9).
+
+Two guarantees, so a future banding change (tables/bits) cannot silently
+degrade retrieval:
+
+1. **Near-dup band (the operator's purpose):** planted near-duplicates at
+   cos ~0.9 — theory for 8 tables x 8 sign-bits predicts ~93% collision
+   probability at theta = 25.8 deg — must be retrieved with recall >= 0.80.
+2. **Mid-band honesty:** corpus recall at cos >= 0.3 is LOW by design
+   (measured 0.148 at sf0.01; one 8-bit table catches ~1.6%, eight catch
+   ~6x that). The test pins it >= 0.10 AND <= 0.40: if it drifts above,
+   someone widened the buckets and the candidate volume is no longer
+   linear; below, someone tightened them and the near-dup band suffers.
+   Mid-band retrieval belongs to the IVF path (sim_topk_ivf_label).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_logs_parquet_converter_spark.catalog import load_table
+from aws_logs_parquet_converter_spark.operators.similarity import (
+    dot,
+    rplsh_pairs,
+    spread_input,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _truth_pairs(spark, em, threshold):
+    base = spread_input(em).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    rows = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(dot(F.col("va"), F.col("vb")) >= threshold * F.col("na") * F.col("nb"))
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    return {(r.vec_a, r.vec_b) for r in rows}
+
+
+def test_planted_near_dup_recall(spark):
+    """Plant 60 near-duplicates at cos ~0.9 of real corpus vectors; the LSH
+    must find >= 80% of the (original, clone) pairs at threshold 0.8."""
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    originals = em.where(F.col("vec_id") < 60).collect()
+    rng = np.random.RandomState(1234)
+    planted = []
+    for r in originals:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        g = rng.randn(v.shape[0])
+        g -= g.dot(v) / v.dot(v) * v  # orthogonalize -> cos is exactly planned
+        g *= (0.48 * np.linalg.norm(v)) / np.linalg.norm(g)  # tan(theta)=0.48
+        w = v + g  # cos(v, w) = 1/sqrt(1+0.48^2) ~ 0.902
+        planted.append((100_000 + r.vec_id, [float(x) for x in w]))
+    clones = spark.createDataFrame(planted, "vec_id bigint, embedding array<double>")
+    corpus = em.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(
+        clones
+    )
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in rplsh_pairs(corpus, threshold=0.8).collect()
+    }
+    want = {(r.vec_id, 100_000 + r.vec_id) for r in originals}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.80, f"planted near-dup recall degraded: {recall:.3f}"
+
+
+def test_midband_recall_window(spark):
+    em = load_table(spark, SF, "embeddings")
+    truth = _truth_pairs(spark, em, 0.3)
+    assert truth, "fixture drift: no cos>=0.3 pairs at sf0.01"
+    got = {(r.vec_a, r.vec_b) for r in rplsh_pairs(em, threshold=0.3).collect()}
+    recall = len(got & truth) / len(truth)
+    assert 0.10 <= recall <= 0.40, (
+        f"mid-band recall {recall:.3f} left the documented window "
+        "(0.148 measured at sf0.01) — banding geometry changed"
+    )
+    # every returned pair must be a TRUE pair: the exact-confirm stage
+    # guarantees precision 1.0 regardless of banding
+    assert got <= truth
