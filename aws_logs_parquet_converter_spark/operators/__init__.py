@@ -77,6 +77,7 @@ def _load_all() -> None:
         dedup,
         graph,
         logetl,
+        logformats,
         pipeline,
         profiling,
         python_udfs,

@@ -1,0 +1,227 @@
+"""Oracle-checked parse-parity queries for the NON-S3 log formats.
+
+Same technique as :mod:`.logetl` (which covers the S3 server-access-log
+format): a deterministic seeded corpus is embedded in both engines — Spark
+runs the production native-expression parser, DuckDB re-parses the SAME
+lines (inlined as a ``VALUES`` CTE) with independent primitives — and both
+sides are GENERATED from the one ``_FIELDS`` spec table per format, so the
+semantics under test cannot drift from the oracle.
+
+Formats covered (the converter family the reference names as its roadmap but
+never shipped, ``/root/reference/README.md:11``):
+
+* **ALB** (:mod:`..functions.alb_log_parse`) — 29-group regex, quoted-field
+  unquoting, ISO8601 timestamps compared as epoch micros (timezone-free in
+  both engines regardless of session zone).
+* **VPC Flow v2** (:mod:`..functions.vpc_flow_parse`) — strict space-split,
+  epoch-seconds timestamps compared as the raw BIGINT.
+* **CloudFront standard** (:mod:`..functions.cloudfront_log_parse`) —
+  tab-split W3C extended format, ``#`` comment lines dropped, date+time
+  fused and compared as a wall-clock string (naive, like the S3 format).
+
+Row-level comparisons over every typed column — any sentinel, cast, quote,
+arity or dead-letter divergence between the parser and an independent
+implementation of the public format spec mismatches the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..functions.alb_log_parse import (
+    _FIELDS as ALB_FIELDS,
+    ALB_LOG_PATTERN,
+    parse_alb_log_lines,
+)
+from ..functions.cloudfront_log_parse import (
+    _FIELDS as CF_FIELDS,
+    parse_cloudfront_log_lines,
+)
+from ..functions.vpc_flow_parse import (
+    _FIELDS as VPC_FIELDS,
+    _N_FIELDS as VPC_N_FIELDS,
+    parse_vpc_flow_lines,
+)
+from ..sources.generator import (
+    generate_alb_lines,
+    generate_cloudfront_lines,
+    generate_vpc_flow_lines,
+)
+
+SEED = 7
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values_cte(lines: tuple[str, ...]) -> str:
+    return ",\n      ".join(f"({_q(l)})" for l in lines)
+
+
+# ---------------------------------------------------------------------------
+# ALB
+# ---------------------------------------------------------------------------
+
+ALB_LINES = tuple(generate_alb_lines(150, seed=SEED))
+_ALB_GROUPS = ", ".join(f"'g{i}'" for i in range(1, len(ALB_FIELDS) + 1))
+
+
+def _alb_field_exprs() -> list[str]:
+    exprs = []
+    for i, (name, quoted, cast) in enumerate(ALB_FIELDS):
+        e = f"ext.g{i + 1}"
+        if quoted:
+            e = f"trim({e}, '\"')"
+        e = f"NULLIF({e}, '-')"
+        if cast == "timestamp":
+            e = f"epoch_us(TRY_CAST({e} AS TIMESTAMP))"
+            name = f"{name}_us"
+        elif cast is not None:
+            t = {"int": "INTEGER", "bigint": "BIGINT", "double": "DOUBLE"}[cast]
+            e = f"TRY_CAST({e} AS {t})"
+        exprs.append(f"CASE WHEN ok THEN {e} END AS {name}")
+    exprs.append("CASE WHEN NOT ok THEN line END AS error_line")
+    return exprs
+
+
+@register(
+    "q_alb_parse_fields",
+    oracle=f"""
+    WITH raw(value) AS (VALUES
+      {_values_cte(ALB_LINES)}),
+    stripped AS (
+      SELECT regexp_replace(value, '^\\s+|\\s+$', '', 'g') AS line FROM raw),
+    nonblank AS (SELECT line FROM stripped WHERE length(line) > 0),
+    matched AS (
+      SELECT line,
+             regexp_matches(line, {_q(ALB_LOG_PATTERN)}) AS ok,
+             regexp_extract(line, {_q(ALB_LOG_PATTERN)}, [{_ALB_GROUPS}]) AS ext
+      FROM nonblank)
+    SELECT {", ".join(_alb_field_exprs())} FROM matched
+    """,
+    doc="Row-level ALB parse parity: all 29 typed columns of the native-"
+    "expression parser vs an independent DuckDB regex re-parse of the same "
+    "lines; ISO8601 timestamps compared as epoch micros.",
+)
+def q_alb_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame([(l,) for l in ALB_LINES], "value string")
+    parsed = parse_alb_log_lines(raw)
+    cols = []
+    for name, _quoted, cast in ALB_FIELDS:
+        if cast == "timestamp":
+            cols.append(F.unix_micros(F.col(name)).alias(f"{name}_us"))
+        else:
+            cols.append(F.col(name))
+    cols.append(F.col("error_line"))
+    return parsed.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# VPC Flow v2
+# ---------------------------------------------------------------------------
+
+VPC_LINES = tuple(generate_vpc_flow_lines(200, seed=SEED))
+
+
+def _vpc_field_exprs() -> list[str]:
+    exprs = []
+    for i, (name, cast) in enumerate(VPC_FIELDS):
+        e = f"NULLIF(tok[{i + 1}], '-')"
+        if cast == "epoch":
+            e = f"TRY_CAST({e} AS BIGINT)"
+            name = f"{name}_epoch"
+        elif cast is not None:
+            t = {"int": "INTEGER", "bigint": "BIGINT"}[cast]
+            e = f"TRY_CAST({e} AS {t})"
+        exprs.append(f"CASE WHEN ok THEN {e} END AS {name}")
+    exprs.append("CASE WHEN NOT ok THEN line END AS error_line")
+    return exprs
+
+
+@register(
+    "q_vpcflow_parse_fields",
+    oracle=f"""
+    WITH raw(value) AS (VALUES
+      {_values_cte(VPC_LINES)}),
+    stripped AS (
+      SELECT regexp_replace(value, '^\\s+|\\s+$', '', 'g') AS line FROM raw),
+    nonblank AS (SELECT line FROM stripped WHERE length(line) > 0),
+    split_lines AS (
+      SELECT line, string_split(line, ' ') AS tok,
+             len(string_split(line, ' ')) = {VPC_N_FIELDS} AS ok
+      FROM nonblank)
+    SELECT {", ".join(_vpc_field_exprs())} FROM split_lines
+    """,
+    doc="Row-level VPC-flow parse parity: strict space-split arity check, "
+    "sentinel NULLs (incl. NODATA records), typed casts; epoch timestamps "
+    "compared as the raw BIGINT seconds.",
+)
+def q_vpcflow_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame([(l,) for l in VPC_LINES], "value string")
+    parsed = parse_vpc_flow_lines(raw)
+    cols = []
+    for name, cast in VPC_FIELDS:
+        if cast == "epoch":
+            # TimestampType holds the instant; cast("long") is its epoch
+            # seconds, timezone-free in both engines.
+            cols.append(F.col(name).cast("long").alias(f"{name}_epoch"))
+        else:
+            cols.append(F.col(name))
+    cols.append(F.col("error_line"))
+    return parsed.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# CloudFront standard logs
+# ---------------------------------------------------------------------------
+
+CF_LINES = tuple(generate_cloudfront_lines(150, seed=SEED))
+
+
+def _cf_field_exprs() -> list[str]:
+    exprs = [
+        # date + time fused, naive wall-clock (format is UTC by definition)
+        "CASE WHEN ok THEN strftime(try_strptime("
+        "NULLIF(tok[1], '-') || ' ' || NULLIF(tok[2], '-'), "
+        "'%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') END AS request_ts_str"
+    ]
+    for i, (name, cast) in enumerate(CF_FIELDS):
+        e = f"NULLIF(tok[{i + 3}], '-')"
+        if cast is not None:
+            t = {"int": "INTEGER", "bigint": "BIGINT", "double": "DOUBLE"}[cast]
+            e = f"TRY_CAST({e} AS {t})"
+        exprs.append(f"CASE WHEN ok THEN {e} END AS {name}")
+    exprs.append("CASE WHEN NOT ok THEN line END AS error_line")
+    return exprs
+
+
+@register(
+    "q_cloudfront_parse_fields",
+    oracle=f"""
+    WITH raw(value) AS (VALUES
+      {_values_cte(CF_LINES)}),
+    records AS (
+      SELECT value AS line FROM raw
+      WHERE length(trim(value)) > 0 AND NOT starts_with(ltrim(value), '#')),
+    split_lines AS (
+      SELECT line, string_split(line, chr(9)) AS tok,
+             len(string_split(line, chr(9))) = {2 + len(CF_FIELDS)} AS ok
+      FROM records)
+    SELECT {", ".join(_cf_field_exprs())} FROM split_lines
+    """,
+    doc="Row-level CloudFront parse parity: tab-split W3C format, '#' "
+    "comment lines dropped (not dead-lettered), date+time fused into one "
+    "timestamp compared as a wall-clock string.",
+)
+def q_cloudfront_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame([(l,) for l in CF_LINES], "value string")
+    parsed = parse_cloudfront_log_lines(raw)
+    cols = [
+        F.date_format("request_ts", "yyyy-MM-dd HH:mm:ss").alias("request_ts_str")
+    ]
+    cols += [F.col(name) for name, _cast in CF_FIELDS]
+    cols.append(F.col("error_line"))
+    return parsed.select(*cols)

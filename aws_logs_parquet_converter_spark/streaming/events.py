@@ -149,16 +149,57 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 # Registered gate query: the streaming surface, checked as a batch twin
 # ---------------------------------------------------------------------------
 
-PARQUET_EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # parquet TIMESTAMP(NANOS) -> long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+PARQUET_EVENT_SCHEMA = _event_schema(TimestampType())
+# TIMESTAMP(NANOS) is illegal for Spark's timestamp reader; an explicit
+# LongType schema reads the raw INT64 nanos instead (converted below).
+_PARQUET_EVENT_SCHEMA_NANOS = _event_schema(LongType())
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with a proper timestamp
+    ``ts`` REGARDLESS of the parquet physical unit.
+
+    The file stream source takes a user schema (no inference), so the
+    physical timestamp unit matters: milli/micro columns read directly as
+    TimestampType, but TIMESTAMP(NANOS) is illegal for Spark's reader and
+    must be read as raw INT64 and truncated to micros (exactly what
+    catalog.load_table does for the batch side). The unit is sniffed from
+    the parquet footer — a driver-side metadata read, no data scan.
+    """
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    unit = getattr(
+        _pq.read_schema(_os.path.join(sf_dir, "events.parquet")).field("ts").type,
+        "unit",
+        None,
+    )
+    reader = (
+        spark.readStream.schema(
+            _PARQUET_EVENT_SCHEMA_NANOS if unit == "ns" else PARQUET_EVENT_SCHEMA
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    stream = reader.load(sf_dir)
+    if unit == "ns":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
 
 _STREAM_RUN_SEQ = 0
 
@@ -183,12 +224,7 @@ def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the file stream source needs a directory; select just the events
     # table out of the scale-factor dir with a glob filter
-    stream = (
-        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     run_available_now(
         stateful_user_totals(stream),
         name,
@@ -223,15 +259,9 @@ def stream_hourly_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.numeric import dsum
 
-    stream = (
-        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = events_stream(spark, sf_dir)
     res = (
-        ev.withWatermark("ts", "2 hours")
+        stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
         .select(
@@ -265,14 +295,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    stream = (
-        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    res = sessionized(ev, gap="30 minutes", watermark="2 hours").select(
+    stream = events_stream(spark, sf_dir)
+    res = sessionized(stream, gap="30 minutes", watermark="2 hours").select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
@@ -396,12 +420,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
     from ..functions.numeric import dsum
 
-    stream = (
-        spark.readStream.schema(PARQUET_EVENT_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     customers = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -440,13 +459,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     def _stream():
-        return (
-            spark.readStream.schema(PARQUET_EVENT_SCHEMA)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return events_stream(spark, sf_dir)
 
     views = (
         _stream()
@@ -507,13 +520,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     def _stream():
-        return (
-            spark.readStream.schema(PARQUET_EVENT_SCHEMA)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return events_stream(spark, sf_dir)
 
     doubled = _stream().unionAll(_stream())
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
