@@ -196,3 +196,87 @@ def q_s3log_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ts).alias("first_ts"),
         F.max(ts).alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental / backfill driver (O16-O17) under the oracle
+# ---------------------------------------------------------------------------
+
+# Three dated folders, each with its own deterministic slice of the corpus —
+# the backfill loop must compact each folder into its own dated destination.
+DAYS = ("2024-07-01", "2024-07-02", "2024-07-03")
+_DAY_LINES = {d: tuple(generate_log_lines(120, seed=100 + i)) for i, d in enumerate(DAYS)}
+
+
+def _day_values_cte() -> str:
+    rows = []
+    for d, lines in _DAY_LINES.items():
+        rows += [f"({_q(d)}, {_q(l)})" for l in lines]
+    return ",\n      ".join(rows)
+
+
+@register(
+    "q_s3log_incremental_backfill",
+    oracle=f"""
+    WITH raw(folder_day, value) AS (VALUES
+      {_day_values_cte()}),
+    stripped AS (
+      SELECT folder_day,
+             regexp_replace(value, '^\\s+|\\s+$', '', 'g') AS line FROM raw),
+    nonblank AS (SELECT folder_day, line FROM stripped WHERE length(line) > 0),
+    matched AS (
+      SELECT folder_day, line, regexp_matches(line, {_PAT}) AS ok,
+             regexp_extract(line, {_PAT}, [{_GROUP_NAMES}]) AS ext
+      FROM nonblank)
+    SELECT folder_day,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN NOT ok THEN 1 END) AS n_dead,
+           CAST(SUM(CASE WHEN ok THEN TRY_CAST(NULLIF(ext.g12, '-') AS BIGINT) END)
+                AS BIGINT) AS bytes_total
+    FROM matched
+    GROUP BY folder_day
+    """,
+    doc="Backfill driver (O16-O17) under the oracle: three dated raw folders "
+    "-> one compact_day per date via the start_date loop -> each dated "
+    "destination re-read and rolled up, keyed by FOLDER date (the driver's "
+    "unit of work), including dead-letter rows shipped to the output.",
+)
+def q_s3log_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date as _date
+
+    from ..plans.compact import CompactionPolicy
+    from ..plans.incremental import RollupConfig, run
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_logetl_backfill")
+    raw_root = os.path.join(root, "raw")
+    out_root = os.path.join(root, "out")
+    for d, lines in _DAY_LINES.items():
+        day_dir = os.path.join(raw_root, d.replace("-", "/"))
+        os.makedirs(day_dir, exist_ok=True)
+        with open(os.path.join(day_dir, "access.txt"), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    cfg = RollupConfig(
+        source_root=raw_root,
+        destination_root=out_root,
+        start_date=DAYS[0],
+        lookback_days=1,
+        policy=CompactionPolicy(num_output_files=2),
+    )
+    processed = run(spark, cfg, today=_date(2024, 7, 4))
+    assert [d.isoformat() for d in processed] == list(DAYS), processed
+
+    per_day = [
+        spark.read.parquet(os.path.join(out_root, d.replace("-", "/"))).select(
+            F.lit(d).alias("folder_day"), "bytes_sent", "error_line"
+        )
+        for d in DAYS
+    ]
+    union = per_day[0]
+    for p in per_day[1:]:
+        union = union.unionByName(p)
+    return union.groupBy("folder_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("error_line").alias("n_dead"),
+        F.sum("bytes_sent").alias("bytes_total"),
+    )
