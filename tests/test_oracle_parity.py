@@ -35,6 +35,18 @@ def duck():
     con.close()
 
 
+def _canon_value(v):
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return str([_canon_value(x) for x in v])
+    return str(v)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # make values comparable across engines
@@ -42,8 +54,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
-            # dates / decimals arrive as objects; stringify deterministically
-            df[c] = df[c].map(lambda v: None if v is None else str(v))
+            # dates / decimals / arrays arrive as objects; stringify
+            # deterministically. Array columns come back as numpy arrays
+            # WITHOUT Arrow (vanilla sessions) but as Python lists WITH it —
+            # canonicalize both to the list repr or sort order diverges
+            # between engines.
+            df[c] = df[c].map(_canon_value)
     sort_cols = list(df.columns)
     return df.sort_values(sort_cols, na_position="first").reset_index(drop=True)
 
