@@ -1,0 +1,120 @@
+"""Retry/alarm orchestration analog (reference: Step Function poll loop +
+CloudWatch "FAIL" metric alarm, deploy/statemachine.asl.json:25-67)."""
+
+import os
+from datetime import date
+from unittest.mock import patch
+
+from aws_logs_parquet_converter_spark.plans.compact import CompactionPolicy
+from aws_logs_parquet_converter_spark.plans.incremental import RollupConfig
+from aws_logs_parquet_converter_spark.plans.orchestrate import run_with_retries
+from aws_logs_parquet_converter_spark.sources.generator import generate_log_lines
+
+
+def _write_day(root, day_path, n=80, seed=5):
+    d = os.path.join(root, day_path)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "a.txt"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(generate_log_lines(n, seed=seed)) + "\n")
+
+
+def test_backfill_retries_and_reports(spark, tmp_path):
+    """One flaky day (fails twice, then succeeds), one empty day (skipped),
+    one good day: the loop retries with backoff, never aborts the backfill,
+    and the report carries machine-readable per-day status."""
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    _write_day(raw, "2024/07/01")
+    # 2024/07/02 intentionally missing -> skipped
+    _write_day(raw, "2024/07/03")
+
+    cfg = RollupConfig(
+        source_root=raw,
+        destination_root=out,
+        start_date="2024-07-01",
+        policy=CompactionPolicy(num_output_files=1),
+    )
+
+    from aws_logs_parquet_converter_spark.plans import orchestrate as orch
+
+    real = orch.compact_day
+    calls = {"n": 0}
+
+    def flaky(spark_, cfg_, day_):
+        if day_ == date(2024, 7, 1):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise RuntimeError("transient storage error")
+        return real(spark_, cfg_, day_)
+
+    sleeps = []
+    failures = []
+    with patch.object(orch, "compact_day", side_effect=flaky):
+        report = run_with_retries(
+            spark,
+            cfg,
+            today=date(2024, 7, 4),
+            max_attempts=3,
+            backoff_seconds=0.01,
+            on_failure=lambda d, e: failures.append((d, str(e))),
+            _sleep=sleeps.append,
+        )
+
+    by_day = {d.day: d for d in report.days}
+    assert by_day["2024-07-01"].status == "succeeded"
+    assert by_day["2024-07-01"].attempts == 3
+    assert by_day["2024-07-02"].status == "skipped"
+    assert by_day["2024-07-03"].status == "succeeded"
+    assert by_day["2024-07-03"].attempts == 1
+    assert sleeps == [0.01, 0.02]  # exponential backoff between attempts
+    assert failures == []  # retried into success -> no alarm
+    assert report.to_dict()["n_failed"] == 0
+    # the flaky day's output actually landed
+    assert spark.read.parquet(os.path.join(out, "2024/07/01")).count() > 0
+
+
+def test_terminal_failure_fires_alarm_and_continues(spark, tmp_path):
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    _write_day(raw, "2024/07/01")
+    _write_day(raw, "2024/07/02")
+
+    cfg = RollupConfig(
+        source_root=raw,
+        destination_root=out,
+        start_date="2024-07-01",
+        policy=CompactionPolicy(num_output_files=1),
+    )
+
+    from aws_logs_parquet_converter_spark.plans import orchestrate as orch
+
+    real = orch.compact_day
+
+    def always_fails_day1(spark_, cfg_, day_):
+        if day_ == date(2024, 7, 1):
+            raise RuntimeError("permanent schema corruption")
+        return real(spark_, cfg_, day_)
+
+    failures = []
+    with patch.object(orch, "compact_day", side_effect=always_fails_day1):
+        report = run_with_retries(
+            spark,
+            cfg,
+            today=date(2024, 7, 3),
+            max_attempts=2,
+            backoff_seconds=0.0,
+            # hook raising must not kill the run
+            on_failure=lambda d, e: (failures.append(d), 1 / 0),
+            _sleep=lambda s: None,
+        )
+
+    by_day = {d.day: d for d in report.days}
+    assert by_day["2024-07-01"].status == "failed"
+    assert by_day["2024-07-01"].attempts == 2
+    assert "permanent schema corruption" in by_day["2024-07-01"].error
+    assert failures == ["2024-07-01"]  # alarm fired exactly once
+    # the failed day did NOT abort the rest of the backfill
+    assert by_day["2024-07-02"].status == "succeeded"
+    assert report.to_dict() == {
+        "days": report.to_dict()["days"],
+        "n_succeeded": 1,
+        "n_failed": 1,
+    }
