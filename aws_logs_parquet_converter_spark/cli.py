@@ -46,6 +46,14 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "(env vars -> profile -> IAM role); no keys on the command line.",
     )
     p.add_argument(
+        "--max-attempts",
+        default=1,
+        type=int,
+        help="Per-day retry attempts with exponential backoff (default 1 = "
+        "no retry). Failed days are reported and alarmed, never abort a "
+        "backfill; reruns are idempotent overwrites.",
+    )
+    p.add_argument(
         "--committer",
         default="v2",
         choices=["v2", "magic"],
@@ -80,8 +88,20 @@ def main(argv: list[str] | None = None) -> None:
         committer=args.committer,
     )
     try:
-        processed = run(spark, cfg, today=date.today())
-        print(f"processed {len(processed)} day(s): {[d.isoformat() for d in processed]}")
+        if args.max_attempts > 1:
+            from .plans.orchestrate import run_with_retries
+
+            report = run_with_retries(
+                spark, cfg, today=date.today(), max_attempts=args.max_attempts
+            )
+            import json as _json
+
+            print(_json.dumps(report.to_dict()))
+            if report.failed:
+                raise SystemExit(1)
+        else:
+            processed = run(spark, cfg, today=date.today())
+            print(f"processed {len(processed)} day(s): {[d.isoformat() for d in processed]}")
     finally:
         spark.stop()
 
