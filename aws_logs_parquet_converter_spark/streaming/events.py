@@ -396,6 +396,19 @@ def _register_gate_queries() -> None:
         "made exactly-once with watermark-bounded dedup state.",
     )(stream_dedup_events)
 
+    if tws_available():
+        # Registered ONLY where protobuf exists (the TWS worker protocol
+        # needs it; absent in this container — tests/test_streaming.py skips
+        # with the same gate). When the environment gains protobuf this
+        # becomes a seventh oracle-checked streaming gate automatically.
+        register(
+            "stream_tws_user_counts",
+            oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+            doc="Structured Streaming gate: transformWithStateInPandas "
+            "(typed ValueState successor API) per-user counts via "
+            "availableNow file stream == batch groupBy.",
+        )(stream_tws_user_counts)
+
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events file stream enriched against the
@@ -629,3 +642,39 @@ def tws_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def stream_tws_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWS twin of :func:`stream_user_event_counts` — same contract (final
+    per-user counts == batch groupBy), state held in a typed ValueState via
+    the successor API. Requires the RocksDB state store provider; the conf
+    is set for the run and restored after."""
+    global _STREAM_RUN_SEQ
+    _STREAM_RUN_SEQ += 1
+    name = f"stream_tws_{_STREAM_RUN_SEQ}"
+
+    import tempfile
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_available_now(
+            stateful_user_totals_tws(events_stream(spark, sf_dir)),
+            name,
+            tempfile.mkdtemp(prefix="ckpt_tws_"),
+            output_mode="update",
+        )
+    finally:
+        if before is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, before)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
