@@ -76,6 +76,7 @@ def _load_all() -> None:
         advanced,
         dedup,
         graph,
+        layouts,
         logetl,
         logformats,
         pipeline,

@@ -1,0 +1,126 @@
+"""Oracle-checked queries for the physical-layout plans (bucketing, z-order).
+
+``plans/bucketing.py`` and ``plans/zorder.py`` carry the engine's two
+write-time layout optimizations; until now they were pytest-only (the same
+gap VERDICT r1 flagged for the log-ETL path). Registered here:
+
+* ``q_zorder_key`` — the Morton-interleave arithmetic itself under the
+  oracle: quantize + hash_dim + bit interleave recomputed in DuckDB with
+  plain shifts/masks. Any drift in the curve (bit order, clamping, rounding,
+  hash cell) mismatches row-by-row.
+* ``q_bucketed_join_colocated`` — bucketed fact-fact join + aggregation on
+  the bucket key, REQUIRED by the query itself to plan with zero shuffle
+  exchanges (the write-time shuffle is the whole point); results checked
+  against a plain DuckDB join. A merge hint pins SortMergeJoin so a
+  small-table broadcast cannot silently bypass the bucketed path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..catalog import load_table
+from ..functions.numeric import dsum, sql_dsum
+from ..plans.zorder import hash_dim, quantize, zorder_key
+
+_BITS = 16
+_CELLS = (1 << _BITS) - 1
+_PRICE_LO, _PRICE_HI = 0.0, 120_000.0
+
+
+def _sql_quantize_price() -> str:
+    return (
+        f"least(greatest(round((CAST(l_extendedprice AS DOUBLE) - {_PRICE_LO}) "
+        f"/ {_PRICE_HI - _PRICE_LO} * {_CELLS})::BIGINT, 0), {_CELLS})"
+    )
+
+
+def _sql_hash_flag() -> str:
+    return f"(('0x' || substr(md5(l_returnflag), 1, 15))::BIGINT % {1 << _BITS})"
+
+
+def _sql_interleave(d0: str, d1: str) -> str:
+    terms = []
+    for j in range(_BITS):
+        terms.append(f"((({d0} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({d1} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber,
+             {_sql_quantize_price()} AS d0,
+             {_sql_hash_flag()} AS d1
+      FROM lineitem WHERE l_orderkey <= 2000
+    )
+    SELECT l_orderkey, l_linenumber, d0, d1,
+           {_sql_interleave("d0", "d1")} AS zkey
+    FROM cells
+    """,
+    doc="Z-order (Morton) clustering key under the oracle: quantized price "
+    "cell x hashed categorical cell, bits interleaved — recomputed in "
+    "DuckDB with plain shift/mask arithmetic, row-level equality.",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    d0 = quantize(F.col("l_extendedprice"), _PRICE_LO, _PRICE_HI, bits=_BITS)
+    d1 = hash_dim(F.col("l_returnflag"), bits=_BITS)
+    out = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        d0.alias("d0"),
+        d1.alias("d1"),
+    )
+    return out.withColumn("zkey", zorder_key(F.col("d0"), F.col("d1"), bits=_BITS))
+
+
+@register(
+    "q_bucketed_join_colocated",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l.l_quantity')} AS qty_total
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    doc="Co-located fact-fact join: both sides written bucketed+sorted by "
+    "the join key, merge-joined and aggregated on the bucket key with ZERO "
+    "shuffle exchanges (asserted inside the query — the write-time shuffle "
+    "is the point); values checked against a plain DuckDB join.",
+)
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.bucketing import write_bucketed
+
+    n_buckets = 8
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+        "orders_bkt_gate",
+        "o_orderkey",
+        n_buckets=n_buckets,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "lineitem_bkt_gate",
+        "l_orderkey",
+        n_buckets=n_buckets,
+    )
+    o = spark.table("orders_bkt_gate")
+    li = spark.table("lineitem_bkt_gate")
+    res = (
+        # merge hint: a broadcast join would also be shuffle-free but would
+        # bypass the bucketed scan this query exists to demonstrate
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_quantity", "qty_total"))
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, (
+        "bucketed join/agg must be exchange-free; got:\n" + plan
+    )
+    return res
