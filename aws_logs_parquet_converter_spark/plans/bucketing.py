@@ -31,7 +31,23 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Save ``df`` as a managed parquet table bucketed (and in-bucket
-    sorted) by ``bucket_key``."""
+    sorted) by ``bucket_key``.
+
+    Robust to a stale warehouse: a table directory left behind by a
+    PREVIOUS session's metastore is invisible to this metastore (fresh
+    derby), but still blocks the managed location with
+    LOCATION_ALREADY_EXISTS — drop the catalog entry AND clear the
+    leftover local directory before writing.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    local = warehouse.removeprefix("file:")
+    if local.startswith("/"):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(local, table.lower()), ignore_errors=True)
     writer = (
         df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, bucket_key)
     )
