@@ -183,8 +183,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as _pq
 
+    from ..catalog import _first_parquet_file
+
+    # works for both a single events.parquet file and a directory of parts
     unit = getattr(
-        _pq.read_schema(_os.path.join(sf_dir, "events.parquet")).field("ts").type,
+        _pq.read_schema(
+            _first_parquet_file(_os.path.join(sf_dir, "events.parquet"))
+        )
+        .field("ts")
+        .type,
         "unit",
         None,
     )
