@@ -155,3 +155,87 @@ def read_http_events(spark: SparkSession, sources: dict[str, str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Format auto-detection for mixed directories
+# ---------------------------------------------------------------------------
+
+
+def classify_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Add a ``detected_format`` column classifying each raw line.
+
+    Pure native expressions, evaluated in registry priority order. The four
+    formats are structurally disjoint on a single line: the S3 grammar
+    needs a bracketed timestamp 3rd field, ALB an ISO8601 2nd field after a
+    scheme token, VPC flow exactly 14 space-separated fields, CloudFront
+    exactly 33 tab-separated fields (or a ``#`` W3C header). Unmatched
+    lines classify NULL.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.alb_log_parse import ALB_LOG_PATTERN
+    from ..functions.s3_log_parse import S3_ACCESS_LOG_PATTERN
+
+    v = F.col(value_col)
+    return lines.withColumn(
+        "detected_format",
+        F.when(v.rlike(S3_ACCESS_LOG_PATTERN), "s3")
+        .when(v.rlike(ALB_LOG_PATTERN), "alb")
+        .when(
+            (F.size(F.split(F.ltrim(v), "\t")) == 33)
+            | F.startswith(F.ltrim(v), F.lit("#")),
+            "cloudfront",
+        )
+        .when(F.size(F.split(F.trim(v), " ")) == 14, "vpcflow"),
+    )
+
+
+def detect_log_format(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """Per-FILE majority-vote format detection over a sample of lines.
+
+    Distributed: every file's first ``sample_per_file`` lines are
+    classified executor-side (one scan); the result is one row per file —
+    ``(file, detected_format, n_votes)`` — i.e. file-count-sized metadata,
+    like a listing, not data. Ties break by registry priority via the
+    max(count, format-rank) pair.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lines = read_text_lines(spark, paths).withColumn("file", F.input_file_name())
+    sampled = (
+        classify_lines(lines)
+        .where(F.col("detected_format").isNotNull())
+        .groupBy("file", "detected_format")
+        .count()
+    )
+    w = Window.partitionBy("file").orderBy(
+        F.desc("count"), F.asc("detected_format")
+    )
+    return (
+        sampled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("file", "detected_format", F.col("count").alias("n_votes"))
+    )
+
+
+def read_logs_auto(
+    spark: SparkSession, paths: str | Sequence[str]
+) -> dict[str, DataFrame]:
+    """Parse a MIXED directory: detect each file's format, then run every
+    format's parser over exactly its files.
+
+    Returns ``{format: typed DataFrame}`` for the formats present. The
+    detection result is file-count-sized (driver-side collect of one row
+    per file — same class as a file listing); the data itself is parsed
+    distributed, one ``read_logs`` per detected format over that format's
+    file list.
+    """
+    per_file = detect_log_format(spark, paths).collect()
+    by_fmt: dict[str, list[str]] = {}
+    for r in per_file:
+        by_fmt.setdefault(r.detected_format, []).append(r.file)
+    return {
+        fmt: read_logs(spark, files, fmt) for fmt, files in sorted(by_fmt.items())
+    }

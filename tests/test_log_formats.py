@@ -212,3 +212,47 @@ def test_normalized_http_union_across_formats(spark, tmp_path):
     # methods look like HTTP verbs everywhere
     methods = {r.http_method for r in ev.where(F.col("http_method").isNotNull()).select("http_method").distinct().collect()}
     assert methods and all(m.isupper() and m != "-" for m in methods)
+
+
+def test_format_autodetection_mixed_directory(spark, tmp_path):
+    """A directory mixing all four formats: every file is detected
+    correctly and read_logs_auto parses each group with the right parser."""
+    from aws_logs_parquet_converter_spark.sources.generator import (
+        generate_alb_lines,
+        generate_cloudfront_lines,
+        generate_log_lines,
+        generate_vpc_flow_lines,
+    )
+    from aws_logs_parquet_converter_spark.sources.registry import (
+        detect_log_format,
+        read_logs_auto,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "s3_a.log").write_text("\n".join(generate_log_lines(60, seed=1)) + "\n")
+    (d / "s3_b.log").write_text("\n".join(generate_log_lines(60, seed=2)) + "\n")
+    (d / "alb.log").write_text("\n".join(generate_alb_lines(60, seed=3)) + "\n")
+    (d / "vpc.log").write_text("\n".join(generate_vpc_flow_lines(60, seed=4)) + "\n")
+    (d / "cf.log").write_text("\n".join(generate_cloudfront_lines(60, seed=5)) + "\n")
+
+    detected = {
+        r.file.rsplit("/", 1)[-1]: r.detected_format
+        for r in detect_log_format(spark, str(d) + "/*.log").collect()
+    }
+    assert detected == {
+        "s3_a.log": "s3",
+        "s3_b.log": "s3",
+        "alb.log": "alb",
+        "vpc.log": "vpcflow",
+        "cf.log": "cloudfront",
+    }
+
+    tables = read_logs_auto(spark, str(d) + "/*.log")
+    assert set(tables) == {"s3", "alb", "vpcflow", "cloudfront"}
+    # the two s3 files parse together; garbage lines dead-letter, blanks drop
+    assert tables["s3"].count() > 100
+    assert "request_time" in tables["s3"].columns
+    assert tables["alb"].columns[-1] == "error_line"
+    assert tables["vpcflow"].where("log_status = 'NODATA'").count() >= 0
+    assert "x_edge_location" in tables["cloudfront"].columns

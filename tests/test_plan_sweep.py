@@ -64,6 +64,12 @@ def test_no_driver_side_collect_in_operators():
             "distinct partition values of the (small) change set drive the "
             "dynamic-overwrite scope — rows = touched partitions, not data",
         ),
+        "sources/registry.py": (
+            1,
+            "read_logs_auto collects one (file, format) row per input file "
+            "— file-count-sized metadata, same class as a listing; parsing "
+            "itself stays distributed",
+        ),
     }
     for py in sorted(ops_dir.rglob("*.py")):
         rel = str(py.relative_to(ops_dir))
