@@ -225,3 +225,45 @@ def q_cloudfront_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols += [F.col(name) for name, _cast in CF_FIELDS]
     cols.append(F.col("error_line"))
     return parsed.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Format auto-detection under the oracle
+# ---------------------------------------------------------------------------
+
+from ..functions.s3_log_parse import S3_ACCESS_LOG_PATTERN
+from ..sources.generator import generate_log_lines
+
+_MIX_LINES = tuple(
+    generate_log_lines(60, seed=11)
+    + list(generate_alb_lines(60, seed=12))
+    + list(generate_vpc_flow_lines(60, seed=13))
+    + list(generate_cloudfront_lines(60, seed=14))
+)
+
+
+@register(
+    "q_format_detection",
+    oracle=f"""
+    WITH raw(value) AS (VALUES
+      {_values_cte(_MIX_LINES)})
+    SELECT value,
+           CASE
+             WHEN regexp_matches(value, {_q(S3_ACCESS_LOG_PATTERN)}) THEN 's3'
+             WHEN regexp_matches(value, {_q(ALB_LOG_PATTERN)}) THEN 'alb'
+             WHEN len(string_split(ltrim(value), chr(9))) = 33
+                  OR starts_with(ltrim(value), '#') THEN 'cloudfront'
+             WHEN len(string_split(trim(value), ' ')) = 14 THEN 'vpcflow'
+           END AS detected_format
+    FROM raw
+    """,
+    doc="Per-line format classification under the oracle: the native-"
+    "expression classifier (sources/registry.py: classify_lines) vs the "
+    "same priority CASE re-expressed in DuckDB over a 240-line corpus "
+    "mixing all four formats plus garbage/blank/header lines.",
+)
+def q_format_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import classify_lines
+
+    raw = spark.createDataFrame([(l,) for l in _MIX_LINES], "value string")
+    return classify_lines(raw).select("value", "detected_format")
