@@ -182,7 +182,10 @@ def q_s3log_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_s3_access_log_lines(_raw_df(spark)).where(
         F.col("error_line").isNull()
     )
-    dest = os.path.join(tempfile.gettempdir(), "spark_graft_logetl_roundtrip")
+    # Fresh dir per invocation: a fixed shared path races across concurrent
+    # sessions and, with dynamic-overwrite hive writes, lets stale partitions
+    # from an older corpus leak into the re-read.
+    dest = tempfile.mkdtemp(prefix="spark_graft_logetl_roundtrip_")
     write_compacted(
         parsed,
         dest,
@@ -247,7 +250,7 @@ def q_s3log_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.compact import CompactionPolicy
     from ..plans.incremental import RollupConfig, run
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_logetl_backfill")
+    root = tempfile.mkdtemp(prefix="spark_graft_logetl_backfill_")
     raw_root = os.path.join(root, "raw")
     out_root = os.path.join(root, "out")
     for d, lines in _DAY_LINES.items():
@@ -311,7 +314,7 @@ def q_s3log_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_s3_access_log_lines(_raw_df(spark)).where(
         F.col("error_line").isNull()
     )
-    dest = os.path.join(tempfile.gettempdir(), "spark_graft_logetl_exttable")
+    dest = tempfile.mkdtemp(prefix="spark_graft_logetl_exttable_")
     write_compacted(
         parsed,
         dest,

@@ -38,6 +38,15 @@ def write_bucketed(
     derby), but still blocks the managed location with
     LOCATION_ALREADY_EXISTS — drop the catalog entry AND clear the
     leftover local directory before writing.
+
+    Limitation (deliberate): the stale-location sweep only handles local
+    ``file:`` warehouses and assumes the default-database layout
+    (``<warehouse>/<table>``). On a cloud warehouse (``s3a://``) or with
+    db-qualified table names the LOCATION_ALREADY_EXISTS hazard remains —
+    there the location should be resolved via
+    ``spark.catalog.getTable(table)`` / ``DESCRIBE TABLE EXTENDED`` and
+    cleared with the store's own API, which this test-gate helper does not
+    attempt.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")

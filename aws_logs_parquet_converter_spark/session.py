@@ -41,8 +41,20 @@ def cloud_conf(committer: str = "v2") -> dict[str, str]:
     ``spark.hadoop.fs.s3a.aws.credentials.provider`` in ``extra_conf``.
     """
     ver = os.environ.get("SPARK_GRAFT_HADOOP_AWS_VERSION", _HADOOP_AWS_VERSION_DEFAULT)
+    packages = [f"org.apache.hadoop:hadoop-aws:{ver}"]
+    if committer == "magic":
+        # The PathOutputCommitProtocol / BindingParquetOutputCommitter classes
+        # live in the optional spark-hadoop-cloud module, which the pyspark
+        # wheel does NOT bundle — without this package the first write fails
+        # with ClassNotFoundException.  Version-match it to the running Spark.
+        import pyspark
+
+        scala = os.environ.get("SPARK_GRAFT_SCALA_SUFFIX", "2.13")
+        packages.append(
+            f"org.apache.spark:spark-hadoop-cloud_{scala}:{pyspark.__version__}"
+        )
     conf = {
-        "spark.jars.packages": f"org.apache.hadoop:hadoop-aws:{ver}",
+        "spark.jars.packages": ",".join(packages),
         # Upload blocks from memory-bounded disk buffers; sane multipart size.
         "spark.hadoop.fs.s3a.fast.upload": "true",
         "spark.hadoop.fs.s3a.multipart.size": "67108864",

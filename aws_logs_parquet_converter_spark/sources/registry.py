@@ -191,19 +191,38 @@ def classify_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def detect_log_format(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+def detect_log_format(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    sample_per_split: int | None = 256,
+) -> DataFrame:
     """Per-FILE majority-vote format detection over a sample of lines.
 
-    Distributed: every file's first ``sample_per_file`` lines are
-    classified executor-side (one scan); the result is one row per file —
-    ``(file, detected_format, n_votes)`` — i.e. file-count-sized metadata,
-    like a listing, not data. Ties break by registry priority via the
-    max(count, format-rank) pair.
+    Distributed: the first ``sample_per_split`` lines of every input SPLIT
+    are classified executor-side (one scan); the result is one row per file
+    — ``(file, detected_format, n_votes)`` — i.e. file-count-sized
+    metadata, like a listing, not data. Ties break by registry priority via
+    the max(count, format-rank) pair.
+
+    The sample bound is per *split*, not per file, on purpose: the text
+    source assigns each split to exactly one file, and
+    ``monotonically_increasing_id`` restarts at ``partition_id << 33`` per
+    partition, so ``id - (pid << 33) < K`` selects each split's first K
+    lines with NO shuffle (a per-file window would shuffle every raw line
+    just to rank it). Small files (< maxPartitionBytes) are single-split,
+    so for them this IS first-K-per-file; a multi-gigabyte file simply
+    votes with K lines per 128 MB split — more coverage, still bounded.
+    ``sample_per_split=None`` scans every line (exhaustive audit mode).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     lines = read_text_lines(spark, paths).withColumn("file", F.input_file_name())
+    if sample_per_split is not None:
+        row_in_split = F.monotonically_increasing_id() - (
+            F.spark_partition_id().cast("long") * F.lit(1 << 33)
+        )
+        lines = lines.where(row_in_split < sample_per_split)
     sampled = (
         classify_lines(lines)
         .where(F.col("detected_format").isNotNull())
@@ -220,22 +239,48 @@ def detect_log_format(spark: SparkSession, paths: str | Sequence[str]) -> DataFr
     )
 
 
+#: read_logs_auto refuses to route more files than this in one call. The
+#: DataFrameReader needs explicit per-format path lists on the driver, so the
+#: collect is inherently O(routed files); the cap keeps it an explicit,
+#: bounded metadata transfer instead of a silent multi-GB one. The
+#: reference's >100k-files/day workload splits by day prefix anyway
+#: (plans/incremental.py) — run auto-detection per daily unit, not over the
+#: whole corpus at once.
+READ_LOGS_AUTO_MAX_FILES = 200_000
+
+
 def read_logs_auto(
-    spark: SparkSession, paths: str | Sequence[str]
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    max_files: int = READ_LOGS_AUTO_MAX_FILES,
 ) -> dict[str, DataFrame]:
     """Parse a MIXED directory: detect each file's format, then run every
     format's parser over exactly its files.
 
-    Returns ``{format: typed DataFrame}`` for the formats present. The
-    detection result is file-count-sized (driver-side collect of one row
-    per file — same class as a file listing); the data itself is parsed
-    distributed, one ``read_logs`` per detected format over that format's
-    file list.
+    Returns ``{format: typed DataFrame}`` for the formats present. Per-file
+    votes are aggregated DISTRIBUTED down to one row per format carrying
+    that format's sorted path list, so the driver collect is O(#formats)
+    rows (the path payload itself is unavoidable — the reader API takes
+    explicit paths — and is bounded by ``max_files``, see
+    ``READ_LOGS_AUTO_MAX_FILES``). The data itself is parsed distributed,
+    one ``read_logs`` per detected format over that format's file list.
     """
-    per_file = detect_log_format(spark, paths).collect()
-    by_fmt: dict[str, list[str]] = {}
-    for r in per_file:
-        by_fmt.setdefault(r.detected_format, []).append(r.file)
+    from pyspark.sql import functions as F
+
+    per_fmt = (
+        detect_log_format(spark, paths)
+        .groupBy("detected_format")
+        .agg(F.sort_array(F.collect_list("file")).alias("files"))
+        .collect()
+    )
+    total = sum(len(r.files) for r in per_fmt)
+    if total > max_files:
+        raise ValueError(
+            f"read_logs_auto: {total} files exceed max_files={max_files}; "
+            "split the run by prefix (e.g. per day, as the incremental "
+            "driver does) or raise max_files explicitly."
+        )
     return {
-        fmt: read_logs(spark, files, fmt) for fmt, files in sorted(by_fmt.items())
+        r.detected_format: read_logs(spark, list(r.files), r.detected_format)
+        for r in sorted(per_fmt, key=lambda r: r.detected_format)
     }

@@ -195,14 +195,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unit",
         None,
     )
-    reader = (
-        spark.readStream.schema(
-            _PARQUET_EVENT_SCHEMA_NANOS if unit == "ns" else PARQUET_EVENT_SCHEMA
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-    )
-    stream = reader.load(sf_dir)
+    reader = spark.readStream.schema(
+        _PARQUET_EVENT_SCHEMA_NANOS if unit == "ns" else PARQUET_EVENT_SCHEMA
+    ).format("parquet")
+    events_path = _os.path.join(sf_dir, "events.parquet")
+    if _os.path.isdir(events_path):
+        # Directory-shaped table: load the directory itself.  A
+        # pathGlobFilter would match leaf file NAMES (part-*.parquet), so
+        # filtering on "events.parquet" here would silently drop every part
+        # file and yield an empty stream.
+        stream = reader.load(events_path)
+    else:
+        # Single-file table: glob-select it out of the scale-factor dir.
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     if unit == "ns":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
