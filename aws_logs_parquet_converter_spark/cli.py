@@ -54,6 +54,20 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "backfill; reruns are idempotent overwrites.",
     )
     p.add_argument(
+        "--multi-folder",
+        action="store_true",
+        help="Treat each immediate child directory of --source-root as a "
+        "logged-bucket folder (the reference's per-bucket layout) and "
+        "compact every folder to its own <destination-root>/<folder> "
+        "subtree in one run",
+    )
+    p.add_argument(
+        "--folders",
+        default=None,
+        help="Comma-separated explicit folder list (implies --multi-folder; "
+        "skips filesystem discovery)",
+    )
+    p.add_argument(
         "--committer",
         default="v2",
         choices=["v2", "magic"],
@@ -64,12 +78,18 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
 
 
 def config_from_args(args: argparse.Namespace) -> RollupConfig:
+    folders: tuple[str, ...] | None = ()
+    if getattr(args, "folders", None):
+        folders = tuple(f.strip() for f in args.folders.split(",") if f.strip())
+    elif getattr(args, "multi_folder", False):
+        folders = None  # discover from the filesystem at run time
     return RollupConfig(
         source_root=args.source_root,
         destination_root=args.destination_root or f"{args.source_root}/processed",
         lookback_days=args.lookback_days,
         start_date=args.start_date,
         log_format=args.log_format,
+        folders=folders,
         policy=CompactionPolicy(
             num_output_files=args.num_output_files,
             hive_partitioning=args.hive_formatted_folders,

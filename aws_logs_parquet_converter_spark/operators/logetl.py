@@ -336,3 +336,103 @@ def q_s3log_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("year", "month", "day")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes_sent").alias("bytes_total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-folder (per-logged-bucket) run under the oracle
+# ---------------------------------------------------------------------------
+
+# Two logged-bucket folders x two days, each cell its own deterministic
+# slice — ONE driver invocation must discover both folders and compact every
+# (folder, day) cell into its own destination subtree, like the reference's
+# per-bucket loop (s3_server_access_logs.py:335-351 discovery, :445-454
+# per-bucket destinations).
+FOLDERS = ("logs-bucket-a", "logs-bucket-b")
+MF_DAYS = ("2024-08-01", "2024-08-02")
+_MF_LINES = {
+    (f, d): tuple(generate_log_lines(60, seed=300 + 10 * fi + di))
+    for fi, f in enumerate(FOLDERS)
+    for di, d in enumerate(MF_DAYS)
+}
+
+
+def _mf_values_cte() -> str:
+    rows = []
+    for (f, d), lines in _MF_LINES.items():
+        rows += [f"({_q(f)}, {_q(d)}, {_q(l)})" for l in lines]
+    return ",\n      ".join(rows)
+
+
+@register(
+    "q_s3log_multi_folder",
+    oracle=f"""
+    WITH raw(folder, folder_day, value) AS (VALUES
+      {_mf_values_cte()}),
+    stripped AS (
+      SELECT folder, folder_day,
+             regexp_replace(value, '^\\s+|\\s+$', '', 'g') AS line FROM raw),
+    nonblank AS (
+      SELECT folder, folder_day, line FROM stripped WHERE length(line) > 0),
+    matched AS (
+      SELECT folder, folder_day, line, regexp_matches(line, {_PAT}) AS ok,
+             regexp_extract(line, {_PAT}, [{_GROUP_NAMES}]) AS ext
+      FROM nonblank)
+    SELECT folder, folder_day,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN NOT ok THEN 1 END) AS n_dead,
+           CAST(SUM(CASE WHEN ok THEN TRY_CAST(NULLIF(ext.g12, '-') AS BIGINT) END)
+                AS BIGINT) AS bytes_total
+    FROM matched
+    GROUP BY folder, folder_day
+    """,
+    doc="Multi-folder driver run under the oracle: two logged-bucket "
+    "folders x two dated raw dirs -> ONE run() invocation with filesystem "
+    "folder discovery (folders=None) compacts all four (folder, day) cells "
+    "into per-folder destination subtrees -> each subtree re-read and "
+    "rolled up keyed by (folder, day). Mirrors the reference's per-bucket "
+    "loop (s3_server_access_logs.py:335-351, :445-454).",
+)
+def q_s3log_multi_folder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date as _date
+
+    from ..plans.compact import CompactionPolicy
+    from ..plans.incremental import RollupConfig, run
+
+    root = tempfile.mkdtemp(prefix="spark_graft_logetl_multifolder_")
+    raw_root = os.path.join(root, "raw")
+    out_root = os.path.join(root, "out")
+    for (f, d), lines in _MF_LINES.items():
+        day_dir = os.path.join(raw_root, f, d.replace("-", "/"))
+        os.makedirs(day_dir, exist_ok=True)
+        with open(os.path.join(day_dir, "access.txt"), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    cfg = RollupConfig(
+        source_root=raw_root,
+        destination_root=out_root,
+        start_date=MF_DAYS[0],
+        lookback_days=1,
+        policy=CompactionPolicy(num_output_files=2),
+        folders=None,  # discover logged-bucket folders from the filesystem
+    )
+    processed = run(spark, cfg, today=_date(2024, 8, 3))
+    assert [d.isoformat() for d in processed] == list(MF_DAYS), processed
+
+    parts = [
+        spark.read.parquet(os.path.join(out_root, f, d.replace("-", "/"))).select(
+            F.lit(f).alias("folder"),
+            F.lit(d).alias("folder_day"),
+            "bytes_sent",
+            "error_line",
+        )
+        for f in FOLDERS
+        for d in MF_DAYS
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.groupBy("folder", "folder_day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("error_line").alias("n_dead"),
+        F.sum("bytes_sent").alias("bytes_total"),
+    )

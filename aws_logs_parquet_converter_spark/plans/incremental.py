@@ -45,6 +45,13 @@ class RollupConfig:
     policy: CompactionPolicy = CompactionPolicy()
     date_path_format: str = "%Y/%m/%d"  # raw-log input layout
     log_format: str = "s3"  # s3 | alb | vpcflow | cloudfront (sources/registry.py)
+    #: Multi-folder mode (reference ``s3_server_access_logs.py:334-351``):
+    #: one logged-bucket folder per immediate child of ``source_root``, each
+    #: compacted to its own ``{destination_root}/{folder}`` subtree in the
+    #: SAME run. ``folders=()`` (default) = single-folder mode, roots used
+    #: as-is. ``folders=None`` = discover the folder list from the
+    #: filesystem (``discover_folders``). An explicit tuple pins the list.
+    folders: tuple[str, ...] | None = ()
 
 
 def dates_to_process(cfg: RollupConfig, today: date | None = None) -> list[date]:
@@ -63,21 +70,52 @@ def dates_to_process(cfg: RollupConfig, today: date | None = None) -> list[date]
     return out
 
 
-def input_path_for(cfg: RollupConfig, day: date) -> str:
-    return f"{cfg.source_root}/{day.strftime(cfg.date_path_format)}/*"
+def discover_folders(spark: SparkSession, source_root: str) -> list[str]:
+    """List the logged-bucket folders: the immediate child directories of
+    ``source_root``.
+
+    The reference does this with a delimiter-limited ListObjectsV2 over the
+    ``{account}/{region}/`` prefix (``s3_server_access_logs.py:334-351``) —
+    a driver-side metadata call sized by the number of logged buckets, not
+    by the number of log objects. The Hadoop FileSystem equivalent
+    (``listStatus`` + directory filter) is the same O(#folders) operation
+    and works unchanged on ``file://``, ``s3a://``, or any configured FS.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(source_root)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(path)
+        if st.isDirectory()
+    )
 
 
-def destination_for(cfg: RollupConfig, day: date) -> str:
+def input_path_for(cfg: RollupConfig, day: date, folder: str | None = None) -> str:
+    root = f"{cfg.source_root}/{folder}" if folder else cfg.source_root
+    return f"{root}/{day.strftime(cfg.date_path_format)}/*"
+
+
+def destination_for(cfg: RollupConfig, day: date, folder: str | None = None) -> str:
+    # Per-folder destination subtree, like the reference's
+    # ``{dest}/{source_bucket}{date}`` template (s3_server_access_logs.py:445-450).
+    root = f"{cfg.destination_root}/{folder}" if folder else cfg.destination_root
     if cfg.policy.hive_partitioning:
         # partition dirs are produced by the writer; destination is the table root
-        return cfg.destination_root
-    return f"{cfg.destination_root}/{day.strftime('%Y/%m/%d')}"
+        return root
+    return f"{root}/{day.strftime('%Y/%m/%d')}"
 
 
-def compact_day(spark: SparkSession, cfg: RollupConfig, day: date) -> float | None:
-    """Parse + compact one day of raw logs; returns elapsed seconds, or None
-    when the date has no input (skipped, like the reference's len(paths)>0
-    guard at s3_server_access_logs.py:394)."""
+def compact_day(
+    spark: SparkSession, cfg: RollupConfig, day: date, folder: str | None = None
+) -> float | None:
+    """Parse + compact one day of raw logs (optionally scoped to one logged
+    bucket ``folder``); returns elapsed seconds, or None when the date has
+    no input (skipped, like the reference's len(paths)>0 guard at
+    s3_server_access_logs.py:394)."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     t0 = time.time()
@@ -88,24 +126,53 @@ def compact_day(spark: SparkSession, cfg: RollupConfig, day: date) -> float | No
 
         policy = replace(policy, sort_keys=(ts_col,))
     try:
-        parsed = read_logs(spark, input_path_for(cfg, day), fmt=cfg.log_format)
+        parsed = read_logs(
+            spark, input_path_for(cfg, day, folder), fmt=cfg.log_format
+        )
         dq = write_compacted(
-            parsed, destination_for(cfg, day), policy, ts_col=ts_col, observe=True
+            parsed,
+            destination_for(cfg, day, folder),
+            policy,
+            ts_col=ts_col,
+            observe=True,
         )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
-            log.info("no input for %s; skipping", day)
+            log.info("no input for %s folder=%s; skipping", day, folder)
             return None
         raise
     elapsed = time.time() - t0
-    log.info("compacted %s in %.1fs (observed: %s)", day, elapsed, dq)
+    log.info(
+        "compacted %s folder=%s in %.1fs (observed: %s)", day, folder, elapsed, dq
+    )
     return elapsed
 
 
 def run(spark: SparkSession, cfg: RollupConfig, today: date | None = None) -> list[date]:
-    """Execute the daily/backfill loop; returns the dates actually compacted."""
+    """Execute the daily/backfill loop; returns the dates actually compacted.
+
+    Multi-folder mode (``cfg.folders`` is None or a non-empty tuple) mirrors
+    the reference's outer loop (``s3_server_access_logs.py:377-383``): every
+    discovered logged-bucket folder is compacted for every due date in the
+    one invocation, each into its own destination subtree. A date counts as
+    processed if ANY folder had input for it.
+    """
+    folders: list[str | None]
+    if cfg.folders == ():
+        folders = [None]
+    else:
+        folders = list(
+            cfg.folders
+            if cfg.folders is not None
+            else discover_folders(spark, cfg.source_root)
+        )
+        log.info("found %d folders to process", len(folders))
     processed = []
     for day in dates_to_process(cfg, today):
-        if compact_day(spark, cfg, day) is not None:
+        hit = False
+        for folder in folders:
+            if compact_day(spark, cfg, day, folder) is not None:
+                hit = True
+        if hit:
             processed.append(day)
     return processed

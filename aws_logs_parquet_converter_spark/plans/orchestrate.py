@@ -35,7 +35,12 @@ from typing import Callable
 
 from pyspark.sql import SparkSession
 
-from .incremental import RollupConfig, compact_day, dates_to_process
+from .incremental import (
+    RollupConfig,
+    compact_day,
+    dates_to_process,
+    discover_folders,
+)
 
 log = logging.getLogger(__name__)
 
@@ -47,6 +52,7 @@ class DayRun:
     attempts: int
     wall_seconds: float
     error: str | None = None
+    folder: str | None = None  # logged-bucket folder in multi-folder runs
 
 
 @dataclass
@@ -88,35 +94,53 @@ def run_with_retries(
     cluster on a 60 s timer.
     """
     report = RunReport()
-    for day in dates_to_process(cfg, today):
-        t0 = time.time()
-        last_err: Exception | None = None
-        status = "failed"
-        attempts = 0
-        for attempt in range(1, max_attempts + 1):
-            attempts = attempt
-            try:
-                elapsed = compact_day(spark, cfg, day)
-                status = "skipped" if elapsed is None else "succeeded"
-                last_err = None
-                break
-            except Exception as e:  # noqa: BLE001 - anything may fail mid-job
-                last_err = e
-                log.warning("day %s attempt %d/%d failed: %s", day, attempt, max_attempts, e)
-                if attempt < max_attempts:
-                    _sleep(backoff_seconds * (2 ** (attempt - 1)))
-        if last_err is not None and on_failure is not None:
-            try:
-                on_failure(day.isoformat(), last_err)
-            except Exception:  # noqa: BLE001 - alarms must not kill the run
-                log.exception("on_failure hook raised for %s", day)
-        report.days.append(
-            DayRun(
-                day=day.isoformat(),
-                status=status,
-                attempts=attempts,
-                wall_seconds=round(time.time() - t0, 3),
-                error=str(last_err) if last_err else None,
-            )
+    # Multi-folder mode: the retry unit of work becomes (day, folder), so one
+    # failing logged bucket retries and alarms alone instead of re-running
+    # every bucket for that day (reruns are idempotent either way).
+    folders: list[str | None]
+    if cfg.folders == ():
+        folders = [None]
+    else:
+        folders = list(
+            cfg.folders
+            if cfg.folders is not None
+            else discover_folders(spark, cfg.source_root)
         )
+    for day in dates_to_process(cfg, today):
+        for folder in folders:
+            t0 = time.time()
+            last_err: Exception | None = None
+            status = "failed"
+            attempts = 0
+            for attempt in range(1, max_attempts + 1):
+                attempts = attempt
+                try:
+                    elapsed = compact_day(spark, cfg, day, folder)
+                    status = "skipped" if elapsed is None else "succeeded"
+                    last_err = None
+                    break
+                except Exception as e:  # noqa: BLE001 - anything may fail mid-job
+                    last_err = e
+                    log.warning(
+                        "day %s folder=%s attempt %d/%d failed: %s",
+                        day, folder, attempt, max_attempts, e,
+                    )
+                    if attempt < max_attempts:
+                        _sleep(backoff_seconds * (2 ** (attempt - 1)))
+            if last_err is not None and on_failure is not None:
+                unit = day.isoformat() if folder is None else f"{folder}/{day.isoformat()}"
+                try:
+                    on_failure(unit, last_err)
+                except Exception:  # noqa: BLE001 - alarms must not kill the run
+                    log.exception("on_failure hook raised for %s", unit)
+            report.days.append(
+                DayRun(
+                    day=day.isoformat(),
+                    status=status,
+                    attempts=attempts,
+                    wall_seconds=round(time.time() - t0, 3),
+                    error=str(last_err) if last_err else None,
+                    folder=folder,
+                )
+            )
     return report

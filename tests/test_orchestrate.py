@@ -39,12 +39,12 @@ def test_backfill_retries_and_reports(spark, tmp_path):
     real = orch.compact_day
     calls = {"n": 0}
 
-    def flaky(spark_, cfg_, day_):
+    def flaky(spark_, cfg_, day_, folder_=None):
         if day_ == date(2024, 7, 1):
             calls["n"] += 1
             if calls["n"] <= 2:
                 raise RuntimeError("transient storage error")
-        return real(spark_, cfg_, day_)
+        return real(spark_, cfg_, day_, folder_)
 
     sleeps = []
     failures = []
@@ -88,10 +88,10 @@ def test_terminal_failure_fires_alarm_and_continues(spark, tmp_path):
 
     real = orch.compact_day
 
-    def always_fails_day1(spark_, cfg_, day_):
+    def always_fails_day1(spark_, cfg_, day_, folder_=None):
         if day_ == date(2024, 7, 1):
             raise RuntimeError("permanent schema corruption")
-        return real(spark_, cfg_, day_)
+        return real(spark_, cfg_, day_, folder_)
 
     failures = []
     with patch.object(orch, "compact_day", side_effect=always_fails_day1):
@@ -118,3 +118,70 @@ def test_terminal_failure_fires_alarm_and_continues(spark, tmp_path):
         "n_succeeded": 1,
         "n_failed": 1,
     }
+
+
+def test_multi_folder_run_writes_per_folder_subtrees(spark, tmp_path):
+    """One run() invocation over a two-folder raw tree (the reference's
+    per-logged-bucket layout) discovers both folders and writes each one's
+    compacted day into its OWN destination subtree."""
+    from aws_logs_parquet_converter_spark.plans.incremental import (
+        discover_folders,
+        run,
+    )
+
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    _write_day(raw, "bucket-a/2024/07/01", n=40, seed=21)
+    _write_day(raw, "bucket-b/2024/07/01", n=60, seed=22)
+    # a stray FILE at the root must not be mistaken for a folder
+    with open(os.path.join(raw, "notes.txt"), "w", encoding="utf-8") as fh:
+        fh.write("not a folder\n")
+
+    assert discover_folders(spark, raw) == ["bucket-a", "bucket-b"]
+    assert discover_folders(spark, str(tmp_path / "missing")) == []
+
+    cfg = RollupConfig(
+        source_root=raw,
+        destination_root=out,
+        start_date="2024-07-01",
+        policy=CompactionPolicy(num_output_files=1),
+        folders=None,  # filesystem discovery
+    )
+    processed = run(spark, cfg, today=date(2024, 7, 2))
+    assert [d.isoformat() for d in processed] == ["2024-07-01"]
+
+    a = spark.read.parquet(os.path.join(out, "bucket-a", "2024/07/01"))
+    b = spark.read.parquet(os.path.join(out, "bucket-b", "2024/07/01"))
+    # seeded generator emits ~1% blank lines which the parser drops
+    assert 0 < a.count() <= 40 and 0 < b.count() <= 60
+    assert a.count() != b.count()  # distinct slices went to distinct subtrees
+
+
+def test_multi_folder_retries_report_per_folder_units(spark, tmp_path):
+    """run_with_retries in multi-folder mode reports one (day, folder) unit
+    per logged bucket; an explicit folders tuple skips discovery."""
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    _write_day(raw, "bucket-a/2024/07/01", n=30, seed=31)
+    # bucket-b has no data for the day -> its unit is 'skipped'
+    os.makedirs(os.path.join(raw, "bucket-b"), exist_ok=True)
+
+    cfg = RollupConfig(
+        source_root=raw,
+        destination_root=out,
+        start_date="2024-07-01",
+        policy=CompactionPolicy(num_output_files=1),
+        folders=("bucket-a", "bucket-b"),
+    )
+    report = run_with_retries(spark, cfg, today=date(2024, 7, 2), max_attempts=1)
+    by_folder = {d.folder: d.status for d in report.days}
+    assert by_folder == {"bucket-a": "succeeded", "bucket-b": "skipped"}
+
+
+def test_cli_multi_folder_args():
+    from aws_logs_parquet_converter_spark.cli import config_from_args, parse_arguments
+
+    a = parse_arguments(["--source-root", "/x", "--multi-folder"])
+    assert config_from_args(a).folders is None  # discovery mode
+    a = parse_arguments(["--source-root", "/x", "--folders", "b1, b2"])
+    assert config_from_args(a).folders == ("b1", "b2")
+    a = parse_arguments(["--source-root", "/x"])
+    assert config_from_args(a).folders == ()  # single-folder default
