@@ -409,10 +409,10 @@ def _register_gate_queries() -> None:
     )(stream_dedup_events)
 
     if tws_available():
-        # Registered ONLY where protobuf exists (the TWS worker protocol
-        # needs it; absent in this container — tests/test_streaming.py skips
-        # with the same gate). When the environment gains protobuf this
-        # becomes a seventh oracle-checked streaming gate automatically.
+        # Registered wherever the TWS worker protocol can run: with a real
+        # protobuf runtime, or via the wire-compatible shim
+        # (state_message_shim.py) where that runtime is absent. The seventh
+        # oracle-checked streaming gate.
         register(
             "stream_tws_user_counts",
             oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
@@ -604,11 +604,13 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     opaque tuple per key. Same scale properties: hash-partitioned by key,
     O(1) state per user, micro-batches touch only keys with new data.
 
-    Requires the RocksDB state store provider AND a working protobuf
-    install (the TWS driver worker speaks protobuf to the JVM) — call
-    :func:`tws_available` first; this container lacks protobuf, so the
-    applyInPandasWithState twin (:func:`stateful_user_totals`) is the
-    tested default here and TWS is the documented upgrade path.
+    Requires the RocksDB state store provider AND a protobuf wire protocol
+    (the TWS workers speak protobuf to the JVM state server) — call
+    :func:`tws_available` first. Where the ``google.protobuf`` runtime is
+    absent, :mod:`.state_message_shim` installs a wire-compatible
+    StateMessage_pb2 stand-in (hooked in via the processor's
+    ``__setstate__`` so every worker process gets it before its first
+    protocol exchange), so this runs either way.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -616,6 +618,27 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
     class _UserTotals(StatefulProcessor):
+        # The TWS workers (executor-side AND the driver-side pre-init
+        # worker) import StateMessage_pb2 lazily inside the state clients,
+        # and the FIRST such import (set_handle_state in pre-init) happens
+        # before any user hook runs. Unpickling this processor is the one
+        # thing guaranteed to precede every protocol exchange in every
+        # worker process (worker.read_command), so install the protobuf
+        # wire shim in __setstate__.
+        def __getstate__(self) -> dict:
+            # must be truthy, or pickle skips __setstate__ entirely (the
+            # processor has no attributes before init() runs)
+            return {**self.__dict__, "_ensure_shim": True}
+
+        def __setstate__(self, state: dict) -> None:
+            state.pop("_ensure_shim", None)
+            self.__dict__.update(state)
+            from aws_logs_parquet_converter_spark.streaming.state_message_shim import (
+                ensure_installed,
+            )
+
+            ensure_installed()
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
                 "totals", "n_events bigint, total_value double"
@@ -647,12 +670,15 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
 
 
 def tws_available() -> bool:
-    """True when transformWithStateInPandas can run (protobuf importable)."""
+    """True when transformWithStateInPandas can run: either the real
+    protobuf runtime imports, or the wire-compatible shim
+    (:mod:`.state_message_shim`) installs successfully."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from .state_message_shim import ensure_installed
 
+        ensure_installed()
         return True
-    except ImportError:
+    except Exception:  # noqa: BLE001 - any failure means "not available"
         return False
 
 
