@@ -112,8 +112,10 @@ def test_multimodal_plumbing_roundtrip(docs):
     assert feats[0].digest == feats[3].digest != feats[2].digest
 
 
-def test_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_rejects_unsupported_magic():
+    # PNG is deliberately unsupported (compressed codecs are out of scope);
+    # the ValueError is what operators/multimodal.py maps to dead-letter rows.
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG...")
 
 
