@@ -938,9 +938,12 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "TPC-H Q10 shape: who returned the most revenue. lineitem filters "
-        "to returnflag='R' before the orderkey join (pushdown), nation is a "
-        "broadcast dim, and the top-20 runs as TakeOrderedAndProject with "
-        "c_custkey as the deterministic tiebreak."
+        "to returnflag='R' before the orderkey join (pushdown), revenue is "
+        "pre-aggregated by o_custkey BEFORE the customer join (the narrow "
+        "custkey/revenue pairs — not fat joined rows — are what shuffles "
+        "into the dimension join; c_custkey is a PK so the grouping is "
+        "equivalent), nation is a broadcast dim, and the top-20 runs as "
+        "TakeOrderedAndProject with c_custkey as the deterministic tiebreak."
     ),
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,12 +955,15 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
+    rev_by_cust = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
         .agg(dsum(rev, "revenue"))
+    )
+    return (
+        rev_by_cust.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

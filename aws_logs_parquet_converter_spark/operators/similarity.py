@@ -261,20 +261,28 @@ def _hyperplanes() -> list[list[list[float]]]:
 _TABLES = _hyperplanes()
 
 
-def rp_bucket(vec: Column, table: int = 0) -> Column:
+def rp_bucket(vec_col: str, table: int = 0) -> Column:
     """LSH bucket id for one table: sign bit of the vector against each ±1
     hyperplane. Each plane dot is a row-level zip_with/aggregate against a
     LITERAL array (evaluated once per row) — sequential double arithmetic,
-    bit-identical to the oracle's list_dot_product."""
-    bits = []
+    bit-identical to the oracle's list_dot_product.
+
+    Built as ONE ``F.expr`` string per table: composing the 8 planes × 64
+    literals out of per-element ``F.lit`` Columns costs ~4k py4j round
+    trips, which measured ~4 s of driver-side plan-BUILD time per
+    DataFrame construction (execution was never affected — the JVM plan is
+    identical). A single SQL parse is milliseconds. Takes the column NAME
+    since the expression is rendered in SQL."""
+    terms = []
     for j, plane in enumerate(_TABLES[table]):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        d = dot(vec, lit_plane)
-        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+        arr = "array(" + ", ".join(f"{x:.1f}D" for x in plane) + ")"
+        d = (
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("CAST((" + " + ".join(terms) + ") AS INT)")
 
 
 def _sql_rp_bucket(vec_expr: str, table: int = 0) -> str:
@@ -311,7 +319,7 @@ def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
     buckets = base.select(
         "vec_id",
         F.posexplode(
-            F.array(*[rp_bucket(F.col("embedding"), t) for t in range(N_TABLES)])
+            F.array(*[rp_bucket("embedding", t) for t in range(N_TABLES)])
         ).alias("tbl", "bucket"),
     )
     a = buckets.alias("a")
