@@ -199,3 +199,125 @@ def connected_components_star(
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
     )
     return labels.unionByName(roots)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the dup-pair graph
+# ---------------------------------------------------------------------------
+
+#: Rank unit: ranks are carried as integers in units of 1e-12 so every
+#: iteration is EXACT (bigint sums are order-free; double sums would drift
+#: with partition order and flip low bits between engines). Contributions
+#: use floor integer division r DIV deg — deterministic in both engines.
+PR_SCALE = 1_000_000_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_BASE = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # 0.15
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    n_iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph.
+
+    The web-corpus curation signal (quality ∝ link centrality) run over
+    the near-dup graph: heavily-duplicated template families concentrate
+    rank mass at their hubs. Per iteration: one broadcast-free equi-join
+    (edges x ranks on the source node — both sides shuffle-partitioned by
+    node id, and AQE reuses the edge exchange across iterations), one
+    hash aggregate (map-side partial sums of bigint contributions), and a
+    left join back onto the node set for dangling-free rebasing.
+    ``localCheckpoint`` truncates lineage per iteration (same skeleton as
+    :func:`connected_components`). Nodes = nodes appearing in ``edges``;
+    every node of the symmetrized graph has degree >= 1, so there are no
+    dangling nodes by construction. Init rank = 1.0 per node (fixed
+    iteration count, not run to convergence — the contract is N exact
+    Jacobi steps, same as the oracle's unrolled CTEs).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    ranks = deg.select(F.col("a").alias("node"), F.lit(PR_SCALE).alias("r"))
+    for _ in range(n_iters):
+        contrib = (
+            und.join(deg, "a")
+            .join(ranks, und["a"] == ranks["node"])
+            .select(F.col("b").alias("node"), F.expr("r DIV deg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            deg.select(F.col("a").alias("node"))
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT))) DIV {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("pr_e12"))
+
+
+def _pagerank_oracle(n_iters: int = 3) -> str:
+    from .dedup import _SQL_BANDS, _SQL_CAND, _SQL_SHINGLES, _SQL_SIG
+
+    steps = []
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        steps.append(
+            f"""c{i} AS (
+              SELECT u.b AS node, CAST(SUM({prev}.r // d.deg) AS BIGINT) AS s
+              FROM und u JOIN {prev} ON {prev}.node = u.a
+                         JOIN deg d ON d.node = u.a
+              GROUP BY u.b),
+            r{i} AS (
+              SELECT d.node,
+                     {PR_BASE} + ({PR_DAMP_NUM} * COALESCE(c{i}.s, 0)) // {PR_DAMP_DEN} AS r
+              FROM deg d LEFT JOIN c{i} ON c{i}.node = d.node)"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",".join([_SQL_SHINGLES, _SQL_SIG, _SQL_BANDS, _SQL_CAND])
+        + """,
+        und AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+        deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+        r0 AS (SELECT node, CAST("""
+        + str(PR_SCALE)
+        + """ AS BIGINT) AS r FROM deg),
+        """
+        + ",".join(steps)
+        + f"""
+        SELECT node, CAST(r AS BIGINT) AS pr_e12 FROM {prev}
+        """
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "3-iteration exact-integer PageRank over the MinHash-LSH dup-pair "
+        "graph — the link-centrality quality signal for corpus curation; "
+        "Spark iterative joins with localCheckpoint vs unrolled CTEs in "
+        "the oracle."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    return pagerank(pairs)

@@ -708,3 +708,240 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFra
 )
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(load_table(spark, sf_dir, "embeddings"), k=4, n_iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+M_SUB = 8  # subspaces
+SUB_DIM = DIM // M_SUB
+#: ADC lookup-table values are integer-scaled so the per-candidate score is
+#: an EXACT bigint sum (order-free) — a double SUM over 8 float lookups would
+#: ULP-drift between engines/partitionings and flip tie-adjacent ranks.
+PQ_SCALE = 1e7
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """Per-subspace codebooks: (m, cluster, c_sub, half_n).
+
+    Codewords are the label-centroid SLICES — a deterministic, oracle-able
+    stand-in for per-subspace k-means (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11 trains codebooks per subspace;
+    swap :func:`kmeans_train` per subspace in for trained codebooks — the
+    encode/ADC machinery below is independent of codeword training). The
+    whole codebook is |labels| x M_SUB rows and broadcasts everywhere.
+    """
+    cents = label_centroids(embeddings).select(
+        F.col("label").alias("cluster"), "centroid"
+    )
+    parts = []
+    for m in range(M_SUB):
+        c_sub = F.slice("centroid", m * SUB_DIM + 1, SUB_DIM)
+        parts.append(
+            cents.select(
+                F.lit(m).alias("m"),
+                "cluster",
+                c_sub.alias("c_sub"),
+                (F.lit(0.5) * dot(c_sub, c_sub)).alias("half_n"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _subvectors(embeddings: DataFrame, id_alias: str) -> DataFrame:
+    """(id, m, sub_vec): each vector split into M_SUB contiguous slices.
+
+    posexplode of an array-of-slices: 8 narrow rows of 8 doubles per
+    vector — NOT a cross join carrying the full 64-dim array into every
+    subspace row (8x the byte volume for the same information).
+    """
+    emb = F.col("embedding").cast("array<double>")
+    subs = F.array(*[F.slice(emb, m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)])
+    return embeddings.select(
+        F.col("vec_id").alias(id_alias), F.posexplode(subs).alias("m", "sub_vec")
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest codeword per subspace.
+
+    argmin L2 == argmax(v_m . c - |c|^2/2) with half-norms precomputed in
+    the codebook (same identity as sim_ivf_assign). One broadcast join +
+    one hash aggregate (max_by, map-side partial) — the corpus never
+    shuffles. The output is the PQ INDEX: 8 small ints (~8 bytes) per
+    vector replacing 64 floats, a 32x shrink; raw vectors never appear in
+    the ADC scan path again.
+    """
+    sub = _subvectors(spread_input(embeddings), "vec_id")
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        "cluster",
+        (dot(F.col("sub_vec"), F.col("c_sub")) - F.col("half_n")).alias("score"),
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias("code")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5, shortlist: int = 100
+) -> DataFrame:
+    """ADC shortlist + exact re-rank: the IVFADC retrieval pattern.
+
+    Stage 1 (ADC scan): per query, the lookup table
+    val[m][cluster] = q_m . c - |c|^2/2 is |codebook| rows
+    (integer-scaled) and broadcasts; the scan joins the CODES table
+    against it (m, code) -> per-subspace partial scores, summed exactly
+    per (query, vec). Shuffle: only (query_id, vec_id, partial-sum)
+    triples after map-side combine — independent of dimensionality. That
+    is the PQ deal: M lookups per candidate instead of DIM multiplies,
+    over an index 32x smaller than the raw vectors.
+
+    Stage 2 (re-rank): the ADC top-``shortlist`` per query (a tiny
+    queries x shortlist id set) broadcasts back against the corpus for
+    EXACT cosine on just those rows — the standard recall repair for
+    coarse codebooks (Jégou et al. §IV: ADC orders a candidate list,
+    exact distances re-rank it). Direct ADC@5 measured 0.175 recall with
+    the 10-codeword label codebooks; exact re-rank lifts it with
+    shortlist depth (50: 0.60, 75: 0.73, 100: 0.75, 150: 0.83 measured
+    at sf0.01) — floor pinned in tests/test_similarity_recall.py. At
+    production scale the lever is codebook SIZE (256 k-means codewords
+    per subspace, not 10 label slices), which shrinks the needed
+    shortlist to a constant.
+    """
+    cb = pq_codebook(embeddings)
+    codes = pq_encode(embeddings, cb)
+    q = _subvectors(embeddings.where(F.col("vec_id") < n_queries), "query_id")
+    lut = q.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "cluster",
+        F.round((dot(F.col("sub_vec"), F.col("c_sub")) - F.col("half_n")) * PQ_SCALE)
+        .cast("bigint")
+        .alias("val"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["cluster"]),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("val").alias("score"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qv = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
+    )
+    nb = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("e_vec"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("e_nrm"),
+    )
+    rer = (
+        F.broadcast(short.join(qv, "query_id"))
+        .join(nb, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("q_vec"), F.col("e_vec"))
+                / (F.col("q_nrm") * F.col("e_nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rn")
+    )
+
+
+def _pq_adc_oracle(n_queries: int = 8, k: int = 5, shortlist: int = 100) -> str:
+    ms = f"(SELECT unnest(range(0, {M_SUB})) AS m) ms"
+    return f"""
+    WITH {_CENTROID_CTE},
+    sub AS (
+      SELECT ms.m, c.cluster,
+             list_slice(c.centroid, ms.m*{SUB_DIM}+1, (ms.m+1)*{SUB_DIM}) AS c_sub
+      FROM cent c CROSS JOIN {ms}),
+    sub2 AS (SELECT m, cluster, c_sub,
+                    0.5 * list_dot_product(c_sub, c_sub) AS half_n FROM sub),
+    esub AS (
+      SELECT e.vec_id, ms.m,
+             list_slice(CAST(e.embedding AS DOUBLE[]),
+                        ms.m*{SUB_DIM}+1, (ms.m+1)*{SUB_DIM}) AS sub_vec
+      FROM embeddings e CROSS JOIN {ms}),
+    enc0 AS (
+      SELECT s.vec_id, s.m, c.cluster,
+             list_dot_product(s.sub_vec, c.c_sub) - c.half_n AS score
+      FROM esub s JOIN sub2 c ON c.m = s.m),
+    enc AS (
+      SELECT vec_id, m, cluster AS code FROM (
+        SELECT vec_id, m, cluster,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY score DESC, cluster) AS rn
+        FROM enc0) WHERE rn = 1),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.cluster,
+             CAST(round((list_dot_product(s.sub_vec, c.c_sub) - c.half_n)
+                        * {PQ_SCALE:.0f}) AS BIGINT) AS val
+      FROM esub s JOIN sub2 c ON c.m = s.m
+      WHERE s.vec_id < {n_queries}),
+    scored AS (
+      SELECT l.query_id, e.vec_id, CAST(SUM(l.val) AS BIGINT) AS score
+      FROM enc e JOIN lut l ON l.m = e.m AND l.cluster = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS srn
+        FROM scored) WHERE srn <= {shortlist}),
+    qv AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                  sqrt(list_dot_product(embedding, embedding)) AS q_nrm
+           FROM embeddings WHERE vec_id < {n_queries}),
+    nb AS (SELECT vec_id, embedding AS e_emb,
+                  sqrt(list_dot_product(embedding, embedding)) AS e_nrm
+           FROM embeddings),
+    rer AS (
+      SELECT s.query_id, s.vec_id,
+             list_dot_product(q.q_emb, n.e_emb) / (q.q_nrm * n.e_nrm) AS cos
+      FROM short s JOIN qv q ON q.query_id = s.query_id
+                   JOIN nb n ON n.vec_id = s.vec_id)
+    SELECT query_id, neighbor_id, rn FROM (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+      FROM rer) WHERE rn <= {k}
+    """
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=_pq_adc_oracle(),
+    doc=(
+        "Product-quantization ANN (IVFADC pattern): per-subspace "
+        "codebooks (label-centroid slices, 8 subspaces x 8 dims), corpus "
+        "encoded to 8 codes/vector (32x index shrink), ADC scan via "
+        "broadcast integer lookup tables produces a 100-deep shortlist — "
+        "codes only, never raw vectors — then exact cosine re-ranks just "
+        "the shortlist."
+    ),
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))

@@ -379,3 +379,122 @@ def text_extract_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(t, F.lit(r"[0-9]{4}-[0-9]{2}-[0-9]{2}"), 0).alias("iso_dates"),
         F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+(\.[0-9]+)?"), 0)).alias("n_numbers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (RAG / context-window packing prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+from ..functions.text import sql_tokens, tokens  # noqa: E402
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, 1 + (greatest(n - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE})) AS chunk_id
+          FROM nn)
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id*{CHUNK_STRIDE}+1,
+                               chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS})) AS INTEGER) AS n_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id*{CHUNK_STRIDE}+1,
+                                          chunk_id*{CHUNK_STRIDE}+{CHUNK_TOKENS}), ' ')) AS chunk_md5
+    FROM c
+    """,
+    doc=(
+        "Sliding-window chunking: 32-token chunks, stride 24 (8-token "
+        "overlap) — the RAG-indexing / context-packing prep step. "
+        "sequence+explode per row, slice per chunk: fully narrow, zero "
+        "shuffles, no Python; chunk count per doc is "
+        "1 + ceil(max(n-32,0)/24) so every token lands in >=1 chunk and "
+        "the final partial chunk is kept. Chunks surface as md5 + token "
+        "count (compact, hashable contract; the text itself would bloat "
+        "the comparison without adding coverage)."
+    ),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    last_chunk = F.expr(
+        f"(greatest(size(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE}"
+    )
+    piece = F.expr(f"slice(toks, chunk_id*{CHUNK_STRIDE}+1, {CHUNK_TOKENS})")
+    return (
+        base.select(
+            "doc_id", "toks", F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(piece).alias("n_tokens"),
+            F.md5(F.array_join(piece, " ").cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# GPT-2-style pre-tokenizer piece statistics
+# ---------------------------------------------------------------------------
+
+# The GPT-2/tiktoken pre-tokenizer split, minus the \s+(?!\S) lookahead
+# (RE2 — the oracle's engine — has no lookahead; for piece COUNTING the
+# simplified trailing-whitespace handling is equivalent on all inputs
+# without a trailing-space/letter boundary corner). ASCII classes instead
+# of \p{L}/\p{N}: identical in Java regex and RE2.
+_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@register(
+    "text_pretokenize",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{_PRETOKEN.replace("'", "''")}') AS pieces,
+             len(regexp_extract_all(text, '\\S+')) AS n_words
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(pieces) AS INTEGER) AS n_pieces,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?[A-Za-z]+$'))) AS INTEGER) AS n_word_pieces,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_number_pieces,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^'''))) AS INTEGER) AS n_contraction_pieces,
+           CAST(CASE WHEN n_words > 0
+                THEN CAST(len(pieces) AS DOUBLE) / n_words ELSE NULL END AS DOUBLE) AS fertility
+    FROM p
+    """,
+    doc=(
+        "Token-budget estimation with the GPT-2 pre-tokenizer split "
+        "(contractions / space-prefixed letter runs / digit runs / "
+        "punctuation runs / whitespace): piece counts by class plus "
+        "fertility = pieces per whitespace word — the cost model for "
+        "context-window packing and per-doc pricing. One "
+        "regexp_extract_all per row in codegen; class counts are "
+        "filter-lambdas over the piece array (no re-scan of the text)."
+    ),
+)
+def text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN), 0)
+    n_words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    base = d.select("doc_id", pieces.alias("pieces"), n_words.alias("n_words"))
+
+    def n_class(pat: str) -> Column:
+        return F.size(F.filter(F.col("pieces"), lambda x: x.rlike(pat)))
+
+    return base.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        n_class("^ ?[A-Za-z]+$").alias("n_word_pieces"),
+        n_class("^ ?[0-9]+$").alias("n_number_pieces"),
+        n_class("^'").alias("n_contraction_pieces"),
+        F.when(
+            F.col("n_words") > 0,
+            F.size("pieces").cast("double") / F.col("n_words"),
+        ).alias("fertility"),
+    )

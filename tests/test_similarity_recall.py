@@ -92,3 +92,46 @@ def test_midband_recall_window(spark):
     # every returned pair must be a TRUE pair: the exact-confirm stage
     # guarantees precision 1.0 regardless of banding
     assert got <= truth
+
+
+def test_pq_adc_recall_floor(spark):
+    """PQ-ADC top-5 vs exact brute-force top-5 for the same queries.
+
+    Quantization loses information by design; the pin is that the PQ
+    ranking still recovers a substantial share of the true neighbors
+    (and deterministically — the parity suite pins exactness of the
+    ranking itself, this pins retrieval QUALITY against the exact path).
+    """
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+    )
+
+    em = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(em, em.where(F.col("vec_id") < 8), k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in pq_adc_topk(em, n_queries=8, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ-ADC recall@5 degraded: {recall:.3f}"
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a star graph must out-rank every leaf; ranks are exact ints."""
+    from aws_logs_parquet_converter_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "doc_a bigint, doc_b bigint"
+    )
+    ranks = {r.node: r.pr_e12 for r in pagerank(edges, n_iters=3).collect()}
+    assert set(ranks) == set(range(9))
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 9)]
+    assert len(set(leaves)) == 1  # symmetry: all leaves identical (exact ints)
+    assert hub > leaves[0] * 3  # 8 contributions vs 1/8th of the hub's
+    assert all(isinstance(v, int) for v in ranks.values())
+    # re-run is bit-identical (integer arithmetic end-to-end)
+    again = {r.node: r.pr_e12 for r in pagerank(edges, n_iters=3).collect()}
+    assert again == ranks
