@@ -498,3 +498,93 @@ def text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("pieces").cast("double") / F.col("n_words"),
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (BM25-family scoring, deterministic rational idf)
+# ---------------------------------------------------------------------------
+
+_LEX_TERMS = ("vector", "join", "stream")
+_LEX_K1, _LEX_B = 1.2, 0.75
+
+
+@register(
+    "text_lexical_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(len(toks)) AS DOUBLE) AS sum_len,
+                 {', '.join(f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i, t in enumerate(_LEX_TERMS))}
+          FROM d),
+    scored AS (
+      SELECT d.doc_id,
+             ({' + '.join(
+                f"((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+                f" * (CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE) * ({_LEX_K1} + 1))"
+                f" / (CAST(len(list_filter(d.toks, x -> x = '{t}')) AS DOUBLE)"
+                f"    + {_LEX_K1} * (1 - {_LEX_B} + {_LEX_B} * CAST(len(d.toks) AS DOUBLE) / (s.sum_len / s.n_docs)))"
+                for i, t in enumerate(_LEX_TERMS))}) AS score
+      FROM d CROSS JOIN s)
+    SELECT doc_id, rn FROM (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rn
+      FROM scored) WHERE rn <= 20
+    """,
+    doc=(
+        "Lexical retrieval: BM25-shaped scoring (k1=1.2, b=0.75, doc-length "
+        "normalization vs corpus avgdl) for a fixed query-term set, top-20 "
+        "by score. idf is the RATIONAL Robertson form (N-df+0.5)/(df+0.5) "
+        "WITHOUT the log: ln() is not IEEE-specified and differs in the "
+        "last ulp between the JVM and DuckDB's libm, which would flip "
+        "tie-adjacent ranks; +,-,*,/ are exactly specified, so the whole "
+        "score is bit-identical cross-engine. One corpus pass computes "
+        "(N, avgdl, per-term df) in a single 1-row aggregate that "
+        "broadcasts back over the corpus; per-doc term frequencies are "
+        "array filters in codegen. At scale the stats row is metadata and "
+        "the scan is one narrow pass — the classic two-phase "
+        "collect-statistics-then-score retrieval plan."
+    ),
+)
+def text_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_len"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int")).cast("double").alias(f"df{i}")
+            for i, t in enumerate(_LEX_TERMS)
+        ],
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    dl = F.size("toks").cast("double")
+    avgdl = F.col("sum_len") / F.col("n_docs")
+    def _tf(term: str) -> Column:
+        # NB: one-arg lambda only — F.filter treats a two-arg lambda as
+        # (element, index), so a `t=t` capture default would be shadowed
+        # by the index column.
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term))).cast(
+            "double"
+        )
+
+    score = None
+    for i, t in enumerate(_LEX_TERMS):
+        tf = _tf(t)
+        idf = (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        term = (
+            idf
+            * (tf * F.lit(_LEX_K1 + 1))
+            / (tf + F.lit(_LEX_K1) * (F.lit(1 - _LEX_B) + F.lit(_LEX_B) * dl / avgdl))
+        )
+        score = term if score is None else score + term
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.select("doc_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "rn")
+    )

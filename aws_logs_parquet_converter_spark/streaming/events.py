@@ -408,6 +408,21 @@ def _register_gate_queries() -> None:
         "made exactly-once with watermark-bounded dedup state.",
     )(stream_dedup_events)
 
+    register(
+        "stream_upsert_merge",
+        oracle="""
+        SELECT event_id, user_id, event_type, value, props,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS day
+        FROM events
+        """,
+        doc="Structured Streaming gate: foreachBatch CDC merge — the "
+        "events stream upserted (keyed on event_id, partition-scoped "
+        "dynamic overwrite) into a day-partitioned parquet table seeded "
+        "with stale rows; final table == the batch events table exactly "
+        "once (updates + inserts both exercised).",
+    )(stream_upsert_merge)
+
     if tws_available():
         # Registered wherever the TWS worker protocol can run: with a real
         # protobuf runtime, or via the wire-compatible shim
@@ -715,4 +730,71 @@ def stream_tws_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch CDC merge sink (stream -> partition-scoped parquet upsert)
+# ---------------------------------------------------------------------------
+
+
+def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-to-data-lake gate: the events stream applied to a day-partitioned
+    parquet table through ``foreachBatch`` + partition-scoped upsert
+    (plans/upsert.py) — the streaming MERGE pattern for plain parquet.
+
+    Setup seeds the destination with STALE copies of the even-id half of
+    the table (event_type poisoned), so the drained stream must both
+    UPDATE every seeded row and INSERT the odd-id half; the final table
+    must equal the batch events table exactly once. Each micro-batch is an
+    idempotent partition-scoped merge keyed on event_id: batch replay
+    rewrites the same partitions to the same bytes, and batches touch
+    disjoint event sets, so the result is independent of micro-batch
+    boundaries. At scale this is the canonical "CDC feed into a
+    non-transactional lake" shape: per batch, work is proportional to
+    touched partitions, and the key anti-join broadcasts the (small)
+    change set — event volume never rewrites cold partitions.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..plans.upsert import upsert_partitioned
+
+    dest = tempfile.mkdtemp(prefix="stream_merge_dest_")
+    day = F.date_format("ts", "yyyyMMdd").cast("int")  # int day: partition
+    # type inference on re-read yields int, keeping the merge union typed
+    batch = load_table(spark, sf_dir, "events")
+    (
+        batch.where(F.col("event_id") % 2 == 0)
+        .withColumn("event_type", F.lit("__stale__"))
+        .withColumn("day", day)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(dest)
+    )
+
+    def _merge(bdf: DataFrame, batch_id: int) -> None:
+        changes = bdf.withColumn(
+            "day", F.date_format("ts", "yyyyMMdd").cast("int")
+        )
+        upsert_partitioned(bdf.sparkSession, dest, changes, ["event_id"], "day")
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_gate_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "day",
     )

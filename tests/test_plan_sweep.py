@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
     "sim_topk_ivf_label": "small query set, label-pruned corpus",
     "mm_resize": "policy constants cross join (1 row)",
+    "text_lexical_topk": "one-row corpus stats (N, avgdl, per-term df) broadcast",
 }
 
 
