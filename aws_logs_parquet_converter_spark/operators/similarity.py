@@ -322,6 +322,14 @@ def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
             F.array(*[rp_bucket("embedding", t) for t in range(N_TABLES)])
         ).alias("tbl", "bucket"),
     )
+    # The self-join below computes `buckets` TWICE (plan audit: 2 Generate,
+    # 4 FileScan, 0 ReusedExchange). Measured at sf0.1, both single-compute
+    # alternatives LOSE to the recompute: .cache() 1.65 s and an explicit
+    # repartition("tbl","bucket") 2.28 s vs 1.44 s plain — the projection is
+    # map-side work that pipelines for free, while a cache inserts a
+    # materialization barrier and an extra exchange isn't reused. Revisit
+    # only if the plane count grows enough that projection cost rivals the
+    # candidate join (then cache the 12-byte/row bucket frame).
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -588,3 +588,76 @@ def text_lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZES = (8, 16, 24)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({sql_tokens('text')}) AS tok FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             SUM(n) OVER () AS total_n
+      FROM tf)
+    SELECT CAST(v.v AS INTEGER) AS vocab_size,
+           CAST(r.cum_n AS BIGINT) AS covered_tokens,
+           CAST(r.total_n AS BIGINT) AS total_tokens,
+           CAST(r.cum_n AS DOUBLE) / r.total_n AS coverage
+    FROM (SELECT unnest([{', '.join(str(v) for v in _VOCAB_SIZES)}]) AS v) v
+    JOIN ranked r ON r.rnk = v.v
+    """,
+    doc=(
+        "Vocabulary coverage curve: for top-V corpus vocabularies "
+        f"(V in {_VOCAB_SIZES}) the exact fraction of all token "
+        "occurrences covered — the tokenizer-vocab sizing / OOV-rate "
+        "curve. One explode + one hash aggregate builds the term-frequency "
+        "table (map-side combine: shuffle is |vocab|-sized, not "
+        "corpus-sized), then a single-partition window over the TINY "
+        "vocab table ranks and cumulates. Exact integer counts; the "
+        "coverage division is IEEE-exact cross-engine."
+    ),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = tf.select(
+        "tok",
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+        F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_n"),
+    )
+    sizes = F.explode(F.array(*[F.lit(v) for v in _VOCAB_SIZES])).alias("vocab_size")
+    vs = spark.range(1).select(sizes)
+    return (
+        F.broadcast(vs)
+        .join(ranked, vs["vocab_size"] == ranked["rnk"])
+        .select(
+            F.col("vocab_size").cast("int").alias("vocab_size"),
+            F.col("cum_n").alias("covered_tokens"),
+            F.col("total_n").alias("total_tokens"),
+            (F.col("cum_n").cast("double") / F.col("total_n")).alias("coverage"),
+        )
+    )

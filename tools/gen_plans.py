@@ -26,6 +26,8 @@ PICKS = {
     "text_repetition": "per-row array fold — zero hash-partition exchanges",
     "q_range_join_banded": "non-equi band predicate as a quantized-band HASH join — no BroadcastNestedLoopJoin",
     "q_window_range_frame_scalable": "sliding RANGE frame as difference of two growing frames — incremental, no per-row frame recompute",
+    "q10_returned_revenue": "revenue pre-aggregated by custkey BEFORE the customer join — narrow (key, sum) pairs shuffle into the dim join, not fat joined rows (r3 rewrite, 2x)",
+    "sim_ann_pq_adc": "PQ/ADC: the scan ranks CODES against broadcast integer lookup tables; raw vectors appear only in the shortlist re-rank",
     "log_compaction: parse path": None,
 }
 
