@@ -561,3 +561,206 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = write_audio_fixtures(tempfile.mkdtemp(prefix="spark_graft_audio_"))
     return audio_feature_extract(spark.read.format("binaryFile").load(root))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection over REAL decoded images
+# ---------------------------------------------------------------------------
+
+# Average-hash (aHash) near-dup: decode -> 8x8 block-average grayscale grid ->
+# 64 threshold bits carried as FOUR 16-bit band ints (no 64-bit sign
+# gymnastics; the bands double as the LSH blocking keys) -> band-bucket
+# candidate join -> Hamming confirm. Same fixture-with-arithmetic-oracle
+# pattern as mm_decode_stats: rasters are pure formulas, so the expected
+# pair set is computable WITHOUT the codec, while the Spark side must
+# survive encode -> file -> binaryFile -> Arrow decode -> hash to match it.
+AH_GRID = 8
+AH_MAX_HAMMING = 6
+ND_SIZE = 32  # 32x32 px -> 4x4-px blocks
+N_ND_BASES = 6
+
+
+def _nd_base_pixels(i: int) -> bytearray:
+    w = h = ND_SIZE
+    out = bytearray(w * h * 3)
+    k = 0
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                out[k] = (7 * x * x + 13 * y + 37 * i + 89 * c + (x * y) % 31) % 256
+                k += 1
+    return out
+
+
+def _nd_specs() -> list[tuple[str, str, bytes]]:
+    """(filename, format, rgb): bases + light variants (near-dups of their
+    base, a few pixels nudged) + one heavy variant (bottom half inverted —
+    must NOT pair)."""
+    specs: list[tuple[str, str, bytes]] = []
+    for i in range(N_ND_BASES):
+        specs.append((f"nd_{i}_base.ppm", "ppm", bytes(_nd_base_pixels(i))))
+    for i in range(3):  # light variants, cross-format (bmp vs ppm base)
+        rgb = _nd_base_pixels(i)
+        for k in range(0, 3 * 2 * ND_SIZE):  # first two pixel rows, +2 clamp
+            rgb[k] = min(255, rgb[k] + 2)
+        specs.append((f"nd_{i}_light.bmp", "bmp", bytes(rgb)))
+    rgb = _nd_base_pixels(3)
+    half = len(rgb) // 2
+    for k in range(half, len(rgb)):  # heavy: invert bottom half
+        rgb[k] = 255 - rgb[k]
+    specs.append(("nd_3_heavy.bmp", "bmp", bytes(rgb)))
+    return specs
+
+
+def _ahash_bands(rgb: bytes, w: int = ND_SIZE, h: int = ND_SIZE) -> tuple[int, ...]:
+    """4 x 16-bit aHash bands from an RGB raster — EXACT integer arithmetic
+    (gray = r+g+b, block sums, strict 64*block > total threshold), so both
+    the formula-side oracle and the decode-side hash are bit-stable."""
+    bw, bh = w // AH_GRID, h // AH_GRID
+    sums = [0] * (AH_GRID * AH_GRID)
+    for y in range(h):
+        for x in range(w):
+            k = 3 * (y * w + x)
+            g = rgb[k] + rgb[k + 1] + rgb[k + 2]
+            sums[(y // bh) * AH_GRID + (x // bw)] += g
+    total = sum(sums)
+    bits = [1 if len(sums) * s > total else 0 for s in sums]
+    bands = []
+    for b in range(4):
+        v = 0
+        for j in range(16):
+            v |= bits[b * 16 + j] << j
+        bands.append(v)
+    return tuple(bands)
+
+
+def _nd_expected_pairs() -> list[tuple[str, str, int]]:
+    hashes = {name: _ahash_bands(rgb) for name, _, rgb in _nd_specs()}
+    names = sorted(hashes)
+    pairs = []
+    for ia, a in enumerate(names):
+        for b in names[ia + 1 :]:
+            ha, hb = hashes[a], hashes[b]
+            if not any(x == y for x, y in zip(ha, hb)):
+                continue  # no shared band bucket -> never a candidate
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(ha, hb))
+            if ham <= AH_MAX_HAMMING:
+                pairs.append((a, b, ham))
+    return pairs
+
+
+def write_neardup_image_fixtures(root: str) -> str:
+    import os
+
+    from ..functions.imagecodec import encode_bmp, encode_ppm
+
+    for name, fmt, rgb in _nd_specs():
+        payload = (
+            encode_bmp(ND_SIZE, ND_SIZE, rgb)
+            if fmt == "bmp"
+            else encode_ppm(ND_SIZE, ND_SIZE, rgb)
+        )
+        with open(os.path.join(root, name), "wb") as fh:
+            fh.write(payload)
+    return root
+
+
+def image_ahash(images: DataFrame) -> DataFrame:
+    """(name, b0..b3): average-hash bands from a binaryFile scan, decoded
+    and hashed inside Arrow-batched mapInPandas (numpy block pooling — no
+    per-pixel Python loop). Undecodable payloads are dropped here (the
+    dead-letter contract lives in decode_image_stats; a near-dup miner
+    only consumes decodable members)."""
+    import os
+
+    import numpy as np
+
+    schema = "name string, b0 int, b1 int, b2 int, b3 int"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import decode_image as _dec
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    _, w, h, rgb = _dec(bytes(content))
+                except ValueError:
+                    continue
+                if w % AH_GRID or h % AH_GRID:
+                    continue  # hash contract: grid-divisible geometry
+                a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                gray = a.reshape(h, w, 3).sum(axis=2)
+                bw, bh = w // AH_GRID, h // AH_GRID
+                blocks = gray.reshape(AH_GRID, bh, AH_GRID, bw).sum(axis=(1, 3))
+                flat = blocks.ravel()
+                bits = (flat.size * flat > flat.sum()).astype(np.int64)
+                bands = [
+                    int((bits[b * 16 : (b + 1) * 16] << np.arange(16)).sum())
+                    for b in range(4)
+                ]
+                rows.append([os.path.basename(path), *bands])
+            yield pd.DataFrame(rows, columns=["name", "b0", "b1", "b2", "b3"])
+
+    return images.select("path", "content").mapInPandas(_hash, schema)
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = AH_MAX_HAMMING) -> DataFrame:
+    """Banded near-dup join over aHash bands: candidates = pairs sharing ANY
+    16-bit band bucket (the same OR-amplified equi-join shape as
+    dedup_simhash — pigeonhole guarantees Hamming <= 3 pairs always share
+    one of 4 bands; beyond that recall is probabilistic), then an exact
+    Hamming confirm via bit_count(xor) on the band ints. Shuffle carries
+    (name, band) pairs only; rasters never leave the hash stage."""
+    bands = hashes.select(
+        "name",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("img_a"), F.col("b.name").alias("img_b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("name").alias("img_a"), *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)])
+    hb = hashes.select(F.col("name").alias("img_b"), *[F.col(f"b{i}").alias(f"bb{i}") for i in range(4)])
+    ham = sum(F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}"))) for i in range(4))
+    return (
+        cand.join(ha, "img_a")
+        .join(hb, "img_b")
+        .select("img_a", "img_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _nd_values_cte() -> str:
+    rows = _nd_expected_pairs()
+    return ",\n      ".join(
+        f"('{a}', '{b}', {h})" for a, b, h in rows
+    )
+
+
+@register(
+    "mm_image_near_dup",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      {_nd_values_cte()})
+      AS t(img_a, img_b, hamming)
+    """,
+    doc="Perceptual near-dup detection over REAL decoded images: formula-"
+    "generated PPM/BMP fixtures (3 light variants that must pair with "
+    "their bases cross-format, 1 heavy variant that must not) are "
+    "encoded to files, binaryFile-scanned, aHash-ed in Arrow-batched "
+    "mapInPandas, band-bucket joined, Hamming-confirmed. The oracle "
+    "states the expected pair set from the pixel formulas alone.",
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    root = write_neardup_image_fixtures(tempfile.mkdtemp(prefix="spark_graft_nd_"))
+    return image_near_dup_pairs(image_ahash(spark.read.format("binaryFile").load(root)))

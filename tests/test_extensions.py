@@ -320,3 +320,19 @@ def test_star_components_match_propagation_and_handle_long_chains(spark):
     labels = connected_components_star(chain, max_rounds=12).collect()
     assert len(labels) == 120
     assert {r.label for r in labels} == {0}
+
+
+def test_image_near_dup_semantics(spark):
+    """Planted light variants pair with their bases (cross-format: ppm base
+    vs bmp variant); the heavy (half-inverted) variant pairs with nothing."""
+    from aws_logs_parquet_converter_spark.operators.multimodal import (
+        mm_image_near_dup,
+    )
+
+    pairs = {(r.img_a, r.img_b) for r in mm_image_near_dup(spark, "").collect()}
+    assert pairs == {
+        ("nd_0_base.ppm", "nd_0_light.bmp"),
+        ("nd_1_base.ppm", "nd_1_light.bmp"),
+        ("nd_2_base.ppm", "nd_2_light.bmp"),
+    }
+    assert not any("heavy" in a or "heavy" in b for a, b in pairs)
