@@ -1465,3 +1465,33 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 8).alias("share"),
     )
+
+
+@register(
+    "q_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Spark 4 SQL pipe syntax (|> WHERE / |> AGGREGATE ... GROUP BY): "
+        "the linear dataflow dialect parses to exactly the classic "
+        "filter->aggregate plan (same Catalyst tree, same pushdown), so "
+        "the plain-SQL oracle applies unchanged — pinned here so the "
+        "engine's SQL surface provably includes the pipe dialect."
+    ),
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |> AGGREGATE COUNT(*) AS n_items,
+                     {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+           GROUP BY l_returnflag
+        """
+    )
