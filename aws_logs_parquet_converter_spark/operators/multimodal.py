@@ -705,7 +705,7 @@ def image_ahash(images: DataFrame) -> DataFrame:
     return images.select("path", "content").mapInPandas(_hash, schema)
 
 
-def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = AH_MAX_HAMMING) -> DataFrame:
+def band_near_dup_pairs(hashes: DataFrame, max_hamming: int = AH_MAX_HAMMING) -> DataFrame:
     """Banded near-dup join over aHash bands: candidates = pairs sharing ANY
     16-bit band bucket (the same OR-amplified equi-join shape as
     dedup_simhash — pigeonhole guarantees Hamming <= 3 pairs always share
@@ -763,4 +763,157 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     root = write_neardup_image_fixtures(tempfile.mkdtemp(prefix="spark_graft_nd_"))
-    return image_near_dup_pairs(image_ahash(spark.read.format("binaryFile").load(root)))
+    return band_near_dup_pairs(image_ahash(spark.read.format("binaryFile").load(root)))
+
+
+# ---------------------------------------------------------------------------
+# Energy-delta fingerprint near-dup over REAL decoded audio
+# ---------------------------------------------------------------------------
+
+# Acoustic fingerprint in the Shazam/Chromaprint family, reduced to its
+# deterministic core: 65 fixed windows of channel-0 |sample| energy ->
+# 64 sign-of-delta bits (robust to gain-preserving perturbations, flipped
+# by structural edits) -> the SAME 4x16-bit band join + Hamming confirm as
+# the image path (band_near_dup_pairs is modality-agnostic).
+AU_WINDOWS = 65
+AU_WIN_FRAMES = 32
+AU_ND_FRAMES = AU_WINDOWS * AU_WIN_FRAMES
+AU_ND_RATE = 16000
+N_AU_BASES = 5
+
+
+def _au_base_samples(i: int) -> list[int]:
+    # structure (not just amplitude) varies with i: per-clip quadratic
+    # chirp rate and modulation period, so base ENVELOPES differ and the
+    # delta-sign fingerprints of distinct bases are far apart
+    q = 30 + 7 * i
+    m = 61 + 6 * i
+    return [
+        (((t * t) // q + 13 * ((t + 11 * i) % m) + 29 * i * (t // 128)) % 4096) - 2048
+        for t in range(AU_ND_FRAMES)
+    ]
+
+
+def _au_specs() -> list[tuple[str, list[int]]]:
+    specs = [(f"au_{i}_base.wav", _au_base_samples(i)) for i in range(N_AU_BASES)]
+    for i in range(2):  # light variants: sparse perturbation (variant 1
+        # stronger, to land at a small NONZERO Hamming the confirm stage
+        # must tolerate)
+        s = _au_base_samples(i)
+        if i == 0:  # sparse sample-level nudge: fingerprint-invariant
+            for t in range(0, AU_ND_FRAMES, 97):
+                s[t] = max(-2048, min(2047, s[t] + 5))
+        else:  # boost two whole windows: flips a few delta-sign bits,
+            # which the Hamming-confirm stage must TOLERATE (<= max)
+            for w in (10, 40):
+                for t in range(w * AU_WIN_FRAMES, (w + 1) * AU_WIN_FRAMES):
+                    s[t] = max(-2048, min(2047, int(s[t] * 8) // 5))
+        specs.append((f"au_{i}_light.wav", s))
+    s = _au_base_samples(2)  # heavy: reverse the second half
+    half = len(s) // 2
+    s[half:] = s[half:][::-1]
+    specs.append(("au_2_heavy.wav", s))
+    return specs
+
+
+def _au_fingerprint_bands(samples: list[int]) -> tuple[int, ...]:
+    energies = [
+        sum(abs(x) for x in samples[w * AU_WIN_FRAMES : (w + 1) * AU_WIN_FRAMES])
+        for w in range(AU_WINDOWS)
+    ]
+    bits = [1 if energies[j + 1] > energies[j] else 0 for j in range(AU_WINDOWS - 1)]
+    bands = []
+    for b in range(4):
+        v = 0
+        for j in range(16):
+            v |= bits[b * 16 + j] << j
+        bands.append(v)
+    return tuple(bands)
+
+
+def _au_expected_pairs() -> list[tuple[str, str, int]]:
+    prints = {name: _au_fingerprint_bands(s) for name, s in _au_specs()}
+    names = sorted(prints)
+    pairs = []
+    for ia, a in enumerate(names):
+        for b in names[ia + 1 :]:
+            ha, hb = prints[a], prints[b]
+            if not any(x == y for x, y in zip(ha, hb)):
+                continue
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(ha, hb))
+            if ham <= AH_MAX_HAMMING:
+                pairs.append((a, b, ham))
+    return pairs
+
+
+def write_neardup_audio_fixtures(root: str) -> str:
+    import os
+
+    from ..functions.audiocodec import encode_wav
+
+    for name, samples in _au_specs():
+        frames = [(x,) for x in samples]
+        with open(os.path.join(root, name), "wb") as fh:
+            fh.write(encode_wav(AU_ND_RATE, 1, 16, frames))
+    return root
+
+
+def audio_fingerprint(audio: DataFrame) -> DataFrame:
+    """(name, b0..b3): energy-delta fingerprint bands from a binaryFile
+    scan, decoded and fingerprinted inside Arrow-batched mapInPandas
+    (numpy window pooling). Undecodable or wrong-geometry clips drop."""
+    import os
+
+    import numpy as np
+
+    schema = "name string, b0 int, b1 int, b2 int, b3 int"
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rate, n_ch, bits, frames = decode_wav(bytes(content))
+                except ValueError:
+                    continue
+                if n_ch != 1 or len(frames) != AU_ND_FRAMES:
+                    continue
+                a = np.asarray([f[0] for f in frames], dtype=np.int64)
+                e = np.abs(a).reshape(AU_WINDOWS, AU_WIN_FRAMES).sum(axis=1)
+                bts = (e[1:] > e[:-1]).astype(np.int64)
+                bands = [
+                    int((bts[b * 16 : (b + 1) * 16] << np.arange(16)).sum())
+                    for b in range(4)
+                ]
+                rows.append([os.path.basename(path), *bands])
+            yield pd.DataFrame(rows, columns=["name", "b0", "b1", "b2", "b3"])
+
+    return audio.select("path", "content").mapInPandas(_fp, schema)
+
+
+def _au_values_cte() -> str:
+    return ",\n      ".join(f"('{a}', '{b}', {h})" for a, b, h in _au_expected_pairs())
+
+
+@register(
+    "mm_audio_near_dup",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      {_au_values_cte()})
+      AS t(img_a, img_b, hamming)
+    """,
+    doc="Acoustic near-dup detection over REAL decoded audio: formula-"
+    "generated PCM WAV fixtures (2 light variants that must pair with "
+    "their bases, 1 half-reversed heavy variant that must not) are "
+    "encoded to files, binaryFile-scanned, energy-delta fingerprinted in "
+    "Arrow-batched mapInPandas, then fed through the SAME band-bucket + "
+    "Hamming machinery as the image path. Oracle = expected pair set "
+    "from the sample formulas alone.",
+)
+def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    root = write_neardup_audio_fixtures(tempfile.mkdtemp(prefix="spark_graft_au_"))
+    return band_near_dup_pairs(audio_fingerprint(spark.read.format("binaryFile").load(root)))

@@ -1495,3 +1495,26 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    doc=(
+        "Multiset EXCEPT ALL (multiplicity-subtraction semantics: a key "
+        "appearing m times left and n times right survives max(m-n, 0) "
+        "times) — the remaining set-op flavor after q_set_ops (distinct "
+        "set) and q_set_ops_all (INTERSECT ALL). Physically a per-key "
+        "count on each side + a generate of the count difference; "
+        "duplicates are part of the hash-checked contract."
+    ),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
+    return a.exceptAll(b)

@@ -336,3 +336,20 @@ def test_image_near_dup_semantics(spark):
         ("nd_2_base.ppm", "nd_2_light.bmp"),
     }
     assert not any("heavy" in a or "heavy" in b for a, b in pairs)
+
+
+def test_audio_near_dup_semantics(spark):
+    """Light audio variants pair with their bases (one at Hamming 0, one at
+    a small nonzero Hamming the confirm stage tolerates); the half-reversed
+    heavy variant shares a band bucket but FAILS the Hamming confirm."""
+    from aws_logs_parquet_converter_spark.operators.multimodal import (
+        mm_audio_near_dup,
+    )
+
+    pairs = {(r.img_a, r.img_b): r.hamming for r in mm_audio_near_dup(spark, "").collect()}
+    assert set(pairs) == {
+        ("au_0_base.wav", "au_0_light.wav"),
+        ("au_1_base.wav", "au_1_light.wav"),
+    }
+    assert pairs[("au_1_base.wav", "au_1_light.wav")] > 0
+    assert not any("heavy" in a or "heavy" in b for (a, b) in pairs)
