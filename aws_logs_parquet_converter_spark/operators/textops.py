@@ -661,3 +661,42 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_n").cast("double") / F.col("total_n")).alias("coverage"),
         )
     )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=f"""
+    WITH d AS (SELECT {sql_tokens('text')} AS toks FROM documents),
+    p AS (SELECT toks, unnest(range(1, len(toks))) AS pos FROM d),
+    big AS (SELECT toks[pos] || ' ' || toks[pos+1] AS pair FROM p)
+    SELECT pair, COUNT(*) AS n FROM big
+    GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+    """,
+    doc=(
+        "BPE merge-candidate mining: corpus-wide counts of ADJACENT token "
+        "pairs (not distinct-per-doc — BPE ranks by occurrence), top-30 "
+        "with a total-order tiebreak. This is one iteration of the "
+        "byte-pair-encoding training loop's pair-statistics step at token "
+        "granularity; re-running it after applying the top merge trains "
+        "the vocabulary. Bigrams come from two shifted slices fused with "
+        "zip_with (same zero-shuffle trick as shingle_array); the count "
+        "gets map-side partial aggregation, so the shuffle carries one "
+        "row per distinct pair per partition — Zipf-bounded, not "
+        "corpus-sized — and top-30 is TakeOrderedAndProject."
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    m = F.size("toks") - 1
+    a = F.slice("toks", 1, m)
+    b = F.slice("toks", 2, m)
+    pairs = F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y))
+    return (
+        base.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
