@@ -127,3 +127,71 @@ _spec = _REGISTRY["pipeline_corpus_curation"]
 _REGISTRY["pipeline_corpus_curation"] = _QuerySpec(
     fn=_spec.fn, oracle=_curation_oracle(), doc=_spec.doc
 )
+
+
+# ---------------------------------------------------------------------------
+# RAG indexing pipeline: gate -> chunk -> fingerprint -> metadata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_rag_index",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE LENGTH(text) BETWEEN {MIN_CHARS} AND {MAX_CHARS}
+        AND len(regexp_extract_all(text, '{_WS_TOKEN}')) >= {MIN_TOKENS}),
+    d AS (SELECT doc_id, lang, source,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM gated),
+    nn AS (SELECT doc_id, lang, source, toks, len(toks) AS n
+           FROM d WHERE len(toks) > 0),
+    c AS (SELECT doc_id, lang, source, toks,
+                 unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS chunk_id
+          FROM nn)
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, lang, source,
+           CAST(len(list_slice(toks, chunk_id*24+1, chunk_id*24+32)) AS INTEGER) AS n_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id*24+1, chunk_id*24+32), ' ')) AS chunk_md5
+    FROM c
+    """,
+    doc=(
+        "Composed RAG indexing pipeline: quality gate (length + token "
+        "floors) -> sliding-window chunking (32 tokens, stride 24) -> "
+        "per-chunk content fingerprint, with document metadata (lang, "
+        "source) carried through — the table a retrieval index is built "
+        "FROM (embed chunk_md5-keyed chunks, join hits back on doc_id). "
+        "Entirely narrow: gate and chunker are per-row expressions, so "
+        "the whole pipeline is one scan with zero shuffles; the oracle "
+        "checks the COMPOSITION end-to-end, not just the pieces."
+    ),
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from .textops import CHUNK_STRIDE, CHUNK_TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.regexp_extract_all("text", F.lit(_WS_TOKEN), 0))
+    gated = d.where(
+        F.length("text").between(MIN_CHARS, MAX_CHARS) & (n_ws >= MIN_TOKENS)
+    )
+    base = gated.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    last_chunk = F.expr(
+        f"(greatest(size(toks) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE}"
+    )
+    piece = F.expr(f"slice(toks, chunk_id*{CHUNK_STRIDE}+1, {CHUNK_TOKENS})")
+    return (
+        base.select(
+            "doc_id", "lang", "source", "toks",
+            F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "lang",
+            "source",
+            F.size(piece).alias("n_tokens"),
+            F.md5(F.array_join(piece, " ").cast("binary")).alias("chunk_md5"),
+        )
+    )

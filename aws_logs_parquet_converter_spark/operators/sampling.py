@@ -304,3 +304,65 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start % 2048).alias("start_offset"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training prep)
+# ---------------------------------------------------------------------------
+
+from ..functions.text import hash60 as _hash60  # noqa: E402
+from ..functions.text import sql_hash60 as _sql_hash60  # noqa: E402
+
+_NEG_K = 5
+_NEG_QUERIES = 4
+
+
+@register(
+    "q_negative_sample",
+    oracle=f"""
+    WITH q AS (SELECT doc_id AS query_id, source AS q_source
+               FROM documents WHERE doc_id < {_NEG_QUERIES}),
+    c AS (
+      SELECT q.query_id, d.doc_id,
+             {_sql_hash60("CAST(q.query_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS h
+      FROM q JOIN documents d ON d.source <> q.q_source)
+    SELECT query_id, neg_doc_id, rn FROM (
+      SELECT query_id, doc_id AS neg_doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY h, doc_id) AS INTEGER) AS rn
+      FROM c) WHERE rn <= {_NEG_K}
+    """,
+    doc=(
+        "Deterministic negative sampling for contrastive training: per "
+        "query document, 5 negatives drawn from OTHER sources, ranked by "
+        "a per-(query, candidate) md5 hash — the draw is stable under "
+        "re-runs, repartitioning, and corpus append-order changes, which "
+        "rand()-based sampling is not. The tiny query set broadcasts "
+        "against the corpus (the source<>source predicate rides the "
+        "broadcast join); the per-query hash ranking is the only "
+        "shuffle. Hard-negative mining composes on top: replace the "
+        "hash order with an ANN-score order from sim_ann_pq_adc."
+    ),
+)
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.where(F.col("doc_id") < _NEG_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("q_source")
+    )
+    cand = F.broadcast(q).join(d, d["source"] != q["q_source"]).select(
+        "query_id",
+        F.col("doc_id"),
+        _hash60(
+            F.concat(
+                F.col("query_id").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "doc_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _NEG_K)
+        .select("query_id", F.col("doc_id").alias("neg_doc_id"), "rn")
+    )

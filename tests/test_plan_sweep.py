@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "sim_topk_ivf_label": "small query set, label-pruned corpus",
     "mm_resize": "policy constants cross join (1 row)",
     "text_lexical_topk": "one-row corpus stats (N, avgdl, per-term df) broadcast",
+    "q_negative_sample": "4-row query set broadcast vs corpus (non-equi source<> predicate)",
 }
 
 
