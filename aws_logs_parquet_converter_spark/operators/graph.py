@@ -321,3 +321,83 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return pagerank(pairs)
+
+
+def triangle_count(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph.
+
+    Triangles measure cluster DENSITY: a near-dup component whose members
+    are all mutually near (template family) is triangle-rich, while a
+    chained component (A~B~C but A!~C — drift) has none, so the count
+    separates the two survivorship regimes. Algorithm: orient every edge
+    low->high (each triangle counted once as a<b<c), join the oriented
+    edge list with itself on the shared low endpoint to enumerate wedges
+    (a<b, a<c => candidate (b, c)), then semi-join wedges against the
+    closing edge. Two shuffles on edge endpoints; wedge volume is
+    sum(deg^2/2) over LOW endpoints, the standard degree-ordered bound
+    (Suri & Vassilvitskii, WWW'11 — the MapReduce triangle recipe), far
+    below the naive sum(deg^2) on skewed graphs because hubs orient most
+    edges outward only once.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    oriented = und.where(F.col("a") < F.col("b"))
+    w1 = oriented.select(F.col("a").alias("lo"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a").alias("lo"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "lo").where(F.col("x") < F.col("y"))
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "inner").select("lo", "x", "y")
+    per_node = (
+        tris.select(F.col("lo").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_node
+
+
+def _triangles_oracle() -> str:
+    from .dedup import _SQL_BANDS, _SQL_CAND, _SQL_SHINGLES, _SQL_SIG
+
+    return (
+        "WITH "
+        + ",".join([_SQL_SHINGLES, _SQL_SIG, _SQL_BANDS, _SQL_CAND])
+        + """,
+        und AS (SELECT doc_a AS a, doc_b AS b FROM cand WHERE doc_a <> doc_b
+                UNION SELECT doc_b, doc_a FROM cand WHERE doc_a <> doc_b),
+        o AS (SELECT a, b FROM und WHERE a < b),
+        tri AS (
+          SELECT w1.a AS lo, w1.b AS x, w2.b AS y
+          FROM o w1 JOIN o w2 ON w2.a = w1.a AND w1.b < w2.b
+          JOIN o c ON c.a = w1.b AND c.b = w2.b),
+        nodes AS (
+          SELECT lo AS node FROM tri
+          UNION ALL SELECT x FROM tri
+          UNION ALL SELECT y FROM tri)
+        SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+        """
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle=_triangles_oracle(),
+    doc=(
+        "Per-node triangle counts over the MinHash-LSH dup-pair graph — "
+        "the cluster-density signal separating template families (dense, "
+        "triangle-rich) from drift chains (A~B~C but A!~C, none). "
+        "Degree-ordered wedge enumeration + closing-edge join."
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    return triangle_count(pairs)

@@ -1518,3 +1518,39 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
     b = li.where(F.col("l_linestatus") == "F").select("l_orderkey")
     return a.exceptAll(b)
+
+
+@register(
+    "q_count_distinct_two_phase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Two-phase COUNT(DISTINCT) rewrite: dedupe (key, value) pairs "
+        "first (map-side partial distinct collapses duplicates BEFORE the "
+        "shuffle), then count per key. Spark plans direct multi-column "
+        "count_distinct (q_distinct_agg) via Expand — multiplying every "
+        "input row by the number of distinct aggregates before the "
+        "exchange; with hot keys and high row-to-distinct ratios the "
+        "explicit two-phase form shuffles |distinct pairs| per column "
+        "instead of |rows| x |aggregates|. Same oracle as the direct "
+        "form would use — the rewrite is semantics-preserving."
+    ),
+)
+def q_count_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def per_col(col: str, alias: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias(alias))
+        )
+
+    return per_col("l_partkey", "n_parts").join(
+        per_col("l_suppkey", "n_suppliers"), "l_returnflag"
+    )

@@ -353,3 +353,15 @@ def test_audio_near_dup_semantics(spark):
     }
     assert pairs[("au_1_base.wav", "au_1_light.wav")] > 0
     assert not any("heavy" in a or "heavy" in b for (a, b) in pairs)
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {0,1,2,3}: each node in C(3,2)=3 triangles; pendant 4-5 edge: none
+    from aws_logs_parquet_converter_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(4, 5)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
