@@ -1554,3 +1554,39 @@ def q_count_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_col("l_partkey", "n_parts").join(
         per_col("l_suppkey", "n_suppliers"), "l_returnflag"
     )
+
+
+@register(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25.0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 25.0) END AS safe_ratio,
+           CASE WHEN CAST(l_orderkey AS HUGEINT) * 9223372036854775
+                     BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN CAST(CAST(l_orderkey AS HUGEINT) * 9223372036854775 AS BIGINT)
+                ELSE NULL END AS big_product
+    FROM lineitem
+    """,
+    doc=(
+        "ANSI-mode safe arithmetic: this engine runs Spark 4 with ANSI ON "
+        "(errors, not silent wraparound), so the try_* family IS the "
+        "null-on-failure escape hatch — try_divide maps divide-by-zero to "
+        "NULL row-locally, try_multiply maps bigint overflow to NULL "
+        "(the oracle reproduces overflow detection with HUGEINT range "
+        "checks). Row-level, codegen, no shuffle; the pattern every "
+        "ingest-adjacent computed column should use under ANSI."
+    ),
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.lit(25.0)).alias(
+            "safe_ratio"
+        ),
+        F.try_multiply(F.col("l_orderkey"), F.lit(9223372036854775)).alias(
+            "big_product"
+        ),
+    )
