@@ -68,6 +68,15 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "skips filesystem discovery)",
     )
     p.add_argument(
+        "--retain-days",
+        default=None,
+        type=int,
+        help="After the run, expire destination DAY directories older than "
+        "this many days (both plain and hive date layouts) — the "
+        "reference users' S3 lifecycle rule, in-engine. Driver-side "
+        "metadata sweep; survivor partitions never touched.",
+    )
+    p.add_argument(
         "--committer",
         default="v2",
         choices=["v2", "magic"],
@@ -122,6 +131,28 @@ def main(argv: list[str] | None = None) -> None:
         else:
             processed = run(spark, cfg, today=date.today())
             print(f"processed {len(processed)} day(s): {[d.isoformat() for d in processed]}")
+        if args.retain_days is not None:
+            from datetime import timedelta
+
+            from .plans.incremental import discover_folders
+            from .plans.retention import expire_date_partitions
+
+            keep_from = date.today() - timedelta(days=args.retain_days)
+            roots = (
+                [f"{cfg.destination_root}/{f}" for f in (
+                    cfg.folders or discover_folders(spark, cfg.source_root)
+                )]
+                if cfg.folders != ()
+                else [cfg.destination_root]
+            )
+            expired = [
+                day
+                for r in roots
+                for day in expire_date_partitions(
+                    spark, r, keep_from, hive=cfg.policy.hive_partitioning
+                )
+            ]
+            print(f"expired {len(expired)} partition dir(s) below {keep_from.isoformat()}")
     finally:
         spark.stop()
 

@@ -70,3 +70,81 @@ def expire_partitions(
     for v in expired:
         fs.delete(jvm.org.apache.hadoop.fs.Path(dest, f"{partition_col}={v}"), True)
     return expired
+
+
+def expire_date_partitions(
+    spark: SparkSession,
+    dest_root: str,
+    keep_from,
+    hive: bool = False,
+) -> list[str]:
+    """Expire whole DAY directories below ``dest_root`` older than
+    ``keep_from`` (a ``datetime.date``), for both layouts the compactor
+    writes (``plans/compact.py`` O15): plain ``YYYY/MM/DD`` nesting and
+    hive ``year=YYYY/month=MM/day=DD``. Returns expired days as ISO
+    strings.
+
+    The walk is 3 levels of ``listStatus`` — O(years + months-touched +
+    days-touched) driver metadata. Year and month levels prune early
+    (a 2023 subtree under a 2024 horizon is deleted wholesale without
+    listing its days), so a 10-year backlog expiry costs tens of list
+    calls, not thousands.
+    """
+    from datetime import date as _date
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(dest_root)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+
+    def seg_value(name: str, prefix: str) -> int | None:
+        if hive:
+            if not name.startswith(prefix + "="):
+                return None
+            name = name[len(prefix) + 1 :]
+        try:
+            return int(name)
+        except ValueError:
+            return None
+
+    expired: list[str] = []
+    for ydir in fs.listStatus(root):
+        if not ydir.isDirectory():
+            continue
+        y = seg_value(ydir.getPath().getName(), "year")
+        if y is None:
+            continue
+        if y < keep_from.year:  # whole year below horizon: one delete
+            fs.delete(ydir.getPath(), True)
+            expired.append(f"{y:04d}")
+            continue
+        if y > keep_from.year:
+            continue
+        for mdir in fs.listStatus(ydir.getPath()):
+            if not mdir.isDirectory():
+                continue
+            m = seg_value(mdir.getPath().getName(), "month")
+            if m is None:
+                continue
+            if m < keep_from.month:
+                fs.delete(mdir.getPath(), True)
+                expired.append(f"{y:04d}-{m:02d}")
+                continue
+            if m > keep_from.month:
+                continue
+            for ddir in fs.listStatus(mdir.getPath()):
+                if not ddir.isDirectory():
+                    continue
+                d = seg_value(ddir.getPath().getName(), "day")
+                if d is None:
+                    continue
+                try:
+                    if _date(y, m, d) >= keep_from:
+                        continue
+                except ValueError:  # e.g. a stray day=32 dir: leave it
+                    continue
+                fs.delete(ddir.getPath(), True)
+                expired.append(f"{y:04d}-{m:02d}-{d:02d}")
+    return sorted(expired)
