@@ -272,3 +272,44 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_window_state_recovers_across_restart(spark, tmp_path):
+    """Aggregation STATE (not just file progress) survives a checkpoint
+    restart: a second availableNow run adds an event to an hour window
+    first counted in run 1, and the complete-mode output must show the
+    merged count — possible only if the state store was recovered."""
+    src = str(tmp_path / "recov_src")
+    ckpt = str(tmp_path / "recov_ckpt")
+    _write_events(src)
+
+    def run(name):
+        run_available_now(
+            windowed_counts(read_event_stream(spark, src)),
+            name,
+            ckpt,
+            output_mode="complete",
+        )
+        return {
+            (str(r.window_start), r.event_type): r.n_events
+            for r in spark.table(name).collect()
+        }
+
+    first = run("recov_run1")
+    assert first[("2024-01-01 10:00:00", "click")] == 3  # events 1, 2, 4
+
+    # a late-arriving click lands in the ALREADY-AGGREGATED 10:00 window
+    with open(os.path.join(src, "part_late.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"event_id": 99, "ts": "2024-01-01 10:20:00.000000", "user_id": 9,
+                 "event_type": "click", "value": 9.0, "props": "{}"}
+            )
+            + "\n"
+        )
+    second = run("recov_run2")
+    assert second[("2024-01-01 10:00:00", "click")] == 4  # 3 recovered + 1 new
+    # untouched windows also survive the restart verbatim
+    assert second[("2024-01-01 11:00:00", "view")] == first[
+        ("2024-01-01 11:00:00", "view")
+    ]
