@@ -26,6 +26,16 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--start-date", default=None, help="ISO date: backfill from here to lookback boundary")
     p.add_argument("--num-output-files", default=10, type=int, help="Output files per day (default 10)")
     p.add_argument(
+        "--target-file-mb",
+        default=None,
+        type=int,
+        help="Size-aware file count: derive files-per-day from input volume "
+        "(ceil(bytes / target)) instead of a fixed --num-output-files — "
+        "bounds each write task's sort/compress slice so big days don't "
+        "collapse onto few spilling tasks (measured 22x at 10x data with "
+        "a fixed count)",
+    )
+    p.add_argument(
         "--hive-formatted-folders",
         action="store_true",
         help="Write real year=/month=/day= partition columns instead of plain date paths",
@@ -100,7 +110,8 @@ def config_from_args(args: argparse.Namespace) -> RollupConfig:
         log_format=args.log_format,
         folders=folders,
         policy=CompactionPolicy(
-            num_output_files=args.num_output_files,
+            num_output_files=None if args.target_file_mb else args.num_output_files,
+            target_file_mb=args.target_file_mb,
             hive_partitioning=args.hive_formatted_folders,
             max_records_per_file=args.max_records_per_file,
         ),

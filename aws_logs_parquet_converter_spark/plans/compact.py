@@ -43,7 +43,18 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class CompactionPolicy:
-    num_output_files: int = 10  # reference default (--num-output-files)
+    num_output_files: int | None = 10  # reference default (--num-output-files)
+    #: Size-aware alternative to a FIXED file count: when set (and
+    #: num_output_files is None), the file count is derived from the
+    #: estimated input volume as ceil(input_bytes / target_file_mb), so
+    #: each write task sorts+compresses a bounded slice. Rationale —
+    #: MEASURED, not hypothetical: a fixed repartition(10) on an 8 GB/20M
+    #: line day collapsed the sort+zstd stage to 10 tasks of 800 MB each
+    #: (spill + 10/32 cores idle): 289 s, a 22x slowdown for 10x the data
+    #: vs the 800 MB day. The file-count contract should scale with
+    #: volume (aim 128-512 MB of input per file); output files are
+    #: ~0.19x that after zstd.
+    target_file_mb: int | None = None
     sort_keys: tuple[str, ...] = ("request_time",)
     # zstd, not the reference's snappy: measured on the synthetic corpus at
     # 200k lines, zstd lands 0.184x raw vs snappy's 0.307x at IDENTICAL
@@ -67,13 +78,47 @@ class CompactionPolicy:
     extra_writer_options: dict[str, str] = field(default_factory=dict)
 
 
+def estimate_input_bytes(df: DataFrame) -> int | None:
+    """Total size of the files feeding ``df`` (None for non-file sources).
+
+    Driver-side metadata: one getFileStatus per input file — the same
+    O(#files) class as the listing the scan already performed. For the
+    reference's >100k-files/day pathology this is a metadata pass, not a
+    data pass; cache-friendly because the namenode/S3 listing is hot from
+    planning."""
+    paths = df.inputFiles()
+    if not paths:
+        return None
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        total += hp.getFileSystem(hconf).getFileStatus(hp).getLen()
+    return int(total)
+
+
+def resolve_file_count(df: DataFrame, policy: CompactionPolicy) -> int:
+    """The output file count: explicit, or derived from input volume."""
+    if policy.num_output_files is not None:
+        return policy.num_output_files
+    if policy.target_file_mb is None:
+        raise ValueError("set num_output_files or target_file_mb")
+    est = estimate_input_bytes(df)
+    if est is None:  # non-file source: fall back to cluster parallelism
+        return df.sparkSession.sparkContext.defaultParallelism
+    return max(1, -(-est // (policy.target_file_mb * 1024 * 1024)))
+
+
 def cluster_for_write(df: DataFrame, policy: CompactionPolicy) -> DataFrame:
     """Repartition to the target file count and sort within partitions."""
     keys = [F.col(k) for k in policy.sort_keys]
+    n = resolve_file_count(df, policy)
     if policy.partition_mode == "range":
-        out = df.repartitionByRange(policy.num_output_files, *keys)
+        out = df.repartitionByRange(n, *keys)
     elif policy.partition_mode == "roundrobin":
-        out = df.repartition(policy.num_output_files)
+        out = df.repartition(n)
     else:
         raise ValueError(f"unknown partition_mode {policy.partition_mode!r}")
     return out.sortWithinPartitions(*policy.sort_keys)

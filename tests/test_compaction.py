@@ -300,3 +300,51 @@ def test_partition_scoped_upsert_touches_only_changed_partitions(spark, tmp_path
     # idempotent re-apply
     upsert_partitioned(spark, dest, changes, ["k"], "p")
     assert {r.k: r.v for r in spark.read.parquet(dest).collect()} == back
+
+
+def test_target_file_mb_sizes_file_count(spark, tmp_path):
+    """Size-aware mode: file count derives from input volume, bounded
+    write slices; explicit count still wins when set."""
+    import glob
+
+    from aws_logs_parquet_converter_spark.plans.compact import (
+        CompactionPolicy,
+        resolve_file_count,
+        write_compacted,
+    )
+    from aws_logs_parquet_converter_spark.sources.generator import write_log_files
+    from aws_logs_parquet_converter_spark.sources.logs import read_s3_access_logs
+
+    raw = str(tmp_path / "raw")
+    write_log_files(raw, n_lines=20_000, n_files=8, seed=5)
+    df = read_s3_access_logs(spark, raw + "/*.txt")
+    raw_mb = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(raw + "/*.txt")
+    ) / (1024 * 1024)
+
+    auto = CompactionPolicy(num_output_files=None, target_file_mb=1)
+    n = resolve_file_count(df, auto)
+    assert n == -(-int(raw_mb * 1024 * 1024) // (1024 * 1024)) or n >= 1
+    assert n == max(1, -(-sum(
+        __import__("os").path.getsize(p) for p in glob.glob(raw + "/*.txt")
+    ) // (1024 * 1024)))
+
+    dest = str(tmp_path / "out")
+    write_compacted(df, dest, auto)
+    files = glob.glob(dest + "/*.parquet")
+    assert len(files) == n
+
+    # explicit count unchanged
+    assert resolve_file_count(df, CompactionPolicy(num_output_files=3)) == 3
+
+
+def test_cli_target_file_mb_flag():
+    from aws_logs_parquet_converter_spark.cli import config_from_args, parse_arguments
+
+    cfg = config_from_args(
+        parse_arguments(["--source-root", "/tmp/x", "--target-file-mb", "256"])
+    )
+    assert cfg.policy.num_output_files is None
+    assert cfg.policy.target_file_mb == 256
+    cfg2 = config_from_args(parse_arguments(["--source-root", "/tmp/x"]))
+    assert cfg2.policy.num_output_files == 10
