@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from aws_logs_parquet_converter_spark.operators.advanced import salted_join_count
 from aws_logs_parquet_converter_spark.session import build_session
 
-N_FACTS = 5_000_000
+N_FACTS = 50_000_000
 N_KEYS = 100_000
 
 
