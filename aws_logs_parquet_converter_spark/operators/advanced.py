@@ -1234,3 +1234,80 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "step1", "step2", "step3")
         .limit(20)
     )
+
+
+@register(
+    "q_pit_features",
+    oracle="""
+    WITH labels AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    o3 AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_totalprice) AS last_order_total,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS orders_to_date
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    clicks AS (
+      SELECT user_id AS cu, ts AS cts, MAX(value) AS last_click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    f1 AS (
+      SELECT l.event_id, l.user_id, l.ts, o.last_order_total, o.orders_to_date
+      FROM labels l ASOF LEFT JOIN o3 o
+        ON l.user_id = o.o_custkey AND l.ts >= o.o_orderdate)
+    SELECT f1.event_id, f1.user_id,
+           strftime(f1.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           f1.last_order_total, f1.orders_to_date, c.last_click_value
+    FROM f1 ASOF LEFT JOIN clicks c
+      ON f1.user_id = c.cu AND f1.ts >= c.cts
+    """,
+    doc=(
+        "Point-in-time (feature-store) join: every purchase label enriched "
+        "with features AS OF the label timestamp — the user's latest order "
+        "total, cumulative order count to date, and last click value — "
+        "never a future value, so the training table is leakage-free by "
+        "construction. Each feature attach is the union+window as-of merge "
+        "(one shuffle per feature table, no row explosion, no range "
+        "explosion); at scale, pack multiple features of one table into a "
+        "struct value so N features cost one merge, and pre-bucket "
+        "feature tables by entity key so the merges are shuffle-free."
+    ),
+)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o3 = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("last_order_total"), F.count("*").alias("__n"))
+        .withColumn("orders_to_date", F.sum("__n").over(w).cast("bigint"))
+        .select("o_custkey", "o_orderdate", "last_order_total", "orders_to_date")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+        .agg(F.max("value").alias("last_click_value"))
+    )
+    f1 = asof_join(
+        labels, o3, "user_id", "o_custkey", "ts", "o_orderdate", "last_order_total"
+    )
+    f2 = asof_join(
+        f1, o3, "user_id", "o_custkey", "ts", "o_orderdate", "orders_to_date"
+    )
+    f3 = asof_join(f2, clicks, "user_id", "cu", "ts", "cts", "last_click_value")
+    return f3.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "last_order_total",
+        "orders_to_date",
+        "last_click_value",
+    )
