@@ -366,3 +366,49 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _NEG_K)
         .select("query_id", F.col("doc_id").alias("neg_doc_id"), "rn")
     )
+
+
+@register(
+    "q_global_ids_scalable",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+             AS curriculum_id
+    FROM documents
+    """,
+    doc=(
+        "Scalable dense global-id assignment (curriculum ordering by "
+        "length): range-partition on the sort key, rank WITHIN each "
+        "partition, then add per-partition offsets computed from a "
+        "32-row count table that joins back broadcast — no "
+        "single-partition window (the naive Window.orderBy global rank "
+        "funnels the corpus through ONE task) and no "
+        "monotonically_increasing_id (whose values depend on partition "
+        "layout and are neither dense nor stable). The result is "
+        "IDENTICAL for any partition count/boundaries because the sort "
+        "key is unique: boundary placement moves rows between offsets "
+        "and local ranks in lockstep. Cost: repartitionByRange's "
+        "sampling pass re-executes the (cheap, columnar) upstream scan."
+    ),
+)
+def q_global_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = d.repartitionByRange(32, F.col("n_chars").desc(), F.col("doc_id")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = parts.groupBy("__pid").agg(F.count("*").alias("__n"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off")
+    )
+    wloc = Window.partitionBy("__pid").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        parts.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "curriculum_id",
+            (F.col("__off") + F.row_number().over(wloc)).cast("bigint"),
+        )
+        .select("doc_id", "curriculum_id")
+    )
