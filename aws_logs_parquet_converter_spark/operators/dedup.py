@@ -842,3 +842,85 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new batch vs stored signature index
+# ---------------------------------------------------------------------------
+
+#: documents with doc_id >= this are "today's batch"; below it, the corpus
+#: whose LSH band table is the stored index (in production: a parquet table
+#: keyed (band_id, band_key) maintained by each daily run).
+INCR_SPLIT = 400
+
+
+def incremental_minhash_pairs(docs: DataFrame, split: int = INCR_SPLIT) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch only — the daily-increment
+    dedup: yesterday's corpus is represented purely by its band INDEX
+    (signatures + band keys, no text), today's docs shingle/sign/band and
+    probe it.
+
+    Scale property this pins: per-day cost is O(|new batch|) map work plus
+    an equi-join whose NEW side is batch-sized — the stored index is never
+    re-shingled, and corpus text never re-reads. Output = new-vs-old pairs
+    plus new-vs-new pairs (both needed: a doc duplicated within today's
+    batch must not slip through), which equals the full-corpus candidate
+    set restricted to pairs whose HIGHER id is in the batch.
+    """
+    sig = minhash_signature(shingles(spread_input(docs))).cache()
+    bands = lsh_bands(sig)
+    index_side = bands  # old ∪ new: the maintained band table after append
+    new_side = bands.where(F.col("doc_id") >= split)
+    a = index_side.alias("a")
+    b = new_side.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.alias("x")
+    y = sig.alias("y")
+    n_match: Column = sum(
+        F.when(F.col(f"x.s{k}") == F.col(f"y.s{k}"), 1).otherwise(0)
+        for k in range(K_MINHASH)
+    )
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("int").alias("n_matching_minhashes"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle="WITH "
+    + ",".join([_SQL_SHINGLES, _SQL_SIG, _SQL_BANDS, _SQL_CAND])
+    + f"""
+    SELECT c.doc_a, c.doc_b,
+           CAST({' + '.join(f'(CASE WHEN x.s{k} = y.s{k} THEN 1 ELSE 0 END)' for k in range(K_MINHASH))} AS INTEGER)
+             AS n_matching_minhashes
+    FROM cand c
+    JOIN sig x ON x.doc_id = c.doc_a
+    JOIN sig y ON y.doc_id = c.doc_b
+    WHERE c.doc_b >= {INCR_SPLIT}
+    """,
+    doc=(
+        "Incremental near-dup (daily-increment shape): today's batch "
+        "(doc_id >= 400) probes the stored LSH band index; output = the "
+        "full-corpus candidate set restricted to pairs whose higher id is "
+        "new. Per-day cost is batch-sized map work + a batch-driven "
+        "equi-join — the corpus is represented by signatures/bands only "
+        "and never re-shingled."
+    ),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_minhash_pairs(load_table(spark, sf_dir, "documents"))
