@@ -28,6 +28,8 @@ PICKS = {
     "q_window_range_frame_scalable": "sliding RANGE frame as difference of two growing frames — incremental, no per-row frame recompute",
     "q10_returned_revenue": "revenue pre-aggregated by custkey BEFORE the customer join — narrow (key, sum) pairs shuffle into the dim join, not fat joined rows (r3 rewrite, 2x)",
     "sim_ann_pq_adc": "PQ/ADC: the scan ranks CODES against broadcast integer lookup tables; raw vectors appear only in the shortlist re-rank",
+    "q_pit_features": "three as-of feature attaches as union+window merges — no range join, no row explosion, leakage-free by construction",
+    "q_global_ids_scalable": "dense global ranks via range-partition + local rank + broadcast offsets — no single-partition window",
     "log_compaction: parse path": None,
 }
 
