@@ -632,3 +632,49 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("share_cur"), F.lit(0.0)), 8).alias("share_cur"),
         F.round((sc - sr) * F.log(sc / sr), 8).alias("psi_term"),
     )
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM r GROUP BY bucket
+    """,
+    doc=(
+        "Equi-DEPTH histogram (8 buckets of equal row count with their "
+        "value ranges) — the optimizer-statistics / drift-baseline "
+        "companion to q_histogram's equi-WIDTH buckets: equal-width "
+        "buckets starve on skewed money columns (most rows land in two "
+        "buckets), equal-depth adapts the boundaries to the mass. NTILE "
+        "over an exact-cents order with the unique orderkey tiebreak "
+        "makes bucket membership bit-stable cross-engine. Single-column "
+        "global NTILE funnels through one window partition — at corpus "
+        "scale swap in the two-pass percentile-cutoff rewrite documented "
+        "at q_ntile_buckets."
+    ),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.numeric import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(cents("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
+    )

@@ -700,3 +700,88 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix (contamination across sources)
+# ---------------------------------------------------------------------------
+
+
+def _source_overlap_oracle() -> str:
+    from .dedup import _SQL_SHINGLES
+
+    return (
+        "WITH "
+        + _SQL_SHINGLES
+        + """,
+        ss AS (SELECT DISTINCT dd.source, sh.shingle
+               FROM sh JOIN documents dd ON dd.doc_id = sh.doc_id),
+        sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 COUNT(*) AS n_common
+          FROM ss a JOIN ss b
+            ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT p.source_a, p.source_b,
+               CAST(p.n_common AS BIGINT) AS n_common,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.source = p.source_a
+        JOIN sizes sb ON sb.source = p.source_b
+        """
+    )
+
+
+@register(
+    "text_source_overlap",
+    oracle=_source_overlap_oracle(),
+    doc=(
+        "Cross-source contamination matrix: pairwise 3-token-shingle "
+        "overlap between sources (|A∩B|, set sizes, Jaccard) — the "
+        "mixture-design diagnostic for 'are these two crawls the same "
+        "content?'. Per-source distinct shingle sets come from one "
+        "explode + distinct (shuffle keyed on (source, shingle)); the "
+        "pair counts are a shingle-keyed inverted-index equi-join (the "
+        "same shape as dedup's candidate stage, so AQE handles hot "
+        "boilerplate shingles); the 20-row size table broadcasts back. "
+        "Shuffle volume is vocabulary-bounded, never corpus-bounded."
+    ),
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    ss = (
+        d.select("source", F.explode(shingle_array(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
