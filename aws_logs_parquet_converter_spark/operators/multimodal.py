@@ -917,3 +917,107 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = write_neardup_audio_fixtures(tempfile.mkdtemp(prefix="spark_graft_au_"))
     return band_near_dup_pairs(audio_fingerprint(spark.read.format("binaryFile").load(root)))
+
+
+# ---------------------------------------------------------------------------
+# Image embedding -> cosine retrieval (multimodal x similarity bridge)
+# ---------------------------------------------------------------------------
+
+
+def _embed_blocks(rgb: bytes, w: int = ND_SIZE, h: int = ND_SIZE) -> list[float]:
+    """64-dim embedding: 8x8 grid of block-summed grayscale (r+g+b) —
+    exact integers carried as doubles, so Python and the numpy path
+    produce bit-identical vectors."""
+    bw, bh = w // AH_GRID, h // AH_GRID
+    sums = [0] * (AH_GRID * AH_GRID)
+    for y in range(h):
+        for x in range(w):
+            k = 3 * (y * w + x)
+            sums[(y // bh) * AH_GRID + (x // bw)] += rgb[k] + rgb[k + 1] + rgb[k + 2]
+    return [float(s) for s in sums]
+
+
+def _image_embed_expected_topk(k: int = 3) -> list[tuple[str, str, int]]:
+    import math
+
+    vecs = {name: _embed_blocks(rgb) for name, _, rgb in _nd_specs()}
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    rows = []
+    for q in sorted(vecs):
+        scored = sorted(
+            ((cos(vecs[q], vecs[n]), n) for n in vecs if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        rows += [(q, n, i + 1) for i, (_, n) in enumerate(scored[:k])]
+    return rows
+
+
+def image_embeddings(images: DataFrame) -> DataFrame:
+    """(vec_id, embedding): decoded rasters embedded as 8x8 block-sum
+    grayscale vectors inside Arrow-batched mapInPandas — the bridge from
+    binary media columns into EVERY similarity operator in this engine
+    (brute-force / IVF / RP-LSH / PQ all consume (id, array) frames)."""
+    import os
+
+    import numpy as np
+
+    schema = "vec_id string, embedding array<double>"
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import decode_image as _dec
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    _, w, h, rgb = _dec(bytes(content))
+                except ValueError:
+                    continue
+                if w % AH_GRID or h % AH_GRID:
+                    continue
+                a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                gray = a.reshape(h, w, 3).sum(axis=2)
+                blocks = gray.reshape(
+                    AH_GRID, h // AH_GRID, AH_GRID, w // AH_GRID
+                ).sum(axis=(1, 3))
+                rows.append(
+                    [os.path.basename(path), blocks.ravel().astype(np.float64).tolist()]
+                )
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+    return images.select("path", "content").mapInPandas(_embed, schema)
+
+
+@register(
+    "mm_image_embed_topk",
+    oracle="""
+    SELECT * FROM (VALUES
+      """
+    + ",\n      ".join(
+        f"('{q}', '{n}', {r})" for q, n, r in _image_embed_expected_topk()
+    )
+    + """)
+      AS t(query_id, neighbor_id, rn)
+    """,
+    doc="Multimodal retrieval end-to-end: the near-dup image fixtures are "
+    "decoded and embedded (8x8 block-grayscale vectors) executor-side, "
+    "then ranked by the SAME brute_force_topk used for text embeddings — "
+    "binary media columns feed the similarity stack with no special "
+    "casing. Oracle = expected cosine ranks from the pixel formulas.",
+)
+def mm_image_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .similarity import brute_force_topk
+
+    root = write_neardup_image_fixtures(tempfile.mkdtemp(prefix="spark_graft_emb_"))
+    em = image_embeddings(spark.read.format("binaryFile").load(root))
+    return brute_force_topk(em, em, k=3)
