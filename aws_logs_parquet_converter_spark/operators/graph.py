@@ -401,3 +401,30 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return triangle_count(pairs)
+
+
+@register(
+    "dedup_components_star",
+    oracle=_components_oracle(),
+    doc=(
+        "Connected components via alternating large-star/small-star "
+        "rounds (Kiveris et al., SoCC'14) — O(log n) rounds regardless "
+        "of graph DIAMETER, where min-label propagation needs diameter "
+        "rounds. Same dup-pair graph, same oracle as dedup_components: "
+        "both algorithms must produce identical clusters, pinning the "
+        "adversarial-diameter scale path end-to-end, not just as a "
+        "library function."
+    ),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components_star(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("label").alias("component"), "n_members")
+    )
