@@ -1021,3 +1021,35 @@ def mm_image_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = write_neardup_image_fixtures(tempfile.mkdtemp(prefix="spark_graft_emb_"))
     em = image_embeddings(spark.read.format("binaryFile").load(root))
     return brute_force_topk(em, em, k=3)
+
+
+def _media_survivors_expected() -> list[str]:
+    dropped = {b for _, b, _ in _nd_expected_pairs()}
+    return sorted(n for n, _, _ in _nd_specs() if n not in dropped)
+
+
+@register(
+    "pipeline_media_curation",
+    oracle="""
+    SELECT * FROM (VALUES
+      """
+    + ",\n      ".join(f"('{n}')" for n in _media_survivors_expected())
+    + """)
+      AS t(name)
+    """,
+    doc="Composed media curation: binaryFile scan -> real decode -> aHash "
+    "-> band-bucket near-dup pairs -> survivor election (drop the "
+    "lexicographically later member of each pair) — the image-corpus "
+    "dedup pipeline end-to-end under one oracle. Light variants are "
+    "eliminated; the heavy edit and all bases survive.",
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    root = write_neardup_image_fixtures(tempfile.mkdtemp(prefix="spark_graft_cur_"))
+    hashes = image_ahash(spark.read.format("binaryFile").load(root))
+    pairs = band_near_dup_pairs(hashes)
+    # survivor election: the dup-pair graph here is pairwise (a < b with a
+    # the earlier name); drop every b — same rule as dedup survivorship
+    drop = pairs.select(F.col("img_b").alias("name")).distinct()
+    return hashes.select("name").join(drop, "name", "left_anti")
