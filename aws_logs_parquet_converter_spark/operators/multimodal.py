@@ -1053,3 +1053,95 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the earlier name); drop every b — same rule as dedup survivorship
     drop = pairs.select(F.col("img_b").alias("name")).distinct()
     return hashes.select("name").join(drop, "name", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Audio embedding -> cosine retrieval (the audio side of the bridge)
+# ---------------------------------------------------------------------------
+
+
+def _au_embed(samples: list[int]) -> list[float]:
+    """65-dim embedding: per-window |sample| energies as doubles (exact
+    integer sums, same accumulation order as the numpy path)."""
+    return [
+        float(sum(abs(x) for x in samples[w * AU_WIN_FRAMES : (w + 1) * AU_WIN_FRAMES]))
+        for w in range(AU_WINDOWS)
+    ]
+
+
+def _audio_embed_expected_topk(k: int = 3) -> list[tuple[str, str, int]]:
+    import math
+
+    vecs = {name: _au_embed(s) for name, s in _au_specs()}
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    rows = []
+    for q in sorted(vecs):
+        scored = sorted(
+            ((cos(vecs[q], vecs[n]), n) for n in vecs if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        rows += [(q, n, i + 1) for i, (_, n) in enumerate(scored[:k])]
+    return rows
+
+
+def audio_embeddings(audio: DataFrame) -> DataFrame:
+    """(vec_id, embedding): decoded clips embedded as window-energy
+    vectors inside Arrow-batched mapInPandas."""
+    import os
+
+    import numpy as np
+
+    schema = "vec_id string, embedding array<double>"
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rate, n_ch, bits, frames = decode_wav(bytes(content))
+                except ValueError:
+                    continue
+                if n_ch != 1 or len(frames) != AU_ND_FRAMES:
+                    continue
+                a = np.asarray([f[0] for f in frames], dtype=np.int64)
+                e = np.abs(a).reshape(AU_WINDOWS, AU_WIN_FRAMES).sum(axis=1)
+                rows.append([os.path.basename(path), e.astype(np.float64).tolist()])
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+    return audio.select("path", "content").mapInPandas(_embed, schema)
+
+
+@register(
+    "mm_audio_embed_topk",
+    oracle="""
+    SELECT * FROM (VALUES
+      """
+    + ",\n      ".join(
+        f"('{q}', '{n}', {r})" for q, n, r in _audio_embed_expected_topk()
+    )
+    + """)
+      AS t(query_id, neighbor_id, rn)
+    """,
+    doc="Audio retrieval end-to-end: decoded PCM clips embedded as "
+    "window-energy vectors executor-side, ranked by the same "
+    "brute_force_topk as text and image embeddings. Oracle = expected "
+    "cosine ranks from the sample formulas.",
+)
+def mm_audio_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .similarity import brute_force_topk
+
+    root = write_neardup_audio_fixtures(tempfile.mkdtemp(prefix="spark_graft_aemb_"))
+    em = audio_embeddings(spark.read.format("binaryFile").load(root))
+    return brute_force_topk(em, em, k=3)

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "text_lexical_topk": "one-row corpus stats (N, avgdl, per-term df) broadcast",
     "q_negative_sample": "4-row query set broadcast vs corpus (non-equi source<> predicate)",
     "mm_image_embed_topk": "10-image fixture set broadcast vs itself (brute_force_topk)",
+    "mm_audio_embed_topk": "8-clip fixture set broadcast vs itself (brute_force_topk)",
 }
 
 
