@@ -149,13 +149,18 @@ def main(argv: list[str] | None = None) -> None:
             from .plans.retention import expire_date_partitions
 
             keep_from = date.today() - timedelta(days=args.retain_days)
-            roots = (
-                [f"{cfg.destination_root}/{f}" for f in (
-                    cfg.folders or discover_folders(spark, cfg.source_root)
-                )]
-                if cfg.folders != ()
-                else [cfg.destination_root]
-            )
+            if cfg.folders == ():
+                roots = [cfg.destination_root]
+            else:
+                # discover from the DESTINATION tree (the one being expired):
+                # a folder that stopped producing source logs still has old
+                # compacted data to age out. Source discovery is only the
+                # bootstrap fallback for a destination that doesn't exist yet.
+                names = list(cfg.folders) if cfg.folders else (
+                    discover_folders(spark, cfg.destination_root)
+                    or discover_folders(spark, cfg.source_root)
+                )
+                roots = [f"{cfg.destination_root}/{f}" for f in names]
             expired = [
                 day
                 for r in roots

@@ -854,25 +854,50 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_SPLIT = 400
 
 
-def incremental_minhash_pairs(docs: DataFrame, split: int = INCR_SPLIT) -> DataFrame:
-    """Near-dup pairs INVOLVING the new batch only — the daily-increment
-    dedup: yesterday's corpus is represented purely by its band INDEX
-    (signatures + band keys, no text), today's docs shingle/sign/band and
-    probe it.
-
-    Scale property this pins: per-day cost is O(|new batch|) map work plus
-    an equi-join whose NEW side is batch-sized — the stored index is never
-    re-shingled, and corpus text never re-reads. Output = new-vs-old pairs
-    plus new-vs-new pairs (both needed: a doc duplicated within today's
-    batch must not slip through), which equals the full-corpus candidate
-    set restricted to pairs whose HIGHER id is in the batch.
+def build_band_index(docs: DataFrame, path: str, split: int = INCR_SPLIT) -> None:
+    """Materialize the corpus LSH index (the state a daily dedup job
+    maintains): ``<path>/signatures`` = (doc_id, s0..s15) and
+    ``<path>/bands`` = (doc_id, band_id, band_key), parquet. The corpus
+    text is shingled exactly ONCE — here, at index-build/append time; the
+    daily query (:func:`incremental_minhash_pairs`) reads only these two
+    narrow tables plus the day's batch.
     """
-    sig = minhash_signature(shingles(spread_input(docs))).cache()
-    bands = lsh_bands(sig)
-    index_side = bands  # old ∪ new: the maintained band table after append
-    new_side = bands.where(F.col("doc_id") >= split)
-    a = index_side.alias("a")
-    b = new_side.alias("b")
+    corpus = docs.where(F.col("doc_id") < split)
+    sig = minhash_signature(shingles(spread_input(corpus)))
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    # derive bands from the WRITTEN signatures (one shingle pass total)
+    sig_r = docs.sparkSession.read.parquet(f"{path}/signatures")
+    lsh_bands(sig_r).write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    split: int = INCR_SPLIT,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch only — the daily-increment
+    dedup: yesterday's corpus is represented purely by its persisted band
+    INDEX (signatures + band keys, no text — see :func:`build_band_index`);
+    today's docs shingle/sign/band and probe it.
+
+    Scale property this pins — and the plan now proves
+    (tests/test_plans.py::test_incremental_minhash_reads_index_not_corpus):
+    the only ``documents`` scan in the physical plan carries the pushed
+    batch filter ``doc_id >= split``; the corpus enters ONLY via the two
+    parquet index tables. Per-day cost is O(|new batch|) map work plus an
+    equi-join whose NEW side is batch-sized; the corpus text is never
+    re-read and never re-shingled. Output = new-vs-old pairs plus
+    new-vs-new pairs (both needed: a doc duplicated within today's batch
+    must not slip through), which equals the full-corpus candidate set
+    restricted to pairs whose HIGHER id is in the batch.
+    """
+    batch_sig = minhash_signature(shingles(spread_input(batch))).cache()
+    batch_bands = lsh_bands(batch_sig)
+    idx_sig = spark.read.parquet(f"{index_path}/signatures")
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    a = idx_bands.unionByName(batch_bands).alias("a")  # index ∪ today
+    b = batch_bands.alias("b")
     cand = (
         a.join(
             b,
@@ -883,8 +908,8 @@ def incremental_minhash_pairs(docs: DataFrame, split: int = INCR_SPLIT) -> DataF
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sig.alias("x")
-    y = sig.alias("y")
+    x = idx_sig.unionByName(batch_sig).alias("x")  # doc_a may be old or new
+    y = batch_sig.alias("y")  # doc_b is always in the batch
     n_match: Column = sum(
         F.when(F.col(f"x.s{k}") == F.col(f"y.s{k}"), 1).otherwise(0)
         for k in range(K_MINHASH)
@@ -898,6 +923,22 @@ def incremental_minhash_pairs(docs: DataFrame, split: int = INCR_SPLIT) -> DataF
             n_match.cast("int").alias("n_matching_minhashes"),
         )
     )
+
+
+#: per-sf_dir cache of built band-index paths (setup state, built once per
+#: process like stream_upsert_merge's seeded destination table)
+_BAND_INDEX_PATHS: dict[str, str] = {}
+
+
+def _band_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _BAND_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="band_index_")
+        build_band_index(load_table(spark, sf_dir, "documents"), path)
+        _BAND_INDEX_PATHS[sf_dir] = path
+    return path
 
 
 @register(
@@ -915,12 +956,19 @@ def incremental_minhash_pairs(docs: DataFrame, split: int = INCR_SPLIT) -> DataF
     """,
     doc=(
         "Incremental near-dup (daily-increment shape): today's batch "
-        "(doc_id >= 400) probes the stored LSH band index; output = the "
-        "full-corpus candidate set restricted to pairs whose higher id is "
-        "new. Per-day cost is batch-sized map work + a batch-driven "
-        "equi-join — the corpus is represented by signatures/bands only "
-        "and never re-shingled."
+        "(doc_id >= 400) probes a PERSISTED parquet LSH band index "
+        "(signatures + band keys, built once by build_band_index as setup "
+        "state); output = the full-corpus candidate set restricted to "
+        "pairs whose higher id is new. Per-day cost is batch-sized map "
+        "work + a batch-driven equi-join — the corpus enters the query "
+        "plan only through the index tables (plan-asserted: the single "
+        "documents scan carries the pushed doc_id >= 400 filter), so the "
+        "corpus text is never re-read and never re-shingled."
     ),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return incremental_minhash_pairs(load_table(spark, sf_dir, "documents"))
+    index_path = _band_index_for(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= INCR_SPLIT
+    )
+    return incremental_minhash_pairs(spark, batch, index_path)

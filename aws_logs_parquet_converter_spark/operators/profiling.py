@@ -440,6 +440,96 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- seeded incremental rollup: partials persisted, one late day repaired ---
+
+#: the "late-arriving" day whose partial row is poisoned at seed time and
+#: repaired by a single-partition overwrite (exists at every test SF)
+_LATE_DAY = "1995-06-17"
+
+#: per-sf_dir cache of seeded daily-partials paths (setup state, like
+#: dedup._band_index_for / stream_upsert_merge's seeded destination)
+_ROLLUP_PARTIALS_PATHS: dict[str, str] = {}
+
+
+def _seeded_partials_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a day-partitioned daily-partials parquet table with ONE day's
+    partial poisoned (stale cents/count), then repair it the incremental
+    way: recompute only that day from orders (pushed date filter) and
+    overwrite only that day's partition directory. Mirrors the reference's
+    idempotent per-date overwrite, lifted to aggregate partials."""
+    path = _ROLLUP_PARTIALS_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..functions.numeric import cents
+
+    path = tempfile.mkdtemp(prefix="rollup_partials_")
+    o = load_table(spark, sf_dir, "orders")
+    late = F.lit(_LATE_DAY).cast("date")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("cents"),
+        F.count("*").alias("n"),
+    )
+    stale = daily.select(
+        "day",
+        F.when(F.col("day") == late, F.lit(0)).otherwise(F.col("cents"))
+        .cast("bigint").alias("cents"),
+        F.when(F.col("day") == late, F.lit(0)).otherwise(F.col("n"))
+        .cast("bigint").alias("n"),
+    )
+    stale.write.mode("overwrite").partitionBy("day").parquet(path)
+    repair = (
+        o.where(F.to_date("o_orderdate") == late)
+        .groupBy()
+        .agg(
+            F.sum(cents("o_totalprice")).cast("bigint").alias("cents"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    repair.write.mode("overwrite").parquet(f"{path}/day={_LATE_DAY}")
+    _ROLLUP_PARTIALS_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "q_incremental_rollup_seeded",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT strftime(date_trunc('month', day), '%Y-%m') AS month,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM daily GROUP BY 1
+    """,
+    doc=(
+        "Incremental rollup with PERSISTED state: the monthly rollup reads "
+        "ONLY a pre-written day-partitioned daily-partials parquet table "
+        "(plan-asserted: no orders scan in the query plan). Seeding "
+        "poisons one day's partial and repairs it by recomputing just "
+        "that day from orders (pushed date filter) and overwriting only "
+        "that day's partition — the reference's idempotent per-date "
+        "overwrite lifted to aggregates. At 100 TB each day's batch "
+        "appends/overwrites one tiny partial partition; every coarser "
+        "grain re-aggregates partials at interactive cost, and raw rows "
+        "are read at most once per repaired day."
+    ),
+)
+def q_incremental_rollup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _seeded_partials_for(spark, sf_dir)
+    partials = spark.read.parquet(path)
+    return partials.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.sum("n").alias("n_orders"),
+    )
+
+
 @register(
     "q_winsorize_mad",
     oracle="""

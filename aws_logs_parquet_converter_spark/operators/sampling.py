@@ -387,16 +387,22 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "layout and are neither dense nor stable). The result is "
         "IDENTICAL for any partition count/boundaries because the sort "
         "key is unique: boundary placement moves rows between offsets "
-        "and local ranks in lockstep. Cost: repartitionByRange's "
-        "sampling pass re-executes the (cheap, columnar) upstream scan."
+        "and local ranks in lockstep. The partitioned frame is pinned "
+        "with an eager localCheckpoint so the counts branch and the "
+        "local-rank branch provably read ONE materialized assignment — "
+        "correctness must not hinge on ReuseExchange deduping the two "
+        "instances of the range exchange (range boundaries are sampled "
+        "per-exchange; with reuse disabled the branches could disagree)."
     ),
 )
 def q_global_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts = d.repartitionByRange(32, F.col("n_chars").desc(), F.col("doc_id")).withColumn(
-        "__pid", F.spark_partition_id()
+    parts = (
+        d.repartitionByRange(32, F.col("n_chars").desc(), F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin ONE partition assignment for both branches
     )
     counts = parts.groupBy("__pid").agg(F.count("*").alias("__n"))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -81,21 +81,37 @@ class CompactionPolicy:
 def estimate_input_bytes(df: DataFrame) -> int | None:
     """Total size of the files feeding ``df`` (None for non-file sources).
 
-    Driver-side metadata: one getFileStatus per input file — the same
-    O(#files) class as the listing the scan already performed. For the
-    reference's >100k-files/day pathology this is a metadata pass, not a
-    data pass; cache-friendly because the namenode/S3 listing is hot from
-    planning."""
+    Driver-side metadata, batched JVM-side: paths group by parent
+    directory, and each flat directory whose every file the scan reads is
+    summed with ONE ``getContentSummary`` call (the length accumulates in
+    the JVM) — O(#directories) py4j round trips, not O(#files). For the
+    reference's >100k-files/day pathology (one flat day folder) that is
+    two bridge calls total; a per-file ``getFileStatus`` loop would cost
+    100k py4j round trips of driver time. Directories the scan reads only
+    partially fall back to one ``listStatus`` per directory, filtered to
+    the scanned file names."""
     paths = df.inputFiles()
     if not paths:
         return None
     spark = df.sparkSession
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    total = 0
+    by_parent: dict[str, set[str]] = {}
     for p in paths:
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        total += hp.getFileSystem(hconf).getFileStatus(hp).getLen()
+        parent, _, name = p.rpartition("/")
+        by_parent.setdefault(parent, set()).add(name)
+    total = 0
+    for parent, names in by_parent.items():
+        hp = jvm.org.apache.hadoop.fs.Path(parent)
+        fs = hp.getFileSystem(hconf)
+        summ = fs.getContentSummary(hp)
+        # flat dir + every file scanned -> the one-call JVM-side sum is exact
+        if summ.getDirectoryCount() <= 1 and summ.getFileCount() == len(names):
+            total += summ.getLength()
+        else:
+            for st in fs.listStatus(hp):
+                if st.getPath().getName() in names:
+                    total += st.getLen()
     return int(total)
 
 

@@ -318,13 +318,9 @@ def test_target_file_mb_sizes_file_count(spark, tmp_path):
     raw = str(tmp_path / "raw")
     write_log_files(raw, n_lines=20_000, n_files=8, seed=5)
     df = read_s3_access_logs(spark, raw + "/*.txt")
-    raw_mb = sum(
-        __import__("os").path.getsize(p) for p in glob.glob(raw + "/*.txt")
-    ) / (1024 * 1024)
 
     auto = CompactionPolicy(num_output_files=None, target_file_mb=1)
     n = resolve_file_count(df, auto)
-    assert n == -(-int(raw_mb * 1024 * 1024) // (1024 * 1024)) or n >= 1
     assert n == max(1, -(-sum(
         __import__("os").path.getsize(p) for p in glob.glob(raw + "/*.txt")
     ) // (1024 * 1024)))

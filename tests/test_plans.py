@@ -388,3 +388,32 @@ def test_banded_range_join_avoids_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_incremental_minhash_reads_index_not_corpus(spark):
+    """The 100-TB claim of dedup_incremental_minhash in plan form: the only
+    `documents` scan carries the pushed batch filter (doc_id >= 400), so the
+    corpus text is never re-read; the corpus enters only via the persisted
+    parquet band index (signatures + bands)."""
+    from aws_logs_parquet_converter_spark.operators.dedup import INCR_SPLIT
+
+    plan = _plan(spark, "dedup_incremental_minhash")
+    doc_scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "documents" in ln
+    ]
+    assert doc_scans, "expected a pushed-down batch scan of documents"
+    for ln in doc_scans:
+        assert f"GreaterThanOrEqual(doc_id,{INCR_SPLIT})" in ln, ln
+    # and the persisted index is what supplies the corpus side
+    assert "band_index_" in plan and "signatures" in plan and "/bands" in plan
+
+
+def test_incremental_rollup_seeded_scans_partials_only(spark):
+    """q_incremental_rollup_seeded's plan reads the persisted daily-partials
+    table only — the orders scan happens once, at seed/repair time, never in
+    the rollup query itself."""
+    plan = _plan(spark, "q_incremental_rollup_seeded")
+    assert "rollup_partials_" in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all("rollup_partials_" in ln for ln in scans), scans
+    assert not any("orders.parquet" in ln for ln in scans)

@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """Measured skew-join experiment for SCALE.md.
 
-Synthesizes a pathologically skewed fact table (60% of 5M rows share ONE
+Synthesizes a pathologically skewed fact table (60% of 50M rows share ONE
 join key; the rest spread over 100k keys) joined against a 100k-row
 dimension too large to broadcast (threshold forced to -1), and times three
 strategies min-of-2:
 
-  plain      AQE off  -> one sort-merge task owns the 3M-row hot key
+  plain      AQE off  -> one sort-merge task owns the 30M-row hot key
   aqe_skew   AQE on   -> runtime skew-join split carves the hot partition
   salted     AQE off  -> explicit N_SALTS salting (operators/advanced.py)
 
