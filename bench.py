@@ -75,6 +75,16 @@ HEADLINE = [
     "dq_expectations",
 ]
 
+# Legs whose work happens EAGERLY at DataFrame-construction time (seeded
+# streaming runs, decode fixtures): the timed span must include the call,
+# not just the noop write. Kept out of HEADLINE so its r1-r3 timing
+# semantics (write-only span) stay comparable.
+EAGER_LEGS = [
+    "stream_upsert_merge",  # seeded CDC merge: microbatch wall over parquet
+    "mm_decode_stats",  # binary image decode throughput (Arrow mapInPandas)
+    "pipeline_media_curation",  # composed decode->hash->near-dup->survivor
+]
+
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -90,7 +100,7 @@ def main() -> None:
     queries = operators.all_queries()
     # JVM/codegen warmup at the smallest SF so timings measure the engine,
     # not first-query classloading.
-    for name in HEADLINE:
+    for name in HEADLINE + EAGER_LEGS:
         queries[name](spark, WARMUP_SF_DIR).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()  # drop warmup caches before timing
 
@@ -103,6 +113,12 @@ def main() -> None:
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+        for name in EAGER_LEGS:
+            t0 = time.perf_counter()  # construction IS the work for these
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
@@ -150,10 +166,16 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability: the sum over exactly the legs BENCH_r03
+    # timed (EAGER_LEGS are new in r4 and inflate `value` by design)
+    r3_comparable = round(
+        sum(v for k, v in timings.items() if k not in EAGER_LEGS), 3
+    )
     payload = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
+        "value_r3_comparable": r3_comparable,
         "queries": timings,
         "sf": sf,
     }
