@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from ..functions.text import hash60
+from ..functions.text import hash60, sql_hash60
 from .dedup import spread_input
 
 
@@ -733,12 +733,13 @@ PQ_SCALE = 1e7
 def pq_codebook(embeddings: DataFrame) -> DataFrame:
     """Per-subspace codebooks: (m, cluster, c_sub, half_n).
 
-    Codewords are the label-centroid SLICES — a deterministic, oracle-able
-    stand-in for per-subspace k-means (Jégou et al., "Product Quantization
-    for Nearest Neighbor Search", TPAMI'11 trains codebooks per subspace;
-    swap :func:`kmeans_train` per subspace in for trained codebooks — the
-    encode/ADC machinery below is independent of codeword training). The
-    whole codebook is |labels| x M_SUB rows and broadcasts everywhere.
+    Codewords are the label-centroid SLICES — the cheap single-pass
+    BASELINE codebook (recall 0.75 vs the trained 0.825 at shortlist=100,
+    sf0.01). The production path is :func:`pq_train_codebooks` (real
+    per-subspace Lloyd's, per Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI'11); the encode/ADC machinery below is
+    independent of codeword training and takes either. The whole codebook
+    is |codewords| x M_SUB rows and broadcasts everywhere.
     """
     cents = label_centroids(embeddings).select(
         F.col("label").alias("cluster"), "centroid"
@@ -774,6 +775,87 @@ def _subvectors(embeddings: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
+def pq_train_codebooks(
+    embeddings: DataFrame, k: int = 16, n_iters: int = 3
+) -> DataFrame:
+    """REAL per-subspace PQ codebooks via Lloyd's k-means, trained jointly
+    for all M_SUB subspaces in one pass per iteration (the subspace id
+    ``m`` is just an extra grouping key, so 8 independent k-means runs
+    cost the same shuffles as one).
+
+    Same determinism skeleton as :func:`kmeans_train` — md5-ranked init
+    (the first ``k`` vectors by hash60 seed every subspace), exact
+    1e-7-scaled integer centroid sums, argmax tiebreak toward the smaller
+    cluster id, ``localCheckpoint`` lineage truncation per round — which
+    makes the whole training loop bit-reproducible and therefore
+    UNROLLABLE into a DuckDB oracle (``_pq_trained_cb_cte``): the
+    registered query stays value-hash-checked even though training is
+    iterative. Output schema matches :func:`pq_codebook`:
+    (m, cluster, c_sub, half_n), |k x M_SUB| rows, broadcast everywhere.
+    """
+    sub = _subvectors(spread_input(embeddings), "vec_id")
+    h = hash60(F.col("vec_id").cast("string"), seed="pq")
+    w0 = Window.orderBy("h", "vec_id")
+    seeds = (
+        embeddings.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select("vec_id", (F.row_number().over(w0) - 1).alias("cluster"))
+    )
+    cents = (
+        sub.join(F.broadcast(seeds), "vec_id")
+        .select("m", "cluster", F.col("sub_vec").alias("c_sub"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        c2 = cents.select(
+            "m",
+            "cluster",
+            "c_sub",
+            (F.lit(0.5) * dot(F.col("c_sub"), F.col("c_sub"))).alias("half_n"),
+        )
+        scored = sub.join(F.broadcast(c2), "m").select(
+            "vec_id",
+            "m",
+            "cluster",
+            (dot(F.col("sub_vec"), F.col("c_sub")) - F.col("half_n")).alias("score"),
+            "sub_vec",
+        )
+        asg = scored.groupBy("vec_id", "m").agg(
+            F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias(
+                "cluster"
+            ),
+            F.any_value("sub_vec").alias("sub_vec"),
+        )
+        ex = asg.select("m", "cluster", F.posexplode("sub_vec").alias("pos", "v"))
+        cell = ex.groupBy("m", "cluster", "pos").agg(
+            F.sum(F.round(F.col("v") * 1e7).cast("bigint")).alias("sc"),
+            F.count("*").alias("n"),
+        )
+        cents = (
+            cell.select(
+                "m",
+                "cluster",
+                "pos",
+                ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias("c"),
+            )
+            .groupBy("m", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: x["c"],
+                ).alias("c_sub")
+            )
+            .localCheckpoint()
+        )
+    return cents.select(
+        "m",
+        "cluster",
+        "c_sub",
+        (F.lit(0.5) * dot(F.col("c_sub"), F.col("c_sub"))).alias("half_n"),
+    )
+
+
 def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, m, code): nearest codeword per subspace.
 
@@ -797,7 +879,11 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
 
 
 def pq_adc_topk(
-    embeddings: DataFrame, n_queries: int = 8, k: int = 5, shortlist: int = 100
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int = 100,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank: the IVFADC retrieval pattern.
 
@@ -814,15 +900,15 @@ def pq_adc_topk(
     queries x shortlist id set) broadcasts back against the corpus for
     EXACT cosine on just those rows — the standard recall repair for
     coarse codebooks (Jégou et al. §IV: ADC orders a candidate list,
-    exact distances re-rank it). Direct ADC@5 measured 0.175 recall with
-    the 10-codeword label codebooks; exact re-rank lifts it with
-    shortlist depth (50: 0.60, 75: 0.73, 100: 0.75, 150: 0.83 measured
-    at sf0.01) — floor pinned in tests/test_similarity_recall.py. At
-    production scale the lever is codebook SIZE (256 k-means codewords
-    per subspace, not 10 label slices), which shrinks the needed
-    shortlist to a constant.
+    exact distances re-rank it). With the TRAINED 16-codeword codebooks
+    (pq_train_codebooks) recall@5 climbs with shortlist depth 25: 0.45,
+    50: 0.65, 75: 0.825, 100: 0.825 measured at sf0.01 (label-slice
+    stand-in: 50: 0.60, 100: 0.75) — floors pinned in
+    tests/test_similarity_recall.py. At production scale the lever is
+    codebook SIZE (256 k-means codewords per subspace), which shrinks
+    the needed shortlist to a constant.
     """
-    cb = pq_codebook(embeddings)
+    cb = pq_codebook(embeddings) if codebook is None else codebook
     codes = pq_encode(embeddings, cb)
     q = _subvectors(embeddings.where(F.col("vec_id") < n_queries), "query_id")
     lut = q.join(F.broadcast(cb), "m").select(
@@ -878,25 +964,23 @@ def pq_adc_topk(
     )
 
 
-def _pq_adc_oracle(n_queries: int = 8, k: int = 5, shortlist: int = 100) -> str:
-    ms = f"(SELECT unnest(range(0, {M_SUB})) AS m) ms"
-    return f"""
-    WITH {_CENTROID_CTE},
-    sub AS (
-      SELECT ms.m, c.cluster,
-             list_slice(c.centroid, ms.m*{SUB_DIM}+1, (ms.m+1)*{SUB_DIM}) AS c_sub
-      FROM cent c CROSS JOIN {ms}),
-    sub2 AS (SELECT m, cluster, c_sub,
-                    0.5 * list_dot_product(c_sub, c_sub) AS half_n FROM sub),
-    esub AS (
+_MS = f"(SELECT unnest(range(0, {M_SUB})) AS m) ms"
+
+#: (vec_id, m, sub_vec) — every vector split into its M_SUB subspace slices
+_ESUB_CTE = f"""esub AS (
       SELECT e.vec_id, ms.m,
              list_slice(CAST(e.embedding AS DOUBLE[]),
                         ms.m*{SUB_DIM}+1, (ms.m+1)*{SUB_DIM}) AS sub_vec
-      FROM embeddings e CROSS JOIN {ms}),
-    enc0 AS (
+      FROM embeddings e CROSS JOIN {_MS})"""
+
+
+def _pq_adc_sql(cb: str, n_queries: int, k: int, shortlist: int) -> str:
+    """encode -> ADC scan -> shortlist -> exact re-rank, parameterized on
+    the codebook CTE name ``cb`` exposing (m, cluster, c_sub, half_n)."""
+    return f"""enc0 AS (
       SELECT s.vec_id, s.m, c.cluster,
              list_dot_product(s.sub_vec, c.c_sub) - c.half_n AS score
-      FROM esub s JOIN sub2 c ON c.m = s.m),
+      FROM esub s JOIN {cb} c ON c.m = s.m),
     enc AS (
       SELECT vec_id, m, cluster AS code FROM (
         SELECT vec_id, m, cluster,
@@ -907,7 +991,7 @@ def _pq_adc_oracle(n_queries: int = 8, k: int = 5, shortlist: int = 100) -> str:
       SELECT s.vec_id AS query_id, s.m, c.cluster,
              CAST(round((list_dot_product(s.sub_vec, c.c_sub) - c.half_n)
                         * {PQ_SCALE:.0f}) AS BIGINT) AS val
-      FROM esub s JOIN sub2 c ON c.m = s.m
+      FROM esub s JOIN {cb} c ON c.m = s.m
       WHERE s.vec_id < {n_queries}),
     scored AS (
       SELECT l.query_id, e.vec_id, CAST(SUM(l.val) AS BIGINT) AS score
@@ -935,21 +1019,105 @@ def _pq_adc_oracle(n_queries: int = 8, k: int = 5, shortlist: int = 100) -> str:
       SELECT query_id, vec_id AS neighbor_id,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
-      FROM rer) WHERE rn <= {k}
+      FROM rer) WHERE rn <= {k}"""
+
+
+def _pq_adc_oracle(n_queries: int = 8, k: int = 5, shortlist: int = 100) -> str:
+    """Label-slice (stand-in) codebook variant — kept for pq_codebook."""
+    return f"""
+    WITH {_CENTROID_CTE},
+    sub AS (
+      SELECT ms.m, c.cluster,
+             list_slice(c.centroid, ms.m*{SUB_DIM}+1, (ms.m+1)*{SUB_DIM}) AS c_sub
+      FROM cent c CROSS JOIN {_MS}),
+    sub2 AS (SELECT m, cluster, c_sub,
+                    0.5 * list_dot_product(c_sub, c_sub) AS half_n FROM sub),
+    {_ESUB_CTE},
+    {_pq_adc_sql("sub2", n_queries, k, shortlist)}
+    """
+
+
+def _pq_trained_cb_cte(k: int = 16, n_iters: int = 3) -> str:
+    """The UNROLLED Lloyd's training loop of :func:`pq_train_codebooks` as a
+    CTE chain over ``esub``, ending in ``trained(m, cluster, c_sub,
+    half_n)``. Every step is deterministic in both engines (md5-ranked
+    init, exact integer-scaled centroid sums, smaller-cluster tiebreak),
+    so an ITERATIVE training algorithm stays fully value-hash-checkable —
+    the chain is mechanical: init from the k hash-ranked vectors, then
+    n_iters x (assign, recompute)."""
+    h = sql_hash60("CAST(vec_id AS VARCHAR)", seed="pq")
+    parts = [
+        f"""seeds AS (
+      SELECT vec_id, rn - 1 AS cluster FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+        FROM embeddings) WHERE rn <= {k}),
+    tc0 AS (
+      SELECT s.m, sd.cluster, s.sub_vec AS c_sub
+      FROM esub s JOIN seeds sd ON sd.vec_id = s.vec_id)"""
+    ]
+    prev = "tc0"
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""sc{i} AS (
+      SELECT s.vec_id, s.m, c.cluster,
+             list_dot_product(s.sub_vec, c.c_sub)
+               - 0.5 * list_dot_product(c.c_sub, c.c_sub) AS score
+      FROM esub s JOIN {prev} c ON c.m = s.m),
+    asg{i} AS (
+      SELECT vec_id, m, cluster FROM (
+        SELECT vec_id, m, cluster,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY score DESC, cluster) AS rn
+        FROM sc{i}) WHERE rn = 1),
+    cell{i} AS (
+      SELECT a.m, a.cluster, generate_subscripts(s.sub_vec, 1) AS pos,
+             unnest(s.sub_vec) AS v
+      FROM asg{i} a JOIN esub s ON s.vec_id = a.vec_id AND s.m = a.m),
+    agg{i} AS (
+      SELECT m, cluster, pos,
+             SUM(CAST(round(v * 10000000) AS BIGINT)) AS sc, COUNT(*) AS n
+      FROM cell{i} GROUP BY m, cluster, pos),
+    tc{i} AS (
+      SELECT m, cluster,
+             list((CAST(sc AS DOUBLE) / 10000000) / n ORDER BY pos) AS c_sub
+      FROM agg{i} GROUP BY m, cluster)"""
+        )
+        prev = f"tc{i}"
+    parts.append(
+        f"""trained AS (
+      SELECT m, cluster, c_sub,
+             0.5 * list_dot_product(c_sub, c_sub) AS half_n
+      FROM {prev})"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _pq_trained_oracle(
+    n_queries: int = 8, k: int = 5, shortlist: int = 100,
+    n_codewords: int = 16, n_iters: int = 3,
+) -> str:
+    return f"""
+    WITH {_ESUB_CTE},
+    {_pq_trained_cb_cte(n_codewords, n_iters)},
+    {_pq_adc_sql("trained", n_queries, k, shortlist)}
     """
 
 
 @register(
     "sim_ann_pq_adc",
-    oracle=_pq_adc_oracle(),
+    oracle=_pq_trained_oracle(),
     doc=(
-        "Product-quantization ANN (IVFADC pattern): per-subspace "
-        "codebooks (label-centroid slices, 8 subspaces x 8 dims), corpus "
-        "encoded to 8 codes/vector (32x index shrink), ADC scan via "
-        "broadcast integer lookup tables produces a 100-deep shortlist — "
-        "codes only, never raw vectors — then exact cosine re-ranks just "
-        "the shortlist."
+        "Product-quantization ANN (IVFADC pattern) with TRAINED codebooks: "
+        "per-subspace Lloyd's k-means (16 codewords x 8 subspaces x 8 "
+        "dims, 3 iterations — pq_train_codebooks), corpus encoded to 8 "
+        "codes/vector (32x index shrink), ADC scan via broadcast integer "
+        "lookup tables produces a 100-deep shortlist — codes only, never "
+        "raw vectors — then exact cosine re-ranks just the shortlist. The "
+        "training loop is deterministic enough to UNROLL into the DuckDB "
+        "oracle, so even the iterative build stays value-hash-checked."
     ),
 )
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train_codebooks(e, k=16, n_iters=3)
+    return pq_adc_topk(e, codebook=cb)

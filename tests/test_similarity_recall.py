@@ -105,6 +105,7 @@ def test_pq_adc_recall_floor(spark):
     from aws_logs_parquet_converter_spark.operators.similarity import (
         brute_force_topk,
         pq_adc_topk,
+        pq_train_codebooks,
     )
 
     em = load_table(spark, SF, "embeddings")
@@ -112,11 +113,24 @@ def test_pq_adc_recall_floor(spark):
         (r.query_id, r.neighbor_id)
         for r in brute_force_topk(em, em.where(F.col("vec_id") < 8), k=5).collect()
     }
+    cb = pq_train_codebooks(em, k=16, n_iters=3)
     approx = {
-        (r.query_id, r.neighbor_id) for r in pq_adc_topk(em, n_queries=8, k=5).collect()
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(em, n_queries=8, k=5, codebook=cb).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, f"PQ-ADC recall@5 degraded: {recall:.3f}"
+    # trained 16-codeword codebooks: 0.825 measured at sf0.01, shortlist 100
+    # (label-slice stand-in measured 0.75 on the same fixture)
+    assert recall >= 0.8, f"PQ-ADC recall@5 degraded: {recall:.3f}"
+
+    # the stand-in codebook path (pq_codebook) must stay a working, lower-
+    # recall baseline: measured 0.75 at shortlist=100
+    approx_standin = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(em, n_queries=8, k=5).collect()
+    }
+    recall_standin = len(exact & approx_standin) / len(exact)
+    assert recall_standin >= 0.7, f"stand-in recall degraded: {recall_standin:.3f}"
 
 
 def test_pagerank_star_graph(spark):
