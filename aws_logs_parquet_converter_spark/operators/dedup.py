@@ -874,7 +874,6 @@ def incremental_minhash_pairs(
     spark: SparkSession,
     batch: DataFrame,
     index_path: str,
-    split: int = INCR_SPLIT,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the new batch only — the daily-increment
     dedup: yesterday's corpus is represented purely by its persisted band
@@ -883,9 +882,9 @@ def incremental_minhash_pairs(
 
     Scale property this pins — and the plan now proves
     (tests/test_plans.py::test_incremental_minhash_reads_index_not_corpus):
-    the only ``documents`` scan in the physical plan carries the pushed
-    batch filter ``doc_id >= split``; the corpus enters ONLY via the two
-    parquet index tables. Per-day cost is O(|new batch|) map work plus an
+    the only ``documents`` scan in the physical plan carries the batch's
+    pushed doc_id filter; the corpus enters ONLY via the two parquet
+    index tables. Per-day cost is O(|new batch|) map work plus an
     equi-join whose NEW side is batch-sized; the corpus text is never
     re-read and never re-shingled. Output = new-vs-old pairs plus
     new-vs-new pairs (both needed: a doc duplicated within today's batch

@@ -235,9 +235,26 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH (bucketed ANN without a precomputed cluster label)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 8
+N_PLANES = 8  # fixture-scale bucket bits (see rplsh_bits for the scale rule)
+MAX_PLANES = 24  # hyperplanes pre-generated per table; bits can grow to here
 N_TABLES = 8
 DIM = 64
+
+
+def rplsh_bits(n_rows: int) -> int:
+    """Bucket bits sized to the corpus: ceil(log2 n) + 2, clamped to
+    [N_PLANES, MAX_PLANES] — keeps EXPECTED bucket occupancy in the
+    0.25-0.5 row band, so candidate pairs grow LINEARLY with n. A fixed
+    bit width is the same saturation bug the r2 minhash fix removed:
+    occupancy n/2^bits grows with n and candidate PAIRS grow n^2/2^bits
+    (measured 90x pairs for 10x rows at 8 bits, tools/scale_growth_synth).
+    Widening buckets costs mid-band recall but NOT the near-dup band this
+    operator exists for: a cos>=0.99 pair sits at theta<=8 deg, collision
+    prob per 16-bit table (1-theta/pi)^16 >= 0.48, and 8 OR-ed tables
+    push pair recall past 0.99."""
+    import math
+
+    return min(MAX_PLANES, max(N_PLANES, math.ceil(math.log2(max(n_rows, 2))) + 2))
 
 
 def _hyperplanes() -> list[list[list[float]]]:
@@ -249,7 +266,7 @@ def _hyperplanes() -> list[list[list[float]]]:
     tables: list[list[list[float]]] = []
     for t in range(N_TABLES):
         planes: list[list[float]] = []
-        for j in range(N_PLANES):
+        for j in range(MAX_PLANES):
             digest = b""
             while len(digest) < DIM:
                 digest += hashlib.md5(f"rplsh:{t}:{j}:{len(digest)}".encode()).digest()
@@ -261,7 +278,7 @@ def _hyperplanes() -> list[list[list[float]]]:
 _TABLES = _hyperplanes()
 
 
-def rp_bucket(vec_col: str, table: int = 0) -> Column:
+def rp_bucket(vec_col: str, table: int = 0, bits: int = N_PLANES) -> Column:
     """LSH bucket id for one table: sign bit of the vector against each ±1
     hyperplane. Each plane dot is a row-level zip_with/aggregate against a
     LITERAL array (evaluated once per row) — sequential double arithmetic,
@@ -274,7 +291,7 @@ def rp_bucket(vec_col: str, table: int = 0) -> Column:
     identical). A single SQL parse is milliseconds. Takes the column NAME
     since the expression is rendered in SQL."""
     terms = []
-    for j, plane in enumerate(_TABLES[table]):
+    for j, plane in enumerate(_TABLES[table][:bits]):
         arr = "array(" + ", ".join(f"{x:.1f}D" for x in plane) + ")"
         d = (
             f"aggregate(zip_with({vec_col}, {arr}, "
@@ -285,9 +302,9 @@ def rp_bucket(vec_col: str, table: int = 0) -> Column:
     return F.expr("CAST((" + " + ".join(terms) + ") AS INT)")
 
 
-def _sql_rp_bucket(vec_expr: str, table: int = 0) -> str:
+def _sql_rp_bucket(vec_expr: str, table: int = 0, bits: int = N_PLANES) -> str:
     terms = []
-    for j, plane in enumerate(_TABLES[table]):
+    for j, plane in enumerate(_TABLES[table][:bits]):
         arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]::DOUBLE[]"
         terms.append(
             f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {arr}) >= 0 "
@@ -296,7 +313,9 @@ def _sql_rp_bucket(vec_expr: str, table: int = 0) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+def rplsh_pairs(
+    embeddings: DataFrame, threshold: float = 0.3, bits: int | None = None
+) -> DataFrame:
     """ANN candidate pairs: same bucket in ANY of the N_TABLES sign-LSH
     tables (OR-amplification), then exact cosine confirm.
 
@@ -304,13 +323,26 @@ def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
     measured 2.5% recall at sf0.01; eight independent tables measured 14.8%
     at cos>=0.3 (6x), with theoretical collision rates rising steeply for
     stronger pairs (~75% at cos>=0.8, ~93% at cos>=0.9 — the near-dup
-    band). Candidate volume stays LINEAR: ~n/256 occupancy per bucket per
-    table.
+    band).
+
+    ``bits=None`` sizes the bucket width to the corpus (one parquet
+    metadata-cheap count, then ceil(log2 n)+2 planes — :func:`rplsh_bits`)
+    so per-bucket occupancy is ~constant and candidate volume grows
+    LINEARLY with n. A FIXED width saturates: measured 90x candidate
+    pairs for 10x rows at 8 bits (tools/scale_growth_synth.py) — the
+    n^2/2^bits term every fixed-bucket LSH hits. Pass an explicit
+    ``bits`` to pin the width (the registered fixture query pins 8 so its
+    oracle SQL, rendered at import time, stays static).
+
     Candidates travel as (table, bucket, vec_id) — ids only, no vectors —
     through the equi-join; the 64-dim embeddings join back ONLY for the
     distinct surviving pairs. Sign-LSH recall at mid-similarity thresholds
     falls as buckets tighten: mid-band retrieval belongs to the IVF path
-    (ivf_topk_by_label); this operator is the no-label NEAR-DUP miner."""
+    (ivf_topk_by_label); this operator is the no-label NEAR-DUP miner
+    (near-dup pairs sit at tiny angles, so wider buckets barely dent their
+    collision odds — see rplsh_bits)."""
+    if bits is None:
+        bits = rplsh_bits(embeddings.count())
     base = spread_input(embeddings).select(
         "vec_id",
         "embedding",
@@ -319,7 +351,7 @@ def rplsh_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
     buckets = base.select(
         "vec_id",
         F.posexplode(
-            F.array(*[rp_bucket("embedding", t) for t in range(N_TABLES)])
+            F.array(*[rp_bucket("embedding", t, bits) for t in range(N_TABLES)])
         ).alias("tbl", "bucket"),
     )
     # The self-join below computes `buckets` TWICE (plan audit: 2 Generate,
@@ -381,12 +413,15 @@ def _rplsh_oracle() -> str:
 @register(
     "sim_ann_rplsh",
     oracle=_rplsh_oracle(),
-    doc="Random-hyperplane LSH ANN: 8 independent 8-bit sign-bucket tables "
+    doc="Random-hyperplane LSH ANN: 8 independent sign-bucket tables "
     "(OR-amplification), equi-join per table on (table, bucket), exact "
-    "cosine confirm on the distinct candidate pairs.",
+    "cosine confirm on the distinct candidate pairs. Bucket width pinned "
+    "to 8 bits here (matching the import-time-rendered oracle at fixture "
+    "scale); production sizing auto-scales bits with corpus size "
+    "(rplsh_bits) to keep candidate volume linear.",
 )
 def sim_ann_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rplsh_pairs(load_table(spark, sf_dir, "embeddings"))
+    return rplsh_pairs(load_table(spark, sf_dir, "embeddings"), bits=N_PLANES)
 
 
 @register(

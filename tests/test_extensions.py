@@ -365,3 +365,56 @@ def test_triangle_count_known_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_band_index_lifecycle_build_probe_append(spark, tmp_path):
+    """The persisted MinHash band index supports the full daily cycle:
+    build (day 0 corpus) -> probe (day 1 batch) -> append day 1's
+    signatures/bands -> probe day 2 against the GROWN index. Each probe's
+    pairs must equal the full-corpus candidate set restricted to pairs
+    whose higher id is in that day's batch — i.e. appending instead of
+    rebuilding loses nothing."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.dedup import (
+        build_band_index,
+        incremental_minhash_pairs,
+        lsh_bands,
+        minhash_signature,
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    d1, d2 = 300, 400  # day boundaries: corpus < d1, day1 [d1, d2), day2 >= d2
+    idx = str(tmp_path / "idx")
+    build_band_index(docs, idx, split=d1)
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+
+    day1 = docs.where((F.col("doc_id") >= d1) & (F.col("doc_id") < d2))
+    got1 = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_minhash_pairs(spark, day1, idx).collect()
+    }
+    want1 = {(a, b) for (a, b) in full if d1 <= b < d2}
+    assert got1 == want1
+
+    # append day 1 to the index (the daily maintenance step: batch
+    # signatures/bands append; corpus text untouched)
+    sig1 = minhash_signature(shingles(day1))
+    sig1.write.mode("append").parquet(f"{idx}/signatures")
+    lsh_bands(sig1).write.mode("append").parquet(f"{idx}/bands")
+
+    day2 = docs.where(F.col("doc_id") >= d2)
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_minhash_pairs(spark, day2, idx).collect()
+    }
+    want2 = {(a, b) for (a, b) in full if b >= d2}
+    assert got2 == want2

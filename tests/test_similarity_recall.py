@@ -70,20 +70,51 @@ def test_planted_near_dup_recall(spark):
         clones
     )
 
+    # bits pinned to the fixture-scale 8 the registered query uses; the
+    # auto-sizing path (bits=None -> rplsh_bits) is covered by
+    # test_autosized_bits_keep_planted_recall below
     got = {
         (r.vec_a, r.vec_b)
-        for r in rplsh_pairs(corpus, threshold=0.8).collect()
+        for r in rplsh_pairs(corpus, threshold=0.8, bits=8).collect()
     }
     want = {(r.vec_id, 100_000 + r.vec_id) for r in originals}
     recall = len(got & want) / len(want)
     assert recall >= 0.80, f"planted near-dup recall degraded: {recall:.3f}"
 
 
+def test_autosized_bits_keep_planted_recall(spark):
+    """The corpus-sized bucket width (bits=None -> rplsh_bits) exists to
+    keep candidate volume linear WITHOUT losing the near-dup band: tight
+    near-dups (cos ~0.999 — the dedup-miner target) must still be found
+    at the wider auto width."""
+    from aws_logs_parquet_converter_spark.operators.similarity import rplsh_bits
+
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    originals = em.where(F.col("vec_id") < 40).collect()
+    rng = np.random.RandomState(77)
+    planted = []
+    for r in originals:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        g = rng.randn(v.shape[0])
+        g -= g.dot(v) / v.dot(v) * v
+        g *= (0.04 * np.linalg.norm(v)) / np.linalg.norm(g)  # cos ~0.9992
+        planted.append((100_000 + r.vec_id, [float(x) for x in v + g]))
+    clones = spark.createDataFrame(planted, "vec_id bigint, embedding array<double>")
+    corpus = em.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(
+        clones
+    )
+    assert rplsh_bits(540) > 8  # the auto width actually widens here
+    got = {(r.vec_a, r.vec_b) for r in rplsh_pairs(corpus, threshold=0.99).collect()}
+    want = {(r.vec_id, 100_000 + r.vec_id) for r in originals}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, f"auto-width near-dup recall degraded: {recall:.3f}"
+
+
 def test_midband_recall_window(spark):
     em = load_table(spark, SF, "embeddings")
     truth = _truth_pairs(spark, em, 0.3)
     assert truth, "fixture drift: no cos>=0.3 pairs at sf0.01"
-    got = {(r.vec_a, r.vec_b) for r in rplsh_pairs(em, threshold=0.3).collect()}
+    got = {(r.vec_a, r.vec_b) for r in rplsh_pairs(em, threshold=0.3, bits=8).collect()}
     recall = len(got & truth) / len(truth)
     assert 0.10 <= recall <= 0.40, (
         f"mid-band recall {recall:.3f} left the documented window "

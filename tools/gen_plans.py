@@ -27,7 +27,9 @@ PICKS = {
     "q_range_join_banded": "non-equi band predicate as a quantized-band HASH join — no BroadcastNestedLoopJoin",
     "q_window_range_frame_scalable": "sliding RANGE frame as difference of two growing frames — incremental, no per-row frame recompute",
     "q10_returned_revenue": "revenue pre-aggregated by custkey BEFORE the customer join — narrow (key, sum) pairs shuffle into the dim join, not fat joined rows (r3 rewrite, 2x)",
-    "sim_ann_pq_adc": "PQ/ADC: the scan ranks CODES against broadcast integer lookup tables; raw vectors appear only in the shortlist re-rank",
+    "sim_ann_pq_adc": "PQ/ADC with TRAINED codebooks (r4): Lloyd's per-subspace k-means feeds the broadcast integer lookup tables; the scan ranks CODES, raw vectors appear only in the shortlist re-rank",
+    "dedup_incremental_minhash": "persisted band index (r4): the only documents scan carries the pushed doc_id>=400 batch filter; the corpus enters via the signatures/bands parquet index only — no corpus re-shingle",
+    "q_incremental_rollup_seeded": "monthly rollup reads ONLY the day-partitioned partials table (r4) — the orders scan happened once, at seed/repair time",
     "q_pit_features": "three as-of feature attaches as union+window merges — no range join, no row explosion, leakage-free by construction",
     "q_global_ids_scalable": "dense global ranks via range-partition + local rank + broadcast offsets — no single-partition window",
     "log_compaction: parse path": None,

@@ -39,7 +39,11 @@ from aws_logs_parquet_converter_spark.session import build_session
 
 N_DOCS_BASE = 5_000  # == sf0.1 documents rows
 N_VECS_BASE = 2_000  # == sf0.1 embeddings rows
-DECADES = [1, 10, 100]
+# override with SCALE_SYNTH_DECADES=1,10 to split long runs across invocations
+DECADES = [
+    int(x)
+    for x in os.environ.get("SCALE_SYNTH_DECADES", "1,10,100").split(",")
+]
 VOCAB = 50_000
 TOKENS_PER_DOC = 50
 DIM = 64
@@ -156,7 +160,14 @@ def main() -> None:
                 lsh_bands(minhash_signature(shingles(docs)))
             ).count()
             cands["dedup_simhash"][key] = simhash_pairs(docs).count()
-            cands["sim_ann_rplsh"][key] = rplsh_pairs(vecs).count()
+            # fixed 8-bit buckets (the registered fixture config): saturates
+            cands["sim_ann_rplsh"][key] = rplsh_pairs(vecs, bits=8).count()
+            # corpus-sized bucket width (production default): linear
+            out.setdefault("sim_ann_rplsh_auto", {})[key] = time_min_of(
+                2,
+                lambda: rplsh_pairs(vecs).write.mode("overwrite").format("noop").save(),
+            )
+            cands.setdefault("sim_ann_rplsh_auto", {})[key] = rplsh_pairs(vecs).count()
             spark.catalog.clearCache()
     finally:
         shutil.rmtree(root, ignore_errors=True)
