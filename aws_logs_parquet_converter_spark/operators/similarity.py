@@ -919,6 +919,7 @@ def pq_adc_topk(
     k: int = 5,
     shortlist: int = 100,
     codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank: the IVFADC retrieval pattern.
 
@@ -944,7 +945,7 @@ def pq_adc_topk(
     the needed shortlist to a constant.
     """
     cb = pq_codebook(embeddings) if codebook is None else codebook
-    codes = pq_encode(embeddings, cb)
+    codes = pq_encode(embeddings, cb) if codes is None else codes
     q = _subvectors(embeddings.where(F.col("vec_id") < n_queries), "query_id")
     lut = q.join(F.broadcast(cb), "m").select(
         "query_id",
@@ -1156,3 +1157,60 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cb = pq_train_codebooks(e, k=16, n_iters=3)
     return pq_adc_topk(e, codebook=cb)
+
+
+# --- persisted PQ index: the ANN SERVING shape (train/encode offline) ------
+
+
+def build_pq_index(embeddings: DataFrame, path: str) -> None:
+    """Materialize the PQ index as parquet — ``<path>/codebook`` (m,
+    cluster, c_sub, half_n: |16 x 8| rows) and ``<path>/codes`` (vec_id,
+    m, code: 8 small ints per vector, the 32x-shrunk corpus). Training
+    and encoding read the raw vectors exactly once, HERE; the serving
+    query never does."""
+    cb = pq_train_codebooks(embeddings, k=16, n_iters=3)
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    cb_r = embeddings.sparkSession.read.parquet(f"{path}/codebook")
+    pq_encode(embeddings, cb_r).write.mode("overwrite").parquet(f"{path}/codes")
+
+
+#: per-sf_dir cache of built PQ-index paths (setup state, like
+#: dedup._band_index_for)
+_PQ_INDEX_PATHS: dict[str, str] = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _PQ_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pq_index_")
+        build_pq_index(load_table(spark, sf_dir, "embeddings"), path)
+        _PQ_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "sim_ann_pq_indexed",
+    oracle=_pq_trained_oracle(),
+    doc=(
+        "ANN SERVING against a PERSISTED PQ index: codebook + codes read "
+        "from parquet (built once by build_pq_index as setup state, like "
+        "the dedup band index); the query computes only the per-query "
+        "lookup tables (embeddings scan pushed to vec_id < 8), scans the "
+        "32x-shrunk codes table, and re-ranks the shortlist against the "
+        "corpus. Plan-asserted: no k-means/encode stage in the query plan "
+        "— training cost is paid once offline, per-query cost is LUT "
+        "build + codes scan + shortlist re-rank. Result is identical to "
+        "sim_ann_pq_adc (the index is a deterministic function of the "
+        "corpus), so the same unrolled-training oracle applies."
+    ),
+)
+def sim_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _pq_index_for(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        e,
+        codebook=spark.read.parquet(f"{path}/codebook"),
+        codes=spark.read.parquet(f"{path}/codes"),
+    )

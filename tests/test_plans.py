@@ -417,3 +417,21 @@ def test_incremental_rollup_seeded_scans_partials_only(spark):
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scans and all("rollup_partials_" in ln for ln in scans), scans
     assert not any("orders.parquet" in ln for ln in scans)
+
+
+def test_pq_indexed_serving_plan_has_no_training(spark):
+    """sim_ann_pq_indexed is the serving shape: codebook + codes come from
+    the persisted parquet index; no k-means localCheckpoint (ExistingRDD)
+    and no encode stage appear in the query plan. The only embeddings
+    scans are the pushed query-vector scans and the shortlist re-rank."""
+    plan = _plan(spark, "sim_ann_pq_indexed")
+    assert "pq_index_" in plan and "/codebook" in plan and "/codes" in plan
+    assert "ExistingRDD" not in plan  # training's localCheckpoint artifact
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embeddings" in ln
+    ]
+    assert emb_scans
+    pushed = [ln for ln in emb_scans if "LessThan(vec_id,8)" in ln]
+    assert pushed, "query-vector scans must push vec_id < 8"
