@@ -355,13 +355,15 @@ def rplsh_pairs(
         ).alias("tbl", "bucket"),
     )
     # The self-join below computes `buckets` TWICE (plan audit: 2 Generate,
-    # 4 FileScan, 0 ReusedExchange). Measured at sf0.1, both single-compute
-    # alternatives LOSE to the recompute: .cache() 1.65 s and an explicit
-    # repartition("tbl","bucket") 2.28 s vs 1.44 s plain — the projection is
-    # map-side work that pipelines for free, while a cache inserts a
-    # materialization barrier and an extra exchange isn't reused. Revisit
-    # only if the plane count grows enough that projection cost rivals the
-    # candidate join (then cache the 12-byte/row bucket frame).
+    # 4 FileScan, 0 ReusedExchange). At the 8-bit fixture width the
+    # recompute WINS (measured sf0.1: plain 1.44 s vs .cache() 1.65 s — the
+    # projection pipelines for free, a cache inserts a materialization
+    # barrier). The balance flips when the auto-sizing widens the plane
+    # count: at bits=20 over 200k vectors the 160 plane-dots/row dominate
+    # and caching the 12-byte/row bucket frame measured 10.5 s vs 14.5 s
+    # plain (min-of-2). So: cache exactly when wider than the fixture width.
+    if bits > N_PLANES:
+        buckets = buckets.cache()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -148,6 +148,9 @@ def main() -> None:
             vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             key = f"x{dec}"
             for q in trio:
+                if q == "sim_ann_rplsh" and n_vecs > 50_000:
+                    out[q][key] = "capped(>50k vecs; see pairs note)"
+                    continue
                 out[q][key] = time_min_of(
                     2,
                     lambda: queries[q](spark, sf_dir)
@@ -160,8 +163,15 @@ def main() -> None:
                 lsh_bands(minhash_signature(shingles(docs)))
             ).count()
             cands["dedup_simhash"][key] = simhash_pairs(docs).count()
-            # fixed 8-bit buckets (the registered fixture config): saturates
-            cands["sim_ann_rplsh"][key] = rplsh_pairs(vecs, bits=8).count()
+            # fixed 8-bit buckets (the registered fixture config): saturates.
+            # Capped at 50k vectors — the x10 point already measures the
+            # quadratic (90x pairs for 10x rows); at x100 the ~23M-candidate
+            # confirm join would just re-prove it expensively. Recorded as
+            # "capped", not silently dropped.
+            if n_vecs <= 50_000:
+                cands["sim_ann_rplsh"][key] = rplsh_pairs(vecs, bits=8).count()
+            else:
+                cands["sim_ann_rplsh"][key] = "capped(>50k vecs; quadratic shown at x10)"
             # corpus-sized bucket width (production default): linear
             out.setdefault("sim_ann_rplsh_auto", {})[key] = time_min_of(
                 2,
