@@ -30,6 +30,7 @@ PICKS = {
     "sim_ann_pq_adc": "PQ/ADC with TRAINED codebooks (r4): Lloyd's per-subspace k-means feeds the broadcast integer lookup tables; the scan ranks CODES, raw vectors appear only in the shortlist re-rank",
     "dedup_incremental_minhash": "persisted band index (r4): the only documents scan carries the pushed doc_id>=400 batch filter; the corpus enters via the signatures/bands parquet index only — no corpus re-shingle",
     "q_incremental_rollup_seeded": "monthly rollup reads ONLY the day-partitioned partials table (r4) — the orders scan happened once, at seed/repair time",
+    "sim_ann_pq_indexed": "ANN serving over the persisted PQ index (r4): codebook+codes from parquet, no training stage in the plan; raw vectors only in pushed query reads and the shortlist re-rank",
     "q_pit_features": "three as-of feature attaches as union+window merges — no range join, no row explosion, leakage-free by construction",
     "q_global_ids_scalable": "dense global ranks via range-partition + local rank + broadcast offsets — no single-partition window",
     "log_compaction: parse path": None,
