@@ -325,6 +325,68 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_percentiles_scalable",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Exact interpolated percentiles per group, SCALABLE rewrite of "
+        "q_percentiles: rank rows with a per-group window, then select + "
+        "interpolate the two rows straddling each target rank. Identical "
+        "values to percentile()/quantile_cont, but the heavy operator is "
+        "a window SORT, which spills to disk — Spark's exact percentile() "
+        "aggregate instead buffers EVERY group value in an in-memory "
+        "array (ObjectHashAggregate, collect_list memory class), which "
+        "OOMs a task when one group holds billions of rows at 100 TB. "
+        "Shuffle cost: one hash exchange on the group key (same as the "
+        "aggregate) + a K-row count broadcast; only the 6 straddling rows "
+        "per group survive the rank filter."
+    ),
+)
+def q_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("__n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.withColumn("__rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "o_orderpriority"
+    )
+    qs = {"p25": 0.25, "p50": 0.50, "p75": 0.75}
+    # 1-based fractional target rank: pos = 1 + (n-1)*q; keep the floor and
+    # ceil rows, interpolate between their values by the fractional part
+    pos = {k: F.lit(1.0) + (F.col("__n") - 1) * F.lit(q) for k, q in qs.items()}
+    keep = None
+    for k in qs:
+        hit = (F.col("__rn") == F.floor(pos[k])) | (F.col("__rn") == F.ceil(pos[k]))
+        keep = hit if keep is None else (keep | hit)
+    picked = ranked.where(keep)
+
+    def interp(k: str):
+        p = pos[k]
+        v_lo = F.max(F.when(F.col("__rn") == F.floor(p), F.col("o_totalprice")))
+        v_hi = F.max(F.when(F.col("__rn") == F.ceil(p), F.col("o_totalprice")))
+        frac = F.first(p - F.floor(p))
+        return F.round(v_lo + frac * (v_hi - v_lo), 2).alias(k)
+
+    return picked.groupBy("o_orderpriority").agg(
+        interp("p25"),
+        interp("p50"),
+        interp("p75"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window frames: ntile, first_value, sliding frame
 # ---------------------------------------------------------------------------
