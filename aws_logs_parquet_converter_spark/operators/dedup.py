@@ -940,6 +940,102 @@ def _band_index_for(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+#: per-sf_dir cache of persisted exact-fingerprint index paths
+_FP_INDEX_PATHS: dict[str, str] = {}
+
+
+def build_fingerprint_index(docs: DataFrame, path: str, split: int = INCR_SPLIT) -> None:
+    """Materialize the exact-dedup state: the DISTINCT md5 fingerprints of
+    the corpus half (doc_id < split) as one digest-only parquet table. The
+    daily job appends each batch's new fingerprints; corpus text is read
+    exactly once, here."""
+    (
+        docs.where(F.col("doc_id") < split)
+        .select(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _fp_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _FP_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="fp_index_") + "/fingerprints"
+        build_fingerprint_index(load_table(spark, sf_dir, "documents"), path)
+        _FP_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+def incremental_exact_dedup(
+    spark: SparkSession, batch: DataFrame, index_path: str
+) -> DataFrame:
+    """Per new document: is it a copy of anything already ingested (the
+    persisted fingerprint index) or of an earlier doc in today's batch?
+    ``keep`` marks exactly the rows a curation pipeline admits. Shuffle
+    payload is digests only; the index side never touches text. At 100 TB
+    the index is the md5 table (32 bytes/distinct doc), the join is a
+    digest equi-join AQE can split, and each day appends only the kept
+    fingerprints."""
+    from pyspark.sql import Window
+
+    b = batch.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    idx = spark.read.parquet(index_path).select(
+        "fingerprint", F.lit(True).alias("__in_idx")
+    )
+    w_min = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (
+        b.join(idx, "fingerprint", "left")
+        .withColumn("seen_in_corpus", F.coalesce(F.col("__in_idx"), F.lit(False)))
+        .withColumn("first_in_batch", F.col("doc_id") == w_min)
+        .withColumn(
+            "keep", (~F.col("seen_in_corpus")) & F.col("first_in_batch")
+        )
+        .select("doc_id", "fingerprint", "seen_in_corpus", "first_in_batch", "keep")
+    )
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH idx AS (
+      SELECT DISTINCT md5(text) AS fingerprint
+      FROM documents WHERE doc_id < {INCR_SPLIT}),
+    batch AS (
+      SELECT doc_id, md5(text) AS fingerprint
+      FROM documents WHERE doc_id >= {INCR_SPLIT}),
+    j AS (
+      SELECT b.doc_id, b.fingerprint,
+             (i.fingerprint IS NOT NULL) AS seen_in_corpus,
+             b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.fingerprint)
+               AS first_in_batch
+      FROM batch b LEFT JOIN idx i ON i.fingerprint = b.fingerprint)
+    SELECT doc_id, fingerprint, seen_in_corpus, first_in_batch,
+           (NOT seen_in_corpus AND first_in_batch) AS keep
+    FROM j
+    """,
+    doc=(
+        "Incremental EXACT dedup against a persisted fingerprint index "
+        "(the exact sibling of dedup_incremental_minhash): today's batch "
+        "(doc_id >= 400) md5s its text, left-joins the digest-only corpus "
+        "index, and flags per document whether it repeats the corpus, "
+        "repeats an earlier batch row, or is kept. Plan-asserted: the only "
+        "documents scan carries the pushed batch filter — corpus text is "
+        "never re-read, the index is 32 bytes per distinct doc."
+    ),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index_path = _fp_index_for(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= INCR_SPLIT
+    )
+    return incremental_exact_dedup(spark, batch, index_path)
+
+
 @register(
     "dedup_incremental_minhash",
     oracle="WITH "

@@ -418,3 +418,38 @@ def test_band_index_lifecycle_build_probe_append(spark, tmp_path):
     }
     want2 = {(a, b) for (a, b) in full if b >= d2}
     assert got2 == want2
+
+
+def test_incremental_exact_dedup_flags(spark, tmp_path):
+    """Synthetic batch exercising every flag combination: corpus repeat,
+    in-batch repeat, both, and fresh text (the sf0.001/0.01 fixtures have
+    no exact dups across the split boundary, so this pins the semantics)."""
+    from aws_logs_parquet_converter_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "beta")], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "fp")
+    build_fingerprint_index(corpus, idx, split=100)
+
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha"),   # repeats corpus -> drop
+            (101, "gamma"),   # fresh, first -> keep
+            (102, "gamma"),   # repeats 101 in-batch -> drop
+            (103, "beta"),    # repeats corpus AND unique in batch -> drop
+            (104, "delta"),   # fresh -> keep
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in incremental_exact_dedup(spark, batch, idx).collect()
+    }
+    assert {d for d, r in rows.items() if r.keep} == {101, 104}
+    assert rows[100].seen_in_corpus and rows[103].seen_in_corpus
+    assert not rows[101].seen_in_corpus and not rows[102].seen_in_corpus
+    assert rows[101].first_in_batch and not rows[102].first_in_batch

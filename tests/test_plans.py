@@ -435,3 +435,18 @@ def test_pq_indexed_serving_plan_has_no_training(spark):
     assert emb_scans
     pushed = [ln for ln in emb_scans if "LessThan(vec_id,8)" in ln]
     assert pushed, "query-vector scans must push vec_id < 8"
+
+
+def test_incremental_exact_dedup_reads_index_not_corpus(spark):
+    """dedup_incremental_exact's only documents scan carries the pushed
+    batch filter; the corpus enters via the digest-only fingerprint index."""
+    from aws_logs_parquet_converter_spark.operators.dedup import INCR_SPLIT
+
+    plan = _plan(spark, "dedup_incremental_exact")
+    doc_scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "documents" in ln
+    ]
+    assert doc_scans
+    for ln in doc_scans:
+        assert f"GreaterThanOrEqual(doc_id,{INCR_SPLIT})" in ln, ln
+    assert "fp_index_" in plan
