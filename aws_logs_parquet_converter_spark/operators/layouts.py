@@ -124,3 +124,79 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucketed join/agg must be exchange-free; got:\n" + plan
     )
     return res
+
+
+# ---------------------------------------------------------------------------
+# Table OPTIMIZE roundtrip (plans/optimize.py)
+# ---------------------------------------------------------------------------
+
+#: per-sf_dir cache of (seeded + optimized) table paths
+_OPTIMIZE_PATHS: dict[str, str] = {}
+
+
+def _optimized_orders_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a month-partitioned orders table fragmented into many small
+    files per partition (8-way repartition before write — the shape a
+    micro-batch/upsert workload leaves behind), then run the OPTIMIZE
+    bin-pack over it. The registered query reads the optimized table, so
+    a value-hash match against raw orders proves the rewrite preserved
+    every row and the re-read schema."""
+    path = _OPTIMIZE_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.optimize import optimize_partitions
+
+    path = tempfile.mkdtemp(prefix="optimize_tbl_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    (
+        o.repartition(8)  # fragment: ~8 small files in every partition
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(path)
+    )
+    optimize_partitions(spark, path, "month", target_file_mb=128)
+    _OPTIMIZE_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "q_table_optimize_roundtrip",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           MIN(o_orderkey) AS lo_key,
+           MAX(o_orderkey) AS hi_key
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "OPTIMIZE (small-file bin-pack) roundtrip: orders is seeded as a "
+        "month-partitioned parquet table fragmented to ~8 small files per "
+        "partition (the residue of micro-batch/upsert commits), "
+        "plans/optimize.py rewrites every flagged partition to its "
+        "size-appropriate file count via atomic rename swaps, and the "
+        "registered query aggregates the OPTIMIZED table — matching the "
+        "oracle's aggregate over raw orders proves the maintenance op is "
+        "content-preserving. Selection is driver-side metadata "
+        "(O(#partitions+#files)); rewrite cost is proportional to "
+        "selected-partition bytes only, and re-running is a no-op "
+        "(idempotence + file-count assertions in tests/test_optimize.py)."
+    ),
+)
+def q_table_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _optimized_orders_for(spark, sf_dir)
+    t = spark.read.parquet(path)
+    return t.groupBy("month").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.min("o_orderkey").alias("lo_key"),
+        F.max("o_orderkey").alias("hi_key"),
+    )
