@@ -122,8 +122,16 @@ def optimize_partitions(
         jp = jvm.org.apache.hadoop.fs.Path(p.path)
         jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
         jold = jvm.org.apache.hadoop.fs.Path(old)
-        fs.rename(jp, jold)
-        fs.rename(jtmp, jp)
+        # Hadoop rename() reports failure by RETURN VALUE, not exception; a
+        # crashed prior run can also leave the __optimize_old residue, which
+        # would make the swap silently no-op. Clear it, then check each step.
+        if fs.exists(jold):
+            fs.delete(jold, True)
+        if not fs.rename(jp, jold):
+            raise IOError(f"optimize: could not move {p.path} aside")
+        if not fs.rename(jtmp, jp):
+            fs.rename(jold, jp)  # roll the live partition back
+            raise IOError(f"optimize: could not swap in rewrite for {p.path}")
         fs.delete(jold, True)
         done.append(p.value)
     return done

@@ -84,3 +84,23 @@ def test_optimize_respects_target_file_size(spark, tmp_path):
         # coalesce packs to AT MOST `want` (rewritten bytes can shrink)
         assert p.n_files <= want
         assert p.n_files < stats[p.value].n_files
+
+
+def test_optimize_survives_crashed_prior_run_residue(spark, tmp_path):
+    """Hadoop rename() reports failure by return value; a crashed prior run
+    leaves a __optimize_old directory that would silently no-op the swap.
+    The hardened swap clears the residue, still rewrites, and preserves
+    content."""
+    dest = str(tmp_path / "tbl")
+    _seed(spark, dest)
+    n_before = spark.read.parquet(dest).count()
+    stats = partition_file_stats(spark, dest, "year")
+    residue = stats[0].path + "__optimize_old/junk"
+    os.makedirs(residue, exist_ok=True)
+    with open(os.path.join(residue, "x"), "w") as f:
+        f.write("stale")
+
+    rewritten = optimize_partitions(spark, dest, "year", target_file_mb=128)
+    assert stats[0].value in rewritten
+    assert not os.path.exists(stats[0].path + "__optimize_old")
+    assert spark.read.parquet(dest).count() == n_before
