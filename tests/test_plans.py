@@ -450,3 +450,22 @@ def test_incremental_exact_dedup_reads_index_not_corpus(spark):
     for ln in doc_scans:
         assert f"GreaterThanOrEqual(doc_id,{INCR_SPLIT})" in ln, ln
     assert "fp_index_" in plan
+
+
+def test_percentiles_scalable_avoids_value_buffer_aggregate(spark):
+    """q_percentiles uses the exact percentile() aggregate, which plans an
+    ObjectHashAggregate buffering every group value in memory; the scalable
+    rewrite must not — its heavy operator is a spillable window sort."""
+    baseline = _plan(spark, "q_percentiles")
+    assert "ObjectHashAggregate" in baseline  # the buffer the rewrite removes
+    plan = _plan(spark, "q_percentiles_scalable")
+    assert "ObjectHashAggregate" not in plan
+    assert "Window" in plan
+
+
+def test_incremental_minhash_broadcasts_batch_bands(spark):
+    """The candidate join must broadcast the (tiny) batch band set so the
+    persisted index side streams map-side — the index is never shuffled by
+    a daily run."""
+    plan = _plan(spark, "dedup_incremental_minhash")
+    assert "BroadcastHashJoin" in plan
