@@ -423,6 +423,20 @@ def _register_gate_queries() -> None:
         "once (updates + inserts both exercised).",
     )(stream_upsert_merge)
 
+    from ..operators.logetl import _duck_parsed_cte
+
+    register(
+        "stream_log_compaction",
+        oracle=_duck_parsed_cte() + "SELECT * FROM parsed",
+        doc="Structured Streaming gate: the flagship log path as a FILE "
+        "stream — raw access-log files arrive one per micro-batch "
+        "(maxFilesPerTrigger=1, availableNow), each batch parses with the "
+        "batch-path native-expression parser and appends day partitions "
+        "via foreachBatch; the drained table matches the independent "
+        "DuckDB regex re-parse value-for-value, dead letters included "
+        "(day=dead partition).",
+    )(stream_log_compaction)
+
     if tws_available():
         # Registered wherever the TWS worker protocol can run: with a real
         # protobuf runtime, or via the wire-compatible shim
@@ -798,3 +812,78 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "day",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming log compaction (the flagship batch path as a file stream)
+# ---------------------------------------------------------------------------
+
+
+def run_log_file_stream(spark: SparkSession, raw_dir: str, dest: str) -> None:
+    """Drain a raw access-log FILE stream into a day-partitioned parquet
+    table: each micro-batch (one arriving file, ``maxFilesPerTrigger=1``)
+    runs the SAME native-expression parser as the batch path and appends
+    its day partitions. Dead letters keep their raw line and land in the
+    ``day=dead`` partition — queryable bad data, never dropped. At scale
+    this replaces the reference's daily driver loop with continuous
+    arrival-driven compaction: state is only file-source progress (the
+    checkpoint), per-batch work is one file's parse + a partition-scoped
+    append."""
+    import tempfile
+
+    from ..functions.s3_log_parse import parse_s3_access_log_lines
+
+    def _merge(bdf: DataFrame, batch_id: int) -> None:
+        parsed = parse_s3_access_log_lines(bdf)
+        (
+            parsed.withColumn(
+                "day",
+                F.coalesce(
+                    F.date_format("request_time", "yyyyMMdd"), F.lit("dead")
+                ),
+            )
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(dest)
+        )
+
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(raw_dir)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_logstream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the streamed-in table equals the batch parse of the same
+    corpus value-for-value (27 columns, dead letters included) — proven
+    against the independent DuckDB regex re-parse oracle shared with
+    q_s3log_parse_fields."""
+    import math
+    import tempfile
+
+    from ..functions.s3_log_parse import OUTPUT_COLUMNS
+    from ..operators.logetl import RAW_LINES
+
+    raw_dir = tempfile.mkdtemp(prefix="stream_logs_raw_")
+    n_files = 4
+    per = math.ceil(len(RAW_LINES) / n_files)
+    for i in range(n_files):
+        with open(f"{raw_dir}/logs-{i}.txt", "w") as f:
+            f.write("\n".join(RAW_LINES[i * per : (i + 1) * per]) + "\n")
+    dest = tempfile.mkdtemp(prefix="stream_logs_dest_")
+    run_log_file_stream(spark, raw_dir, dest)
+    out = spark.read.parquet(dest)
+    cols = [
+        F.date_format("request_time", "yyyy-MM-dd HH:mm:ss").alias(
+            "request_time_str"
+        )
+        if c == "request_time"
+        else F.col(c)
+        for c in OUTPUT_COLUMNS
+    ]
+    return out.select(*cols)

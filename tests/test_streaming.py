@@ -313,3 +313,52 @@ def test_window_state_recovers_across_restart(spark, tmp_path):
     assert second[("2024-01-01 11:00:00", "view")] == first[
         ("2024-01-01 11:00:00", "view")
     ]
+
+
+def test_log_file_stream_is_incremental_and_keeps_dead_letters(spark, tmp_path):
+    """The log file stream must actually process file-by-file (one commit
+    per arriving file — multiple parquet files accrete in hot partitions)
+    and must land unparseable lines in the day=dead partition with their
+    raw text intact."""
+    import glob
+
+    from aws_logs_parquet_converter_spark.operators.logetl import RAW_LINES
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        run_log_file_stream,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    n_files = 3
+    per = (len(RAW_LINES) + n_files - 1) // n_files
+    for i in range(n_files):
+        (raw / f"logs-{i}.txt").write_text(
+            "\n".join(RAW_LINES[i * per : (i + 1) * per]) + "\n"
+        )
+    dest = str(tmp_path / "dest")
+    run_log_file_stream(spark, str(raw), dest)
+
+    out = spark.read.parquet(dest)
+    n_expected = sum(1 for l in RAW_LINES if l.strip())
+    assert out.count() == n_expected
+    # dead letters preserved verbatim in their own partition
+    dead = spark.read.parquet(dest).where(F.col("day") == "dead")
+    got_dead = sorted(r.error_line for r in dead.collect())
+    import re
+
+    from aws_logs_parquet_converter_spark.functions.s3_log_parse import (
+        S3_ACCESS_LOG_PATTERN,
+    )
+
+    want_dead = sorted(
+        l.strip()
+        for l in RAW_LINES
+        if l.strip() and not re.match(S3_ACCESS_LOG_PATTERN, l.strip())
+    )
+    assert got_dead == want_dead
+    # incrementality: some partition accreted more than one commit's file
+    per_part = {}
+    for f in glob.glob(dest + "/day=*/*.parquet"):
+        part = f.split("/day=")[1].split("/")[0]
+        per_part[part] = per_part.get(part, 0) + 1
+    assert max(per_part.values()) > 1, per_part
