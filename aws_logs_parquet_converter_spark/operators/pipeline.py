@@ -195,3 +195,61 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(piece, " ").cast("binary")).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-2 ops pipeline: streaming ingest -> scheduled OPTIMIZE
+# ---------------------------------------------------------------------------
+
+
+from .logetl import _duck_parsed_cte as _ops_pipe_oracle_cte
+
+
+@register(
+    "pipeline_stream_then_optimize",
+    oracle=_ops_pipe_oracle_cte() + "SELECT * FROM parsed",
+    doc=(
+        "The day-2 operations loop composed end-to-end: raw log files "
+        "stream in one per micro-batch (streaming/events.py: "
+        "run_log_file_stream — each commit appends a small file per "
+        "touched day partition), then the OPTIMIZE maintenance op "
+        "(plans/optimize.py) bin-packs every fragmented partition via "
+        "atomic rename swaps. The registered query reads the OPTIMIZED "
+        "table, so matching the same independent DuckDB regex re-parse "
+        "oracle as stream_log_compaction proves the ingest->maintenance "
+        "composition is lossless (dead letters included); file-count "
+        "reduction itself is pinned in tests/test_optimize.py and "
+        "tests/test_streaming.py. At scale this is the standing pattern: "
+        "arrival-driven ingest commits small files all day, a scheduled "
+        "OPTIMIZE packs yesterday's partitions, and readers never see a "
+        "half-rewritten partition."
+    ),
+)
+def pipeline_stream_then_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import tempfile
+
+    from ..functions.s3_log_parse import OUTPUT_COLUMNS
+    from ..plans.optimize import optimize_partitions
+    from ..streaming.events import run_log_file_stream
+    from .logetl import RAW_LINES
+
+    raw_dir = tempfile.mkdtemp(prefix="ops_pipe_raw_")
+    n_files = 4
+    per = math.ceil(len(RAW_LINES) / n_files)
+    for i in range(n_files):
+        with open(f"{raw_dir}/logs-{i}.txt", "w") as f:
+            f.write("\n".join(RAW_LINES[i * per : (i + 1) * per]) + "\n")
+    dest = tempfile.mkdtemp(prefix="ops_pipe_dest_")
+    run_log_file_stream(spark, raw_dir, dest)
+    optimize_partitions(spark, dest, "day", target_file_mb=128)
+    out = spark.read.parquet(dest)
+    cols = [
+        F.date_format("request_time", "yyyy-MM-dd HH:mm:ss").alias(
+            "request_time_str"
+        )
+        if c == "request_time"
+        else F.col(c)
+        for c in OUTPUT_COLUMNS
+    ]
+    return out.select(*cols)
