@@ -87,9 +87,9 @@ def _alb_field_exprs() -> list[str]:
     return exprs
 
 
-@register(
-    "q_alb_parse_fields",
-    oracle=f"""
+# Shared with the streaming ALB compaction gate (streaming/events.py),
+# which re-parses the SAME corpus through the file-stream path.
+ALB_PARSE_ORACLE = f"""
     WITH raw(value) AS (VALUES
       {_values_cte(ALB_LINES)}),
     stripped AS (
@@ -101,14 +101,12 @@ def _alb_field_exprs() -> list[str]:
              regexp_extract(line, {_q(ALB_LOG_PATTERN)}, [{_ALB_GROUPS}]) AS ext
       FROM nonblank)
     SELECT {", ".join(_alb_field_exprs())} FROM matched
-    """,
-    doc="Row-level ALB parse parity: all 29 typed columns of the native-"
-    "expression parser vs an independent DuckDB regex re-parse of the same "
-    "lines; ISO8601 timestamps compared as epoch micros.",
-)
-def q_alb_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.createDataFrame([(l,) for l in ALB_LINES], "value string")
-    parsed = parse_alb_log_lines(raw)
+    """
+
+
+def alb_parity_columns() -> list:
+    """Comparable projection of a parsed-ALB frame: every typed column,
+    timestamps as epoch micros, plus the dead-letter line."""
     cols = []
     for name, _quoted, cast in ALB_FIELDS:
         if cast == "timestamp":
@@ -116,7 +114,20 @@ def q_alb_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cols.append(F.col(name))
     cols.append(F.col("error_line"))
-    return parsed.select(*cols)
+    return cols
+
+
+@register(
+    "q_alb_parse_fields",
+    oracle=ALB_PARSE_ORACLE,
+    doc="Row-level ALB parse parity: all 29 typed columns of the native-"
+    "expression parser vs an independent DuckDB regex re-parse of the same "
+    "lines; ISO8601 timestamps compared as epoch micros.",
+)
+def q_alb_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame([(l,) for l in ALB_LINES], "value string")
+    parsed = parse_alb_log_lines(raw)
+    return parsed.select(*alb_parity_columns())
 
 
 # ---------------------------------------------------------------------------

@@ -242,7 +242,11 @@ def pipeline_stream_then_optimize(spark: SparkSession, sf_dir: str) -> DataFrame
             f.write("\n".join(RAW_LINES[i * per : (i + 1) * per]) + "\n")
     dest = tempfile.mkdtemp(prefix="ops_pipe_dest_")
     run_log_file_stream(spark, raw_dir, dest)
-    optimize_partitions(spark, dest, "day", target_file_mb=128)
+    # collapse folds the stream's per-batch bookkeeping partitions
+    # (day=X/batch=N) into one packed batch=-1 leaf per day
+    optimize_partitions(
+        spark, dest, "day", target_file_mb=128, collapse=("batch", "-1")
+    )
     out = spark.read.parquet(dest)
     cols = [
         F.date_format("request_time", "yyyy-MM-dd HH:mm:ss").alias(

@@ -376,6 +376,14 @@ def rplsh_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    if bits > N_PLANES:
+        # materialize the (small, ids-only) candidate set eagerly so the
+        # bucket cache can be RELEASED here — without this, repeated calls
+        # each pin a fresh cached bucket frame in executor storage until
+        # something external clears the cache (sampling.py uses the same
+        # eager-localCheckpoint pin pattern)
+        cand = cand.localCheckpoint(eager=True)
+        buckets.unpersist()
     ea = base.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
     )

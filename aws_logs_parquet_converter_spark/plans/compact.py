@@ -86,10 +86,16 @@ def estimate_input_bytes(df: DataFrame) -> int | None:
     summed with ONE ``getContentSummary`` call (the length accumulates in
     the JVM) — O(#directories) py4j round trips, not O(#files). For the
     reference's >100k-files/day pathology (one flat day folder) that is
-    two bridge calls total; a per-file ``getFileStatus`` loop would cost
-    100k py4j round trips of driver time. Directories the scan reads only
-    partially fall back to one ``listStatus`` per directory, filtered to
-    the scanned file names."""
+    a handful of bridge calls total; a per-file ``getFileStatus`` loop
+    would cost 100k py4j round trips of driver time. The guard tolerates
+    the standard job markers Spark leaves beside data files (_SUCCESS,
+    _metadata, _common_metadata — checked by name and subtracted, O(1)
+    calls), so Spark-written directories keep the fast path. Directories
+    the scan reads only PARTIALLY fall back to one ``getFileStatus`` per
+    SCANNED file — bounded by the scanned subset, never the directory's
+    full listing. (A single-bridge-call batch of a listStatus array is
+    not expressible through py4j: array arguments fail Object[] overload
+    resolution for Arrays.toString/asList.)"""
     paths = df.inputFiles()
     if not paths:
         return None
@@ -100,18 +106,32 @@ def estimate_input_bytes(df: DataFrame) -> int | None:
     for p in paths:
         parent, _, name = p.rpartition("/")
         by_parent.setdefault(parent, set()).add(name)
+    markers = ("_SUCCESS", "_metadata", "_common_metadata")
     total = 0
     for parent, names in by_parent.items():
         hp = jvm.org.apache.hadoop.fs.Path(parent)
         fs = hp.getFileSystem(hconf)
         summ = fs.getContentSummary(hp)
-        # flat dir + every file scanned -> the one-call JVM-side sum is exact
-        if summ.getDirectoryCount() <= 1 and summ.getFileCount() == len(names):
-            total += summ.getLength()
+        n_mark, mark_bytes = 0, 0
+        if summ.getFileCount() != len(names):
+            for m in markers:
+                if m in names:
+                    continue  # scanned as data (pathological; count it)
+                mp = jvm.org.apache.hadoop.fs.Path(hp, m)
+                if fs.exists(mp):
+                    n_mark += 1
+                    mark_bytes += fs.getFileStatus(mp).getLen()
+        # flat dir + every non-marker file scanned -> JVM-side sum is exact
+        if (
+            summ.getDirectoryCount() <= 1
+            and summ.getFileCount() == len(names) + n_mark
+        ):
+            total += summ.getLength() - mark_bytes
         else:
-            for st in fs.listStatus(hp):
-                if st.getPath().getName() in names:
-                    total += st.getLen()
+            # partial scan of this dir: price only the scanned subset
+            for name in names:
+                fp = jvm.org.apache.hadoop.fs.Path(hp, name)
+                total += fs.getFileStatus(fp).getLen()
     return int(total)
 
 

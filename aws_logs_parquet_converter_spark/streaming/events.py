@@ -431,11 +431,24 @@ def _register_gate_queries() -> None:
         doc="Structured Streaming gate: the flagship log path as a FILE "
         "stream — raw access-log files arrive one per micro-batch "
         "(maxFilesPerTrigger=1, availableNow), each batch parses with the "
-        "batch-path native-expression parser and appends day partitions "
-        "via foreachBatch; the drained table matches the independent "
-        "DuckDB regex re-parse value-for-value, dead letters included "
-        "(day=dead partition).",
+        "batch-path native-expression parser and commits (day, batch) "
+        "partitions with an idempotent dynamic overwrite via foreachBatch "
+        "(replay-safe — see log_stream_merge_batch); the drained table "
+        "matches the independent DuckDB regex re-parse value-for-value, "
+        "dead letters included (day=dead partition).",
     )(stream_log_compaction)
+
+    from ..operators.logformats import ALB_PARSE_ORACLE
+
+    register(
+        "stream_alb_compaction",
+        oracle=ALB_PARSE_ORACLE,
+        doc="Structured Streaming gate: the multi-format streaming log "
+        "path on ALB access logs — run_log_file_stream(fmt='alb') drains "
+        "an arrival-driven file stream through the native ALB parser with "
+        "idempotent (day, batch) overwrite commits; drained table == the "
+        "independent DuckDB 29-group regex re-parse of the same corpus.",
+    )(stream_alb_compaction)
 
     if tws_available():
         # Registered wherever the TWS worker protocol can run: with a real
@@ -819,38 +832,75 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def run_log_file_stream(spark: SparkSession, raw_dir: str, dest: str) -> None:
+# Event-time column per log format, used to derive the day partition of
+# the streaming compaction sink. cast("timestamp") is a no-op for already
+# typed columns and converts epoch-seconds BIGINTs (vpcflow).
+_STREAM_TIME_COLS = {
+    "s3": "request_time",
+    "alb": "time",
+    "vpcflow": "start_ts",
+    "cloudfront": "request_ts",
+}
+
+
+def log_stream_merge_batch(
+    bdf: DataFrame, batch_id: int, dest: str, fmt: str = "s3"
+) -> None:
+    """IDEMPOTENT micro-batch commit for the streaming log path.
+
+    Parses one micro-batch of raw lines with the batch-path native parser
+    for ``fmt`` and commits it with a dynamic partition OVERWRITE keyed on
+    ``(day, batch)``: the batch id is a partition column, so batch N owns
+    exactly the ``*/batch=N`` directories. foreachBatch is at-least-once —
+    after a crash mid-write the restarted query re-delivers the same
+    micro-batch with the SAME batch_id and (file source being
+    deterministic) the same rows, and the overwrite replaces batch N's
+    partitions with identical content instead of appending a second copy.
+    Partial residue from the crashed attempt lives only under the same
+    ``(day, batch)`` partitions and is replaced wholesale. This gives the
+    streaming path the same replay idempotence the reference's batch
+    driver gets from per-date ``mode("overwrite")``
+    (``converters/s3-server-access-log/.../s3_server_access_logs.py:459``).
+    """
+    from ..sources.registry import FORMATS
+
+    parsed = FORMATS[fmt].parse(bdf)
+    day = F.date_format(
+        F.col(_STREAM_TIME_COLS[fmt]).cast("timestamp"), "yyyyMMdd"
+    )
+    (
+        parsed.withColumn("day", F.coalesce(day, F.lit("dead")))
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day", "batch")
+        .parquet(dest)
+    )
+
+
+def run_log_file_stream(
+    spark: SparkSession, raw_dir: str, dest: str, fmt: str = "s3"
+) -> None:
     """Drain a raw access-log FILE stream into a day-partitioned parquet
     table: each micro-batch (one arriving file, ``maxFilesPerTrigger=1``)
-    runs the SAME native-expression parser as the batch path and appends
-    its day partitions. Dead letters keep their raw line and land in the
-    ``day=dead`` partition — queryable bad data, never dropped. At scale
-    this replaces the reference's daily driver loop with continuous
-    arrival-driven compaction: state is only file-source progress (the
-    checkpoint), per-batch work is one file's parse + a partition-scoped
-    append."""
+    runs the SAME native-expression parser as the batch path (any format
+    in ``sources.registry.FORMATS``) and commits its ``(day, batch)``
+    partitions idempotently — see :func:`log_stream_merge_batch` for the
+    replay-safe overwrite. Dead letters keep their raw line and land in
+    the ``day=dead`` partition — queryable bad data, never dropped. At
+    scale this replaces the reference's daily driver loop with continuous
+    arrival-driven compaction: state is file-source progress (the
+    checkpoint) plus the committed batch partitions, per-batch work is
+    one file's parse + a partition-scoped overwrite, and a crash-replay
+    converges to exactly-once table content."""
     import tempfile
-
-    from ..functions.s3_log_parse import parse_s3_access_log_lines
-
-    def _merge(bdf: DataFrame, batch_id: int) -> None:
-        parsed = parse_s3_access_log_lines(bdf)
-        (
-            parsed.withColumn(
-                "day",
-                F.coalesce(
-                    F.date_format("request_time", "yyyyMMdd"), F.lit("dead")
-                ),
-            )
-            .write.mode("append")
-            .partitionBy("day")
-            .parquet(dest)
-        )
 
     q = (
         spark.readStream.option("maxFilesPerTrigger", 1)
         .text(raw_dir)
-        .writeStream.foreachBatch(_merge)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: log_stream_merge_batch(bdf, bid, dest, fmt)
+        )
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_logstream_"))
         .trigger(availableNow=True)
         .start()
@@ -887,3 +937,25 @@ def stream_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in OUTPUT_COLUMNS
     ]
     return out.select(*cols)
+
+
+def stream_alb_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the multi-format streaming path on a NON-S3 format — the same
+    arrival-driven file stream (``run_log_file_stream(fmt="alb")``) over
+    an ALB access-log corpus; the drained table must match the
+    independent DuckDB regex re-parse oracle shared with
+    q_alb_parse_fields (29 typed columns, dead letters included)."""
+    import math
+    import tempfile
+
+    from ..operators.logformats import ALB_LINES, alb_parity_columns
+
+    raw_dir = tempfile.mkdtemp(prefix="stream_alb_raw_")
+    n_files = 3
+    per = math.ceil(len(ALB_LINES) / n_files)
+    for i in range(n_files):
+        with open(f"{raw_dir}/alb-{i}.txt", "w") as f:
+            f.write("\n".join(ALB_LINES[i * per : (i + 1) * per]) + "\n")
+    dest = tempfile.mkdtemp(prefix="stream_alb_dest_")
+    run_log_file_stream(spark, raw_dir, dest, fmt="alb")
+    return spark.read.parquet(dest).select(*alb_parity_columns())

@@ -86,21 +86,121 @@ def test_optimize_respects_target_file_size(spark, tmp_path):
         assert p.n_files < stats[p.value].n_files
 
 
-def test_optimize_survives_crashed_prior_run_residue(spark, tmp_path):
-    """Hadoop rename() reports failure by return value; a crashed prior run
-    leaves a __optimize_old directory that would silently no-op the swap.
-    The hardened swap clears the residue, still rewrites, and preserves
-    content."""
+def test_optimize_recovers_crash_residue_not_deletes(spark, tmp_path):
+    """Crash-residue policy: a half-written rewrite (.X__optimize_tmp) is
+    disposable and deleted; a moved-aside partition whose swap never
+    completed (.X__optimize_old, live dir MISSING) is the only copy and is
+    restored verbatim; the ambiguous state (both live and a non-empty
+    old exist) raises instead of guessing — nothing is deleted."""
+    import shutil
+
+    import pytest
+
+    from aws_logs_parquet_converter_spark.plans.optimize import (
+        recover_optimize_residue,
+    )
+
     dest = str(tmp_path / "tbl")
     _seed(spark, dest)
-    n_before = spark.read.parquet(dest).count()
-    stats = partition_file_stats(spark, dest, "year")
-    residue = stats[0].path + "__optimize_old/junk"
-    os.makedirs(residue, exist_ok=True)
-    with open(os.path.join(residue, "x"), "w") as f:
-        f.write("stale")
+    rows_before = sorted(
+        (r.o_orderkey, r.o_totalprice, r.year)
+        for r in spark.read.parquet(dest).collect()
+    )
+    parts = sorted(
+        p for p in os.listdir(dest) if p.startswith("year=")
+    )
+    victim = os.path.join(dest, parts[0])
 
-    rewritten = optimize_partitions(spark, dest, "year", target_file_mb=128)
-    assert stats[0].value in rewritten
-    assert not os.path.exists(stats[0].path + "__optimize_old")
-    assert spark.read.parquet(dest).count() == n_before
+    # disposable half-written rewrite residue
+    tmp_res = os.path.join(dest, f".{parts[1]}__optimize_tmp")
+    os.makedirs(tmp_res)
+    with open(os.path.join(tmp_res, "part-junk.parquet"), "w") as f:
+        f.write("halfwritten")
+
+    # mid-swap crash: live dir was renamed aside, swap-in never happened
+    old_res = os.path.join(dest, f".{parts[0]}__optimize_old")
+    shutil.move(victim, old_res)
+    assert not os.path.exists(victim)
+
+    actions = recover_optimize_residue(spark, dest)
+    assert len(actions) == 2
+    assert os.path.exists(victim)  # restored, not deleted
+    assert not os.path.exists(old_res)
+    assert not os.path.exists(tmp_res)
+    rows_after = sorted(
+        (r.o_orderkey, r.o_totalprice, r.year)
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert rows_after == rows_before
+
+    # ambiguous state: BOTH live and non-empty old exist -> raise, keep both
+    os.makedirs(old_res)
+    src_file = os.path.join(victim, sorted(os.listdir(victim))[0])
+    shutil.copy(src_file, os.path.join(old_res, "orphan.parquet"))
+    with pytest.raises(IOError, match="ambiguous"):
+        optimize_partitions(spark, dest, "year", target_file_mb=128)
+    assert os.path.exists(old_res) and os.path.exists(victim)  # untouched
+
+
+def test_optimize_residue_invisible_to_table_reads(spark, tmp_path):
+    """In-flight/crashed rewrite dirs are dot-prefixed, so Spark partition
+    discovery skips them: a concurrent table-root read during (or after a
+    crash of) an OPTIMIZE never sees duplicate rows or bogus partitions."""
+    dest = str(tmp_path / "tbl")
+    _seed(spark, dest)
+    n = spark.read.parquet(dest).count()
+    parts = sorted(p for p in os.listdir(dest) if p.startswith("year="))
+    # simulate a full stale copy parked in both residue roles
+    import shutil
+
+    shutil.copytree(
+        os.path.join(dest, parts[0]),
+        os.path.join(dest, f".{parts[0]}__optimize_tmp"),
+    )
+    shutil.copytree(
+        os.path.join(dest, parts[1]),
+        os.path.join(dest, f".{parts[1]}__optimize_old"),
+    )
+    assert spark.read.parquet(dest).count() == n  # no double-count
+    stats = partition_file_stats(spark, dest, "year")
+    assert [p.value for p in stats] == [p.split("=")[1] for p in parts]
+
+
+def test_optimize_collapses_nested_batch_partitions(spark, tmp_path):
+    """Stream-ingested day=X/batch=N layouts pack into a single batch=-1
+    leaf per day — same directory depth (table stays readable), fewer
+    files, content preserved minus the bookkeeping column."""
+    dest = str(tmp_path / "tbl")
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("year"),
+    )
+    for b in range(4):  # four "micro-batch" commits per year partition
+        (
+            o.where(F.col("o_orderkey") % 4 == b)
+            .withColumn("batch", F.lit(b))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("year", "batch")
+            .parquet(dest)
+        )
+    rows_before = sorted(
+        (r.o_orderkey, r.o_totalprice, r.year)
+        for r in spark.read.parquet(dest).drop("batch").collect()
+    )
+    stats = partition_file_stats(spark, dest, "year")
+    assert all(p.nested for p in stats)
+    assert all(p.n_files >= 4 for p in stats)
+
+    rewritten = optimize_partitions(
+        spark, dest, "year", target_file_mb=128, collapse=("batch", "-1")
+    )
+    assert rewritten == [p.value for p in stats]
+    after = partition_file_stats(spark, dest, "year")
+    assert all(p.n_files == 1 for p in after)
+    out = spark.read.parquet(dest)
+    assert sorted(
+        (r.o_orderkey, r.o_totalprice, r.year) for r in out.drop("batch").collect()
+    ) == rows_before
+    assert out.select("batch").distinct().collect()[0].batch == -1

@@ -356,9 +356,64 @@ def test_log_file_stream_is_incremental_and_keeps_dead_letters(spark, tmp_path):
         if l.strip() and not re.match(S3_ACCESS_LOG_PATTERN, l.strip())
     )
     assert got_dead == want_dead
-    # incrementality: some partition accreted more than one commit's file
+    # incrementality: some day partition accreted commits from more than
+    # one micro-batch (each batch owns its own batch=N subdirectory)
     per_part = {}
-    for f in glob.glob(dest + "/day=*/*.parquet"):
+    for f in glob.glob(dest + "/day=*/batch=*/*.parquet"):
         part = f.split("/day=")[1].split("/")[0]
-        per_part[part] = per_part.get(part, 0) + 1
-    assert max(per_part.values()) > 1, per_part
+        per_part.setdefault(part, set()).add(f.split("/batch=")[1].split("/")[0])
+    assert max(len(b) for b in per_part.values()) > 1, per_part
+
+
+def test_log_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash mid-write re-delivers the
+    same micro-batch. The (day, batch)-keyed dynamic overwrite must make
+    that replay converge to exactly-once table content — including when
+    the crashed first attempt left PARTIAL residue under batch=N."""
+    from aws_logs_parquet_converter_spark.functions.s3_log_parse import (
+        parse_s3_access_log_lines,
+    )
+    from aws_logs_parquet_converter_spark.operators.logetl import RAW_LINES
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        log_stream_merge_batch,
+    )
+
+    lines = [l for l in RAW_LINES[:40] if l.strip()]
+    dest = str(tmp_path / "dest")
+    full = spark.createDataFrame([(l,) for l in lines], "value string")
+
+    def table():
+        rows = (
+            spark.read.parquet(dest)
+            .drop("day", "batch")
+            .na.fill("")
+            .collect()
+        )
+        return sorted(map(tuple, rows), key=repr)
+
+    # crashed attempt: batch 0 committed only a partial prefix
+    partial = spark.createDataFrame([(l,) for l in lines[:15]], "value string")
+    log_stream_merge_batch(partial, 0, dest)
+    assert len(table()) == 15
+
+    # replay of batch 0 with the full (deterministic) content: the partial
+    # residue is replaced wholesale, nothing double-counts
+    log_stream_merge_batch(full, 0, dest)
+    want = sorted(
+        map(
+            tuple,
+            parse_s3_access_log_lines(full).na.fill("").collect(),
+        ),
+        key=repr,
+    )
+    assert table() == want
+
+    # replaying the SAME committed batch again changes nothing
+    log_stream_merge_batch(full, 0, dest)
+    assert table() == want
+
+    # a DIFFERENT batch id appends without clobbering batch 0
+    extra = [l for l in RAW_LINES[40:60] if l.strip()]
+    bdf1 = spark.createDataFrame([(l,) for l in extra], "value string")
+    log_stream_merge_batch(bdf1, 1, dest)
+    assert len(table()) == len(want) + len(extra)
