@@ -1083,23 +1083,27 @@ def _pq_adc_oracle(n_queries: int = 8, k: int = 5, shortlist: int = 100) -> str:
     """
 
 
-def _pq_trained_cb_cte(k: int = 16, n_iters: int = 3) -> str:
+def _pq_trained_cb_cte(
+    k: int = 16, n_iters: int = 3, esub: str = "esub", emb: str = "embeddings"
+) -> str:
     """The UNROLLED Lloyd's training loop of :func:`pq_train_codebooks` as a
     CTE chain over ``esub``, ending in ``trained(m, cluster, c_sub,
     half_n)``. Every step is deterministic in both engines (md5-ranked
     init, exact integer-scaled centroid sums, smaller-cluster tiebreak),
     so an ITERATIVE training algorithm stays fully value-hash-checkable —
     the chain is mechanical: init from the k hash-ranked vectors, then
-    n_iters x (assign, recompute)."""
+    n_iters x (assign, recompute). ``esub``/``emb`` name the training
+    SOURCE CTEs, so the incremental variant can train on the frozen old
+    slice only."""
     h = sql_hash60("CAST(vec_id AS VARCHAR)", seed="pq")
     parts = [
         f"""seeds AS (
       SELECT vec_id, rn - 1 AS cluster FROM (
         SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) AS rn
-        FROM embeddings) WHERE rn <= {k}),
+        FROM {emb}) WHERE rn <= {k}),
     tc0 AS (
       SELECT s.m, sd.cluster, s.sub_vec AS c_sub
-      FROM esub s JOIN seeds sd ON sd.vec_id = s.vec_id)"""
+      FROM {esub} s JOIN seeds sd ON sd.vec_id = s.vec_id)"""
     ]
     prev = "tc0"
     for i in range(1, n_iters + 1):
@@ -1108,7 +1112,7 @@ def _pq_trained_cb_cte(k: int = 16, n_iters: int = 3) -> str:
       SELECT s.vec_id, s.m, c.cluster,
              list_dot_product(s.sub_vec, c.c_sub)
                - 0.5 * list_dot_product(c.c_sub, c.c_sub) AS score
-      FROM esub s JOIN {prev} c ON c.m = s.m),
+      FROM {esub} s JOIN {prev} c ON c.m = s.m),
     asg{i} AS (
       SELECT vec_id, m, cluster FROM (
         SELECT vec_id, m, cluster,
@@ -1118,7 +1122,7 @@ def _pq_trained_cb_cte(k: int = 16, n_iters: int = 3) -> str:
     cell{i} AS (
       SELECT a.m, a.cluster, generate_subscripts(s.sub_vec, 1) AS pos,
              unnest(s.sub_vec) AS v
-      FROM asg{i} a JOIN esub s ON s.vec_id = a.vec_id AND s.m = a.m),
+      FROM asg{i} a JOIN {esub} s ON s.vec_id = a.vec_id AND s.m = a.m),
     agg{i} AS (
       SELECT m, cluster, pos,
              SUM(CAST(round(v * 10000000) AS BIGINT)) AS sc, COUNT(*) AS n
@@ -1218,6 +1222,99 @@ def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
 )
 def sim_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _pq_index_for(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        e,
+        codebook=spark.read.parquet(f"{path}/codebook"),
+        codes=spark.read.parquet(f"{path}/codes"),
+    )
+
+
+# --- incremental PQ index maintenance: day-2 of the ANN serving story ------
+
+#: batch split for the incremental PQ gate: vectors below are "yesterday's
+#: corpus" (codebooks trained + codes encoded at build time); vectors at or
+#: above arrive as today's batch and are encoded against the FROZEN
+#: codebooks (same fixture convention as dedup.INCR_SPLIT)
+PQ_APPEND_SPLIT = 400
+
+
+def pq_append_batch(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Append a NEW vector batch to a persisted PQ index WITHOUT touching
+    the trained state — the daily maintenance op of a RAG/retrieval
+    ingest pipeline. The frozen codebooks load from ``<path>/codebook``
+    (|16 x 8| rows, broadcast), the batch encodes in one pass (broadcast
+    join + max_by hash aggregate — pq_encode), and the 8-small-ints rows
+    APPEND to ``<path>/codes``. No re-training, no re-encode of old
+    vectors, no read of the old codes: per-day cost is O(|batch|).
+    Standard PQ practice — codebooks are corpus-distribution statistics
+    and stay valid under drift-free growth; re-train on schedule, not per
+    batch (Jégou et al., TPAMI'11 §V.A train-once protocol)."""
+    cb = spark.read.parquet(f"{path}/codebook")
+    pq_encode(batch, cb).write.mode("append").parquet(f"{path}/codes")
+
+
+#: per-sf_dir cache of (old-slice index + appended batch) paths
+_PQ_APPEND_PATHS: dict[str, str] = {}
+
+
+def _pq_append_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Day-1 state + day-2 append, memoized per sf_dir: the PQ index is
+    built over the OLD slice only (vec_id < PQ_APPEND_SPLIT — training
+    and old-vector encoding happen HERE, once), then today's batch
+    (vec_id >= PQ_APPEND_SPLIT) is encoded against the frozen codebooks
+    and appended."""
+    path = _PQ_APPEND_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pq_append_index_")
+        e = load_table(spark, sf_dir, "embeddings")
+        build_pq_index(e.where(F.col("vec_id") < PQ_APPEND_SPLIT), path)
+        pq_append_batch(spark, path, e.where(F.col("vec_id") >= PQ_APPEND_SPLIT))
+        _PQ_APPEND_PATHS[sf_dir] = path
+    return path
+
+
+def _pq_append_oracle(
+    split: int = PQ_APPEND_SPLIT,
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int = 100,
+    n_codewords: int = 16,
+    n_iters: int = 3,
+) -> str:
+    """Unrolled-training oracle for the APPEND lifecycle: codebooks train
+    on the old slice only; the ADC scan covers old + appended codes (all
+    vectors, encoded with the old-slice codebooks)."""
+    return f"""
+    WITH {_ESUB_CTE},
+    old_emb AS (SELECT * FROM embeddings WHERE vec_id < {split}),
+    esub_old AS (SELECT * FROM esub WHERE vec_id < {split}),
+    {_pq_trained_cb_cte(n_codewords, n_iters, esub="esub_old", emb="old_emb")},
+    {_pq_adc_sql("trained", n_queries, k, shortlist)}
+    """
+
+
+@register(
+    "sim_ann_pq_append",
+    oracle=_pq_append_oracle(),
+    doc=(
+        "Incremental ANN index maintenance: yesterday's PQ index "
+        "(codebooks trained on vec_id < 400, their codes persisted) plus "
+        "today's batch encoded against the FROZEN codebooks and APPENDED "
+        "to the codes table (pq_append_batch) — the exact analog of "
+        "dedup_incremental_minhash for a growing embedding corpus. The "
+        "serving query reads codebook + (old ∪ appended) codes from "
+        "parquet and answers top-k over the WHOLE corpus; the oracle "
+        "unrolls old-slice-only training and encodes everything with "
+        "those codebooks. Plan-asserted: no training stage, no re-encode "
+        "of old vectors — the only non-index embeddings scans are the "
+        "pushed query vectors and the shortlist re-rank."
+    ),
+)
+def sim_ann_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _pq_append_index_for(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(
         e,

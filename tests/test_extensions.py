@@ -453,3 +453,48 @@ def test_incremental_exact_dedup_flags(spark, tmp_path):
     assert rows[100].seen_in_corpus and rows[103].seen_in_corpus
     assert not rows[101].seen_in_corpus and not rows[102].seen_in_corpus
     assert rows[101].first_in_batch and not rows[102].first_in_batch
+
+
+def test_pq_index_lifecycle_build_append_serve(spark, tmp_path):
+    """The persisted PQ index supports the daily cycle: build (day-0
+    corpus trains codebooks + encodes), append day-1 and day-2 batches
+    against the FROZEN codebooks, serve after each append. Appending must
+    equal encode-everything-with-the-old-codebooks — i.e. the incremental
+    path loses nothing vs a monolithic encode pass."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        build_pq_index,
+        pq_adc_topk,
+        pq_append_batch,
+        pq_encode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    d1, d2 = 300, 400
+    idx = str(tmp_path / "pq")
+    build_pq_index(e.where(F.col("vec_id") < d1), idx)
+    cb = spark.read.parquet(f"{idx}/codebook")
+    assert cb.count() == 16 * 8
+
+    pq_append_batch(
+        spark, idx, e.where((F.col("vec_id") >= d1) & (F.col("vec_id") < d2))
+    )
+    pq_append_batch(spark, idx, e.where(F.col("vec_id") >= d2))
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == e.count() * 8  # every vector encoded exactly once
+    # appended codes == what a monolithic encode with the same frozen
+    # codebooks would produce
+    mono = {
+        (r.vec_id, r.m): r.code for r in pq_encode(e, cb).collect()
+    }
+    got = {(r.vec_id, r.m): r.code for r in codes.collect()}
+    assert got == mono
+
+    # serving from the grown index answers over the whole corpus
+    topk = pq_adc_topk(e, codebook=cb, codes=codes).collect()
+    assert {r.query_id for r in topk} == set(range(8))
+    assert max(r.neighbor_id for r in topk) >= d1  # new vectors retrievable

@@ -469,3 +469,51 @@ def test_incremental_minhash_broadcasts_batch_bands(spark):
     a daily run."""
     plan = _plan(spark, "dedup_incremental_minhash")
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_append_serving_plan_has_no_training(spark):
+    """sim_ann_pq_append serves from the appended persisted index: no
+    k-means localCheckpoint artifact, codebook + codes from parquet, and
+    the only embeddings scans are the pushed query vectors / re-rank —
+    old vectors are never re-encoded in the query."""
+    plan = _plan(spark, "sim_ann_pq_append")
+    assert "pq_append_index_" in plan and "/codebook" in plan and "/codes" in plan
+    assert "ExistingRDD" not in plan
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embeddings" in ln
+    ]
+    assert emb_scans
+    assert any("LessThan(vec_id,8)" in ln for ln in emb_scans)
+
+
+def test_pq_append_batch_plan_encodes_only_the_batch(spark):
+    """The daily append op itself: its plan scans embeddings ONCE with the
+    pushed batch filter (vec_id >= PQ_APPEND_SPLIT), broadcasts the frozen
+    codebook, and contains no training stage — per-day cost is O(|batch|)."""
+    import tempfile
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        PQ_APPEND_SPLIT,
+        build_pq_index,
+        pq_encode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="pq_plan_idx_")
+    build_pq_index(e.where(F.col("vec_id") < PQ_APPEND_SPLIT), path)
+    cb = spark.read.parquet(f"{path}/codebook")
+    enc = pq_encode(e.where(F.col("vec_id") >= PQ_APPEND_SPLIT), cb)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embeddings" in ln
+    ]
+    assert len(emb_scans) == 1, emb_scans
+    assert f"GreaterThanOrEqual(vec_id,{PQ_APPEND_SPLIT})" in emb_scans[0]
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" not in plan
