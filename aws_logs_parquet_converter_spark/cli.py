@@ -93,6 +93,16 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         help="Object-store commit protocol when --cloud: fileoutputcommitter "
         "algorithm v2 (reference parity) or the S3A magic committer",
     )
+    p.add_argument(
+        "--optimize-after",
+        action="store_true",
+        help="After the run (and retention sweep), bin-pack small-file day "
+        "partitions under the destination tree (plans/optimize.py): "
+        "metadata-only selection, concurrent atomic per-partition "
+        "rewrites targeting --target-file-mb (default 128). Plain date "
+        "layout only; for --hive-formatted-folders run OPTIMIZE per "
+        "day=N level out of band.",
+    )
     return p.parse_args(argv)
 
 
@@ -169,6 +179,30 @@ def main(argv: list[str] | None = None) -> None:
                 )
             ]
             print(f"expired {len(expired)} partition dir(s) below {keep_from.isoformat()}")
+        if args.optimize_after:
+            if cfg.policy.hive_partitioning:
+                raise SystemExit(
+                    "--optimize-after supports the plain date layout; for "
+                    "hive folders run OPTIMIZE per day= level out of band"
+                )
+            from .plans.incremental import discover_folders
+            from .plans.optimize import optimize_partitions
+
+            if cfg.folders == ():
+                roots = [cfg.destination_root]
+            else:
+                names = list(cfg.folders) if cfg.folders else (
+                    discover_folders(spark, cfg.destination_root) or []
+                )
+                roots = [f"{cfg.destination_root}/{f}" for f in names]
+            packed = [
+                v
+                for r in roots
+                for v in optimize_partitions(
+                    spark, r, None, target_file_mb=args.target_file_mb or 128
+                )
+            ]
+            print(f"optimized {len(packed)} fragmented day partition(s)")
     finally:
         spark.stop()
 

@@ -313,8 +313,17 @@ def ngram_jaccard_pairs(
     the cap is OFF by default (the registered oracle-checked query uses
     the exact form) and is the documented knob for corpus-scale runs;
     the DF table is one tiny aggregate broadcast into a filter.
+
+    The shingle frame is deliberately NOT cached: it feeds three
+    consumers (sizes + both join sides), but at corpus scale the
+    recompute (tokenize+explode, linear, fully pipelined) beats pinning
+    a shingle-count-sized block in executor storage — measured at 500k
+    docs / 24M shingles: min-of-3 17.9 s uncached vs 20.8 s cached
+    (tools/scale_growth_text.py corpus), and an uncached plan leaves no
+    storage residue across repeated calls (the rplsh_pairs leak class,
+    ADVICE r4).
     """
-    sh = shingles(spread_input(docs)).cache()
+    sh = shingles(spread_input(docs))
     if max_doc_frequency is not None:
         n_docs = docs.count()
         cap = int(n_docs * max_doc_frequency)
@@ -721,9 +730,57 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levenshtein_pairs(spread_input(load_table(spark, sf_dir, "documents")))
 
 
-def levenshtein_pairs(docs: DataFrame) -> DataFrame:
+@register(
+    "dedup_levenshtein_capped",
+    oracle=f"""
+    WITH b0 AS (
+      SELECT doc_id, text, LENGTH(text) AS n,
+             md5(array_to_string(({sql_tokens('text')})[1:4], ' ')) AS block_key
+      FROM documents),
+    hot AS (
+      SELECT block_key FROM b0 GROUP BY block_key HAVING COUNT(*) > 2),
+    b AS (
+      SELECT * FROM b0 WHERE block_key NOT IN (SELECT block_key FROM hot))
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.text, c.text) AS INTEGER) AS edit_dist
+    FROM b a JOIN b c
+      ON a.block_key = c.block_key AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.text, c.text) * 5 <= GREATEST(a.n, c.n)
+    """,
+    doc=(
+        "dedup_levenshtein with the HOT-BLOCK CAP engaged (max_block_size="
+        "2): prefix blocks larger than the cap are dropped before the "
+        "self-join via one tiny block-size aggregate broadcast into an "
+        "anti-join — the bounded-candidate production form for corpora "
+        "with shared boilerplate preambles, where one B-doc block costs "
+        "B(B-1)/2 O(len^2) edit-distance confirmations. Measured in "
+        "tools/scale_growth_text.py: a 20%-boilerplate corpus is "
+        "quadratic uncapped (C(n/5, 2) candidates) and linear capped. "
+        "The documented recall trade, same pattern as ngram_jaccard's "
+        "max_doc_frequency."
+    ),
+)
+def dedup_levenshtein_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return levenshtein_pairs(
+        spread_input(load_table(spark, sf_dir, "documents")), max_block_size=2
+    )
+
+
+def levenshtein_pairs(
+    docs: DataFrame, max_block_size: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, edit_dist) pairs with edit distance <= 20% of the
-    longer text, candidates blocked by the md5 of the first 4 word tokens."""
+    longer text, candidates blocked by the md5 of the first 4 word tokens.
+
+    ``max_block_size`` is the hot-block cap for corpora with shared
+    boilerplate prefixes (license headers, templated preambles): a block
+    of B docs yields B(B-1)/2 candidates each paying an O(len^2) edit
+    distance, so one 10k-doc boilerplate block costs ~50M confirmations —
+    measured quadratic in tools/scale_growth_text.py. Blocks larger than
+    the cap are DROPPED before the self-join (the documented recall trade,
+    same pattern as ngram_jaccard_pairs' max_doc_frequency); the block
+    sizes are one tiny aggregate broadcast into a semi-join filter. OFF by
+    default — the registered oracle-checked query uses the exact form."""
     blocked = docs.select(
         "doc_id",
         "text",
@@ -732,6 +789,14 @@ def levenshtein_pairs(docs: DataFrame) -> DataFrame:
             F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ").cast("binary")
         ).alias("block_key"),
     )
+    if max_block_size is not None:
+        hot = (
+            blocked.groupBy("block_key")
+            .agg(F.count("*").alias("b"))
+            .where(F.col("b") > max_block_size)
+            .select("block_key")
+        )
+        blocked = blocked.join(F.broadcast(hot), "block_key", "left_anti")
     a = blocked.alias("a")
     c = blocked.alias("c")
     ed = F.levenshtein(F.col("a.text"), F.col("c.text"))

@@ -152,9 +152,8 @@ def _vpc_field_exprs() -> list[str]:
     return exprs
 
 
-@register(
-    "q_vpcflow_parse_fields",
-    oracle=f"""
+# Shared with the streaming VPC-flow compaction gate (streaming/events.py)
+VPC_PARSE_ORACLE = f"""
     WITH raw(value) AS (VALUES
       {_values_cte(VPC_LINES)}),
     stripped AS (
@@ -165,14 +164,12 @@ def _vpc_field_exprs() -> list[str]:
              len(string_split(line, ' ')) = {VPC_N_FIELDS} AS ok
       FROM nonblank)
     SELECT {", ".join(_vpc_field_exprs())} FROM split_lines
-    """,
-    doc="Row-level VPC-flow parse parity: strict space-split arity check, "
-    "sentinel NULLs (incl. NODATA records), typed casts; epoch timestamps "
-    "compared as the raw BIGINT seconds.",
-)
-def q_vpcflow_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.createDataFrame([(l,) for l in VPC_LINES], "value string")
-    parsed = parse_vpc_flow_lines(raw)
+    """
+
+
+def vpc_parity_columns() -> list:
+    """Comparable projection of a parsed VPC-flow frame: typed columns,
+    epoch timestamps as raw BIGINT seconds, plus the dead-letter line."""
     cols = []
     for name, cast in VPC_FIELDS:
         if cast == "epoch":
@@ -182,7 +179,20 @@ def q_vpcflow_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             cols.append(F.col(name))
     cols.append(F.col("error_line"))
-    return parsed.select(*cols)
+    return cols
+
+
+@register(
+    "q_vpcflow_parse_fields",
+    oracle=VPC_PARSE_ORACLE,
+    doc="Row-level VPC-flow parse parity: strict space-split arity check, "
+    "sentinel NULLs (incl. NODATA records), typed casts; epoch timestamps "
+    "compared as the raw BIGINT seconds.",
+)
+def q_vpcflow_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame([(l,) for l in VPC_LINES], "value string")
+    parsed = parse_vpc_flow_lines(raw)
+    return parsed.select(*vpc_parity_columns())
 
 
 # ---------------------------------------------------------------------------

@@ -95,23 +95,27 @@ def _marker_stats(jvm, fs, dir_path) -> tuple[int, int]:
 
 
 def partition_file_stats(
-    spark: SparkSession, dest: str, partition_col: str
+    spark: SparkSession, dest: str, partition_col: str | None
 ) -> list[PartitionStats]:
     """Per-partition (file count, byte total) via driver-side metadata —
     one recursive ``getContentSummary`` per partition (no data files
     opened, no per-file bridge calls), job markers subtracted. Counts the
     whole subtree, so nested sub-partition layouts (``day=X/batch=N``)
-    are sized correctly. Dot-prefixed and ``__optimize_``-suffixed
-    directories (in-flight or crashed rewrites) are never treated as
-    partitions."""
+    are sized correctly. ``partition_col=None`` treats EVERY visible child
+    directory as a partition — the reference's plain date layout
+    (``<root>/2024-01-02/``), which has no ``col=`` prefix. Dot/underscore
+    -prefixed and ``__optimize_``-suffixed directories (markers, in-flight
+    or crashed rewrites) are never treated as partitions."""
     jvm, root, fs = _fs_for(spark, dest)
     if not fs.exists(root):
         return []
-    prefix = f"{partition_col}="
+    prefix = f"{partition_col}=" if partition_col is not None else ""
     out: list[PartitionStats] = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        if name.startswith(".") or name.startswith("_"):
             continue
         if OPT_TMP_SUFFIX in name or OPT_OLD_SUFFIX in name:
             continue  # residue from a pre-dot-prefix version of this op
@@ -254,7 +258,7 @@ def _rewrite_partition(
 def optimize_partitions(
     spark: SparkSession,
     dest: str,
-    partition_col: str,
+    partition_col: str | None,
     target_file_mb: int = 128,
     min_files: int = 2,
     collapse: tuple[str, str] | None = None,

@@ -450,6 +450,19 @@ def _register_gate_queries() -> None:
         "independent DuckDB 29-group regex re-parse of the same corpus.",
     )(stream_alb_compaction)
 
+    from ..operators.logformats import VPC_PARSE_ORACLE
+
+    register(
+        "stream_vpcflow_compaction",
+        oracle=VPC_PARSE_ORACLE,
+        doc="Structured Streaming gate: the multi-format streaming log "
+        "path on VPC Flow v2 — run_log_file_stream(fmt='vpcflow') drains "
+        "the file stream through the strict space-split parser with "
+        "idempotent (day, batch) commits; drained table == the "
+        "independent DuckDB re-split of the same corpus (epoch "
+        "timestamps compared as raw BIGINT seconds).",
+    )(stream_vpcflow_compaction)
+
     if tws_available():
         # Registered wherever the TWS worker protocol can run: with a real
         # protobuf runtime, or via the wire-compatible shim
@@ -782,12 +795,19 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched partitions, and the key anti-join broadcasts the (small)
     change set — event volume never rewrites cold partitions.
     """
+    return drain_upsert_merge(spark, sf_dir, seed_upsert_merge_dest(spark, sf_dir))
+
+
+def seed_upsert_merge_dest(spark: SparkSession, sf_dir: str) -> str:
+    """FIXTURE phase of the CDC merge gate (untimed in bench — r4 verdict:
+    the merge cost must not hide inside seeding noise): write the stale
+    even-id half of the events table as the day-partitioned destination
+    the stream will merge into."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
-    from ..plans.upsert import upsert_partitioned
 
     dest = tempfile.mkdtemp(prefix="stream_merge_dest_")
     day = F.date_format("ts", "yyyyMMdd").cast("int")  # int day: partition
@@ -801,6 +821,18 @@ def stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("day")
         .parquet(dest)
     )
+    return dest
+
+
+def drain_upsert_merge(spark: SparkSession, sf_dir: str, dest: str) -> DataFrame:
+    """WORK phase of the CDC merge gate: drain the events stream through
+    the per-micro-batch partition-scoped keyed merge into ``dest`` and
+    read back the merged table. This is the timed span in bench.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..plans.upsert import upsert_partitioned
 
     def _merge(bdf: DataFrame, batch_id: int) -> None:
         changes = bdf.withColumn(
@@ -959,3 +991,24 @@ def stream_alb_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = tempfile.mkdtemp(prefix="stream_alb_dest_")
     run_log_file_stream(spark, raw_dir, dest, fmt="alb")
     return spark.read.parquet(dest).select(*alb_parity_columns())
+
+
+def stream_vpcflow_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the multi-format streaming path on VPC Flow v2 — same
+    file-stream drain with the space-split parser; drained table == the
+    independent DuckDB re-split oracle shared with q_vpcflow_parse_fields
+    (typed columns, NODATA sentinels, dead letters)."""
+    import math
+    import tempfile
+
+    from ..operators.logformats import VPC_LINES, vpc_parity_columns
+
+    raw_dir = tempfile.mkdtemp(prefix="stream_vpc_raw_")
+    n_files = 3
+    per = math.ceil(len(VPC_LINES) / n_files)
+    for i in range(n_files):
+        with open(f"{raw_dir}/vpc-{i}.txt", "w") as f:
+            f.write("\n".join(VPC_LINES[i * per : (i + 1) * per]) + "\n")
+    dest = tempfile.mkdtemp(prefix="stream_vpc_dest_")
+    run_log_file_stream(spark, raw_dir, dest, fmt="vpcflow")
+    return spark.read.parquet(dest).select(*vpc_parity_columns())

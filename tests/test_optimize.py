@@ -204,3 +204,31 @@ def test_optimize_collapses_nested_batch_partitions(spark, tmp_path):
         (r.o_orderkey, r.o_totalprice, r.year) for r in out.drop("batch").collect()
     ) == rows_before
     assert out.select("batch").distinct().collect()[0].batch == -1
+
+
+def test_optimize_plain_date_layout(spark, tmp_path):
+    """partition_col=None treats every visible child dir as a partition —
+    the reference's plain date layout (no col= prefix), which is what the
+    CLI's --optimize-after sweeps."""
+    dest = str(tmp_path / "tbl")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    for day in ("2024-01-01", "2024-01-02"):
+        o.repartition(5).write.mode("overwrite").parquet(f"{dest}/{day}")
+    os.makedirs(f"{dest}/_staging")  # must be ignored
+    stats = partition_file_stats(spark, dest, None)
+    assert [p.value for p in stats] == ["2024-01-01", "2024-01-02"]
+    assert all(p.n_files == 5 for p in stats)
+
+    done = optimize_partitions(spark, dest, None, target_file_mb=128)
+    assert done == ["2024-01-01", "2024-01-02"]
+    after = {p.value: p.n_files for p in partition_file_stats(spark, dest, None)}
+    assert after == {"2024-01-01": 1, "2024-01-02": 1}
+    assert spark.read.parquet(f"{dest}/2024-01-01").count() == o.count()
+
+
+def test_cli_optimize_after_flag():
+    from aws_logs_parquet_converter_spark.cli import parse_arguments
+
+    a = parse_arguments(["--source-root", "/x", "--optimize-after"])
+    assert a.optimize_after
+    assert not parse_arguments(["--source-root", "/x"]).optimize_after

@@ -49,7 +49,9 @@ TOKENS_PER_DOC = 50
 DIM = 64
 
 
-def synth_documents(spark: SparkSession, n: int) -> DataFrame:
+def synth_documents(
+    spark: SparkSession, n: int, variant_pos: int = 0
+) -> DataFrame:
     d = spark.range(n).withColumn(
         "base", F.when(F.col("id") % 10 == 1, F.col("id") - 1).otherwise(F.col("id"))
     )
@@ -58,7 +60,7 @@ def synth_documents(spark: SparkSession, n: int) -> DataFrame:
         t = F.concat(
             F.lit("w"), F.pmod(F.xxhash64(F.col("base") * 1000 + i), F.lit(VOCAB))
         )
-        if i == 0:  # near-dups differ from their base in exactly one token
+        if i == variant_pos:  # near-dups differ from base in exactly one token
             t = F.when(
                 F.col("id") % 10 == 1, F.concat(F.lit("u"), F.col("id"))
             ).otherwise(t)
