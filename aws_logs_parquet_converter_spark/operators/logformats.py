@@ -219,9 +219,8 @@ def _cf_field_exprs() -> list[str]:
     return exprs
 
 
-@register(
-    "q_cloudfront_parse_fields",
-    oracle=f"""
+# Shared with the streaming CloudFront compaction gate (streaming/events.py)
+CF_PARSE_ORACLE = f"""
     WITH raw(value) AS (VALUES
       {_values_cte(CF_LINES)}),
     records AS (
@@ -232,7 +231,23 @@ def _cf_field_exprs() -> list[str]:
              len(string_split(line, chr(9))) = {2 + len(CF_FIELDS)} AS ok
       FROM records)
     SELECT {", ".join(_cf_field_exprs())} FROM split_lines
-    """,
+    """
+
+
+def cf_parity_columns() -> list:
+    """Comparable projection of a parsed CloudFront frame: fused date+time
+    as a wall-clock string, typed columns, dead-letter line."""
+    cols = [
+        F.date_format("request_ts", "yyyy-MM-dd HH:mm:ss").alias("request_ts_str")
+    ]
+    cols += [F.col(name) for name, _cast in CF_FIELDS]
+    cols.append(F.col("error_line"))
+    return cols
+
+
+@register(
+    "q_cloudfront_parse_fields",
+    oracle=CF_PARSE_ORACLE,
     doc="Row-level CloudFront parse parity: tab-split W3C format, '#' "
     "comment lines dropped (not dead-lettered), date+time fused into one "
     "timestamp compared as a wall-clock string.",
@@ -240,12 +255,7 @@ def _cf_field_exprs() -> list[str]:
 def q_cloudfront_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.createDataFrame([(l,) for l in CF_LINES], "value string")
     parsed = parse_cloudfront_log_lines(raw)
-    cols = [
-        F.date_format("request_ts", "yyyy-MM-dd HH:mm:ss").alias("request_ts_str")
-    ]
-    cols += [F.col(name) for name, _cast in CF_FIELDS]
-    cols.append(F.col("error_line"))
-    return parsed.select(*cols)
+    return parsed.select(*cf_parity_columns())
 
 
 # ---------------------------------------------------------------------------

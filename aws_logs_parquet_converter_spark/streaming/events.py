@@ -463,6 +463,19 @@ def _register_gate_queries() -> None:
         "timestamps compared as raw BIGINT seconds).",
     )(stream_vpcflow_compaction)
 
+    from ..operators.logformats import CF_PARSE_ORACLE
+
+    register(
+        "stream_cloudfront_compaction",
+        oracle=CF_PARSE_ORACLE,
+        doc="Structured Streaming gate: the multi-format streaming log "
+        "path on CloudFront standard logs (W3C tab-split, '#' comments "
+        "dropped) — with ALB and VPC-flow this makes all four batch "
+        "formats stream end-to-end through run_log_file_stream's "
+        "idempotent (day, batch) commits; drained table == the DuckDB "
+        "re-split of the same corpus.",
+    )(stream_cloudfront_compaction)
+
     if tws_available():
         # Registered wherever the TWS worker protocol can run: with a real
         # protobuf runtime, or via the wire-compatible shim
@@ -1012,3 +1025,25 @@ def stream_vpcflow_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = tempfile.mkdtemp(prefix="stream_vpc_dest_")
     run_log_file_stream(spark, raw_dir, dest, fmt="vpcflow")
     return spark.read.parquet(dest).select(*vpc_parity_columns())
+
+
+def stream_cloudfront_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the multi-format streaming path on CloudFront standard logs —
+    W3C tab-split with '#' comment lines dropped in-parser; drained table
+    == the DuckDB re-split oracle shared with q_cloudfront_parse_fields.
+    With this, ALL FOUR batch formats run end-to-end as arrival-driven
+    streams through one parameterized path."""
+    import math
+    import tempfile
+
+    from ..operators.logformats import CF_LINES, cf_parity_columns
+
+    raw_dir = tempfile.mkdtemp(prefix="stream_cf_raw_")
+    n_files = 3
+    per = math.ceil(len(CF_LINES) / n_files)
+    for i in range(n_files):
+        with open(f"{raw_dir}/cf-{i}.txt", "w") as f:
+            f.write("\n".join(CF_LINES[i * per : (i + 1) * per]) + "\n")
+    dest = tempfile.mkdtemp(prefix="stream_cf_dest_")
+    run_log_file_stream(spark, raw_dir, dest, fmt="cloudfront")
+    return spark.read.parquet(dest).select(*cf_parity_columns())
