@@ -344,3 +344,33 @@ def test_cli_target_file_mb_flag():
     assert cfg.policy.target_file_mb == 256
     cfg2 = config_from_args(parse_arguments(["--source-root", "/tmp/x"]))
     assert cfg2.policy.num_output_files == 10
+
+
+def test_estimate_input_bytes_tolerates_job_markers(spark, tmp_path):
+    """ADVICE r4: a Spark-written directory contains _SUCCESS, so the
+    getContentSummary fast path's exact-count guard must tolerate the
+    standard job markers (subtracting their bytes) instead of falling
+    back to per-file listing — and a PARTIAL scan of a directory must
+    price only the scanned files."""
+    import glob
+    import os
+
+    from aws_logs_parquet_converter_spark.plans.compact import (
+        estimate_input_bytes,
+    )
+
+    d = str(tmp_path / "written")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(
+        4
+    ).write.parquet(d)
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))  # marker present
+    part_files = sorted(glob.glob(d + "/part-*.parquet"))
+    want = sum(os.path.getsize(p) for p in part_files)
+
+    est = estimate_input_bytes(spark.read.parquet(d))
+    assert est == want  # exact: markers excluded, all data files summed
+
+    # partial scan: only one file's bytes are priced
+    one = part_files[0]
+    est_one = estimate_input_bytes(spark.read.parquet(one))
+    assert est_one == os.path.getsize(one)
