@@ -97,11 +97,11 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "--optimize-after",
         action="store_true",
         help="After the run (and retention sweep), bin-pack small-file day "
-        "partitions under the destination tree (plans/optimize.py): "
-        "metadata-only selection, concurrent atomic per-partition "
-        "rewrites targeting --target-file-mb (default 128). Plain date "
-        "layout only; for --hive-formatted-folders run OPTIMIZE per "
-        "day=N level out of band.",
+        "partitions under the destination tree (plans/optimize.py): the "
+        "date tree is walked to month level (plain YYYY/MM or hive "
+        "year=/month=), then each month's day dirs pack via metadata-only "
+        "selection + concurrent swap-by-rename rewrites targeting "
+        "--target-file-mb (default 128).",
     )
     return p.parse_args(argv)
 
@@ -180,13 +180,9 @@ def main(argv: list[str] | None = None) -> None:
             ]
             print(f"expired {len(expired)} partition dir(s) below {keep_from.isoformat()}")
         if args.optimize_after:
-            if cfg.policy.hive_partitioning:
-                raise SystemExit(
-                    "--optimize-after supports the plain date layout; for "
-                    "hive folders run OPTIMIZE per day= level out of band"
-                )
             from .plans.incremental import discover_folders
             from .plans.optimize import optimize_partitions
+            from .plans.retention import list_month_dirs
 
             if cfg.folders == ():
                 roots = [cfg.destination_root]
@@ -195,11 +191,19 @@ def main(argv: list[str] | None = None) -> None:
                     discover_folders(spark, cfg.destination_root) or []
                 )
                 roots = [f"{cfg.destination_root}/{f}" for f in names]
+            hive = cfg.policy.hive_partitioning
+            # sweep at MONTH granularity: each month dir's children are the
+            # day partitions (plain DD dirs or hive day=DD), so the packer
+            # rewrites whole days and never disturbs the date-tree nesting
             packed = [
                 v
                 for r in roots
+                for month in list_month_dirs(spark, r, hive=hive)
                 for v in optimize_partitions(
-                    spark, r, None, target_file_mb=args.target_file_mb or 128
+                    spark,
+                    month,
+                    "day" if hive else None,
+                    target_file_mb=args.target_file_mb or 128,
                 )
             ]
             print(f"optimized {len(packed)} fragmented day partition(s)")

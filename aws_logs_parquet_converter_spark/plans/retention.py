@@ -148,3 +148,44 @@ def expire_date_partitions(
                 fs.delete(ddir.getPath(), True)
                 expired.append(f"{y:04d}-{m:02d}-{d:02d}")
     return sorted(expired)
+
+
+def list_month_dirs(
+    spark: SparkSession, dest_root: str, hive: bool = False
+) -> list[str]:
+    """MONTH-level directories of a compacted date tree (full URIs), for
+    both layouts ``plans/compact.py`` writes (plain ``YYYY/MM`` and hive
+    ``year=YYYY/month=MM``). Two levels of driver-side ``listStatus``,
+    numeric segments only — each returned directory's children are the
+    DAY partitions, i.e. the right root for a per-day maintenance sweep
+    (``plans/optimize.py`` via the CLI's ``--optimize-after``)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(dest_root)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+
+    def seg_value(name: str, prefix: str) -> int | None:
+        if hive:
+            if not name.startswith(prefix + "="):
+                return None
+            name = name[len(prefix) + 1 :]
+        try:
+            return int(name)
+        except ValueError:
+            return None
+
+    out: list[str] = []
+    for ydir in fs.listStatus(root):
+        if not ydir.isDirectory():
+            continue
+        if seg_value(ydir.getPath().getName(), "year") is None:
+            continue
+        for mdir in fs.listStatus(ydir.getPath()):
+            if not mdir.isDirectory():
+                continue
+            if seg_value(mdir.getPath().getName(), "month") is None:
+                continue
+            out.append(str(mdir.getPath().toString()))
+    return sorted(out)

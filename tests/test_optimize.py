@@ -232,3 +232,39 @@ def test_cli_optimize_after_flag():
     a = parse_arguments(["--source-root", "/x", "--optimize-after"])
     assert a.optimize_after
     assert not parse_arguments(["--source-root", "/x"]).optimize_after
+
+
+def test_optimize_after_month_walk_preserves_date_tree(spark, tmp_path):
+    """The CLI's --optimize-after sweep: walk the compacted date tree to
+    MONTH level, pack each month's fragmented day dirs — both plain
+    YYYY/MM/DD and hive year=/month=/day= layouts — without disturbing
+    the tree nesting the readers and the retention sweep rely on."""
+    from aws_logs_parquet_converter_spark.plans.retention import (
+        list_month_dirs,
+    )
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    n_rows = o.count()
+
+    for hive, days in (
+        (False, ["2024/07/01", "2024/07/02", "2024/08/01"]),
+        (True, ["year=2024/month=07/day=01", "year=2024/month=08/day=02"]),
+    ):
+        root = str(tmp_path / ("hive" if hive else "plain"))
+        for d in days:
+            o.repartition(4).write.mode("overwrite").parquet(f"{root}/{d}")
+        months = list_month_dirs(spark, root, hive=hive)
+        assert len(months) == 2, months
+
+        packed = [
+            v
+            for m in months
+            for v in optimize_partitions(
+                spark, m, "day" if hive else None, target_file_mb=128
+            )
+        ]
+        assert len(packed) == len(days)
+        for d in days:
+            files = glob.glob(f"{root}/{d}/*.parquet")
+            assert len(files) == 1, (d, files)  # packed in place
+            assert spark.read.parquet(f"{root}/{d}").count() == n_rows

@@ -185,3 +185,45 @@ def test_cli_multi_folder_args():
     assert config_from_args(a).folders == ("b1", "b2")
     a = parse_arguments(["--source-root", "/x"])
     assert config_from_args(a).folders == ()  # single-folder default
+
+
+def test_cli_main_end_to_end_subprocess(tmp_path):
+    """The FULL CLI wiring in a real subprocess: raw logs for yesterday ->
+    main() compacts them (own SparkSession), then --optimize-after packs
+    the fragmented day in place. Integration coverage for the one path no
+    in-process test exercises (main builds and stops its own session)."""
+    import glob
+    import os
+    import subprocess
+    import sys
+    from datetime import date, timedelta
+
+    yesterday = date.today() - timedelta(days=1)
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    _write_day(raw, yesterday.strftime("%Y/%m/%d"), n=60, seed=9)
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "aws_logs_parquet_converter_spark.cli",
+            "--source-root",
+            raw,
+            "--destination-root",
+            out,
+            "--num-output-files",
+            "6",
+            "--optimize-after",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "processed 1 day(s)" in res.stdout
+    assert "optimized 1 fragmented day partition(s)" in res.stdout
+    day_dir = os.path.join(out, yesterday.strftime("%Y/%m/%d"))
+    files = glob.glob(day_dir + "/*.parquet")
+    assert len(files) == 1, files  # 6-file day packed in place
