@@ -33,6 +33,8 @@ PICKS = {
     "sim_ann_pq_indexed": "ANN serving over the persisted PQ index (r4): codebook+codes from parquet, no training stage in the plan; raw vectors only in pushed query reads and the shortlist re-rank",
     "q_pit_features": "three as-of feature attaches as union+window merges — no range join, no row explosion, leakage-free by construction",
     "q_global_ids_scalable": "dense global ranks via range-partition + local rank + broadcast offsets — no single-partition window",
+    "sim_ann_pq_append": "incremental ANN serving (r5): codebook trained on the OLD slice + codes for old AND appended vectors, all from the persisted index; no training stage, no old-vector re-encode in the plan",
+    "dedup_levenshtein_capped": "hot-block cap (r5): block sizes aggregated once and broadcast into an anti-join BEFORE the self-join — boilerplate-prefix blocks never reach the O(len^2) confirm",
     "log_compaction: parse path": None,
 }
 
