@@ -1321,3 +1321,101 @@ def sim_ann_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook=spark.read.parquet(f"{path}/codebook"),
         codes=spark.read.parquet(f"{path}/codes"),
     )
+
+
+# --- streaming embedding ingest into the PQ index ---------------------------
+
+
+def pq_stream_merge_batch(bdf: DataFrame, batch_id: int, path: str) -> None:
+    """IDEMPOTENT micro-batch commit for streaming embedding ingest: the
+    batch encodes against the FROZEN codebooks of the persisted index and
+    its codes commit with a dynamic partition overwrite keyed on the
+    batch id — foreachBatch is at-least-once, and a replayed batch
+    (deterministic file source + deterministic encode) overwrites its own
+    ``batch=N`` partition with identical rows instead of appending a
+    duplicate copy. Same commit protocol as the streaming log path
+    (``streaming/events.py: log_stream_merge_batch``)."""
+    spark = bdf.sparkSession
+    cb = spark.read.parquet(f"{path}/codebook")
+    (
+        pq_encode(bdf, cb)
+        .withColumn("batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(f"{path}/codes")
+    )
+
+
+#: per-sf_dir cache of streamed-in PQ index paths
+_PQ_STREAM_PATHS: dict[str, str] = {}
+
+
+def _pq_stream_state_for(spark: SparkSession, sf_dir: str) -> str:
+    """Day-1 index (old slice trains + encodes, codes under ``batch=-1``)
+    plus the NEW vectors drained through an availableNow parquet file
+    stream, one file per micro-batch, each committed idempotently by
+    :func:`pq_stream_merge_batch`."""
+    path = _PQ_STREAM_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pq_stream_index_")
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.where(F.col("vec_id") < PQ_APPEND_SPLIT)
+    cb = pq_train_codebooks(old, k=16, n_iters=3)
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    cb_r = spark.read.parquet(f"{path}/codebook")
+    (
+        pq_encode(old, cb_r)
+        .withColumn("batch", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(f"{path}/codes")
+    )
+    src = tempfile.mkdtemp(prefix="pq_stream_src_")
+    new = e.where(F.col("vec_id") >= PQ_APPEND_SPLIT)
+    new.repartition(3).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: pq_stream_merge_batch(bdf, bid, path)
+        )
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pq_stream_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _PQ_STREAM_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "stream_pq_append",
+    oracle=_pq_append_oracle(),
+    doc=(
+        "Streaming embedding ingest into the persisted PQ index: new "
+        "vectors arrive as an availableNow parquet file stream (one file "
+        "per micro-batch); each batch encodes against the FROZEN "
+        "codebooks in foreachBatch and commits its codes with an "
+        "idempotent batch-keyed dynamic overwrite (replay-safe, same "
+        "protocol as the streaming log path). Serving top-k from the "
+        "drained index equals sim_ann_pq_append — the same "
+        "unrolled-old-slice-training DuckDB oracle applies, so the "
+        "streaming composition is proven lossless end-to-end. The "
+        "arrival-driven form of the daily RAG-ingest maintenance loop."
+    ),
+)
+def stream_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _pq_stream_state_for(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        e,
+        codebook=spark.read.parquet(f"{path}/codebook"),
+        codes=spark.read.parquet(f"{path}/codes").select("vec_id", "m", "code"),
+    )

@@ -498,3 +498,48 @@ def test_pq_index_lifecycle_build_append_serve(spark, tmp_path):
     topk = pq_adc_topk(e, codebook=cb, codes=codes).collect()
     assert {r.query_id for r in topk} == set(range(8))
     assert max(r.neighbor_id for r in topk) >= d1  # new vectors retrievable
+
+
+def test_pq_stream_merge_replay_is_idempotent(spark, tmp_path):
+    """The streaming PQ ingest commit (batch-keyed dynamic overwrite) must
+    converge under micro-batch replay: re-committing the same batch —
+    including over PARTIAL residue from a crashed first attempt — leaves
+    the codes table byte-equal; a different batch id appends."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        build_pq_index,
+        pq_stream_merge_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    idx = str(tmp_path / "pq")
+    build_pq_index(e.where(F.col("vec_id") < 300), idx)
+    # restructure day-1 codes into the stream's batch-partitioned layout
+    import os
+    import shutil
+
+    spark.read.parquet(f"{idx}/codes").withColumn(
+        "batch", F.lit(-1)
+    ).write.partitionBy("batch").parquet(f"{idx}/codes_p")
+    shutil.rmtree(f"{idx}/codes")
+    os.rename(f"{idx}/codes_p", f"{idx}/codes")
+
+    def table():
+        rows = spark.read.parquet(f"{idx}/codes").drop("batch").collect()
+        return sorted((r.vec_id, r.m, r.code) for r in rows)
+
+    batch = e.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    # crashed attempt: batch 0 committed only a partial prefix
+    pq_stream_merge_batch(batch.where(F.col("vec_id") < 350), 0, idx)
+    n_partial = len(table())
+    pq_stream_merge_batch(batch, 0, idx)  # replay with full content
+    full = table()
+    assert len(full) > n_partial
+    pq_stream_merge_batch(batch, 0, idx)  # replay again: no change
+    assert table() == full
+    assert len(full) == 400 * 8  # every vector coded exactly once
+    pq_stream_merge_batch(e.where(F.col("vec_id") >= 400), 1, idx)
+    assert len(table()) == e.count() * 8

@@ -517,3 +517,13 @@ def test_pq_append_batch_plan_encodes_only_the_batch(spark):
     assert f"GreaterThanOrEqual(vec_id,{PQ_APPEND_SPLIT})" in emb_scans[0]
     assert "BroadcastHashJoin" in plan
     assert "ExistingRDD" not in plan
+
+
+def test_levenshtein_capped_blocks_filtered_before_self_join(spark):
+    """dedup_levenshtein_capped's hot-block cap must be a broadcast
+    anti-join applied BEFORE the candidate self-join (one tiny aggregate,
+    no extra shuffle of the corpus), so an oversized boilerplate block
+    never reaches the O(len^2) confirm."""
+    plan = _plan(spark, "dedup_levenshtein_capped")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
