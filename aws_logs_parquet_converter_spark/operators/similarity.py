@@ -744,16 +744,79 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFra
     return cents.select("cluster", "n_members", "centroid")
 
 
+
+
+def _kmeans_oracle(k: int = 4, n_iters: int = 3) -> str:
+    """The UNROLLED full-vector Lloyd's loop of :func:`kmeans_train` as a
+    DuckDB CTE chain — same technique as ``_pq_trained_cb_cte`` (md5-ranked
+    init, exact integer-scaled centroid sums, smaller-cluster argmax
+    tiebreak make every round bit-reproducible in both engines), which
+    moves sim_kmeans_train OUT of the rows-only class: the full iterative
+    training result is value-hash-checked."""
+    h = sql_hash60("CAST(vec_id AS VARCHAR)", seed="km")
+    parts = [
+        f"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    seeds AS (
+      SELECT vec_id, rn - 1 AS cluster FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) AS rn
+        FROM embeddings) WHERE rn <= {k}),
+    tc0 AS (
+      SELECT sd.cluster, e.emb AS centroid
+      FROM e JOIN seeds sd ON sd.vec_id = e.vec_id)"""
+    ]
+    prev = "tc0"
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""sc{i} AS (
+      SELECT e.vec_id, c.cluster,
+             list_dot_product(e.emb, c.centroid)
+               - 0.5 * list_dot_product(c.centroid, c.centroid) AS score
+      FROM e CROSS JOIN {prev} c),
+    asg{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cluster) AS rn
+        FROM sc{i}) WHERE rn = 1),
+    cell{i} AS (
+      SELECT a.cluster, generate_subscripts(e.emb, 1) AS pos,
+             unnest(e.emb) AS v
+      FROM asg{i} a JOIN e ON e.vec_id = a.vec_id),
+    agg{i} AS (
+      SELECT cluster, pos,
+             SUM(CAST(round(v * 10000000) AS BIGINT)) AS sc, COUNT(*) AS n
+      FROM cell{i} GROUP BY cluster, pos),
+    tc{i} AS (
+      SELECT cluster,
+             list((CAST(sc AS DOUBLE) / 10000000) / n ORDER BY pos) AS centroid
+      FROM agg{i} GROUP BY cluster)"""
+        )
+        prev = f"tc{i}"
+    parts.append(
+        f"""nm AS (SELECT cluster, COUNT(*) AS n_members
+           FROM asg{n_iters} GROUP BY cluster)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT t.cluster, nm.n_members, t.centroid
+    FROM {prev} t JOIN nm ON nm.cluster = t.cluster
+    """
+
+
 @register(
     "sim_kmeans_train",
-    # No oracle: iterative driver-loop algorithm (the documented rows-only
-    # class); determinism + convergence are pinned by tests/test_extensions.
+    oracle=_kmeans_oracle(),
     doc=(
         "Full Lloyd's k-means training loop (k=4, 3 iterations) over the "
         "embeddings table — the IVF coarse-quantizer BUILD, composing the "
         "oracle-checked assign (sim_ivf_assign) and centroid "
         "(sim_label_centroids) steps with localCheckpoint lineage "
-        "truncation. Per iteration: one broadcast, one hash aggregate over "
+        "truncation. As of r5 the whole ITERATIVE loop is value-hash-"
+        "checked: the deterministic rounds unroll into a DuckDB CTE "
+        "chain (_kmeans_oracle), graduating this query out of the "
+        "rows-only class. Per iteration: one broadcast, one hash aggregate over "
         "the corpus, one |k x dims|-cell aggregate; corpus vectors shuffle "
         "as (vec_id, emb) once per iteration in the partial-agg merge, "
         "nothing is ever collected to the driver."
