@@ -924,7 +924,11 @@ def log_stream_merge_batch(
 
 
 def run_log_file_stream(
-    spark: SparkSession, raw_dir: str, dest: str, fmt: str = "s3"
+    spark: SparkSession,
+    raw_dir: str,
+    dest: str,
+    fmt: str = "s3",
+    max_files_per_trigger: int = 1,
 ) -> None:
     """Drain a raw access-log FILE stream into a day-partitioned parquet
     table: each micro-batch (one arriving file, ``maxFilesPerTrigger=1``)
@@ -937,11 +941,19 @@ def run_log_file_stream(
     arrival-driven compaction: state is file-source progress (the
     checkpoint) plus the committed batch partitions, per-batch work is
     one file's parse + a partition-scoped overwrite, and a crash-replay
-    converges to exactly-once table content."""
+    converges to exactly-once table content.
+
+    ``max_files_per_trigger`` is the latency/throughput knob: each
+    micro-batch pays a fixed job+commit cost (~2 s on local[32],
+    tools/stream_ingest_probe.py), so per-file triggers price freshness
+    at ~file-arrival granularity while catch-up/backfill drains should
+    batch arrivals: at 200k lines / 16 files, measured walls are 33.4 s
+    at 1 file/trigger, 10.1 s at 4, 4.5 s at 16 — vs the batch path's
+    2.5 s amortized floor (identical row counts)."""
     import tempfile
 
     q = (
-        spark.readStream.option("maxFilesPerTrigger", 1)
+        spark.readStream.option("maxFilesPerTrigger", int(max_files_per_trigger))
         .text(raw_dir)
         .writeStream.foreachBatch(
             lambda bdf, bid: log_stream_merge_batch(bdf, bid, dest, fmt)
