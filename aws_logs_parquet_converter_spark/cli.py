@@ -128,6 +128,24 @@ def config_from_args(args: argparse.Namespace) -> RollupConfig:
     )
 
 
+def _maintenance_roots(spark, cfg: RollupConfig) -> list[str]:
+    """Destination subtrees the post-run maintenance stages (retention,
+    optimize-after) operate on — ONE derivation so the stages cannot
+    disagree. Multi-folder mode discovers from the DESTINATION tree (a
+    folder that stopped producing source logs still has old compacted
+    data to maintain), falling back to source discovery only for a
+    destination that does not exist yet."""
+    from .plans.incremental import discover_folders
+
+    if cfg.folders == ():
+        return [cfg.destination_root]
+    names = list(cfg.folders) if cfg.folders else (
+        discover_folders(spark, cfg.destination_root)
+        or discover_folders(spark, cfg.source_root)
+    )
+    return [f"{cfg.destination_root}/{f}" for f in names]
+
+
 def main(argv: list[str] | None = None) -> None:
     args = parse_arguments(argv)
     cfg = config_from_args(args)
@@ -155,22 +173,10 @@ def main(argv: list[str] | None = None) -> None:
         if args.retain_days is not None:
             from datetime import timedelta
 
-            from .plans.incremental import discover_folders
             from .plans.retention import expire_date_partitions
 
             keep_from = date.today() - timedelta(days=args.retain_days)
-            if cfg.folders == ():
-                roots = [cfg.destination_root]
-            else:
-                # discover from the DESTINATION tree (the one being expired):
-                # a folder that stopped producing source logs still has old
-                # compacted data to age out. Source discovery is only the
-                # bootstrap fallback for a destination that doesn't exist yet.
-                names = list(cfg.folders) if cfg.folders else (
-                    discover_folders(spark, cfg.destination_root)
-                    or discover_folders(spark, cfg.source_root)
-                )
-                roots = [f"{cfg.destination_root}/{f}" for f in names]
+            roots = _maintenance_roots(spark, cfg)
             expired = [
                 day
                 for r in roots
@@ -180,17 +186,10 @@ def main(argv: list[str] | None = None) -> None:
             ]
             print(f"expired {len(expired)} partition dir(s) below {keep_from.isoformat()}")
         if args.optimize_after:
-            from .plans.incremental import discover_folders
             from .plans.optimize import optimize_partitions
             from .plans.retention import list_month_dirs
 
-            if cfg.folders == ():
-                roots = [cfg.destination_root]
-            else:
-                names = list(cfg.folders) if cfg.folders else (
-                    discover_folders(spark, cfg.destination_root) or []
-                )
-                roots = [f"{cfg.destination_root}/{f}" for f in names]
+            roots = _maintenance_roots(spark, cfg)
             hive = cfg.policy.hive_partitioning
             # sweep at MONTH granularity: each month dir's children are the
             # day partitions (plain DD dirs or hive day=DD), so the packer

@@ -211,10 +211,11 @@ from .logetl import _duck_parsed_cte as _ops_pipe_oracle_cte
     doc=(
         "The day-2 operations loop composed end-to-end: raw log files "
         "stream in one per micro-batch (streaming/events.py: "
-        "run_log_file_stream — each commit appends a small file per "
-        "touched day partition), then the OPTIMIZE maintenance op "
-        "(plans/optimize.py) bin-packs every fragmented partition via "
-        "atomic rename swaps. The registered query reads the OPTIMIZED "
+        "run_log_file_stream — each commit is an idempotent (day, batch) "
+        "dynamic overwrite, one small file per touched day), then the "
+        "OPTIMIZE maintenance op (plans/optimize.py) bin-packs every "
+        "fragmented day via swap-by-rename, collapsing the batch "
+        "bookkeeping dirs into one batch=-1 leaf. The registered query reads the OPTIMIZED "
         "table, so matching the same independent DuckDB regex re-parse "
         "oracle as stream_log_compaction proves the ingest->maintenance "
         "composition is lossless (dead letters included); file-count "
@@ -226,20 +227,14 @@ from .logetl import _duck_parsed_cte as _ops_pipe_oracle_cte
     ),
 )
 def pipeline_stream_then_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
     import tempfile
 
     from ..functions.s3_log_parse import OUTPUT_COLUMNS
     from ..plans.optimize import optimize_partitions
-    from ..streaming.events import run_log_file_stream
+    from ..streaming.events import _write_line_files, run_log_file_stream
     from .logetl import RAW_LINES
 
-    raw_dir = tempfile.mkdtemp(prefix="ops_pipe_raw_")
-    n_files = 4
-    per = math.ceil(len(RAW_LINES) / n_files)
-    for i in range(n_files):
-        with open(f"{raw_dir}/logs-{i}.txt", "w") as f:
-            f.write("\n".join(RAW_LINES[i * per : (i + 1) * per]) + "\n")
+    raw_dir = _write_line_files(RAW_LINES, 4, "ops_pipe_raw_")
     dest = tempfile.mkdtemp(prefix="ops_pipe_dest_")
     run_log_file_stream(spark, raw_dir, dest)
     # collapse folds the stream's per-batch bookkeeping partitions

@@ -106,7 +106,8 @@ def estimate_input_bytes(df: DataFrame) -> int | None:
     for p in paths:
         parent, _, name = p.rpartition("/")
         by_parent.setdefault(parent, set()).add(name)
-    markers = ("_SUCCESS", "_metadata", "_common_metadata")
+    from .optimize import _JOB_MARKERS, _marker_stats
+
     total = 0
     for parent, names in by_parent.items():
         hp = jvm.org.apache.hadoop.fs.Path(parent)
@@ -114,13 +115,10 @@ def estimate_input_bytes(df: DataFrame) -> int | None:
         summ = fs.getContentSummary(hp)
         n_mark, mark_bytes = 0, 0
         if summ.getFileCount() != len(names):
-            for m in markers:
-                if m in names:
-                    continue  # scanned as data (pathological; count it)
-                mp = jvm.org.apache.hadoop.fs.Path(hp, m)
-                if fs.exists(mp):
-                    n_mark += 1
-                    mark_bytes += fs.getFileStatus(mp).getLen()
+            if any(m in names for m in _JOB_MARKERS):
+                pass  # a marker scanned as data (pathological): no subtract
+            else:
+                n_mark, mark_bytes = _marker_stats(jvm, fs, hp)
         # flat dir + every non-marker file scanned -> JVM-side sum is exact
         if (
             summ.getDirectoryCount() <= 1
@@ -128,10 +126,14 @@ def estimate_input_bytes(df: DataFrame) -> int | None:
         ):
             total += summ.getLength() - mark_bytes
         else:
-            # partial scan of this dir: price only the scanned subset
+            # partial scan of this dir: price only the scanned subset;
+            # tolerate files that vanished since inputFiles() (e.g. a
+            # concurrent OPTIMIZE swap), matching the old listStatus
+            # filter's behavior
             for name in names:
                 fp = jvm.org.apache.hadoop.fs.Path(hp, name)
-                total += fs.getFileStatus(fp).getLen()
+                if fs.exists(fp):
+                    total += fs.getFileStatus(fp).getLen()
     return int(total)
 
 

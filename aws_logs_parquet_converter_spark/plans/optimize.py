@@ -174,15 +174,19 @@ def recover_optimize_residue(spark: SparkSession, dest: str) -> list[str]:
     olds, tmps = [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith(".")):
+        if not st.isDirectory():
             continue
+        # dot-prefixed = current naming; bare-suffix = residue from the
+        # pre-dot-prefix version of this op — Spark partition discovery
+        # PARSES those as bogus partition values, so they must be swept
+        # here too, with the same restore-or-raise policy
         if name.endswith(OPT_OLD_SUFFIX):
             olds.append(st.getPath())
         elif name.endswith(OPT_TMP_SUFFIX):
             tmps.append(st.getPath())
     actions: list[str] = []
     for op in olds:
-        leaf = op.getName()[1 : -len(OPT_OLD_SUFFIX)]
+        leaf = op.getName()[: -len(OPT_OLD_SUFFIX)].removeprefix(".")
         live = jvm.org.apache.hadoop.fs.Path(root, leaf)
         n_files = int(fs.getContentSummary(op).getFileCount())
         if n_files == 0:

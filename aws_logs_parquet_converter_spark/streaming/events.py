@@ -888,6 +888,22 @@ _STREAM_TIME_COLS = {
 }
 
 
+
+def _write_line_files(lines, n_files: int, prefix: str) -> str:
+    """Gate fixture: split ``lines`` across ``n_files`` text files in a
+    fresh temp dir (one arriving file per micro-batch) — shared by every
+    streaming-compaction gate so the chunking cannot diverge."""
+    import math
+    import tempfile
+
+    raw_dir = tempfile.mkdtemp(prefix=prefix)
+    per = math.ceil(len(lines) / n_files)
+    for i in range(n_files):
+        with open(f"{raw_dir}/part-{i}.txt", "w") as f:
+            f.write("\n".join(lines[i * per : (i + 1) * per]) + "\n")
+    return raw_dir
+
+
 def log_stream_merge_batch(
     bdf: DataFrame, batch_id: int, dest: str, fmt: str = "s3"
 ) -> None:
@@ -929,6 +945,7 @@ def run_log_file_stream(
     dest: str,
     fmt: str = "s3",
     max_files_per_trigger: int = 1,
+    checkpoint_location: str | None = None,
 ) -> None:
     """Drain a raw access-log FILE stream into a day-partitioned parquet
     table: each micro-batch (one arriving file, ``maxFilesPerTrigger=1``)
@@ -942,6 +959,15 @@ def run_log_file_stream(
     checkpoint) plus the committed batch partitions, per-batch work is
     one file's parse + a partition-scoped overwrite, and a crash-replay
     converges to exactly-once table content.
+
+    **Exactly-once across RESTARTS requires a durable**
+    ``checkpoint_location``: the file-source offsets log is what pins each
+    committed batch's id to its file set, so a restarted drain re-delivers
+    an in-flight batch with the SAME id and content and the overwrite
+    converges. The default (a fresh temp checkpoint, used by the
+    correctness gates) only covers within-run foreachBatch retries — a
+    restart with a new checkpoint re-delivers everything as batch 0 and
+    duplicates prior batches. Production drains must pass a stable path.
 
     ``max_files_per_trigger`` is the latency/throughput knob: each
     micro-batch pays a fixed job+commit cost (~2 s on local[32],
@@ -958,7 +984,10 @@ def run_log_file_stream(
         .writeStream.foreachBatch(
             lambda bdf, bid: log_stream_merge_batch(bdf, bid, dest, fmt)
         )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_logstream_"))
+        .option(
+            "checkpointLocation",
+            checkpoint_location or tempfile.mkdtemp(prefix="ckpt_logstream_"),
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -970,18 +999,12 @@ def stream_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus value-for-value (27 columns, dead letters included) — proven
     against the independent DuckDB regex re-parse oracle shared with
     q_s3log_parse_fields."""
-    import math
     import tempfile
 
     from ..functions.s3_log_parse import OUTPUT_COLUMNS
     from ..operators.logetl import RAW_LINES
 
-    raw_dir = tempfile.mkdtemp(prefix="stream_logs_raw_")
-    n_files = 4
-    per = math.ceil(len(RAW_LINES) / n_files)
-    for i in range(n_files):
-        with open(f"{raw_dir}/logs-{i}.txt", "w") as f:
-            f.write("\n".join(RAW_LINES[i * per : (i + 1) * per]) + "\n")
+    raw_dir = _write_line_files(RAW_LINES, 4, "stream_logs_raw_")
     dest = tempfile.mkdtemp(prefix="stream_logs_dest_")
     run_log_file_stream(spark, raw_dir, dest)
     out = spark.read.parquet(dest)
@@ -1002,17 +1025,11 @@ def stream_alb_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ALB access-log corpus; the drained table must match the
     independent DuckDB regex re-parse oracle shared with
     q_alb_parse_fields (29 typed columns, dead letters included)."""
-    import math
     import tempfile
 
     from ..operators.logformats import ALB_LINES, alb_parity_columns
 
-    raw_dir = tempfile.mkdtemp(prefix="stream_alb_raw_")
-    n_files = 3
-    per = math.ceil(len(ALB_LINES) / n_files)
-    for i in range(n_files):
-        with open(f"{raw_dir}/alb-{i}.txt", "w") as f:
-            f.write("\n".join(ALB_LINES[i * per : (i + 1) * per]) + "\n")
+    raw_dir = _write_line_files(ALB_LINES, 3, "stream_alb_raw_")
     dest = tempfile.mkdtemp(prefix="stream_alb_dest_")
     run_log_file_stream(spark, raw_dir, dest, fmt="alb")
     return spark.read.parquet(dest).select(*alb_parity_columns())
@@ -1023,17 +1040,11 @@ def stream_vpcflow_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-stream drain with the space-split parser; drained table == the
     independent DuckDB re-split oracle shared with q_vpcflow_parse_fields
     (typed columns, NODATA sentinels, dead letters)."""
-    import math
     import tempfile
 
     from ..operators.logformats import VPC_LINES, vpc_parity_columns
 
-    raw_dir = tempfile.mkdtemp(prefix="stream_vpc_raw_")
-    n_files = 3
-    per = math.ceil(len(VPC_LINES) / n_files)
-    for i in range(n_files):
-        with open(f"{raw_dir}/vpc-{i}.txt", "w") as f:
-            f.write("\n".join(VPC_LINES[i * per : (i + 1) * per]) + "\n")
+    raw_dir = _write_line_files(VPC_LINES, 3, "stream_vpc_raw_")
     dest = tempfile.mkdtemp(prefix="stream_vpc_dest_")
     run_log_file_stream(spark, raw_dir, dest, fmt="vpcflow")
     return spark.read.parquet(dest).select(*vpc_parity_columns())
@@ -1045,17 +1056,11 @@ def stream_cloudfront_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     == the DuckDB re-split oracle shared with q_cloudfront_parse_fields.
     With this, ALL FOUR batch formats run end-to-end as arrival-driven
     streams through one parameterized path."""
-    import math
     import tempfile
 
     from ..operators.logformats import CF_LINES, cf_parity_columns
 
-    raw_dir = tempfile.mkdtemp(prefix="stream_cf_raw_")
-    n_files = 3
-    per = math.ceil(len(CF_LINES) / n_files)
-    for i in range(n_files):
-        with open(f"{raw_dir}/cf-{i}.txt", "w") as f:
-            f.write("\n".join(CF_LINES[i * per : (i + 1) * per]) + "\n")
+    raw_dir = _write_line_files(CF_LINES, 3, "stream_cf_raw_")
     dest = tempfile.mkdtemp(prefix="stream_cf_dest_")
     run_log_file_stream(spark, raw_dir, dest, fmt="cloudfront")
     return spark.read.parquet(dest).select(*cf_parity_columns())

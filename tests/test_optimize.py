@@ -268,3 +268,43 @@ def test_optimize_after_month_walk_preserves_date_tree(spark, tmp_path):
             files = glob.glob(f"{root}/{d}/*.parquet")
             assert len(files) == 1, (d, files)  # packed in place
             assert spark.read.parquet(f"{root}/{d}").count() == n_rows
+
+
+def test_optimize_recovers_legacy_nondot_residue(spark, tmp_path):
+    """Residue from the pre-dot-prefix version of this op (bare
+    year=X__optimize_old / __optimize_tmp names) is visible to Spark
+    partition discovery as a bogus partition value, so recovery must
+    sweep it with the same restore-or-raise policy."""
+    import shutil
+
+    from aws_logs_parquet_converter_spark.plans.optimize import (
+        recover_optimize_residue,
+    )
+
+    dest = str(tmp_path / "tbl")
+    _seed(spark, dest)
+    rows_before = sorted(
+        (r.o_orderkey, r.o_totalprice, r.year)
+        for r in spark.read.parquet(dest).collect()
+    )
+    parts = sorted(p for p in os.listdir(dest) if p.startswith("year="))
+    victim = os.path.join(dest, parts[0])
+
+    # legacy mid-swap crash: live moved aside under the OLD (non-dot) name
+    legacy_old = os.path.join(dest, f"{parts[0]}__optimize_old")
+    shutil.move(victim, legacy_old)
+    # legacy half-written rewrite
+    legacy_tmp = os.path.join(dest, f"{parts[1]}__optimize_tmp")
+    os.makedirs(legacy_tmp)
+    with open(os.path.join(legacy_tmp, "part-junk.parquet"), "w") as f:
+        f.write("halfwritten")
+
+    actions = recover_optimize_residue(spark, dest)
+    assert len(actions) == 2
+    assert os.path.exists(victim) and not os.path.exists(legacy_old)
+    assert not os.path.exists(legacy_tmp)
+    rows_after = sorted(
+        (r.o_orderkey, r.o_totalprice, r.year)
+        for r in spark.read.parquet(dest).collect()
+    )
+    assert rows_after == rows_before
