@@ -413,9 +413,10 @@ def simhash_sketch(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Near-dup pairs: share a 15-bit simhash band, Hamming <= max_hamming."""
-    sk = simhash_sketch(docs).cache()
+def simhash_bands(sk: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band_id, band_key) rows: the sketch split into
+    its 15-bit bands. The simhash rides along so candidate pairs can
+    compute Hamming without a join back to the sketch table."""
     bands = None
     for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
         band = sk.select(
@@ -427,6 +428,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             .alias("band_key"),
         )
         bands = band if bands is None else bands.unionByName(band)
+    return bands
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs: share a 15-bit simhash band, Hamming <= max_hamming."""
+    sk = simhash_sketch(docs).cache()
+    bands = simhash_bands(sk)
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -1132,3 +1140,102 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") >= INCR_SPLIT
     )
     return incremental_minhash_pairs(spark, batch, index_path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental SimHash: persisted sketch-band index + daily batch probe
+# ---------------------------------------------------------------------------
+
+
+def build_simhash_index(docs: DataFrame, path: str, split: int = INCR_SPLIT) -> None:
+    """Materialize the corpus SimHash band index: ``<path>/bands`` =
+    (doc_id, simhash, band_id, band_key), parquet. The sketch rides in the
+    band rows, so the daily probe computes Hamming straight off the
+    candidate join — no sketch-table join-back, and the corpus text is
+    shingled exactly once, here."""
+    sk = simhash_sketch(docs.where(F.col("doc_id") < split))
+    simhash_bands(sk).write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def incremental_simhash_pairs(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch only — the SimHash member of
+    the day-2 dedup family (exact: dedup_incremental_exact; MinHash:
+    dedup_incremental_minhash). Yesterday's corpus is purely its persisted
+    band index; today's docs sketch and probe it. The batch band set
+    broadcasts, so the index streams map-side and never shuffles; per-day
+    cost is O(|batch|) sketch work + an index scan. Output = full-corpus
+    simhash pairs restricted to pairs whose HIGHER id is in the batch
+    (new-vs-old plus new-vs-new)."""
+    batch_bands = simhash_bands(simhash_sketch(batch)).cache()
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    a = idx_bands.unionByName(batch_bands).alias("a")  # index ∪ today
+    b = batch_bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+#: per-sf_dir cache of built simhash-index paths (seeded state)
+_SIMHASH_INDEX_PATHS: dict[str, str] = {}
+
+
+def _simhash_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _SIMHASH_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="simhash_index_")
+        build_simhash_index(load_table(spark, sf_dir, "documents"), path)
+        _SIMHASH_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_incremental_simhash",
+    oracle="WITH "
+    + _SQL_SIMHASH
+    + f"""
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+      AND b.doc_id >= {INCR_SPLIT}
+    """,
+    doc=(
+        "Day-2 SimHash dedup: today's batch (doc_id >= 400) sketches and "
+        "probes a PERSISTED band index of yesterday's corpus "
+        "(build_simhash_index — bands carry the sketch, so Hamming "
+        "computes on the candidate join with no join-back). Completes the "
+        "incremental dedup trio alongside the exact-fingerprint and "
+        "MinHash-LSH indexes; the oracle is the full-corpus simhash pair "
+        "set restricted to pairs whose higher id is in the batch, proving "
+        "the index probe loses nothing vs recompute. Plan-asserted: the "
+        "only documents scan carries the pushed batch filter and the "
+        "batch bands broadcast."
+    ),
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _simhash_index_for(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= INCR_SPLIT
+    )
+    return incremental_simhash_pairs(spark, batch, path)

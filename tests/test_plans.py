@@ -527,3 +527,20 @@ def test_levenshtein_capped_blocks_filtered_before_self_join(spark):
     plan = _plan(spark, "dedup_levenshtein_capped")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_simhash_reads_index_not_corpus(spark):
+    """dedup_incremental_simhash's only documents scan carries the pushed
+    batch filter; the corpus enters via the persisted band index, and the
+    batch bands broadcast so the index never shuffles."""
+    from aws_logs_parquet_converter_spark.operators.dedup import INCR_SPLIT
+
+    plan = _plan(spark, "dedup_incremental_simhash")
+    doc_scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "documents" in ln
+    ]
+    assert doc_scans
+    for ln in doc_scans:
+        assert f"GreaterThanOrEqual(doc_id,{INCR_SPLIT})" in ln, ln
+    assert "simhash_index_" in plan and "/bands" in plan
+    assert "BroadcastHashJoin" in plan
