@@ -313,6 +313,18 @@ def _sql_rp_bucket(vec_expr: str, table: int = 0, bits: int = N_PLANES) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _rplsh_buckets(vectors: DataFrame, bits: int = N_PLANES) -> DataFrame:
+    """(vec_id, tbl, bucket) rows: one sign-LSH bucket id per table for each
+    vector — the shape both the ad-hoc pair miner and the persisted index
+    store."""
+    return vectors.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[rp_bucket("embedding", t, bits) for t in range(N_TABLES)])
+        ).alias("tbl", "bucket"),
+    )
+
+
 def rplsh_pairs(
     embeddings: DataFrame, threshold: float = 0.3, bits: int | None = None
 ) -> DataFrame:
@@ -348,12 +360,7 @@ def rplsh_pairs(
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    buckets = base.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[rp_bucket("embedding", t, bits) for t in range(N_TABLES)])
-        ).alias("tbl", "bucket"),
-    )
+    buckets = _rplsh_buckets(base, bits)
     # The self-join below computes `buckets` TWICE (plan audit: 2 Generate,
     # 4 FileScan, 0 ReusedExchange). At the 8-bit fixture width the
     # recompute WINS (measured sf0.1: plain 1.44 s vs .cache() 1.65 s — the
@@ -1482,3 +1489,165 @@ def stream_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook=spark.read.parquet(f"{path}/codebook"),
         codes=spark.read.parquet(f"{path}/codes").select("vec_id", "m", "code"),
     )
+
+
+# --- incremental RP-LSH: persisted bucket index + daily batch probe ---------
+#
+# The embedding-space analog of dedup_incremental_minhash: yesterday's
+# vectors live purely in a persisted two-table parquet index; today's batch
+# hashes with the FROZEN hyperplanes and probes it. Completes the
+# incremental-maintenance story for BOTH ANN families (the PQ index gained
+# append in sim_ann_pq_append; this gives the sign-LSH near-dup miner the
+# same day-2 shape).
+
+
+def build_rplsh_index(
+    embeddings: DataFrame, path: str, split: int = PQ_APPEND_SPLIT
+) -> None:
+    """Materialize the sign-LSH near-dup index (the state a daily
+    embedding-dedup job maintains): ``<path>/vectors`` = (vec_id,
+    embedding, nrm) — the vector store every ANN index carries for the
+    exact-confirm stage — and ``<path>/buckets`` = (vec_id, tbl, bucket)
+    at the FROZEN fixture width (``N_PLANES`` bits; the hyperplanes are
+    deterministic module literals, so vectors hashed today and vectors
+    hashed at build time always bucket identically). The corpus parquet
+    is read exactly once, here; daily probes read only these two narrow
+    tables plus the day's batch."""
+    spark = embeddings.sparkSession
+    base = spread_input(embeddings.where(F.col("vec_id") < split)).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    base.write.mode("overwrite").parquet(f"{path}/vectors")
+    # derive buckets from the WRITTEN vectors (one corpus pass total)
+    vec_r = spark.read.parquet(f"{path}/vectors")
+    _rplsh_buckets(vec_r).write.mode("overwrite").parquet(f"{path}/buckets")
+
+
+def rplsh_append_batch(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Daily index maintenance: hash the new batch with the frozen
+    hyperplanes/width and APPEND its rows to both index tables. No re-hash
+    of old vectors, no index rewrite — per-day cost is O(|batch|)."""
+    base = spread_input(batch).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    base.write.mode("append").parquet(f"{path}/vectors")
+    _rplsh_buckets(base).write.mode("append").parquet(f"{path}/buckets")
+
+
+def incremental_rplsh_pairs(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup vector pairs INVOLVING the new batch only — the daily
+    increment of embedding dedup. Yesterday's corpus enters the plan ONLY
+    via the persisted index (buckets for candidates, vectors for the
+    exact-cosine confirm); today's batch hashes in one map pass and its
+    (tiny) bucket set BROADCASTS against the index side, so the index is
+    never shuffled by a daily run. Output = the full-corpus candidate set
+    restricted to pairs whose HIGHER id is in the batch (new-vs-old plus
+    new-vs-new — a vector duplicated within today's batch must not slip
+    through), exactly the restriction :func:`rplsh_pairs` + a batch filter
+    would compute, at batch-sized cost."""
+    b_base = spread_input(batch).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    idx_vec = spark.read.parquet(f"{index_path}/vectors")
+    idx_buckets = spark.read.parquet(f"{index_path}/buckets")
+    a = idx_buckets.unionByName(_rplsh_buckets(b_base)).alias("a")
+    b = F.broadcast(_rplsh_buckets(b_base)).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = idx_vec.unionByName(b_base).alias("x")  # vec_a may be old or new
+    y = b_base.alias("y")  # vec_b is always in the batch
+    return (
+        F.broadcast(cand)
+        .join(x, F.col("vec_a") == F.col("x.vec_id"))
+        .join(F.broadcast(y), F.col("vec_b") == F.col("y.vec_id"))
+        .where(
+            dot(F.col("x.embedding"), F.col("y.embedding"))
+            >= F.lit(threshold) * F.col("x.nrm") * F.col("y.nrm")
+        )
+        .select("vec_a", "vec_b")
+    )
+
+
+#: per-sf_dir cache of built RP-LSH index paths (setup state, like
+#: dedup._band_index_for)
+_RPLSH_INDEX_PATHS: dict[str, str] = {}
+
+
+def _rplsh_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _RPLSH_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="rplsh_index_")
+        build_rplsh_index(load_table(spark, sf_dir, "embeddings"), path)
+        _RPLSH_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+def _rplsh_append_oracle(split: int = PQ_APPEND_SPLIT) -> str:
+    """Full-corpus sign-LSH pairs restricted to higher-id-in-batch: with
+    the bucket width frozen at N_PLANES bits, the incremental probe is
+    provably this restriction of the batch-oblivious candidate set."""
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_rp_bucket('embedding', t)} AS bucket FROM base"
+        for t in range(N_TABLES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt(list_dot_product(embedding, embedding)) AS nrm
+      FROM embeddings),
+    buckets AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE b.vec_id >= {split})
+    SELECT c.vec_a, c.vec_b
+    FROM cand c
+    JOIN base x ON x.vec_id = c.vec_a
+    JOIN base y ON y.vec_id = c.vec_b
+    WHERE list_dot_product(x.embedding, y.embedding) >= 0.3 * x.nrm * y.nrm
+    """
+
+
+@register(
+    "sim_ann_rplsh_append",
+    oracle=_rplsh_append_oracle(),
+    doc=(
+        "Incremental sign-LSH near-dup mining against a PERSISTED bucket "
+        "index — the embedding-space sibling of dedup_incremental_minhash "
+        "and the pair-mining complement of sim_ann_pq_append: today's "
+        "vector batch (vec_id >= 400) hashes with the frozen hyperplanes, "
+        "its bucket set broadcasts against the index, and the exact-cosine "
+        "confirm reads old vectors from the index's vector store. Output "
+        "= full-corpus candidate pairs whose higher id is new. "
+        "Plan-asserted: every embeddings scan carries the pushed batch "
+        "filter — yesterday's vectors are never re-read or re-hashed."
+    ),
+)
+def sim_ann_rplsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _rplsh_index_for(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") >= PQ_APPEND_SPLIT
+    )
+    return incremental_rplsh_pairs(spark, batch, path)

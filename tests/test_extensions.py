@@ -543,3 +543,46 @@ def test_pq_stream_merge_replay_is_idempotent(spark, tmp_path):
     assert len(full) == 400 * 8  # every vector coded exactly once
     pq_stream_merge_batch(e.where(F.col("vec_id") >= 400), 1, idx)
     assert len(table()) == e.count() * 8
+
+
+def test_rplsh_index_lifecycle_build_probe_append(spark, tmp_path):
+    """The persisted sign-LSH bucket index supports the full daily cycle:
+    build (day 0 vectors) -> probe (day 1 batch) -> append day 1's
+    vectors/buckets -> probe day 2 against the GROWN index. Each probe's
+    pairs must equal the batch-oblivious rplsh_pairs set restricted to
+    pairs whose higher id is in that day's batch — appending instead of
+    rebuilding loses nothing."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        N_PLANES,
+        build_rplsh_index,
+        incremental_rplsh_pairs,
+        rplsh_append_batch,
+        rplsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    em = load_table(spark, sf, "embeddings")
+    d1, d2 = 300, 400  # corpus < d1, day1 [d1, d2), day2 >= d2
+    idx = str(tmp_path / "idx")
+    build_rplsh_index(em, idx, split=d1)
+
+    full = {(r.vec_a, r.vec_b) for r in rplsh_pairs(em, bits=N_PLANES).collect()}
+
+    day1 = em.where((F.col("vec_id") >= d1) & (F.col("vec_id") < d2))
+    got1 = {
+        (r.vec_a, r.vec_b)
+        for r in incremental_rplsh_pairs(spark, day1, idx).collect()
+    }
+    assert got1 == {(a, b) for (a, b) in full if d1 <= b < d2}
+
+    rplsh_append_batch(spark, idx, day1)
+
+    day2 = em.where(F.col("vec_id") >= d2)
+    got2 = {
+        (r.vec_a, r.vec_b)
+        for r in incremental_rplsh_pairs(spark, day2, idx).collect()
+    }
+    assert got2 == {(a, b) for (a, b) in full if b >= d2}

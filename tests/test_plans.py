@@ -488,6 +488,26 @@ def test_pq_append_serving_plan_has_no_training(spark):
     assert any("LessThan(vec_id,8)" in ln for ln in emb_scans)
 
 
+def test_rplsh_append_reads_index_not_corpus(spark):
+    """sim_ann_rplsh_append's 100-TB claim in plan form: every embeddings
+    scan carries the pushed batch filter (vec_id >= 400) — yesterday's
+    vectors are never re-read or re-hashed; the corpus enters only via the
+    persisted bucket index (buckets for candidates, vectors for the cosine
+    confirm), and the batch's bucket set broadcasts so the index side never
+    shuffles."""
+    from aws_logs_parquet_converter_spark.operators.similarity import PQ_APPEND_SPLIT
+
+    plan = _plan(spark, "sim_ann_rplsh_append")
+    emb_scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "embeddings" in ln
+    ]
+    assert emb_scans, "expected a pushed-down batch scan of embeddings"
+    for ln in emb_scans:
+        assert f"GreaterThanOrEqual(vec_id,{PQ_APPEND_SPLIT})" in ln, ln
+    assert "rplsh_index_" in plan and "/buckets" in plan and "/vectors" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pq_append_batch_plan_encodes_only_the_batch(spark):
     """The daily append op itself: its plan scans embeddings ONCE with the
     pushed batch filter (vec_id >= PQ_APPEND_SPLIT), broadcasts the frozen
