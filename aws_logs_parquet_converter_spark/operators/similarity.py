@@ -753,13 +753,14 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFra
 
 
 
-def _kmeans_oracle(k: int = 4, n_iters: int = 3) -> str:
-    """The UNROLLED full-vector Lloyd's loop of :func:`kmeans_train` as a
-    DuckDB CTE chain — same technique as ``_pq_trained_cb_cte`` (md5-ranked
-    init, exact integer-scaled centroid sums, smaller-cluster argmax
-    tiebreak make every round bit-reproducible in both engines), which
-    moves sim_kmeans_train OUT of the rows-only class: the full iterative
-    training result is value-hash-checked."""
+def _kmeans_cte_parts(k: int = 4, n_iters: int = 3) -> tuple[list[str], str]:
+    """The UNROLLED full-vector Lloyd's loop of :func:`kmeans_train` as
+    DuckDB CTE fragments — returns ``(parts, final_centroid_cte_name)`` so
+    both the training oracle and downstream consumers (cluster-scoped
+    semantic dedup) can extend the chain. Same technique as
+    ``_pq_trained_cb_cte``: md5-ranked init, exact integer-scaled centroid
+    sums, smaller-cluster argmax tiebreak make every round
+    bit-reproducible in both engines."""
     h = sql_hash60("CAST(vec_id AS VARCHAR)", seed="km")
     parts = [
         f"""e AS (
@@ -800,6 +801,14 @@ def _kmeans_oracle(k: int = 4, n_iters: int = 3) -> str:
       FROM agg{i} GROUP BY cluster)"""
         )
         prev = f"tc{i}"
+    return parts, prev
+
+
+def _kmeans_oracle(k: int = 4, n_iters: int = 3) -> str:
+    """Training oracle for sim_kmeans_train (the unrolled loop, which moves
+    it OUT of the rows-only class: the full iterative training result is
+    value-hash-checked)."""
+    parts, prev = _kmeans_cte_parts(k, n_iters)
     parts.append(
         f"""nm AS (SELECT cluster, COUNT(*) AS n_members
            FROM asg{n_iters} GROUP BY cluster)"""
@@ -831,6 +840,146 @@ def _kmeans_oracle(k: int = 4, n_iters: int = 3) -> str:
 )
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(load_table(spark, sf_dir, "embeddings"), k=4, n_iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-scoped semantic dedup (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    embeddings: DataFrame, k: int = 4, n_iters: int = 2, threshold: float = 0.35
+) -> DataFrame:
+    """Unsupervised semantic dedup, the SemDeDup shape (Abbas et al.,
+    arXiv:2303.09540): k-means clusters the embedding space, exact cosine
+    pairs are computed ONLY within each cluster, and the higher id of any
+    above-threshold pair is dropped. Returns one row per vector —
+    ``(vec_id, cluster, keep)``.
+
+    This is the label-free sibling of dedup_embedding_cosine (which blocks
+    on a supervised ``label`` column): the blocking key is LEARNED, so it
+    works on raw crawl embeddings with no metadata. Cross-cluster pairs
+    are missed by design — that is the approximation SemDeDup trades for
+    tractability, and the oracle applies the identical restriction.
+
+    Scale: the all-pairs term falls from n^2 to sum(n_i^2). At 100 TB the
+    knob is k — size it ~n/target_cluster_size (the paper runs k in the
+    tens of thousands for billions of docs) so per-cluster membership is
+    bounded and the within-cluster join stays AQE-splittable; training
+    cost is the same broadcast-assign loop as sim_kmeans_train, and the
+    pair join is a plain equi-join on cluster (no cartesian, no
+    all-corpus shuffle of anything wider than (vec_id, cluster, emb))."""
+    e = spread_input(embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = kmeans_train(embeddings, k=k, n_iters=n_iters)
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    c2 = cents.select(
+        "cluster",
+        "centroid",
+        (
+            F.lit(0.5)
+            * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
+        ).alias("half_cnorm"),
+    )
+    score = (
+        F.aggregate(F.zip_with("emb", "centroid", mul), F.lit(0.0), add)
+        - F.col("half_cnorm")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(c2))
+        .select("vec_id", "emb", "cluster", score.alias("score"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias(
+                "cluster"
+            ),
+            F.any_value("emb").alias("emb"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            dot(F.col("a.emb"), F.col("b.emb"))
+            >= F.lit(threshold) * F.col("a.nrm") * F.col("b.nrm")
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 4, n_iters: int = 2, threshold: float = 0.35
+) -> str:
+    """Extends the unrolled-Lloyd's CTE chain with a FINAL assignment
+    round against the trained centroids, the within-cluster pair join,
+    and the keep decision — the whole unsupervised pipeline value-checked."""
+    parts, prev = _kmeans_cte_parts(k, n_iters)
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body},
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scf AS (
+      SELECT e.vec_id, c.cluster,
+             list_dot_product(e.emb, c.centroid)
+               - 0.5 * list_dot_product(c.centroid, c.centroid) AS score
+      FROM e CROSS JOIN {prev} c),
+    asgf AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cluster) AS rn
+        FROM scf) WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM asgf a JOIN asgf b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN base x ON x.vec_id = a.vec_id
+      JOIN base y ON y.vec_id = b.vec_id
+      WHERE list_dot_product(x.emb, y.emb) >= {threshold} * x.nrm * y.nrm)
+    SELECT g.vec_id, g.cluster, (d.vec_id IS NULL) AS keep
+    FROM asgf g LEFT JOIN dups d ON d.vec_id = g.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle=_semantic_dedup_oracle(),
+    doc=(
+        "SemDeDup-shape semantic dedup: k-means LEARNS the blocking key "
+        "(no label column needed), exact cosine runs only WITHIN each "
+        "cluster, and the higher id of any >=0.35 pair is dropped — one "
+        "(vec_id, cluster, keep) row per vector. The all-pairs term falls "
+        "from n^2 to sum(n_i^2); at scale k grows with the corpus so "
+        "per-cluster membership stays bounded. The oracle unrolls the "
+        "deterministic Lloyd's rounds into DuckDB CTEs and applies the "
+        "identical cluster restriction, so the WHOLE pipeline — training, "
+        "assignment, pairing, keep decision — is value-hash-checked."
+    ),
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -586,3 +586,41 @@ def test_rplsh_index_lifecycle_build_probe_append(spark, tmp_path):
         for r in incremental_rplsh_pairs(spark, day2, idx).collect()
     }
     assert got2 == {(a, b) for (a, b) in full if b >= d2}
+
+
+def test_semantic_dedup_drops_planted_cluster_dup(spark):
+    """SemDeDup semantics on planted structure: two well-separated blobs,
+    one near-identical pair planted inside blob A. The pair's higher id is
+    dropped; everything else (including the cross-blob vectors, which are
+    dissimilar by construction) is kept, and the planted pair lands in the
+    same learned cluster."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        DIM,
+        semantic_dedup,
+    )
+
+    def vec(axis, i):
+        # dominant blob axis + a UNIQUE secondary axis per vector: in-blob
+        # cosine is 1/(1+0.3^2) ~= 0.917 < 0.99, cross-blob ~= 0
+        v = [0.0] * DIM
+        v[axis] = 1.0
+        v[8 + i] = 0.3
+        return v
+
+    rows = []
+    for i in range(20):  # blob A on axis 0
+        rows.append((i, vec(0, i)))
+    for i in range(20, 40):  # blob B on axis 1
+        rows.append((i, vec(1, i)))
+    rows.append((40, vec(0, 0)))  # exact copy of vec_id 0 (blob A)
+    em = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    out = {r.vec_id: r for r in semantic_dedup(em, k=2, n_iters=2, threshold=0.99).collect()}
+    assert len(out) == 41
+    assert out[40].keep is False  # the planted copy's higher id is dropped
+    assert out[0].keep is True
+    assert out[40].cluster == out[0].cluster  # same learned block
+    # everything else is kept: no other pair clears 0.99 anywhere
+    assert sum(1 for v in out.values() if v.keep) == 40

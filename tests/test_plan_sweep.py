@@ -28,6 +28,9 @@ BNLJ_ALLOWED = {
     "q_winsorize_mad": "one-row median/MAD bounds broadcast",
     "q_histogram": "one-row min/max bounds broadcast",
     "sim_ivf_assign": "K-row centroid table cross join (broadcast)",
+    "dedup_semantic_clustered": "K-row trained-centroid cross join "
+    "(broadcast) for the cluster assignment; the pair join itself is an "
+    "equi-join on cluster",
     "sim_topk_bruteforce": "small query set vs corpus (broadcast)",
     "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
     "sim_topk_ivf_label": "small query set, label-pruned corpus",
