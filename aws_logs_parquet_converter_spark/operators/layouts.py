@@ -200,3 +200,87 @@ def q_table_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("lo_key"),
         F.max("o_orderkey").alias("hi_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-manifest table queries (plans/snapshots.py)
+# ---------------------------------------------------------------------------
+
+#: events with event_id below this are the v1 commit; the rest append as v2
+SNAP_SPLIT = 5000
+
+#: per-sf_dir cache of seeded snapshot-table roots
+_SNAPSHOT_PATHS: dict[str, str] = {}
+
+
+def _snapshot_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a snapshot-manifest table through its whole lifecycle, once
+    per sf_dir: v1 = the first half of events written FRAGMENTED (8-way
+    repartition — micro-batch residue shape), v2 = the second half
+    appended (also fragmented), v3 = snapshot_optimize packing the file
+    list. All three versions stay readable (no vacuum), so the registered
+    queries can prove both ends: the latest version is content-complete
+    after the pack, and version 1 is BYTE-STABLE time travel even after
+    an append and an optimize committed on top of it."""
+    path = _SNAPSHOT_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import snapshot_optimize, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(ev.where(F.col("event_id") < SNAP_SPLIT).repartition(8), path)
+    snapshot_write(ev.where(F.col("event_id") >= SNAP_SPLIT).repartition(8), path)
+    snapshot_optimize(spark, path, target_file_mb=128)
+    _SNAPSHOT_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_time_travel",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id < {SNAP_SPLIT}
+    """,
+    doc=(
+        "Snapshot-table TIME TRAVEL with reader isolation, value-checked: "
+        "the query reads VERSION 1 of a manifest table that has since "
+        "taken an append (v2) and an OPTIMIZE rewrite (v3). Matching the "
+        "oracle's first-half-of-events proves the core manifest property "
+        "— a committed version's file list is immutable, so maintenance "
+        "and ingest never disturb a concurrent or historical reader. "
+        "This is the structural fix for the directory-swap OPTIMIZE's "
+        "documented reader race (plans/optimize.py), per the Delta Lake "
+        "design (VLDB'20)."
+    ),
+)
+def table_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_events_for(spark, sf_dir), version=1)
+
+
+@register(
+    "table_snapshot_optimize_roundtrip",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    doc=(
+        "Reader-safe OPTIMIZE roundtrip on a snapshot-manifest table: two "
+        "fragmented appends (8 files each) are bin-packed by "
+        "snapshot_optimize into a NEW file set committed as a new "
+        "version — no path a reader may hold is renamed or deleted. The "
+        "query reads the LATEST version; matching the oracle's full "
+        "events projection proves the pack is content-preserving. "
+        "Commit-conflict, crash-residue, and vacuum semantics are pinned "
+        "in tests/test_snapshots.py."
+    ),
+)
+def table_snapshot_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_events_for(spark, sf_dir))

@@ -1,0 +1,300 @@
+"""Snapshot-manifest tables: versioned, reader-isolated parquet tables.
+
+Plain parquet directories (the reference's layout and this repo's
+``plans/optimize.py``) have one structural limit no rename choreography
+removes: a maintenance rewrite and a concurrent reader race on the SAME
+paths, so there is an instant where a reader that listed files pre-swap
+hits deleted files mid-scan (documented honestly at ``optimize.py``
+module doc). The fix — the reason Delta Lake and Iceberg exist (Armbrust
+et al., "Delta Lake: High-Performance ACID Table Storage over Cloud
+Object Stores", VLDB 2020) — is indirection: data files are IMMUTABLE
+and anonymous; a tiny, atomically-committed MANIFEST names the files
+that make up each table version. This module is that layer, scoped to
+what a 100 TB maintenance story actually needs:
+
+* **Layout**: ``<root>/data/<commit-uuid>/part-*.parquet`` (immutable
+  data files, one subdir per commit) and
+  ``<root>/_snapshots/v<8-digit>.json`` (one manifest per version:
+  the file list, the writer's schema as Spark JSON, and an action tag).
+  The underscore prefix keeps ``_snapshots`` invisible to any Spark job
+  that scans the root directly.
+* **Commit = one atomic rename** of a dot-prefixed temp manifest to its
+  ``v########.json`` name. Hadoop ``rename`` will not clobber an
+  existing destination, so two concurrent committers racing for the same
+  version CANNOT both win: the loser re-reads the new latest manifest,
+  rebases its file list, and retries (optimistic concurrency, the Delta
+  LogStore protocol). This atomicity claim holds for filesystems with
+  atomic non-overwriting rename — local, HDFS. S3 has no such rename;
+  there, the commit needs a conditional PUT or an external log/lock
+  service (exactly the per-cloud LogStore the Delta paper describes) —
+  documented, not glossed.
+* **Readers are fully isolated**: a reader of version N holds a file
+  list that no later commit mutates — OPTIMIZE (``snapshot_optimize``)
+  writes NEW packed files and commits a NEW manifest; the files of
+  version N remain on disk untouched until ``snapshot_vacuum`` retires
+  versions older than the retention window. Time travel is the same
+  mechanism: read any manifest still inside the window.
+* **Crash residue is inert by construction**: a data directory whose
+  commit never happened is simply unreferenced (vacuum sweeps it); a
+  half-written dot-prefixed temp manifest is invisible to readers
+  (vacuum sweeps it too). Nothing needs recovery logic because nothing
+  visible is ever mutated in place.
+* **Scale**: a commit costs O(#files-in-commit) driver-side metadata (one
+  recursive listing of the freshly written commit dir) plus one small
+  JSON write — never proportional to table size. Reads plan a normal
+  parquet scan over the manifest's file list, so column pruning and
+  predicate pushdown work unchanged. At very large file counts the
+  manifest itself would shard (Iceberg's manifest lists); out of scope
+  here and noted as the known next step.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .optimize import _fs_for
+
+SNAP_DIR = "_snapshots"
+_V_WIDTH = 8
+_MAX_COMMIT_RETRIES = 10
+
+
+def _manifest_name(version: int) -> str:
+    return f"v{version:0{_V_WIDTH}d}.json"
+
+
+def _snap_path(jvm, root, name: str):
+    return jvm.org.apache.hadoop.fs.Path(
+        jvm.org.apache.hadoop.fs.Path(root, SNAP_DIR), name
+    )
+
+
+def _list_versions(fs, jvm, root) -> list[int]:
+    sd = jvm.org.apache.hadoop.fs.Path(root, SNAP_DIR)
+    if not fs.exists(sd):
+        return []
+    out = []
+    for st in fs.listStatus(sd):
+        name = st.getPath().getName()
+        if (
+            st.isFile()
+            and name.startswith("v")
+            and name.endswith(".json")
+            and name[1:-5].isdigit()
+        ):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, root: str) -> int | None:
+    """Highest committed version, or None for a table with no commits."""
+    jvm, jroot, fs = _fs_for(spark, root)
+    vs = _list_versions(fs, jvm, jroot)
+    return vs[-1] if vs else None
+
+
+def _write_bytes(fs, path, data: bytes) -> None:
+    out = fs.create(path, False)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _read_bytes(fs, jvm, path) -> bytes:
+    stream = fs.open(path)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    jvm, jroot, fs = _fs_for(spark, root)
+    path = _snap_path(jvm, jroot, _manifest_name(version))
+    if not fs.exists(path):
+        raise FileNotFoundError(f"snapshot table {root} has no version {version}")
+    return json.loads(_read_bytes(fs, jvm, path).decode("utf-8"))
+
+
+def _try_commit(spark: SparkSession, root: str, manifest: dict) -> bool:
+    """Write the manifest to a dot-prefixed temp name, then atomically
+    rename to its version name. False = the version was taken by a
+    concurrent committer (rename refused to clobber); the temp file is
+    removed and the caller rebases and retries."""
+    jvm, jroot, fs = _fs_for(spark, root)
+    sd = jvm.org.apache.hadoop.fs.Path(jroot, SNAP_DIR)
+    fs.mkdirs(sd)
+    tmp = _snap_path(jvm, jroot, f".tmp-{uuid.uuid4().hex}.json")
+    _write_bytes(fs, tmp, json.dumps(manifest, sort_keys=True).encode("utf-8"))
+    final = _snap_path(jvm, jroot, _manifest_name(int(manifest["version"])))
+    if fs.rename(tmp, final):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
+def _list_commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
+    """Relative paths (under ``<root>/``) of the parquet files one write
+    produced — a single non-recursive listing of the commit's own
+    directory (flat by construction), markers skipped."""
+    jvm, jdir, fs = _fs_for(spark, commit_dir)
+    files = []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if st.isFile() and not (name.startswith("_") or name.startswith(".")):
+            files.append(f"data/{jdir.getName()}/{name}")
+    return sorted(files)
+
+
+def snapshot_write(df: DataFrame, root: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``append`` keeps the previous version's files and adds the new ones;
+    ``overwrite`` starts the file list fresh (the old files stay on disk
+    for readers of old versions until vacuum). The data write happens
+    ONCE, outside the commit loop — a commit conflict retries only the
+    cheap manifest CAS, rebased on the new latest."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append or overwrite, got {mode!r}")
+    spark = df.sparkSession
+    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    df.write.parquet(commit_dir)
+    new_files = _list_commit_files(spark, commit_dir)
+    schema_json = df.schema.json()
+    for _ in range(_MAX_COMMIT_RETRIES):
+        latest = current_version(spark, root)
+        base_files: list[str] = []
+        if mode == "append" and latest is not None:
+            base_files = read_manifest(spark, root, latest)["files"]
+        manifest = {
+            "version": (latest or 0) + 1,
+            "action": mode,
+            "schema": schema_json,
+            "files": sorted(set(base_files) | set(new_files)),
+        }
+        if _try_commit(spark, root, manifest):
+            return int(manifest["version"])
+    raise IOError(
+        f"snapshot_write: lost the commit race {_MAX_COMMIT_RETRIES} times "
+        f"on {root} — a runaway committer is monopolizing the table"
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). The returned plan is
+    a plain parquet scan over that version's immutable file list —
+    pushdown/pruning intact, and NO later commit (append, optimize,
+    overwrite) affects it. Reading an old version is time travel; it
+    works until vacuum retires that version."""
+    if version is None:
+        version = current_version(spark, root)
+        if version is None:
+            raise FileNotFoundError(f"snapshot table {root} has no commits")
+    m = read_manifest(spark, root, version)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in m["files"]])
+
+
+def snapshot_optimize(
+    spark: SparkSession, root: str, target_file_mb: int = 128
+) -> int | None:
+    """Bin-pack the CURRENT version's small files into new data files and
+    commit the packed list as a new version — the reader-safe OPTIMIZE:
+    unlike the directory-swap form (plans/optimize.py), no path a reader
+    may hold is ever renamed or deleted; old versions stay readable until
+    vacuum. Returns the new version, or None when the table is already
+    packed (repeated runs are no-ops, so it schedules safely)."""
+    latest = current_version(spark, root)
+    if latest is None:
+        return None
+    m = read_manifest(spark, root, latest)
+    if len(m["files"]) < 2:
+        return None
+    jvm, jroot, fs = _fs_for(spark, root)
+    total = 0
+    for f in m["files"]:
+        total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(jroot, f)).getLen()
+    want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    if len(m["files"]) <= want:
+        return None
+    packed = snapshot_read(spark, root, latest).coalesce(want)
+    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    packed.write.parquet(commit_dir)
+    new_files = _list_commit_files(spark, commit_dir)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        now = current_version(spark, root)
+        if now != latest:
+            # the table moved under us: the packed files no longer
+            # represent the latest version — abandon (vacuum sweeps the
+            # orphaned commit dir); the next scheduled run repacks
+            return None
+        manifest = {
+            "version": latest + 1,
+            "action": "optimize",
+            "schema": m["schema"],
+            "files": new_files,
+        }
+        if _try_commit(spark, root, manifest):
+            return latest + 1
+    return None
+
+
+def snapshot_vacuum(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> list[str]:
+    """Retire history: keep the newest ``keep_last`` manifests, delete
+    older manifests, temp-manifest residue, and every data file (and
+    emptied commit dir) referenced by NO kept manifest. This is the only
+    operation that deletes anything — time travel reaches exactly the
+    versions inside the retention window. Returns the deleted paths
+    (relative), for the operator's audit log."""
+    jvm, jroot, fs = _fs_for(spark, root)
+    versions = _list_versions(fs, jvm, jroot)
+    if not versions:
+        return []
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in kept:
+        referenced.update(read_manifest(spark, root, v)["files"])
+    deleted: list[str] = []
+    data_dir = jvm.org.apache.hadoop.fs.Path(jroot, "data")
+    if fs.exists(data_dir):
+        for cd in fs.listStatus(data_dir):
+            if not cd.isDirectory():
+                continue
+            alive = 0
+            for st in fs.listStatus(cd.getPath()):
+                name = st.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue  # markers/checksums live and die with their dir
+                rel = f"data/{cd.getPath().getName()}/{name}"
+                if st.isFile() and rel not in referenced:
+                    fs.delete(st.getPath(), False)
+                    deleted.append(rel)
+                else:
+                    alive += 1
+            if alive == 0:  # only markers left -> retire the whole commit dir
+                fs.delete(cd.getPath(), True)
+    sd = jvm.org.apache.hadoop.fs.Path(jroot, SNAP_DIR)
+    for st in fs.listStatus(sd):
+        name = st.getPath().getName()
+        is_dropped = (
+            name.startswith("v")
+            and name.endswith(".json")
+            and name[1:-5].isdigit()
+            and int(name[1:-5]) in dropped
+        )
+        if is_dropped or name.startswith(".tmp-"):
+            fs.delete(st.getPath(), False)
+            deleted.append(f"{SNAP_DIR}/{name}")
+    return sorted(deleted)

@@ -1,0 +1,119 @@
+"""Snapshot-manifest table protocol (plans/snapshots.py): versioned commits,
+reader isolation under OPTIMIZE, optimistic-concurrency CAS, crash-residue
+inertness, vacuum retention. The value-level roundtrips are ALSO
+oracle-checked via the registered queries (table_snapshot_time_travel,
+table_snapshot_optimize_roundtrip); these tests pin the protocol itself."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_logs_parquet_converter_spark.plans.snapshots import (
+    _try_commit,
+    current_version,
+    read_manifest,
+    snapshot_optimize,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_write,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def _rows(df):
+    return sorted((r.id, r.v) for r in df.collect())
+
+
+def test_append_overwrite_roundtrip_and_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert current_version(spark, root) is None
+    assert snapshot_write(_df(spark, 0, 10), root) == 1
+    assert snapshot_write(_df(spark, 10, 20), root) == 2
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 20))
+    # overwrite starts the file list fresh but old versions stay readable
+    assert snapshot_write(_df(spark, 50, 55), root, mode="overwrite") == 3
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 50, 55))
+    assert _rows(snapshot_read(spark, root, version=2)) == _rows(_df(spark, 0, 20))
+
+
+def test_time_travel_is_stable_under_later_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10).repartition(4), root)
+    v1_files = read_manifest(spark, root, 1)["files"]
+    snapshot_write(_df(spark, 10, 30), root)
+    snapshot_optimize(spark, root, target_file_mb=128)
+    assert read_manifest(spark, root, 1)["files"] == v1_files  # immutable
+    assert _rows(snapshot_read(spark, root, version=1)) == _rows(_df(spark, 0, 10))
+
+
+def test_optimize_packs_preserves_and_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(8), root)
+    snapshot_write(_df(spark, 100, 200).repartition(8), root)
+    before = read_manifest(spark, root, 2)["files"]
+    assert len(before) == 16
+    v = snapshot_optimize(spark, root, target_file_mb=128)
+    assert v == 3
+    after = read_manifest(spark, root, 3)["files"]
+    assert len(after) == 1  # tiny table packs to the single size-appropriate file
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 200))
+    # readers of the pre-pack version are untouched (files still on disk)
+    assert _rows(snapshot_read(spark, root, version=2)) == _rows(_df(spark, 0, 200))
+    assert snapshot_optimize(spark, root, target_file_mb=128) is None  # no-op
+
+
+def test_commit_cas_refuses_taken_version(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    m1 = read_manifest(spark, root, 1)
+    # a concurrent committer already holds v1: the CAS must refuse, leave
+    # no residue, and a real writer must rebase onto the latest
+    assert _try_commit(spark, root, dict(m1)) is False
+    assert snapshot_write(_df(spark, 10, 20), root) == 2
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 20))
+
+
+def test_crash_residue_is_inert_and_vacuumed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    # residue: a half-written temp manifest + an uncommitted data dir
+    (tmp_path / "t" / "_snapshots" / ".tmp-deadbeef.json").write_text("{")
+    orphan = tmp_path / "t" / "data" / "orphan_commit"
+    orphan.mkdir()
+    (orphan / "part-0.parquet").write_bytes(b"not really parquet")
+    # readers never see either
+    assert current_version(spark, root) == 1
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 10))
+    deleted = snapshot_vacuum(spark, root, keep_last=1)
+    assert "_snapshots/.tmp-deadbeef.json" in deleted
+    assert "data/orphan_commit/part-0.parquet" in deleted
+    assert not orphan.exists()
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 10))
+
+
+def test_vacuum_retires_history_and_keeps_window(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(8), root)
+    snapshot_write(_df(spark, 100, 200).repartition(8), root)
+    snapshot_optimize(spark, root, target_file_mb=128)  # v3, new file set
+    deleted = snapshot_vacuum(spark, root, keep_last=1)
+    # v1/v2 manifests and their (now unreferenced) 16 files are gone
+    assert "_snapshots/v00000001.json" in deleted
+    assert "_snapshots/v00000002.json" in deleted
+    assert sum(1 for d in deleted if d.startswith("data/")) == 16
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 200))
+    with pytest.raises(FileNotFoundError):
+        read_manifest(spark, root, 1)
+
+
+def test_empty_append_commits_a_version(spark, tmp_path):
+    """The sf0.001 shape of the registered lifecycle: an append whose
+    batch is empty still commits (file list unchanged), and reads fine."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    v = snapshot_write(_df(spark, 0, 10).where("id < 0").repartition(4), root)
+    assert v == 2
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 10))
