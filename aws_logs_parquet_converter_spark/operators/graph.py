@@ -329,15 +329,22 @@ def triangle_count(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
     Triangles measure cluster DENSITY: a near-dup component whose members
     are all mutually near (template family) is triangle-rich, while a
     chained component (A~B~C but A!~C — drift) has none, so the count
-    separates the two survivorship regimes. Algorithm: orient every edge
-    low->high (each triangle counted once as a<b<c), join the oriented
-    edge list with itself on the shared low endpoint to enumerate wedges
-    (a<b, a<c => candidate (b, c)), then semi-join wedges against the
-    closing edge. Two shuffles on edge endpoints; wedge volume is
-    sum(deg^2/2) over LOW endpoints, the standard degree-ordered bound
-    (Suri & Vassilvitskii, WWW'11 — the MapReduce triangle recipe), far
-    below the naive sum(deg^2) on skewed graphs because hubs orient most
-    edges outward only once.
+    separates the two survivorship regimes. Algorithm (Suri &
+    Vassilvitskii, WWW'11 — the MapReduce triangle recipe): orient every
+    edge from its LOWER-DEGREE endpoint to its higher-degree endpoint
+    (ties broken by id), enumerate wedges by self-joining the oriented
+    list on the shared source, then inner-join each wedge against its
+    closing oriented edge. Each triangle is counted exactly once, rooted
+    at its minimum-(degree, id) corner. The orientation is the whole
+    point at scale: wedge volume is sum over nodes of C(out_deg, 2)
+    where out-degrees are degree-ordered (bounded by O(sqrt(m)) on any
+    graph), NOT C(deg, 2) at hubs — id-orientation lets a low-id hub of
+    degree d keep all d edges outgoing and enumerate d^2/2 wedges, a
+    quadratic blowup every real near-dup graph (template families = hub
+    nodes) triggers. Measured: tools/scale_growth_graph.py, SCALE.md.
+    Costs one extra degree aggregation + two degree-attach shuffles over
+    the id-oriented variant — linear work that buys the d^2 -> m^1.5
+    wedge bound.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -345,10 +352,32 @@ def triangle_count(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> 
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    oriented = und.where(F.col("a") < F.col("b"))
-    w1 = oriented.select(F.col("a").alias("lo"), F.col("b").alias("x"))
-    w2 = oriented.select(F.col("a").alias("lo"), F.col("b").alias("y"))
-    wedges = w1.join(w2, "lo").where(F.col("x") < F.col("y"))
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    # Attach both endpoint degrees, keep only min-(degree,id) -> max edges.
+    withdeg = (
+        und.join(deg, "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("degb")),
+            "b",
+        )
+    )
+    oriented = withdeg.where(
+        (F.col("deg") < F.col("degb"))
+        | ((F.col("deg") == F.col("degb")) & (F.col("a") < F.col("b")))
+    ).select("a", "b", "degb")
+    # Wedges at the shared low-rank source; order the two spokes by the
+    # same (degree, id) rank so the closing edge's stored orientation
+    # (min-rank -> max-rank) matches the wedge's (x, y) exactly.
+    w1 = oriented.select(
+        F.col("a").alias("lo"), F.col("b").alias("x"), F.col("degb").alias("dx")
+    )
+    w2 = oriented.select(
+        F.col("a").alias("lo"), F.col("b").alias("y"), F.col("degb").alias("dy")
+    )
+    wedges = w1.join(w2, "lo").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
     closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tris = wedges.join(closing, ["x", "y"], "inner").select("lo", "x", "y")
     per_node = (

@@ -1303,57 +1303,64 @@ def _pq_adc_oracle(n_queries: int = 8, k: int = 5, shortlist: int = 100) -> str:
 
 
 def _pq_trained_cb_cte(
-    k: int = 16, n_iters: int = 3, esub: str = "esub", emb: str = "embeddings"
+    k: int = 16,
+    n_iters: int = 3,
+    esub: str = "esub",
+    emb: str = "embeddings",
+    prefix: str = "",
 ) -> str:
     """The UNROLLED Lloyd's training loop of :func:`pq_train_codebooks` as a
-    CTE chain over ``esub``, ending in ``trained(m, cluster, c_sub,
+    CTE chain over ``esub``, ending in ``{prefix}trained(m, cluster, c_sub,
     half_n)``. Every step is deterministic in both engines (md5-ranked
     init, exact integer-scaled centroid sums, smaller-cluster tiebreak),
     so an ITERATIVE training algorithm stays fully value-hash-checkable —
     the chain is mechanical: init from the k hash-ranked vectors, then
     n_iters x (assign, recompute). ``esub``/``emb`` name the training
     SOURCE CTEs, so the incremental variant can train on the frozen old
-    slice only."""
+    slice only; ``prefix`` renames every internal CTE so the chain can
+    coexist with another Lloyd's unroll (the IVF-PQ oracle runs the
+    full-vector coarse loop AND this residual loop in one statement)."""
     h = sql_hash60("CAST(vec_id AS VARCHAR)", seed="pq")
+    p = prefix
     parts = [
-        f"""seeds AS (
+        f"""{p}seeds AS (
       SELECT vec_id, rn - 1 AS cluster FROM (
         SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) AS rn
         FROM {emb}) WHERE rn <= {k}),
-    tc0 AS (
+    {p}tc0 AS (
       SELECT s.m, sd.cluster, s.sub_vec AS c_sub
-      FROM {esub} s JOIN seeds sd ON sd.vec_id = s.vec_id)"""
+      FROM {esub} s JOIN {p}seeds sd ON sd.vec_id = s.vec_id)"""
     ]
-    prev = "tc0"
+    prev = f"{p}tc0"
     for i in range(1, n_iters + 1):
         parts.append(
-            f"""sc{i} AS (
+            f"""{p}sc{i} AS (
       SELECT s.vec_id, s.m, c.cluster,
              list_dot_product(s.sub_vec, c.c_sub)
                - 0.5 * list_dot_product(c.c_sub, c.c_sub) AS score
       FROM {esub} s JOIN {prev} c ON c.m = s.m),
-    asg{i} AS (
+    {p}asg{i} AS (
       SELECT vec_id, m, cluster FROM (
         SELECT vec_id, m, cluster,
                row_number() OVER (PARTITION BY vec_id, m
                                   ORDER BY score DESC, cluster) AS rn
-        FROM sc{i}) WHERE rn = 1),
-    cell{i} AS (
+        FROM {p}sc{i}) WHERE rn = 1),
+    {p}cell{i} AS (
       SELECT a.m, a.cluster, generate_subscripts(s.sub_vec, 1) AS pos,
              unnest(s.sub_vec) AS v
-      FROM asg{i} a JOIN {esub} s ON s.vec_id = a.vec_id AND s.m = a.m),
-    agg{i} AS (
+      FROM {p}asg{i} a JOIN {esub} s ON s.vec_id = a.vec_id AND s.m = a.m),
+    {p}agg{i} AS (
       SELECT m, cluster, pos,
              SUM(CAST(round(v * 10000000) AS BIGINT)) AS sc, COUNT(*) AS n
-      FROM cell{i} GROUP BY m, cluster, pos),
-    tc{i} AS (
+      FROM {p}cell{i} GROUP BY m, cluster, pos),
+    {p}tc{i} AS (
       SELECT m, cluster,
              list((CAST(sc AS DOUBLE) / 10000000) / n ORDER BY pos) AS c_sub
-      FROM agg{i} GROUP BY m, cluster)"""
+      FROM {p}agg{i} GROUP BY m, cluster)"""
         )
-        prev = f"tc{i}"
+        prev = f"{p}tc{i}"
     parts.append(
-        f"""trained AS (
+        f"""{p}trained AS (
       SELECT m, cluster, c_sub,
              0.5 * list_dot_product(c_sub, c_sub) AS half_n
       FROM {prev})"""
