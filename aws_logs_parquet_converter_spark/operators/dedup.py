@@ -1171,7 +1171,12 @@ def incremental_simhash_pairs(
     cost is O(|batch|) sketch work + an index scan. Output = full-corpus
     simhash pairs restricted to pairs whose HIGHER id is in the batch
     (new-vs-old plus new-vs-new)."""
-    batch_bands = simhash_bands(simhash_sketch(batch)).cache()
+    # No cache: batch bands appear twice in the plan (union side and
+    # broadcast probe side) but a day-batch is small and the sketch is
+    # pure expression work — recompute is cheaper than pinning a cached
+    # frame in executor storage per call (the storage-residue class the
+    # r5 rplsh_pairs/ngram fixes removed).
+    batch_bands = simhash_bands(simhash_sketch(batch))
     idx_bands = spark.read.parquet(f"{index_path}/bands")
     a = idx_bands.unionByName(batch_bands).alias("a")  # index ∪ today
     b = batch_bands.alias("b")

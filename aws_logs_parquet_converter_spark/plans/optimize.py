@@ -68,6 +68,24 @@ OPT_OLD_SUFFIX = "__optimize_old"
 _JOB_MARKERS = ("_SUCCESS", "_metadata", "_common_metadata")
 
 
+class OptimizePartialFailure(IOError):
+    """Some partition rewrites failed; the rest COMPLETED and their values
+    are preserved on the exception so a sweep caller (e.g. the CLI
+    ``--optimize-after`` walk) can report partial progress instead of
+    silently discarding it. ``completed`` = sorted values rewritten OK;
+    ``failed`` = [(partition value, exception), ...]."""
+
+    def __init__(
+        self,
+        msg: str,
+        completed: list[str],
+        failed: list[tuple[str, Exception]],
+    ) -> None:
+        super().__init__(msg)
+        self.completed = completed
+        self.failed = failed
+
+
 @dataclass(frozen=True)
 class PartitionStats:
     value: str
@@ -280,8 +298,24 @@ def optimize_partitions(
     if not picked:
         return []
     with ThreadPoolExecutor(max_workers=min(max_concurrency, len(picked))) as ex:
-        futures = [
-            ex.submit(_rewrite_partition, spark, p, target_file_mb, collapse)
+        futures = {
+            ex.submit(_rewrite_partition, spark, p, target_file_mb, collapse): p
             for p in picked
-        ]
-        return sorted(f.result() for f in futures)
+        }
+        done: list[str] = []
+        failed: list[tuple[str, Exception]] = []
+        for f in futures:  # collect ALL outcomes — no early-propagate that
+            try:  # would discard already-completed partitions
+                done.append(f.result())
+            except Exception as exc:  # noqa: BLE001 — aggregated below
+                failed.append((futures[f].value, exc))
+        if failed:
+            parts = ", ".join(v for v, _ in failed)
+            raise OptimizePartialFailure(
+                f"optimize: {len(failed)}/{len(picked)} partition rewrites "
+                f"failed ({parts}); {len(done)} completed — see .completed; "
+                f"first cause: {failed[0][1]!r}",
+                completed=sorted(done),
+                failed=failed,
+            )
+        return sorted(done)

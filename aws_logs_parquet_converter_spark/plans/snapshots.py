@@ -38,7 +38,11 @@ what a 100 TB maintenance story actually needs:
   commit never happened is simply unreferenced (vacuum sweeps it); a
   half-written dot-prefixed temp manifest is invisible to readers
   (vacuum sweeps it too). Nothing needs recovery logic because nothing
-  visible is ever mutated in place.
+  visible is ever mutated in place. Vacuum itself guards the one race
+  this leaves — an IN-FLIGHT writer's not-yet-committed dir looks like
+  residue — with a modification-time grace window
+  (``min_age_seconds``, the Delta VACUUM retention pattern), so it is
+  safe to run concurrently with committers.
 * **Scale**: a commit costs O(#files-in-commit) driver-side metadata (one
   recursive listing of the freshly written commit dir) plus one small
   JSON write — never proportional to table size. Reads plan a normal
@@ -249,15 +253,37 @@ def snapshot_optimize(
     return None
 
 
+#: Default vacuum grace window (seconds). A data commit dir younger than
+#: this is indistinguishable from an IN-FLIGHT writer that has written its
+#: files but not yet won the manifest CAS — deleting it would let the
+#: writer's commit succeed while referencing deleted files (a permanently
+#: unreadable version). Delta ships the same guard as VACUUM's
+#: ``deletedFileRetentionDuration`` (default 7 days); one hour is ample
+#: here because a write-then-commit spans seconds, not days.
+VACUUM_MIN_AGE_SECONDS = 3600.0
+
+
 def snapshot_vacuum(
-    spark: SparkSession, root: str, keep_last: int = 2
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
 ) -> list[str]:
     """Retire history: keep the newest ``keep_last`` manifests, delete
     older manifests, temp-manifest residue, and every data file (and
     emptied commit dir) referenced by NO kept manifest. This is the only
     operation that deletes anything — time travel reaches exactly the
     versions inside the retention window. Returns the deleted paths
-    (relative), for the operator's audit log."""
+    (relative), for the operator's audit log.
+
+    ``min_age_seconds`` is the concurrent-writer safety window: commit
+    dirs and temp manifests whose modification time is within it are
+    SKIPPED, because an in-flight ``snapshot_write``/``snapshot_optimize``
+    that has written data but not yet committed its manifest looks exactly
+    like crash residue. Pass 0 only when no committer can be running
+    (e.g. single-process tests)."""
+    import time
+
     jvm, jroot, fs = _fs_for(spark, root)
     versions = _list_versions(fs, jvm, jroot)
     if not versions:
@@ -267,11 +293,14 @@ def snapshot_vacuum(
     for v in kept:
         referenced.update(read_manifest(spark, root, v)["files"])
     deleted: list[str] = []
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     data_dir = jvm.org.apache.hadoop.fs.Path(jroot, "data")
     if fs.exists(data_dir):
         for cd in fs.listStatus(data_dir):
             if not cd.isDirectory():
                 continue
+            if cd.getModificationTime() > cutoff_ms:
+                continue  # possibly an in-flight commit — inside the window
             alive = 0
             for st in fs.listStatus(cd.getPath()):
                 name = st.getPath().getName()
@@ -294,7 +323,10 @@ def snapshot_vacuum(
             and name[1:-5].isdigit()
             and int(name[1:-5]) in dropped
         )
-        if is_dropped or name.startswith(".tmp-"):
+        is_stale_tmp = (
+            name.startswith(".tmp-") and st.getModificationTime() <= cutoff_ms
+        )  # a YOUNG temp manifest may be a committer between write and rename
+        if is_dropped or is_stale_tmp:
             fs.delete(st.getPath(), False)
             deleted.append(f"{SNAP_DIR}/{name}")
     return sorted(deleted)

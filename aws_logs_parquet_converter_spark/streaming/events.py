@@ -897,10 +897,17 @@ def _write_line_files(lines, n_files: int, prefix: str) -> str:
     import tempfile
 
     raw_dir = tempfile.mkdtemp(prefix=prefix)
-    per = math.ceil(len(lines) / n_files)
+    per = math.ceil(len(lines) / max(n_files, 1))
     for i in range(n_files):
+        chunk = lines[i * per : (i + 1) * per]
+        if not chunk:
+            # never write a newline-only file: the text source would read
+            # it as one empty-string record -> a phantom dead-letter row
+            # the oracle doesn't contain (latent gate mismatch if a
+            # fixture corpus shrinks below the file count)
+            continue
         with open(f"{raw_dir}/part-{i}.txt", "w") as f:
-            f.write("\n".join(lines[i * per : (i + 1) * per]) + "\n")
+            f.write("\n".join(chunk) + "\n")
     return raw_dir
 
 

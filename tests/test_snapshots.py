@@ -87,11 +87,32 @@ def test_crash_residue_is_inert_and_vacuumed(spark, tmp_path):
     # readers never see either
     assert current_version(spark, root) == 1
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 10))
-    deleted = snapshot_vacuum(spark, root, keep_last=1)
+    deleted = snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
     assert "_snapshots/.tmp-deadbeef.json" in deleted
     assert "data/orphan_commit/part-0.parquet" in deleted
     assert not orphan.exists()
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 10))
+
+
+def test_vacuum_grace_window_spares_inflight_commits(spark, tmp_path):
+    """An unreferenced-but-YOUNG commit dir / temp manifest is
+    indistinguishable from an in-flight committer between data write and
+    manifest CAS — the default grace window must leave both alone, so
+    vacuum is safe to run concurrently with writers."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    (tmp_path / "t" / "_snapshots" / ".tmp-inflight.json").write_text("{")
+    inflight = tmp_path / "t" / "data" / "inflight_commit"
+    inflight.mkdir()
+    (inflight / "part-0.parquet").write_bytes(b"writer not yet committed")
+    deleted = snapshot_vacuum(spark, root, keep_last=1)  # default window
+    assert deleted == []
+    assert inflight.exists()
+    assert (tmp_path / "t" / "_snapshots" / ".tmp-inflight.json").exists()
+    # the same residue OUTSIDE the window is swept
+    deleted = snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
+    assert "data/inflight_commit/part-0.parquet" in deleted
+    assert "_snapshots/.tmp-inflight.json" in deleted
 
 
 def test_vacuum_retires_history_and_keeps_window(spark, tmp_path):
@@ -99,7 +120,7 @@ def test_vacuum_retires_history_and_keeps_window(spark, tmp_path):
     snapshot_write(_df(spark, 0, 100).repartition(8), root)
     snapshot_write(_df(spark, 100, 200).repartition(8), root)
     snapshot_optimize(spark, root, target_file_mb=128)  # v3, new file set
-    deleted = snapshot_vacuum(spark, root, keep_last=1)
+    deleted = snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
     # v1/v2 manifests and their (now unreferenced) 16 files are gone
     assert "_snapshots/v00000001.json" in deleted
     assert "_snapshots/v00000002.json" in deleted
