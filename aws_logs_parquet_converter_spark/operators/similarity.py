@@ -753,14 +753,18 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFra
 
 
 
-def _kmeans_cte_parts(k: int = 4, n_iters: int = 3) -> tuple[list[str], str]:
+def _kmeans_cte_parts(
+    k: int | str = 4, n_iters: int = 3
+) -> tuple[list[str], str]:
     """The UNROLLED full-vector Lloyd's loop of :func:`kmeans_train` as
     DuckDB CTE fragments — returns ``(parts, final_centroid_cte_name)`` so
     both the training oracle and downstream consumers (cluster-scoped
-    semantic dedup) can extend the chain. Same technique as
-    ``_pq_trained_cb_cte``: md5-ranked init, exact integer-scaled centroid
-    sums, smaller-cluster argmax tiebreak make every round
-    bit-reproducible in both engines."""
+    semantic dedup) can extend the chain. ``k`` may be an int literal or a
+    SQL scalar-subquery string (the corpus-adaptive sizing of
+    ``_semantic_k_sql`` — it only ever appears as the seed cutoff
+    ``rn <= k``). Same technique as ``_pq_trained_cb_cte``: md5-ranked
+    init, exact integer-scaled centroid sums, smaller-cluster argmax
+    tiebreak make every round bit-reproducible in both engines."""
     h = sql_hash60("CAST(vec_id AS VARCHAR)", seed="km")
     parts = [
         f"""e AS (
@@ -847,32 +851,54 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def semantic_dedup(
-    embeddings: DataFrame, k: int = 4, n_iters: int = 2, threshold: float = 0.35
-) -> DataFrame:
-    """Unsupervised semantic dedup, the SemDeDup shape (Abbas et al.,
-    arXiv:2303.09540): k-means clusters the embedding space, exact cosine
-    pairs are computed ONLY within each cluster, and the higher id of any
-    above-threshold pair is dropped. Returns one row per vector —
-    ``(vec_id, cluster, keep)``.
+#: Target within-cluster membership for semantic dedup. With k sized to
+#: n/64 the within-cluster pair term is sum(n_i^2) ~ n * 64 — LINEAR in
+#: corpus size — while a FIXED k leaves it at n^2/k (the same saturation
+#: class as fixed minhash bands (r2) and fixed RP-LSH bits (r4), both
+#: found only when probed). 64 keeps each cluster's all-pairs block
+#: (~2k candidate pairs) far below one AQE-splittable task.
+SEM_TARGET_CLUSTER_SIZE = 64
+#: Ceiling on auto-sized k: training broadcasts the k-row centroid table
+#: every iteration, so k must stay broadcast-sized. 2^16 centroids x
+#: 64 dims x 8 B ~ 34 MB — at the default 10 MB broadcast threshold Spark
+#: would shuffle instead, so this clamp marks where the coarse quantizer
+#: itself should move to a hierarchical/IVF build (out of scope, noted).
+SEM_MAX_K = 65536
 
-    This is the label-free sibling of dedup_embedding_cosine (which blocks
-    on a supervised ``label`` column): the blocking key is LEARNED, so it
-    works on raw crawl embeddings with no metadata. Cross-cluster pairs
-    are missed by design — that is the approximation SemDeDup trades for
-    tractability, and the oracle applies the identical restriction.
 
-    Scale: the all-pairs term falls from n^2 to sum(n_i^2). At 100 TB the
-    knob is k — size it ~n/target_cluster_size (the paper runs k in the
-    tens of thousands for billions of docs) so per-cluster membership is
-    bounded and the within-cluster join stays AQE-splittable; training
-    cost is the same broadcast-assign loop as sim_kmeans_train, and the
-    pair join is a plain equi-join on cluster (no cartesian, no
-    all-corpus shuffle of anything wider than (vec_id, cluster, emb))."""
+def semantic_k(n_rows: int) -> int:
+    """Corpus-sized cluster count for semantic dedup — the ``rplsh_bits``
+    rule shape: ceil(n / SEM_TARGET_CLUSTER_SIZE), floored at 4 (the
+    fixture width) and clamped to [1, min(n, SEM_MAX_K)] so tiny corpora
+    never ask for more seeds than vectors and huge ones never outgrow the
+    per-iteration centroid broadcast."""
+    import math
+
+    return max(1, min(max(4, math.ceil(n_rows / SEM_TARGET_CLUSTER_SIZE)),
+                      n_rows, SEM_MAX_K))
+
+
+def _semantic_k_sql() -> str:
+    """The IDENTICAL sizing rule as a DuckDB scalar subquery, so the
+    import-time-rendered oracle stays corpus-adaptive: both engines
+    compute k from the same count at run time."""
+    return (
+        "(SELECT GREATEST(1, LEAST(GREATEST(4, "
+        f"CAST(ceil(COUNT(*) / {SEM_TARGET_CLUSTER_SIZE}.0) AS BIGINT)), "
+        f"COUNT(*), {SEM_MAX_K})) FROM embeddings)"
+    )
+
+
+def kmeans_assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """One broadcast-assign pass against trained centroids: each vector's
+    nearest centroid via ``max_by`` in a plain hash aggregate (map-side
+    partial max — the broadcast-cross rows collapse per partition, no
+    window sort, no join-back). Returns ``(vec_id, cluster, emb, nrm)``.
+    Cost is O(n * k) dot products with NO shuffle of anything wider than
+    the output row; k is bounded by the broadcast clamp (SEM_MAX_K)."""
     e = spread_input(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cents = kmeans_train(embeddings, k=k, n_iters=n_iters)
     mul = lambda a, b: a * b  # noqa: E731
     add = lambda acc, x: acc + x  # noqa: E731
     c2 = cents.select(
@@ -887,7 +913,7 @@ def semantic_dedup(
         F.aggregate(F.zip_with("emb", "centroid", mul), F.lit(0.0), add)
         - F.col("half_cnorm")
     )
-    assigned = (
+    return (
         e.crossJoin(F.broadcast(c2))
         .select("vec_id", "emb", "cluster", score.alias("score"))
         .groupBy("vec_id")
@@ -898,6 +924,47 @@ def semantic_dedup(
             F.any_value("emb").alias("emb"),
         )
         .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int | None = None,
+    n_iters: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Unsupervised semantic dedup, the SemDeDup shape (Abbas et al.,
+    arXiv:2303.09540): k-means clusters the embedding space, exact cosine
+    pairs are computed ONLY within each cluster, and the higher id of any
+    above-threshold pair is dropped. Returns one row per vector —
+    ``(vec_id, cluster, keep)``.
+
+    This is the label-free sibling of dedup_embedding_cosine (which blocks
+    on a supervised ``label`` column): the blocking key is LEARNED, so it
+    works on raw crawl embeddings with no metadata. Cross-cluster pairs
+    are missed by design — that is the approximation SemDeDup trades for
+    tractability, and the oracle applies the identical restriction.
+
+    Scale: the all-pairs term falls from n^2 to sum(n_i^2), but ONLY if k
+    grows with the corpus — ``k=None`` (the default and the registered
+    query's mode) sizes it ceil(n/64) from one metadata-cheap count
+    (:func:`semantic_k`), keeping expected membership ~64 and candidate
+    pairs LINEAR in n (measured 1x/10x/100x, tools/scale_growth_semantic
+    .py; a fixed k=4 measured quadratic for contrast — SCALE.md). The
+    paper runs k in the tens of thousands for billions of docs, the same
+    n/target rule. Training cost is the same broadcast-assign loop as
+    sim_kmeans_train, and the pair join is a plain equi-join on cluster
+    (no cartesian, no all-corpus shuffle of anything wider than
+    (vec_id, cluster, emb))."""
+    if k is None:
+        k = semantic_k(embeddings.count())
+    cents = kmeans_train(embeddings, k=k, n_iters=n_iters)
+    assigned = (
+        kmeans_assign(embeddings, cents)
+        # assignment appears THREE times downstream (both pair-join sides
+        # + the final keep join); without this the k-row-broadcast assign
+        # pass re-runs per copy — measured 14.0 -> 4.5 s warm at sf0.1/k=32
+        .localCheckpoint()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -926,12 +993,15 @@ def semantic_dedup(
 
 
 def _semantic_dedup_oracle(
-    k: int = 4, n_iters: int = 2, threshold: float = 0.35
+    k: int | str | None = None, n_iters: int = 2, threshold: float = 0.35
 ) -> str:
     """Extends the unrolled-Lloyd's CTE chain with a FINAL assignment
     round against the trained centroids, the within-cluster pair join,
-    and the keep decision — the whole unsupervised pipeline value-checked."""
-    parts, prev = _kmeans_cte_parts(k, n_iters)
+    and the keep decision — the whole unsupervised pipeline value-checked.
+    ``k=None`` renders the corpus-adaptive sizing rule
+    (:func:`_semantic_k_sql`) into the seed CTE, mirroring the Spark
+    side's ``semantic_k`` count-then-clamp exactly."""
+    parts, prev = _kmeans_cte_parts(_semantic_k_sql() if k is None else k, n_iters)
     body = ",\n    ".join(parts)
     return f"""
     WITH {body},
@@ -970,12 +1040,18 @@ def _semantic_dedup_oracle(
         "SemDeDup-shape semantic dedup: k-means LEARNS the blocking key "
         "(no label column needed), exact cosine runs only WITHIN each "
         "cluster, and the higher id of any >=0.35 pair is dropped — one "
-        "(vec_id, cluster, keep) row per vector. The all-pairs term falls "
-        "from n^2 to sum(n_i^2); at scale k grows with the corpus so "
-        "per-cluster membership stays bounded. The oracle unrolls the "
-        "deterministic Lloyd's rounds into DuckDB CTEs and applies the "
-        "identical cluster restriction, so the WHOLE pipeline — training, "
-        "assignment, pairing, keep decision — is value-hash-checked."
+        "(vec_id, cluster, keep) row per vector. k is AUTO-SIZED from the "
+        "corpus (semantic_k: ceil(n/64) from one metadata-cheap count — "
+        "the rplsh_bits rule shape), so expected membership stays ~64 and "
+        "the within-cluster pair term is LINEAR in n; the oracle embeds "
+        "the identical rule as a scalar subquery, so both engines derive "
+        "the same k at any sf. Candidate growth measured 1x/10x/100x "
+        "(tools/scale_growth_semantic.py, SCALE.md) with the fixed-k "
+        "quadratic pathology measured for contrast. The oracle unrolls "
+        "the deterministic Lloyd's rounds into DuckDB CTEs and applies "
+        "the identical cluster restriction, so the WHOLE pipeline — "
+        "sizing, training, assignment, pairing, keep decision — is "
+        "value-hash-checked."
     ),
 )
 def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,7 @@ import math
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .optimize import _fs_for
@@ -143,6 +144,78 @@ def _try_commit(spark: SparkSession, root: str, manifest: dict) -> bool:
     return False
 
 
+#: column types whose min/max survive a JSON round-trip ORDER-PRESERVINGLY:
+#: numbers stay numbers; dates/timestamps serialize to ISO strings (fixed
+#: width => lexicographic order == temporal order). Anything else (binary,
+#: decimal, nested) is skipped — a file without stats is never pruned.
+def _stat_encode(v):
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool) or type(v) in (int, float, str):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return _STAT_UNSUPPORTED
+
+
+_STAT_UNSUPPORTED = object()
+
+
+def _collect_file_stats(
+    spark: SparkSession, commit_dir: str, stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file min/max of ``stats_cols`` for the files one commit just
+    wrote — ONE column-pruned distributed pass over the commit dir,
+    grouped on the ``_metadata.file_path`` hidden column (the Iceberg/
+    Delta data-skipping stats, gathered while the data is hot). Cost is
+    O(commit size) over only the stats columns — never table-sized."""
+    df = spark.read.parquet(commit_dir)
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("fp")).agg(*aggs).collect()
+    )
+    commit_name = commit_dir.rstrip("/").rsplit("/", 1)[-1]
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        rel = f"data/{commit_name}/{r['fp'].rsplit('/', 1)[-1]}"
+        per_col = {}
+        for c in stats_cols:
+            mn, mx = _stat_encode(r[f"mn_{c}"]), _stat_encode(r[f"mx_{c}"])
+            if mn is _STAT_UNSUPPORTED or mx is _STAT_UNSUPPORTED:
+                continue
+            per_col[c] = [mn, mx]
+        out[rel] = per_col
+    return out
+
+
+def _file_survives(stats: dict | None, col: str, op: str, val) -> bool:
+    """Can a file whose [min, max] is ``stats[col]`` contain a row
+    matching ``col <op> val``? Missing stats => conservatively yes. An
+    all-NULL file (min=max=NULL) can satisfy no comparison predicate —
+    SQL comparisons with NULL are never true — so it prunes."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    if mn is None or mx is None:
+        return False
+    if op == "=":
+        return mn <= val <= mx
+    if op == "<":
+        return mn < val
+    if op == "<=":
+        return mn <= val
+    if op == ">":
+        return mx > val
+    if op == ">=":
+        return mx >= val
+    raise ValueError(f"unsupported prune op {op!r} (=, <, <=, >, >=)")
+
+
 def _list_commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
     """Relative paths (under ``<root>/``) of the parquet files one write
     produced — a single non-recursive listing of the commit's own
@@ -156,14 +229,29 @@ def _list_commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
     return sorted(files)
 
 
-def snapshot_write(df: DataFrame, root: str, mode: str = "append") -> int:
+def snapshot_write(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
     ``append`` keeps the previous version's files and adds the new ones;
     ``overwrite`` starts the file list fresh (the old files stay on disk
     for readers of old versions until vacuum). The data write happens
     ONCE, outside the commit loop — a commit conflict retries only the
-    cheap manifest CAS, rebased on the new latest."""
+    cheap manifest CAS, rebased on the new latest.
+
+    ``stats_cols`` opts into FILE-LEVEL DATA SKIPPING: per-file min/max of
+    the named columns are gathered while the commit's data is hot (one
+    column-pruned pass over just-written files) and stored in the
+    manifest; ``snapshot_read(filters=...)`` then prunes the file list
+    before planning — the manifest-table analogue of the reference's one
+    query-side optimization (Athena partition projection,
+    ``athena_create_table.sql:41-47``) and of Delta/Iceberg stats-based
+    skipping. Omitted on an append, the column list is inherited from the
+    table's latest manifest so the stats stay uniform."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -171,17 +259,33 @@ def snapshot_write(df: DataFrame, root: str, mode: str = "append") -> int:
     df.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
     schema_json = df.schema.json()
+    new_stats: dict[str, dict[str, list]] | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         latest = current_version(spark, root)
         base_files: list[str] = []
+        base_stats: dict[str, dict[str, list]] = {}
+        cols = stats_cols
         if mode == "append" and latest is not None:
-            base_files = read_manifest(spark, root, latest)["files"]
+            prev = read_manifest(spark, root, latest)
+            base_files = prev["files"]
+            base_stats = prev.get("stats", {})
+            if cols is None:
+                cols = prev.get("stats_cols")
+        if cols and new_files and new_stats is None:
+            new_stats = _collect_file_stats(spark, commit_dir, list(cols))
         manifest = {
             "version": (latest or 0) + 1,
             "action": mode,
             "schema": schema_json,
             "files": sorted(set(base_files) | set(new_files)),
         }
+        if cols:
+            manifest["stats_cols"] = list(cols)
+            manifest["stats"] = {
+                f: s
+                for f, s in {**base_stats, **(new_stats or {})}.items()
+                if f in set(manifest["files"])
+            }
         if _try_commit(spark, root, manifest):
             return int(manifest["version"])
     raise IOError(
@@ -191,22 +295,54 @@ def snapshot_write(df: DataFrame, root: str, mode: str = "append") -> int:
 
 
 def snapshot_read(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). The returned plan is
     a plain parquet scan over that version's immutable file list —
     pushdown/pruning intact, and NO later commit (append, optimize,
     overwrite) affects it. Reading an old version is time travel; it
-    works until vacuum retires that version."""
+    works until vacuum retires that version.
+
+    ``filters`` — ``[(col, op, value), ...]`` with op in =, <, <=, >, >=,
+    AND-ed — is applied twice: (1) files whose manifest min/max stats
+    (``snapshot_write(stats_cols=...)``) prove no row can match are
+    dropped BEFORE planning, so the scan never opens them (data skipping;
+    verify with ``df.inputFiles()``); (2) the predicate is also applied to
+    the returned frame, so results are exact whether or not stats exist —
+    a file without stats is read, never wrongly skipped."""
     if version is None:
         version = current_version(spark, root)
         if version is None:
             raise FileNotFoundError(f"snapshot table {root} has no commits")
     m = read_manifest(spark, root, version)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
+    files = m["files"]
+    if filters:
+        stats = m.get("stats", {})
+        files = [
+            f
+            for f in files
+            if all(
+                _file_survives(stats.get(f), c, op, _stat_encode(v))
+                for c, op, v in filters
+            )
+        ]
+    if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in m["files"]])
+    df = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
+    preds = {
+        "=": lambda c, v: F.col(c) == v,
+        "<": lambda c, v: F.col(c) < v,
+        "<=": lambda c, v: F.col(c) <= v,
+        ">": lambda c, v: F.col(c) > v,
+        ">=": lambda c, v: F.col(c) >= v,
+    }
+    for c, op, v in filters or []:
+        df = df.where(preds[op](c, F.lit(v)))
+    return df
 
 
 def snapshot_optimize(
@@ -235,6 +371,12 @@ def snapshot_optimize(
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
     packed.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
+    stats_cols = m.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(spark, commit_dir, list(stats_cols))
+        if stats_cols and new_files
+        else None
+    )  # repacked files get FRESH stats so data skipping survives OPTIMIZE
     for _ in range(_MAX_COMMIT_RETRIES):
         now = current_version(spark, root)
         if now != latest:
@@ -248,6 +390,9 @@ def snapshot_optimize(
             "schema": m["schema"],
             "files": new_files,
         }
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = new_stats or {}
         if _try_commit(spark, root, manifest):
             return latest + 1
     return None

@@ -130,6 +130,56 @@ def test_vacuum_retires_history_and_keeps_window(spark, tmp_path):
         read_manifest(spark, root, 1)
 
 
+def test_stats_recorded_and_pruning_skips_files(spark, tmp_path):
+    """snapshot_write(stats_cols) records per-file min/max; a range filter
+    prunes files the stats prove irrelevant (verified via inputFiles) and
+    still returns exact results."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(2), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 100, 200).repartition(2), root)  # cols inherited
+    m = read_manifest(spark, root, 2)
+    assert m["stats_cols"] == ["id"]
+    assert set(m["stats"]) == set(m["files"]) and len(m["files"]) == 4
+    for f, s in m["stats"].items():
+        mn, mx = s["id"]
+        assert 0 <= mn <= mx <= 199
+    pruned = snapshot_read(spark, root, filters=[("id", "<", 100)])
+    assert len(pruned.inputFiles()) == 2  # second commit's files never open
+    assert _rows(pruned) == _rows(_df(spark, 0, 100))
+    # equality + upper-range ops prune too
+    assert len(
+        snapshot_read(spark, root, filters=[("id", ">=", 150)]).inputFiles()
+    ) == 2
+    eq = snapshot_read(spark, root, filters=[("id", "=", 7)])
+    assert _rows(eq) == [(7, 14)]
+
+
+def test_pruning_without_stats_is_exact_and_conservative(spark, tmp_path):
+    """A table written WITHOUT stats never prunes (every file read) but
+    filters still return exact rows; files lacking stats for the filter
+    column survive pruning."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root)  # no stats
+    out = snapshot_read(spark, root, filters=[("id", "<", 10)])
+    assert len(out.inputFiles()) == 4
+    assert _rows(out) == _rows(_df(spark, 0, 10))
+
+
+def test_optimize_recomputes_stats_for_packed_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 50).repartition(4), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 50, 100).repartition(4), root)
+    v = snapshot_optimize(spark, root, target_file_mb=128)
+    m = read_manifest(spark, root, v)
+    assert m["stats_cols"] == ["id"]
+    assert set(m["stats"]) == set(m["files"])
+    mn, mx = m["stats"][m["files"][0]]["id"]
+    assert (mn, mx) == (0, 99)
+    assert _rows(
+        snapshot_read(spark, root, filters=[("id", "<", 5)])
+    ) == _rows(_df(spark, 0, 5))
+
+
 def test_empty_append_commits_a_version(spark, tmp_path):
     """The sf0.001 shape of the registered lifecycle: an append whose
     batch is empty still commits (file list unchanged), and reads fine."""
