@@ -77,6 +77,13 @@ def test_no_driver_side_collect_in_operators():
             "— file-count-sized metadata, same class as a listing; parsing "
             "itself stays distributed",
         ),
+        "plans/snapshots.py": (
+            1,
+            "_collect_file_stats gathers per-file min/max at COMMIT time — "
+            "one row per file just written (commit-sized, never "
+            "table-sized), the manifest data-skipping stats; reads plan "
+            "normally with no driver round-trip",
+        ),
     }
     for py in sorted(ops_dir.rglob("*.py")):
         rel = str(py.relative_to(ops_dir))

@@ -417,3 +417,91 @@ def test_log_stream_replay_is_idempotent(spark, tmp_path):
     bdf1 = spark.createDataFrame([(l,) for l in extra], "value string")
     log_stream_merge_batch(bdf1, 1, dest)
     assert len(table()) == len(want) + len(extra)
+
+
+def test_snapshot_stream_replay_skips_committed_batches(spark, tmp_path):
+    """The snapshot-committing stream path: replay idempotence is a
+    property of the COMMIT PROTOCOL (manifest records its batch ids;
+    re-delivery => skip), including when a crashed first attempt left an
+    uncommitted data dir behind."""
+    from aws_logs_parquet_converter_spark.functions.s3_log_parse import (
+        parse_s3_access_log_lines,
+    )
+    from aws_logs_parquet_converter_spark.operators.logetl import RAW_LINES
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_read,
+    )
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        log_stream_snapshot_batch,
+    )
+
+    lines = [l for l in RAW_LINES[:40] if l.strip()]
+    root = str(tmp_path / "t")
+    full = spark.createDataFrame([(l,) for l in lines], "value string")
+
+    def table():
+        rows = snapshot_read(spark, root).drop("day", "batch").na.fill("").collect()
+        return sorted(map(tuple, rows), key=repr)
+
+    # crash simulation: a data dir written but never committed (inert)
+    orphan = tmp_path / "t" / "data" / "deadbeefcrashed"
+    orphan.mkdir(parents=True)
+    (orphan / "part-0.parquet").write_bytes(b"partial attempt residue")
+
+    assert log_stream_snapshot_batch(full, 0, root) == 1
+    want = sorted(
+        map(tuple, parse_s3_access_log_lines(full).na.fill("").collect()),
+        key=repr,
+    )
+    assert table() == want
+    # replaying the SAME batch id is a protocol-level no-op: no new
+    # version, no new files, content unchanged
+    assert log_stream_snapshot_batch(full, 0, root) is None
+    assert current_version(spark, root) == 1
+    assert table() == want
+    # a different batch appends as version 2 and records both ids
+    extra = [l for l in RAW_LINES[40:60] if l.strip()]
+    bdf1 = spark.createDataFrame([(l,) for l in extra], "value string")
+    assert log_stream_snapshot_batch(bdf1, 1, root) == 2
+    m = read_manifest(spark, root, 2)
+    assert m["batch_ids"] == [0, 1]
+    assert len(table()) == len(want) + len(extra)
+
+
+def test_snapshot_stream_reader_isolated_from_optimize(spark, tmp_path):
+    """The composed story the r5 verdict asked to gate: stream-ingest ->
+    reader pins version N -> snapshot_optimize repacks -> the pinned
+    reader still returns exactly version N's content (no path it holds
+    was touched), while a fresh reader sees the packed table with
+    identical content."""
+    from aws_logs_parquet_converter_spark.operators.logetl import RAW_LINES
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_optimize,
+        snapshot_read,
+    )
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        _write_line_files,
+        run_log_snapshot_stream,
+    )
+
+    raw_dir = _write_line_files([l for l in RAW_LINES if l.strip()], 4, "snapit_")
+    root = str(tmp_path / "t")
+    run_log_snapshot_stream(spark, raw_dir, root)
+    v = current_version(spark, root)
+    assert v >= 2  # multiple micro-batches committed as versions
+    pinned_files = read_manifest(spark, root, v)["files"]
+    pinned = sorted(map(tuple, snapshot_read(spark, root, version=v).na.fill("").collect()), key=repr)
+    new_v = snapshot_optimize(spark, root, target_file_mb=128)
+    assert new_v == v + 1
+    # the pinned version's manifest and files are untouched
+    assert read_manifest(spark, root, v)["files"] == pinned_files
+    again = sorted(map(tuple, snapshot_read(spark, root, version=v).na.fill("").collect()), key=repr)
+    assert again == pinned
+    # the packed latest has identical content over fewer files
+    latest = sorted(map(tuple, snapshot_read(spark, root).na.fill("").collect()), key=repr)
+    assert latest == pinned
+    assert len(read_manifest(spark, root, new_v)["files"]) < len(pinned_files)
