@@ -23,11 +23,15 @@ what a 100 TB maintenance story actually needs:
   existing destination, so two concurrent committers racing for the same
   version CANNOT both win: the loser re-reads the new latest manifest,
   rebases its file list, and retries (optimistic concurrency, the Delta
-  LogStore protocol). This atomicity claim holds for filesystems with
-  atomic non-overwriting rename — local, HDFS. S3 has no such rename;
-  there, the commit needs a conditional PUT or an external log/lock
-  service (exactly the per-cloud LogStore the Delta paper describes) —
-  documented, not glossed.
+  LogStore protocol). The storage primitive behind this is PLUGGABLE
+  (:class:`LogStore` / :func:`set_log_store` — the Delta paper's
+  per-cloud LogStore seam): :class:`AtomicRenameLogStore` ships for
+  filesystems with atomic non-overwriting rename (local, HDFS); S3 —
+  whose rename is a clobbering copy, contract-tested to LOSE a racing
+  commit — plugs in a conditional-PUT (If-None-Match) or external-log
+  impl, with the put-if-absent contract pinned in
+  tests/test_snapshots.py against both a conforming double and the
+  clobbering double.
 * **Readers are fully isolated**: a reader of version N holds a file
   list that no later commit mutates — OPTIMIZE (``snapshot_optimize``)
   writes NEW packed files and commits a NEW manifest; the files of
@@ -127,10 +131,49 @@ def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(_read_bytes(fs, jvm, path).decode("utf-8"))
 
 
+class LogStore:
+    """The commit-protocol seam — the Delta paper's per-cloud LogStore
+    abstraction (VLDB'20 §3.2): everything the manifest commit needs from
+    storage is ONE primitive, ``put_if_absent`` — publish a fully-written
+    temp manifest under its final version name iff that name is free,
+    atomically. Filesystems with atomic non-overwriting rename (local,
+    HDFS) get :class:`AtomicRenameLogStore`; S3 needs a conditional PUT
+    (If-None-Match) or an external commit log — implemented against this
+    same interface, contract-tested in tests/test_snapshots.py with a
+    clobbering-rename double standing in for raw S3 rename (which FAILS
+    the contract: both racers win => a lost commit)."""
+
+    def put_if_absent(self, fs, tmp, final) -> bool:
+        """True = ``final`` now holds the manifest; False = the version
+        name was already taken (caller rebases and retries). Must be
+        all-or-nothing: no reader may ever observe a partial ``final``."""
+        raise NotImplementedError
+
+
+class AtomicRenameLogStore(LogStore):
+    """Hadoop ``rename`` on local/HDFS is atomic and refuses an existing
+    destination — exactly put-if-absent."""
+
+    def put_if_absent(self, fs, tmp, final) -> bool:
+        return bool(fs.rename(tmp, final))
+
+
+_LOG_STORE: LogStore = AtomicRenameLogStore()
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Install the commit primitive for this process (e.g. an S3
+    conditional-PUT impl); returns the previous store so callers can
+    restore it."""
+    global _LOG_STORE
+    prev, _LOG_STORE = _LOG_STORE, store
+    return prev
+
+
 def _try_commit(spark: SparkSession, root: str, manifest: dict) -> bool:
-    """Write the manifest to a dot-prefixed temp name, then atomically
-    rename to its version name. False = the version was taken by a
-    concurrent committer (rename refused to clobber); the temp file is
+    """Write the manifest to a dot-prefixed temp name, then publish it
+    via the installed :class:`LogStore`'s put-if-absent. False = the
+    version was taken by a concurrent committer; the temp file is
     removed and the caller rebases and retries."""
     jvm, jroot, fs = _fs_for(spark, root)
     sd = jvm.org.apache.hadoop.fs.Path(jroot, SNAP_DIR)
@@ -138,7 +181,7 @@ def _try_commit(spark: SparkSession, root: str, manifest: dict) -> bool:
     tmp = _snap_path(jvm, jroot, f".tmp-{uuid.uuid4().hex}.json")
     _write_bytes(fs, tmp, json.dumps(manifest, sort_keys=True).encode("utf-8"))
     final = _snap_path(jvm, jroot, _manifest_name(int(manifest["version"])))
-    if fs.rename(tmp, final):
+    if _LOG_STORE.put_if_absent(fs, tmp, final):
         return True
     fs.delete(tmp, False)
     return False

@@ -6,12 +6,16 @@ table_snapshot_optimize_roundtrip); these tests pin the protocol itself."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from aws_logs_parquet_converter_spark.plans.snapshots import (
+    AtomicRenameLogStore,
     _try_commit,
     current_version,
     read_manifest,
+    set_log_store,
     snapshot_optimize,
     snapshot_read,
     snapshot_vacuum,
@@ -188,3 +192,90 @@ def test_empty_append_commits_a_version(spark, tmp_path):
     v = snapshot_write(_df(spark, 0, 10).where("id < 0").repartition(4), root)
     assert v == 2
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 10))
+
+
+# ---------------------------------------------------------------------------
+# LogStore seam: the put-if-absent contract
+# ---------------------------------------------------------------------------
+
+
+class _ConditionalPutStore:
+    """Models an object store WITH a conditional PUT (S3 If-None-Match,
+    GCS precondition): exists-check + publish under one in-process lock —
+    the semantics a real S3 LogStore impl provides server-side."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, fs, tmp, final) -> bool:
+        with self._lock:
+            if fs.exists(final):
+                return False
+            fs.delete(final, False)
+            return bool(fs.rename(tmp, final))
+
+
+class _ClobberingRenameStore:
+    """Models RAW S3 'rename' (copy-then-delete, overwrites silently):
+    the non-conforming primitive the seam exists to keep out. Under race
+    it lets BOTH committers believe they won."""
+
+    def put_if_absent(self, fs, tmp, final) -> bool:
+        fs.delete(final, False)  # S3 copy overwrites an existing key
+        return bool(fs.rename(tmp, final))
+
+
+def _contract_second_commit_refused(spark, root) -> bool:
+    """The LogStore contract: with version 1 already committed, a second
+    commit of the SAME version must be refused (and leave v1's content
+    intact). Returns whether the store conformed."""
+    m1 = read_manifest(spark, root, 1)
+    before = json.dumps(m1, sort_keys=True)
+    racer = dict(m1)
+    racer["files"] = []  # a would-be lost-update: different content, same version
+    refused = _try_commit(spark, root, racer) is False
+    intact = json.dumps(read_manifest(spark, root, 1), sort_keys=True) == before
+    return refused and intact
+
+
+@pytest.mark.parametrize(
+    "store_factory,conforms",
+    [
+        (AtomicRenameLogStore, True),
+        (_ConditionalPutStore, True),
+        (_ClobberingRenameStore, False),
+    ],
+    ids=["atomic-rename", "conditional-put", "clobbering-rename"],
+)
+def test_logstore_contract(spark, tmp_path, store_factory, conforms):
+    """Every conforming LogStore makes the commit CAS safe; the
+    clobbering-rename double (raw S3 rename) measurably VIOLATES the
+    contract — the racing commit overwrites v1 — which is exactly why the
+    seam requires conditional-PUT semantics on S3."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    prev = set_log_store(store_factory())
+    try:
+        assert _contract_second_commit_refused(spark, root) is conforms
+    finally:
+        set_log_store(prev)
+
+
+def test_full_write_path_on_conditional_put_store(spark, tmp_path):
+    """The whole table lifecycle (append, append, optimize, pruned read)
+    runs unchanged on a non-rename LogStore — proving every commit goes
+    through the seam and nothing else assumes rename semantics."""
+    root = str(tmp_path / "t")
+    prev = set_log_store(_ConditionalPutStore())
+    try:
+        snapshot_write(_df(spark, 0, 100).repartition(2), root, stats_cols=["id"])
+        snapshot_write(_df(spark, 100, 200).repartition(2), root)
+        assert snapshot_optimize(spark, root, target_file_mb=128) == 3
+        pruned = snapshot_read(spark, root, version=2, filters=[("id", "<", 100)])
+        assert len(pruned.inputFiles()) == 2
+        assert _rows(pruned) == _rows(_df(spark, 0, 100))
+        assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 200))
+    finally:
+        set_log_store(prev)
