@@ -754,7 +754,7 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFra
 
 
 def _kmeans_cte_parts(
-    k: int | str = 4, n_iters: int = 3
+    k: int | str = 4, n_iters: int = 3, src: str = "embeddings"
 ) -> tuple[list[str], str]:
     """The UNROLLED full-vector Lloyd's loop of :func:`kmeans_train` as
     DuckDB CTE fragments — returns ``(parts, final_centroid_cte_name)`` so
@@ -768,11 +768,11 @@ def _kmeans_cte_parts(
     h = sql_hash60("CAST(vec_id AS VARCHAR)", seed="km")
     parts = [
         f"""e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM {src}),
     seeds AS (
       SELECT vec_id, rn - 1 AS cluster FROM (
         SELECT vec_id, row_number() OVER (ORDER BY {h}, vec_id) AS rn
-        FROM embeddings) WHERE rn <= {k}),
+        FROM {src}) WHERE rn <= {k}),
     tc0 AS (
       SELECT sd.cluster, e.emb AS centroid
       FROM e JOIN seeds sd ON sd.vec_id = e.vec_id)"""
@@ -878,14 +878,14 @@ def semantic_k(n_rows: int) -> int:
                       n_rows, SEM_MAX_K))
 
 
-def _semantic_k_sql() -> str:
+def _semantic_k_sql(src: str = "embeddings") -> str:
     """The IDENTICAL sizing rule as a DuckDB scalar subquery, so the
     import-time-rendered oracle stays corpus-adaptive: both engines
     compute k from the same count at run time."""
     return (
         "(SELECT GREATEST(1, LEAST(GREATEST(4, "
         f"CAST(ceil(COUNT(*) / {SEM_TARGET_CLUSTER_SIZE}.0) AS BIGINT)), "
-        f"COUNT(*), {SEM_MAX_K})) FROM embeddings)"
+        f"COUNT(*), {SEM_MAX_K})) FROM {src})"
     )
 
 
@@ -1056,6 +1056,165 @@ def _semantic_dedup_oracle(
 )
 def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- incremental semantic dedup: day-2 of the SemDeDup story ---------------
+
+#: batch split for the incremental semantic gate (fixture convention of
+#: dedup.INCR_SPLIT / PQ_APPEND_SPLIT): vectors below are "yesterday's
+#: corpus" (centroids trained + assignment index persisted at build time);
+#: vectors at or above arrive as today's batch
+SEM_APPEND_SPLIT = 400
+
+
+def build_semantic_index(old_corpus: DataFrame, path: str, n_iters: int = 2) -> None:
+    """Materialize the semantic-dedup state: ``<path>/centroids`` (the
+    k-row trained coarse quantizer, k auto-sized from the OLD corpus via
+    :func:`semantic_k`) and ``<path>/assign`` (vec_id, cluster, emb, nrm —
+    every old vector's frozen cluster assignment, carrying the embedding
+    so the day-2 pair confirm needs no corpus join-back). Training reads
+    the old corpus exactly once, here."""
+    k = semantic_k(old_corpus.count())
+    cents = kmeans_train(old_corpus, k=k, n_iters=n_iters)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents_r = old_corpus.sparkSession.read.parquet(f"{path}/centroids")
+    kmeans_assign(old_corpus, cents_r).write.mode("overwrite").parquet(
+        f"{path}/assign"
+    )
+
+
+def semantic_append_pairs(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic near-dup pairs INVOLVING the new batch only — the
+    SemDeDup member of the day-2 dedup family (exact/MinHash/SimHash:
+    dedup_incremental_*). The batch assigns against FROZEN centroids (one
+    broadcast pass — NO retraining, standard coarse-quantizer practice:
+    centroids are corpus-distribution statistics, valid under drift-free
+    growth; retrain on schedule, not per batch), then pairs only against
+    index rows + batch rows sharing its clusters. The batch side
+    broadcasts, so the persisted assignment index streams map-side and
+    never shuffles; per-day cost is O(|batch| * k) assign work + an index
+    scan. Output = cluster-scoped cosine pairs whose HIGHER id is in the
+    batch (new-vs-old plus new-vs-new)."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    b_assigned = kmeans_assign(batch, cents)
+    idx = spark.read.parquet(f"{index_path}/assign")
+    a = idx.unionByName(b_assigned).alias("a")  # index ∪ today
+    b = b_assigned.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            dot(F.col("a.emb"), F.col("b.emb"))
+            >= F.lit(threshold) * F.col("a.nrm") * F.col("b.nrm")
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )
+
+
+def semantic_append_batch(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Append today's batch to the persisted assignment index WITHOUT
+    touching the trained centroids — one frozen-centroid assign pass,
+    rows appended to ``<path>/assign``. Per-day cost O(|batch| * k);
+    old rows are never re-read (mirrors pq_append_batch /
+    rplsh_append_batch: maintenance is encode-the-delta, retrain on
+    schedule)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    kmeans_assign(batch, cents).write.mode("append").parquet(f"{path}/assign")
+
+
+#: per-sf_dir cache of built semantic-index paths (seeded state)
+_SEM_INDEX_PATHS: dict[str, str] = {}
+
+
+def _semantic_index_for(spark: SparkSession, sf_dir: str) -> str:
+    path = _SEM_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="semantic_index_")
+        old = load_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") < SEM_APPEND_SPLIT
+        )
+        build_semantic_index(old, path)
+        _SEM_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+def _semantic_append_oracle(threshold: float = 0.35) -> str:
+    """Unrolled Lloyd's trained ONLY on the old half (src=emb_old, k sized
+    from the old count), then one assignment round over ALL vectors
+    against those frozen centroids — identical to the Spark path, where
+    the index rows' build-time assignments equal re-assigning the old ids
+    against the same frozen centroids — and the cluster-scoped pair join
+    restricted to pairs whose higher id is in the batch."""
+    parts, prev = _kmeans_cte_parts(
+        _semantic_k_sql("emb_old"), n_iters=2, src="emb_old"
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH emb_old AS (
+      SELECT * FROM embeddings WHERE vec_id < {SEM_APPEND_SPLIT}),
+    {body},
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    scf AS (
+      SELECT e.vec_id, c.cluster,
+             list_dot_product(e.emb, c.centroid)
+               - 0.5 * list_dot_product(c.centroid, c.centroid) AS score
+      FROM base e CROSS JOIN {prev} c),
+    asgf AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cluster) AS rn
+        FROM scf) WHERE rn = 1)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM asgf a JOIN asgf b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN base x ON x.vec_id = a.vec_id
+    JOIN base y ON y.vec_id = b.vec_id
+    WHERE b.vec_id >= {SEM_APPEND_SPLIT}
+      AND list_dot_product(x.emb, y.emb) >= {threshold} * x.nrm * y.nrm
+    """
+
+
+@register(
+    "dedup_incremental_semantic",
+    oracle=_semantic_append_oracle(),
+    doc=(
+        "Day-2 SemDeDup: today's batch (vec_id >= 400) assigns against "
+        "FROZEN centroids from a PERSISTED semantic index "
+        "(build_semantic_index — centroids k auto-sized from the OLD "
+        "corpus, plus the old assignment rows carrying emb+nrm so the "
+        "pair confirm needs no corpus join-back), then pairs only within "
+        "its own clusters against index ∪ batch. No retraining, no "
+        "old-vector re-assign, no full-corpus rescan (plan-asserted). "
+        "Completes the incremental dedup QUARTET alongside exact, "
+        "MinHash, and SimHash. The oracle retrains the unrolled Lloyd's "
+        "on the old half only and applies the identical frozen-centroid "
+        "assignment to all vectors, proving the index probe loses "
+        "nothing vs recompute."
+    ),
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _semantic_index_for(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") >= SEM_APPEND_SPLIT
+    )
+    return semantic_append_pairs(spark, batch, path)
 
 
 # ---------------------------------------------------------------------------

@@ -624,3 +624,52 @@ def test_semantic_dedup_drops_planted_cluster_dup(spark):
     assert out[40].cluster == out[0].cluster  # same learned block
     # everything else is kept: no other pair clears 0.99 anywhere
     assert sum(1 for v in out.values() if v.keep) == 40
+
+
+def test_semantic_index_lifecycle_build_probe_append(spark, tmp_path):
+    """The persisted semantic-dedup index supports the full daily cycle:
+    build (train + assign day-0 corpus) -> probe day 1 -> append day 1's
+    assignments -> probe day 2 against the GROWN index. The union of the
+    sequential probes must equal a ONE-SHOT probe of [d1, inf) against
+    the original index — appending instead of rebuilding loses nothing,
+    and the centroids never retrain."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_append_batch,
+        semantic_append_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    em = load_table(spark, sf, "embeddings")
+    d1, d2 = 300, 400  # corpus < d1, day1 [d1, d2), day2 >= d2
+    idx = str(tmp_path / "idx")
+    idx2 = str(tmp_path / "idx_oneshot")
+    build_semantic_index(em.where(F.col("vec_id") < d1), idx)
+    build_semantic_index(em.where(F.col("vec_id") < d1), idx2)
+
+    day1 = em.where((F.col("vec_id") >= d1) & (F.col("vec_id") < d2))
+    got1 = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_append_pairs(spark, day1, idx).collect()
+    }
+    assert got1 and all(d1 <= b < d2 for _, b in got1)
+
+    semantic_append_batch(spark, idx, day1)
+
+    day2 = em.where(F.col("vec_id") >= d2)
+    got2 = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_append_pairs(spark, day2, idx).collect()
+    }
+    assert all(b >= d2 for _, b in got2)
+
+    oneshot = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_append_pairs(
+            spark, em.where(F.col("vec_id") >= d1), idx2
+        ).collect()
+    }
+    assert got1 | got2 == oneshot

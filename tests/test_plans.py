@@ -564,3 +564,27 @@ def test_incremental_simhash_reads_index_not_corpus(spark):
         assert f"GreaterThanOrEqual(doc_id,{INCR_SPLIT})" in ln, ln
     assert "simhash_index_" in plan and "/bands" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_semantic_reads_index_not_corpus(spark):
+    """dedup_incremental_semantic's 100-TB claim in plan form: every
+    embeddings scan carries the pushed batch filter (vec_id >= 400) — no
+    retraining (no iterative Lloyd's artifacts feeding the query), no
+    old-vector re-assign; yesterday's corpus enters ONLY via the
+    persisted centroids + assignment index, and the assigned batch
+    broadcasts so the index side never shuffles."""
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        SEM_APPEND_SPLIT,
+    )
+
+    plan = _plan(spark, "dedup_incremental_semantic")
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embeddings" in ln
+    ]
+    assert emb_scans, "expected a pushed-down batch scan of embeddings"
+    for ln in emb_scans:
+        assert f"GreaterThanOrEqual(vec_id,{SEM_APPEND_SPLIT})" in ln, ln
+    assert "semantic_index_" in plan and "/centroids" in plan and "/assign" in plan
+    assert "BroadcastHashJoin" in plan
