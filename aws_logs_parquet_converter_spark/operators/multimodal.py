@@ -705,17 +705,43 @@ def image_ahash(images: DataFrame) -> DataFrame:
     return images.select("path", "content").mapInPandas(_hash, schema)
 
 
-def band_near_dup_pairs(hashes: DataFrame, max_hamming: int = AH_MAX_HAMMING) -> DataFrame:
+def band_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = AH_MAX_HAMMING,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Banded near-dup join over aHash bands: candidates = pairs sharing ANY
     16-bit band bucket (the same OR-amplified equi-join shape as
     dedup_simhash — pigeonhole guarantees Hamming <= 3 pairs always share
     one of 4 bands; beyond that recall is probabilistic), then an exact
     Hamming confirm via bit_count(xor) on the band ints. Shuffle carries
-    (name, band) pairs only; rasters never leave the hash stage."""
+    (name, band) pairs only; rasters never leave the hash stage.
+
+    ``max_bucket_size`` is the 100-TB knob: a 16-bit band bucket is FIXED
+    width (64-bit hash / 4 bands), so bucket occupancy grows with the
+    corpus and candidate pairs grow ~n^2/2^17 — measured quadratic at the
+    10x/100x decades (tools/scale_growth_multimodal.py; the same
+    saturation class as fixed RP-LSH bits, which could widen — this hash
+    cannot). Real corpora are worse: near-constant content (black frames,
+    silence, test cards) piles into a handful of HOT buckets. The cap
+    excludes buckets larger than ``max_bucket_size`` from candidate
+    generation via one tiny aggregate + broadcast anti-join (the
+    dedup_levenshtein_capped pattern) — measured to restore linear
+    candidate growth; the documented recall trade is pairs living ONLY in
+    a hot bucket (near-constant content is better handled by an exact
+    dedup on the raw hash first)."""
     bands = hashes.select(
         "name",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_id", "band_val"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band_id", "band_val")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("band_id", "band_val")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -666,7 +666,9 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFrame:
+def kmeans_train(
+    embeddings: DataFrame, k: int = 4, n_iters: int = 3, impl: str = "native"
+) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column.
 
     Per iteration (composing the registered assign/centroid steps into the
@@ -702,29 +704,34 @@ def kmeans_train(embeddings: DataFrame, k: int = 4, n_iters: int = 3) -> DataFra
     mul = lambda a, b: a * b  # noqa: E731
     add = lambda acc, x: acc + x  # noqa: E731
     for _ in range(n_iters):
-        c2 = cents.select(
-            "cluster",
-            "centroid",
-            (
-                F.lit(0.5)
-                * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
-            ).alias("half_cnorm"),
-        )
-        score = (
-            F.aggregate(F.zip_with("emb", "centroid", mul), F.lit(0.0), add)
-            - F.col("half_cnorm")
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(c2))
-            .select("vec_id", "emb", "cluster", score.alias("score"))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias(
-                    "cluster"
-                ),
-                F.any_value("emb").alias("emb"),
+        if impl == "blas":
+            assigned = _blas_assign(e, cents)
+        else:
+            c2 = cents.select(
+                "cluster",
+                "centroid",
+                (
+                    F.lit(0.5)
+                    * F.aggregate(
+                        F.zip_with("centroid", "centroid", mul), F.lit(0.0), add
+                    )
+                ).alias("half_cnorm"),
             )
-        )
+            score = (
+                F.aggregate(F.zip_with("emb", "centroid", mul), F.lit(0.0), add)
+                - F.col("half_cnorm")
+            )
+            assigned = (
+                e.crossJoin(F.broadcast(c2))
+                .select("vec_id", "emb", "cluster", score.alias("score"))
+                .groupBy("vec_id")
+                .agg(
+                    F.max_by(
+                        "cluster", F.struct(F.col("score"), -F.col("cluster"))
+                    ).alias("cluster"),
+                    F.any_value("emb").alias("emb"),
+                )
+            )
         ex = assigned.select(
             "cluster", F.posexplode("emb").alias("pos", "v")
         )
@@ -889,16 +896,72 @@ def _semantic_k_sql(src: str = "embeddings") -> str:
     )
 
 
-def kmeans_assign(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+def _blas_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """The O(n * k) assign hot loop as an Arrow-batched numpy kernel: the
+    k-row centroid matrix materializes driver-side (k is broadcast-clamped
+    by SEM_MAX_K — never corpus-sized), each Arrow batch computes one
+    |batch x k| matmul, and ``argmax`` row-wise with numpy's
+    first-max-wins tiebreak — identical to the native ``max_by(cluster,
+    (score, -cluster))`` because the centroid ids are sorted ascending.
+
+    WHY this exists: the native expression path evaluates the score as a
+    per-(row, centroid) higher-order-function fold — measured ~50x slower
+    than BLAS at k in the thousands (decade-100 probe: the flat assign at
+    200k x 3125 saturated 32 cores past a 50-min timeout natively;
+    seconds per pass here — SCALE.md). The native path stays the DEFAULT
+    and the oracle-parity reference (sequential-fold rounding is
+    bit-reproducible in DuckDB; BLAS reassociates, so equality holds for
+    any non-degenerate gap between best and runner-up scores —
+    test-pinned agreement on the fixture corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        cents.select("cluster", "centroid").collect(), key=lambda r: r.cluster
+    )
+    ids = np.array([r.cluster for r in rows], dtype=np.int64)
+    C = np.array([r.centroid for r in rows], dtype=np.float64)
+    half = 0.5 * (C * C).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["emb"].to_numpy())
+            S = E @ C.T - half
+            best = ids[S.argmax(axis=1)].astype("int32")
+            nrm = np.sqrt((E * E).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": best,
+                    "emb": pdf["emb"],
+                    "nrm": nrm,
+                }
+            )
+
+    return e.mapInPandas(
+        fn, schema="vec_id bigint, cluster int, emb array<double>, nrm double"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame, cents: DataFrame, impl: str = "native"
+) -> DataFrame:
     """One broadcast-assign pass against trained centroids: each vector's
     nearest centroid via ``max_by`` in a plain hash aggregate (map-side
     partial max — the broadcast-cross rows collapse per partition, no
     window sort, no join-back). Returns ``(vec_id, cluster, emb, nrm)``.
     Cost is O(n * k) dot products with NO shuffle of anything wider than
-    the output row; k is bounded by the broadcast clamp (SEM_MAX_K)."""
+    the output row; k is bounded by the broadcast clamp (SEM_MAX_K).
+    ``impl="blas"`` swaps the score evaluation for the Arrow-batched
+    numpy kernel (:func:`_blas_assign`) — the measured ~50x hot-loop win
+    once auto-sized k reaches the thousands."""
     e = spread_input(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    if impl == "blas":
+        return _blas_assign(e, cents)
     mul = lambda a, b: a * b  # noqa: E731
     add = lambda acc, x: acc + x  # noqa: E731
     c2 = cents.select(
@@ -932,6 +995,7 @@ def semantic_dedup(
     k: int | None = None,
     n_iters: int = 2,
     threshold: float = 0.35,
+    impl: str = "native",
 ) -> DataFrame:
     """Unsupervised semantic dedup, the SemDeDup shape (Abbas et al.,
     arXiv:2303.09540): k-means clusters the embedding space, exact cosine
@@ -958,9 +1022,9 @@ def semantic_dedup(
     (vec_id, cluster, emb))."""
     if k is None:
         k = semantic_k(embeddings.count())
-    cents = kmeans_train(embeddings, k=k, n_iters=n_iters)
+    cents = kmeans_train(embeddings, k=k, n_iters=n_iters, impl=impl)
     assigned = (
-        kmeans_assign(embeddings, cents)
+        kmeans_assign(embeddings, cents, impl=impl)
         # assignment appears THREE times downstream (both pair-join sides
         # + the final keep join); without this the k-row-broadcast assign
         # pass re-runs per copy — measured 14.0 -> 4.5 s warm at sf0.1/k=32

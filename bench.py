@@ -87,6 +87,7 @@ EAGER_LEGS = [
     "stream_log_compaction",  # file-stream parse + idempotent (day,batch) commits
     "stream_dedup",  # stateful dropDuplicatesWithinWatermark over 2x delivery
     "dedup_semantic_clustered",  # k-means training runs eagerly (localCheckpoint)
+    "stream_snapshot_compaction",  # file stream committing manifest versions
 ]
 
 # Write-only-timed legs added after r3 (seeded state builds on the first
@@ -95,6 +96,8 @@ EAGER_LEGS = [
 POST_R3_LEGS = [
     "sim_ann_rplsh_append",  # incremental probe of the persisted LSH index
     "table_snapshot_optimize_roundtrip",  # manifest-table read post-OPTIMIZE
+    "table_snapshot_pruned_read",  # stats-pruned manifest read (2 of 8 files)
+    "dedup_incremental_semantic",  # frozen-centroid batch probe of the index
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -155,6 +158,28 @@ def main() -> None:
         elapsed = round(time.perf_counter() - t0, 3)
         if elapsed < timings.get("stream_upsert_drain", float("inf")):
             timings["stream_upsert_drain"] = elapsed
+
+        # the max_files_per_trigger knob's effect, tracked round-over-round
+        # (r5 verdict task 7): the SAME corpus as stream_log_compaction
+        # drained in ONE trigger instead of one-per-file — the
+        # catch-up/backfill configuration. Leg delta vs
+        # stream_log_compaction == the per-micro-batch fixed cost.
+        import tempfile as _tf
+
+        from aws_logs_parquet_converter_spark.operators.logetl import RAW_LINES
+        from aws_logs_parquet_converter_spark.streaming.events import (
+            _write_line_files,
+            run_log_file_stream,
+        )
+
+        t0 = time.perf_counter()
+        _raw = _write_line_files(RAW_LINES, 4, "bench_stream16_")
+        _dest = _tf.mkdtemp(prefix="bench_stream16_dest_")
+        run_log_file_stream(spark, _raw, _dest, max_files_per_trigger=16)
+        spark.read.parquet(_dest).write.mode("overwrite").format("noop").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        if elapsed < timings.get("stream_log_compaction_batched", float("inf")):
+            timings["stream_log_compaction_batched"] = elapsed
         spark.catalog.clearCache()
 
     # The reference's actual workload: raw access-log text -> parsed,
@@ -202,7 +227,11 @@ def main() -> None:
     # round-over-round comparability: the sum over exactly the legs BENCH_r03
     # timed (eager/streaming legs are r4-r5 additions and inflate `value`
     # by design)
-    _post_r3 = set(EAGER_LEGS) | set(POST_R3_LEGS) | {"stream_upsert_seed", "stream_upsert_drain"}
+    _post_r3 = set(EAGER_LEGS) | set(POST_R3_LEGS) | {
+        "stream_upsert_seed",
+        "stream_upsert_drain",
+        "stream_log_compaction_batched",
+    }
     r3_comparable = round(
         sum(v for k, v in timings.items() if k not in _post_r3), 3
     )

@@ -673,3 +673,31 @@ def test_semantic_index_lifecycle_build_probe_append(spark, tmp_path):
         ).collect()
     }
     assert got1 | got2 == oneshot
+
+
+def test_blas_assign_agrees_with_native(spark):
+    """The BLAS assign kernel (the auto-k scale path) must agree with the
+    native expression path — same clusters, same training trajectory —
+    on the fixture corpus: full semantic_dedup output equality, both
+    impls, and kmeans_train centroid equality to 1e-9."""
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        kmeans_train,
+        semantic_dedup,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nat = {(r.vec_id, r.cluster, r.keep) for r in semantic_dedup(em).collect()}
+    bls = {
+        (r.vec_id, r.cluster, r.keep)
+        for r in semantic_dedup(em, impl="blas").collect()
+    }
+    assert nat == bls
+    cn = {r.cluster: r.centroid for r in kmeans_train(em, k=8, n_iters=2).collect()}
+    cb = {
+        r.cluster: r.centroid
+        for r in kmeans_train(em, k=8, n_iters=2, impl="blas").collect()
+    }
+    assert cn.keys() == cb.keys()
+    for c in cn:
+        assert max(abs(a - b) for a, b in zip(cn[c], cb[c])) < 1e-9

@@ -77,6 +77,13 @@ def test_no_driver_side_collect_in_operators():
             "— file-count-sized metadata, same class as a listing; parsing "
             "itself stays distributed",
         ),
+        "operators/similarity.py": (
+            1,
+            "_blas_assign materializes the K-ROW centroid matrix driver-"
+            "side for the Arrow-batched matmul kernel — k is broadcast-"
+            "clamped (SEM_MAX_K), never corpus-sized; the corpus itself "
+            "streams through mapInPandas",
+        ),
         "plans/snapshots.py": (
             1,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
