@@ -634,8 +634,44 @@ def _ahash_bands(rgb: bytes, w: int = ND_SIZE, h: int = ND_SIZE) -> tuple[int, .
     return tuple(bands)
 
 
-def _nd_expected_pairs() -> list[tuple[str, str, int]]:
-    hashes = {name: _ahash_bands(rgb) for name, _, rgb in _nd_specs()}
+#: the WIDE hash: 16x16 grid -> 256 bits -> 4 x 64-bit bands. Same
+#: pigeonhole guarantee (Hamming <= max_hamming/ (bands-1)... strictly:
+#: any pair with Hamming <= 3 shares a band; probabilistic beyond), but
+#: the bucket space per band is 2^64, so the fixed-width random-collision
+#: term (~n^2/2^17 at 16-bit bands — measured super-linear,
+#: tools/scale_growth_multimodal.py) vanishes for any reachable corpus.
+AH_WIDE_GRID = 16
+AH_WIDE_MAX_HAMMING = 12
+
+
+def _ahash_bands_wide(rgb: bytes, w: int = ND_SIZE, h: int = ND_SIZE) -> tuple[int, ...]:
+    """4 x 64-bit aHash bands (16x16 grid) — same exact integer arithmetic
+    as :func:`_ahash_bands`; band values are two's-complement signed so
+    they round-trip a Spark BIGINT column bit-exactly."""
+    grid = AH_WIDE_GRID
+    bw, bh = w // grid, h // grid
+    sums = [0] * (grid * grid)
+    for y in range(h):
+        for x in range(w):
+            k = 3 * (y * w + x)
+            g = rgb[k] + rgb[k + 1] + rgb[k + 2]
+            sums[(y // bh) * grid + (x // bw)] += g
+    total = sum(sums)
+    bits = [1 if len(sums) * s > total else 0 for s in sums]
+    bands = []
+    for b in range(4):
+        v = 0
+        for j in range(64):
+            v |= bits[b * 64 + j] << j
+        if v >= 1 << 63:
+            v -= 1 << 64
+        bands.append(v)
+    return tuple(bands)
+
+
+def _expected_pairs_from(
+    hashes: dict[str, tuple[int, ...]], max_hamming: int
+) -> list[tuple[str, str, int]]:
     names = sorted(hashes)
     pairs = []
     for ia, a in enumerate(names):
@@ -643,10 +679,23 @@ def _nd_expected_pairs() -> list[tuple[str, str, int]]:
             ha, hb = hashes[a], hashes[b]
             if not any(x == y for x, y in zip(ha, hb)):
                 continue  # no shared band bucket -> never a candidate
-            ham = sum(bin(x ^ y).count("1") for x, y in zip(ha, hb))
-            if ham <= AH_MAX_HAMMING:
+            ham = sum(bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(ha, hb))
+            if ham <= max_hamming:
                 pairs.append((a, b, ham))
     return pairs
+
+
+def _nd_expected_pairs() -> list[tuple[str, str, int]]:
+    return _expected_pairs_from(
+        {name: _ahash_bands(rgb) for name, _, rgb in _nd_specs()}, AH_MAX_HAMMING
+    )
+
+
+def _nd_expected_pairs_wide() -> list[tuple[str, str, int]]:
+    return _expected_pairs_from(
+        {name: _ahash_bands_wide(rgb) for name, _, rgb in _nd_specs()},
+        AH_WIDE_MAX_HAMMING,
+    )
 
 
 def write_neardup_image_fixtures(root: str) -> str:
@@ -697,6 +746,56 @@ def image_ahash(images: DataFrame) -> DataFrame:
                 bits = (flat.size * flat > flat.sum()).astype(np.int64)
                 bands = [
                     int((bits[b * 16 : (b + 1) * 16] << np.arange(16)).sum())
+                    for b in range(4)
+                ]
+                rows.append([os.path.basename(path), *bands])
+            yield pd.DataFrame(rows, columns=["name", "b0", "b1", "b2", "b3"])
+
+    return images.select("path", "content").mapInPandas(_hash, schema)
+
+
+def image_ahash_wide(images: DataFrame) -> DataFrame:
+    """(name, b0..b3 BIGINT): the 256-bit wide average-hash (16x16 grid ->
+    4 x 64-bit bands) from a binaryFile scan — the fixed-width-collision
+    fix measured in tools/scale_growth_multimodal.py: a 64-bit band's
+    bucket space is 2^64, so random bucket collisions vanish and banded
+    candidate volume tracks TRUE near-dups only (hot buckets — identical
+    content — remain, handled by max_bucket_size). Same Arrow-batched
+    numpy pooling as image_ahash; bands pack two's-complement signed to
+    round-trip BIGINT bit-exactly."""
+    import os
+
+    import numpy as np
+
+    grid = AH_WIDE_GRID
+    schema = "name string, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import decode_image as _dec
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    _, w, h, rgb = _dec(bytes(content))
+                except ValueError:
+                    continue
+                if w % grid or h % grid:
+                    continue  # hash contract: grid-divisible geometry
+                a = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                gray = a.reshape(h, w, 3).sum(axis=2)
+                bw, bh = w // grid, h // grid
+                blocks = gray.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+                flat = blocks.ravel()
+                bits = (flat.size * flat > flat.sum()).astype(np.uint8)
+                bands = [
+                    int.from_bytes(
+                        np.packbits(
+                            bits[b * 64 : (b + 1) * 64], bitorder="little"
+                        ).tobytes(),
+                        "little",
+                        signed=True,
+                    )
                     for b in range(4)
                 ]
                 rows.append([os.path.basename(path), *bands])
@@ -790,6 +889,39 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = write_neardup_image_fixtures(tempfile.mkdtemp(prefix="spark_graft_nd_"))
     return band_near_dup_pairs(image_ahash(spark.read.format("binaryFile").load(root)))
+
+
+def _nd_wide_values_cte() -> str:
+    return ",\n      ".join(
+        f"('{a}', '{b}', {h})" for a, b, h in _nd_expected_pairs_wide()
+    )
+
+
+@register(
+    "mm_image_near_dup_wide",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      {_nd_wide_values_cte()})
+      AS t(img_a, img_b, hamming)
+    """,
+    doc="The 256-bit WIDE perceptual near-dup path (16x16 aHash -> "
+    "4 x 64-bit bands): same decode -> Arrow hash -> band-bucket join -> "
+    "Hamming confirm over the same fixtures, but each band's bucket "
+    "space is 2^64 — the structural fix for the 16-bit bands' "
+    "n^2/2^17 random-collision term measured super-linear at the "
+    "10x/100x decades (tools/scale_growth_multimodal.py; SCALE.md). "
+    "The oracle states the expected pair set from the pixel formulas "
+    "alone: the three planted light variants pair with their bases "
+    "cross-format at Hamming 1-3, the heavy variant pairs with nothing.",
+)
+def mm_image_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    root = write_neardup_image_fixtures(tempfile.mkdtemp(prefix="spark_graft_ndw_"))
+    return band_near_dup_pairs(
+        image_ahash_wide(spark.read.format("binaryFile").load(root)),
+        max_hamming=AH_WIDE_MAX_HAMMING,
+    )
 
 
 # ---------------------------------------------------------------------------
