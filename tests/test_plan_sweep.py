@@ -31,6 +31,9 @@ BNLJ_ALLOWED = {
     "dedup_semantic_clustered": "K-row trained-centroid cross join "
     "(broadcast) for the cluster assignment; the pair join itself is an "
     "equi-join on cluster",
+    "dedup_incremental_semantic": "K-row FROZEN-centroid cross join "
+    "(broadcast) assigning only the batch; the index probe itself is an "
+    "equi-join on cluster with the batch side broadcast",
     "sim_topk_bruteforce": "small query set vs corpus (broadcast)",
     "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
     "sim_topk_ivf_label": "small query set, label-pruned corpus",
