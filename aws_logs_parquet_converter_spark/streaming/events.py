@@ -961,7 +961,11 @@ def log_stream_merge_batch(
 
 
 def log_stream_snapshot_batch(
-    bdf: DataFrame, batch_id: int, root: str, fmt: str = "s3"
+    bdf: DataFrame,
+    batch_id: int,
+    root: str,
+    fmt: str = "s3",
+    stats_cols: list[str] | None = None,
 ) -> int | None:
     """EXACTLY-ONCE micro-batch commit onto a snapshot-manifest table —
     the composition of the two r5 headline features (idempotent streaming
@@ -985,6 +989,7 @@ def log_stream_snapshot_batch(
     the batch was already in the table (replay) or empty."""
     from ..plans.snapshots import (
         _MAX_COMMIT_RETRIES,
+        _collect_file_stats,
         _list_commit_files,
         _try_commit,
         current_version,
@@ -1012,16 +1017,26 @@ def log_stream_snapshot_batch(
     out.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
     schema_json = out.schema.json()
+    new_stats = None
     for _ in range(_MAX_COMMIT_RETRIES):
         latest = current_version(spark, root)
         base_files: list[str] = []
         base_batches: list[int] = []
+        base_stats: dict = {}
+        cols = stats_cols
         if latest is not None:
             prev = read_manifest(spark, root, latest)
             base_files = prev["files"]
             base_batches = prev.get("batch_ids", [])
+            base_stats = prev.get("stats", {})
+            if cols is None:
+                cols = prev.get("stats_cols")
             if int(batch_id) in base_batches:
                 return None  # lost a race to our own replay
+        if cols and new_files and new_stats is None:
+            # per-file min/max gathered while the batch is hot — streamed
+            # tables get the same data skipping as batch snapshot_write
+            new_stats = _collect_file_stats(spark, commit_dir, list(cols))
         manifest = {
             "version": (latest or 0) + 1,
             "action": "stream-append",
@@ -1029,6 +1044,13 @@ def log_stream_snapshot_batch(
             "files": sorted(set(base_files) | set(new_files)),
             "batch_ids": sorted({*base_batches, int(batch_id)}),
         }
+        if cols:
+            manifest["stats_cols"] = list(cols)
+            manifest["stats"] = {
+                f: s
+                for f, s in {**base_stats, **(new_stats or {})}.items()
+                if f in set(manifest["files"])
+            }
         if _try_commit(spark, root, manifest):
             return int(manifest["version"])
     raise IOError(
@@ -1044,6 +1066,7 @@ def run_log_snapshot_stream(
     fmt: str = "s3",
     max_files_per_trigger: int = 1,
     checkpoint_location: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """Drain a raw access-log file stream into a SNAPSHOT-MANIFEST table:
     the flagship streaming path composed with the versioned table layer.
@@ -1062,7 +1085,9 @@ def run_log_snapshot_stream(
         spark.readStream.option("maxFilesPerTrigger", int(max_files_per_trigger))
         .text(raw_dir)
         .writeStream.foreachBatch(
-            lambda bdf, bid: log_stream_snapshot_batch(bdf, bid, root, fmt)
+            lambda bdf, bid: log_stream_snapshot_batch(
+                bdf, bid, root, fmt, stats_cols=stats_cols
+            )
         )
         .option(
             "checkpointLocation",

@@ -505,3 +505,33 @@ def test_snapshot_stream_reader_isolated_from_optimize(spark, tmp_path):
     latest = sorted(map(tuple, snapshot_read(spark, root).na.fill("").collect()), key=repr)
     assert latest == pinned
     assert len(read_manifest(spark, root, new_v)["files"]) < len(pinned_files)
+
+
+def test_snapshot_stream_stats_enable_day_pruning(spark, tmp_path):
+    """The full composition: streaming ingest -> per-batch manifest stats
+    (stats_cols=['day']) -> a day-predicate read prunes files the stats
+    prove irrelevant, without losing a row."""
+    from aws_logs_parquet_converter_spark.operators.logetl import RAW_LINES
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        read_manifest,
+        current_version,
+        snapshot_read,
+    )
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        _write_line_files,
+        run_log_snapshot_stream,
+    )
+
+    raw_dir = _write_line_files([l for l in RAW_LINES if l.strip()], 4, "snapst_")
+    root = str(tmp_path / "t")
+    run_log_snapshot_stream(spark, raw_dir, root, stats_cols=["day"])
+    m = read_manifest(spark, root, current_version(spark, root))
+    assert m["stats_cols"] == ["day"]
+    assert set(m["stats"]) == set(m["files"])
+    full = snapshot_read(spark, root)
+    days = sorted(r.day for r in full.select("day").distinct().collect())
+    assert len(days) > 1
+    pick = days[0]
+    pruned = snapshot_read(spark, root, filters=[("day", "=", pick)])
+    assert len(pruned.inputFiles()) < len(m["files"])
+    assert pruned.count() == full.where(full.day == pick).count() > 0
