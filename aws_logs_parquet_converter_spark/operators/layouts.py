@@ -351,3 +351,168 @@ def table_snapshot_optimize_roundtrip(
     from ..plans.snapshots import snapshot_read
 
     return snapshot_read(spark, _snapshot_events_for(spark, sf_dir))
+
+
+@register(
+    "table_snapshot_changes",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id >= {SNAP_SPLIT}
+    """,
+    doc=(
+        "INCREMENTAL (CDC-lite) read of a snapshot table: "
+        "snapshot_changes(root, from_version=1) returns exactly the rows "
+        "appended AFTER version 1 — here the second half of events (v2) — "
+        "by differencing manifest file lists driver-side (O(#versions) "
+        "metadata, never a table scan) and planning a parquet scan over "
+        "ONLY the delta files. The OPTIMIZE commit (v3) sitting inside "
+        "the version range rewrites bytes but changes no rows, and "
+        "contributes NOTHING to the delta — matching the oracle's "
+        "second-half projection proves maintenance is invisible to "
+        "incremental consumers. This is the consumer-side complement of "
+        "the exactly-once streaming commit: a 100 TB downstream job "
+        "checkpoints a version number and never rescans. Rewrite actions "
+        "(overwrite/merge) refuse with a re-baseline error, Delta-style. "
+        "Delta-files-only scan is asserted in tests/test_snapshots.py."
+    ),
+)
+def table_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_changes
+
+    return snapshot_changes(spark, _snapshot_events_for(spark, sf_dir), 1)
+
+
+#: per-sf_dir cache of seeded schema-evolution table roots
+_SNAPSHOT_EVO_PATHS: dict[str, str] = {}
+
+
+def _snapshot_evolved_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = first half of events WITHOUT event_type (the table as first
+    deployed); v2 = second half WITH event_type (the producer grew a
+    column). The append merges schemas (new column forced nullable) so
+    the latest version reads uniformly: old files yield NULL event_type
+    via parquet missing-column semantics — no rewrite of history."""
+    path = _SNAPSHOT_EVO_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_evo_tbl_")
+    ev = load_table(spark, sf_dir, "events")
+    snapshot_write(
+        ev.where(F.col("event_id") < SNAP_SPLIT).select("event_id", "user_id"),
+        path,
+    )
+    snapshot_write(
+        ev.where(F.col("event_id") >= SNAP_SPLIT).select(
+            "event_id", "user_id", "event_type"
+        ),
+        path,
+    )
+    _SNAPSHOT_EVO_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_schema_evolution",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN event_id >= {SNAP_SPLIT} THEN event_type END AS event_type
+    FROM events
+    """,
+    doc=(
+        "Schema EVOLUTION on append (the Delta mergeSchema contract): v1 "
+        "commits events WITHOUT event_type, v2 appends rows WITH it; the "
+        "manifest stores the MERGED schema (new columns forced nullable, "
+        "type changes refused — pinned in tests/test_snapshots.py), and "
+        "the latest version reads uniformly with NULL event_type for "
+        "pre-evolution files via parquet missing-column semantics. "
+        "History is never rewritten: at 100 TB a producer adding a "
+        "column costs one manifest, not a table rewrite."
+    ),
+)
+def table_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_evolved_events_for(spark, sf_dir))
+
+
+#: per-sf_dir cache of seeded + MERGED table roots
+_SNAPSHOT_MERGE_PATHS: dict[str, str] = {}
+
+
+def _snapshot_merged_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed the disjoint-quartile stats table shape (four appends, each
+    one event_id quartile, per-file min/max on event_id), then
+    snapshot_merge a change-set confined to the FIRST quartile
+    (event_id < SNAP_Q[0], every 5th id retyped to 'merged'). The
+    key-range stats prove quartiles 2-4 cannot match, so their files
+    are kept VERBATIM in the merged manifest — asserted here, where the
+    file lists are at hand."""
+    path = _SNAPSHOT_MERGE_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import read_manifest, snapshot_merge, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_merge_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    bounds = [None, *SNAP_Q, None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        snapshot_write(part.repartition(2), path, stats_cols=["event_id"])
+    pre = read_manifest(spark, path, 4)
+    src = (
+        ev.where((F.col("event_id") < SNAP_Q[0]) & (F.col("event_id") % 5 == 0))
+        .withColumn("event_type", F.lit("merged"))
+    )
+    snapshot_merge(src, path, key="event_id")
+    post = read_manifest(spark, path, 5)
+    outside_q1 = {
+        f
+        for f, s in pre["stats"].items()
+        if s["event_id"][0] is not None and s["event_id"][0] >= SNAP_Q[0]
+    }  # empty at sf0.001 (max event_id < SNAP_Q[0]); non-empty sf0.01+
+    assert outside_q1 <= set(post["files"]), (
+        "copy-on-write merge must keep non-overlapping files verbatim"
+    )
+    _SNAPSHOT_MERGE_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_merge_upsert",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN event_id < {SNAP_Q[0]} AND event_id % 5 = 0
+                THEN 'merged' ELSE event_type END AS event_type
+    FROM events
+    """,
+    doc=(
+        "Keyed MERGE (upsert) as COPY-ON-WRITE on a snapshot table: a "
+        "change-set confined to the first event_id quartile replaces "
+        "matching rows; candidate files are selected DRIVER-SIDE from "
+        "the manifest's per-file key stats, so the three non-overlapping "
+        "quartiles' files are never read and survive VERBATIM in the "
+        "new manifest (asserted in the fixture + tests). The rewrite is "
+        "one distributed pass — candidates anti-joined against the "
+        "broadcast source keys, unioned with the source — and stats are "
+        "re-gathered for rewritten files only, so data skipping survives "
+        "the merge. Conflicts ABORT (Delta's policy): a commit landing "
+        "mid-merge raises rather than rebasing a row-level merge. At "
+        "100 TB, merge cost ∝ overlapping-file bytes, not table bytes."
+    ),
+)
+def table_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_merged_events_for(spark, sf_dir))

@@ -272,6 +272,32 @@ def _list_commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
     return sorted(files)
 
 
+def _merge_schemas(prev: StructType, new: StructType) -> StructType:
+    """Schema EVOLUTION for appends (the Delta ``mergeSchema`` contract):
+    the appended frame may ADD columns, never change or drop the type of
+    an existing one. The merged schema keeps the table's column order and
+    appends new columns (forced nullable — historical files don't have
+    them, so readers see NULL there, which parquet's missing-column
+    semantics give for free once ``snapshot_read`` plans with the
+    manifest's merged schema). A type change raises: silent coercion is
+    how tables rot."""
+    prev_by_name = {f.name: f for f in prev.fields}
+    new_by_name = {f.name: f for f in new.fields}
+    for name, f in new_by_name.items():
+        if name in prev_by_name and prev_by_name[name].dataType != f.dataType:
+            raise TypeError(
+                f"snapshot append changes column {name!r} from "
+                f"{prev_by_name[name].dataType.simpleString()} to "
+                f"{f.dataType.simpleString()} — schema evolution only ADDS "
+                "columns; rewrite the table (mode='overwrite') to retype"
+            )
+    merged = list(prev.fields)
+    for f in new.fields:
+        if f.name not in prev_by_name:
+            merged.append(f.__class__(f.name, f.dataType, True))
+    return StructType(merged)
+
+
 def snapshot_write(
     df: DataFrame,
     root: str,
@@ -308,18 +334,22 @@ def snapshot_write(
         base_files: list[str] = []
         base_stats: dict[str, dict[str, list]] = {}
         cols = stats_cols
+        commit_schema = schema_json
         if mode == "append" and latest is not None:
             prev = read_manifest(spark, root, latest)
             base_files = prev["files"]
             base_stats = prev.get("stats", {})
             if cols is None:
                 cols = prev.get("stats_cols")
+            commit_schema = _merge_schemas(
+                StructType.fromJson(json.loads(prev["schema"])), df.schema
+            ).json()
         if cols and new_files and new_stats is None:
             new_stats = _collect_file_stats(spark, commit_dir, list(cols))
         manifest = {
             "version": (latest or 0) + 1,
             "action": mode,
-            "schema": schema_json,
+            "schema": commit_schema,
             "files": sorted(set(base_files) | set(new_files)),
         }
         if cols:
@@ -439,6 +469,177 @@ def snapshot_optimize(
         if _try_commit(spark, root, manifest):
             return latest + 1
     return None
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL READ: the rows ADDED to the table after ``from_version``
+    up to ``to_version`` (default: latest) — the consumer-side complement
+    of the exactly-once streaming commit, and the reason a 100 TB
+    downstream job never rescans the table: each manifest names its
+    version's files, so the delta between two versions is a FILE-LIST
+    difference computed from O(#versions) driver-side metadata, and the
+    returned plan scans ONLY the delta files (Delta/Iceberg incremental
+    consumption; ``from_version=0`` reads the whole table).
+
+    Append-lineage actions (``append``/``stream-append``) contribute their
+    new files; ``optimize`` rewrites bytes but changes NO rows, so it
+    contributes nothing — a maintenance pack between two checkpoints is
+    invisible to an incremental consumer, which is exactly the isolation
+    the manifest layer promises. Actions that REWRITE data (``overwrite``,
+    ``merge``) cannot be expressed as pure appends: they raise, telling
+    the caller to re-baseline (Delta's non-CDF streaming read does the
+    same — "data update detected").
+    """
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    to_version = latest if to_version is None else to_version
+    if not 0 <= from_version <= to_version <= latest:
+        raise ValueError(
+            f"bad version range [{from_version}, {to_version}] "
+            f"(latest is {latest})"
+        )
+    prev_files: set[str] = set()
+    if from_version > 0:
+        prev_files = set(read_manifest(spark, root, from_version)["files"])
+    delta: list[str] = []
+    seen = set(prev_files)
+    schema_json = None
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(spark, root, v)
+        schema_json = m["schema"]
+        action = m.get("action", "append")
+        files = set(m["files"])
+        if action == "optimize":
+            seen = files  # same rows, new packing — nothing to emit
+            continue
+        if action in ("overwrite", "merge"):
+            raise ValueError(
+                f"version {v} is a {action!r} commit — it rewrites rows, so "
+                "the delta is not expressible as appended files; re-baseline "
+                f"with snapshot_read(version={to_version})"
+            )
+        delta.extend(sorted(files - seen))
+        seen = files
+    if schema_json is None:  # empty range
+        schema_json = read_manifest(spark, root, to_version)["schema"]
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not delta:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in delta])
+
+
+def snapshot_merge(
+    df: DataFrame,
+    root: str,
+    key: str,
+) -> int:
+    """Keyed MERGE (upsert) as a COPY-ON-WRITE commit: rows of ``df``
+    REPLACE table rows with the same ``key``; unmatched source rows are
+    inserted. Returns the new version.
+
+    The 100-TB shape is Delta/Iceberg copy-on-write MERGE: only files
+    that can POSSIBLY hold a matching key are rewritten. Candidate
+    selection is driver-side metadata — when the manifest carries
+    min/max stats on the key (``snapshot_write(stats_cols=[key])``),
+    every file whose range does not overlap the source's [min, max] is
+    kept VERBATIM in the new manifest (never read, never rewritten;
+    plan-asserted in tests). The rewrite itself is one distributed pass:
+    candidate rows anti-joined against the (broadcast) source keys,
+    unioned with the source, written as a fresh commit dir. Stats are
+    re-gathered for the rewritten files only.
+
+    Schema evolution matches append (:func:`_merge_schemas`): the source
+    may add columns; candidate files read under the merged schema give
+    NULL for columns they predate. Conflict policy is Delta's: if ANY
+    commit lands between the read and the manifest CAS, the merge
+    ABORTS (raises) — rebasing a row-level merge without re-reading is
+    how lost updates happen. The caller retries, re-reading fresh state.
+    """
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    m = read_manifest(spark, root, latest)
+    prev_schema = StructType.fromJson(json.loads(m["schema"]))
+    if key not in prev_schema.names or key not in df.columns:
+        raise ValueError(f"merge key {key!r} must exist in table and source")
+    merged_schema = _merge_schemas(prev_schema, df.schema)
+    src = df.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged_schema.fields
+        ]
+    )
+
+    stats = m.get("stats", {})
+    bounds = src.agg(
+        F.min(key).alias("mn"), F.max(key).alias("mx")
+    ).collect()[0]
+    lo, hi = _stat_encode(bounds["mn"]), _stat_encode(bounds["mx"])
+    candidates, untouched = [], []
+    for f in m["files"]:
+        if lo is None:  # empty source: no file can hold a matching key
+            overlaps = False
+        elif lo is _STAT_UNSUPPORTED or hi is _STAT_UNSUPPORTED:
+            overlaps = True  # un-encodable key type: no pruning, still exact
+        else:
+            overlaps = _file_survives(
+                stats.get(f), key, ">=", lo
+            ) and _file_survives(stats.get(f), key, "<=", hi)
+        (candidates if overlaps else untouched).append(f)
+
+    if candidates:
+        cand = spark.read.schema(merged_schema).parquet(
+            *[f"{root}/{f}" for f in candidates]
+        )
+        keep = cand.join(broadcast(src.select(key)), on=key, how="left_anti")
+        out = keep.select(*merged_schema.names).unionByName(src)
+    else:
+        out = src
+    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    out.write.parquet(commit_dir)
+    new_files = _list_commit_files(spark, commit_dir)
+    stats_cols = m.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(spark, commit_dir, list(stats_cols))
+        if stats_cols and new_files
+        else {}
+    )
+    if current_version(spark, root) != latest:
+        raise IOError(
+            f"snapshot_merge conflict on {root}: the table moved past "
+            f"version {latest} during the rewrite — aborting (the commit "
+            "dir is inert residue; re-run to merge against fresh state)"
+        )
+    manifest = {
+        "version": latest + 1,
+        "action": "merge",
+        "schema": merged_schema.json(),
+        "files": sorted(set(untouched) | set(new_files)),
+    }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        manifest["stats"] = {
+            f: s
+            for f, s in {**stats, **new_stats}.items()
+            if f in set(manifest["files"])
+        }
+    if not _try_commit(spark, root, manifest):
+        raise IOError(
+            f"snapshot_merge conflict on {root}: version {latest + 1} was "
+            "taken during the rewrite — aborting; re-run against fresh state"
+        )
+    return latest + 1
 
 
 #: Default vacuum grace window (seconds). A data commit dir younger than

@@ -88,11 +88,13 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            1,
+            2,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
-            "table-sized), the manifest data-skipping stats; reads plan "
-            "normally with no driver round-trip",
+            "table-sized), the manifest data-skipping stats; snapshot_merge "
+            "collects the source key [min, max] — ONE row of two scalars — "
+            "to prune candidate files driver-side before the copy-on-write "
+            "rewrite; reads plan normally with no driver round-trip",
         ),
     }
     for py in sorted(ops_dir.rglob("*.py")):

@@ -279,3 +279,120 @@ def test_full_write_path_on_conditional_put_store(spark, tmp_path):
         assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 200))
     finally:
         set_log_store(prev)
+
+
+def test_changes_reads_only_delta_files(spark, tmp_path):
+    """Incremental read between versions scans exactly the appended files;
+    an OPTIMIZE between checkpoints contributes nothing."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_changes
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10).repartition(2), root)  # v1
+    snapshot_write(_df(spark, 10, 20).repartition(2), root)  # v2
+    v2_new = set(read_manifest(spark, root, 2)["files"]) - set(
+        read_manifest(spark, root, 1)["files"]
+    )
+    ch = snapshot_changes(spark, root, 1, 2)
+    assert _rows(ch) == _rows(_df(spark, 10, 20))
+    scanned = {f.split("/data/", 1)[-1] for f in ch.inputFiles()}
+    assert scanned == {f.split("data/", 1)[-1] for f in v2_new}
+    # maintenance pack between the checkpoints: invisible to the consumer
+    snapshot_optimize(spark, root, target_file_mb=128)  # v3
+    assert _rows(snapshot_changes(spark, root, 2, 3)) == []
+    snapshot_write(_df(spark, 20, 25), root)  # v4 (post-optimize append)
+    assert _rows(snapshot_changes(spark, root, 2)) == _rows(_df(spark, 20, 25))
+    # from the beginning = the whole table
+    assert _rows(snapshot_changes(spark, root, 0)) == _rows(_df(spark, 0, 25))
+
+
+def test_changes_rejects_rewrite_actions(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_changes
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    snapshot_write(_df(spark, 50, 55), root, mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        snapshot_changes(spark, root, 1)
+    with pytest.raises(ValueError, match="bad version range"):
+        snapshot_changes(spark, root, 5)
+
+
+def test_append_schema_evolution_adds_nullable_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 5), root)
+    wide = spark.range(5, 10).selectExpr("id", "id * 2 AS v", "'x' AS tag")
+    snapshot_write(wide, root)
+    out = snapshot_read(spark, root)
+    assert out.columns == ["id", "v", "tag"]
+    rows = sorted((r.id, r.v, r.tag) for r in out.collect())
+    assert rows == [(i, 2 * i, None if i < 5 else "x") for i in range(10)]
+    # type change must refuse, not coerce
+    bad = spark.range(10, 12).selectExpr("id", "CAST(id AS STRING) AS v")
+    with pytest.raises(TypeError, match="schema evolution only ADDS"):
+        snapshot_write(bad, root)
+
+
+def test_merge_upserts_and_skips_nonoverlapping_files(spark, tmp_path):
+    """Copy-on-write MERGE: files whose key-stats cannot overlap the
+    source keys survive VERBATIM (same path in the new manifest, never
+    read); matched rows are replaced, unmatched source rows inserted."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_merge
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])  # v1
+    snapshot_write(_df(spark, 100, 200), root)  # v2 (inherits stats cols)
+    before = read_manifest(spark, root, 2)
+    low_files = [f for f, s in before["stats"].items() if s["id"][1] < 100]
+    assert low_files  # the v1 commit's files all sit below id=100
+    src = spark.range(150, 210).selectExpr("id", "id * 1000 AS v")
+    v = snapshot_merge(src, root, key="id")
+    assert v == 3
+    after = read_manifest(spark, root, 3)
+    assert after["action"] == "merge"
+    # the non-overlapping files were kept verbatim, not rewritten
+    assert set(low_files) <= set(after["files"])
+    out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert len(out) == 210
+    assert all(out[i] == 2 * i for i in range(150))
+    assert all(out[i] == 1000 * i for i in range(150, 210))
+    # stats were re-gathered for the rewritten files: pruning still works
+    pruned = snapshot_read(spark, root, filters=[("id", "<", 50)])
+    assert len(pruned.inputFiles()) < len(after["files"])
+    assert pruned.count() == 50
+
+
+def test_merge_schema_evolution_and_conflict_abort(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_merge
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    src = spark.range(5, 12).selectExpr("id", "id * 7 AS v", "'m' AS tag")
+    snapshot_merge(src, root, key="id")
+    out = sorted(
+        (r.id, r.v, r.tag) for r in snapshot_read(spark, root).collect()
+    )
+    assert out == [
+        (i, 2 * i, None) if i < 5 else (i, 7 * i, "m") for i in range(12)
+    ]
+    # a commit landing mid-merge (between the read and the CAS) must
+    # ABORT the merge — a rebase would risk lost updates
+    from aws_logs_parquet_converter_spark.plans import snapshots as S
+
+    real_cv = S.current_version
+    state = {"calls": 0}
+
+    def racing_cv(sp, r):
+        state["calls"] += 1
+        if state["calls"] == 2:  # merge's pre-CAS check: race a commit in
+            racer = dict(read_manifest(sp, r, real_cv(sp, r)))
+            racer["version"] = real_cv(sp, r) + 1
+            racer["action"] = "append"
+            assert _try_commit(sp, r, racer)
+        return real_cv(sp, r)
+
+    S.current_version = racing_cv
+    try:
+        with pytest.raises(IOError, match="conflict"):
+            snapshot_merge(src, root, key="id")
+    finally:
+        S.current_version = real_cv
