@@ -98,6 +98,8 @@ POST_R3_LEGS = [
     "table_snapshot_optimize_roundtrip",  # manifest-table read post-OPTIMIZE
     "table_snapshot_pruned_read",  # stats-pruned manifest read (2 of 8 files)
     "dedup_incremental_semantic",  # frozen-centroid batch probe of the index
+    "table_snapshot_changes",  # incremental read: delta-files-only scan
+    "table_snapshot_merge_upsert",  # post-merge read (merge runs at seed)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -535,3 +535,10 @@ def test_snapshot_stream_stats_enable_day_pruning(spark, tmp_path):
     pruned = snapshot_read(spark, root, filters=[("day", "=", pick)])
     assert len(pruned.inputFiles()) < len(m["files"])
     assert pruned.count() == full.where(full.day == pick).count() > 0
+    # stream-append commits are append-lineage: an incremental consumer
+    # checkpointed at v1 reads exactly the later micro-batches' rows
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_changes
+
+    v1_rows = snapshot_read(spark, root, version=1).count()
+    delta = snapshot_changes(spark, root, 1)
+    assert delta.count() == full.count() - v1_rows > 0
