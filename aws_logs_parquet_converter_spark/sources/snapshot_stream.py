@@ -1,0 +1,184 @@
+"""Snapshot-manifest tables as a STRUCTURED STREAMING SOURCE.
+
+``spark.readStream.format("snapshot_table").option("root", ...)`` turns a
+versioned table (plans/snapshots.py) into a stream of its appended rows —
+the "table as a stream" half of the Delta design (Armbrust et al.,
+VLDB'20 §4.3: a streaming source whose offsets are log positions), built
+on the Spark 4 Python DataSource API:
+
+* **Offsets are version numbers.** ``latestOffset`` lists the manifest
+  directory (O(#versions) metadata, no data access); a micro-batch covers
+  the versions committed since the last checkpointed offset. Replay of a
+  batch re-reads the same version range — deterministic by manifest
+  immutability, so the engine's own checkpoint gives exactly-once into
+  any idempotent sink. This composes with the OTHER direction
+  (streaming/events.py writes micro-batches AS manifest versions): two
+  tables chained through a snapshot table form an end-to-end
+  exactly-once pipeline.
+* **A batch plans one task per DELTA FILE.** ``partitions`` walks the
+  manifests in the offset range exactly like
+  ``plans.snapshots.snapshot_changes`` — append-lineage commits
+  contribute ``files(v) − files(v-1)``; an OPTIMIZE rewrites bytes but
+  no rows and contributes NOTHING (maintenance stays invisible to
+  consumers); rewrite actions (``overwrite``/``merge``) raise the same
+  re-baseline error. Executors read their file with pyarrow and yield
+  Arrow RECORD BATCHES (the API's vectorized path — no per-row Python).
+* **Schema** comes from the newest manifest; files predating an added
+  column are reconciled executor-side (missing columns yield NULL), the
+  same contract as ``snapshot_read``.
+
+Storage access here is ``os``-level (the driver-side offset tracker and
+executor-side readers run outside the JVM, so Hadoop FS isn't
+reachable): local/NFS paths as shipped. An object-store deployment
+implements the same three primitives (list versions, read manifest, open
+file) against its SDK — the seam is the three module functions below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = ["SnapshotTableStreamSource", "register_snapshot_stream_source"]
+
+
+def _list_versions_py(root: str) -> list[int]:
+    d = os.path.join(root, "_snapshots")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json") and name[1:-5].isdigit():
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest_py(root: str, version: int) -> dict:
+    with open(os.path.join(root, "_snapshots", f"v{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _delta_files(root: str, start_v: int, end_v: int) -> tuple[list[str], str]:
+    """(delta file list, schema JSON of the range's newest manifest) —
+    the snapshot_changes walk, shared by partition planning."""
+    seen: set[str] = set()
+    if start_v > 0:
+        seen = set(_read_manifest_py(root, start_v)["files"])
+    delta: list[str] = []
+    schema_json = None
+    for v in range(start_v + 1, end_v + 1):
+        m = _read_manifest_py(root, v)
+        schema_json = m["schema"]
+        files = set(m["files"])
+        action = m.get("action", "append")
+        if action == "optimize":
+            seen = files
+            continue
+        if action in ("overwrite", "merge"):
+            raise ValueError(
+                f"snapshot stream hit a {action!r} commit at version {v} — "
+                "rows were rewritten; restart the stream from a fresh "
+                "baseline (startingVersion)"
+            )
+        delta.extend(sorted(files - seen))
+        seen = files
+    if schema_json is None:
+        schema_json = _read_manifest_py(root, end_v)["schema"]
+    return delta, schema_json
+
+
+try:  # pyspark >= 4.0 only
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _SnapshotFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _SnapshotStreamReader(DataSourceStreamReader):
+        def __init__(self, schema, options):
+            self._schema = schema
+            self._root = options.get("root")
+            if not self._root:
+                raise ValueError("snapshot_table source requires option 'root'")
+            self._start = int(options.get("startingversion", "0"))
+
+        def initialOffset(self):
+            return {"version": self._start}
+
+        def latestOffset(self):
+            vs = _list_versions_py(self._root)
+            return {"version": vs[-1] if vs else self._start}
+
+        def partitions(self, start, end):
+            delta, _ = _delta_files(
+                self._root, int(start["version"]), int(end["version"])
+            )
+            return [
+                _SnapshotFilePartition(os.path.join(self._root, f))
+                for f in delta
+            ]
+
+        def read(self, partition: "_SnapshotFilePartition"):
+            # executor-side: one parquet file -> Arrow record batches,
+            # reconciled to the DECLARED schema (files predating an added
+            # column yield NULL there — the snapshot_read contract)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            fields = list(self._schema.fields)
+            pf = pq.ParquetFile(partition.path)
+            have = set(pf.schema_arrow.names)
+            cols_present = [f.name for f in fields if f.name in have]
+            for batch in pf.iter_batches(columns=cols_present):
+                cols = []
+                for f in fields:
+                    if f.name in have:
+                        cols.append(batch.column(f.name))
+                    else:  # pre-evolution file: typed NULL column
+                        cols.append(
+                            pa.nulls(batch.num_rows, type=to_arrow_type(f.dataType))
+                        )
+                yield pa.RecordBatch.from_arrays(
+                    cols, names=[f.name for f in fields]
+                )
+
+        def commit(self, end):
+            pass  # offsets live in the engine's checkpoint; nothing to do
+
+    class SnapshotTableStreamSource(DataSource):
+        """``format("snapshot_table")`` — see module docstring."""
+
+        @classmethod
+        def name(cls):
+            return "snapshot_table"
+
+        def schema(self):
+            from pyspark.sql.types import StructType
+
+            root = self.options.get("root")
+            if not root:
+                raise ValueError("snapshot_table source requires option 'root'")
+            vs = _list_versions_py(root)
+            if not vs:
+                raise FileNotFoundError(f"snapshot table {root} has no commits")
+            return StructType.fromJson(
+                json.loads(_read_manifest_py(root, vs[-1])["schema"])
+            )
+
+        def streamReader(self, schema):
+            return _SnapshotStreamReader(schema, self.options)
+
+except ImportError:  # pragma: no cover - pyspark < 4
+    SnapshotTableStreamSource = None  # type: ignore[assignment]
+
+
+def register_snapshot_stream_source(spark) -> None:
+    """Idempotent registration of the snapshot_table streaming source."""
+    if SnapshotTableStreamSource is None:  # pragma: no cover
+        raise ImportError("snapshot_table source needs pyspark >= 4")
+    spark.dataSource.register(SnapshotTableStreamSource)

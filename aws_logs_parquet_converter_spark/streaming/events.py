@@ -452,6 +452,22 @@ def _register_gate_queries() -> None:
         "re-parse value-for-value, dead letters included.",
     )(stream_snapshot_compaction)
 
+    register(
+        "stream_snapshot_source",
+        oracle="SELECT event_id, user_id, event_type FROM events",
+        doc="Structured Streaming gate: the snapshot table consumed AS A "
+        "STREAMING SOURCE (Spark 4 Python DataSource; offsets are "
+        "manifest versions, a batch plans one task per delta file, "
+        "executors yield Arrow record batches). Drained stream over the "
+        "append+append+OPTIMIZE lifecycle == the batch events "
+        "projection — version-offset batching is lossless and "
+        "duplicate-free, and the OPTIMIZE commit contributes zero rows. "
+        "With the write side (stream_snapshot_compaction) this closes "
+        "the loop: tables chained through snapshot commits stream "
+        "end-to-end with exactly-once semantics from checkpointed "
+        "version offsets.",
+    )(stream_snapshot_source)
+
     from ..operators.logformats import ALB_PARSE_ORACLE
 
     register(
@@ -1206,6 +1222,39 @@ def stream_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in OUTPUT_COLUMNS
     ]
     return out.select(*cols)
+
+
+def stream_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: a snapshot-manifest table consumed AS A STRUCTURED STREAMING
+    SOURCE (sources/snapshot_stream.py — offsets are manifest versions,
+    one task per delta file, Arrow-batch reads). The table behind it is
+    the full lifecycle fixture: two fragmented appends plus an OPTIMIZE
+    commit; the drained stream must equal the batch read of the whole
+    table value-for-value, proving (a) version-offset batching loses and
+    duplicates nothing and (b) the OPTIMIZE commit inside the offset
+    range contributes zero rows — maintenance is invisible to streaming
+    consumers, the same isolation the manifest layer gives batch
+    readers."""
+    import tempfile
+
+    from ..operators.layouts import _snapshot_events_for
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    root = _snapshot_events_for(spark, sf_dir)
+    register_snapshot_stream_source(spark)
+    dest = tempfile.mkdtemp(prefix="snapsrc_dest_")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="snapsrc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest)
 
 
 def stream_alb_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,6 +88,7 @@ EAGER_LEGS = [
     "stream_dedup",  # stateful dropDuplicatesWithinWatermark over 2x delivery
     "dedup_semantic_clustered",  # k-means training runs eagerly (localCheckpoint)
     "stream_snapshot_compaction",  # file stream committing manifest versions
+    "stream_snapshot_source",  # snapshot table AS a streaming source (drain)
 ]
 
 # Write-only-timed legs added after r3 (seeded state builds on the first

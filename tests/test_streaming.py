@@ -5,6 +5,7 @@ windows must match the registered batch twin."""
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_logs_parquet_converter_spark.streaming.events import (
@@ -542,3 +543,85 @@ def test_snapshot_stream_stats_enable_day_pruning(spark, tmp_path):
     v1_rows = snapshot_read(spark, root, version=1).count()
     delta = snapshot_changes(spark, root, 1)
     assert delta.count() == full.count() - v1_rows > 0
+
+
+def _drain_snapshot_stream(spark, root, dest, ckpt, starting_version=None):
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    register_snapshot_stream_source(spark)
+    r = spark.readStream.format("snapshot_table").option("root", root)
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest)
+
+
+def test_snapshot_stream_source_checkpoint_resume(spark, tmp_path):
+    """The source's exactly-once contract: a drain, new commits, then a
+    SECOND drain on the SAME checkpoint emits only the new versions'
+    rows — version offsets resume from the engine checkpoint."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_optimize,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    snapshot_write(spark.range(0, 40).selectExpr("id", "id*2 AS v"), root)
+    snapshot_write(spark.range(40, 80).selectExpr("id", "id*2 AS v"), root)
+    out = _drain_snapshot_stream(spark, root, dest, ckpt)
+    assert sorted(r.id for r in out.collect()) == list(range(80))
+    # maintenance + fresh data land; resume picks up ONLY the new rows
+    snapshot_optimize(spark, root, target_file_mb=128)
+    snapshot_write(spark.range(80, 90).selectExpr("id", "id*2 AS v"), root)
+    out2 = _drain_snapshot_stream(spark, root, dest, ckpt)
+    assert sorted(r.id for r in out2.collect()) == list(range(90))  # no dupes
+
+
+def test_snapshot_stream_source_evolution_and_starting_version(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_write
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 10).selectExpr("id", "id*2 AS v"), root)
+    snapshot_write(
+        spark.range(10, 15).selectExpr("id", "id*2 AS v", "'x' AS tag"), root
+    )
+    out = _drain_snapshot_stream(
+        spark, root, str(tmp_path / "d1"), str(tmp_path / "c1")
+    )
+    rows = sorted((r.id, r.v, r.tag) for r in out.collect())
+    assert rows == [(i, 2 * i, None if i < 10 else "x") for i in range(15)]
+    tail = _drain_snapshot_stream(
+        spark, root, str(tmp_path / "d2"), str(tmp_path / "c2"),
+        starting_version=1,
+    )
+    assert sorted(r.id for r in tail.collect()) == list(range(10, 15))
+
+
+def test_snapshot_stream_source_refuses_rewrite_commits(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 10).selectExpr("id", "id*2 AS v"), root)
+    snapshot_merge(
+        spark.range(5, 12).selectExpr("id", "id*9 AS v"), root, key="id"
+    )
+    with pytest.raises(StreamingQueryException, match="merge"):
+        _drain_snapshot_stream(
+            spark, root, str(tmp_path / "d"), str(tmp_path / "c")
+        )
