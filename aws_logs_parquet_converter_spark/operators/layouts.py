@@ -516,3 +516,217 @@ def table_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.snapshots import snapshot_read
 
     return snapshot_read(spark, _snapshot_merged_events_for(spark, sf_dir))
+
+
+#: delete boundary — the change-set removes event_id < SNAP_DEL, which the
+#: per-file key stats confine to the FIRST quartile's files
+SNAP_DEL = 1250
+
+#: per-sf_dir cache of seeded + DELETED table roots
+_SNAPSHOT_DELETE_PATHS: dict[str, str] = {}
+
+
+def _snapshot_deleted_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed the disjoint-quartile stats shape (four appends, per-file
+    min/max on event_id), then snapshot_delete the bottom half of the
+    first quartile. The key stats prove quartiles 2-4 cannot hold a
+    matching row, so their files are kept VERBATIM in the delete's
+    manifest — asserted here where the file lists are at hand."""
+    path = _SNAPSHOT_DELETE_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import read_manifest, snapshot_delete, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_delete_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    bounds = [None, *SNAP_Q, None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        snapshot_write(part.repartition(2), path, stats_cols=["event_id"])
+    pre = read_manifest(spark, path, 4)
+    snapshot_delete(spark, path, [("event_id", "<", SNAP_DEL)])
+    post = read_manifest(spark, path, 5)
+    assert post["action"] == "delete"
+    outside = {
+        f
+        for f, s in pre["stats"].items()
+        if s["event_id"][0] is not None and s["event_id"][0] >= SNAP_DEL
+    }  # files the stats prove untouchable — most of the table
+    assert outside <= set(post["files"]), (
+        "copy-on-write delete must keep non-overlapping files verbatim"
+    )
+    _SNAPSHOT_DELETE_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_delete",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id >= {SNAP_DEL}
+    """,
+    doc=(
+        "Predicate DELETE as COPY-ON-WRITE on a snapshot table: "
+        "snapshot_delete removes event_id < 1250 from a table committed "
+        "as four disjoint event_id quartiles with per-file key stats. "
+        "Candidate files are selected DRIVER-SIDE from the manifest "
+        "min/max — only the first quartile's files are read and "
+        "rewritten; every other file survives VERBATIM in the new "
+        "manifest (asserted in the fixture), so delete cost is "
+        "proportional to overlapping-file bytes, not table bytes — the "
+        "GDPR-erasure / retention-trim shape at 100 TB. Rewritten files "
+        "get fresh stats (skipping survives), NULL-predicate rows are "
+        "KEPT (SQL DELETE semantics, test-pinned), conflicts ABORT "
+        "Delta-style, and the pre-delete version stays time-travel-"
+        "readable until vacuum."
+    ),
+)
+def table_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_deleted_events_for(spark, sf_dir))
+
+
+#: per-sf_dir cache of seeded + RESTORED table roots
+_SNAPSHOT_RESTORE_PATHS: dict[str, str] = {}
+
+
+def _snapshot_restored_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = first half of events; v2 = a bad OVERWRITE (second half only —
+    the 'oops' deploy); v3 = snapshot_restore back to v1. The restore is
+    pure metadata: no commit dir is added (asserted), the rolled-past v2
+    stays readable, and the latest read equals v1 exactly."""
+    path = _SNAPSHOT_RESTORE_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import os
+    import tempfile
+
+    from ..plans.snapshots import snapshot_restore, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_restore_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(ev.where(F.col("event_id") < SNAP_SPLIT), path)
+    snapshot_write(
+        ev.where(F.col("event_id") >= SNAP_SPLIT), path, mode="overwrite"
+    )
+    n_dirs = len(os.listdir(os.path.join(path, "data")))
+    assert snapshot_restore(spark, path, 1) == 3
+    assert len(os.listdir(os.path.join(path, "data"))) == n_dirs, (
+        "restore must be metadata-only — no data files written"
+    )
+    _SNAPSHOT_RESTORE_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_restore",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id < {SNAP_SPLIT}
+    """,
+    doc=(
+        "RESTORE (rollback) on a snapshot table: after a bad OVERWRITE "
+        "replaces the table's contents, snapshot_restore(version=1) "
+        "commits the ORIGINAL file list as a new version — Delta's "
+        "RESTORE TO VERSION AS OF. Pure metadata: no data file is read, "
+        "written, or moved (asserted in the fixture), so rollback costs "
+        "one manifest regardless of table size — the undo button a "
+        "100 TB ingest pipeline needs when a deploy writes garbage. "
+        "History stays intact: the rolled-past version remains time-"
+        "travel-readable until vacuum, and incremental consumers are "
+        "told to re-baseline (snapshot_changes refuses to cross a "
+        "restore). Matching the oracle's first-half projection proves "
+        "the rollback is value-exact."
+    ),
+)
+def table_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_restored_events_for(spark, sf_dir))
+
+
+#: per-sf_dir cache of seeded + CLUSTER-OPTIMIZED table roots
+_SNAPSHOT_CLUSTER_PATHS: dict[str, str] = {}
+
+
+def _snapshot_clustered_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed events HASH-SCRAMBLED (repartitioned on user_id, so every
+    file spans ~the full event_id range — stats exist but are useless:
+    a range read must open every file), then snapshot_optimize with
+    cluster_by=['event_id'] to range-repartition + sort the rewrite.
+    The fixture asserts the before state really was unprunable, so the
+    registered query's pruned scan measures the CLUSTERING win, not the
+    seeding shape."""
+    path = _SNAPSHOT_CLUSTER_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import snapshot_optimize, snapshot_read, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_cluster_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(
+        ev.repartition(4, "user_id"), path, stats_cols=["event_id"]
+    )
+    before = snapshot_read(
+        spark, path, filters=[("event_id", "<", SNAP_Q[0])]
+    )
+    assert len(before.inputFiles()) == 4, (
+        "hash-scrambled seed must be unprunable before clustering"
+    )
+    # fractional target forces >1 output file even at test scale; at real
+    # scale 128 MB is the knob
+    assert snapshot_optimize(
+        spark, path, target_file_mb=0.05, cluster_by=["event_id"]
+    ) == 2
+    _SNAPSHOT_CLUSTER_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_clustered_read",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id < {SNAP_Q[0]}
+    """,
+    doc=(
+        "CLUSTERED OPTIMIZE (Delta's OPTIMIZE..ZORDER, one-dimensional "
+        "range form) buying data skipping: the table is seeded hash-"
+        "scrambled so every file spans the full event_id range — stats "
+        "exist but prune NOTHING (asserted: 4/4 files read). "
+        "snapshot_optimize(cluster_by=['event_id']) range-partitions + "
+        "sorts the rewrite so each packed file covers a narrow range, "
+        "re-gathers stats, and commits as a row-preserving optimize "
+        "action (invisible to incremental consumers). The registered "
+        "query's pruned read then opens a strict subset of files "
+        "(asserted) and still matches the oracle exactly. Skipping is a "
+        "property of stats TIGHTNESS, and clustering is the maintenance "
+        "op that buys it — at 100 TB this is the difference between a "
+        "range query scanning the table and scanning one file in N."
+    ),
+)
+def table_snapshot_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import read_manifest, snapshot_read
+
+    path = _snapshot_clustered_events_for(spark, sf_dir)
+    out = snapshot_read(spark, path, filters=[("event_id", "<", SNAP_Q[0])])
+    n_total = len(read_manifest(spark, path, 2)["files"])
+    n_read = len(out.inputFiles())
+    assert n_total == 1 or n_read < n_total, (
+        f"clustered stats must prune: read {n_read}/{n_total} files"
+    )
+    return out

@@ -406,27 +406,38 @@ def snapshot_read(
     if not files:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
-    preds = {
-        "=": lambda c, v: F.col(c) == v,
-        "<": lambda c, v: F.col(c) < v,
-        "<=": lambda c, v: F.col(c) <= v,
-        ">": lambda c, v: F.col(c) > v,
-        ">=": lambda c, v: F.col(c) >= v,
-    }
     for c, op, v in filters or []:
-        df = df.where(preds[op](c, F.lit(v)))
+        df = df.where(_PRED_BUILDERS[op](c, F.lit(v)))
     return df
 
 
 def snapshot_optimize(
-    spark: SparkSession, root: str, target_file_mb: int = 128
+    spark: SparkSession,
+    root: str,
+    target_file_mb: float = 128,
+    cluster_by: list[str] | None = None,
 ) -> int | None:
     """Bin-pack the CURRENT version's small files into new data files and
     commit the packed list as a new version — the reader-safe OPTIMIZE:
     unlike the directory-swap form (plans/optimize.py), no path a reader
     may hold is ever renamed or deleted; old versions stay readable until
     vacuum. Returns the new version, or None when the table is already
-    packed (repeated runs are no-ops, so it schedules safely)."""
+    packed (repeated runs are no-ops, so it schedules safely).
+
+    ``cluster_by`` additionally CLUSTERS the rewrite (Delta's ``OPTIMIZE
+    ... ZORDER BY``, one dimension generalized to a range-cluster): rows
+    are range-partitioned then sorted on the named columns before the
+    write, so each packed file covers a NARROW value range and the fresh
+    per-file min/max stats become tight. That converts a layout where
+    every file overlaps every predicate (ingest arrival order, hash
+    residue) into one where ``snapshot_read(filters=...)`` skips most
+    files — data skipping is a property of stats TIGHTNESS, and
+    clustering is the maintenance op that buys it. The cluster columns
+    are merged into the manifest's ``stats_cols`` so the new stats exist
+    even on a table that never opted in. Clustering forces the rewrite
+    even when file COUNT is already at target (packed-but-scrambled is
+    exactly the case it fixes); it is row-preserving, so the commit
+    stays an ``optimize`` action — invisible to ``snapshot_changes``."""
     latest = current_version(spark, root)
     if latest is None:
         return None
@@ -438,13 +449,20 @@ def snapshot_optimize(
     for f in m["files"]:
         total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(jroot, f)).getLen()
     want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    if len(m["files"]) <= want:
+    if len(m["files"]) <= want and not cluster_by:
         return None
-    packed = snapshot_read(spark, root, latest).coalesce(want)
+    cur = snapshot_read(spark, root, latest)
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        packed = cur.repartitionByRange(want, *cols).sortWithinPartitions(*cols)
+    else:
+        packed = cur.coalesce(want)
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
     packed.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
     stats_cols = m.get("stats_cols")
+    if cluster_by:
+        stats_cols = sorted(set(stats_cols or []) | set(cluster_by))
     new_stats = (
         _collect_file_stats(spark, commit_dir, list(stats_cols))
         if stats_cols and new_files
@@ -518,11 +536,11 @@ def snapshot_changes(
         if action == "optimize":
             seen = files  # same rows, new packing — nothing to emit
             continue
-        if action in ("overwrite", "merge"):
+        if action in ("overwrite", "merge", "delete", "restore"):
             raise ValueError(
-                f"version {v} is a {action!r} commit — it rewrites rows, so "
-                "the delta is not expressible as appended files; re-baseline "
-                f"with snapshot_read(version={to_version})"
+                f"version {v} is a {action!r} commit — it rewrites or removes "
+                "rows, so the delta is not expressible as appended files; "
+                f"re-baseline with snapshot_read(version={to_version})"
             )
         delta.extend(sorted(files - seen))
         seen = files
@@ -640,6 +658,140 @@ def snapshot_merge(
             "taken during the rewrite — aborting; re-run against fresh state"
         )
     return latest + 1
+
+
+_PRED_BUILDERS = {
+    "=": lambda c, v: F.col(c) == v,
+    "<": lambda c, v: F.col(c) < v,
+    "<=": lambda c, v: F.col(c) <= v,
+    ">": lambda c, v: F.col(c) > v,
+    ">=": lambda c, v: F.col(c) >= v,
+}
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    root: str,
+    filters: list[tuple],
+) -> int:
+    """Predicate DELETE as a COPY-ON-WRITE commit: rows matching the
+    AND-ed ``filters`` (``[(col, op, value), ...]``, op in =, <, <=, >,
+    >=) are removed from the table. Returns the committed (or, for a
+    provable no-op, current) version.
+
+    The 100-TB shape mirrors :func:`snapshot_merge`: candidate selection
+    is DRIVER-SIDE metadata — a file whose manifest min/max stats prove
+    no row can match survives VERBATIM in the new manifest (never read,
+    never rewritten), so delete cost is proportional to overlapping-file
+    bytes, not table bytes. When stats prove NO file overlaps, nothing
+    is committed at all and the current version is returned unchanged.
+    SQL DELETE semantics on NULLs: a row where the predicate evaluates
+    to NULL is KEPT (only provably-TRUE rows are removed). Rewritten
+    files get fresh stats; conflict policy is Delta's — any commit
+    landing between the read and the manifest CAS ABORTS the delete
+    (re-run against fresh state) rather than rebasing row-level work.
+    The commit's ``delete`` action marks it as a row-rewrite for
+    :func:`snapshot_changes`, which refuses to cross it."""
+    if not filters:
+        raise ValueError(
+            "snapshot_delete requires a predicate — to drop every row, "
+            "snapshot_write an empty frame with mode='overwrite'"
+        )
+    spark_preds = [_PRED_BUILDERS[op](c, F.lit(v)) for c, op, v in filters]
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    m = read_manifest(spark, root, latest)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    stats = m.get("stats", {})
+    candidates, untouched = [], []
+    for f in m["files"]:
+        overlaps = all(
+            _file_survives(stats.get(f), c, op, _stat_encode(v))
+            for c, op, v in filters
+        )
+        (candidates if overlaps else untouched).append(f)
+    if not candidates:
+        return latest
+    cand = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in candidates])
+    match = spark_preds[0]
+    for p in spark_preds[1:]:
+        match = match & p
+    keep = cand.where(~F.coalesce(match, F.lit(False)))
+    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    keep.write.parquet(commit_dir)
+    new_files = _list_commit_files(spark, commit_dir)
+    stats_cols = m.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(spark, commit_dir, list(stats_cols))
+        if stats_cols and new_files
+        else {}
+    )
+    if current_version(spark, root) != latest:
+        raise IOError(
+            f"snapshot_delete conflict on {root}: the table moved past "
+            f"version {latest} during the rewrite — aborting (the commit "
+            "dir is inert residue; re-run to delete against fresh state)"
+        )
+    manifest = {
+        "version": latest + 1,
+        "action": "delete",
+        "schema": m["schema"],
+        "files": sorted(set(untouched) | set(new_files)),
+    }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        manifest["stats"] = {
+            f: s
+            for f, s in {**stats, **new_stats}.items()
+            if f in set(manifest["files"])
+        }
+    if not _try_commit(spark, root, manifest):
+        raise IOError(
+            f"snapshot_delete conflict on {root}: version {latest + 1} was "
+            "taken during the rewrite — aborting; re-run against fresh state"
+        )
+    return latest + 1
+
+
+def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
+    """ROLL BACK the table to the contents of ``version`` by committing a
+    NEW version whose file list is the old version's — Delta's
+    ``RESTORE TABLE ... TO VERSION AS OF``. Pure metadata: no data file
+    is read, written, or moved (the old files are still on disk — that
+    is the immutability invariant), so a restore costs one manifest
+    regardless of table size, and history stays intact: the versions
+    being rolled PAST remain time-travel-readable until vacuum.
+    Restoring to the current version is a no-op (returns it unchanged).
+    The ``restore`` action marks the commit as a row-rewrite for
+    :func:`snapshot_changes` — a rollback can remove rows, so an
+    incremental consumer must re-baseline. Returns the new (or, for a
+    no-op, current) version.
+
+    Caveat shared with Delta: a restore reaches only versions vacuum has
+    not retired; :func:`snapshot_vacuum` keeps the newest ``keep_last``
+    manifests AND every data file they reference, so size the retention
+    window to the rollback horizon you need."""
+    target = read_manifest(spark, root, version)  # raises if retired/absent
+    for _ in range(_MAX_COMMIT_RETRIES):
+        latest = current_version(spark, root)
+        if latest == version:
+            return latest
+        manifest = {
+            "version": latest + 1,
+            "action": "restore",
+            "schema": target["schema"],
+            "files": target["files"],
+        }
+        if target.get("stats_cols"):
+            manifest["stats_cols"] = target["stats_cols"]
+            manifest["stats"] = target.get("stats", {})
+        if _try_commit(spark, root, manifest):
+            return latest + 1
+    raise IOError(
+        f"snapshot_restore: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times on {root} — a runaway committer is monopolizing the table"
+    )
 
 
 #: Default vacuum grace window (seconds). A data commit dir younger than

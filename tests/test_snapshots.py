@@ -396,3 +396,132 @@ def test_merge_schema_evolution_and_conflict_abort(spark, tmp_path):
             snapshot_merge(src, root, key="id")
     finally:
         S.current_version = real_cv
+
+
+def test_delete_removes_rows_and_skips_nonoverlapping_files(spark, tmp_path):
+    """Copy-on-write DELETE: only files whose stats overlap the predicate
+    are rewritten; non-overlapping files survive verbatim; a provable
+    no-op commits nothing."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(2), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 100, 200).repartition(2), root)
+    pre = read_manifest(spark, root, 2)
+    upper = {
+        f for f, s in pre["stats"].items() if s["id"][0] >= 100
+    }  # second commit's files: predicate cannot touch them
+    assert len(upper) == 2
+    v = snapshot_delete(spark, root, [("id", "<", 50)])
+    assert v == 3
+    post = read_manifest(spark, root, 3)
+    assert post["action"] == "delete"
+    assert upper <= set(post["files"])  # untouched files kept verbatim
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 50, 200))
+    # rewritten files carry FRESH stats so skipping survives the delete
+    assert set(post["stats"]) == set(post["files"])
+    # time travel still sees the pre-delete table
+    assert _rows(snapshot_read(spark, root, version=2)) == _rows(
+        _df(spark, 0, 200)
+    )
+    # provable no-op: stats show nothing overlaps -> no commit at all
+    assert snapshot_delete(spark, root, [("id", ">=", 10_000)]) == 3
+    assert current_version(spark, root) == 3
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are kept."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN NULL ELSE id * 2 END AS v"
+    )
+    snapshot_write(df, root)
+    snapshot_delete(spark, root, [("v", "<", 10)])
+    kept = sorted(r.id for r in snapshot_read(spark, root).collect())
+    # deleted: v in {2,4,8} -> ids 1,2,4; NULL-v ids 0,3,6,9 all kept
+    assert kept == [0, 3, 5, 6, 7, 8, 9]
+
+
+def test_delete_conflict_aborts(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans import snapshots as S
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    real_cv = S.current_version
+    state = {"calls": 0}
+
+    def racing_cv(sp, r):
+        state["calls"] += 1
+        if state["calls"] == 2:  # delete's pre-CAS check: race a commit in
+            racer = dict(read_manifest(sp, r, real_cv(sp, r)))
+            racer["version"] = real_cv(sp, r) + 1
+            racer["action"] = "append"
+            assert _try_commit(sp, r, racer)
+        return real_cv(sp, r)
+
+    S.current_version = racing_cv
+    try:
+        with pytest.raises(IOError, match="conflict"):
+            snapshot_delete(spark, root, [("id", "<", 5)])
+    finally:
+        S.current_version = real_cv
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    """RESTORE commits the old version's file list as a new version: no
+    data is copied, rolled-past versions stay readable, and changes()
+    refuses to cross the restore."""
+    import os
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_changes,
+        snapshot_restore,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 10, 20), root)
+    n_dirs_before = len(os.listdir(tmp_path / "t" / "data"))
+    v = snapshot_restore(spark, root, 1)
+    assert v == 3
+    # metadata-only: no new commit dir was written
+    assert len(os.listdir(tmp_path / "t" / "data")) == n_dirs_before
+    m = read_manifest(spark, root, 3)
+    assert m["action"] == "restore"
+    assert m["files"] == read_manifest(spark, root, 1)["files"]
+    assert m["stats"] == read_manifest(spark, root, 1)["stats"]
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 10))
+    # the rolled-past version remains time-travel-readable
+    assert _rows(snapshot_read(spark, root, version=2)) == _rows(
+        _df(spark, 0, 20)
+    )
+    # restore-to-current is a no-op
+    assert snapshot_restore(spark, root, 3) == 3
+    # incremental consumers must re-baseline across a restore
+    with pytest.raises(ValueError, match="restore"):
+        snapshot_changes(spark, root, 1)
+
+
+def test_clustered_optimize_tightens_stats_for_skipping(spark, tmp_path):
+    """OPTIMIZE(cluster_by): a layout where every file spans the full key
+    range (hash-scrambled ingest) is re-clustered so per-file ranges are
+    narrow, turning a no-skip read into a most-files-skipped read."""
+    root = str(tmp_path / "t")
+    # hash-scramble: each of 4 files spans ~the whole id range
+    snapshot_write(
+        _df(spark, 0, 400).repartition(4, "v"), root, stats_cols=["id"]
+    )
+    before = snapshot_read(spark, root, filters=[("id", "<", 100)])
+    assert len(before.inputFiles()) == 4  # overlapping stats: nothing skips
+    v = snapshot_optimize(spark, root, target_file_mb=128, cluster_by=["id"])
+    assert v == 2
+    m = read_manifest(spark, root, 2)
+    assert m["action"] == "optimize"
+    after = snapshot_read(spark, root, filters=[("id", "<", 100)])
+    assert len(after.inputFiles()) < len(m["files"]) or len(m["files"]) == 1
+    assert _rows(after) == _rows(_df(spark, 0, 100))
+    # row-preserving: full read identical
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 400))
