@@ -416,6 +416,7 @@ def snapshot_optimize(
     root: str,
     target_file_mb: float = 128,
     cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int | None:
     """Bin-pack the CURRENT version's small files into new data files and
     commit the packed list as a new version — the reader-safe OPTIMIZE:
@@ -437,7 +438,20 @@ def snapshot_optimize(
     even on a table that never opted in. Clustering forces the rewrite
     even when file COUNT is already at target (packed-but-scrambled is
     exactly the case it fixes); it is row-preserving, so the commit
-    stays an ``optimize`` action — invisible to ``snapshot_changes``."""
+    stays an ``optimize`` action — invisible to ``snapshot_changes``.
+
+    ``zorder_by=(col_a, col_b)`` is the TWO-dimensional form (Delta's
+    ``ZORDER BY (a, b)``): a lexicographic ``cluster_by=[a, b]`` gives
+    perfect skipping on ``a`` but almost none on ``b`` alone, while the
+    Morton interleave (``plans/zorder.py`` — quantized cells, bits
+    interleaved, all native codegen expressions) makes each packed file
+    cover a small RECTANGLE of (a, b) space, so a predicate on EITHER
+    column prunes. Dimension bounds for quantization come from one
+    column-pruned min/max pass over the current version. Both columns
+    join the manifest's ``stats_cols``. Mutually exclusive with
+    ``cluster_by``."""
+    if cluster_by and zorder_by:
+        raise ValueError("pass cluster_by or zorder_by, not both")
     latest = current_version(spark, root)
     if latest is None:
         return None
@@ -449,20 +463,48 @@ def snapshot_optimize(
     for f in m["files"]:
         total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(jroot, f)).getLen()
     want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    if len(m["files"]) <= want and not cluster_by:
+    if len(m["files"]) <= want and not (cluster_by or zorder_by):
         return None
     cur = snapshot_read(spark, root, latest)
     if cluster_by:
         cols = [F.col(c) for c in cluster_by]
         packed = cur.repartitionByRange(want, *cols).sortWithinPartitions(*cols)
+    elif zorder_by:
+        from .zorder import quantize, zorder_key
+
+        a, b = zorder_by
+        bounds = cur.agg(
+            F.min(a).alias("a_lo"),
+            F.max(a).alias("a_hi"),
+            F.min(b).alias("b_lo"),
+            F.max(b).alias("b_hi"),
+        ).collect()[0]
+
+        def _cell(col: str, lo, hi):
+            if lo is None or hi is None or float(lo) == float(hi):
+                return F.lit(0).cast("bigint")  # degenerate dim: one cell
+            return quantize(F.col(col), float(lo), float(hi))
+
+        key = zorder_key(
+            _cell(a, bounds["a_lo"], bounds["a_hi"]),
+            _cell(b, bounds["b_lo"], bounds["b_hi"]),
+        )
+        packed = (
+            cur.withColumn("__zkey", key)
+            .repartitionByRange(want, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
     else:
         packed = cur.coalesce(want)
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
     packed.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
     stats_cols = m.get("stats_cols")
-    if cluster_by:
-        stats_cols = sorted(set(stats_cols or []) | set(cluster_by))
+    if cluster_by or zorder_by:
+        stats_cols = sorted(
+            set(stats_cols or []) | set(cluster_by or []) | set(zorder_by or ())
+        )
     new_stats = (
         _collect_file_stats(spark, commit_dir, list(stats_cols))
         if stats_cols and new_files

@@ -101,6 +101,8 @@ POST_R3_LEGS = [
     "dedup_incremental_semantic",  # frozen-centroid batch probe of the index
     "table_snapshot_changes",  # incremental read: delta-files-only scan
     "table_snapshot_merge_upsert",  # post-merge read (merge runs at seed)
+    "table_snapshot_delete",  # post-delete read (stats-pruned CoW delete at seed)
+    "table_snapshot_clustered_read",  # range read after OPTIMIZE cluster_by
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -525,3 +525,38 @@ def test_clustered_optimize_tightens_stats_for_skipping(spark, tmp_path):
     assert _rows(after) == _rows(_df(spark, 0, 100))
     # row-preserving: full read identical
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 400))
+
+
+def test_zorder_optimize_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE(zorder_by): after the Morton repack, a range predicate on
+    EITHER dimension prunes files; lexicographic cluster_by would serve
+    only the leading column."""
+    root = str(tmp_path / "t")
+    # w is a pseudo-random permutation of id: the two dims are independent
+    df = spark.range(0, 4096).selectExpr("id", "(id * 193) % 4096 AS w")
+    # hash-scatter on id: every file spans ~the full range of BOTH dims
+    snapshot_write(df.repartition(4, "id"), root, stats_cols=["id", "w"])
+    for c in ("id", "w"):  # scrambled: neither dim prunes
+        assert len(
+            snapshot_read(spark, root, filters=[(c, "<", 512)]).inputFiles()
+        ) == 4
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_optimize(spark, root, cluster_by=["id"], zorder_by=("id", "w"))
+    v = snapshot_optimize(
+        spark, root, target_file_mb=0.002, zorder_by=("id", "w")
+    )
+    assert v == 2
+    m = read_manifest(spark, root, 2)
+    assert sorted(m["stats_cols"]) == ["id", "w"]
+    n_total = len(m["files"])
+    assert n_total >= 8, "fixture must pack into enough files to measure"
+    for c in ("id", "w"):  # an eighth-slab on EITHER dim skips most files
+        got = snapshot_read(spark, root, filters=[(c, "<", 512)])
+        assert len(got.inputFiles()) <= n_total // 2, (
+            f"zorder must prune on {c}: {len(got.inputFiles())}/{n_total}"
+        )
+    # row-preserving and value-exact
+    out = snapshot_read(spark, root, filters=[("w", "<", 512)])
+    assert sorted(r.id for r in out.collect()) == sorted(
+        i for i in range(4096) if (i * 193) % 4096 < 512
+    )
