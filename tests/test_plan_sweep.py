@@ -88,13 +88,16 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            2,
+            3,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
             "table-sized), the manifest data-skipping stats; snapshot_merge "
             "collects the source key [min, max] — ONE row of two scalars — "
             "to prune candidate files driver-side before the copy-on-write "
-            "rewrite; reads plan normally with no driver round-trip",
+            "rewrite; snapshot_optimize(zorder_by) collects the two "
+            "dimensions' [min, max] bounds — ONE row of four scalars — to "
+            "quantize the Morton grid; reads plan normally with no driver "
+            "round-trip",
         ),
     }
     for py in sorted(ops_dir.rglob("*.py")):
