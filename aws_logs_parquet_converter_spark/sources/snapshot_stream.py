@@ -58,13 +58,18 @@ def _read_manifest_py(root: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _delta_files(root: str, start_v: int, end_v: int) -> tuple[list[str], str]:
-    """(delta file list, schema JSON of the range's newest manifest) —
-    the snapshot_changes walk, shared by partition planning."""
+def _delta_files(
+    root: str, start_v: int, end_v: int
+) -> tuple[list[str], str, dict]:
+    """(delta file list, schema JSON of the range's newest manifest,
+    per-file stats for the delta files) — the snapshot_changes walk,
+    shared by partition planning. Stats come from the manifest that
+    introduced each file (the commit-time min/max the writer gathered)."""
     seen: set[str] = set()
     if start_v > 0:
         seen = set(_read_manifest_py(root, start_v)["files"])
     delta: list[str] = []
+    stats: dict[str, dict] = {}
     schema_json = None
     for v in range(start_v + 1, end_v + 1):
         m = _read_manifest_py(root, v)
@@ -74,17 +79,49 @@ def _delta_files(root: str, start_v: int, end_v: int) -> tuple[list[str], str]:
         if action == "optimize":
             seen = files
             continue
-        if action in ("overwrite", "merge"):
+        if action in ("overwrite", "merge", "delete", "restore"):
             raise ValueError(
                 f"snapshot stream hit a {action!r} commit at version {v} — "
                 "rows were rewritten; restart the stream from a fresh "
                 "baseline (startingVersion)"
             )
-        delta.extend(sorted(files - seen))
+        fresh = sorted(files - seen)
+        delta.extend(fresh)
+        m_stats = m.get("stats", {})
+        for f in fresh:
+            if f in m_stats:
+                stats[f] = m_stats[f]
         seen = files
     if schema_json is None:
         schema_json = _read_manifest_py(root, end_v)["schema"]
-    return delta, schema_json
+    return delta, schema_json, stats
+
+
+#: the prune ops, as pyarrow.compute functions — same surface as
+#: plans.snapshots._PRED_BUILDERS
+_PC_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _survives(stats: dict | None, col: str, op: str, val) -> bool:
+    """Driver-side file pruning — plans.snapshots._file_survives with
+    JSON-native stats (kept JVM-free so the source has no Spark-session
+    dependency at planning time)."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    if mn is None or mx is None:
+        return False  # all-NULL file: no comparison can be true
+    if op == "=":
+        return mn <= val <= mx
+    if op == "<":
+        return mn < val
+    if op == "<=":
+        return mn <= val
+    if op == ">":
+        return mx > val
+    if op == ">=":
+        return mx >= val
+    raise ValueError(f"unsupported prune op {op!r} ({', '.join(_PC_OPS)})")
 
 
 try:  # pyspark >= 4.0 only
@@ -105,6 +142,24 @@ try:  # pyspark >= 4.0 only
             if not self._root:
                 raise ValueError("snapshot_table source requires option 'root'")
             self._start = int(options.get("startingversion", "0"))
+            # predicate PUSHDOWN into the source: option 'filters' is a
+            # JSON list of [col, op, value] AND-ed terms. Files whose
+            # manifest stats prove no row can match are never planned as
+            # partitions (the streaming analogue of snapshot_read's data
+            # skipping), and surviving files are filtered BATCH-side with
+            # pyarrow.compute, so the option is exact on its own — a
+            # filtered consumer of a 100 TB table streams only the bytes
+            # its predicate touches.
+            self._filters: list[tuple] = []
+            raw = options.get("filters")
+            if raw:
+                for c, op, v in json.loads(raw):
+                    if op not in _PC_OPS:
+                        raise ValueError(
+                            f"unsupported filter op {op!r} "
+                            f"({', '.join(_PC_OPS)})"
+                        )
+                    self._filters.append((c, op, v))
 
         def initialOffset(self):
             return {"version": self._start}
@@ -114,9 +169,18 @@ try:  # pyspark >= 4.0 only
             return {"version": vs[-1] if vs else self._start}
 
         def partitions(self, start, end):
-            delta, _ = _delta_files(
+            delta, _, stats = _delta_files(
                 self._root, int(start["version"]), int(end["version"])
             )
+            if self._filters:
+                delta = [
+                    f
+                    for f in delta
+                    if all(
+                        _survives(stats.get(f), c, op, v)
+                        for c, op, v in self._filters
+                    )
+                ]
             return [
                 _SnapshotFilePartition(os.path.join(self._root, f))
                 for f in delta
@@ -127,9 +191,17 @@ try:  # pyspark >= 4.0 only
             # reconciled to the DECLARED schema (files predating an added
             # column yield NULL there — the snapshot_read contract)
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_type
 
+            pc_ops = {
+                "=": pc.equal,
+                "<": pc.less,
+                "<=": pc.less_equal,
+                ">": pc.greater,
+                ">=": pc.greater_equal,
+            }
             fields = list(self._schema.fields)
             pf = pq.ParquetFile(partition.path)
             have = set(pf.schema_arrow.names)
@@ -143,9 +215,14 @@ try:  # pyspark >= 4.0 only
                         cols.append(
                             pa.nulls(batch.num_rows, type=to_arrow_type(f.dataType))
                         )
-                yield pa.RecordBatch.from_arrays(
+                out = pa.RecordBatch.from_arrays(
                     cols, names=[f.name for f in fields]
                 )
+                for c, op, v in self._filters:
+                    # NULL predicate -> dropped, SQL WHERE semantics
+                    mask = pc_ops[op](out.column(c), pa.scalar(v))
+                    out = out.filter(pc.coalesce(mask, pa.scalar(False)))
+                yield out
 
         def commit(self, end):
             pass  # offsets live in the engine's checkpoint; nothing to do

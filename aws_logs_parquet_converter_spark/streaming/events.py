@@ -468,6 +468,22 @@ def _register_gate_queries() -> None:
         "version offsets.",
     )(stream_snapshot_source)
 
+    register(
+        "stream_snapshot_pruned_source",
+        oracle="SELECT event_id, user_id, event_type FROM events "
+        "WHERE event_id < 2500",
+        doc="Structured Streaming gate: predicate PUSHDOWN into the "
+        "snapshot streaming source. The 'filters' option prunes at two "
+        "levels — delta files whose manifest min/max stats prove no row "
+        "can match are never planned as partitions (asserted in "
+        "tests/test_streaming.py), and surviving files are row-filtered "
+        "batch-side with pyarrow.compute — so a filtered consumer of a "
+        "100 TB table streams only the bytes its predicate touches "
+        "instead of filtering after a full scan. Drained over the "
+        "four-disjoint-quartile stats table, the stream == the oracle's "
+        "first-quartile projection exactly.",
+    )(stream_snapshot_pruned_source)
+
     from ..operators.logformats import ALB_PARSE_ORACLE
 
     register(
@@ -1250,6 +1266,41 @@ def stream_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("parquet")
         .option("path", dest)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="snapsrc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest)
+
+
+def stream_snapshot_pruned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the snapshot streaming source with the ``filters`` option —
+    predicate pushdown INTO the source. Behind it is the four-disjoint-
+    quartile stats table (per-file min/max on event_id); the filter
+    ``event_id < 2500`` confines planning to the first quartile's files
+    (file-level skip from manifest stats) and the Arrow batch filter
+    makes the stream exact row-level. The drained output must equal the
+    oracle's first-quartile projection — streaming pruning loses nothing
+    the predicate selects and leaks nothing it doesn't."""
+    import json as _json
+    import tempfile
+
+    from ..operators.layouts import SNAP_Q, _snapshot_stats_events_for
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    root = _snapshot_stats_events_for(spark, sf_dir)
+    register_snapshot_stream_source(spark)
+    dest = tempfile.mkdtemp(prefix="snapsrc_pruned_dest_")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("filters", _json.dumps([["event_id", "<", SNAP_Q[0]]]))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="snapsrc_pruned_ckpt_")
+        )
         .trigger(availableNow=True)
         .start()
     )

@@ -625,3 +625,59 @@ def test_snapshot_stream_source_refuses_rewrite_commits(spark, tmp_path):
         _drain_snapshot_stream(
             spark, root, str(tmp_path / "d"), str(tmp_path / "c")
         )
+
+
+def test_snapshot_stream_source_filter_pushdown(spark, tmp_path):
+    """The source's 'filters' option is pushdown, both levels: files the
+    manifest stats prove irrelevant are never planned as partitions, and
+    surviving files are row-filtered batch-side — the option is exact on
+    its own."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        read_manifest,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        _SnapshotStreamReader,
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 50).selectExpr("id", "id*2 AS v").repartition(2),
+        root,
+        stats_cols=["id"],
+    )
+    snapshot_write(
+        spark.range(50, 100).selectExpr("id", "id*2 AS v").repartition(2), root
+    )
+    schema = StructType.fromJson(
+        _json.loads(read_manifest(spark, root, 2)["schema"])
+    )
+    # planning level: only the first commit's 2 files (of 4) survive
+    rdr = _SnapshotStreamReader(
+        schema,
+        {"root": root, "filters": _json.dumps([["id", "<", 25]])},
+    )
+    parts = rdr.partitions({"version": 0}, {"version": 2})
+    assert len(parts) == 2
+    # end-to-end: the drained stream holds exactly the matching rows
+    register_snapshot_stream_source(spark)
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("filters", _json.dumps([["id", "<", 25]]))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.id for r in spark.read.parquet(dest).collect())
+    assert got == list(range(25))
