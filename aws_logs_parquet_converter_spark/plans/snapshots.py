@@ -51,9 +51,14 @@ what a 100 TB maintenance story actually needs:
   recursive listing of the freshly written commit dir) plus one small
   JSON write — never proportional to table size. Reads plan a normal
   parquet scan over the manifest's file list, so column pruning and
-  predicate pushdown work unchanged. At very large file counts the
-  manifest itself would shard (Iceberg's manifest lists); out of scope
-  here and noted as the known next step.
+  predicate pushdown work unchanged. The manifest WRITE is also bounded:
+  append-shaped commits store log-segment DELTAS (adds/removes vs the
+  previous version — Delta Lake's commit-log design) with a FULL
+  manifest checkpoint every :data:`MANIFEST_CHECKPOINT_EVERY` versions,
+  so appending one micro-batch to a 10^5-file table writes a
+  batch-sized manifest, not a table-sized one, and any read resolves
+  through at most ``MANIFEST_CHECKPOINT_EVERY`` tiny JSON files
+  (measured in ``tools/manifest_scale_probe.py`` / SCALE.md).
 """
 
 from __future__ import annotations
@@ -123,12 +128,66 @@ def _read_bytes(fs, jvm, path) -> bytes:
         stream.close()
 
 
-def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+#: every Nth version writes a FULL manifest (the complete file list);
+#: versions in between commit DELTAS (adds/removes vs the previous
+#: version) when that is smaller — the Delta-Lake log-segment +
+#: checkpoint design (VLDB'20 §3.1). An append to a table of F files
+#: then costs O(batch) manifest bytes instead of O(F), which is the
+#: difference between a manifest layer that scales to 10^5 files and
+#: one whose METADATA write is table-sized on every commit. Resolution
+#: cost is bounded: a read walks at most this many manifests back to a
+#: checkpoint.
+MANIFEST_CHECKPOINT_EVERY = 10
+
+#: resolved-manifest keys materialized by resolution; everything else in
+#: a raw manifest (action, schema, batch_ids, ...) passes through from
+#: the version being read
+_RESOLVED_KEYS = ("files", "stats")
+
+
+def _read_raw_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    """The version's manifest exactly as stored — a FULL form (has
+    ``files``) or a DELTA form (has ``base``/``adds``/``removes``)."""
     jvm, jroot, fs = _fs_for(spark, root)
     path = _snap_path(jvm, jroot, _manifest_name(version))
     if not fs.exists(path):
         raise FileNotFoundError(f"snapshot table {root} has no version {version}")
     return json.loads(_read_bytes(fs, jvm, path).decode("utf-8"))
+
+
+def resolve_manifest_chain(raws: list[dict]) -> dict:
+    """Materialize a resolved manifest from a chain ``[full, delta, ...,
+    delta_v]`` (oldest first, first element FULL). Shared by the JVM-side
+    reader here and the os-level streaming source. Returns the newest
+    version's manifest with ``files`` (sorted) and ``stats`` materialized;
+    every other key passes through from the newest raw."""
+    files = set(raws[0]["files"])
+    stats: dict = dict(raws[0].get("stats", {}))
+    for d in raws[1:]:
+        files -= set(d.get("removes", ()))
+        files |= set(d.get("adds", ()))
+        for f in d.get("removes", ()):
+            stats.pop(f, None)
+        stats.update(d.get("stats_adds", {}))
+    newest = raws[-1]
+    out = {k: v for k, v in newest.items() if k not in ("adds", "removes", "stats_adds", "base")}
+    out["files"] = sorted(files)
+    if newest.get("stats_cols"):
+        out["stats"] = {f: s for f, s in stats.items() if f in files}
+    return out
+
+
+def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    """The RESOLVED manifest of ``version``: always carries the complete
+    ``files`` list (and ``stats``, when the table records them) whether
+    the version was stored full or as a delta against its predecessor."""
+    raw = _read_raw_manifest(spark, root, version)
+    if "files" in raw:
+        return raw
+    chain = [raw]
+    while "files" not in chain[-1]:
+        chain.append(_read_raw_manifest(spark, root, int(chain[-1]["base"])))
+    return resolve_manifest_chain(list(reversed(chain)))
 
 
 class LogStore:
@@ -170,16 +229,50 @@ def set_log_store(store: LogStore) -> LogStore:
     return prev
 
 
-def _try_commit(spark: SparkSession, root: str, manifest: dict) -> bool:
+def _encode_commit(manifest: dict, prev: dict | None) -> dict:
+    """Pick the on-disk form for a commit: the resolved ``manifest`` as a
+    FULL manifest, or a DELTA against ``prev`` (the resolved previous
+    version) when the delta is strictly smaller. Checkpoint versions
+    (every :data:`MANIFEST_CHECKPOINT_EVERY`) always store full, bounding
+    how far any read must walk to resolve."""
+    v = int(manifest["version"])
+    if (
+        prev is None
+        or int(prev.get("version", -2)) != v - 1
+        or v % MANIFEST_CHECKPOINT_EVERY == 0
+    ):
+        return manifest
+    prev_files, files = set(prev["files"]), set(manifest["files"])
+    adds, removes = sorted(files - prev_files), sorted(prev_files - files)
+    if len(adds) + len(removes) >= len(files):
+        return manifest  # rewrite-shaped commit: full list is smaller
+    raw = {
+        k: val for k, val in manifest.items() if k not in _RESOLVED_KEYS
+    }
+    raw["base"] = v - 1
+    raw["adds"] = adds
+    raw["removes"] = removes
+    if manifest.get("stats_cols"):
+        stats = manifest.get("stats", {})
+        raw["stats_adds"] = {f: stats[f] for f in adds if f in stats}
+    return raw
+
+
+def _try_commit(
+    spark: SparkSession, root: str, manifest: dict, prev: dict | None = None
+) -> bool:
     """Write the manifest to a dot-prefixed temp name, then publish it
     via the installed :class:`LogStore`'s put-if-absent. False = the
     version was taken by a concurrent committer; the temp file is
-    removed and the caller rebases and retries."""
+    removed and the caller rebases and retries. ``manifest`` is the
+    RESOLVED commit; when ``prev`` (the resolved previous version) is
+    given, the on-disk form may be a delta (:func:`_encode_commit`)."""
     jvm, jroot, fs = _fs_for(spark, root)
     sd = jvm.org.apache.hadoop.fs.Path(jroot, SNAP_DIR)
     fs.mkdirs(sd)
+    raw = _encode_commit(manifest, prev)
     tmp = _snap_path(jvm, jroot, f".tmp-{uuid.uuid4().hex}.json")
-    _write_bytes(fs, tmp, json.dumps(manifest, sort_keys=True).encode("utf-8"))
+    _write_bytes(fs, tmp, json.dumps(raw, sort_keys=True).encode("utf-8"))
     final = _snap_path(jvm, jroot, _manifest_name(int(manifest["version"])))
     if _LOG_STORE.put_if_absent(fs, tmp, final):
         return True
@@ -335,8 +428,9 @@ def snapshot_write(
         base_stats: dict[str, dict[str, list]] = {}
         cols = stats_cols
         commit_schema = schema_json
+        prev_resolved = None
         if mode == "append" and latest is not None:
-            prev = read_manifest(spark, root, latest)
+            prev = prev_resolved = read_manifest(spark, root, latest)
             base_files = prev["files"]
             base_stats = prev.get("stats", {})
             if cols is None:
@@ -359,7 +453,7 @@ def snapshot_write(
                 for f, s in {**base_stats, **(new_stats or {})}.items()
                 if f in set(manifest["files"])
             }
-        if _try_commit(spark, root, manifest):
+        if _try_commit(spark, root, manifest, prev=prev_resolved):
             return int(manifest["version"])
     raise IOError(
         f"snapshot_write: lost the commit race {_MAX_COMMIT_RETRIES} times "
@@ -526,7 +620,7 @@ def snapshot_optimize(
         if stats_cols:
             manifest["stats_cols"] = list(stats_cols)
             manifest["stats"] = new_stats or {}
-        if _try_commit(spark, root, manifest):
+        if _try_commit(spark, root, manifest, prev=m):
             return latest + 1
     return None
 
@@ -694,7 +788,7 @@ def snapshot_merge(
             for f, s in {**stats, **new_stats}.items()
             if f in set(manifest["files"])
         }
-    if not _try_commit(spark, root, manifest):
+    if not _try_commit(spark, root, manifest, prev=m):
         raise IOError(
             f"snapshot_merge conflict on {root}: version {latest + 1} was "
             "taken during the rewrite — aborting; re-run against fresh state"
@@ -788,7 +882,7 @@ def snapshot_delete(
             for f, s in {**stats, **new_stats}.items()
             if f in set(manifest["files"])
         }
-    if not _try_commit(spark, root, manifest):
+    if not _try_commit(spark, root, manifest, prev=m):
         raise IOError(
             f"snapshot_delete conflict on {root}: version {latest + 1} was "
             "taken during the rewrite — aborting; re-run against fresh state"
@@ -828,7 +922,9 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
         if target.get("stats_cols"):
             manifest["stats_cols"] = target["stats_cols"]
             manifest["stats"] = target.get("stats", {})
-        if _try_commit(spark, root, manifest):
+        if _try_commit(
+            spark, root, manifest, prev=read_manifest(spark, root, latest)
+        ):
             return latest + 1
     raise IOError(
         f"snapshot_restore: lost the commit race {_MAX_COMMIT_RETRIES} "
@@ -873,8 +969,19 @@ def snapshot_vacuum(
         return []
     kept, dropped = versions[-keep_last:], versions[:-keep_last]
     referenced: set[str] = set()
+    # a kept DELTA manifest resolves through its base chain: those chain
+    # manifests must survive as metadata (they are tiny) even when their
+    # versions fall outside the window — their DATA files are still
+    # retired below unless a kept version references them
+    chain_needed: set[int] = set()
     for v in kept:
         referenced.update(read_manifest(spark, root, v)["files"])
+        raw = _read_raw_manifest(spark, root, v)
+        while "files" not in raw:
+            base = int(raw["base"])
+            chain_needed.add(base)
+            raw = _read_raw_manifest(spark, root, base)
+    dropped = [v for v in dropped if v not in chain_needed]
     deleted: list[str] = []
     cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     data_dir = jvm.org.apache.hadoop.fs.Path(jroot, "data")

@@ -53,9 +53,25 @@ def _list_versions_py(root: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest_py(root: str, version: int) -> dict:
+def _read_raw_manifest_py(root: str, version: int) -> dict:
     with open(os.path.join(root, "_snapshots", f"v{version:08d}.json")) as fh:
         return json.load(fh)
+
+
+def _read_manifest_py(root: str, version: int) -> dict:
+    """RESOLVED manifest of ``version`` — full manifests load directly;
+    delta-encoded ones (``base``/``adds``/``removes``, the log-segment
+    form) walk back to their checkpoint and materialize, sharing the
+    pure-Python resolver with plans.snapshots."""
+    raw = _read_raw_manifest_py(root, version)
+    if "files" in raw:
+        return raw
+    from ..plans.snapshots import resolve_manifest_chain
+
+    chain = [raw]
+    while "files" not in chain[-1]:
+        chain.append(_read_raw_manifest_py(root, int(chain[-1]["base"])))
+    return resolve_manifest_chain(list(reversed(chain)))
 
 
 def _delta_files(

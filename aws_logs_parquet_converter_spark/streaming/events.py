@@ -1055,9 +1055,10 @@ def log_stream_snapshot_batch(
         base_files: list[str] = []
         base_batches: list[int] = []
         base_stats: dict = {}
+        prev_resolved = None
         cols = stats_cols
         if latest is not None:
-            prev = read_manifest(spark, root, latest)
+            prev = prev_resolved = read_manifest(spark, root, latest)
             base_files = prev["files"]
             base_batches = prev.get("batch_ids", [])
             base_stats = prev.get("stats", {})
@@ -1083,7 +1084,7 @@ def log_stream_snapshot_batch(
                 for f, s in {**base_stats, **(new_stats or {})}.items()
                 if f in set(manifest["files"])
             }
-        if _try_commit(spark, root, manifest):
+        if _try_commit(spark, root, manifest, prev=prev_resolved):
             return int(manifest["version"])
     raise IOError(
         f"log_stream_snapshot_batch: lost the commit race "

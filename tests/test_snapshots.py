@@ -560,3 +560,85 @@ def test_zorder_optimize_prunes_on_both_dimensions(spark, tmp_path):
     assert sorted(r.id for r in out.collect()) == sorted(
         i for i in range(4096) if (i * 193) % 4096 < 512
     )
+
+
+def test_manifest_delta_encoding_and_checkpoints(spark, tmp_path):
+    """Append-shaped commits store log-segment DELTAS (adds/removes, no
+    file list); checkpoint versions and rewrite-shaped commits store
+    FULL manifests; resolution returns identical resolved state either
+    way, stats included."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        MANIFEST_CHECKPOINT_EVERY,
+        _read_raw_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(12):
+        snapshot_write(
+            _df(spark, i * 10, (i + 1) * 10).repartition(2),
+            root,
+            stats_cols=["id"],
+        )
+    raw1 = _read_raw_manifest(spark, root, 1)
+    assert "files" in raw1  # first commit has no base: full
+    raw5 = _read_raw_manifest(spark, root, 5)
+    assert "files" not in raw5 and raw5["base"] == 4
+    assert len(raw5["adds"]) == 2 and raw5["removes"] == []
+    assert set(raw5["stats_adds"]) == set(raw5["adds"])  # batch-sized stats
+    ckpt = MANIFEST_CHECKPOINT_EVERY
+    assert "files" in _read_raw_manifest(spark, root, ckpt)  # checkpoint: full
+    assert "files" not in _read_raw_manifest(spark, root, ckpt + 1)
+    # resolution materializes the complete state at any version
+    m7 = read_manifest(spark, root, 7)
+    assert len(m7["files"]) == 14 and set(m7["stats"]) == set(m7["files"])
+    assert _rows(snapshot_read(spark, root, version=7)) == _rows(
+        _df(spark, 0, 70)
+    )
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 120))
+    # a rewrite-shaped commit (optimize packs everything) stores full
+    v = snapshot_optimize(spark, root, target_file_mb=128)
+    assert "files" in _read_raw_manifest(spark, root, v)
+
+
+def test_manifest_delta_is_batch_sized_not_table_sized(spark, tmp_path):
+    """The scale property itself: appending one commit to a many-file
+    table writes a manifest proportional to the BATCH, not the table."""
+    import os
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _read_raw_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 320).repartition(32), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 320, 330).repartition(1), root)
+    sd = os.path.join(root, "_snapshots")
+    full = os.path.getsize(os.path.join(sd, "v00000001.json"))
+    delta = os.path.getsize(os.path.join(sd, "v00000002.json"))
+    assert "files" not in _read_raw_manifest(spark, root, 2)
+    assert delta < full / 4, (delta, full)
+
+
+def test_vacuum_keeps_delta_base_chains(spark, tmp_path):
+    """A kept delta manifest's base chain survives vacuum as metadata
+    (kept versions stay resolvable) even when the chain versions fall
+    outside the retention window; their unreferenced data is still
+    retired."""
+    root = str(tmp_path / "t")
+    for i in range(4):
+        snapshot_write(
+            _df(spark, i * 10, (i + 1) * 10).repartition(2), root
+        )  # v2..v4 are deltas against v1's full manifest
+    deleted = snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
+    # v4 (kept) resolves through v3 -> v2 -> v1: none may be deleted
+    assert not any(d.startswith("_snapshots/") for d in deleted)
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 40))
+    # all data is still referenced by v4 (pure appends), so nothing swept
+    assert deleted == []
+    # an overwrite makes history unreferenced; chain manifests of the
+    # kept FULL manifest are not needed and old versions drop
+    snapshot_write(_df(spark, 100, 105), root, mode="overwrite")
+    deleted = snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
+    assert sum(1 for d in deleted if d.startswith("data/")) == 8
+    assert sum(1 for d in deleted if d.startswith("_snapshots/")) == 4
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 100, 105))

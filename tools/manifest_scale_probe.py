@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Manifest metadata cost vs table FILE COUNT — does the log-segment
+(delta + checkpoint) manifest encoding actually bound per-commit
+metadata at large file counts? (round-6; closes the module's long-noted
+"manifest itself would shard" caveat with measurements.)
+
+Fixture: a table whose CURRENT version references F synthetic files
+(F = 1k/10k/100k — the manifest layer's cost model depends only on the
+file LIST, so no data bytes are written; stats entries are included to
+keep the JSON shape honest). Against it, commit a constant 8-file
+append two ways:
+
+* ``delta``  — ``_try_commit(..., prev=resolved)``: the on-disk form is
+  adds/removes (+ batch-sized stats_adds). Expected: constant bytes and
+  wall across decades.
+* ``full``   — ``_try_commit(..., prev=None)``: the on-disk form is the
+  complete file list. Expected: bytes and wall LINEAR in F — the cost
+  every commit paid before this round.
+
+Also measured: resolving the table head after 9 consecutive delta
+commits (the worst case one checkpoint interval allows) vs reading one
+full manifest — the read-side price of the write-side win.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_logs_parquet_converter_spark.plans.snapshots import (
+    _try_commit,
+    read_manifest,
+)
+from aws_logs_parquet_converter_spark.session import build_session
+
+BATCH_FILES = 8
+DECADES = [
+    int(x)
+    for x in os.environ.get("SCALE_FILE_DECADES", "1000,10000,100000").split(",")
+]
+
+
+def _files(prefix: str, n: int) -> list[str]:
+    return [f"data/{prefix}/part-{i:06d}.parquet" for i in range(n)]
+
+
+def _stats(files: list[str]) -> dict:
+    return {f: {"id": [i * 100, i * 100 + 99]} for i, f in enumerate(files)}
+
+
+def _manifest(version: int, files: list[str], action: str = "append") -> dict:
+    return {
+        "version": version,
+        "action": action,
+        "schema": '{"type":"struct","fields":[]}',
+        "files": sorted(files),
+        "stats_cols": ["id"],
+        "stats": _stats(files),
+    }
+
+
+def main() -> None:
+    spark = build_session(
+        app_name="manifest_scale_probe",
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    results = []
+    for n_files in DECADES:
+        root = tempfile.mkdtemp(prefix="manifest_probe_") + "/t"
+        base_files = _files("c0", n_files)
+        assert _try_commit(spark, root, _manifest(1, base_files))
+        row: dict = {"table_files": n_files}
+        sd = os.path.join(root, "_snapshots")
+        row["full_manifest_bytes"] = os.path.getsize(
+            os.path.join(sd, "v00000001.json")
+        )
+
+        # nine consecutive delta commits of a constant 8-file batch
+        prev = read_manifest(spark, root, 1)
+        delta_walls, delta_bytes = [], []
+        files = list(base_files)
+        for v in range(2, 11):
+            files = files + _files(f"c{v}", BATCH_FILES)
+            m = _manifest(v, files)
+            t0 = time.perf_counter()
+            assert _try_commit(spark, root, m, prev=prev)
+            delta_walls.append(time.perf_counter() - t0)
+            delta_bytes.append(
+                os.path.getsize(os.path.join(sd, f"v{v:08d}.json"))
+            )
+            prev = m
+        row["delta_commit_bytes"] = max(delta_bytes[:-1])  # v10 is a checkpoint
+        row["ckpt_commit_bytes"] = delta_bytes[-1]
+        row["delta_commit_wall_ms"] = round(min(delta_walls[:-1]) * 1000, 1)
+
+        # the same append committed FULL (the pre-round-6 cost)
+        t0 = time.perf_counter()
+        assert _try_commit(
+            spark, root, _manifest(11, files + _files("c11", BATCH_FILES))
+        )
+        row["full_commit_wall_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+        row["full_commit_bytes"] = os.path.getsize(
+            os.path.join(sd, "v00000011.json")
+        )
+
+        # read-side: resolve v9 (8 deltas back to the v1 full) vs read v1
+        t0 = time.perf_counter()
+        m9 = read_manifest(spark, root, 9)
+        row["resolve_9deep_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+        assert len(m9["files"]) == n_files + 8 * BATCH_FILES
+        t0 = time.perf_counter()
+        read_manifest(spark, root, 1)
+        row["read_full_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+
+        results.append(row)
+        print(json.dumps(row))
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    print(json.dumps({"probe": "manifest_scale", "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
