@@ -816,3 +816,31 @@ def table_snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"zorder stats must prune: read {n_read}/{n_total} files"
     )
     return out
+
+
+@register(
+    "table_snapshot_history",
+    oracle="""
+    SELECT CAST(version AS BIGINT) AS version, action,
+           CAST(n_files AS BIGINT) AS n_files, encoding
+    FROM (VALUES (1, 'append', 8, 'full'),
+                 (2, 'append', 16, 'delta'),
+                 (3, 'optimize', 1, 'full'))
+         AS t(version, action, n_files, encoding)
+    """,
+    doc=(
+        "DESCRIBE HISTORY on a snapshot table (snapshot_history): one "
+        "row per version with its action, resolved file count, and "
+        "manifest encoding, from O(#versions) driver-side metadata "
+        "reads — no data access. Over the deterministic lifecycle "
+        "fixture (8-file append, 8-file append, optimize pack) the "
+        "history must be exactly (1, append, 8, full), (2, append, 16, "
+        "delta), (3, optimize, 1, full) — which also pins the "
+        "log-segment encoding policy end-to-end: first commit full, "
+        "append-shaped commit delta, rewrite-shaped commit full."
+    ),
+)
+def table_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_history
+
+    return snapshot_history(spark, _snapshot_events_for(spark, sf_dir))

@@ -1020,3 +1020,30 @@ def snapshot_vacuum(
             fs.delete(st.getPath(), False)
             deleted.append(f"{SNAP_DIR}/{name}")
     return sorted(deleted)
+
+
+def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY for a snapshot table: one row per committed
+    version — action tag, resolved file count, and the on-disk manifest
+    encoding (``full`` checkpoint vs ``delta`` log segment). Pure
+    driver-side metadata, O(#versions) manifest reads, no data access —
+    the operator's first stop before a restore, vacuum, or incremental
+    re-baseline. Columns: version, action, n_files, encoding."""
+    jvm, jroot, fs = _fs_for(spark, root)
+    versions = _list_versions(fs, jvm, jroot)
+    if not versions:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    rows = []
+    for v in versions:
+        raw = _read_raw_manifest(spark, root, v)
+        rows.append(
+            (
+                v,
+                raw.get("action", "append"),
+                len(read_manifest(spark, root, v)["files"]),
+                "full" if "files" in raw else "delta",
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version BIGINT, action STRING, n_files BIGINT, encoding STRING"
+    )
