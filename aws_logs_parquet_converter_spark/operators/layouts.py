@@ -206,8 +206,12 @@ def q_table_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Snapshot-manifest table queries (plans/snapshots.py)
 # ---------------------------------------------------------------------------
 
-#: events with event_id below this are the v1 commit; the rest append as v2
-SNAP_SPLIT = 5000
+#: events with event_id below this are the v1 commit; the rest append as v2.
+#: Must sit strictly INSIDE the event_id range at EVERY test scale (sf0.001
+#: tops out at 999): an empty half writes a single schema-only parquet file,
+#: which silently breaks the deterministic 8+8-file lifecycle that
+#: table_snapshot_history pins.
+SNAP_SPLIT = 500
 
 #: per-sf_dir cache of seeded snapshot-table roots
 _SNAPSHOT_PATHS: dict[str, str] = {}
