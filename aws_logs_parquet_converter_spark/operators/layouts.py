@@ -599,6 +599,89 @@ def table_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_deleted_events_for(spark, sf_dir))
 
 
+#: per-sf_dir cache of seeded + DV-deleted table roots
+_SNAPSHOT_DV_PATHS: dict[str, str] = {}
+
+#: the second (range) vector's cutoff — inside event_id range at every sf
+SNAP_DV_LO = 50
+
+
+def _snapshot_dv_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed the quartile stats table, then run TWO merge-on-read deletes
+    (``mode="dv"``): one on a row-scattered predicate (event_type =
+    'click' — present in every file, the shape where copy-on-write would
+    rewrite the whole table) and one on a key range. Asserts the
+    merge-on-read contract where the file lists are at hand: the data
+    file list is IDENTICAL across both deletes (zero rewrites), and the
+    manifest's vector set accumulates."""
+    path = _SNAPSHOT_DV_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import read_manifest, snapshot_delete, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_dv_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    bounds = [None, *SNAP_Q, None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        snapshot_write(part.repartition(2), path, stats_cols=["event_id"])
+    pre = read_manifest(spark, path, 4)
+    assert snapshot_delete(
+        spark, path, [("event_type", "=", "click")], mode="dv"
+    ) == 5
+    assert snapshot_delete(
+        spark, path, [("event_id", "<", SNAP_DV_LO)], mode="dv"
+    ) == 6
+    post = read_manifest(spark, path, 6)
+    assert post["files"] == pre["files"], (
+        "deletion-vector delete must rewrite NO data file"
+    )
+    assert len(post["dv"]) > len(read_manifest(spark, path, 5)["dv"]), (
+        "second dv delete must accumulate vectors"
+    )
+    _SNAPSHOT_DV_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_delete_dv",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_type <> 'click' AND event_id >= {SNAP_DV_LO}
+    """,
+    doc=(
+        "Predicate DELETE as merge-on-read DELETION VECTORS (Delta's DV "
+        "design) on a snapshot table: two snapshot_delete(mode='dv') "
+        "commits — one row-scattered (event_type = 'click', present in "
+        "every file: the shape where copy-on-write would rewrite the "
+        "whole table) and one key-range — write ONLY the matching rows' "
+        "(file, row_index) identities as small parquet vectors; the "
+        "data file list is byte-identical across both commits (asserted "
+        "in the fixture). snapshot_read subtracts via a left-anti join "
+        "on the parquet reader's _metadata row identity — the vector "
+        "side is O(#deleted rows) and AQE broadcasts it. Vectors "
+        "accumulate across deletes, ride across appends, survive "
+        "restore and vacuum, and snapshot_optimize PURGES them back to "
+        "clean files (all pinned in tests/test_snapshots.py). At 100 TB "
+        "this turns frequent small deletes (GDPR erasure, late "
+        "retractions) from rewrite-the-overlap into append-a-vector."
+    ),
+)
+def table_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_dv_events_for(spark, sf_dir))
+
+
 #: per-sf_dir cache of seeded + RESTORED table roots
 _SNAPSHOT_RESTORE_PATHS: dict[str, str] = {}
 

@@ -446,6 +446,11 @@ def snapshot_write(
             "schema": commit_schema,
             "files": sorted(set(base_files) | set(new_files)),
         }
+        if mode == "append" and prev_resolved and prev_resolved.get("dv"):
+            # deletion vectors ride across appends: the deleted rows stay
+            # deleted, the new files carry no vectors (fresh commit paths
+            # can never collide with recorded (file, pos) keys)
+            manifest["dv"] = prev_resolved["dv"]
         if cols:
             manifest["stats_cols"] = list(cols)
             manifest["stats"] = {
@@ -499,10 +504,49 @@ def snapshot_read(
         ]
     if not files:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
+    df = _plan_scan(spark, root, m, files, schema)
     for c, op, v in filters or []:
         df = df.where(_PRED_BUILDERS[op](c, F.lit(v)))
     return df
+
+
+#: table-relative path of the file a row came from — `data/<commit>/<part>`
+#: extracted from the absolute scan URI, so deletion-vector keys survive a
+#: table move/re-mount (the manifest's own path convention)
+def _rel_file_expr():
+    return F.regexp_extract(F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1)
+
+
+def _plan_scan(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    files: list[str],
+    schema: StructType,
+) -> DataFrame:
+    """Plan a parquet scan over ``files`` of resolved manifest ``m``,
+    applying the version's DELETION VECTORS when present: rows whose
+    ``(file, pos)`` appears in the manifest's ``dv`` parquet are dropped
+    via a left-anti join on the parquet reader's ``_metadata`` row
+    identity (file path + row index) — merge-on-read, the Delta
+    deletion-vector design (no data file is rewritten by a DV delete;
+    the reader subtracts). The DV side is tiny relative to the table
+    (O(#deleted rows), two narrow columns), so AQE broadcasts it and the
+    scan stays one pass; OPTIMIZE purges vectors back to a clean scan."""
+    df = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
+    dv_files = m.get("dv")
+    if not dv_files:
+        return df
+    dv = spark.read.parquet(*[f"{root}/{p}" for p in dv_files]).select(
+        F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+    )
+    cols = df.columns
+    return (
+        df.withColumn("__dv_file", _rel_file_expr())
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+        .select(*cols)
+    )
 
 
 def snapshot_optimize(
@@ -550,14 +594,18 @@ def snapshot_optimize(
     if latest is None:
         return None
     m = read_manifest(spark, root, latest)
-    if len(m["files"]) < 2:
+    # a table carrying deletion vectors is worth rewriting regardless of
+    # file count: OPTIMIZE is the op that PURGES vectors (materializes the
+    # subtraction into clean files), restoring the plain one-pass scan
+    has_dv = bool(m.get("dv"))
+    if len(m["files"]) < 2 and not has_dv:
         return None
     jvm, jroot, fs = _fs_for(spark, root)
     total = 0
     for f in m["files"]:
         total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(jroot, f)).getLen()
     want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    if len(m["files"]) <= want and not (cluster_by or zorder_by):
+    if len(m["files"]) <= want and not (cluster_by or zorder_by or has_dv):
         return None
     cur = snapshot_read(spark, root, latest)
     if cluster_by:
@@ -753,9 +801,8 @@ def snapshot_merge(
         (candidates if overlaps else untouched).append(f)
 
     if candidates:
-        cand = spark.read.schema(merged_schema).parquet(
-            *[f"{root}/{f}" for f in candidates]
-        )
+        # dv-aware candidate read: vector-deleted rows must not resurrect
+        cand = _plan_scan(spark, root, m, candidates, merged_schema)
         keep = cand.join(broadcast(src.select(key)), on=key, how="left_anti")
         out = keep.select(*merged_schema.names).unionByName(src)
     else:
@@ -781,6 +828,11 @@ def snapshot_merge(
         "schema": merged_schema.json(),
         "files": sorted(set(untouched) | set(new_files)),
     }
+    if m.get("dv") and untouched:
+        # same carry rule as the copy-on-write delete: untouched files
+        # may hold vector entries; stale entries for rewritten files are
+        # harmless and OPTIMIZE purges them
+        manifest["dv"] = m["dv"]
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -805,34 +857,109 @@ _PRED_BUILDERS = {
 }
 
 
+def _delete_dv(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    candidates: list[str],
+    schema: StructType,
+    match,
+    latest: int,
+) -> int:
+    """The merge-on-read arm of :func:`snapshot_delete`: record matching
+    rows' ``(file, pos)`` identities as a parquet deletion vector and
+    commit a manifest whose FILE LIST IS UNCHANGED. One column-pruned
+    pass over the stats-overlapping files only. Rows already covered by
+    an earlier vector may re-match and duplicate an entry — harmless
+    under the reader's anti join, purged by OPTIMIZE."""
+    cand = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in candidates])
+    matched = cand.where(F.coalesce(match, F.lit(False))).select(
+        _rel_file_expr().alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    matched.write.parquet(commit_dir)
+    # metadata-only count over the just-written vector: zero matches ->
+    # no commit (the schema-only residue file is inert; vacuum sweeps it)
+    if spark.read.parquet(commit_dir).count() == 0:
+        return latest
+    new_dv = _list_commit_files(spark, commit_dir)
+    if current_version(spark, root) != latest:
+        raise IOError(
+            f"snapshot_delete conflict on {root}: the table moved past "
+            f"version {latest} during the vector write — aborting (the "
+            "commit dir is inert residue; re-run against fresh state)"
+        )
+    manifest = {
+        "version": latest + 1,
+        "action": "delete",
+        "schema": m["schema"],
+        "files": m["files"],
+        "dv": sorted(set(m.get("dv", [])) | set(new_dv)),
+    }
+    if m.get("stats_cols"):
+        # file stats stay valid under vectors: min/max are conservative
+        # bounds after row removal, so skipping never skips wrongly
+        manifest["stats_cols"] = m["stats_cols"]
+        manifest["stats"] = m.get("stats", {})
+    if not _try_commit(spark, root, manifest, prev=m):
+        raise IOError(
+            f"snapshot_delete conflict on {root}: version {latest + 1} was "
+            "taken during the vector write — aborting; re-run against "
+            "fresh state"
+        )
+    return latest + 1
+
+
 def snapshot_delete(
     spark: SparkSession,
     root: str,
     filters: list[tuple],
+    mode: str = "cow",
 ) -> int:
-    """Predicate DELETE as a COPY-ON-WRITE commit: rows matching the
-    AND-ed ``filters`` (``[(col, op, value), ...]``, op in =, <, <=, >,
-    >=) are removed from the table. Returns the committed (or, for a
-    provable no-op, current) version.
+    """Predicate DELETE: rows matching the AND-ed ``filters``
+    (``[(col, op, value), ...]``, op in =, <, <=, >, >=) are removed from
+    the table. Returns the committed (or, for a provable no-op, current)
+    version.
 
-    The 100-TB shape mirrors :func:`snapshot_merge`: candidate selection
-    is DRIVER-SIDE metadata — a file whose manifest min/max stats prove
-    no row can match survives VERBATIM in the new manifest (never read,
-    never rewritten), so delete cost is proportional to overlapping-file
-    bytes, not table bytes. When stats prove NO file overlaps, nothing
-    is committed at all and the current version is returned unchanged.
-    SQL DELETE semantics on NULLs: a row where the predicate evaluates
-    to NULL is KEPT (only provably-TRUE rows are removed). Rewritten
-    files get fresh stats; conflict policy is Delta's — any commit
-    landing between the read and the manifest CAS ABORTS the delete
-    (re-run against fresh state) rather than rebasing row-level work.
-    The commit's ``delete`` action marks it as a row-rewrite for
-    :func:`snapshot_changes`, which refuses to cross it."""
+    ``mode="cow"`` (copy-on-write) mirrors :func:`snapshot_merge`:
+    candidate selection is DRIVER-SIDE metadata — a file whose manifest
+    min/max stats prove no row can match survives VERBATIM in the new
+    manifest (never read, never rewritten), so delete cost is
+    proportional to overlapping-file bytes, not table bytes. When stats
+    prove NO file overlaps, nothing is committed at all and the current
+    version is returned unchanged.
+
+    ``mode="dv"`` (merge-on-read DELETION VECTORS, the Delta DV design):
+    NO data file is rewritten at all — one pass over the overlapping
+    files records the matching rows' ``(file, pos)`` identities (the
+    parquet reader's ``_metadata`` file path + row index) as a small
+    parquet dataset, and the manifest's ``dv`` key points readers at it;
+    :func:`snapshot_read` subtracts via a left-anti join (AQE broadcasts
+    the vector side). Delete cost falls from rewrite-the-overlap to
+    O(#matching rows) — the right mode when deletes are small and
+    frequent (GDPR erasure, late retractions) against 100 TB of
+    otherwise-immutable files. Vectors ACCUMULATE across dv deletes and
+    ride across appends; ``snapshot_optimize`` purges them (it
+    materializes the subtraction into clean files), restoring the plain
+    scan — run it when the vector side grows past broadcast size.
+
+    SQL DELETE semantics on NULLs in both modes: a row where the
+    predicate evaluates to NULL is KEPT (only provably-TRUE rows are
+    removed). Rewritten files get fresh stats; file min/max stats stay
+    VALID (conservative) under vectors, since a DV only removes rows.
+    Conflict policy is Delta's — any commit landing between the read and
+    the manifest CAS ABORTS the delete (re-run against fresh state)
+    rather than rebasing row-level work. The commit's ``delete`` action
+    marks it as a row-rewrite for :func:`snapshot_changes`, which
+    refuses to cross it."""
     if not filters:
         raise ValueError(
             "snapshot_delete requires a predicate — to drop every row, "
             "snapshot_write an empty frame with mode='overwrite'"
         )
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow or dv, got {mode!r}")
     spark_preds = [_PRED_BUILDERS[op](c, F.lit(v)) for c, op, v in filters]
     latest = current_version(spark, root)
     if latest is None:
@@ -849,10 +976,14 @@ def snapshot_delete(
         (candidates if overlaps else untouched).append(f)
     if not candidates:
         return latest
-    cand = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in candidates])
     match = spark_preds[0]
     for p in spark_preds[1:]:
         match = match & p
+    if mode == "dv":
+        return _delete_dv(spark, root, m, candidates, schema, match, latest)
+    # dv-aware candidate read: rows already deleted by vectors must not
+    # resurrect in the rewrite
+    cand = _plan_scan(spark, root, m, candidates, schema)
     keep = cand.where(~F.coalesce(match, F.lit(False)))
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
     keep.write.parquet(commit_dir)
@@ -875,6 +1006,12 @@ def snapshot_delete(
         "schema": m["schema"],
         "files": sorted(set(untouched) | set(new_files)),
     }
+    if m.get("dv") and untouched:
+        # untouched files may carry vector entries — dropping them would
+        # resurrect deleted rows. Entries for rewritten files go stale
+        # (they reference files no longer scanned — harmless); OPTIMIZE
+        # purges the whole vector set.
+        manifest["dv"] = m["dv"]
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -919,6 +1056,8 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
             "schema": target["schema"],
             "files": target["files"],
         }
+        if target.get("dv"):
+            manifest["dv"] = target["dv"]
         if target.get("stats_cols"):
             manifest["stats_cols"] = target["stats_cols"]
             manifest["stats"] = target.get("stats", {})
@@ -975,7 +1114,10 @@ def snapshot_vacuum(
     # retired below unless a kept version references them
     chain_needed: set[int] = set()
     for v in kept:
-        referenced.update(read_manifest(spark, root, v)["files"])
+        km = read_manifest(spark, root, v)
+        referenced.update(km["files"])
+        # deletion-vector parquet is data a kept version still reads
+        referenced.update(km.get("dv", ()))
         raw = _read_raw_manifest(spark, root, v)
         while "files" not in raw:
             base = int(raw["base"])

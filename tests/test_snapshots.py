@@ -642,3 +642,126 @@ def test_vacuum_keeps_delta_base_chains(spark, tmp_path):
     assert sum(1 for d in deleted if d.startswith("data/")) == 8
     assert sum(1 for d in deleted if d.startswith("_snapshots/")) == 4
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 100, 105))
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE)
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_rewrites_no_files_and_reads_subtract(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root, stats_cols=["id"])
+    pre = read_manifest(spark, root, 1)
+    assert snapshot_delete(spark, root, [("id", "<", 30)], mode="dv") == 2
+    post = read_manifest(spark, root, 2)
+    assert post["files"] == pre["files"], "dv delete must not rewrite data"
+    assert post["action"] == "delete" and post["dv"]
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 30, 100))
+    # pre-delete version is intact time travel
+    assert _rows(snapshot_read(spark, root, version=1)) == _rows(_df(spark, 0, 100))
+    # filters compose with the subtraction (and stats pruning stays valid)
+    assert _rows(snapshot_read(spark, root, filters=[("id", "<", 50)])) == _rows(
+        _df(spark, 30, 50)
+    )
+
+
+def test_dv_accumulates_and_rides_across_appends(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root)
+    snapshot_delete(spark, root, [("id", "<", 10)], mode="dv")
+    snapshot_delete(spark, root, [("id", ">=", 90)], mode="dv")
+    m3 = read_manifest(spark, root, 3)
+    assert len(m3["dv"]) > len(read_manifest(spark, root, 2)["dv"])
+    snapshot_write(_df(spark, 100, 120), root)  # v4 append inherits vectors
+    m4 = read_manifest(spark, root, 4)
+    assert m4["dv"] == m3["dv"]
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 10, 90)) + _rows(
+        _df(spark, 100, 120)
+    )
+
+
+def test_dv_noop_when_nothing_matches_commits_nothing(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 50), root, stats_cols=["id"])
+    # stats prove no overlap -> not even a vector pass
+    assert snapshot_delete(spark, root, [("id", ">=", 1000)], mode="dv") == 1
+    # overlap but zero matching rows (odd*2 never ends in 3) -> no commit
+    assert snapshot_delete(spark, root, [("v", "=", 13)], mode="dv") == 1
+    assert current_version(spark, root) == 1
+
+
+def test_optimize_purges_vectors_and_preserves_content(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(6), root, stats_cols=["id"])
+    snapshot_delete(spark, root, [("id", "<", 25)], mode="dv")
+    v = snapshot_optimize(spark, root, target_file_mb=128)
+    assert v == 3
+    m = read_manifest(spark, root, v)
+    assert "dv" not in m, "OPTIMIZE must purge deletion vectors"
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 25, 100))
+    # a PACKED table whose only defect is carrying vectors still rewrites
+    snapshot_delete(spark, root, [("id", "<", 30)], mode="dv")
+    assert snapshot_optimize(spark, root, target_file_mb=128) == 5
+    assert "dv" not in read_manifest(spark, root, 5)
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 30, 100))
+
+
+def test_cow_ops_respect_existing_vectors(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root, stats_cols=["id"])
+    snapshot_delete(spark, root, [("id", "<", 10)], mode="dv")
+    # copy-on-write delete on a vectored table: deleted rows must not
+    # resurrect in the rewrite, surviving vectors must carry
+    snapshot_delete(spark, root, [("id", ">=", 95)])
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 10, 95))
+    # merge replaces keys 50..54; dv-deleted keys stay gone
+    snapshot_merge(
+        spark.range(50, 55).selectExpr("id", "id * 3 AS v"), root, key="id"
+    )
+    got = dict(_rows(snapshot_read(spark, root)))
+    assert got[50] == 150 and 5 not in got and 95 not in got
+    assert len(got) == 85
+
+
+def test_restore_and_vacuum_keep_vectors(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_restore,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root)
+    snapshot_delete(spark, root, [("id", "<", 40)], mode="dv")  # v2
+    snapshot_write(_df(spark, 0, 5), root, mode="overwrite")  # v3
+    assert snapshot_restore(spark, root, 2) == 4  # restore carries dv
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 40, 100))
+    # vacuum keeps the vector parquet referenced by kept versions
+    snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 40, 100))
+
+
+def test_changes_refuses_to_cross_dv_delete(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_changes,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    snapshot_delete(spark, root, [("id", "<", 3)], mode="dv")
+    with pytest.raises(ValueError, match="delete"):
+        snapshot_changes(spark, root, 1)
