@@ -682,6 +682,72 @@ def table_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_dv_events_for(spark, sf_dir))
 
 
+#: per-sf_dir cache of seeded CDF-lifecycle table roots
+_SNAPSHOT_CDF_PATHS: dict[str, str] = {}
+
+
+def _snapshot_cdf_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """v1 = first half of events; v2 = deletion-vector delete of the
+    clicks; v3 = append of the second half — the mixed insert/delete
+    lifecycle the change feed must reconstruct row-for-row."""
+    path = _SNAPSHOT_CDF_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import snapshot_delete, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_cdf_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(ev.where(F.col("event_id") < SNAP_SPLIT).repartition(2), path)
+    assert snapshot_delete(
+        spark, path, [("event_type", "=", "click")], mode="dv"
+    ) == 2
+    snapshot_write(ev.where(F.col("event_id") >= SNAP_SPLIT).repartition(2), path)
+    _SNAPSHOT_CDF_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_cdf",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM events WHERE event_id < {SNAP_SPLIT} AND event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type,
+           'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+    FROM events WHERE event_id >= {SNAP_SPLIT}
+    """,
+    doc=(
+        "ROW-LEVEL CHANGE DATA FEED (snapshot_cdf — Delta's "
+        "table_changes) over a snapshot table: every row appended or "
+        "deleted after version 1, tagged (_change_type, "
+        "_commit_version). Inserts are the delta-file scan; deletes are "
+        "read back from the deletion vectors — _delete_dv anti-joins "
+        "prior vectors before matching, so each commit's new vector IS "
+        "its exact delete delta (no row ever appears in two vectors), "
+        "and the feed joins it against only the vector-touched files "
+        "(file names from an O(#touched-files) driver pass, the vector "
+        "side broadcast). The oracle reconstructs the identical feed "
+        "from the base table: v2's deletes are exactly the clicks of "
+        "the v1 half, v3's inserts exactly the appended half. "
+        "Maintenance commits contribute nothing; rewrite commits "
+        "without row lineage (CoW delete/merge/overwrite/restore) "
+        "refuse with a re-baseline error — pinned in "
+        "tests/test_snapshots.py. At 100 TB this is the downstream-"
+        "sync primitive: a consumer applies row deltas and never "
+        "rescans the table."
+    ),
+)
+def table_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_cdf
+
+    return snapshot_cdf(spark, _snapshot_cdf_events_for(spark, sf_dir), 1)
+
+
 #: per-sf_dir cache of seeded + RESTORED table roots
 _SNAPSHOT_RESTORE_PATHS: dict[str, str] = {}
 

@@ -736,6 +736,119 @@ def snapshot_changes(
     return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in delta])
 
 
+def snapshot_cdf(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """ROW-LEVEL CHANGE DATA FEED between two versions — Delta's
+    ``table_changes``: every row appended or deleted after
+    ``from_version`` up to ``to_version`` (default latest), tagged with
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    This is what :func:`snapshot_changes` (file-level, appends only)
+    cannot express: deletion-vector commits record exactly which rows
+    each delete removed (``_delete_dv`` anti-joins prior vectors before
+    matching, so a row identity appears in at most ONE vector — each
+    commit's new vector IS its delete delta), and the feed reads them
+    back by joining the new vector against the files it touches.
+
+    Scale shape: inserts are the delta-file scan (identical to
+    snapshot_changes); deletes are one scan of ONLY the vector-touched
+    files (their names come from a driver-side pass over the new vector
+    parquet — O(#touched files) rows, bounded by the table's file
+    count) inner-joined to the vector on the ``_metadata`` row identity
+    — the vector side broadcasts. OPTIMIZE commits contribute nothing.
+    Actions that rewrite rows WITHOUT recording row-level lineage
+    (copy-on-write delete/merge, overwrite, restore) raise the same
+    re-baseline error as snapshot_changes — emitting a wrong-but-
+    plausible feed would be worse than refusing."""
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    to_version = latest if to_version is None else to_version
+    if not 0 <= from_version <= to_version <= latest:
+        raise ValueError(
+            f"bad version range [{from_version}, {to_version}] "
+            f"(latest is {latest})"
+        )
+    seen_files: set[str] = set()
+    seen_dv: set[str] = set()
+    if from_version > 0:
+        base = read_manifest(spark, root, from_version)
+        seen_files = set(base["files"])
+        seen_dv = set(base.get("dv", ()))
+    newest = read_manifest(spark, root, to_version)
+    schema = StructType.fromJson(json.loads(newest["schema"]))
+    out_cols = [*schema.names, "_change_type", "_commit_version"]
+    pieces: list[DataFrame] = []
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(spark, root, v)
+        files, dv = set(m["files"]), set(m.get("dv", ()))
+        action = m.get("action", "append")
+        if action == "optimize":
+            seen_files, seen_dv = files, dv
+            continue
+        is_dv_delete = action == "delete" and files == seen_files and dv > seen_dv
+        if action in ("overwrite", "merge", "restore") or (
+            action == "delete" and not is_dv_delete
+        ):
+            raise ValueError(
+                f"version {v} is a {action!r} commit without row-level "
+                "lineage — the feed cannot be reconstructed; re-baseline "
+                f"with snapshot_read(version={to_version})"
+            )
+        if is_dv_delete:
+            vec = spark.read.parquet(*[f"{root}/{p}" for p in sorted(dv - seen_dv)])
+            # O(#touched files) driver metadata — bounded by the table's
+            # file count, the same class as the partition-scoped upsert
+            touched = sorted(
+                r["file"] for r in vec.select("file").distinct().collect()
+            )
+            rows = spark.read.schema(schema).parquet(
+                *[f"{root}/{f}" for f in touched]
+            )
+            deleted = (
+                rows.withColumn("__dv_file", _rel_file_expr())
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(
+                        vec.select(
+                            F.col("file").alias("__dv_file"),
+                            F.col("pos").alias("__dv_pos"),
+                        )
+                    ),
+                    ["__dv_file", "__dv_pos"],
+                )
+                .select(*schema.names)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
+            pieces.append(deleted)
+        else:  # append lineage
+            fresh = sorted(files - seen_files)
+            if fresh:
+                pieces.append(
+                    spark.read.schema(schema)
+                    .parquet(*[f"{root}/{f}" for f in fresh])
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("bigint"))
+                )
+        seen_files, seen_dv = files, dv
+    if not pieces:
+        from pyspark.sql.types import LongType, StringType
+
+        empty = StructType(schema.fields.copy())
+        empty = empty.add("_change_type", StringType()).add(
+            "_commit_version", LongType()
+        )
+        return spark.createDataFrame([], empty)
+    feed = pieces[0]
+    for p in pieces[1:]:
+        feed = feed.unionByName(p)
+    return feed.select(*out_cols)
+
+
 def snapshot_merge(
     df: DataFrame,
     root: str,
@@ -870,12 +983,21 @@ def _delete_dv(
     rows' ``(file, pos)`` identities as a parquet deletion vector and
     commit a manifest whose FILE LIST IS UNCHANGED. One column-pruned
     pass over the stats-overlapping files only. Rows already covered by
-    an earlier vector may re-match and duplicate an entry — harmless
-    under the reader's anti join, purged by OPTIMIZE."""
+    an earlier vector are EXCLUDED (anti-joined) before matching, so a
+    row identity appears in at most one vector — which makes each
+    commit's NEW vector exactly its delete delta, the property
+    :func:`snapshot_cdf` reads row-level change feeds from."""
     cand = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in candidates])
-    matched = cand.where(F.coalesce(match, F.lit(False))).select(
-        _rel_file_expr().alias("file"),
-        F.col("_metadata.row_index").alias("pos"),
+    ident = cand.withColumn("__dv_file", _rel_file_expr()).withColumn(
+        "__dv_pos", F.col("_metadata.row_index")
+    )  # reserved names: a table column can't collide with them
+    if m.get("dv"):
+        prior = spark.read.parquet(*[f"{root}/{p}" for p in m["dv"]]).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        ident = ident.join(prior, ["__dv_file", "__dv_pos"], "left_anti")
+    matched = ident.where(F.coalesce(match, F.lit(False))).select(
+        F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
     matched.write.parquet(commit_dir)

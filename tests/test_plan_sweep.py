@@ -88,7 +88,7 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            3,
+            4,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
             "table-sized), the manifest data-skipping stats; snapshot_merge "
@@ -96,8 +96,11 @@ def test_no_driver_side_collect_in_operators():
             "to prune candidate files driver-side before the copy-on-write "
             "rewrite; snapshot_optimize(zorder_by) collects the two "
             "dimensions' [min, max] bounds — ONE row of four scalars — to "
-            "quantize the Morton grid; reads plan normally with no driver "
-            "round-trip",
+            "quantize the Morton grid; snapshot_cdf collects the distinct "
+            "file names a delete vector touches — one row per touched "
+            "file, bounded by the table's file count — so the delete-side "
+            "scan opens only those files; reads plan normally with no "
+            "driver round-trip",
         ),
     }
     for py in sorted(ops_dir.rglob("*.py")):

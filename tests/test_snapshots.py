@@ -765,3 +765,66 @@ def test_changes_refuses_to_cross_dv_delete(spark, tmp_path):
     snapshot_delete(spark, root, [("id", "<", 3)], mode="dv")
     with pytest.raises(ValueError, match="delete"):
         snapshot_changes(spark, root, 1)
+
+
+def test_dv_vectors_never_duplicate_row_identities(spark, tmp_path):
+    """_delete_dv anti-joins prior vectors before matching: a second,
+    overlapping delete records ONLY the rows it newly removes — the
+    invariant snapshot_cdf's delete deltas are built on."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root)
+    snapshot_delete(spark, root, [("id", "<", 30)], mode="dv")
+    snapshot_delete(spark, root, [("id", "<", 50)], mode="dv")  # overlaps
+    m = read_manifest(spark, root, 3)
+    vec = spark.read.parquet(*[f"{root}/{p}" for p in m["dv"]])
+    assert vec.count() == 50
+    assert vec.distinct().count() == 50
+
+
+def test_cdf_reconstructs_inserts_and_deletes(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_cdf,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 50).repartition(4), root)  # v1
+    snapshot_delete(spark, root, [("id", "<", 10)], mode="dv")  # v2
+    snapshot_write(_df(spark, 50, 70), root)  # v3
+    snapshot_optimize(spark, root, target_file_mb=128)  # v4: invisible
+    feed = snapshot_cdf(spark, root, 1)
+    got = sorted(
+        (r.id, r._change_type, r._commit_version) for r in feed.collect()
+    )
+    want = sorted(
+        [(i, "delete", 2) for i in range(10)]
+        + [(i, "insert", 3) for i in range(50, 70)]
+    )
+    assert got == want
+    # from_version=0 includes v1's inserts
+    assert snapshot_cdf(spark, root, 0).where("_change_type='insert'").count() == 70
+    # empty range -> empty frame with the feed schema
+    empty = snapshot_cdf(spark, root, 4)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v", "_change_type", "_commit_version"]
+
+
+def test_cdf_refuses_commits_without_row_lineage(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_cdf,
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 50), root, stats_cols=["id"])
+    snapshot_delete(spark, root, [("id", "<", 5)])  # copy-on-write
+    with pytest.raises(ValueError, match="row-level"):
+        snapshot_cdf(spark, root, 1)
+    root2 = str(tmp_path / "t2")
+    snapshot_write(_df(spark, 0, 50), root2)
+    snapshot_merge(_df(spark, 10, 12), root2, key="id")
+    with pytest.raises(ValueError, match="row-level"):
+        snapshot_cdf(spark, root2, 1)
