@@ -682,6 +682,89 @@ def table_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_dv_events_for(spark, sf_dir))
 
 
+#: per-sf_dir cache of seeded bloom-indexed table roots
+_SNAPSHOT_BLOOM_PATHS: dict[str, str] = {}
+
+#: the point-lookup key — present at every test scale
+SNAP_BLOOM_KEY = 42
+
+
+def _snapshot_bloom_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a bloom-indexed table in the layout where min/max stats are
+    USELESS: events hash-scattered on event_id across 8 files (every
+    file spans ~the full key range) with BOTH stats and a bloom sidecar
+    on event_id. Asserts the division of labor at hand: the stats prune
+    nothing, the bloom prunes almost everything."""
+    path = _SNAPSHOT_BLOOM_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import read_manifest, snapshot_read, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_bloom_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(
+        ev.repartition(8, "event_id"),
+        path,
+        stats_cols=["event_id"],
+        bloom_cols=["event_id"],
+    )
+    n_total = len(read_manifest(spark, path, 1)["files"])
+    got = snapshot_read(
+        spark, path, filters=[("event_id", "=", SNAP_BLOOM_KEY)]
+    )
+    n_read = len(got.inputFiles())
+    assert n_read < n_total, (
+        f"bloom must prune the hash-scattered point lookup: "
+        f"read {n_read}/{n_total} files"
+    )
+    _SNAPSHOT_BLOOM_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_bloom_read",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id = {SNAP_BLOOM_KEY}
+    """,
+    doc=(
+        "POINT-LOOKUP data skipping via a BLOOM SIDECAR (Delta's bloom "
+        "filter index): the table is hash-scattered on event_id — every "
+        "file spans ~the full key range, so the manifest's min/max "
+        "stats prune NOTHING (the layout ingest naturally produces, and "
+        "the case range stats structurally can't serve) — yet the "
+        "equality read opens a strict subset of files (asserted), "
+        "because snapshot_write(bloom_cols=[...]) built sparse per-file "
+        "bloom bitmaps in ONE extra commit-time pass, stored as sidecar "
+        "PARQUET the manifest references (manifests stay file-list-"
+        "sized at any table size — the Delta/Iceberg reason bloom "
+        "indexes live beside the data). The probe recomputes the "
+        "literal's md5 positions in plain Python (derivation pinned "
+        "equal to the Spark commit side in tests), reads only the "
+        "probe's word indexes from the sidecar (pushed to the parquet "
+        "scan), and skipping is false-positive-only by construction — "
+        "an absent key plans ZERO files. Completes the skipping trio: "
+        "range stats, clustering/z-order, and now equality on "
+        "high-cardinality unclustered keys (the GDPR 'find this user' "
+        "shape at 100 TB). Lifecycle (append inherit, OPTIMIZE rebuild+"
+        "collapse, dv validity, vacuum referencing) pinned in "
+        "tests/test_snapshots.py."
+    ),
+)
+def table_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(
+        spark,
+        _snapshot_bloom_events_for(spark, sf_dir),
+        filters=[("event_id", "=", SNAP_BLOOM_KEY)],
+    )
+
+
 #: per-sf_dir cache of seeded CDF-lifecycle table roots
 _SNAPSHOT_CDF_PATHS: dict[str, str] = {}
 

@@ -391,11 +391,171 @@ def _merge_schemas(prev: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+#: bloom-filter geometry: positions live in a fixed 2^20-bit space (the
+#: sidecar stores SPARSE (word, bits) pairs, so small files pay small
+#: sidecars — the fixed space only bounds the worst case at 128 KiB per
+#: file/column), probed with 2 independent hash positions per value.
+#: With the layer's ~128 MB target files this keeps the load factor low
+#: (e.g. 1M distinct keys -> ~86% empty, FPR ~4%); a pathologically
+#: dense file degrades to bits-mostly-set, i.e. NO pruning — never a
+#: wrong skip (bloom errors are false-positive-only by construction).
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 2
+
+#: bloom columns must stringify IDENTICALLY in Spark (`CAST(col AS
+#: STRING)`, commit side) and Python (`str(v)`, probe side) — integers
+#: and strings do; floats/decimals/dates are refused rather than risk a
+#: silent formatting mismatch that would make pruning wrong.
+_BLOOM_TYPES = ("byte", "short", "integer", "long", "string")
+
+
+def _bloom_pos_expr(col: str, seed: int):
+    """Position ``seed`` of a value in the 2^20-bit space — md5 of the
+    value's string form with the seed appended. md5 (not xxhash64)
+    because the READ side recomputes the probe value's positions in
+    plain Python (hashlib) with no Spark job; the two derivations are
+    pinned equal in tests."""
+    h = F.md5(F.concat(F.col(col).cast("string"), F.lit(f"#{seed}")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % BLOOM_BITS
+    )
+
+
+def _bloom_pos_py(value, k: int = BLOOM_HASHES) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:15], 16)
+        % BLOOM_BITS
+        for i in range(k)
+    ]
+
+
+def _build_bloom_sidecar(
+    spark: SparkSession, root: str, commit_dir: str, cols: list[str]
+) -> list[str]:
+    """One distributed pass over a just-written commit dir producing its
+    BLOOM SIDECAR: sparse per-file bitmaps as ``(file, col, w, bits)``
+    rows (word index + 64-bit word), written as parquet into its own
+    commit dir — a DATA file the manifest references, never JSON payload
+    (a 10^5-file table's checkpoint manifest stays file-list-sized; the
+    Delta/Iceberg reason bloom indexes live beside the data). Cost is
+    O(commit) over only the bloom columns."""
+    df = spark.read.parquet(commit_dir)
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if t not in _BLOOM_TYPES:
+            raise TypeError(
+                f"bloom column {c!r} has type {t} — only integer/string "
+                "columns stringify identically in Spark and the Python "
+                "probe; cast explicitly or drop the column"
+            )
+    pieces = []
+    for c in cols:
+        pieces.append(
+            df.where(F.col(c).isNotNull())
+            .select(
+                _rel_file_expr().alias("file"),
+                F.lit(c).alias("col"),
+                F.explode(
+                    F.array(
+                        *[_bloom_pos_expr(c, i) for i in range(BLOOM_HASHES)]
+                    )
+                ).alias("pos"),
+            )
+            .selectExpr(
+                "file",
+                "col",
+                "shiftright(pos, 6) AS w",
+                "shiftleft(1L, CAST(pmod(pos, 64) AS INT)) AS bits",
+            )
+        )
+        # SENTINEL row (w = -1) per file: marks the file as INDEXED for
+        # this column even when every value is NULL — the probe treats
+        # files WITHOUT a sentinel as unindexed and never skips them
+        pieces.append(
+            df.select(_rel_file_expr().alias("file"))
+            .distinct()
+            .selectExpr(
+                "file",
+                f"'{c}' AS col",
+                "CAST(-1 AS BIGINT) AS w",
+                "CAST(0 AS BIGINT) AS bits",
+            )
+        )
+    all_pos = pieces[0]
+    for p in pieces[1:]:
+        all_pos = all_pos.unionByName(p)
+    packed = all_pos.groupBy("file", "col", "w").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    side_dir = f"{root}/data/{uuid.uuid4().hex}"
+    packed.write.parquet(side_dir)
+    return _list_commit_files(spark, side_dir)
+
+
+def _bloom_prune(
+    spark: SparkSession,
+    root: str,
+    bloom: dict,
+    files: list[str],
+    filters: list[tuple],
+) -> list[str]:
+    """Drop files whose bloom sidecar PROVES an equality predicate can't
+    match. One narrow job over the sidecar parquet — filtered to the
+    probe's word indexes (pushed to the parquet scan) — then an
+    O(#candidate-files x k)-row collect; a file with no sidecar entry is
+    kept (conservative, false-positive-only)."""
+    eq = [
+        (c, v)
+        for c, op, v in filters
+        if op == "=" and c in bloom.get("cols", ()) and v is not None
+    ]
+    if not eq or not files:
+        return files
+    side = spark.read.parquet(*[f"{root}/{p}" for p in bloom["files"]])
+    surviving = list(files)
+    for c, v in eq:
+        if not surviving:
+            break
+        poss = _bloom_pos_py(v)
+        need: dict[int, int] = {}  # word index -> OR of needed bits
+        for p in poss:
+            need[p >> 6] = need.get(p >> 6, 0) | (1 << (p & 63))
+        total_bits = sum(bin(b).count("1") for b in need.values())
+        rows = (
+            side.where(
+                (F.col("col") == c)
+                & F.col("w").isin([-1, *[int(w) for w in need]])
+                & F.col("file").isin(surviving)
+            )
+            .select("file", "w", "bits")
+            .collect()
+        )  # O(#candidate-files x (k+1)) rows through the driver
+        got: dict[str, int] = {}
+        indexed: set[str] = set()
+        for r in rows:
+            if r["w"] == -1:
+                indexed.add(r["file"])
+            else:
+                got[r["file"]] = got.get(r["file"], 0) + bin(
+                    r["bits"] & need[r["w"]]
+                ).count("1")
+        surviving = [
+            f
+            for f in surviving
+            if f not in indexed  # unindexed file: never skip
+            or got.get(f, 0) >= total_bits
+        ]
+    return surviving
+
+
 def snapshot_write(
     df: DataFrame,
     root: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -413,7 +573,17 @@ def snapshot_write(
     query-side optimization (Athena partition projection,
     ``athena_create_table.sql:41-47``) and of Delta/Iceberg stats-based
     skipping. Omitted on an append, the column list is inherited from the
-    table's latest manifest so the stats stay uniform."""
+    table's latest manifest so the stats stay uniform.
+
+    ``bloom_cols`` opts into POINT-LOOKUP SKIPPING for equality
+    predicates on high-cardinality columns min/max can't serve (a
+    needle-in-haystack key lookup over hash-scattered files — the GDPR
+    'find this user' shape): one extra pass over the commit builds a
+    sparse per-file BLOOM SIDECAR (:func:`_build_bloom_sidecar`, a data
+    file the manifest references — never JSON payload), and
+    ``snapshot_read`` with an ``("col", "=", v)`` filter probes it before
+    planning. False-positive-only by construction; inherited across
+    appends like ``stats_cols``."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -422,11 +592,14 @@ def snapshot_write(
     new_files = _list_commit_files(spark, commit_dir)
     schema_json = df.schema.json()
     new_stats: dict[str, dict[str, list]] | None = None
+    new_bloom: list[str] | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
         latest = current_version(spark, root)
         base_files: list[str] = []
         base_stats: dict[str, dict[str, list]] = {}
         cols = stats_cols
+        bcols = bloom_cols
+        base_bloom: list[str] = []
         commit_schema = schema_json
         prev_resolved = None
         if mode == "append" and latest is not None:
@@ -435,11 +608,17 @@ def snapshot_write(
             base_stats = prev.get("stats", {})
             if cols is None:
                 cols = prev.get("stats_cols")
+            if bcols is None and prev.get("bloom"):
+                bcols = prev["bloom"]["cols"]
+            if prev.get("bloom"):
+                base_bloom = prev["bloom"]["files"]
             commit_schema = _merge_schemas(
                 StructType.fromJson(json.loads(prev["schema"])), df.schema
             ).json()
         if cols and new_files and new_stats is None:
             new_stats = _collect_file_stats(spark, commit_dir, list(cols))
+        if bcols and new_files and new_bloom is None:
+            new_bloom = _build_bloom_sidecar(spark, root, commit_dir, list(bcols))
         manifest = {
             "version": (latest or 0) + 1,
             "action": mode,
@@ -457,6 +636,13 @@ def snapshot_write(
                 f: s
                 for f, s in {**base_stats, **(new_stats or {})}.items()
                 if f in set(manifest["files"])
+            }
+        if bcols:
+            manifest["bloom"] = {
+                "cols": list(bcols),
+                "k": BLOOM_HASHES,
+                "m": BLOOM_BITS,
+                "files": sorted(set(base_bloom) | set(new_bloom or [])),
             }
         if _try_commit(spark, root, manifest, prev=prev_resolved):
             return int(manifest["version"])
@@ -502,6 +688,8 @@ def snapshot_read(
                 for c, op, v in filters
             )
         ]
+        if m.get("bloom"):
+            files = _bloom_prune(spark, root, m["bloom"], files, filters)
     if not files:
         return spark.createDataFrame([], schema)
     df = _plan_scan(spark, root, m, files, schema)
@@ -652,6 +840,13 @@ def snapshot_optimize(
         if stats_cols and new_files
         else None
     )  # repacked files get FRESH stats so data skipping survives OPTIMIZE
+    bloom = m.get("bloom")
+    new_bloom = (
+        _build_bloom_sidecar(spark, root, commit_dir, list(bloom["cols"]))
+        if bloom and new_files
+        else None
+    )  # fresh sidecars too — and the rebuild COLLAPSES the accumulated
+    # per-commit sidecar list back to one commit's worth
     for _ in range(_MAX_COMMIT_RETRIES):
         now = current_version(spark, root)
         if now != latest:
@@ -668,6 +863,8 @@ def snapshot_optimize(
         if stats_cols:
             manifest["stats_cols"] = list(stats_cols)
             manifest["stats"] = new_stats or {}
+        if bloom:
+            manifest["bloom"] = {**bloom, "files": new_bloom or []}
         if _try_commit(spark, root, manifest, prev=m):
             return latest + 1
     return None
@@ -946,6 +1143,20 @@ def snapshot_merge(
         # may hold vector entries; stale entries for rewritten files are
         # harmless and OPTIMIZE purges them
         manifest["dv"] = m["dv"]
+    if m.get("bloom"):
+        manifest["bloom"] = {
+            **m["bloom"],
+            "files": sorted(
+                set(m["bloom"]["files"])
+                | set(
+                    _build_bloom_sidecar(
+                        spark, root, commit_dir, list(m["bloom"]["cols"])
+                    )
+                    if new_files
+                    else []
+                )
+            ),
+        }
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -1019,6 +1230,9 @@ def _delete_dv(
         "files": m["files"],
         "dv": sorted(set(m.get("dv", [])) | set(new_dv)),
     }
+    if m.get("bloom"):
+        # blooms stay valid: vectors only remove rows (false-positive-only)
+        manifest["bloom"] = m["bloom"]
     if m.get("stats_cols"):
         # file stats stay valid under vectors: min/max are conservative
         # bounds after row removal, so skipping never skips wrongly
@@ -1134,6 +1348,20 @@ def snapshot_delete(
         # (they reference files no longer scanned — harmless); OPTIMIZE
         # purges the whole vector set.
         manifest["dv"] = m["dv"]
+    if m.get("bloom"):
+        manifest["bloom"] = {
+            **m["bloom"],
+            "files": sorted(
+                set(m["bloom"]["files"])
+                | set(
+                    _build_bloom_sidecar(
+                        spark, root, commit_dir, list(m["bloom"]["cols"])
+                    )
+                    if new_files
+                    else []
+                )
+            ),
+        }
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -1180,6 +1408,8 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
         }
         if target.get("dv"):
             manifest["dv"] = target["dv"]
+        if target.get("bloom"):
+            manifest["bloom"] = target["bloom"]
         if target.get("stats_cols"):
             manifest["stats_cols"] = target["stats_cols"]
             manifest["stats"] = target.get("stats", {})
@@ -1238,8 +1468,10 @@ def snapshot_vacuum(
     for v in kept:
         km = read_manifest(spark, root, v)
         referenced.update(km["files"])
-        # deletion-vector parquet is data a kept version still reads
+        # deletion-vector and bloom-sidecar parquet are data a kept
+        # version still reads
         referenced.update(km.get("dv", ()))
+        referenced.update(km.get("bloom", {}).get("files", ()))
         raw = _read_raw_manifest(spark, root, v)
         while "files" not in raw:
             base = int(raw["base"])

@@ -88,7 +88,7 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            4,
+            5,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
             "table-sized), the manifest data-skipping stats; snapshot_merge "
@@ -99,8 +99,11 @@ def test_no_driver_side_collect_in_operators():
             "quantize the Morton grid; snapshot_cdf collects the distinct "
             "file names a delete vector touches — one row per touched "
             "file, bounded by the table's file count — so the delete-side "
-            "scan opens only those files; reads plan normally with no "
-            "driver round-trip",
+            "scan opens only those files; _bloom_prune collects the "
+            "point-lookup probe's sidecar rows — O(#candidate-files x "
+            "(k+1)) rows, word-index filter pushed to the sidecar scan — "
+            "to prune the file list before planning; reads plan normally "
+            "with no driver round-trip",
         ),
     }
     for py in sorted(ops_dir.rglob("*.py")):

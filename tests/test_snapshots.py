@@ -828,3 +828,93 @@ def test_cdf_refuses_commits_without_row_lineage(spark, tmp_path):
     snapshot_merge(_df(spark, 10, 12), root2, key="id")
     with pytest.raises(ValueError, match="row-level"):
         snapshot_cdf(spark, root2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecars (point-lookup skipping)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_python_and_spark_positions_agree(spark):
+    """The read-side Python probe and the commit-side Spark expression
+    must derive IDENTICAL positions — the invariant bloom pruning's
+    correctness rests on."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        BLOOM_HASHES,
+        _bloom_pos_expr,
+        _bloom_pos_py,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, -7, 1234567890123, "alpha", "x#y", ""]
+    df = spark.createDataFrame([(str(v),) for v in vals], "c string")
+    rows = df.select(
+        "c", *[_bloom_pos_expr("c", i).alias(f"p{i}") for i in range(BLOOM_HASHES)]
+    ).collect()
+    spark_pos = {r["c"]: [r[f"p{i}"] for i in range(BLOOM_HASHES)] for r in rows}
+    for v in vals:
+        assert spark_pos[str(v)] == _bloom_pos_py(v), v
+
+
+def test_bloom_prunes_point_lookup_and_never_wrong(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+    snapshot_write(df.repartition(8, "k"), root, bloom_cols=["k"])
+    hit = snapshot_read(spark, root, filters=[("k", "=", 777)])
+    assert [(r.k, r.v) for r in hit.collect()] == [(777, 1554)]
+    assert len(hit.inputFiles()) < 8
+    # absent key: bloom proves no file can match -> zero files planned
+    miss = snapshot_read(spark, root, filters=[("k", "=", 10**9)])
+    assert miss.count() == 0
+    # non-equality predicates ignore the bloom (range still exact)
+    assert snapshot_read(spark, root, filters=[("k", "<", 10)]).count() == 10
+
+
+def test_bloom_inherits_rebuilds_and_survives_vacuum(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v").repartition(4, "k"),
+        root,
+        bloom_cols=["k"],
+    )
+    snapshot_write(
+        spark.range(1000, 2000).selectExpr("id AS k", "id * 2 AS v").repartition(4, "k"),
+        root,
+    )  # inherit
+    m2 = read_manifest(spark, root, 2)
+    assert m2["bloom"]["cols"] == ["k"] and len(m2["bloom"]["files"]) >= 2
+    got = snapshot_read(spark, root, filters=[("k", "=", 1500)])
+    assert [(r.k, r.v) for r in got.collect()] == [(1500, 3000)]
+    assert len(got.inputFiles()) < 8
+    # dv delete keeps the bloom (false-positive-only after row removal)
+    snapshot_delete(spark, root, [("k", "=", 1500)], mode="dv")
+    assert snapshot_read(spark, root, filters=[("k", "=", 1500)]).count() == 0
+    # optimize rebuilds and COLLAPSES the sidecar list
+    v = snapshot_optimize(spark, root, target_file_mb=0.01)
+    m = read_manifest(spark, root, v)
+    assert len(m["bloom"]["files"]) <= len(m2["bloom"]["files"])
+    assert snapshot_read(spark, root, filters=[("k", "=", 42)]).count() == 1
+    # vacuum keeps sidecars referenced by kept versions
+    snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
+    got = snapshot_read(spark, root, filters=[("k", "=", 42)])
+    assert [(r.k, r.v) for r in got.collect()] == [(42, 84)]
+
+
+def test_bloom_refuses_unsafe_column_types(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS d")
+    with pytest.raises(TypeError, match="bloom column"):
+        snapshot_write(df, root, bloom_cols=["d"])
+
+
+def test_bloom_all_null_file_is_indexed_and_skippable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "k long, v long"
+    )
+    snapshot_write(df.coalesce(1), root, bloom_cols=["k"])
+    # an equality probe can never match NULLs: the file prunes away
+    got = snapshot_read(spark, root, filters=[("k", "=", 1)])
+    assert got.count() == 0 and len(got.inputFiles()) == 0
