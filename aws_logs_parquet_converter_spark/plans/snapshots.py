@@ -1518,6 +1518,41 @@ def snapshot_vacuum(
     return sorted(deleted)
 
 
+def snapshot_version_as_of(spark: SparkSession, root: str, ts) -> int:
+    """Resolve Delta's ``TIMESTAMP AS OF``: the newest version committed
+    at-or-before ``ts`` (epoch seconds, or a datetime). Commit times are
+    the manifest files' modification times — the CAS publish is the
+    manifest's last write, so the filesystem timestamp IS the commit
+    instant (Delta resolves timestamp travel the same way). O(#versions)
+    metadata, no data access. Raises if the table's oldest surviving
+    manifest is younger than ``ts`` (vacuum may have retired the version
+    that was current then — the honest failure, not a silent later
+    version)."""
+    import datetime
+
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    jvm, jroot, fs = _fs_for(spark, root)
+    versions = _list_versions(fs, jvm, jroot)
+    if not versions:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    best = None
+    for v in versions:
+        mtime = (
+            fs.getFileStatus(_snap_path(jvm, jroot, _manifest_name(v)))
+            .getModificationTime()
+            / 1000.0
+        )
+        if mtime <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"snapshot table {root} has no version committed at or before "
+            f"{ts} — the oldest surviving manifest is younger (vacuumed?)"
+        )
+    return best
+
+
 def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     """DESCRIBE HISTORY for a snapshot table: one row per committed
     version — action tag, resolved file count, and the on-disk manifest

@@ -918,3 +918,25 @@ def test_bloom_all_null_file_is_indexed_and_skippable(spark, tmp_path):
     # an equality probe can never match NULLs: the file prunes away
     got = snapshot_read(spark, root, filters=[("k", "=", 1)])
     assert got.count() == 0 and len(got.inputFiles()) == 0
+
+
+def test_timestamp_as_of_resolves_commit_instants(spark, tmp_path):
+    import time as _time
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_version_as_of,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    t1 = _time.time()
+    _time.sleep(1.1)
+    snapshot_write(_df(spark, 10, 20), root)
+    t2 = _time.time()
+    assert snapshot_version_as_of(spark, root, t1) == 1
+    assert snapshot_version_as_of(spark, root, t2) == 2
+    assert _rows(
+        snapshot_read(spark, root, version=snapshot_version_as_of(spark, root, t1))
+    ) == _rows(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="at or before"):
+        snapshot_version_as_of(spark, root, t1 - 3600)
