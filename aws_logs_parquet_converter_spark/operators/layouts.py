@@ -765,6 +765,39 @@ def table_snapshot_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "table_snapshot_batch_source",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE event_type <> 'click' AND event_id >= {SNAP_DV_LO}
+    """,
+    doc=(
+        "The snapshot table consumed through the STANDARD BATCH READER "
+        "API — spark.read.format('snapshot_table').option('root', ...) — "
+        "the batch half of the Spark 4 Python DataSource whose streaming "
+        "half is stream_snapshot_source. Planning is one task per data "
+        "file of the addressed version (version/timestamp options = time "
+        "travel through the reader API; manifest-stats file pruning via "
+        "the filters option), and executors yield Arrow record batches "
+        "with the version's DELETION VECTORS subtracted per file (the "
+        "vectors are grouped by file at planning time, each task masks "
+        "its own row indexes) — proven here by reading the DV fixture "
+        "and matching the same oracle as table_snapshot_delete_dv. A "
+        "user never needs the library API to consume the table: "
+        "format('snapshot_table') round-trips batch and streaming."
+    ),
+)
+def table_snapshot_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    register_snapshot_stream_source(spark)
+    root = _snapshot_dv_events_for(spark, sf_dir)
+    return (
+        spark.read.format("snapshot_table").option("root", root).load()
+    )
+
+
 #: per-sf_dir cache of seeded CDF-lifecycle table roots
 _SNAPSHOT_CDF_PATHS: dict[str, str] = {}
 

@@ -140,16 +140,169 @@ def _survives(stats: dict | None, col: str, op: str, val) -> bool:
     raise ValueError(f"unsupported prune op {op!r} ({', '.join(_PC_OPS)})")
 
 
+def _resolve_version_py(root: str, options) -> int:
+    """The version a batch read addresses: explicit ``version`` option,
+    else ``timestamp`` (epoch seconds — newest manifest whose mtime is
+    at-or-before it, the TIMESTAMP AS OF rule of
+    plans.snapshots.snapshot_version_as_of), else latest."""
+    vs = _list_versions_py(root)
+    if not vs:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    if options.get("version") is not None:
+        v = int(options["version"])
+        if v not in vs:
+            raise FileNotFoundError(f"snapshot table {root} has no version {v}")
+        return v
+    if options.get("timestamp") is not None:
+        ts = float(options["timestamp"])
+        best = None
+        for v in vs:
+            p = os.path.join(root, "_snapshots", f"v{v:08d}.json")
+            if os.path.getmtime(p) <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"snapshot table {root} has no version committed at or "
+                f"before {ts}"
+            )
+        return best
+    return vs[-1]
+
+
+def _parse_filters(options) -> list[tuple]:
+    out: list[tuple] = []
+    raw = options.get("filters")
+    if raw:
+        for c, op, v in json.loads(raw):
+            if op not in _PC_OPS:
+                raise ValueError(
+                    f"unsupported filter op {op!r} ({', '.join(_PC_OPS)})"
+                )
+            out.append((c, op, v))
+    return out
+
+
 try:  # pyspark >= 4.0 only
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceReader,
         DataSourceStreamReader,
         InputPartition,
     )
 
     class _SnapshotFilePartition(InputPartition):
-        def __init__(self, path: str):
+        def __init__(self, path: str, deleted: tuple = ()):
             self.path = path
+            #: sorted ROW INDEXES this version's deletion vectors remove
+            #: from the file (batch reads of dv-carrying versions)
+            self.deleted = deleted
+
+    def _iter_file_batches(path, fields, filters, deleted=()):
+        """One parquet file -> Arrow record batches: columns reconciled
+        to the DECLARED schema (files predating an added column yield
+        typed NULLs — the snapshot_read contract), deletion-vector row
+        indexes masked out, residual filters applied with SQL WHERE
+        semantics (NULL predicate -> dropped). Shared by the batch and
+        streaming readers; runs executor-side, vectorized end-to-end."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        pc_ops = {
+            "=": pc.equal,
+            "<": pc.less,
+            "<=": pc.less_equal,
+            ">": pc.greater,
+            ">=": pc.greater_equal,
+        }
+        dead = np.asarray(deleted, dtype=np.int64)
+        pf = pq.ParquetFile(path)
+        have = set(pf.schema_arrow.names)
+        cols_present = [f.name for f in fields if f.name in have]
+        offset = 0
+        for batch in pf.iter_batches(columns=cols_present):
+            n = batch.num_rows
+            cols = []
+            for f in fields:
+                if f.name in have:
+                    cols.append(batch.column(f.name))
+                else:  # pre-evolution file: typed NULL column
+                    cols.append(pa.nulls(n, type=to_arrow_type(f.dataType)))
+            out = pa.RecordBatch.from_arrays(
+                cols, names=[f.name for f in fields]
+            )
+            if dead.size:
+                local = dead[(dead >= offset) & (dead < offset + n)] - offset
+                if local.size:
+                    keep = np.ones(n, dtype=bool)
+                    keep[local] = False
+                    out = out.filter(pa.array(keep))
+            offset += n
+            for c, op, v in filters:
+                mask = pc_ops[op](out.column(c), pa.scalar(v))
+                out = out.filter(pc.coalesce(mask, pa.scalar(False)))
+            yield out
+
+    class _SnapshotBatchReader(DataSourceReader):
+        """``spark.read.format("snapshot_table")`` — the BATCH half of
+        the source: one task per data file of the addressed version
+        (``version`` / ``timestamp`` / latest), manifest-stats file
+        pruning for the ``filters`` option, and deletion-vector
+        subtraction planned per file (the version's vectors are grouped
+        by file at planning time — O(#deleted rows) driver metadata —
+        and each task masks its own row indexes, so a dv-carrying
+        version reads correctly through the plain reader API)."""
+
+        def __init__(self, schema, options):
+            self._schema = schema
+            self._root = options.get("root")
+            if not self._root:
+                raise ValueError("snapshot_table source requires option 'root'")
+            self._version = _resolve_version_py(self._root, options)
+            self._filters = _parse_filters(options)
+
+        def partitions(self):
+            m = _read_manifest_py(self._root, self._version)
+            files = m["files"]
+            stats = m.get("stats", {})
+            if self._filters:
+                files = [
+                    f
+                    for f in files
+                    if all(
+                        _survives(stats.get(f), c, op, v)
+                        for c, op, v in self._filters
+                    )
+                ]
+            deleted: dict[str, list[int]] = {}
+            if m.get("dv"):
+                import pyarrow.parquet as pq
+
+                keep = set(files)
+                for p in m["dv"]:
+                    t = pq.read_table(os.path.join(self._root, p))
+                    for f, pos in zip(
+                        t.column("file").to_pylist(), t.column("pos").to_pylist()
+                    ):
+                        if f in keep:
+                            deleted.setdefault(f, []).append(pos)
+            return [
+                _SnapshotFilePartition(
+                    os.path.join(self._root, f),
+                    tuple(sorted(deleted.get(f, ()))),
+                )
+                for f in files
+            ]
+
+        def read(self, partition: "_SnapshotFilePartition"):
+            yield from _iter_file_batches(
+                partition.path,
+                list(self._schema.fields),
+                self._filters,
+                partition.deleted,
+            )
 
     class _SnapshotStreamReader(DataSourceStreamReader):
         def __init__(self, schema, options):
@@ -203,48 +356,22 @@ try:  # pyspark >= 4.0 only
             ]
 
         def read(self, partition: "_SnapshotFilePartition"):
-            # executor-side: one parquet file -> Arrow record batches,
-            # reconciled to the DECLARED schema (files predating an added
-            # column yield NULL there — the snapshot_read contract)
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-            from pyspark.sql.pandas.types import to_arrow_type
-
-            pc_ops = {
-                "=": pc.equal,
-                "<": pc.less,
-                "<=": pc.less_equal,
-                ">": pc.greater,
-                ">=": pc.greater_equal,
-            }
-            fields = list(self._schema.fields)
-            pf = pq.ParquetFile(partition.path)
-            have = set(pf.schema_arrow.names)
-            cols_present = [f.name for f in fields if f.name in have]
-            for batch in pf.iter_batches(columns=cols_present):
-                cols = []
-                for f in fields:
-                    if f.name in have:
-                        cols.append(batch.column(f.name))
-                    else:  # pre-evolution file: typed NULL column
-                        cols.append(
-                            pa.nulls(batch.num_rows, type=to_arrow_type(f.dataType))
-                        )
-                out = pa.RecordBatch.from_arrays(
-                    cols, names=[f.name for f in fields]
-                )
-                for c, op, v in self._filters:
-                    # NULL predicate -> dropped, SQL WHERE semantics
-                    mask = pc_ops[op](out.column(c), pa.scalar(v))
-                    out = out.filter(pc.coalesce(mask, pa.scalar(False)))
-                yield out
+            # append-lineage delta files never carry deletion vectors
+            # (dv commits raise in _delta_files), so deleted=() here
+            yield from _iter_file_batches(
+                partition.path, list(self._schema.fields), self._filters
+            )
 
         def commit(self, end):
             pass  # offsets live in the engine's checkpoint; nothing to do
 
     class SnapshotTableStreamSource(DataSource):
-        """``format("snapshot_table")`` — see module docstring."""
+        """``format("snapshot_table")`` — see module docstring. Serves
+        BOTH halves of the reader API: ``spark.readStream`` (versions as
+        offsets) and ``spark.read`` (one task per file of the addressed
+        version — ``version`` / ``timestamp`` options are time travel
+        through the standard reader API, and deletion-vector versions
+        read correctly)."""
 
         @classmethod
         def name(cls):
@@ -256,15 +383,16 @@ try:  # pyspark >= 4.0 only
             root = self.options.get("root")
             if not root:
                 raise ValueError("snapshot_table source requires option 'root'")
-            vs = _list_versions_py(root)
-            if not vs:
-                raise FileNotFoundError(f"snapshot table {root} has no commits")
+            v = _resolve_version_py(root, self.options)
             return StructType.fromJson(
-                json.loads(_read_manifest_py(root, vs[-1])["schema"])
+                json.loads(_read_manifest_py(root, v)["schema"])
             )
 
         def streamReader(self, schema):
             return _SnapshotStreamReader(schema, self.options)
+
+        def reader(self, schema):
+            return _SnapshotBatchReader(schema, self.options)
 
 except ImportError:  # pragma: no cover - pyspark < 4
     SnapshotTableStreamSource = None  # type: ignore[assignment]

@@ -940,3 +940,52 @@ def test_timestamp_as_of_resolves_commit_instants(spark, tmp_path):
     ) == _rows(_df(spark, 0, 10))
     with pytest.raises(ValueError, match="at or before"):
         snapshot_version_as_of(spark, root, t1 - 3600)
+
+
+# ---------------------------------------------------------------------------
+# Batch reads through the DataSource API (spark.read.format)
+# ---------------------------------------------------------------------------
+
+
+def _batch_src(spark, root, **opts):
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    register_snapshot_stream_source(spark)
+    r = spark.read.format("snapshot_table").option("root", root)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_batch_source_reads_versions_and_vectors(spark, tmp_path):
+    import json as _json
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 100, 150), root)
+    snapshot_delete(spark, root, [("id", "<", 20)], mode="dv")
+    assert _rows(_batch_src(spark, root)) == _rows(_df(spark, 20, 150))
+    assert _rows(_batch_src(spark, root, version=1)) == _rows(_df(spark, 0, 100))
+    # filters option: stats pruning + exact batch-side residual, dv-composed
+    got = _batch_src(spark, root, filters=_json.dumps([["id", "<", 30]]))
+    assert _rows(got) == _rows(_df(spark, 20, 30))
+
+
+def test_batch_source_timestamp_travel_and_schema(spark, tmp_path):
+    import time as _time
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 10).selectExpr("id"), root)
+    t1 = _time.time()
+    _time.sleep(1.1)
+    snapshot_write(spark.range(10, 20).selectExpr("id", "id * 2 AS v"), root)
+    old = _batch_src(spark, root, timestamp=t1)
+    assert old.columns == ["id"] and old.count() == 10  # pre-evolution schema
+    new = _batch_src(spark, root)
+    assert new.columns == ["id", "v"] and new.count() == 20
+    # pre-evolution files yield typed NULLs through the source
+    assert new.where("v IS NULL").count() == 10
