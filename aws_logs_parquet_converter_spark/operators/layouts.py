@@ -798,6 +798,81 @@ def table_snapshot_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-sf_dir cache of seeded constrained-table roots
+_SNAPSHOT_CONSTRAINT_PATHS: dict[str, str] = {}
+
+
+def _snapshot_constrained_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a table declaring CHECK constraints, feed it a good half, a
+    CORRUPTED batch (negated user_ids — must be REFUSED, asserted), and
+    the clean second half. The final state containing exactly the two
+    clean halves is what the registered oracle checks."""
+    path = _SNAPSHOT_CONSTRAINT_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import (
+        ConstraintViolation,
+        current_version,
+        snapshot_write,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapshot_ck_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(
+        ev.where(F.col("event_id") < SNAP_SPLIT),
+        path,
+        constraints={
+            "uid_nonneg": "user_id >= 0",
+            "type_known": (
+                "event_type IN ('view','click','purchase','signup','error')"
+            ),
+        },
+    )
+    bad = ev.where(F.col("event_id") >= SNAP_SPLIT).withColumn(
+        "user_id", -F.col("user_id") - 1
+    )
+    try:
+        snapshot_write(bad, path)
+        raise AssertionError("corrupted batch must be refused")
+    except ConstraintViolation as e:
+        assert e.violations.get("uid_nonneg", 0) > 0
+    assert current_version(spark, path) == 1, "refused commit wrote nothing"
+    snapshot_write(ev.where(F.col("event_id") >= SNAP_SPLIT), path)
+    _SNAPSHOT_CONSTRAINT_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_constraints",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    doc=(
+        "Commit-time CHECK CONSTRAINTS (Delta's ADD CONSTRAINT) as a "
+        "TABLE PROPERTY of the snapshot layer: the table declares "
+        "{user_id >= 0, event_type IN (...)} at creation; every commit "
+        "of new rows is validated in ONE aggregate pass (SQL CHECK "
+        "semantics — only provably-FALSE rows violate, NULL passes) and "
+        "a corrupted batch is REFUSED atomically (ConstraintViolation "
+        "with per-constraint counts; no version written, residue inert "
+        "— asserted in the fixture). The registered read proves exactly "
+        "the two clean halves landed. Constraints inherit across "
+        "appends AND overwrites, carry through OPTIMIZE/delete/merge/"
+        "restore, and snapshot_add_constraint extends a live table "
+        "after validating history (tests/test_snapshots.py). At 100 TB "
+        "this moves data contracts from a downstream dq job (the "
+        "dq_expectations query) into the COMMIT PROTOCOL, where bad "
+        "data cannot land at all."
+    ),
+)
+def table_snapshot_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_constrained_events_for(spark, sf_dir))
+
+
 #: per-sf_dir cache of seeded CDF-lifecycle table roots
 _SNAPSHOT_CDF_PATHS: dict[str, str] = {}
 

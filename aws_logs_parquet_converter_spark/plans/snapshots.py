@@ -550,12 +550,51 @@ def _bloom_prune(
     return surviving
 
 
+class ConstraintViolation(ValueError):
+    """A commit was REFUSED because rows violate a table CHECK
+    constraint; carries ``violations`` = {constraint name: row count}."""
+
+    def __init__(self, msg: str, violations: dict[str, int]):
+        super().__init__(msg)
+        self.violations = violations
+
+
+def _check_constraints(
+    df: DataFrame, constraints: dict[str, str], what: str
+) -> None:
+    """ONE aggregate pass over ``df`` counting rows that provably violate
+    each CHECK expression (SQL semantics: a row fails only when the
+    expression is FALSE — NULL/UNKNOWN passes, exactly standard CHECK).
+    Raises :class:`ConstraintViolation` listing per-constraint counts;
+    the caller's commit dir stays inert residue (vacuum sweeps it)."""
+    if not constraints:
+        return
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), True)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name]) for name in constraints if row[name]}
+    if bad:
+        detail = ", ".join(
+            f"{n!r} ({constraints[n]}): {c} rows" for n, c in bad.items()
+        )
+        raise ConstraintViolation(
+            f"{what} violates table CHECK constraint(s): {detail} — "
+            "commit refused; no version was written",
+            bad,
+        )
+
+
 def snapshot_write(
     df: DataFrame,
     root: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -583,10 +622,20 @@ def snapshot_write(
     file the manifest references — never JSON payload), and
     ``snapshot_read`` with an ``("col", "=", v)`` filter probes it before
     planning. False-positive-only by construction; inherited across
-    appends like ``stats_cols``."""
+    appends like ``stats_cols``.
+
+    ``constraints`` (``{name: sql_expr}``) declares CHECK constraints
+    (Delta's ``ADD CONSTRAINT``): every subsequent commit of NEW rows —
+    appends here, sources in :func:`snapshot_merge` — is validated in
+    one aggregate pass and REFUSED (:class:`ConstraintViolation`) if any
+    row provably violates an expression (SQL CHECK semantics: NULL
+    passes). The set is a table property: inherited across appends and
+    overwrites, carried by every action; extend an existing table with
+    :func:`snapshot_add_constraint` (which validates history first)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     spark = df.sparkSession
+    checked = False
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
     df.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
@@ -600,8 +649,16 @@ def snapshot_write(
         cols = stats_cols
         bcols = bloom_cols
         base_bloom: list[str] = []
+        checks = dict(constraints or {})
         commit_schema = schema_json
         prev_resolved = None
+        if latest is not None and mode == "overwrite":
+            # constraints are a TABLE property: they survive an overwrite
+            # unless the caller explicitly re-declares the set
+            if constraints is None:
+                checks = dict(
+                    read_manifest(spark, root, latest).get("constraints", {})
+                )
         if mode == "append" and latest is not None:
             prev = prev_resolved = read_manifest(spark, root, latest)
             base_files = prev["files"]
@@ -612,9 +669,20 @@ def snapshot_write(
                 bcols = prev["bloom"]["cols"]
             if prev.get("bloom"):
                 base_bloom = prev["bloom"]["files"]
+            if constraints is None:
+                checks = dict(prev.get("constraints", {}))
+            else:
+                checks = {**prev.get("constraints", {}), **constraints}
             commit_schema = _merge_schemas(
                 StructType.fromJson(json.loads(prev["schema"])), df.schema
             ).json()
+        if checks and not checked:
+            _check_constraints(
+                spark.read.parquet(commit_dir) if new_files else df.limit(0),
+                checks,
+                "snapshot_write commit",
+            )
+            checked = True
         if cols and new_files and new_stats is None:
             new_stats = _collect_file_stats(spark, commit_dir, list(cols))
         if bcols and new_files and new_bloom is None:
@@ -644,6 +712,8 @@ def snapshot_write(
                 "m": BLOOM_BITS,
                 "files": sorted(set(base_bloom) | set(new_bloom or [])),
             }
+        if checks:
+            manifest["constraints"] = checks
         if _try_commit(spark, root, manifest, prev=prev_resolved):
             return int(manifest["version"])
     raise IOError(
@@ -865,6 +935,8 @@ def snapshot_optimize(
             manifest["stats"] = new_stats or {}
         if bloom:
             manifest["bloom"] = {**bloom, "files": new_bloom or []}
+        if m.get("constraints"):
+            manifest["constraints"] = m["constraints"]
         if _try_commit(spark, root, manifest, prev=m):
             return latest + 1
     return None
@@ -1093,6 +1165,10 @@ def snapshot_merge(
         ]
     )
 
+    # CHECK constraints validate the NEW rows (the source); kept rows
+    # passed when they were committed
+    _check_constraints(src, m.get("constraints", {}), "snapshot_merge source")
+
     stats = m.get("stats", {})
     bounds = src.agg(
         F.min(key).alias("mn"), F.max(key).alias("mx")
@@ -1157,6 +1233,8 @@ def snapshot_merge(
                 )
             ),
         }
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -1233,6 +1311,8 @@ def _delete_dv(
     if m.get("bloom"):
         # blooms stay valid: vectors only remove rows (false-positive-only)
         manifest["bloom"] = m["bloom"]
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     if m.get("stats_cols"):
         # file stats stay valid under vectors: min/max are conservative
         # bounds after row removal, so skipping never skips wrongly
@@ -1362,6 +1442,8 @@ def snapshot_delete(
                 )
             ),
         }
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -1410,6 +1492,8 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
             manifest["dv"] = target["dv"]
         if target.get("bloom"):
             manifest["bloom"] = target["bloom"]
+        if target.get("constraints"):
+            manifest["constraints"] = target["constraints"]
         if target.get("stats_cols"):
             manifest["stats_cols"] = target["stats_cols"]
             manifest["stats"] = target.get("stats", {})
@@ -1516,6 +1600,48 @@ def snapshot_vacuum(
             fs.delete(st.getPath(), False)
             deleted.append(f"{SNAP_DIR}/{name}")
     return sorted(deleted)
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT: validate the CURRENT table state
+    against ``expr`` (one aggregate pass over the table — O(table), the
+    same cost Delta documents for ADD CONSTRAINT, paid once), then
+    commit a metadata-only version whose constraint set includes it;
+    every later commit of new rows enforces the full set. Refuses to
+    replace an existing name with a different expression (drop first —
+    silently changing a contract is how bad data slips in)."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        latest = current_version(spark, root)
+        if latest is None:
+            raise FileNotFoundError(f"snapshot table {root} has no commits")
+        m = read_manifest(spark, root, latest)
+        existing = dict(m.get("constraints", {}))
+        if name in existing and existing[name] != expr:
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                f"expression ({existing[name]!r}); drop it first"
+            )
+        _check_constraints(
+            snapshot_read(spark, root, latest),
+            {name: expr},
+            f"existing data of {root}",
+        )
+        manifest = {
+            k: v
+            for k, v in m.items()
+            if k in ("schema", "files", "stats_cols", "stats", "dv", "bloom")
+        }
+        manifest["version"] = latest + 1
+        manifest["action"] = "set-constraint"
+        manifest["constraints"] = {**existing, name: expr}
+        if _try_commit(spark, root, manifest, prev=m):
+            return latest + 1
+    raise IOError(
+        f"snapshot_add_constraint: lost the commit race "
+        f"{_MAX_COMMIT_RETRIES} times on {root}"
+    )
 
 
 def snapshot_version_as_of(spark: SparkSession, root: str, ts) -> int:

@@ -88,7 +88,7 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            5,
+            6,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
             "table-sized), the manifest data-skipping stats; snapshot_merge "
@@ -102,8 +102,10 @@ def test_no_driver_side_collect_in_operators():
             "scan opens only those files; _bloom_prune collects the "
             "point-lookup probe's sidecar rows — O(#candidate-files x "
             "(k+1)) rows, word-index filter pushed to the sidecar scan — "
-            "to prune the file list before planning; reads plan normally "
-            "with no driver round-trip",
+            "to prune the file list before planning; _check_constraints "
+            "collects ONE row of per-constraint violation counts at "
+            "commit time (the CHECK gate); reads plan normally with no "
+            "driver round-trip",
         ),
     }
     for py in sorted(ops_dir.rglob("*.py")):

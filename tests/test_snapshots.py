@@ -989,3 +989,67 @@ def test_batch_source_timestamp_travel_and_schema(spark, tmp_path):
     assert new.columns == ["id", "v"] and new.count() == 20
     # pre-evolution files yield typed NULLs through the source
     assert new.where("v IS NULL").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (commit-time data contracts)
+# ---------------------------------------------------------------------------
+
+
+def test_constraints_refuse_bad_commits_and_inherit(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        ConstraintViolation,
+        snapshot_merge,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _df(spark, 0, 10), root, constraints={"v_even": "v % 2 = 0"}
+    )
+    # appends inherit and enforce
+    with pytest.raises(ConstraintViolation) as ei:
+        snapshot_write(spark.range(10, 20).selectExpr("id", "id AS v"), root)
+    assert ei.value.violations == {"v_even": 5}
+    assert current_version(spark, root) == 1  # refused commit wrote nothing
+    snapshot_write(_df(spark, 10, 20), root)  # conforming rows land
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 20))
+    # merge validates the source
+    with pytest.raises(ConstraintViolation):
+        snapshot_merge(
+            spark.range(5, 7).selectExpr("id", "id AS v"), root, key="id"
+        )
+    # NULL predicate passes (SQL CHECK semantics)
+    snapshot_write(
+        spark.createDataFrame([(99, None)], "id long, v long"), root
+    )
+    assert current_version(spark, root) == 3
+
+
+def test_constraints_survive_lifecycle_and_add_validates_history(
+    spark, tmp_path
+):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        ConstraintViolation,
+        snapshot_add_constraint,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 20), root, constraints={"nonneg": "id >= 0"})
+    snapshot_delete(spark, root, [("id", "<", 5)], mode="dv")
+    snapshot_optimize(spark, root, target_file_mb=128)
+    m = read_manifest(spark, root, current_version(spark, root))
+    assert m["constraints"] == {"nonneg": "id >= 0"}  # carried through
+    # overwrite keeps the table property
+    snapshot_write(_df(spark, 50, 60), root, mode="overwrite")
+    with pytest.raises(ConstraintViolation):
+        snapshot_write(spark.range(-5, 0).selectExpr("id", "id AS v"), root)
+    # ADD CONSTRAINT validates existing data first
+    with pytest.raises(ConstraintViolation, match="existing data"):
+        snapshot_add_constraint(spark, root, "small", "id < 55")
+    v = snapshot_add_constraint(spark, root, "upper", "id < 1000")
+    assert read_manifest(spark, root, v)["action"] == "set-constraint"
+    with pytest.raises(ValueError, match="different expression"):
+        snapshot_add_constraint(spark, root, "upper", "id < 500")
+    with pytest.raises(ConstraintViolation):
+        snapshot_write(spark.range(2000, 2001).selectExpr("id", "id AS v"), root)
