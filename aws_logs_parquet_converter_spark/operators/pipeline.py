@@ -252,3 +252,129 @@ def pipeline_stream_then_optimize(spark: SparkSession, sf_dir: str) -> DataFrame
         for c in OUTPUT_COLUMNS
     ]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Day-2 incremental curation into a governed snapshot table
+# ---------------------------------------------------------------------------
+
+#: per-sf_dir cache of seeded incremental-curation table roots
+_INCR_CURATION_PATHS: dict[str, str] = {}
+
+
+def _incr_curation_table_for(spark: SparkSession, sf_dir: str) -> str:
+    """The day-2 corpus build, composed from round-5/6 primitives: the
+    curated corpus lives in a CONSTRAINED snapshot-manifest table; a new
+    batch flows through the PERSISTED incremental dedup indexes (exact
+    fingerprints + MinHash bands — the same memoized state the
+    dedup_incremental_* queries probe, corpus text never re-read) and
+    only the survivors are appended as version 2. Drop rules, mirrored
+    exactly by the oracle: a batch doc is dropped if its md5 repeats the
+    corpus or an earlier batch doc (exact), or if it is the HIGHER id of
+    any LSH band collision (near-dup)."""
+    path = _INCR_CURATION_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import current_version, snapshot_write
+    from .dedup import (
+        INCR_SPLIT,
+        _band_index_for,
+        _fp_index_for,
+        incremental_exact_dedup,
+        incremental_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < INCR_SPLIT)
+    batch = docs.where(F.col("doc_id") >= INCR_SPLIT)
+    path = tempfile.mkdtemp(prefix="incr_curation_tbl_")
+    snapshot_write(corpus, path, constraints={"doc_nonneg": "doc_id >= 0"})
+    exact_keep = (
+        incremental_exact_dedup(spark, batch, _fp_index_for(spark, sf_dir))
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    near_drop = (
+        incremental_minhash_pairs(spark, batch, _band_index_for(spark, sf_dir))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = batch.join(exact_keep, "doc_id", "left_semi").join(
+        near_drop, "doc_id", "left_anti"
+    )
+    snapshot_write(survivors, path)
+    assert current_version(spark, path) == 2
+    _INCR_CURATION_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "pipeline_incremental_curation",
+    oracle=None,  # assembled below — needs the dedup CTE fragments
+    doc=(
+        "Day-2 INCREMENTAL corpus curation into a governed table — the "
+        "composition that ties the engine's table layer to its dedup "
+        "indexes: the curated corpus is a snapshot-manifest table with a "
+        "CHECK constraint; today's batch probes the PERSISTED exact-"
+        "fingerprint and MinHash-band indexes (batch-sized cost, corpus "
+        "text never re-read — the plan property the dedup_incremental_* "
+        "queries pin individually), and only survivors append as v2. "
+        "The registered read returns the latest table; the oracle "
+        "rebuilds the identical final corpus from scratch in DuckDB "
+        "(corpus half UNION batch docs that neither repeat a fingerprint "
+        "nor collide in any LSH band with a lower id). At 100 TB this is "
+        "the daily shape: O(batch) curation cost, an exactly-once "
+        "governed append, and time travel to yesterday's corpus for "
+        "training reproducibility."
+    ),
+)
+def pipeline_incremental_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _incr_curation_table_for(spark, sf_dir))
+
+
+def _incr_curation_oracle() -> str:
+    from .dedup import (
+        _SQL_BANDS,
+        _SQL_CAND,
+        _SQL_SHINGLES,
+        _SQL_SIG,
+        INCR_SPLIT,
+    )
+
+    return (
+        "WITH "
+        + ",".join([_SQL_SHINGLES, _SQL_SIG, _SQL_BANDS, _SQL_CAND])
+        + f""",
+        idx AS (
+          SELECT DISTINCT md5(text) AS fingerprint
+          FROM documents WHERE doc_id < {INCR_SPLIT}),
+        b AS (
+          SELECT doc_id, md5(text) AS fingerprint
+          FROM documents WHERE doc_id >= {INCR_SPLIT}),
+        exact_keep AS (
+          SELECT b.doc_id FROM b
+          LEFT JOIN idx i ON i.fingerprint = b.fingerprint
+          QUALIFY i.fingerprint IS NULL
+              AND b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.fingerprint)),
+        near_drop AS (
+          SELECT DISTINCT doc_b AS doc_id FROM cand
+          WHERE doc_b >= {INCR_SPLIT})
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id < {INCR_SPLIT}
+           OR (d.doc_id IN (SELECT doc_id FROM exact_keep)
+               AND d.doc_id NOT IN (SELECT doc_id FROM near_drop))
+        """
+    )
+
+
+_spec2 = _REGISTRY["pipeline_incremental_curation"]
+_REGISTRY["pipeline_incremental_curation"] = _QuerySpec(
+    fn=_spec2.fn, oracle=_incr_curation_oracle(), doc=_spec2.doc
+)

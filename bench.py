@@ -107,6 +107,7 @@ POST_R3_LEGS = [
     "table_snapshot_bloom_read",  # bloom point lookup over hash-scattered files
     "table_snapshot_cdf_apply",  # incremental view maintenance from row deltas
     "table_snapshot_batch_source",  # batch DataSource read (Arrow tasks + DV mask)
+    "pipeline_incremental_curation",  # day-2 curation via persisted indexes -> table
     "table_snapshot_clustered_read",  # range read after OPTIMIZE cluster_by
 ]
 
