@@ -595,7 +595,8 @@ def snapshot_write(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     constraints: dict[str, str] | None = None,
-) -> int:
+    batch_id: int | None = None,
+) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
 
     ``append`` keeps the previous version's files and adds the new ones;
@@ -631,10 +632,29 @@ def snapshot_write(
     row provably violates an expression (SQL CHECK semantics: NULL
     passes). The set is a table property: inherited across appends and
     overwrites, carried by every action; extend an existing table with
-    :func:`snapshot_add_constraint` (which validates history first)."""
+    :func:`snapshot_add_constraint` (which validates history first).
+
+    ``batch_id`` turns the append into an EXACTLY-ONCE STREAMING COMMIT
+    (the ``foreachBatch`` sink contract): the manifest records the
+    cumulative ``batch_ids`` it contains, a re-delivered batch
+    (foreachBatch is at-least-once) is detected from one manifest read
+    and SKIPPED before any work (returns None), and a crash between the
+    data write and the manifest CAS leaves only inert unreferenced
+    residue — replay then commits fresh files, so table content
+    converges to exactly-once. All table properties (stats, blooms,
+    deletion vectors, constraints, schema merge) behave exactly as a
+    batch append."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
+    if batch_id is not None and mode != "append":
+        raise ValueError("batch_id commits are append-only")
     spark = df.sparkSession
+    if batch_id is not None:
+        latest = current_version(spark, root)
+        if latest is not None and int(batch_id) in read_manifest(
+            spark, root, latest
+        ).get("batch_ids", []):
+            return None  # replayed batch: already committed — exactly-once
     checked = False
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
     df.write.parquet(commit_dir)
@@ -659,10 +679,14 @@ def snapshot_write(
                 checks = dict(
                     read_manifest(spark, root, latest).get("constraints", {})
                 )
+        base_batches: list[int] = []
         if mode == "append" and latest is not None:
             prev = prev_resolved = read_manifest(spark, root, latest)
             base_files = prev["files"]
             base_stats = prev.get("stats", {})
+            base_batches = prev.get("batch_ids", [])
+            if batch_id is not None and int(batch_id) in base_batches:
+                return None  # lost a race to our own replay
             if cols is None:
                 cols = prev.get("stats_cols")
             if bcols is None and prev.get("bloom"):
@@ -689,10 +713,16 @@ def snapshot_write(
             new_bloom = _build_bloom_sidecar(spark, root, commit_dir, list(bcols))
         manifest = {
             "version": (latest or 0) + 1,
-            "action": mode,
+            "action": "stream-append" if batch_id is not None else mode,
             "schema": commit_schema,
             "files": sorted(set(base_files) | set(new_files)),
         }
+        if batch_id is not None:
+            manifest["batch_ids"] = sorted({*base_batches, int(batch_id)})
+        elif base_batches:
+            # a plain append on a streamed table KEEPS the batch ledger:
+            # losing it would let a later replayed micro-batch re-commit
+            manifest["batch_ids"] = base_batches
         if mode == "append" and prev_resolved and prev_resolved.get("dv"):
             # deletion vectors ride across appends: the deleted rows stay
             # deleted, the new files carry no vectors (fresh commit paths
@@ -937,6 +967,8 @@ def snapshot_optimize(
             manifest["bloom"] = {**bloom, "files": new_bloom or []}
         if m.get("constraints"):
             manifest["constraints"] = m["constraints"]
+        if m.get("batch_ids"):
+            manifest["batch_ids"] = m["batch_ids"]
         if _try_commit(spark, root, manifest, prev=m):
             return latest + 1
     return None
@@ -1235,6 +1267,8 @@ def snapshot_merge(
         }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("batch_ids"):
+        manifest["batch_ids"] = m["batch_ids"]
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -1313,6 +1347,8 @@ def _delete_dv(
         manifest["bloom"] = m["bloom"]
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("batch_ids"):
+        manifest["batch_ids"] = m["batch_ids"]
     if m.get("stats_cols"):
         # file stats stay valid under vectors: min/max are conservative
         # bounds after row removal, so skipping never skips wrongly
@@ -1444,6 +1480,8 @@ def snapshot_delete(
         }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("batch_ids"):
+        manifest["batch_ids"] = m["batch_ids"]
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         manifest["stats"] = {
@@ -1494,6 +1532,8 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
             manifest["bloom"] = target["bloom"]
         if target.get("constraints"):
             manifest["constraints"] = target["constraints"]
+        if target.get("batch_ids"):
+            manifest["batch_ids"] = target["batch_ids"]
         if target.get("stats_cols"):
             manifest["stats_cols"] = target["stats_cols"]
             manifest["stats"] = target.get("stats", {})
@@ -1631,7 +1671,8 @@ def snapshot_add_constraint(
         manifest = {
             k: v
             for k, v in m.items()
-            if k in ("schema", "files", "stats_cols", "stats", "dv", "bloom")
+            if k
+            in ("schema", "files", "stats_cols", "stats", "dv", "bloom", "batch_ids")
         }
         manifest["version"] = latest + 1
         manifest["action"] = "set-constraint"

@@ -484,6 +484,20 @@ def _register_gate_queries() -> None:
         "first-quartile projection exactly.",
     )(stream_snapshot_pruned_source)
 
+    register(
+        "stream_snapshot_sink",
+        oracle="SELECT event_id, user_id, event_type FROM events",
+        doc="Structured Streaming gate: the GENERIC exactly-once sink — "
+        "any DataFrame stream committed into a governed snapshot table "
+        "via snapshot_write(batch_id=...), the unified commit core the "
+        "log path delegates to. Per micro-batch: CHECK-constraint "
+        "validation, one immutable data-file write, one manifest CAS "
+        "recording the batch-id ledger (replay => skip; the ledger "
+        "survives OPTIMIZE/delete/merge/restore, closing the replay-"
+        "after-maintenance double-commit gap). Drained table == the "
+        "batch events projection value-for-value.",
+    )(stream_snapshot_sink)
+
     from ..operators.logformats import ALB_PARSE_ORACLE
 
     register(
@@ -1018,26 +1032,19 @@ def log_stream_snapshot_batch(
     a reader pinned to version N keeps a correct, immutable file list
     while batches land and OPTIMIZE repacks (gated in
     tests/test_streaming.py). Returns the committed version, or None when
-    the batch was already in the table (replay) or empty."""
-    from ..plans.snapshots import (
-        _MAX_COMMIT_RETRIES,
-        _collect_file_stats,
-        _list_commit_files,
-        _try_commit,
-        current_version,
-        read_manifest,
-    )
+    the batch was already in the table (replay) or empty.
+
+    Round 6 unified the commit core into ``snapshot_write(batch_id=...)``
+    so streamed tables inherit EVERY table property — stats, bloom
+    sidecars, deletion vectors riding appends, CHECK constraints, schema
+    merge — and the ``batch_ids`` ledger now survives maintenance
+    commits (OPTIMIZE/delete/merge/restore carry it), closing the
+    replay-after-OPTIMIZE double-commit gap the standalone
+    implementation had. This fn adds only the log-specific parse and the
+    (day, batch) bookkeeping columns."""
+    from ..plans.snapshots import snapshot_write
     from ..sources.registry import FORMATS
 
-    import uuid as _uuid
-
-    spark = bdf.sparkSession
-    latest = current_version(spark, root)
-    if latest is not None:
-        if int(batch_id) in read_manifest(spark, root, latest).get(
-            "batch_ids", []
-        ):
-            return None  # replayed batch: already committed — exactly-once
     parsed = FORMATS[fmt].parse(bdf)
     day = F.date_format(
         F.col(_STREAM_TIME_COLS[fmt]).cast("timestamp"), "yyyyMMdd"
@@ -1045,50 +1052,8 @@ def log_stream_snapshot_batch(
     out = parsed.withColumn("day", F.coalesce(day, F.lit("dead"))).withColumn(
         "batch", F.lit(int(batch_id))
     )
-    commit_dir = f"{root}/data/{_uuid.uuid4().hex}"
-    out.write.parquet(commit_dir)
-    new_files = _list_commit_files(spark, commit_dir)
-    schema_json = out.schema.json()
-    new_stats = None
-    for _ in range(_MAX_COMMIT_RETRIES):
-        latest = current_version(spark, root)
-        base_files: list[str] = []
-        base_batches: list[int] = []
-        base_stats: dict = {}
-        prev_resolved = None
-        cols = stats_cols
-        if latest is not None:
-            prev = prev_resolved = read_manifest(spark, root, latest)
-            base_files = prev["files"]
-            base_batches = prev.get("batch_ids", [])
-            base_stats = prev.get("stats", {})
-            if cols is None:
-                cols = prev.get("stats_cols")
-            if int(batch_id) in base_batches:
-                return None  # lost a race to our own replay
-        if cols and new_files and new_stats is None:
-            # per-file min/max gathered while the batch is hot — streamed
-            # tables get the same data skipping as batch snapshot_write
-            new_stats = _collect_file_stats(spark, commit_dir, list(cols))
-        manifest = {
-            "version": (latest or 0) + 1,
-            "action": "stream-append",
-            "schema": schema_json,
-            "files": sorted(set(base_files) | set(new_files)),
-            "batch_ids": sorted({*base_batches, int(batch_id)}),
-        }
-        if cols:
-            manifest["stats_cols"] = list(cols)
-            manifest["stats"] = {
-                f: s
-                for f, s in {**base_stats, **(new_stats or {})}.items()
-                if f in set(manifest["files"])
-            }
-        if _try_commit(spark, root, manifest, prev=prev_resolved):
-            return int(manifest["version"])
-    raise IOError(
-        f"log_stream_snapshot_batch: lost the commit race "
-        f"{_MAX_COMMIT_RETRIES} times on {root}"
+    return snapshot_write(
+        out, root, stats_cols=stats_cols, batch_id=int(batch_id)
     )
 
 
@@ -1272,6 +1237,49 @@ def stream_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(dest)
+
+
+def stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the GENERIC exactly-once streaming sink — any DataFrame
+    stream committed straight into a governed snapshot table via
+    ``snapshot_write(batch_id=...)`` (the unified commit core
+    log_stream_snapshot_batch delegates to). The events table arrives as
+    a one-file-per-trigger parquet stream; each micro-batch commits as a
+    manifest version under CHECK constraints, the manifest's batch-id
+    ledger makes foreachBatch's at-least-once delivery exactly-once (and
+    survives maintenance commits — test-pinned), and the drained table
+    must equal the batch projection value-for-value."""
+    import tempfile
+
+    from ..catalog import load_table
+    from ..plans.snapshots import snapshot_read, snapshot_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src_dir = tempfile.mkdtemp(prefix="snapsink_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    root = tempfile.mkdtemp(prefix="snapsink_tbl_")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: snapshot_write(
+                bdf,
+                root,
+                batch_id=bid,
+                constraints={"uid_nonneg": "user_id >= 0"},
+            )
+        )
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="snapsink_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return snapshot_read(spark, root)
 
 
 def stream_snapshot_pruned_source(spark: SparkSession, sf_dir: str) -> DataFrame:

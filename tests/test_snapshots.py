@@ -1053,3 +1053,51 @@ def test_constraints_survive_lifecycle_and_add_validates_history(
         snapshot_add_constraint(spark, root, "upper", "id < 500")
     with pytest.raises(ConstraintViolation):
         snapshot_write(spark.range(2000, 2001).selectExpr("id", "id AS v"), root)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming commits through snapshot_write(batch_id=...)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_id_replay_skipped_even_after_maintenance(spark, tmp_path):
+    """The batch ledger must survive OPTIMIZE/delete commits: a replayed
+    micro-batch after maintenance would otherwise re-commit (the gap the
+    unified commit core closes)."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    assert snapshot_write(_df(spark, 0, 50).repartition(4), root, batch_id=0) == 1
+    assert snapshot_write(_df(spark, 50, 100), root, batch_id=1) == 2
+    assert snapshot_write(_df(spark, 50, 100), root, batch_id=1) is None  # replay
+    assert snapshot_optimize(spark, root, target_file_mb=128) == 3
+    assert read_manifest(spark, root, 3)["batch_ids"] == [0, 1]
+    # replay AFTER the optimize: still skipped
+    assert snapshot_write(_df(spark, 50, 100), root, batch_id=1) is None
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 100))
+    # dv delete keeps the ledger too
+    snapshot_delete(spark, root, [("id", "<", 10)], mode="dv")
+    assert snapshot_write(_df(spark, 0, 50), root, batch_id=0) is None
+    # a PLAIN append keeps the ledger for later stream batches
+    snapshot_write(_df(spark, 100, 110), root)
+    assert snapshot_write(_df(spark, 50, 100), root, batch_id=1) is None
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 10, 110))
+
+
+def test_streamed_table_enforces_constraints_per_batch(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        ConstraintViolation,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _df(spark, 0, 10), root, batch_id=0, constraints={"nonneg": "id >= 0"}
+    )
+    with pytest.raises(ConstraintViolation):
+        snapshot_write(
+            spark.range(-5, 0).selectExpr("id", "id AS v"), root, batch_id=1
+        )
+    # the poisoned batch never landed; a clean retry of the SAME id works
+    assert current_version(spark, root) == 1
+    assert snapshot_write(_df(spark, 10, 20), root, batch_id=1) == 2
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 20))
