@@ -1167,6 +1167,15 @@ def semantic_append_pairs(
     cents = spark.read.parquet(f"{index_path}/centroids")
     b_assigned = kmeans_assign(batch, cents)
     idx = spark.read.parquet(f"{index_path}/assign")
+    return _cluster_scoped_pairs(idx, b_assigned, threshold)
+
+
+def _cluster_scoped_pairs(
+    idx: DataFrame, b_assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """The cluster-scoped pair join shared by the parquet-index and
+    snapshot-table-index paths: (index ∪ batch) x batch on equal cluster,
+    exact cosine confirm, batch side broadcast."""
     a = idx.unionByName(b_assigned).alias("a")  # index ∪ today
     b = b_assigned.alias("b")
     return (
@@ -1194,6 +1203,178 @@ def semantic_append_batch(spark: SparkSession, path: str, batch: DataFrame) -> N
     schedule)."""
     cents = spark.read.parquet(f"{path}/centroids")
     kmeans_assign(batch, cents).write.mode("append").parquet(f"{path}/assign")
+
+
+def semantic_stream_batch(
+    bdf: DataFrame,
+    batch_id: int,
+    cents_path: str,
+    index_root: str,
+    pairs_root: str,
+    threshold: float = 0.35,
+) -> None:
+    """One micro-batch of STREAMING semantic dedup — a two-table
+    exactly-once transaction built from snapshot batch commits:
+
+    1. assign the batch against the FROZEN centroids and commit the
+       assignment rows to the INDEX snapshot table keyed by batch id
+       (replay => skip, ledger survives maintenance);
+    2. compute cluster-scoped pairs against the index AS OF the version
+       BEFORE this batch's commit (time travel — so the pair input is
+       identical whether this is the first delivery or a replay after a
+       crash anywhere between the two commits) and commit them to the
+       PAIRS snapshot table under the same batch id.
+
+    Every crash/replay interleaving converges: index committed + pairs
+    not => replay skips the index commit, locates its version via
+    :func:`snapshot_version_of_batch`, recomputes the identical pairs,
+    commits them; both committed => replay is two skips."""
+    from ..plans.snapshots import (
+        snapshot_read,
+        snapshot_version_of_batch,
+        snapshot_write,
+    )
+
+    spark = bdf.sparkSession
+    cents = spark.read.parquet(cents_path)
+    assigned = kmeans_assign(bdf, cents)
+    v = snapshot_write(assigned, index_root, batch_id=int(batch_id))
+    if v is None:  # replayed: the index already holds this batch
+        v = snapshot_version_of_batch(spark, index_root, int(batch_id))
+    base = snapshot_read(spark, index_root, version=v - 1)
+    pairs = _cluster_scoped_pairs(
+        base.select("vec_id", "cluster", "emb", "nrm"), assigned, threshold
+    )
+    snapshot_write(pairs, pairs_root, batch_id=int(batch_id))
+
+
+#: batch boundary for the two-file arrival fixture — inside the new-half
+#: id range at EVERY sf (new half starts at 400; smallest corpus tops out
+#: at 499), so both micro-batches are non-empty and id-ordered
+SEM_STREAM_MID = 450
+
+#: per-sf_dir cache of (cents_path, index_root, pairs_root) stream state
+_SEM_STREAM_PATHS: dict[str, tuple] = {}
+
+
+def _semantic_stream_state_for(spark: SparkSession, sf_dir: str) -> tuple:
+    state = _SEM_STREAM_PATHS.get(sf_dir)
+    if state is not None:
+        return state
+    import os
+    import tempfile
+
+    from ..plans.snapshots import snapshot_write
+
+    old = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < SEM_APPEND_SPLIT
+    )
+    new = spread_input(
+        load_table(spark, sf_dir, "embeddings").where(
+            F.col("vec_id") >= SEM_APPEND_SPLIT
+        )
+    ).select("vec_id", "embedding")
+    cents_path = tempfile.mkdtemp(prefix="semstream_cents_")
+    kmeans_train(old, k=semantic_k(old.count()), n_iters=2).write.mode(
+        "overwrite"
+    ).parquet(cents_path)
+    index_root = tempfile.mkdtemp(prefix="semstream_idx_")
+    snapshot_write(
+        kmeans_assign(old, spark.read.parquet(cents_path)), index_root
+    )
+    pairs_root = tempfile.mkdtemp(prefix="semstream_pairs_")
+    # arrival dir: the new half as TWO id-ordered files with forced
+    # mtimes — day-2 batches are time-ordered by contract (each day
+    # probes the index of all previous days), and the file-stream
+    # source orders by modification time
+    arrive = tempfile.mkdtemp(prefix="semstream_arrive_")
+    for i, (lo_b, hi_b) in enumerate(
+        ((SEM_APPEND_SPLIT, SEM_STREAM_MID), (SEM_STREAM_MID, None))
+    ):
+        part = new.where(F.col("vec_id") >= lo_b)
+        if hi_b is not None:
+            part = part.where(F.col("vec_id") < hi_b)
+        d = f"{arrive}/b{i}"
+        part.coalesce(1).write.parquet(d)
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                os.utime(f"{d}/{name}", (1_000_000 + i, 1_000_000 + i))
+    state = (cents_path, index_root, pairs_root, arrive)
+    _SEM_STREAM_PATHS[sf_dir] = state
+    return state
+
+
+@register(
+    "stream_semantic_dedup",
+    oracle=None,  # assembled below (shares the frozen-centroid CTE unroll)
+    doc=(
+        "STREAMING SemDeDup: embedding batches arrive as an availableNow "
+        "file stream (one id-ordered file per micro-batch) and flow "
+        "through a TWO-TABLE exactly-once transaction per batch — assign "
+        "against frozen centroids, commit assignments to the INDEX "
+        "snapshot table (batch-keyed ledger), compute cluster-scoped "
+        "pairs against the index AS OF the pre-batch version (time "
+        "travel makes the pair input identical under replay after a "
+        "crash between the two commits — protocol pinned in "
+        "tests/test_streaming.py), commit pairs to the PAIRS table under "
+        "the same batch id. The drained pairs table equals "
+        "dedup_incremental_semantic's frozen-centroid oracle exactly, "
+        "proving the streaming decomposition (pair emitted when its "
+        "HIGHER id arrives) loses and duplicates nothing. Completes the "
+        "streaming x incremental grid for the semantic family alongside "
+        "stream_pq_append (PQ) and the minhash/simhash/exact indexes."
+    ),
+)
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..plans.snapshots import snapshot_read
+
+    cents_path, index_root, pairs_root, arrive = _semantic_stream_state_for(
+        spark, sf_dir
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{arrive}/b*")
+        .writeStream.foreachBatch(
+            lambda bdf, bid: semantic_stream_batch(
+                bdf, bid, cents_path, index_root, pairs_root
+            )
+        )
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="semstream_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return snapshot_read(spark, pairs_root).select("vec_a", "vec_b")
+
+
+from . import REGISTRY as _SIM_REGISTRY  # noqa: E402
+from . import QuerySpec as _SimQuerySpec  # noqa: E402
+
+
+def _attach_semantic_stream_oracle() -> None:
+    spec = _SIM_REGISTRY["stream_semantic_dedup"]
+    _SIM_REGISTRY["stream_semantic_dedup"] = _SimQuerySpec(
+        fn=spec.fn, oracle=_semantic_append_oracle(), doc=spec.doc
+    )
 
 
 #: per-sf_dir cache of built semantic-index paths (seeded state)
@@ -2106,3 +2287,8 @@ def sim_ann_rplsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") >= PQ_APPEND_SPLIT
     )
     return incremental_rplsh_pairs(spark, batch, path)
+
+
+# stream_semantic_dedup shares the frozen-centroid unrolled-Lloyd's
+# oracle with dedup_incremental_semantic (defined above)
+_attach_semantic_stream_oracle()

@@ -1685,6 +1685,24 @@ def snapshot_add_constraint(
     )
 
 
+def snapshot_version_of_batch(
+    spark: SparkSession, root: str, batch_id: int
+) -> int:
+    """The version a streaming batch CREATED — the smallest version whose
+    ``batch_ids`` ledger contains it. O(#versions) driver metadata. Lets
+    a replayed foreachBatch reconstruct its exact input state
+    (``version - 1`` = the table as the original delivery saw it), which
+    is how multi-table streaming transactions stay deterministic under
+    at-least-once delivery."""
+    jvm, jroot, fs = _fs_for(spark, root)
+    for v in _list_versions(fs, jvm, jroot):
+        if int(batch_id) in read_manifest(spark, root, v).get("batch_ids", []):
+            return v
+    raise ValueError(
+        f"snapshot table {root} has no version containing batch {batch_id}"
+    )
+
+
 def snapshot_version_as_of(spark: SparkSession, root: str, ts) -> int:
     """Resolve Delta's ``TIMESTAMP AS OF``: the newest version committed
     at-or-before ``ts`` (epoch seconds, or a datetime). Commit times are

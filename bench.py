@@ -89,6 +89,7 @@ EAGER_LEGS = [
     "dedup_semantic_clustered",  # k-means training runs eagerly (localCheckpoint)
     "stream_snapshot_compaction",  # file stream committing manifest versions
     "stream_snapshot_source",  # snapshot table AS a streaming source (drain)
+    "stream_semantic_dedup",  # two-table exactly-once semantic dedup stream
 ]
 
 # Write-only-timed legs added after r3 (seeded state builds on the first

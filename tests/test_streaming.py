@@ -681,3 +681,62 @@ def test_snapshot_stream_source_filter_pushdown(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.id for r in spark.read.parquet(dest).collect())
     assert got == list(range(25))
+
+
+def test_semantic_stream_two_table_transaction_replay(spark, tmp_path):
+    """The streaming-semantic two-table transaction must converge under
+    every crash/replay interleaving: replay after BOTH commits is two
+    skips; replay after a crash BETWEEN the commits recomputes the pairs
+    against the index AS OF the pre-batch version (time travel) and
+    commits them exactly once."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_train,
+        semantic_stream_batch,
+    )
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("float"), (F.col("id") % 3).cast("float")
+            ).alias("embedding"),
+        )
+
+    cents_path = str(tmp_path / "cents")
+    kmeans_train(vecs(0, 40), k=4, n_iters=1).write.parquet(cents_path)
+    idx = str(tmp_path / "idx")
+    snapshot_write(kmeans_assign(vecs(0, 40), spark.read.parquet(cents_path)), idx)
+    pairs = str(tmp_path / "pairs")
+
+    semantic_stream_batch(vecs(40, 50), 0, cents_path, idx, pairs)
+    v_idx, v_pairs = current_version(spark, idx), current_version(spark, pairs)
+    n_pairs = snapshot_read(spark, pairs).count()
+    # full replay: two skips, nothing changes
+    semantic_stream_batch(vecs(40, 50), 0, cents_path, idx, pairs)
+    assert current_version(spark, idx) == v_idx
+    assert current_version(spark, pairs) == v_pairs
+    assert snapshot_read(spark, pairs).count() == n_pairs
+
+    # crash BETWEEN the commits: index batch 1 lands, pairs never do
+    b1 = vecs(50, 60)
+    assert snapshot_write(
+        kmeans_assign(b1, spark.read.parquet(cents_path)), idx, batch_id=1
+    ) == v_idx + 1
+    # replay of batch 1 through the full transaction
+    semantic_stream_batch(b1, 1, cents_path, idx, pairs)
+    assert current_version(spark, idx) == v_idx + 1  # index commit skipped
+    m = read_manifest(spark, pairs, current_version(spark, pairs))
+    assert m["batch_ids"] == [0, 1]
+    # pairs for batch 1 computed against the PRE-batch index: no vec_id
+    # >= 50 may appear on the a-side of a batch-1 pair except batch rows
+    got = snapshot_read(spark, pairs)
+    assert got.where(F.col("vec_b") >= 60).count() == 0
