@@ -820,21 +820,49 @@ def _plan_scan(
     deletion-vector design (no data file is rewritten by a DV delete;
     the reader subtracts). The DV side is tiny relative to the table
     (O(#deleted rows), two narrow columns), so AQE broadcasts it and the
-    scan stays one pass; OPTIMIZE purges vectors back to a clean scan."""
-    df = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
+    scan stays one pass; OPTIMIZE purges vectors back to a clean scan.
+
+    The subtraction attaches PER FILE (the Delta DV shape): one
+    O(#touched-files) metadata pass over the vectors splits the scan, so
+    only files a vector actually touches pay the row-identity anti-join —
+    after a range or point delete, the untouched bulk of a 100 TB table
+    scans completely clean (tools/dv_cost_probe.py measures both the
+    scattered worst case and the clean-split win)."""
     dv_files = m.get("dv")
     if not dv_files:
-        return df
+        return spark.read.schema(schema).parquet(
+            *[f"{root}/{f}" for f in files]
+        )
     dv = spark.read.parquet(*[f"{root}/{p}" for p in dv_files]).select(
         F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
     )
-    cols = df.columns
-    return (
-        df.withColumn("__dv_file", _rel_file_expr())
-        .withColumn("__dv_pos", F.col("_metadata.row_index"))
-        .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
-        .select(*cols)
-    )
+    touched = {
+        r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()
+    }  # O(#touched files) — bounded by the table's file count
+    dirty = [f for f in files if f in touched]
+    clean = [f for f in files if f not in touched]
+    parts = []
+    if dirty:
+        scan = spark.read.schema(schema).parquet(
+            *[f"{root}/{f}" for f in dirty]
+        )
+        cols = scan.columns
+        parts.append(
+            scan.withColumn("__dv_file", _rel_file_expr())
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+            .select(*cols)
+        )
+    if clean:
+        parts.append(
+            spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in clean])
+        )
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p2 in parts[1:]:
+        out = out.unionByName(p2)
+    return out
 
 
 def snapshot_optimize(

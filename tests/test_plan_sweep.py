@@ -88,7 +88,7 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            6,
+            7,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
             "table-sized), the manifest data-skipping stats; snapshot_merge "
@@ -104,7 +104,10 @@ def test_no_driver_side_collect_in_operators():
             "(k+1)) rows, word-index filter pushed to the sidecar scan — "
             "to prune the file list before planning; _check_constraints "
             "collects ONE row of per-constraint violation counts at "
-            "commit time (the CHECK gate); reads plan normally with no "
+            "commit time (the CHECK gate); _plan_scan collects the "
+            "distinct vector-touched file names (one row per touched "
+            "file) so only those files pay the deletion-vector "
+            "anti-join — the untouched bulk scans clean; reads plan normally with no "
             "driver round-trip",
         ),
     }
