@@ -511,8 +511,9 @@ def _snapshot_merged_events_for(spark: SparkSession, sf_dir: str) -> str:
         "one distributed pass — candidates anti-joined against the "
         "broadcast source keys, unioned with the source — and stats are "
         "re-gathered for rewritten files only, so data skipping survives "
-        "the merge. Conflicts ABORT (Delta's policy): a commit landing "
-        "mid-merge raises rather than rebasing a row-level merge. At "
+        "the merge. Conflict policy refines Delta's: a commit landing "
+        "mid-merge REBASES when stats prove it disjoint (see "
+        "table_snapshot_merge_concurrent) and aborts otherwise. At "
         "100 TB, merge cost ∝ overlapping-file bytes, not table bytes."
     ),
 )
@@ -520,6 +521,117 @@ def table_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.snapshots import snapshot_read
 
     return snapshot_read(spark, _snapshot_merged_events_for(spark, sf_dir))
+
+
+#: per-sf_dir cache of tables merged under a racing concurrent append
+_SNAPSHOT_CONC_PATHS: dict[str, str] = {}
+
+#: the racing append shifts event_id far above every real id, so the
+#: appended files' min/max stats PROVE disjointness from the merge source
+SNAP_CONC_OFFSET = 10_000_000
+
+
+def _snapshot_concurrent_merge_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed the disjoint-quartile stats table, then run a first-quartile
+    MERGE while a concurrent append lands BETWEEN the merge's rewrite and
+    its manifest CAS (injected at the LogStore seam — the merge's first
+    put-if-absent loses to the racer's commit). The appended rows'
+    event_ids are offset by :data:`SNAP_CONC_OFFSET`, so their per-file
+    min/max stats prove no appended row matches a source key and the
+    merge REBASES (keeps its rewrite, re-derives the manifest from the
+    appended version, retries the CAS) instead of aborting — asserted
+    here where the manifests are at hand: the racing append's files
+    survive verbatim in the merge's manifest, and the final version is
+    seed+2 (one for the racer, one for the rebased merge)."""
+    path = _SNAPSHOT_CONC_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import (
+        AtomicRenameLogStore,
+        read_manifest,
+        set_log_store,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapshot_conc_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    bounds = [None, *SNAP_Q, None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        snapshot_write(part.repartition(2), path, stats_cols=["event_id"])
+    src = ev.where(
+        (F.col("event_id") < SNAP_Q[0]) & (F.col("event_id") % 7 == 0)
+    ).withColumn("event_type", F.lit("rebased"))
+    racer_df = ev.where(F.col("event_id") < SNAP_Q[0]).withColumn(
+        "event_id", F.col("event_id") + F.lit(SNAP_CONC_OFFSET)
+    )
+    fired = {"done": False}
+
+    class _RaceAppendOnce(AtomicRenameLogStore):
+        def put_if_absent(self, fs, tmp, final):
+            if not fired["done"]:
+                fired["done"] = True  # the inner append's CAS delegates
+                snapshot_write(racer_df, path)
+            return super().put_if_absent(fs, tmp, final)
+
+    prev_store = set_log_store(_RaceAppendOnce())
+    try:
+        v = snapshot_merge(src, path, key="event_id")
+    finally:
+        set_log_store(prev_store)
+    assert fired["done"] and v == 6, "merge must rebase to seed+2"
+    m5, m6 = read_manifest(spark, path, 5), read_manifest(spark, path, 6)
+    assert m5["action"] == "append" and m6["action"] == "merge"
+    racer_files = set(m5["files"]) - set(read_manifest(spark, path, 4)["files"])
+    assert racer_files <= set(m6["files"]), (
+        "rebase must keep the concurrent append's files verbatim"
+    )
+    _SNAPSHOT_CONC_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_merge_concurrent",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN event_id < {SNAP_Q[0]} AND event_id % 7 = 0
+                THEN 'rebased' ELSE event_type END AS event_type
+    FROM events
+    UNION ALL
+    SELECT event_id + {SNAP_CONC_OFFSET} AS event_id, user_id, event_type
+    FROM events WHERE event_id < {SNAP_Q[0]}
+    """,
+    doc=(
+        "Optimistic-concurrency CONFLICT RESOLUTION on a snapshot table: "
+        "a MERGE races a concurrent append (injected at the LogStore "
+        "seam, between the merge's rewrite and its manifest CAS). Delta "
+        "Lake aborts this on an unpartitioned table "
+        "(ConcurrentAppendException: the appended rows might match); "
+        "here the manifest's per-file min/max key stats PROVE the "
+        "appended files hold no source key, so the merge REBASES — keeps "
+        "its rewrite, re-derives the manifest from the appended version "
+        "(the racer's files survive verbatim, asserted in the fixture), "
+        "retries the CAS — yielding the serial order append-then-merge. "
+        "Unprovable races (overlapping or stats-less files, removed "
+        "read-set files, DV/schema/constraint changes) still abort "
+        "(tests/test_snapshots.py). At 100 TB this turns the common "
+        "ingest-vs-maintenance race from a failed job into a cheap "
+        "manifest retry: the rewrite is never repeated."
+    ),
+)
+def table_snapshot_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_concurrent_merge_events_for(spark, sf_dir))
 
 
 #: delete boundary — the change-set removes event_id < SNAP_DEL, which the

@@ -975,30 +975,57 @@ def snapshot_optimize(
         else None
     )  # fresh sidecars too — and the rebuild COLLAPSES the accumulated
     # per-commit sidecar list back to one commit's worth
+    base, base_v = m, latest
     for _ in range(_MAX_COMMIT_RETRIES):
-        now = current_version(spark, root)
-        if now != latest:
-            # the table moved under us: the packed files no longer
-            # represent the latest version — abandon (vacuum sweeps the
-            # orphaned commit dir); the next scheduled run repacks
-            return None
+        if current_version(spark, root) != base_v:
+            # the table moved under us. A concurrent APPEND does not
+            # invalidate the pack — the packed files still represent every
+            # row of the version we read, so REBASE: keep the appended
+            # files verbatim (with their stats/sidecars) alongside the
+            # packed ones. OPTIMIZE never filters rows, so any appended
+            # file is rebasable (added_can_match is constant-False).
+            # Anything else (rewrite, delete, schema change) invalidates
+            # the pack: abandon — the commit dir is inert residue vacuum
+            # sweeps, and the next scheduled run repacks.
+            try:
+                base, base_v = _rebase_base(
+                    spark, root, m, "snapshot_optimize", lambda s: False
+                )
+            except IOError:
+                return None
+        added = sorted(set(base["files"]) - set(m["files"]))
         manifest = {
-            "version": latest + 1,
+            "version": base_v + 1,
             "action": "optimize",
             "schema": m["schema"],
-            "files": new_files,
+            "files": sorted(set(new_files) | set(added)),
         }
         if stats_cols:
+            base_stats = base.get("stats", {})
             manifest["stats_cols"] = list(stats_cols)
-            manifest["stats"] = new_stats or {}
+            manifest["stats"] = {
+                **{f: base_stats[f] for f in added if f in base_stats},
+                **(new_stats or {}),
+            }
         if bloom:
-            manifest["bloom"] = {**bloom, "files": new_bloom or []}
-        if m.get("constraints"):
-            manifest["constraints"] = m["constraints"]
-        if m.get("batch_ids"):
-            manifest["batch_ids"] = m["batch_ids"]
-        if _try_commit(spark, root, manifest, prev=m):
-            return latest + 1
+            # appended commits' sidecars are exactly the bloom files the
+            # rebased base gained over the version we packed
+            appended_sidecars = set(base["bloom"]["files"]) - set(
+                bloom.get("files", [])
+            ) if base.get("bloom") else set()
+            manifest["bloom"] = {
+                **bloom,
+                "files": sorted(set(new_bloom or []) | appended_sidecars),
+            }
+        if base.get("constraints"):
+            manifest["constraints"] = base["constraints"]
+        if base.get("batch_ids"):
+            # the rebased base's batch ledger, not the packed version's:
+            # a concurrent stream-append's batch id must stay recorded or
+            # its replay would re-commit
+            manifest["batch_ids"] = base["batch_ids"]
+        if _try_commit(spark, root, manifest, prev=base):
+            return base_v + 1
     return None
 
 
@@ -1178,6 +1205,72 @@ def snapshot_cdf(
     return feed.select(*out_cols)
 
 
+def _rebase_base(
+    spark: SparkSession,
+    root: str,
+    base_m: dict,
+    opname: str,
+    added_can_match,
+) -> tuple[dict, int]:
+    """Conflict RESOLUTION for read-modify-write commits (merge / delete /
+    optimize): decide whether the commits that landed after ``base_m``
+    (the manifest the operation read and rewrote against) can be REBASED
+    over, or must abort.
+
+    Delta Lake's rule for an unpartitioned table is blunt: any concurrent
+    append conflicts with a row-level operation (ConcurrentAppendException
+    — the appended rows might match the operation's predicate). This
+    layer's manifests carry per-file min/max stats, so the check can be
+    SHARP: a concurrent commit span is non-conflicting iff
+
+    * it is append-shaped end-to-end — every file of ``base_m`` is still
+      present (no intervening rewrite/overwrite/optimize touched the read
+      set; comparing endpoints suffices because data paths are
+      uuid-unique, so a removed file can never reappear),
+    * the deletion-vector set is unchanged (a concurrent DV delete may
+      have deleted rows inside files this operation rewrote or repacked —
+      the rewrite would resurrect them),
+    * schema, constraints, and bloom geometry are unchanged, and
+    * ``added_can_match(stats_or_None)`` is False for every ADDED file:
+      the manifest stats PROVE no appended row matches the operation
+      (e.g. the merge source's key range, the delete predicate). A file
+      without stats is conservatively conflicting.
+
+    Returns the resolved CURRENT manifest and version to rebuild the
+    commit against — the caller keeps its (already written) rewrite
+    files and re-derives the manifest from the new base, so the result
+    equals the serial order [concurrent appends, then this operation].
+    Raises IOError (a *conflict*) when rebasing would be unsound."""
+    cur = current_version(spark, root)
+    M = read_manifest(spark, root, cur)
+
+    def _conflict(why: str):
+        raise IOError(
+            f"{opname} conflict on {root}: the table moved past version "
+            f"{base_m['version']} during the rewrite and {why} — aborting "
+            "(the commit dir is inert residue; re-run against fresh state)"
+        )
+
+    if set(base_m["files"]) - set(M["files"]):
+        _conflict("a concurrent commit removed files this operation read")
+    if sorted(M.get("dv", [])) != sorted(base_m.get("dv", [])):
+        _conflict("a concurrent commit changed the deletion-vector set")
+    if M["schema"] != base_m["schema"]:
+        _conflict("a concurrent commit evolved the schema")
+    if M.get("constraints", {}) != base_m.get("constraints", {}):
+        _conflict("a concurrent commit changed the constraint set")
+    if M.get("bloom", {}).get("cols") != base_m.get("bloom", {}).get("cols"):
+        _conflict("a concurrent commit changed the bloom column set")
+    stats = M.get("stats", {})
+    for f in sorted(set(M["files"]) - set(base_m["files"])):
+        if added_can_match(stats.get(f)):
+            _conflict(
+                f"concurrently appended file {f} may hold matching rows "
+                "(its stats cannot prove disjointness)"
+            )
+    return M, cur
+
+
 def snapshot_merge(
     df: DataFrame,
     root: str,
@@ -1200,10 +1293,17 @@ def snapshot_merge(
 
     Schema evolution matches append (:func:`_merge_schemas`): the source
     may add columns; candidate files read under the merged schema give
-    NULL for columns they predate. Conflict policy is Delta's: if ANY
-    commit lands between the read and the manifest CAS, the merge
-    ABORTS (raises) — rebasing a row-level merge without re-reading is
-    how lost updates happen. The caller retries, re-reading fresh state.
+    NULL for columns they predate. Conflict policy REFINES Delta's
+    (which aborts an unpartitioned-table merge on ANY concurrent append,
+    ConcurrentAppendException): a commit landing between the read and
+    the manifest CAS triggers :func:`_rebase_base` — if every
+    intervening commit is append-shaped and the manifest stats PROVE the
+    appended files hold no key in the source's [min, max], the merge
+    REBASES (keeps its rewrite, re-derives the manifest from the new
+    latest — equal to the serial order appends-then-merge) and retries
+    the CAS; anything unprovable (overlapping or stats-less appended
+    file, removed read-set file, DV/schema/constraint change) ABORTS —
+    rebasing row-level work blind is how lost updates happen.
     """
     from pyspark.sql.functions import broadcast
 
@@ -1262,54 +1362,59 @@ def snapshot_merge(
         if stats_cols and new_files
         else {}
     )
-    if current_version(spark, root) != latest:
-        raise IOError(
-            f"snapshot_merge conflict on {root}: the table moved past "
-            f"version {latest} during the rewrite — aborting (the commit "
-            "dir is inert residue; re-run to merge against fresh state)"
-        )
-    manifest = {
-        "version": latest + 1,
-        "action": "merge",
-        "schema": merged_schema.json(),
-        "files": sorted(set(untouched) | set(new_files)),
-    }
-    if m.get("dv") and untouched:
-        # same carry rule as the copy-on-write delete: untouched files
-        # may hold vector entries; stale entries for rewritten files are
-        # harmless and OPTIMIZE purges them
-        manifest["dv"] = m["dv"]
-    if m.get("bloom"):
-        manifest["bloom"] = {
-            **m["bloom"],
-            "files": sorted(
-                set(m["bloom"]["files"])
-                | set(
-                    _build_bloom_sidecar(
-                        spark, root, commit_dir, list(m["bloom"]["cols"])
-                    )
-                    if new_files
-                    else []
-                )
-            ),
+    new_bloom = (
+        _build_bloom_sidecar(spark, root, commit_dir, list(m["bloom"]["cols"]))
+        if m.get("bloom") and new_files
+        else []
+    )
+
+    def _added_can_match(s):  # could a concurrently appended file hold a source key?
+        if lo is None:
+            return False  # empty source: no key matches anything
+        if lo is _STAT_UNSUPPORTED or hi is _STAT_UNSUPPORTED:
+            return True  # un-encodable key type: nothing is provable
+        return _file_survives(s, key, ">=", lo) and _file_survives(s, key, "<=", hi)
+
+    base, base_v = m, latest
+    for _ in range(_MAX_COMMIT_RETRIES):
+        if current_version(spark, root) != base_v:
+            base, base_v = _rebase_base(
+                spark, root, m, "snapshot_merge", _added_can_match
+            )
+        kept = set(base["files"]) - set(candidates)
+        manifest = {
+            "version": base_v + 1,
+            "action": "merge",
+            "schema": merged_schema.json(),
+            "files": sorted(kept | set(new_files)),
         }
-    if m.get("constraints"):
-        manifest["constraints"] = m["constraints"]
-    if m.get("batch_ids"):
-        manifest["batch_ids"] = m["batch_ids"]
-    if stats_cols:
-        manifest["stats_cols"] = list(stats_cols)
-        manifest["stats"] = {
-            f: s
-            for f, s in {**stats, **new_stats}.items()
-            if f in set(manifest["files"])
-        }
-    if not _try_commit(spark, root, manifest, prev=m):
-        raise IOError(
-            f"snapshot_merge conflict on {root}: version {latest + 1} was "
-            "taken during the rewrite — aborting; re-run against fresh state"
-        )
-    return latest + 1
+        if base.get("dv") and kept:
+            # same carry rule as the copy-on-write delete: kept files may
+            # hold vector entries; stale entries for rewritten files are
+            # harmless and OPTIMIZE purges them
+            manifest["dv"] = base["dv"]
+        if base.get("bloom"):
+            manifest["bloom"] = {
+                **base["bloom"],
+                "files": sorted(set(base["bloom"]["files"]) | set(new_bloom)),
+            }
+        if base.get("constraints"):
+            manifest["constraints"] = base["constraints"]
+        if base.get("batch_ids"):
+            manifest["batch_ids"] = base["batch_ids"]
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = {
+                f: s
+                for f, s in {**base.get("stats", {}), **new_stats}.items()
+                if f in set(manifest["files"])
+            }
+        if _try_commit(spark, root, manifest, prev=base):
+            return base_v + 1
+    raise IOError(
+        f"snapshot_merge: lost the commit race {_MAX_COMMIT_RETRIES} times "
+        f"on {root} — a runaway committer is monopolizing the table"
+    )
 
 
 _PRED_BUILDERS = {
@@ -1321,6 +1426,21 @@ _PRED_BUILDERS = {
 }
 
 
+def _delete_added_can_match(filters: list[tuple]):
+    """Rebase predicate for :func:`snapshot_delete`: could a concurrently
+    appended file (given its manifest stats, or None) hold a row matching
+    the AND-ed delete filters? Mirrors candidate selection exactly —
+    survives every conjunct => possibly yes; a stats-less file is
+    conservatively yes (never a wrong rebase)."""
+
+    def can_match(s):
+        return all(
+            _file_survives(s, c, op, _stat_encode(v)) for c, op, v in filters
+        )
+
+    return can_match
+
+
 def _delete_dv(
     spark: SparkSession,
     root: str,
@@ -1329,6 +1449,7 @@ def _delete_dv(
     schema: StructType,
     match,
     latest: int,
+    filters: list[tuple],
 ) -> int:
     """The merge-on-read arm of :func:`snapshot_delete`: record matching
     rows' ``(file, pos)`` identities as a parquet deletion vector and
@@ -1357,38 +1478,38 @@ def _delete_dv(
     if spark.read.parquet(commit_dir).count() == 0:
         return latest
     new_dv = _list_commit_files(spark, commit_dir)
-    if current_version(spark, root) != latest:
-        raise IOError(
-            f"snapshot_delete conflict on {root}: the table moved past "
-            f"version {latest} during the vector write — aborting (the "
-            "commit dir is inert residue; re-run against fresh state)"
-        )
-    manifest = {
-        "version": latest + 1,
-        "action": "delete",
-        "schema": m["schema"],
-        "files": m["files"],
-        "dv": sorted(set(m.get("dv", [])) | set(new_dv)),
-    }
-    if m.get("bloom"):
-        # blooms stay valid: vectors only remove rows (false-positive-only)
-        manifest["bloom"] = m["bloom"]
-    if m.get("constraints"):
-        manifest["constraints"] = m["constraints"]
-    if m.get("batch_ids"):
-        manifest["batch_ids"] = m["batch_ids"]
-    if m.get("stats_cols"):
-        # file stats stay valid under vectors: min/max are conservative
-        # bounds after row removal, so skipping never skips wrongly
-        manifest["stats_cols"] = m["stats_cols"]
-        manifest["stats"] = m.get("stats", {})
-    if not _try_commit(spark, root, manifest, prev=m):
-        raise IOError(
-            f"snapshot_delete conflict on {root}: version {latest + 1} was "
-            "taken during the vector write — aborting; re-run against "
-            "fresh state"
-        )
-    return latest + 1
+    added_can_match = _delete_added_can_match(filters)
+    base, base_v = m, latest
+    for _ in range(_MAX_COMMIT_RETRIES):
+        if current_version(spark, root) != base_v:
+            base, base_v = _rebase_base(
+                spark, root, m, "snapshot_delete", added_can_match
+            )
+        manifest = {
+            "version": base_v + 1,
+            "action": "delete",
+            "schema": m["schema"],
+            "files": base["files"],
+            "dv": sorted(set(base.get("dv", [])) | set(new_dv)),
+        }
+        if base.get("bloom"):
+            # blooms stay valid: vectors only remove rows (false-positive-only)
+            manifest["bloom"] = base["bloom"]
+        if base.get("constraints"):
+            manifest["constraints"] = base["constraints"]
+        if base.get("batch_ids"):
+            manifest["batch_ids"] = base["batch_ids"]
+        if base.get("stats_cols"):
+            # file stats stay valid under vectors: min/max are conservative
+            # bounds after row removal, so skipping never skips wrongly
+            manifest["stats_cols"] = base["stats_cols"]
+            manifest["stats"] = base.get("stats", {})
+        if _try_commit(spark, root, manifest, prev=base):
+            return base_v + 1
+    raise IOError(
+        f"snapshot_delete: lost the commit race {_MAX_COMMIT_RETRIES} times "
+        f"on {root} — a runaway committer is monopolizing the table"
+    )
 
 
 def snapshot_delete(
@@ -1428,11 +1549,13 @@ def snapshot_delete(
     predicate evaluates to NULL is KEPT (only provably-TRUE rows are
     removed). Rewritten files get fresh stats; file min/max stats stay
     VALID (conservative) under vectors, since a DV only removes rows.
-    Conflict policy is Delta's — any commit landing between the read and
-    the manifest CAS ABORTS the delete (re-run against fresh state)
-    rather than rebasing row-level work. The commit's ``delete`` action
-    marks it as a row-rewrite for :func:`snapshot_changes`, which
-    refuses to cross it."""
+    Conflict policy refines Delta's (see :func:`_rebase_base`): a commit
+    landing between the read and the manifest CAS REBASES when the
+    intervening commits are appends whose file stats prove no appended
+    row matches the predicate (the delete's row set is then unchanged —
+    serial order appends-then-delete), and ABORTS otherwise. The
+    commit's ``delete`` action marks it as a row-rewrite for
+    :func:`snapshot_changes`, which refuses to cross it."""
     if not filters:
         raise ValueError(
             "snapshot_delete requires a predicate — to drop every row, "
@@ -1460,7 +1583,9 @@ def snapshot_delete(
     for p in spark_preds[1:]:
         match = match & p
     if mode == "dv":
-        return _delete_dv(spark, root, m, candidates, schema, match, latest)
+        return _delete_dv(
+            spark, root, m, candidates, schema, match, latest, filters
+        )
     # dv-aware candidate read: rows already deleted by vectors must not
     # resurrect in the rewrite
     cand = _plan_scan(spark, root, m, candidates, schema)
@@ -1474,55 +1599,53 @@ def snapshot_delete(
         if stats_cols and new_files
         else {}
     )
-    if current_version(spark, root) != latest:
-        raise IOError(
-            f"snapshot_delete conflict on {root}: the table moved past "
-            f"version {latest} during the rewrite — aborting (the commit "
-            "dir is inert residue; re-run to delete against fresh state)"
-        )
-    manifest = {
-        "version": latest + 1,
-        "action": "delete",
-        "schema": m["schema"],
-        "files": sorted(set(untouched) | set(new_files)),
-    }
-    if m.get("dv") and untouched:
-        # untouched files may carry vector entries — dropping them would
-        # resurrect deleted rows. Entries for rewritten files go stale
-        # (they reference files no longer scanned — harmless); OPTIMIZE
-        # purges the whole vector set.
-        manifest["dv"] = m["dv"]
-    if m.get("bloom"):
-        manifest["bloom"] = {
-            **m["bloom"],
-            "files": sorted(
-                set(m["bloom"]["files"])
-                | set(
-                    _build_bloom_sidecar(
-                        spark, root, commit_dir, list(m["bloom"]["cols"])
-                    )
-                    if new_files
-                    else []
-                )
-            ),
+    new_bloom = (
+        _build_bloom_sidecar(spark, root, commit_dir, list(m["bloom"]["cols"]))
+        if m.get("bloom") and new_files
+        else []
+    )
+    added_can_match = _delete_added_can_match(filters)
+    base, base_v = m, latest
+    for _ in range(_MAX_COMMIT_RETRIES):
+        if current_version(spark, root) != base_v:
+            base, base_v = _rebase_base(
+                spark, root, m, "snapshot_delete", added_can_match
+            )
+        kept = set(base["files"]) - set(candidates)
+        manifest = {
+            "version": base_v + 1,
+            "action": "delete",
+            "schema": m["schema"],
+            "files": sorted(kept | set(new_files)),
         }
-    if m.get("constraints"):
-        manifest["constraints"] = m["constraints"]
-    if m.get("batch_ids"):
-        manifest["batch_ids"] = m["batch_ids"]
-    if stats_cols:
-        manifest["stats_cols"] = list(stats_cols)
-        manifest["stats"] = {
-            f: s
-            for f, s in {**stats, **new_stats}.items()
-            if f in set(manifest["files"])
-        }
-    if not _try_commit(spark, root, manifest, prev=m):
-        raise IOError(
-            f"snapshot_delete conflict on {root}: version {latest + 1} was "
-            "taken during the rewrite — aborting; re-run against fresh state"
-        )
-    return latest + 1
+        if base.get("dv") and kept:
+            # kept files may carry vector entries — dropping them would
+            # resurrect deleted rows. Entries for rewritten files go stale
+            # (they reference files no longer scanned — harmless); OPTIMIZE
+            # purges the whole vector set.
+            manifest["dv"] = base["dv"]
+        if base.get("bloom"):
+            manifest["bloom"] = {
+                **base["bloom"],
+                "files": sorted(set(base["bloom"]["files"]) | set(new_bloom)),
+            }
+        if base.get("constraints"):
+            manifest["constraints"] = base["constraints"]
+        if base.get("batch_ids"):
+            manifest["batch_ids"] = base["batch_ids"]
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = {
+                f: s
+                for f, s in {**base.get("stats", {}), **new_stats}.items()
+                if f in set(manifest["files"])
+            }
+        if _try_commit(spark, root, manifest, prev=base):
+            return base_v + 1
+    raise IOError(
+        f"snapshot_delete: lost the commit race {_MAX_COMMIT_RETRIES} times "
+        f"on {root} — a runaway committer is monopolizing the table"
+    )
 
 
 def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:

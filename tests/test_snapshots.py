@@ -361,6 +361,23 @@ def test_merge_upserts_and_skips_nonoverlapping_files(spark, tmp_path):
     assert pruned.count() == 50
 
 
+class _RaceCommitOnce(AtomicRenameLogStore):
+    """Injects a concurrent commit at the victim's FIRST manifest CAS:
+    commits ``df`` (taking the version the victim wanted), then delegates
+    — the victim's CAS loses and must rebase or abort. The inner write's
+    own CAS goes through this store too but ``fired`` is already set, so
+    it delegates cleanly."""
+
+    def __init__(self, df, root, mode="append"):
+        self.df, self.root, self.mode, self.fired = df, root, mode, False
+
+    def put_if_absent(self, fs, tmp, final):
+        if not self.fired:
+            self.fired = True
+            snapshot_write(self.df, self.root, mode=self.mode)
+        return super().put_if_absent(fs, tmp, final)
+
+
 def test_merge_schema_evolution_and_conflict_abort(spark, tmp_path):
     from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_merge
 
@@ -374,28 +391,73 @@ def test_merge_schema_evolution_and_conflict_abort(spark, tmp_path):
     assert out == [
         (i, 2 * i, None) if i < 5 else (i, 7 * i, "m") for i in range(12)
     ]
-    # a commit landing mid-merge (between the read and the CAS) must
-    # ABORT the merge — a rebase would risk lost updates
-    from aws_logs_parquet_converter_spark.plans import snapshots as S
-
-    real_cv = S.current_version
-    state = {"calls": 0}
-
-    def racing_cv(sp, r):
-        state["calls"] += 1
-        if state["calls"] == 2:  # merge's pre-CAS check: race a commit in
-            racer = dict(read_manifest(sp, r, real_cv(sp, r)))
-            racer["version"] = real_cv(sp, r) + 1
-            racer["action"] = "append"
-            assert _try_commit(sp, r, racer)
-        return real_cv(sp, r)
-
-    S.current_version = racing_cv
+    # a commit landing mid-merge (between the read and the CAS) on a
+    # table WITHOUT key stats must ABORT the merge: nothing can prove the
+    # appended rows hold no matching key, and a blind rebase risks lost
+    # updates. (With stats, disjointness is provable and the merge
+    # rebases — test_merge_rebases_over_disjoint_append.)
+    racer = _RaceCommitOnce(_df(spark, 20, 25), root)
+    prev = set_log_store(racer)
     try:
         with pytest.raises(IOError, match="conflict"):
             snapshot_merge(src, root, key="id")
     finally:
-        S.current_version = real_cv
+        set_log_store(prev)
+    assert racer.fired
+
+
+def test_merge_rebases_over_disjoint_append(spark, tmp_path):
+    """A concurrent append whose file stats PROVE it holds no source key
+    does not conflict with a merge: the merge keeps its rewrite, rebases
+    the manifest onto the appended version, and retries the CAS — the
+    result equals the serial order append-then-merge. (Delta would raise
+    ConcurrentAppendException here; manifest stats make the check sharp.)
+    """
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_merge
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])  # v1
+    src = spark.range(50, 60).selectExpr("id", "id * 1000 AS v")
+    racer = _RaceCommitOnce(_df(spark, 1000, 1100), root)  # ids disjoint
+    prev = set_log_store(racer)
+    try:
+        v = snapshot_merge(src, root, key="id")
+    finally:
+        set_log_store(prev)
+    assert racer.fired
+    assert v == 3  # v2 = the racing append, v3 = the rebased merge
+    assert read_manifest(spark, root, 2)["action"] == "append"
+    m3 = read_manifest(spark, root, 3)
+    assert m3["action"] == "merge"
+    # the racing append's files survive verbatim in the merge's manifest
+    added = set(read_manifest(spark, root, 2)["files"]) - set(
+        read_manifest(spark, root, 1)["files"]
+    )
+    assert added <= set(m3["files"])
+    out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert len(out) == 200
+    assert all(out[i] == 1000 * i for i in range(50, 60))
+    assert all(out[i] == 2 * i for i in range(50))
+    assert all(out[i] == 2 * i for i in range(1000, 1100))
+
+
+def test_merge_aborts_on_overlapping_append(spark, tmp_path):
+    """Stats that CANNOT prove disjointness abort the merge: the racing
+    append's id range intersects the source's [min, max]."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_merge
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])
+    src = spark.range(50, 60).selectExpr("id", "id * 1000 AS v")
+    racer = _RaceCommitOnce(_df(spark, 55, 58), root)  # overlaps source keys
+    prev = set_log_store(racer)
+    try:
+        with pytest.raises(IOError, match="may hold matching rows"):
+            snapshot_merge(src, root, key="id")
+    finally:
+        set_log_store(prev)
+    # the racing append won; the merge left only inert unreferenced residue
+    assert current_version(spark, root) == 2
 
 
 def test_delete_removes_rows_and_skips_nonoverlapping_files(spark, tmp_path):
@@ -445,29 +507,106 @@ def test_delete_null_predicate_rows_are_kept(spark, tmp_path):
 
 
 def test_delete_conflict_aborts(spark, tmp_path):
-    from aws_logs_parquet_converter_spark.plans import snapshots as S
+    """On a stats-less table, a concurrent append mid-delete must abort:
+    nothing proves the appended rows don't match the predicate."""
     from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
 
     root = str(tmp_path / "t")
     snapshot_write(_df(spark, 0, 10), root)
-    real_cv = S.current_version
-    state = {"calls": 0}
-
-    def racing_cv(sp, r):
-        state["calls"] += 1
-        if state["calls"] == 2:  # delete's pre-CAS check: race a commit in
-            racer = dict(read_manifest(sp, r, real_cv(sp, r)))
-            racer["version"] = real_cv(sp, r) + 1
-            racer["action"] = "append"
-            assert _try_commit(sp, r, racer)
-        return real_cv(sp, r)
-
-    S.current_version = racing_cv
+    racer = _RaceCommitOnce(_df(spark, 20, 25), root)
+    prev = set_log_store(racer)
     try:
         with pytest.raises(IOError, match="conflict"):
             snapshot_delete(spark, root, [("id", "<", 5)])
     finally:
-        S.current_version = real_cv
+        set_log_store(prev)
+    assert racer.fired
+
+
+def test_delete_cow_rebases_over_disjoint_append(spark, tmp_path):
+    """Copy-on-write delete rebases over a concurrent append whose stats
+    prove no appended row matches the predicate; the appended files
+    survive verbatim in the delete's manifest."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])
+    racer = _RaceCommitOnce(_df(spark, 1000, 1100), root)
+    prev = set_log_store(racer)
+    try:
+        v = snapshot_delete(spark, root, [("id", "<", 10)])
+    finally:
+        set_log_store(prev)
+    assert racer.fired and v == 3
+    m3 = read_manifest(spark, root, 3)
+    assert m3["action"] == "delete"
+    added = set(read_manifest(spark, root, 2)["files"]) - set(
+        read_manifest(spark, root, 1)["files"]
+    )
+    assert added <= set(m3["files"])
+    ids = sorted(r.id for r in snapshot_read(spark, root).collect())
+    assert ids == list(range(10, 100)) + list(range(1000, 1100))
+
+
+def test_delete_dv_rebases_over_disjoint_append(spark, tmp_path):
+    """Merge-on-read delete rebases the same way — the vector commit
+    keeps the rebased base's FULL file list (including the appended
+    files) and unions its new vectors in."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])
+    racer = _RaceCommitOnce(_df(spark, 1000, 1100), root)
+    prev = set_log_store(racer)
+    try:
+        v = snapshot_delete(spark, root, [("id", "<", 10)], mode="dv")
+    finally:
+        set_log_store(prev)
+    assert racer.fired and v == 3
+    m3 = read_manifest(spark, root, 3)
+    assert m3["dv"]  # vectors recorded, no data file rewritten
+    assert set(m3["files"]) == set(read_manifest(spark, root, 2)["files"])
+    ids = sorted(r.id for r in snapshot_read(spark, root).collect())
+    assert ids == list(range(10, 100)) + list(range(1000, 1100))
+
+
+def test_optimize_rebases_over_concurrent_append(spark, tmp_path):
+    """OPTIMIZE never filters rows, so ANY concurrent append rebases: the
+    packed files and the appended files coexist in the new manifest
+    instead of the pack being abandoned (wasted rewrite work)."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(8), root)
+    racer = _RaceCommitOnce(_df(spark, 100, 120), root)
+    prev = set_log_store(racer)
+    try:
+        v = snapshot_optimize(spark, root, target_file_mb=128)
+    finally:
+        set_log_store(prev)
+    assert racer.fired and v == 3
+    m3 = read_manifest(spark, root, 3)
+    assert m3["action"] == "optimize"
+    added = set(read_manifest(spark, root, 2)["files"]) - set(
+        read_manifest(spark, root, 1)["files"]
+    )
+    assert added <= set(m3["files"])
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 120))
+
+
+def test_optimize_abandons_on_concurrent_rewrite(spark, tmp_path):
+    """A concurrent commit that REMOVES files the pack read (here an
+    overwrite) invalidates the pack: OPTIMIZE abandons (returns None)
+    and the overwrite's state wins; the orphaned pack dir is inert."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(8), root)
+    racer = _RaceCommitOnce(_df(spark, 0, 5), root, mode="overwrite")
+    prev = set_log_store(racer)
+    try:
+        v = snapshot_optimize(spark, root, target_file_mb=128)
+    finally:
+        set_log_store(prev)
+    assert racer.fired and v is None
+    assert current_version(spark, root) == 2
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 5))
 
 
 def test_restore_is_metadata_only_rollback(spark, tmp_path):
