@@ -794,6 +794,169 @@ def table_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_dv_events_for(spark, sf_dir))
 
 
+#: update boundary + user_id offsets — the change-set touches only the
+#: FIRST quartile's files (driver-side stats candidate selection)
+SNAP_UPD = 1250
+SNAP_UPD_OFFSET = 1_000_000
+
+#: per-sf_dir cache of seeded + UPDATED table roots
+_SNAPSHOT_UPDATE_PATHS: dict[str, str] = {}
+
+
+def _snapshot_updated_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed the disjoint-quartile stats shape, then snapshot_update the
+    first-quartile rows (event_id < SNAP_UPD): bump user_id and retag
+    event_type in ONE simultaneous assignment. The key stats prove
+    quartiles 2-4 cannot match, so their files survive VERBATIM in the
+    update's manifest — asserted here where the file lists are at hand."""
+    path = _SNAPSHOT_UPDATE_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import read_manifest, snapshot_update, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_update_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    bounds = [None, *SNAP_Q, None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("event_id") >= lo)
+        if hi is not None:
+            part = part.where(F.col("event_id") < hi)
+        snapshot_write(part.repartition(2), path, stats_cols=["event_id"])
+    pre = read_manifest(spark, path, 4)
+    snapshot_update(
+        spark,
+        path,
+        [("event_id", "<", SNAP_UPD)],
+        {"user_id": f"user_id + {SNAP_UPD_OFFSET}", "event_type": "'updated'"},
+    )
+    post = read_manifest(spark, path, 5)
+    assert post["action"] == "update"
+    outside = {
+        f
+        for f, s in pre["stats"].items()
+        if s["event_id"][0] is not None and s["event_id"][0] >= SNAP_UPD
+    }
+    assert outside <= set(post["files"]), (
+        "copy-on-write update must keep non-overlapping files verbatim"
+    )
+    _SNAPSHOT_UPDATE_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_update",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN event_id < {SNAP_UPD}
+                THEN user_id + {SNAP_UPD_OFFSET} ELSE user_id END AS user_id,
+           CASE WHEN event_id < {SNAP_UPD}
+                THEN 'updated' ELSE event_type END AS event_type
+    FROM events
+    """,
+    doc=(
+        "Predicate UPDATE as COPY-ON-WRITE on a snapshot table — the "
+        "third DML verb beside MERGE and DELETE: snapshot_update applies "
+        "{user_id: user_id + offset, event_type: 'updated'} to event_id "
+        "< 1250 as ONE simultaneous assignment over pre-update values "
+        "(SQL UPDATE semantics; swapping columns works, NULL-predicate "
+        "rows stay untouched — both test-pinned). Candidate files come "
+        "DRIVER-SIDE from manifest min/max stats: only the first "
+        "quartile's files are read and rewritten, every other file "
+        "survives VERBATIM (asserted in the fixture), so update cost is "
+        "∝ overlapping-file bytes, not table bytes. Rewritten files get "
+        "fresh stats; CHECK constraints validate the updated rows; "
+        "conflicts rebase over stats-proven-disjoint appends and abort "
+        "otherwise."
+    ),
+)
+def table_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_updated_events_for(spark, sf_dir))
+
+
+#: dv-update boundary — small, so the vector + updated copies stay tiny
+SNAP_UPD_DV = 100
+
+#: per-sf_dir cache of dv-updated table roots
+_SNAPSHOT_UPDATE_DV_PATHS: dict[str, str] = {}
+
+
+def _snapshot_dv_updated_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed one commit with key stats, then run a DV-mode UPDATE
+    (event_id < SNAP_UPD_DV: user_id bumped). Asserts the merge-on-read
+    contract: every seeded data file survives verbatim (zero rewrites —
+    the commit adds only the updated copies + the vector)."""
+    path = _SNAPSHOT_UPDATE_DV_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import read_manifest, snapshot_update, snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_update_dv_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(ev.repartition(4), path, stats_cols=["event_id"])
+    v = snapshot_update(
+        spark,
+        path,
+        [("event_id", "<", SNAP_UPD_DV)],
+        {"user_id": f"user_id + {SNAP_UPD_OFFSET}"},
+        mode="dv",
+    )
+    assert v == 2
+    m1, m2 = read_manifest(spark, path, 1), read_manifest(spark, path, 2)
+    assert m2["action"] == "update" and m2["dv"]
+    assert set(m1["files"]) <= set(m2["files"]), (
+        "dv update must rewrite NO seeded data file"
+    )
+    _SNAPSHOT_UPDATE_DV_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_update_cdf",
+    oracle=f"""
+    SELECT event_id, user_id, 'update_preimage' AS _change_type
+    FROM events WHERE event_id < {SNAP_UPD_DV}
+    UNION ALL
+    SELECT event_id, user_id + {SNAP_UPD_OFFSET} AS user_id,
+           'update_postimage' AS _change_type
+    FROM events WHERE event_id < {SNAP_UPD_DV}
+    """,
+    doc=(
+        "Deletion-vector UPDATE + row-level change feed: "
+        "snapshot_update(mode='dv') rewrites NO data file — one pass "
+        "records matched rows' (file, pos) identities as a deletion "
+        "vector AND appends their updated copies, committed together "
+        "(asserted in the fixture: the seeded file list survives "
+        "verbatim). Because the commit carries exact row lineage, "
+        "snapshot_cdf emits Delta-style update_preimage / "
+        "update_postimage rows for it — this query IS that feed, "
+        "oracle-checked against the base table. At 100 TB this is the "
+        "late-correction shape: fixing a mis-parsed field across a "
+        "petabyte table costs O(#matched rows), not a rewrite, and "
+        "downstream incremental consumers see exactly which rows "
+        "changed and how."
+    ),
+)
+def table_snapshot_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_cdf
+
+    path = _snapshot_dv_updated_events_for(spark, sf_dir)
+    return snapshot_cdf(spark, path, 1, 2).select(
+        "event_id", "user_id", "_change_type"
+    )
+
+
 #: per-sf_dir cache of seeded bloom-indexed table roots
 _SNAPSHOT_BLOOM_PATHS: dict[str, str] = {}
 

@@ -1076,7 +1076,7 @@ def snapshot_changes(
         if action == "optimize":
             seen = files  # same rows, new packing — nothing to emit
             continue
-        if action in ("overwrite", "merge", "delete", "restore"):
+        if action in ("overwrite", "merge", "delete", "restore", "update"):
             raise ValueError(
                 f"version {v} is a {action!r} commit — it rewrites or removes "
                 "rows, so the delta is not expressible as appended files; "
@@ -1099,9 +1099,10 @@ def snapshot_cdf(
     to_version: int | None = None,
 ) -> DataFrame:
     """ROW-LEVEL CHANGE DATA FEED between two versions — Delta's
-    ``table_changes``: every row appended or deleted after
+    ``table_changes``: every row appended, deleted, or dv-updated after
     ``from_version`` up to ``to_version`` (default latest), tagged with
-    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    ``_change_type`` ('insert' | 'delete' | 'update_preimage' |
+    'update_postimage') and ``_commit_version``.
     This is what :func:`snapshot_changes` (file-level, appends only)
     cannot express: deletion-vector commits record exactly which rows
     each delete removed (``_delete_dv`` anti-joins prior vectors before
@@ -1146,15 +1147,18 @@ def snapshot_cdf(
             seen_files, seen_dv = files, dv
             continue
         is_dv_delete = action == "delete" and files == seen_files and dv > seen_dv
+        # a dv-mode UPDATE carries exact row lineage: its new vector is the
+        # pre-image identity set, its fresh files are the post-image rows
+        is_dv_update = action == "update" and files >= seen_files and dv > seen_dv
         if action in ("overwrite", "merge", "restore") or (
             action == "delete" and not is_dv_delete
-        ):
+        ) or (action == "update" and not is_dv_update):
             raise ValueError(
                 f"version {v} is a {action!r} commit without row-level "
                 "lineage — the feed cannot be reconstructed; re-baseline "
                 f"with snapshot_read(version={to_version})"
             )
-        if is_dv_delete:
+        if is_dv_delete or is_dv_update:
             vec = spark.read.parquet(*[f"{root}/{p}" for p in sorted(dv - seen_dv)])
             # O(#touched files) driver metadata — bounded by the table's
             # file count, the same class as the partition-scoped upsert
@@ -1164,7 +1168,7 @@ def snapshot_cdf(
             rows = spark.read.schema(schema).parquet(
                 *[f"{root}/{f}" for f in touched]
             )
-            deleted = (
+            removed = (
                 rows.withColumn("__dv_file", _rel_file_expr())
                 .withColumn("__dv_pos", F.col("_metadata.row_index"))
                 .join(
@@ -1177,17 +1181,23 @@ def snapshot_cdf(
                     ["__dv_file", "__dv_pos"],
                 )
                 .select(*schema.names)
-                .withColumn("_change_type", F.lit("delete"))
+                .withColumn(
+                    "_change_type",
+                    F.lit("update_preimage" if is_dv_update else "delete"),
+                )
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
-            pieces.append(deleted)
-        else:  # append lineage
+            pieces.append(removed)
+        if not is_dv_delete:  # append / update post-image lineage
             fresh = sorted(files - seen_files)
             if fresh:
                 pieces.append(
                     spark.read.schema(schema)
                     .parquet(*[f"{root}/{f}" for f in fresh])
-                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn(
+                        "_change_type",
+                        F.lit("update_postimage" if is_dv_update else "insert"),
+                    )
                     .withColumn("_commit_version", F.lit(v).cast("bigint"))
                 )
         seen_files, seen_dv = files, dv
@@ -1644,6 +1654,189 @@ def snapshot_delete(
             return base_v + 1
     raise IOError(
         f"snapshot_delete: lost the commit race {_MAX_COMMIT_RETRIES} times "
+        f"on {root} — a runaway committer is monopolizing the table"
+    )
+
+
+def snapshot_update(
+    spark: SparkSession,
+    root: str,
+    filters: list[tuple],
+    set_exprs: dict[str, str],
+    mode: str = "cow",
+) -> int:
+    """Predicate UPDATE — the third DML verb next to :func:`snapshot_merge`
+    and :func:`snapshot_delete`: rows matching the AND-ed ``filters``
+    get ``set_exprs`` (``{column: sql_expression}``) applied; every
+    expression sees the row's PRE-update values (SQL UPDATE semantics —
+    assignments are simultaneous, e.g. swapping two columns works), is
+    cast back to the column's declared type, and a row whose predicate
+    evaluates to NULL is left unchanged. Returns the committed (or, for
+    a provable no-op, current) version.
+
+    ``mode="cow"`` mirrors the copy-on-write delete: candidate files are
+    selected DRIVER-SIDE from manifest min/max stats, non-overlapping
+    files survive verbatim (update cost ∝ overlapping-file bytes), and
+    when stats prove NO file overlaps nothing is committed at all.
+
+    ``mode="dv"`` is Delta's deletion-vector UPDATE shape: NO candidate
+    file is rewritten — one pass records the matched rows' ``(file,
+    pos)`` identities as a deletion vector AND writes their updated
+    copies as fresh appended files, committed together. Cost falls to
+    O(#matched rows); and because the commit carries exact row-level
+    lineage (vector = pre-image identities, fresh files = post-image
+    rows), :func:`snapshot_cdf` can emit ``update_preimage`` /
+    ``update_postimage`` changes for it — copy-on-write updates, like
+    copy-on-write deletes, make the feed raise a re-baseline error.
+
+    CHECK constraints validate the UPDATED rows (they are new row
+    values); untouched rows passed at their original commit. Conflicts
+    follow :func:`_rebase_base`: concurrent appends whose stats prove no
+    appended row matches the predicate rebase; anything else aborts."""
+    if not filters:
+        raise ValueError(
+            "snapshot_update requires a predicate — to transform every "
+            "row, rewrite the table (snapshot_write mode='overwrite')"
+        )
+    if not set_exprs:
+        raise ValueError("snapshot_update requires at least one SET expression")
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow or dv, got {mode!r}")
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    m = read_manifest(spark, root, latest)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    bad = sorted(set(set_exprs) - set(schema.names))
+    if bad:
+        raise ValueError(
+            f"snapshot_update SET targets unknown column(s) {bad} — UPDATE "
+            "never adds columns; append with schema evolution does"
+        )
+    stats = m.get("stats", {})
+    candidates = [
+        f
+        for f in m["files"]
+        if all(
+            _file_survives(stats.get(f), c, op, _stat_encode(v))
+            for c, op, v in filters
+        )
+    ]
+    if not candidates:
+        return latest
+    match = F.lit(True)
+    for c, op, v in filters:
+        match = match & _PRED_BUILDERS[op](c, F.lit(v))
+
+    def _assigned(f):  # the post-update value of one column, original types kept
+        return F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+
+    cand = _plan_scan(spark, root, m, candidates, schema)
+    if mode == "dv":
+        ident = cand.withColumn("__dv_file", _rel_file_expr()).withColumn(
+            "__dv_pos", F.col("_metadata.row_index")
+        )
+        if m.get("dv"):
+            prior = spark.read.parquet(*[f"{root}/{p}" for p in m["dv"]]).select(
+                F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+            )
+            ident = ident.join(prior, ["__dv_file", "__dv_pos"], "left_anti")
+        matched = ident.where(F.coalesce(match, F.lit(False)))
+        vec_dir = f"{root}/data/{uuid.uuid4().hex}"
+        matched.select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        ).write.parquet(vec_dir)
+        if spark.read.parquet(vec_dir).count() == 0:
+            return latest  # no row matched: the residue file is inert
+        commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+        updated = matched.select(
+            *[_assigned(f) if f.name in set_exprs else F.col(f.name) for f in schema.fields]
+        )
+        _check_constraints(
+            updated, m.get("constraints", {}), "snapshot_update rows"
+        )
+        updated.write.parquet(commit_dir)
+        new_files = _list_commit_files(spark, commit_dir)
+        new_dv = _list_commit_files(spark, vec_dir)
+    else:
+        marked = cand.withColumn("__upd", F.coalesce(match, F.lit(False)))
+        out = marked.select(
+            *[
+                F.when(F.col("__upd"), _assigned(f)).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ],
+            F.col("__upd"),
+        )
+        _check_constraints(
+            out.where(F.col("__upd")).select(*schema.names),
+            m.get("constraints", {}),
+            "snapshot_update rows",
+        )
+        commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+        out.drop("__upd").write.parquet(commit_dir)
+        new_files = _list_commit_files(spark, commit_dir)
+        new_dv = []
+    stats_cols = m.get("stats_cols")
+    new_stats = (
+        _collect_file_stats(spark, commit_dir, list(stats_cols))
+        if stats_cols and new_files
+        else {}
+    )
+    new_bloom = (
+        _build_bloom_sidecar(spark, root, commit_dir, list(m["bloom"]["cols"]))
+        if m.get("bloom") and new_files
+        else []
+    )
+    added_can_match = _delete_added_can_match(filters)
+    base, base_v = m, latest
+    for _ in range(_MAX_COMMIT_RETRIES):
+        if current_version(spark, root) != base_v:
+            base, base_v = _rebase_base(
+                spark, root, m, "snapshot_update", added_can_match
+            )
+        kept = (
+            set(base["files"])
+            if mode == "dv"
+            else set(base["files"]) - set(candidates)
+        )
+        manifest = {
+            "version": base_v + 1,
+            "action": "update",
+            "schema": m["schema"],
+            "files": sorted(kept | set(new_files)),
+        }
+        # dv mode always carries (its own vector is the update); cow mode
+        # carries prior vectors only while untouched files remain — stale
+        # entries for rewritten files are harmless, OPTIMIZE purges them
+        dv_carry = set(base.get("dv", [])) | set(new_dv)
+        if dv_carry and (mode == "dv" or kept):
+            manifest["dv"] = sorted(dv_carry)
+        if base.get("bloom"):
+            # NOTE for dv-mode: the fresh sidecar makes the UPDATED copies
+            # probe-visible; the pre-image rows' bloom bits go stale-
+            # positive (vector-deleted), which is safe — blooms are
+            # false-positive-only
+            manifest["bloom"] = {
+                **base["bloom"],
+                "files": sorted(set(base["bloom"]["files"]) | set(new_bloom)),
+            }
+        if base.get("constraints"):
+            manifest["constraints"] = base["constraints"]
+        if base.get("batch_ids"):
+            manifest["batch_ids"] = base["batch_ids"]
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = {
+                f: s
+                for f, s in {**base.get("stats", {}), **new_stats}.items()
+                if f in set(manifest["files"])
+            }
+        if _try_commit(spark, root, manifest, prev=base):
+            return base_v + 1
+    raise IOError(
+        f"snapshot_update: lost the commit race {_MAX_COMMIT_RETRIES} times "
         f"on {root} — a runaway committer is monopolizing the table"
     )
 

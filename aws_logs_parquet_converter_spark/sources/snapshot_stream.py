@@ -95,7 +95,7 @@ def _delta_files(
         if action == "optimize":
             seen = files
             continue
-        if action in ("overwrite", "merge", "delete", "restore"):
+        if action in ("overwrite", "merge", "delete", "restore", "update"):
             raise ValueError(
                 f"snapshot stream hit a {action!r} commit at version {v} — "
                 "rows were rewritten; restart the stream from a fresh "

@@ -609,6 +609,130 @@ def test_optimize_abandons_on_concurrent_rewrite(spark, tmp_path):
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 5))
 
 
+def test_update_cow_rewrites_only_overlapping_files(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_update
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(2), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 100, 200).repartition(2), root)
+    pre = read_manifest(spark, root, 2)
+    upper = {f for f, s in pre["stats"].items() if s["id"][0] >= 100}
+    assert len(upper) == 2
+    v = snapshot_update(spark, root, [("id", "<", 10)], {"v": "v + 1000"})
+    assert v == 3
+    post = read_manifest(spark, root, 3)
+    assert post["action"] == "update"
+    assert upper <= set(post["files"])  # non-overlapping files kept verbatim
+    out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert len(out) == 200
+    assert all(out[i] == 2 * i + 1000 for i in range(10))
+    assert all(out[i] == 2 * i for i in range(10, 200))
+    # rewritten files carry FRESH stats so skipping survives the update
+    assert set(post["stats"]) == set(post["files"])
+    # provable no-op: stats show nothing overlaps -> no commit at all
+    assert snapshot_update(spark, root, [("id", ">=", 10_000)], {"v": "0"}) == 3
+    # time travel still sees the pre-update table
+    assert _rows(snapshot_read(spark, root, version=2)) == _rows(_df(spark, 0, 200))
+
+
+def test_update_assignments_are_simultaneous_and_null_rows_kept(spark, tmp_path):
+    """SET expressions see PRE-update values (swapping columns works) and
+    a row whose predicate evaluates to NULL is left unchanged."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_update
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr(
+        "id",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS a",
+        "id * 2 AS b",
+    )
+    snapshot_write(df, root)
+    snapshot_update(spark, root, [("a", "<", 100)], {"a": "b", "b": "a"})
+    got = {r.id: (r.a, r.b) for r in snapshot_read(spark, root).collect()}
+    for i in range(10):
+        if i % 3 == 0:  # NULL predicate -> untouched
+            assert got[i] == (None, 2 * i)
+        else:  # swapped simultaneously
+            assert got[i] == (2 * i, i)
+
+
+def test_update_dv_rewrites_nothing_and_feeds_cdf(spark, tmp_path):
+    """DV-mode UPDATE: no candidate file rewritten (vector + updated
+    copies in one commit), and snapshot_cdf reads back exact
+    update_preimage / update_postimage rows."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_cdf,
+        snapshot_update,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])
+    v = snapshot_update(spark, root, [("id", "<", 5)], {"v": "v + 7"}, mode="dv")
+    assert v == 2
+    m2 = read_manifest(spark, root, 2)
+    assert m2["action"] == "update" and m2["dv"]
+    assert set(read_manifest(spark, root, 1)["files"]) <= set(m2["files"])
+    out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert len(out) == 100
+    assert all(out[i] == 2 * i + 7 for i in range(5))
+    assert all(out[i] == 2 * i for i in range(5, 100))
+    feed = sorted(
+        (r.id, r.v, r._change_type)
+        for r in snapshot_cdf(spark, root, 1, 2).collect()
+    )
+    want = sorted(
+        [(i, 2 * i, "update_preimage") for i in range(5)]
+        + [(i, 2 * i + 7, "update_postimage") for i in range(5)]
+    )
+    assert feed == want
+    # dv update with no matching row: no commit at all
+    assert (
+        snapshot_update(spark, root, [("id", ">=", 10_000)], {"v": "0"}, mode="dv")
+        == 2
+    )
+
+
+def test_update_validates_constraints_and_rejects_unknown_column(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        ConstraintViolation,
+        snapshot_changes,
+        snapshot_update,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _df(spark, 0, 10), root, constraints={"v_nonneg": "v >= 0"}
+    )
+    with pytest.raises(ConstraintViolation, match="v_nonneg"):
+        snapshot_update(spark, root, [("id", "<", 3)], {"v": "-1"})
+    assert current_version(spark, root) == 1  # refused: nothing committed
+    with pytest.raises(ValueError, match="unknown column"):
+        snapshot_update(spark, root, [("id", "<", 3)], {"nope": "1"})
+    # a legal update commits, and the append-only incremental reader
+    # refuses to cross it (rows were rewritten)
+    snapshot_update(spark, root, [("id", "<", 3)], {"v": "v + 1"})
+    with pytest.raises(ValueError, match="update"):
+        snapshot_changes(spark, root, 1, 2)
+
+
+def test_update_rebases_over_disjoint_append(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_update
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])
+    racer = _RaceCommitOnce(_df(spark, 1000, 1100), root)
+    prev = set_log_store(racer)
+    try:
+        v = snapshot_update(spark, root, [("id", "<", 10)], {"v": "v + 1000"})
+    finally:
+        set_log_store(prev)
+    assert racer.fired and v == 3
+    out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert len(out) == 200
+    assert all(out[i] == 2 * i + 1000 for i in range(10))
+    assert all(out[i] == 2 * i for i in range(1000, 1100))
+
+
 def test_restore_is_metadata_only_rollback(spark, tmp_path):
     """RESTORE commits the old version's file list as a new version: no
     data is copied, rolled-past versions stay readable, and changes()
