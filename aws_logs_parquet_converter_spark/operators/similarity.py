@@ -1679,6 +1679,15 @@ def pq_adc_topk(
         .where(F.col("srn") <= shortlist)
         .select("query_id", "vec_id")
     )
+    return _exact_rerank(embeddings, short, n_queries, k)
+
+
+def _exact_rerank(
+    embeddings: DataFrame, short: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """Stage-2 recall repair shared by the ADC retrievers: the (tiny)
+    ``short`` (query_id, vec_id) set broadcasts back against the corpus
+    for EXACT cosine on just those rows, then row_number picks top-k."""
     qv = embeddings.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
@@ -1719,9 +1728,19 @@ _ESUB_CTE = f"""esub AS (
       FROM embeddings e CROSS JOIN {_MS})"""
 
 
-def _pq_adc_sql(cb: str, n_queries: int, k: int, shortlist: int) -> str:
+def _pq_adc_sql(
+    cb: str,
+    n_queries: int,
+    k: int,
+    shortlist: int,
+    cand_joins: str = "",
+    lut_cond: str = "",
+) -> str:
     """encode -> ADC scan -> shortlist -> exact re-rank, parameterized on
-    the codebook CTE name ``cb`` exposing (m, cluster, c_sub, half_n)."""
+    the codebook CTE name ``cb`` exposing (m, cluster, c_sub, half_n).
+    ``cand_joins`` / ``lut_cond`` let the IVF-PQ oracle restrict the ADC
+    scan to probed coarse cells (extra JOINs after ``enc`` and an extra
+    predicate on the lut join)."""
     return f"""enc0 AS (
       SELECT s.vec_id, s.m, c.cluster,
              list_dot_product(s.sub_vec, c.c_sub) - c.half_n AS score
@@ -1740,7 +1759,7 @@ def _pq_adc_sql(cb: str, n_queries: int, k: int, shortlist: int) -> str:
       WHERE s.vec_id < {n_queries}),
     scored AS (
       SELECT l.query_id, e.vec_id, CAST(SUM(l.val) AS BIGINT) AS score
-      FROM enc e JOIN lut l ON l.m = e.m AND l.cluster = e.code
+      FROM enc e {cand_joins}JOIN lut l ON l.m = e.m AND l.cluster = e.code{lut_cond}
       WHERE e.vec_id <> l.query_id
       GROUP BY l.query_id, e.vec_id),
     short AS (
@@ -1934,6 +1953,197 @@ def sim_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook=spark.read.parquet(f"{path}/codebook"),
         codes=spark.read.parquet(f"{path}/codes"),
     )
+
+
+# --- IVF-PQ: coarse-cell pruning over the PQ-coded corpus -------------------
+
+
+def ivf_coarse_k(n_rows: int) -> int:
+    """Coarse-list count for IVF-PQ — the classic sqrt rule (Jégou et
+    al., TPAMI'11 §V: nlist ~ sqrt(N) balances the two scan terms:
+    query-vs-centroid cost O(nlist) against per-cell candidate cost
+    O(nprobe * N / nlist)). Floored at the fixture width and clamped to
+    the centroid-broadcast ceiling like :func:`semantic_k`."""
+    import math
+
+    return max(4, min(int(math.ceil(math.sqrt(n_rows))), n_rows, SEM_MAX_K))
+
+
+def _ivf_coarse_k_sql(src: str = "embeddings") -> str:
+    """The IDENTICAL sizing rule as a DuckDB scalar subquery, so the
+    import-time-rendered oracle stays corpus-adaptive."""
+    return (
+        "(SELECT GREATEST(4, LEAST(CAST(ceil(sqrt(COUNT(*))) AS BIGINT), "
+        f"COUNT(*), {SEM_MAX_K})) FROM {src})"
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    coarse_iters: int = 2,
+) -> DataFrame:
+    """The full IVFADC retrieval architecture (Jégou et al., TPAMI'11):
+    an IVF coarse quantizer PRUNES the corpus to ``nprobe`` cells per
+    query, then the ADC scan runs over ONLY those cells' PQ codes, and
+    exact cosine re-ranks the shortlist. This is the composition
+    ``sim_ivf_assign`` x ``sim_ann_pq_adc`` were built for — ADC alone
+    still touches every code row (O(N x M) lookups per query); with the
+    coarse prune the scan term drops to O(nprobe x N / nlist x M), and
+    with the sqrt rule (:func:`ivf_coarse_k`) that is O(nprobe x sqrt(N)
+    x M) — sublinear per query, the property that makes billion-vector
+    serving possible.
+
+    Plan shape: coarse centroids train once (Lloyd's, localCheckpoint
+    lineage), assignment is the broadcast + max_by hash aggregate, the
+    probe set and the per-query LUTs are tiny and broadcast, and the
+    candidate restriction is a broadcast semi-shaped equi-join on the
+    coarse cluster id — at 100 TB the codes table is hash-partitioned by
+    cluster so a probe touches only its cells' partitions. Codes encode
+    RAW vectors (not residuals): residual encoding buys recall at equal
+    code budget but makes every stage centroid-dependent; the raw-vector
+    variant (FAISS ``IVFPQ`` with ``by_residual=false``) keeps the PQ
+    index reusable across coarse re-trains and the whole pipeline
+    value-hash-checkable against the unrolled double-Lloyd's oracle.
+    Recall floor vs brute force is pinned in
+    tests/test_similarity_recall.py; missed-by-design neighbors live in
+    unprobed cells, the approximation IVF trades for the prune (the
+    oracle applies the identical restriction)."""
+    kc = ivf_coarse_k(embeddings.count())
+    cents = kmeans_train(embeddings, k=kc, n_iters=coarse_iters)
+    assigned = kmeans_assign(embeddings, cents).select("vec_id", "cluster")
+    cb = pq_train_codebooks(embeddings, k=16, n_iters=3)
+    codes = pq_encode(embeddings, cb)
+
+    e = spread_input(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    c2 = cents.select(
+        "cluster",
+        "centroid",
+        (
+            F.lit(0.5)
+            * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
+        ).alias("half_cnorm"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cluster"))
+    probes = (
+        q.crossJoin(F.broadcast(c2))
+        .select(
+            "query_id",
+            "cluster",
+            (
+                F.aggregate(F.zip_with("q_emb", "centroid", mul), F.lit(0.0), add)
+                - F.col("half_cnorm")
+            ).alias("score"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    qsub = _subvectors(embeddings.where(F.col("vec_id") < n_queries), "query_id")
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        F.col("query_id").alias("l_query"),
+        F.col("m").alias("l_m"),
+        F.col("cluster").alias("codeword"),
+        F.round((dot(F.col("sub_vec"), F.col("c_sub")) - F.col("half_n")) * PQ_SCALE)
+        .cast("bigint")
+        .alias("val"),
+    )
+    cand = codes.join(assigned, "vec_id").join(F.broadcast(probes), "cluster")
+    scored = (
+        cand.join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("l_query"))
+            & (F.col("m") == F.col("l_m"))
+            & (F.col("code") == F.col("codeword")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("val").alias("score"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank(embeddings, short, n_queries, k)
+
+
+def _ivf_pq_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    coarse_iters: int = 2,
+) -> str:
+    """BOTH Lloyd's loops unrolled in one statement — the coarse
+    full-vector quantizer (prefix-less chain from _kmeans_cte_parts, k as
+    the corpus-adaptive scalar subquery) and the per-subspace PQ training
+    (prefix='pq' chain) — then the probe-restricted ADC scan."""
+    parts, prev = _kmeans_cte_parts(_ivf_coarse_k_sql(), coarse_iters)
+    coarse = ",\n    ".join(parts)
+    cscore = (
+        "list_dot_product(e.emb, c.centroid) "
+        "- 0.5 * list_dot_product(c.centroid, c.centroid)"
+    )
+    return f"""
+    WITH {_ESUB_CTE},
+    {coarse},
+    cassign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cscore} DESC, c.cluster) AS rn
+        FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT e.vec_id AS query_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cscore} DESC, c.cluster) AS prn
+        FROM e CROSS JOIN {prev} c WHERE e.vec_id < {n_queries})
+      WHERE prn <= {nprobe}),
+    {_pq_trained_cb_cte(16, 3, prefix="pq")},
+    {_pq_adc_sql(
+        "pqtrained", n_queries, k, shortlist,
+        cand_joins=(
+            "JOIN cassign ca ON ca.vec_id = e.vec_id "
+            "JOIN probes p ON p.cluster = ca.cluster "
+        ),
+        lut_cond=" AND l.query_id = p.query_id",
+    )}
+    """
+
+
+@register(
+    "sim_ann_ivf_pq",
+    oracle=_ivf_pq_oracle(),
+    doc=(
+        "Full IVFADC retrieval (Jégou et al., TPAMI'11): a corpus-sized "
+        "coarse quantizer (nlist = ceil(sqrt(n)), the classic rule, via "
+        "the same metadata-cheap count pattern as rplsh_bits/semantic_k) "
+        "prunes each query to nprobe=2 cells; the ADC integer-LUT scan "
+        "runs over ONLY those cells' PQ codes (per-query cost O(nprobe x "
+        "sqrt(n) x M) — sublinear, vs sim_ann_pq_adc's full-codes scan); "
+        "exact cosine re-ranks the shortlist. BOTH training loops — the "
+        "full-vector coarse Lloyd's AND the 16x8 per-subspace PQ Lloyd's "
+        "— unroll deterministically into one DuckDB statement, so the "
+        "entire two-quantizer iterative pipeline is value-hash-checked. "
+        "Neighbors in unprobed cells are missed by design (the IVF "
+        "trade; the oracle applies the identical restriction); the "
+        "recall floor vs brute force is pinned in tests."
+    ),
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 # --- incremental PQ index maintenance: day-2 of the ANN serving story ------

@@ -87,6 +87,7 @@ EAGER_LEGS = [
     "stream_log_compaction",  # file-stream parse + idempotent (day,batch) commits
     "stream_dedup",  # stateful dropDuplicatesWithinWatermark over 2x delivery
     "dedup_semantic_clustered",  # k-means training runs eagerly (localCheckpoint)
+    "sim_ann_ivf_pq",  # both quantizer trainings run eagerly (localCheckpoint)
     "stream_snapshot_compaction",  # file stream committing manifest versions
     "stream_snapshot_source",  # snapshot table AS a streaming source (drain)
     "stream_semantic_dedup",  # two-table exactly-once semantic dedup stream

@@ -34,6 +34,9 @@ BNLJ_ALLOWED = {
     "dedup_incremental_semantic": "K-row FROZEN-centroid cross join "
     "(broadcast) assigning only the batch; the index probe itself is an "
     "equi-join on cluster with the batch side broadcast",
+    "sim_ann_ivf_pq": "sqrt(n)-row coarse-centroid cross join (broadcast) "
+    "for training/assignment/probing; the ADC candidate restriction and "
+    "scan are equi-joins on (cluster) and (query, m, code)",
     "sim_topk_bruteforce": "small query set vs corpus (broadcast)",
     "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
     "sim_topk_ivf_label": "small query set, label-pruned corpus",

@@ -164,6 +164,58 @@ def test_pq_adc_recall_floor(spark):
     assert recall_standin >= 0.7, f"stand-in recall degraded: {recall_standin:.3f}"
 
 
+def test_ivf_pq_planted_near_dup_and_nprobe_dial(spark):
+    """IVF-PQ retrieval quality, pinned honestly for both regimes.
+
+    1. **Planted near-dups (the property that matters):** queries that
+       ARE tiny perturbations of corpus vectors land in their source's
+       coarse cell (or its nprobe-neighbor) and must retrieve the source
+       in the top-5 — near-identical vectors are exactly what a dedup/
+       RAG pipeline needs found.
+    2. **nprobe is the recall/cost dial:** on this near-structureless
+       synthetic fixture, corpus-wide recall tracks probe COVERAGE
+       (nprobe/nlist ~ 9% at nprobe=2) — that is the IVF trade, not a
+       bug. The pin is monotonicity (more probes never hurt) plus loose
+       floors, so a banding regression still trips it.
+    """
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    em = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # queries 0..7 = vectors 100..107 nudged by +0.01 per dim (cosine to
+    # the source ~0.999; scaling alone would be cosine-invariant)
+    planted = em.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        (F.col("vec_id") - 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    corpus = em.where(F.col("vec_id") >= 8).unionByName(planted)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_topk(corpus, n_queries=8, k=5).collect()
+    }
+    found = sum((i, 100 + i) in got for i in range(8))
+    assert found >= 7, f"planted near-dup recall degraded: {found}/8"
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(em, em.where(F.col("vec_id") < 8), k=5).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, 4):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_pq_topk(em, n_queries=8, k=5, nprobe=nprobe).collect()
+        }
+        recalls.append(len(exact & approx) / len(exact))
+    # measured at sf0.01 (n=500, nlist=23): 0.125 / 0.25 / 0.375
+    assert recalls == sorted(recalls), f"nprobe dial not monotonic: {recalls}"
+    assert recalls[1] >= 0.15 and recalls[2] >= 0.3, f"recall floors: {recalls}"
+
+
 def test_pagerank_star_graph(spark):
     """Hub of a star graph must out-rank every leaf; ranks are exact ints."""
     from aws_logs_parquet_converter_spark.operators.graph import PR_SCALE, pagerank
