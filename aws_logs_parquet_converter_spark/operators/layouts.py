@@ -794,6 +794,85 @@ def table_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_dv_events_for(spark, sf_dir))
 
 
+#: per-sf_dir cache of renamed-column table roots
+_SNAPSHOT_RENAME_PATHS: dict[str, str] = {}
+
+
+def _snapshot_renamed_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed half the events with per-file event_id stats, RENAME user_id
+    -> uid (metadata-only: asserted zero file-list change), append the
+    other half under the NEW logical name, then OPTIMIZE. The final table
+    mixes pre-rename files (storing the physical 'user_id') and
+    post-rename files (re-labeled to the same physical name on write) —
+    the read must present both as 'uid'."""
+    path = _SNAPSHOT_RENAME_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import (
+        read_manifest,
+        snapshot_optimize,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapshot_rename_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(
+        ev.where(F.col("event_id") < SNAP_Q[0]).repartition(2),
+        path,
+        stats_cols=["event_id"],
+    )
+    v = snapshot_rename_column(spark, path, "user_id", "uid")
+    assert v == 2
+    m1, m2 = read_manifest(spark, path, 1), read_manifest(spark, path, 2)
+    assert m2["files"] == m1["files"], "rename must be metadata-only"
+    assert m2["column_mapping"] == {"uid": "user_id"}
+    snapshot_write(
+        ev.where(F.col("event_id") >= SNAP_Q[0])
+        .withColumnRenamed("user_id", "uid")
+        .repartition(2),
+        path,
+    )
+    assert snapshot_optimize(spark, path, target_file_mb=128) == 4
+    assert read_manifest(spark, path, 4)["column_mapping"] == {"uid": "user_id"}
+    _SNAPSHOT_RENAME_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_rename",
+    oracle="""
+    SELECT event_id, user_id AS uid, event_type FROM events
+    """,
+    doc=(
+        "METADATA-ONLY column rename via column mapping (Delta's design): "
+        "snapshot_rename_column(user_id -> uid) commits one manifest — "
+        "zero data I/O, file list byte-identical (asserted in the "
+        "fixture) — recording logical->physical name mapping; data files "
+        "keep their frozen physical names forever. The registered read "
+        "spans files written BEFORE the rename (physical 'user_id') and "
+        "AFTER it (appends arrive under the logical name and are "
+        "re-labeled on write), plus an OPTIMIZE pack that carries the "
+        "mapping; all present one logical schema. Stats/blooms/vectors "
+        "stay valid (keyed physical; snapshot_read translates filter "
+        "columns before pruning — test-pinned), time travel shows each "
+        "version under its own names, renaming back clears the mapping, "
+        "and ops not taught the mapping (DML verbs, incremental readers) "
+        "refuse loudly rather than mis-read. At 100 TB this makes a "
+        "schema rename a one-manifest operation instead of a petabyte "
+        "rewrite."
+    ),
+)
+def table_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_renamed_events_for(spark, sf_dir))
+
+
 #: update boundary + user_id offsets — the change-set touches only the
 #: FIRST quartile's files (driver-side stats candidate selection)
 SNAP_UPD = 1250

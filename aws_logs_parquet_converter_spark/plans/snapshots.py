@@ -391,6 +391,51 @@ def _merge_schemas(prev: StructType, new: StructType) -> StructType:
     return StructType(merged)
 
 
+def _mapping(m: dict) -> dict:
+    """LOGICAL -> PHYSICAL column-name mapping of a resolved manifest
+    (Delta's column-mapping design): data files always store PHYSICAL
+    names, frozen at each column's creation; :func:`snapshot_rename_column`
+    changes only the logical name in the manifest schema plus this map.
+    Absent or identity entries mean logical == physical (every table
+    starts that way, so unmapped tables pay nothing)."""
+    return m.get("column_mapping", {})
+
+
+def _phys_schema(schema: StructType, mapping: dict) -> StructType:
+    """``schema`` (logical names) re-labeled with physical field names —
+    what the parquet scan must request."""
+    if not mapping:
+        return schema
+    return StructType(
+        [
+            f.__class__(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+    """Re-label a LOGICAL frame with physical column names for writing."""
+    if not mapping:
+        return df
+    return df.select(*[F.col(n).alias(mapping.get(n, n)) for n in df.columns])
+
+
+def _require_unmapped(m: dict, opname: str) -> None:
+    """Operations that have not been taught column mapping REFUSE mapped
+    tables instead of silently mis-reading physical files (the Delta
+    precedent: CDF and several DML paths are gated on column-mapped
+    tables that experienced renames)."""
+    if _mapping(m):
+        raise ValueError(
+            f"{opname} does not support column-mapped tables (a column was "
+            "renamed via snapshot_rename_column); read/append/optimize/"
+            "time-travel support mapping — rewrite the table "
+            "(snapshot_write mode='overwrite') to materialize the rename "
+            "and clear the mapping"
+        )
+
+
 #: bloom-filter geometry: positions live in a fixed 2^20-bit space (the
 #: sidecar stores SPARSE (word, bits) pairs, so small files pay small
 #: sidecars — the fixed space only bounds the worst case at 128 KiB per
@@ -656,10 +701,33 @@ def snapshot_write(
         ).get("batch_ids", []):
             return None  # replayed batch: already committed — exactly-once
     checked = False
+    # column-mapped tables store PHYSICAL names in data files: re-label the
+    # (logical) frame before writing. Overwrite resets the mapping — the
+    # fresh files are written with logical names, materializing any rename.
+    write_mapping: dict = {}
+    pre_latest = current_version(spark, root)
+    if mode == "append" and pre_latest is not None:
+        write_mapping = _mapping(read_manifest(spark, root, pre_latest))
+        phys_taken = set(write_mapping.values())
+        clash = sorted(
+            c
+            for c in df.columns
+            if c not in write_mapping and c in phys_taken
+        )
+        if clash:
+            raise ValueError(
+                f"appended column(s) {clash} collide with the PHYSICAL name "
+                "of a renamed column — pick another name or rewrite the "
+                "table (mode='overwrite') to clear the mapping"
+            )
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
-    df.write.parquet(commit_dir)
+    _to_physical(df, write_mapping).write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
     schema_json = df.schema.json()
+    if stats_cols is not None:
+        stats_cols = [write_mapping.get(c, c) for c in stats_cols]
+    if bloom_cols is not None:
+        bloom_cols = [write_mapping.get(c, c) for c in bloom_cols]
     new_stats: dict[str, dict[str, list]] | None = None
     new_bloom: list[str] | None = None
     for _ in range(_MAX_COMMIT_RETRIES):
@@ -682,6 +750,13 @@ def snapshot_write(
         base_batches: list[int] = []
         if mode == "append" and latest is not None:
             prev = prev_resolved = read_manifest(spark, root, latest)
+            if _mapping(prev) != write_mapping:
+                raise IOError(
+                    f"snapshot_write conflict on {root}: a concurrent "
+                    "rename changed the column mapping after this append's "
+                    "files were written with the old physical names — "
+                    "re-run against fresh state"
+                )
             base_files = prev["files"]
             base_stats = prev.get("stats", {})
             base_batches = prev.get("batch_ids", [])
@@ -701,11 +776,17 @@ def snapshot_write(
                 StructType.fromJson(json.loads(prev["schema"])), df.schema
             ).json()
         if checks and not checked:
-            _check_constraints(
-                spark.read.parquet(commit_dir) if new_files else df.limit(0),
-                checks,
-                "snapshot_write commit",
+            committed = (
+                spark.read.parquet(commit_dir) if new_files else df.limit(0)
             )
+            if write_mapping and new_files:
+                # the commit dir holds PHYSICAL names; constraints are
+                # written against logical ones
+                rev = {p: n for n, p in write_mapping.items()}
+                committed = committed.select(
+                    *[F.col(c).alias(rev.get(c, c)) for c in committed.columns]
+                )
+            _check_constraints(committed, checks, "snapshot_write commit")
             checked = True
         if cols and new_files and new_stats is None:
             new_stats = _collect_file_stats(spark, commit_dir, list(cols))
@@ -723,6 +804,8 @@ def snapshot_write(
             # a plain append on a streamed table KEEPS the batch ledger:
             # losing it would let a later replayed micro-batch re-commit
             manifest["batch_ids"] = base_batches
+        if mode == "append" and write_mapping:
+            manifest["column_mapping"] = write_mapping
         if mode == "append" and prev_resolved and prev_resolved.get("dv"):
             # deletion vectors ride across appends: the deleted rows stay
             # deleted, the new files carry no vectors (fresh commit paths
@@ -780,16 +863,20 @@ def snapshot_read(
     files = m["files"]
     if filters:
         stats = m.get("stats", {})
+        mapping = _mapping(m)
+        # stats/blooms are keyed by PHYSICAL column names (they were
+        # gathered from the files); filters arrive logical — translate
+        pfilters = [(mapping.get(c, c), op, v) for c, op, v in filters]
         files = [
             f
             for f in files
             if all(
                 _file_survives(stats.get(f), c, op, _stat_encode(v))
-                for c, op, v in filters
+                for c, op, v in pfilters
             )
         ]
         if m.get("bloom"):
-            files = _bloom_prune(spark, root, m["bloom"], files, filters)
+            files = _bloom_prune(spark, root, m["bloom"], files, pfilters)
     if not files:
         return spark.createDataFrame([], schema)
     df = _plan_scan(spark, root, m, files, schema)
@@ -828,10 +915,21 @@ def _plan_scan(
     after a range or point delete, the untouched bulk of a 100 TB table
     scans completely clean (tools/dv_cost_probe.py measures both the
     scattered worst case and the clean-split win)."""
+    mapping = _mapping(m)
+    pschema = _phys_schema(schema, mapping)
+
+    def _logical(df: DataFrame) -> DataFrame:
+        # physical file columns re-labeled to the manifest's logical names
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(mapping.get(n, n)).alias(n) for n in schema.names]
+        )
+
     dv_files = m.get("dv")
     if not dv_files:
-        return spark.read.schema(schema).parquet(
-            *[f"{root}/{f}" for f in files]
+        return _logical(
+            spark.read.schema(pschema).parquet(*[f"{root}/{f}" for f in files])
         )
     dv = spark.read.parquet(*[f"{root}/{p}" for p in dv_files]).select(
         F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
@@ -843,19 +941,25 @@ def _plan_scan(
     clean = [f for f in files if f not in touched]
     parts = []
     if dirty:
-        scan = spark.read.schema(schema).parquet(
+        scan = spark.read.schema(pschema).parquet(
             *[f"{root}/{f}" for f in dirty]
         )
         cols = scan.columns
         parts.append(
-            scan.withColumn("__dv_file", _rel_file_expr())
-            .withColumn("__dv_pos", F.col("_metadata.row_index"))
-            .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
-            .select(*cols)
+            _logical(
+                scan.withColumn("__dv_file", _rel_file_expr())
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
+                .select(*cols)
+            )
         )
     if clean:
         parts.append(
-            spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in clean])
+            _logical(
+                spark.read.schema(pschema).parquet(
+                    *[f"{root}/{f}" for f in clean]
+                )
+            )
         )
     if not parts:
         return spark.createDataFrame([], schema)
@@ -955,13 +1059,16 @@ def snapshot_optimize(
         )
     else:
         packed = cur.coalesce(want)
+    mapping = _mapping(m)
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
-    packed.write.parquet(commit_dir)
+    _to_physical(packed, mapping).write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
-    stats_cols = m.get("stats_cols")
+    stats_cols = m.get("stats_cols")  # stored PHYSICAL
     if cluster_by or zorder_by:
         stats_cols = sorted(
-            set(stats_cols or []) | set(cluster_by or []) | set(zorder_by or ())
+            set(stats_cols or [])
+            | {mapping.get(c, c) for c in cluster_by or []}
+            | {mapping.get(c, c) for c in zorder_by or ()}
         )
     new_stats = (
         _collect_file_stats(spark, commit_dir, list(stats_cols))
@@ -1024,6 +1131,10 @@ def snapshot_optimize(
             # a concurrent stream-append's batch id must stay recorded or
             # its replay would re-commit
             manifest["batch_ids"] = base["batch_ids"]
+        if mapping:
+            # the packed files were written with the same physical names
+            # (_to_physical above), so the mapping rides along unchanged
+            manifest["column_mapping"] = mapping
         if _try_commit(spark, root, manifest, prev=base):
             return base_v + 1
     return None
@@ -1062,6 +1173,9 @@ def snapshot_changes(
             f"bad version range [{from_version}, {to_version}] "
             f"(latest is {latest})"
         )
+    _require_unmapped(
+        read_manifest(spark, root, to_version), "snapshot_changes"
+    )
     prev_files: set[str] = set()
     if from_version > 0:
         prev_files = set(read_manifest(spark, root, from_version)["files"])
@@ -1129,6 +1243,7 @@ def snapshot_cdf(
             f"bad version range [{from_version}, {to_version}] "
             f"(latest is {latest})"
         )
+    _require_unmapped(read_manifest(spark, root, to_version), "snapshot_cdf")
     seen_files: set[str] = set()
     seen_dv: set[str] = set()
     if from_version > 0:
@@ -1271,6 +1386,8 @@ def _rebase_base(
         _conflict("a concurrent commit changed the constraint set")
     if M.get("bloom", {}).get("cols") != base_m.get("bloom", {}).get("cols"):
         _conflict("a concurrent commit changed the bloom column set")
+    if _mapping(M) != _mapping(base_m):
+        _conflict("a concurrent rename changed the column mapping")
     stats = M.get("stats", {})
     for f in sorted(set(M["files"]) - set(base_m["files"])):
         if added_can_match(stats.get(f)):
@@ -1322,6 +1439,7 @@ def snapshot_merge(
     if latest is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
     m = read_manifest(spark, root, latest)
+    _require_unmapped(m, "snapshot_merge")
     prev_schema = StructType.fromJson(json.loads(m["schema"]))
     if key not in prev_schema.names or key not in df.columns:
         raise ValueError(f"merge key {key!r} must exist in table and source")
@@ -1578,6 +1696,7 @@ def snapshot_delete(
     if latest is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
     m = read_manifest(spark, root, latest)
+    _require_unmapped(m, "snapshot_delete")
     schema = StructType.fromJson(json.loads(m["schema"]))
     stats = m.get("stats", {})
     candidates, untouched = [], []
@@ -1706,6 +1825,7 @@ def snapshot_update(
     if latest is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
     m = read_manifest(spark, root, latest)
+    _require_unmapped(m, "snapshot_update")
     schema = StructType.fromJson(json.loads(m["schema"]))
     bad = sorted(set(set_exprs) - set(schema.names))
     if bad:
@@ -1841,6 +1961,81 @@ def snapshot_update(
     )
 
 
+def snapshot_rename_column(
+    spark: SparkSession, root: str, old: str, new: str
+) -> int:
+    """METADATA-ONLY column rename — Delta's column-mapping design: data
+    files are immutable and keep storing the column under its PHYSICAL
+    name (frozen at creation); this commit changes only the manifest's
+    logical schema plus a ``column_mapping`` (logical -> physical) that
+    the read path applies, so renaming a column on a 100 TB table costs
+    ONE manifest write and zero data I/O. Returns the new version.
+
+    Lifecycle after a rename: reads (any version — time travel shows each
+    version under ITS OWN names), appends (new frames use the new logical
+    name; :func:`snapshot_write` re-labels to the physical name before
+    writing, so old and new files stay homogeneous), OPTIMIZE, restore,
+    and further renames all work; renaming BACK to the physical name
+    clears the mapping entry. Stats, blooms, and vectors stay valid
+    untouched — they are keyed by physical names, and
+    :func:`snapshot_read` translates filter columns before pruning.
+    Operations not yet taught the mapping (the DML verbs, incremental
+    readers) refuse mapped tables loudly (:func:`_require_unmapped`, the
+    Delta precedent) rather than silently reading renamed columns as
+    NULL; ``mode='overwrite'`` materializes the rename and clears the
+    mapping. Renaming a column referenced by a CHECK constraint is
+    refused (the expression text would dangle — Delta blocks this too)."""
+    import re as _re
+
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    for _ in range(_MAX_COMMIT_RETRIES):
+        m = read_manifest(spark, root, latest)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if old not in schema.names:
+            raise ValueError(f"no column {old!r} to rename (has {schema.names})")
+        if new in schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        for name, expr in m.get("constraints", {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{name!r} ({expr}) — drop or rewrite the constraint "
+                    "before renaming"
+                )
+        mapping = _mapping(m)
+        phys = mapping.get(old, old)
+        new_mapping = {
+            **{l: p for l, p in mapping.items() if l != old},
+            new: phys,
+        }
+        new_mapping = {l: p for l, p in new_mapping.items() if l != p}
+        new_schema = StructType(
+            [
+                f.__class__(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        manifest = {
+            k: v
+            for k, v in m.items()
+            if k not in ("version", "action", "schema", "column_mapping")
+        }
+        manifest.update(
+            version=latest + 1, action="rename", schema=new_schema.json()
+        )
+        if new_mapping:
+            manifest["column_mapping"] = new_mapping
+        if _try_commit(spark, root, manifest, prev=m):
+            return latest + 1
+        latest = current_version(spark, root)
+    raise IOError(
+        f"snapshot_rename_column: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times on {root} — a runaway committer is monopolizing the table"
+    )
+
+
 def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
     """ROLL BACK the table to the contents of ``version`` by committing a
     NEW version whose file list is the old version's — Delta's
@@ -1881,6 +2076,9 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
         if target.get("stats_cols"):
             manifest["stats_cols"] = target["stats_cols"]
             manifest["stats"] = target.get("stats", {})
+        if target.get("column_mapping"):
+            # restoring past a rename restores the old logical names too
+            manifest["column_mapping"] = target["column_mapping"]
         if _try_commit(
             spark, root, manifest, prev=read_manifest(spark, root, latest)
         ):

@@ -81,6 +81,14 @@ def _delta_files(
     per-file stats for the delta files) — the snapshot_changes walk,
     shared by partition planning. Stats come from the manifest that
     introduced each file (the commit-time min/max the writer gathered)."""
+    if _read_manifest_py(root, end_v).get("column_mapping"):
+        # mirror plans.snapshots._require_unmapped: files store PHYSICAL
+        # names — planning them under logical names would read NULLs
+        raise ValueError(
+            "the snapshot DataSource does not support column-mapped tables "
+            "(a column was renamed via snapshot_rename_column); rewrite "
+            "the table (mode='overwrite') to materialize the rename"
+        )
     seen: set[str] = set()
     if start_v > 0:
         seen = set(_read_manifest_py(root, start_v)["files"])
@@ -265,6 +273,12 @@ try:  # pyspark >= 4.0 only
 
         def partitions(self):
             m = _read_manifest_py(self._root, self._version)
+            if m.get("column_mapping"):
+                raise ValueError(
+                    "the snapshot DataSource does not support column-mapped "
+                    "tables (a column was renamed via snapshot_rename_column)"
+                    "; use snapshot_read, which applies the mapping"
+                )
             files = m["files"]
             stats = m.get("stats", {})
             if self._filters:

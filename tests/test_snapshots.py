@@ -733,6 +733,120 @@ def test_update_rebases_over_disjoint_append(spark, tmp_path):
     assert all(out[i] == 2 * i for i in range(1000, 1100))
 
 
+def test_rename_is_metadata_only_and_reads_apply_mapping(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(2), root, stats_cols=["id"])
+    v = snapshot_rename_column(spark, root, "v", "val")
+    assert v == 2
+    m1, m2 = read_manifest(spark, root, 1), read_manifest(spark, root, 2)
+    assert m2["files"] == m1["files"]  # zero data I/O
+    assert m2["action"] == "rename" and m2["column_mapping"] == {"val": "v"}
+    out = snapshot_read(spark, root)
+    assert out.columns == ["id", "val"]
+    assert sorted((r.id, r.val) for r in out.collect()) == [
+        (i, 2 * i) for i in range(100)
+    ]
+    # time travel shows each version under ITS OWN names
+    assert snapshot_read(spark, root, version=1).columns == ["id", "v"]
+
+
+def test_rename_lifecycle_append_prune_optimize_renameback(spark, tmp_path):
+    """Post-rename lifecycle: appends arrive under the NEW logical name
+    (re-labeled to the frozen physical name on write, so files stay
+    homogeneous), stats pruning works through the mapping, OPTIMIZE
+    carries it, and renaming back to the physical name clears the
+    mapping entirely — DML works again."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100).repartition(2), root, stats_cols=["v"])
+    snapshot_write(_df(spark, 100, 200).repartition(2), root)
+    snapshot_rename_column(spark, root, "v", "val")  # v3
+    snapshot_write(
+        spark.range(200, 300).selectExpr("id", "id * 2 AS val"), root
+    )  # v4: logical-name append
+    out = snapshot_read(spark, root)
+    assert out.columns == ["id", "val"]
+    assert sorted((r.id, r.val) for r in out.collect()) == [
+        (i, 2 * i) for i in range(300)
+    ]
+    # data skipping through the mapping: filter on the RENAMED column
+    # prunes files via the physically-keyed stats
+    m4 = read_manifest(spark, root, 4)
+    pruned = snapshot_read(spark, root, filters=[("val", "<", 100)])
+    assert pruned.count() == 50
+    assert len(pruned.inputFiles()) < len(m4["files"])
+    # the post-rename append's files carry stats under the PHYSICAL name
+    new_files = set(m4["files"]) - set(read_manifest(spark, root, 2)["files"])
+    assert all("v" in m4["stats"][f] for f in new_files)
+    # OPTIMIZE packs and the mapping rides along
+    v5 = snapshot_optimize(spark, root, target_file_mb=128)
+    assert v5 == 5
+    assert read_manifest(spark, root, 5)["column_mapping"] == {"val": "v"}
+    assert snapshot_read(spark, root).columns == ["id", "val"]
+    assert snapshot_read(spark, root).count() == 300
+    # renaming BACK to the physical name clears the mapping; DML unblocks
+    snapshot_rename_column(spark, root, "val", "v")
+    assert "column_mapping" not in read_manifest(spark, root, 6)
+    snapshot_delete(spark, root, [("v", "<", 20)])
+    assert snapshot_read(spark, root).count() == 290
+
+
+def test_rename_guards_and_dml_gate(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_rename_column,
+        snapshot_restore,
+        snapshot_update,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root, constraints={"v_ok": "v >= 0"})
+    with pytest.raises(ValueError, match="no column"):
+        snapshot_rename_column(spark, root, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_rename_column(spark, root, "v", "id")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snapshot_rename_column(spark, root, "v", "val")  # referenced by v_ok
+    snapshot_rename_column(spark, root, "id", "key")  # unreferenced: fine
+    # DML verbs and incremental readers refuse mapped tables loudly
+    for op in (
+        lambda: snapshot_delete(spark, root, [("key", "<", 3)]),
+        lambda: snapshot_update(spark, root, [("key", "<", 3)], {"v": "0"}),
+        lambda: snapshot_merge(
+            spark.range(3).selectExpr("id AS key", "id AS v"), root, key="key"
+        ),
+    ):
+        with pytest.raises(ValueError, match="column-mapped"):
+            op()
+    # appending a column that collides with a frozen PHYSICAL name refuses
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        snapshot_write(
+            spark.range(3).selectExpr("id AS key", "id AS v", "id AS id"), root
+        )
+    # restore past the rename restores the old logical names
+    snapshot_restore(spark, root, 1)
+    assert snapshot_read(spark, root).columns == ["id", "v"]
+    # overwrite materializes logical names and clears the mapping
+    snapshot_rename_column(spark, root, "id", "key")
+    snapshot_write(
+        snapshot_read(spark, root), root, mode="overwrite"
+    )
+    latest = read_manifest(
+        spark, root, current_version(spark, root)
+    )
+    assert "column_mapping" not in latest
+    assert snapshot_read(spark, root).columns == ["key", "v"]
+
+
 def test_restore_is_metadata_only_rollback(spark, tmp_path):
     """RESTORE commits the old version's file list as a new version: no
     data is copied, rolled-past versions stay readable, and changes()
