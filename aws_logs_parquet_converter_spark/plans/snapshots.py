@@ -1851,9 +1851,14 @@ def snapshot_update(
     def _assigned(f):  # the post-update value of one column, original types kept
         return F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
 
-    cand = _plan_scan(spark, root, m, candidates, schema)
     if mode == "dv":
-        ident = cand.withColumn("__dv_file", _rel_file_expr()).withColumn(
+        # RAW candidate read (not _plan_scan: its dv-subtracting projection
+        # drops the _metadata column this arm needs for row identities);
+        # prior vectors are excluded by the anti-join below instead
+        raw = spark.read.schema(schema).parquet(
+            *[f"{root}/{f}" for f in candidates]
+        )
+        ident = raw.withColumn("__dv_file", _rel_file_expr()).withColumn(
             "__dv_pos", F.col("_metadata.row_index")
         )
         if m.get("dv"):
@@ -1879,6 +1884,8 @@ def snapshot_update(
         new_files = _list_commit_files(spark, commit_dir)
         new_dv = _list_commit_files(spark, vec_dir)
     else:
+        # dv-aware candidate read: vector-deleted rows must not resurrect
+        cand = _plan_scan(spark, root, m, candidates, schema)
         marked = cand.withColumn("__upd", F.coalesce(match, F.lit(False)))
         out = marked.select(
             *[

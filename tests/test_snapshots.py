@@ -715,6 +715,38 @@ def test_update_validates_constraints_and_rejects_unknown_column(spark, tmp_path
         snapshot_changes(spark, root, 1, 2)
 
 
+def test_update_composes_with_prior_deletion_vectors(spark, tmp_path):
+    """UPDATE over a table ALREADY carrying deletion vectors: vector-
+    deleted rows must neither resurrect nor be re-updated, in either
+    mode — and the dv-mode feed stays exact. (Regression: the dv arm
+    once read candidates through _plan_scan, whose dv-subtracting
+    projection drops the _metadata column the arm needs.)"""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_cdf,
+        snapshot_delete,
+        snapshot_update,
+    )
+
+    for mode in ("dv", "cow"):
+        root = str(tmp_path / f"t_{mode}")
+        snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])
+        snapshot_delete(spark, root, [("id", "<", 5)], mode="dv")
+        snapshot_update(spark, root, [("id", "<", 10)], {"v": "v + 7"}, mode=mode)
+        out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+        assert len(out) == 95
+        assert all(out[i] == 2 * i + 7 for i in range(5, 10))
+        assert all(out[i] == 2 * i for i in range(10, 100))
+        if mode == "dv":
+            feed = sorted(
+                (r.id, r._change_type)
+                for r in snapshot_cdf(spark, root, 2, 3).collect()
+            )
+            assert feed == sorted(
+                [(i, "update_preimage") for i in range(5, 10)]
+                + [(i, "update_postimage") for i in range(5, 10)]
+            )
+
+
 def test_update_rebases_over_disjoint_append(spark, tmp_path):
     from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_update
 
