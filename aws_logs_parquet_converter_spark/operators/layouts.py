@@ -794,6 +794,97 @@ def table_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_dv_events_for(spark, sf_dir))
 
 
+#: per-sf_dir cache of (source, clone) table-root pairs
+_SNAPSHOT_CLONE_PATHS: dict[str, str] = {}
+
+#: the clone-side dv delete boundary — inside the cloned half at every sf
+SNAP_CLONE_DEL = 100
+
+
+def _snapshot_cloned_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a SOURCE table (first event_id half, key stats), SHALLOW
+    CLONE it (one manifest, zero data copied — asserted: every clone
+    entry is an absolute path into the source), then live entirely on
+    the clone: append the second half, dv-delete event_id <
+    SNAP_CLONE_DEL. The source must come through untouched (asserted),
+    and the clone's delete rewrites no file — its vectors key the
+    source's files by their data/<commit>/<part> tail."""
+    path = _SNAPSHOT_CLONE_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import (
+        read_manifest,
+        snapshot_clone,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src = tempfile.mkdtemp(prefix="snapshot_clone_src_")
+    path = tempfile.mkdtemp(prefix="snapshot_clone_dst_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(
+        ev.where(F.col("event_id") < SNAP_Q[1]).repartition(2),
+        src,
+        stats_cols=["event_id"],
+    )
+    src_rows = snapshot_read(spark, src).count()
+    assert snapshot_clone(spark, src, path) == 1
+    m1 = read_manifest(spark, path, 1)
+    assert m1["action"] == "clone" and all(
+        f.startswith("/") or "://" in f for f in m1["files"]
+    ), "shallow clone must reference the source's files, not copy them"
+    snapshot_write(
+        ev.where(F.col("event_id") >= SNAP_Q[1]).repartition(2), path
+    )
+    snapshot_delete(spark, path, [("event_id", "<", SNAP_CLONE_DEL)], mode="dv")
+    m3 = read_manifest(spark, path, 3)
+    assert set(read_manifest(spark, path, 2)["files"]) == set(m3["files"]), (
+        "dv delete on the clone must rewrite no file"
+    )
+    assert snapshot_read(spark, src).count() == src_rows, (
+        "clone-side writes must never touch the source"
+    )
+    _SNAPSHOT_CLONE_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_clone",
+    oracle=f"""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_id >= {SNAP_CLONE_DEL}
+    """,
+    doc=(
+        "SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): "
+        "snapshot_clone commits version 1 of a NEW table whose manifest "
+        "references the source's data files by absolute path — cloning "
+        "a 100 TB table costs one manifest write and zero data I/O "
+        "(asserted in the fixture). The clone is immediately first-"
+        "class: this query appends the second event_id half to it and "
+        "dv-deletes a slice — vectors key files by their data/<commit>/"
+        "<part> tail, so they address source-owned files without "
+        "touching the source (asserted: source row count unchanged, no "
+        "file rewritten) — then reads the result. Stats/blooms/"
+        "constraints/column mapping ride to the clone; its own appends "
+        "land under its root; OPTIMIZE materializes local copies, "
+        "weaning it off the source. The dev/test sandbox shape: "
+        "experiment destructively against production files with "
+        "production metadata untouched. Source-side VACUUM retiring "
+        "clone-referenced files is the documented Delta caveat — align "
+        "retention or materialize."
+    ),
+)
+def table_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_cloned_events_for(spark, sf_dir))
+
+
 #: per-sf_dir cache of renamed-column table roots
 _SNAPSHOT_RENAME_PATHS: dict[str, str] = {}
 

@@ -1985,6 +1985,11 @@ def ivf_pq_topk(
     shortlist: int = 50,
     nprobe: int = 2,
     coarse_iters: int = 2,
+    impl: str = "native",
+    coarse: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVFADC retrieval architecture (Jégou et al., TPAMI'11):
     an IVF coarse quantizer PRUNES the corpus to ``nprobe`` cells per
@@ -2012,11 +2017,24 @@ def ivf_pq_topk(
     tests/test_similarity_recall.py; missed-by-design neighbors live in
     unprobed cells, the approximation IVF trades for the prune (the
     oracle applies the identical restriction)."""
-    kc = ivf_coarse_k(embeddings.count())
-    cents = kmeans_train(embeddings, k=kc, n_iters=coarse_iters)
-    assigned = kmeans_assign(embeddings, cents).select("vec_id", "cluster")
-    cb = pq_train_codebooks(embeddings, k=16, n_iters=3)
-    codes = pq_encode(embeddings, cb)
+    # the four index pieces are injectable (the serving shape: train/
+    # assign/encode offline once — tools/ivf_pq_scale_probe.py times the
+    # per-query path alone against a frozen parquet index)
+    cents = (
+        kmeans_train(
+            embeddings, k=ivf_coarse_k(embeddings.count()),
+            n_iters=coarse_iters, impl=impl,
+        )
+        if coarse is None
+        else coarse
+    )
+    assigned = (
+        kmeans_assign(embeddings, cents, impl=impl)
+        if assigned is None
+        else assigned
+    ).select("vec_id", "cluster")
+    cb = pq_train_codebooks(embeddings, k=16, n_iters=3) if codebook is None else codebook
+    codes = pq_encode(embeddings, cb) if codes is None else codes
 
     e = spread_input(embeddings)
     q = e.where(F.col("vec_id") < n_queries).select(

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -558,8 +559,11 @@ def _bloom_prune(
     ]
     if not eq or not files:
         return files
-    side = spark.read.parquet(*[f"{root}/{p}" for p in bloom["files"]])
-    surviving = list(files)
+    side = spark.read.parquet(*[_abs_file(root, p) for p in bloom["files"]])
+    # sidecars key files by their data/<commit>/<part> tail; manifest
+    # entries may be clone-absolute — match in the normalized key space
+    by_rel = {_rel_key(f): f for f in files}
+    surviving = list(by_rel)
     for c, v in eq:
         if not surviving:
             break
@@ -592,7 +596,7 @@ def _bloom_prune(
             if f not in indexed  # unindexed file: never skip
             or got.get(f, 0) >= total_bits
         ]
-    return surviving
+    return [by_rel[f] for f in surviving]
 
 
 class ConstraintViolation(ValueError):
@@ -892,6 +896,26 @@ def _rel_file_expr():
     return F.regexp_extract(F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1)
 
 
+def _abs_file(root: str, f: str) -> str:
+    """Resolve a manifest file entry to a readable path. Entries are
+    normally root-RELATIVE (``data/<commit>/<part>``); a SHALLOW CLONE
+    (:func:`snapshot_clone`) records the source's files as ABSOLUTE
+    paths/URIs, which pass through untouched."""
+    return f if f.startswith("/") or "://" in f else f"{root}/{f}"
+
+
+_REL_RE = re.compile(r"(data/[^/]+/[^/]+)$")
+
+
+def _rel_key(f: str) -> str:
+    """The ``data/<commit>/<part>`` tail of a file entry — the key space
+    deletion vectors and bloom sidecars use. Unique across tables
+    (commit dirs are uuid-named), so relative and clone-absolute entries
+    for the same file normalize to the same key."""
+    mm = _REL_RE.search(f)
+    return mm.group(1) if mm else f
+
+
 def _plan_scan(
     spark: SparkSession,
     root: str,
@@ -929,20 +953,20 @@ def _plan_scan(
     dv_files = m.get("dv")
     if not dv_files:
         return _logical(
-            spark.read.schema(pschema).parquet(*[f"{root}/{f}" for f in files])
+            spark.read.schema(pschema).parquet(*[_abs_file(root, f) for f in files])
         )
-    dv = spark.read.parquet(*[f"{root}/{p}" for p in dv_files]).select(
+    dv = spark.read.parquet(*[_abs_file(root, p) for p in dv_files]).select(
         F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
     )
     touched = {
         r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()
     }  # O(#touched files) — bounded by the table's file count
-    dirty = [f for f in files if f in touched]
-    clean = [f for f in files if f not in touched]
+    dirty = [f for f in files if _rel_key(f) in touched]
+    clean = [f for f in files if _rel_key(f) not in touched]
     parts = []
     if dirty:
         scan = spark.read.schema(pschema).parquet(
-            *[f"{root}/{f}" for f in dirty]
+            *[_abs_file(root, f) for f in dirty]
         )
         cols = scan.columns
         parts.append(
@@ -957,7 +981,7 @@ def _plan_scan(
         parts.append(
             _logical(
                 spark.read.schema(pschema).parquet(
-                    *[f"{root}/{f}" for f in clean]
+                    *[_abs_file(root, f) for f in clean]
                 )
             )
         )
@@ -1023,7 +1047,9 @@ def snapshot_optimize(
     jvm, jroot, fs = _fs_for(spark, root)
     total = 0
     for f in m["files"]:
-        total += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(jroot, f)).getLen()
+        total += fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
+        ).getLen()
     want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     if len(m["files"]) <= want and not (cluster_by or zorder_by or has_dv):
         return None
@@ -1203,7 +1229,7 @@ def snapshot_changes(
     schema = StructType.fromJson(json.loads(schema_json))
     if not delta:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in delta])
+    return spark.read.schema(schema).parquet(*[_abs_file(root, f) for f in delta])
 
 
 def snapshot_cdf(
@@ -1274,14 +1300,15 @@ def snapshot_cdf(
                 f"with snapshot_read(version={to_version})"
             )
         if is_dv_delete or is_dv_update:
-            vec = spark.read.parquet(*[f"{root}/{p}" for p in sorted(dv - seen_dv)])
+            vec = spark.read.parquet(*[_abs_file(root, p) for p in sorted(dv - seen_dv)])
             # O(#touched files) driver metadata — bounded by the table's
             # file count, the same class as the partition-scoped upsert
             touched = sorted(
                 r["file"] for r in vec.select("file").distinct().collect()
             )
+            by_rel = {_rel_key(f): f for f in files}
             rows = spark.read.schema(schema).parquet(
-                *[f"{root}/{f}" for f in touched]
+                *[_abs_file(root, by_rel.get(t, t)) for t in touched]
             )
             removed = (
                 rows.withColumn("__dv_file", _rel_file_expr())
@@ -1308,7 +1335,7 @@ def snapshot_cdf(
             if fresh:
                 pieces.append(
                     spark.read.schema(schema)
-                    .parquet(*[f"{root}/{f}" for f in fresh])
+                    .parquet(*[_abs_file(root, f) for f in fresh])
                     .withColumn(
                         "_change_type",
                         F.lit("update_postimage" if is_dv_update else "insert"),
@@ -1587,12 +1614,12 @@ def _delete_dv(
     row identity appears in at most one vector — which makes each
     commit's NEW vector exactly its delete delta, the property
     :func:`snapshot_cdf` reads row-level change feeds from."""
-    cand = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in candidates])
+    cand = spark.read.schema(schema).parquet(*[_abs_file(root, f) for f in candidates])
     ident = cand.withColumn("__dv_file", _rel_file_expr()).withColumn(
         "__dv_pos", F.col("_metadata.row_index")
     )  # reserved names: a table column can't collide with them
     if m.get("dv"):
-        prior = spark.read.parquet(*[f"{root}/{p}" for p in m["dv"]]).select(
+        prior = spark.read.parquet(*[_abs_file(root, p) for p in m["dv"]]).select(
             F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
         )
         ident = ident.join(prior, ["__dv_file", "__dv_pos"], "left_anti")
@@ -1856,13 +1883,13 @@ def snapshot_update(
         # drops the _metadata column this arm needs for row identities);
         # prior vectors are excluded by the anti-join below instead
         raw = spark.read.schema(schema).parquet(
-            *[f"{root}/{f}" for f in candidates]
+            *[_abs_file(root, f) for f in candidates]
         )
         ident = raw.withColumn("__dv_file", _rel_file_expr()).withColumn(
             "__dv_pos", F.col("_metadata.row_index")
         )
         if m.get("dv"):
-            prior = spark.read.parquet(*[f"{root}/{p}" for p in m["dv"]]).select(
+            prior = spark.read.parquet(*[_abs_file(root, p) for p in m["dv"]]).select(
                 F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
             )
             ident = ident.join(prior, ["__dv_file", "__dv_pos"], "left_anti")
@@ -1966,6 +1993,82 @@ def snapshot_update(
         f"snapshot_update: lost the commit race {_MAX_COMMIT_RETRIES} times "
         f"on {root} — a runaway committer is monopolizing the table"
     )
+
+
+def snapshot_clone(
+    spark: SparkSession,
+    source_root: str,
+    dest_root: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE — Delta's ``CREATE TABLE ... SHALLOW CLONE``: commit
+    version 1 of a NEW table at ``dest_root`` whose manifest references
+    the source version's data files by ABSOLUTE path. Zero data is
+    copied — cloning a 100 TB table costs one manifest write — and the
+    clone is immediately a first-class table: reads (with stats/bloom
+    skipping — sidecars key files by their ``data/<commit>/<part>`` tail,
+    which clone-absolute entries normalize to), appends (new files land
+    under the CLONE's root), DML, OPTIMIZE (which materializes local
+    copies, weaning the clone off the source), and further clones all
+    work. The dev/test sandbox shape: experiment destructively against
+    production files without touching production metadata.
+
+    Inherited: schema, stats, blooms, CHECK constraints, column mapping.
+    NOT inherited: the streaming batch ledger (the clone is a different
+    sink) and history (the clone starts at version 1; time travel into
+    pre-clone history belongs to the source).
+
+    Caveats, same as Delta's: VACUUM ON THE SOURCE can retire files the
+    clone still references (the clone's own vacuum never touches them —
+    absolute refs are outside its data dir), so either align retention
+    windows or OPTIMIZE the clone to materialize. A version carrying
+    deletion vectors is refused — its vector files live in the source's
+    lifecycle; ``snapshot_optimize`` the source first (purges vectors)
+    or clone a clean version."""
+    latest = current_version(spark, source_root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {source_root} has no commits")
+    version = latest if version is None else version
+    sm = read_manifest(spark, source_root, version)
+    if current_version(spark, dest_root) is not None:
+        raise ValueError(
+            f"clone destination {dest_root} already has commits — clones "
+            "start fresh tables"
+        )
+    if sm.get("dv"):
+        raise ValueError(
+            f"version {version} of {source_root} carries deletion vectors "
+            "— shallow-cloning them would tie the clone to the source's "
+            "vector lifecycle; snapshot_optimize the source (purges "
+            "vectors) or clone a clean version"
+        )
+    entries = {f: _abs_file(source_root, f) for f in sm["files"]}
+    manifest = {
+        "version": 1,
+        "action": "clone",
+        "schema": sm["schema"],
+        "files": sorted(entries.values()),
+    }
+    if sm.get("stats_cols"):
+        manifest["stats_cols"] = sm["stats_cols"]
+        manifest["stats"] = {
+            entries[f]: s for f, s in sm.get("stats", {}).items() if f in entries
+        }
+    if sm.get("bloom"):
+        manifest["bloom"] = {
+            **sm["bloom"],
+            "files": [_abs_file(source_root, p) for p in sm["bloom"]["files"]],
+        }
+    if sm.get("constraints"):
+        manifest["constraints"] = sm["constraints"]
+    if sm.get("column_mapping"):
+        manifest["column_mapping"] = sm["column_mapping"]
+    if not _try_commit(spark, dest_root, manifest):
+        raise IOError(
+            f"snapshot_clone: version 1 of {dest_root} was committed "
+            "concurrently — clone destinations must be fresh"
+        )
+    return 1
 
 
 def snapshot_rename_column(

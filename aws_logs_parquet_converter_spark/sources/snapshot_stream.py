@@ -294,14 +294,18 @@ try:  # pyspark >= 4.0 only
             if m.get("dv"):
                 import pyarrow.parquet as pq
 
-                keep = set(files)
+                from ..plans.snapshots import _rel_key
+
+                # vectors key files by their data/<commit>/<part> tail;
+                # clone manifests hold absolute entries — match normalized
+                keep = {_rel_key(f): f for f in files}
                 for p in m["dv"]:
                     t = pq.read_table(os.path.join(self._root, p))
                     for f, pos in zip(
                         t.column("file").to_pylist(), t.column("pos").to_pylist()
                     ):
                         if f in keep:
-                            deleted.setdefault(f, []).append(pos)
+                            deleted.setdefault(keep[f], []).append(pos)
             return [
                 _SnapshotFilePartition(
                     os.path.join(self._root, f),

@@ -765,6 +765,80 @@ def test_update_rebases_over_disjoint_append(spark, tmp_path):
     assert all(out[i] == 2 * i for i in range(1000, 1100))
 
 
+def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_clone
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(_df(spark, 0, 100).repartition(2), src, stats_cols=["id"])
+    snapshot_write(_df(spark, 100, 200).repartition(2), src)
+    assert snapshot_clone(spark, src, dst) == 1
+    m = read_manifest(spark, dst, 1)
+    assert m["action"] == "clone"
+    assert all(f.startswith("/") or "://" in f for f in m["files"])
+    assert _rows(snapshot_read(spark, dst)) == _rows(_df(spark, 0, 200))
+    # stats ride along (re-keyed to the absolute entries): skipping works
+    pruned = snapshot_read(spark, dst, filters=[("id", "<", 50)])
+    assert pruned.count() == 50
+    assert len(pruned.inputFiles()) < len(m["files"])
+    # writes are isolated both ways; the clone's new files land under
+    # ITS OWN root (relative entries)
+    snapshot_write(_df(spark, 200, 250), dst)
+    snapshot_write(_df(spark, 500, 510), src)
+    assert snapshot_read(spark, dst).count() == 250
+    assert snapshot_read(spark, src).count() == 210
+    new = set(read_manifest(spark, dst, 2)["files"]) - set(m["files"])
+    assert new and all(not f.startswith("/") for f in new)
+
+
+def test_clone_dml_and_optimize_materializes(spark, tmp_path):
+    """DML on a clone works against the source's files (deletion vectors
+    key files by their data/<commit>/<part> tail, so clone-absolute
+    entries match), and OPTIMIZE materializes local copies — weaning the
+    clone off the source entirely."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_clone,
+        snapshot_delete,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(_df(spark, 0, 100).repartition(2), src, stats_cols=["id"])
+    snapshot_clone(spark, src, dst)
+    snapshot_delete(spark, dst, [("id", "<", 10)], mode="dv")
+    assert snapshot_read(spark, dst).count() == 90
+    assert snapshot_read(spark, src).count() == 100  # source untouched
+    v = snapshot_optimize(spark, dst, target_file_mb=128)
+    m = read_manifest(spark, dst, v)
+    assert all(not f.startswith("/") for f in m["files"])  # local now
+    assert "dv" not in m  # vectors purged by the pack
+    assert sorted(r.id for r in snapshot_read(spark, dst).collect()) == list(
+        range(10, 100)
+    )
+    assert snapshot_read(spark, src).count() == 100
+
+
+def test_clone_guards_and_inheritance(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        ConstraintViolation,
+        snapshot_clone,
+        snapshot_delete,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_write(_df(spark, 0, 50), src, constraints={"v_ok": "v >= 0"})
+    snapshot_delete(spark, src, [("id", "<", 5)], mode="dv")  # v2 carries dv
+    with pytest.raises(ValueError, match="deletion vectors"):
+        snapshot_clone(spark, src, dst)
+    # a clean (pre-delete) version clones fine
+    assert snapshot_clone(spark, src, dst, version=1) == 1
+    with pytest.raises(ValueError, match="already has commits"):
+        snapshot_clone(spark, src, dst)
+    # CHECK constraints ride to the clone
+    with pytest.raises(ConstraintViolation, match="v_ok"):
+        snapshot_write(
+            spark.range(3).selectExpr("id", "CAST(-1 AS BIGINT) AS v"), dst
+        )
+
+
 def test_rename_is_metadata_only_and_reads_apply_mapping(spark, tmp_path):
     from aws_logs_parquet_converter_spark.plans.snapshots import (
         snapshot_rename_column,
