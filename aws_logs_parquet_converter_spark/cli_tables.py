@@ -1,0 +1,135 @@
+"""Maintenance CLI for snapshot-manifest tables (plans/snapshots.py) —
+the operational surface a table owner schedules: DESCRIBE HISTORY,
+OPTIMIZE (plain / clustered / z-ordered), VACUUM, RESTORE, metadata-only
+column RENAME, and SHALLOW CLONE. One subcommand per verb, one Spark
+session per invocation, table roots are any Hadoop filesystem URI (the
+same contract as the log-compactor CLI).
+
+Usage:
+    python -m aws_logs_parquet_converter_spark.cli_tables history  --root /t
+    python -m aws_logs_parquet_converter_spark.cli_tables optimize --root /t \
+        --target-file-mb 128 [--cluster-by day] [--zorder-by a,b]
+    python -m aws_logs_parquet_converter_spark.cli_tables vacuum   --root /t \
+        --keep-last 3 [--min-age-seconds 86400]
+    python -m aws_logs_parquet_converter_spark.cli_tables restore  --root /t --version 4
+    python -m aws_logs_parquet_converter_spark.cli_tables rename   --root /t \
+        --column user_id --to uid
+    python -m aws_logs_parquet_converter_spark.cli_tables clone    --root /src \
+        --dest /dst [--version 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .session import build_session
+
+
+def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description="Snapshot-table maintenance: history/optimize/vacuum/"
+        "restore/rename/clone"
+    )
+    p.add_argument("--master", default=None, help="Spark master override")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    hist = sub.add_parser("history", help="DESCRIBE HISTORY as JSON lines")
+    hist.add_argument("--root", required=True)
+
+    opt = sub.add_parser("optimize", help="bin-pack (and optionally cluster) files")
+    opt.add_argument("--root", required=True)
+    opt.add_argument("--target-file-mb", type=float, default=128)
+    opt.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated columns: range-cluster + sort the rewrite",
+    )
+    opt.add_argument(
+        "--zorder-by", default=None,
+        help="two comma-separated columns: Morton-interleaved 2-D clustering",
+    )
+
+    vac = sub.add_parser("vacuum", help="retire versions outside the window")
+    vac.add_argument("--root", required=True)
+    vac.add_argument("--keep-last", type=int, default=3)
+    vac.add_argument(
+        "--min-age-seconds", type=float, default=None,
+        help="grace window shielding in-flight commit dirs (default: the "
+        "library's Delta-style retention default)",
+    )
+
+    res = sub.add_parser("restore", help="metadata-only rollback to a version")
+    res.add_argument("--root", required=True)
+    res.add_argument("--version", type=int, required=True)
+
+    ren = sub.add_parser("rename", help="metadata-only column rename")
+    ren.add_argument("--root", required=True)
+    ren.add_argument("--column", required=True)
+    ren.add_argument("--to", required=True)
+
+    cln = sub.add_parser("clone", help="zero-copy shallow clone")
+    cln.add_argument("--root", required=True, help="source table root")
+    cln.add_argument("--dest", required=True, help="fresh destination root")
+    cln.add_argument("--version", type=int, default=None)
+
+    return p.parse_args(argv)
+
+
+def run_verb(spark, args: argparse.Namespace) -> dict:
+    """Dispatch one maintenance verb; returns a JSON-able result dict
+    (split from main() so tests drive it on a shared session)."""
+    from .plans import snapshots as S
+
+    if args.verb == "history":
+        rows = [r.asDict() for r in S.snapshot_history(spark, args.root).collect()]
+        return {"verb": "history", "root": args.root, "versions": rows}
+    if args.verb == "optimize":
+        cluster = (
+            [c.strip() for c in args.cluster_by.split(",")] if args.cluster_by else None
+        )
+        zorder = None
+        if args.zorder_by:
+            parts = tuple(c.strip() for c in args.zorder_by.split(","))
+            if len(parts) != 2:
+                raise SystemExit("--zorder-by takes exactly two columns: a,b")
+            zorder = parts
+        v = S.snapshot_optimize(
+            spark, args.root, target_file_mb=args.target_file_mb,
+            cluster_by=cluster, zorder_by=zorder,
+        )
+        return {"verb": "optimize", "root": args.root, "committed_version": v}
+    if args.verb == "vacuum":
+        kwargs = {"keep_last": args.keep_last}
+        if args.min_age_seconds is not None:
+            kwargs["min_age_seconds"] = args.min_age_seconds
+        gone = S.snapshot_vacuum(spark, args.root, **kwargs)
+        return {"verb": "vacuum", "root": args.root, "retired": gone}
+    if args.verb == "restore":
+        v = S.snapshot_restore(spark, args.root, args.version)
+        return {"verb": "restore", "root": args.root, "committed_version": v}
+    if args.verb == "rename":
+        v = S.snapshot_rename_column(spark, args.root, args.column, args.to)
+        return {
+            "verb": "rename", "root": args.root,
+            "column": args.column, "to": args.to, "committed_version": v,
+        }
+    if args.verb == "clone":
+        v = S.snapshot_clone(spark, args.root, args.dest, version=args.version)
+        return {
+            "verb": "clone", "source": args.root, "dest": args.dest,
+            "committed_version": v,
+        }
+    raise SystemExit(f"unknown verb {args.verb!r}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_arguments(argv)
+    spark = build_session(app_name="snapshot_tables", master=args.master)
+    try:
+        print(json.dumps(run_verb(spark, args), default=str))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

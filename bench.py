@@ -111,6 +111,13 @@ POST_R3_LEGS = [
     "table_snapshot_batch_source",  # batch DataSource read (Arrow tasks + DV mask)
     "pipeline_incremental_curation",  # day-2 curation via persisted indexes -> table
     "table_snapshot_clustered_read",  # range read after OPTIMIZE cluster_by
+    # round-6 session-2 table features (seed state memoizes; min-of-3
+    # times the steady-state read)
+    "table_snapshot_merge_concurrent",  # rebased merge under a racing append
+    "table_snapshot_update",  # post-update read (CoW update at seed)
+    "table_snapshot_update_cdf",  # update pre/post-image feed (dv update at seed)
+    "table_snapshot_rename",  # mapped read across pre/post-rename files
+    "table_snapshot_clone",  # clone read: absolute source refs + local appends + dv
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -839,6 +839,44 @@ def test_clone_guards_and_inheritance(spark, tmp_path):
         )
 
 
+def test_tables_cli_verbs_roundtrip(spark, tmp_path):
+    """The maintenance CLI (cli_tables) drives every verb against a real
+    table on one shared session: history -> optimize -> rename -> clone
+    -> restore -> vacuum, each returning its JSON-able report."""
+    from aws_logs_parquet_converter_spark.cli_tables import (
+        parse_arguments,
+        run_verb,
+    )
+
+    root, dst = str(tmp_path / "t"), str(tmp_path / "c")
+    snapshot_write(_df(spark, 0, 100).repartition(4), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 100, 200).repartition(4), root)
+
+    def verb(*argv):
+        return run_verb(spark, parse_arguments(list(argv)))
+
+    hist = verb("history", "--root", root)
+    assert [r["version"] for r in hist["versions"]] == [1, 2]
+    opt = verb("optimize", "--root", root, "--target-file-mb", "128")
+    assert opt["committed_version"] == 3
+    ren = verb("rename", "--root", root, "--column", "v", "--to", "val")
+    assert ren["committed_version"] == 4
+    assert snapshot_read(spark, root).columns == ["id", "val"]
+    cl = verb("clone", "--root", root, "--dest", dst)
+    assert cl["committed_version"] == 1
+    assert snapshot_read(spark, dst).count() == 200
+    res = verb("restore", "--root", root, "--version", "3")
+    assert res["committed_version"] == 5
+    assert snapshot_read(spark, root).columns == ["id", "v"]
+    vac = verb(
+        "vacuum", "--root", root, "--keep-last", "2", "--min-age-seconds", "0"
+    )
+    assert isinstance(vac["retired"], list)
+    # post-vacuum: the table still reads (kept manifests reference
+    # every file they need)
+    assert snapshot_read(spark, root).count() == 200
+
+
 def test_rename_is_metadata_only_and_reads_apply_mapping(spark, tmp_path):
     from aws_logs_parquet_converter_spark.plans.snapshots import (
         snapshot_rename_column,
