@@ -1978,6 +1978,47 @@ def _ivf_coarse_k_sql(src: str = "embeddings") -> str:
     )
 
 
+def _ivf_probes(
+    embeddings: DataFrame, cents: DataFrame, n_queries: int, nprobe: int
+) -> DataFrame:
+    """(query_id, cluster): each query's ``nprobe`` nearest coarse cells
+    — broadcast the (small) centroid table, argmax by the same
+    dot-minus-half-norm score as assignment, smaller-cluster tiebreak.
+    Shared by :func:`ivf_pq_topk` and tools/ivf_pq_scale_probe.py so the
+    measured candidate count can never desynchronize from what serving
+    actually scans."""
+    e = spread_input(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    )
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    c2 = cents.select(
+        "cluster",
+        "centroid",
+        (
+            F.lit(0.5)
+            * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
+        ).alias("half_cnorm"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cluster"))
+    return (
+        q.crossJoin(F.broadcast(c2))
+        .select(
+            "query_id",
+            "cluster",
+            (
+                F.aggregate(F.zip_with("q_emb", "centroid", mul), F.lit(0.0), add)
+                - F.col("half_cnorm")
+            ).alias("score"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
@@ -2036,36 +2077,7 @@ def ivf_pq_topk(
     cb = pq_train_codebooks(embeddings, k=16, n_iters=3) if codebook is None else codebook
     codes = pq_encode(embeddings, cb) if codes is None else codes
 
-    e = spread_input(embeddings)
-    q = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("q_emb"),
-    )
-    mul = lambda a, b: a * b  # noqa: E731
-    add = lambda acc, x: acc + x  # noqa: E731
-    c2 = cents.select(
-        "cluster",
-        "centroid",
-        (
-            F.lit(0.5)
-            * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
-        ).alias("half_cnorm"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cluster"))
-    probes = (
-        q.crossJoin(F.broadcast(c2))
-        .select(
-            "query_id",
-            "cluster",
-            (
-                F.aggregate(F.zip_with("q_emb", "centroid", mul), F.lit(0.0), add)
-                - F.col("half_cnorm")
-            ).alias("score"),
-        )
-        .withColumn("prn", F.row_number().over(wp))
-        .where(F.col("prn") <= nprobe)
-        .select("query_id", "cluster")
-    )
+    probes = _ivf_probes(embeddings, cents, n_queries, nprobe)
     qsub = _subvectors(embeddings.where(F.col("vec_id") < n_queries), "query_id")
     lut = qsub.join(F.broadcast(cb), "m").select(
         F.col("query_id").alias("l_query"),

@@ -698,20 +698,24 @@ def snapshot_write(
     if batch_id is not None and mode != "append":
         raise ValueError("batch_id commits are append-only")
     spark = df.sparkSession
-    if batch_id is not None:
-        latest = current_version(spark, root)
-        if latest is not None and int(batch_id) in read_manifest(
-            spark, root, latest
-        ).get("batch_ids", []):
-            return None  # replayed batch: already committed — exactly-once
+    # ONE metadata read serves the replay check, the mapping lookup, and
+    # the commit loop's first iteration (a retry re-reads fresh state) —
+    # per-commit manifest round-trips matter on object storage
+    pre_latest = current_version(spark, root)
+    pre_m = (
+        read_manifest(spark, root, pre_latest) if pre_latest is not None else None
+    )
+    if batch_id is not None and pre_m is not None and int(batch_id) in pre_m.get(
+        "batch_ids", []
+    ):
+        return None  # replayed batch: already committed — exactly-once
     checked = False
     # column-mapped tables store PHYSICAL names in data files: re-label the
     # (logical) frame before writing. Overwrite resets the mapping — the
     # fresh files are written with logical names, materializing any rename.
     write_mapping: dict = {}
-    pre_latest = current_version(spark, root)
-    if mode == "append" and pre_latest is not None:
-        write_mapping = _mapping(read_manifest(spark, root, pre_latest))
+    if mode == "append" and pre_m is not None:
+        write_mapping = _mapping(pre_m)
         phys_taken = set(write_mapping.values())
         clash = sorted(
             c
@@ -734,8 +738,13 @@ def snapshot_write(
         bloom_cols = [write_mapping.get(c, c) for c in bloom_cols]
     new_stats: dict[str, dict[str, list]] | None = None
     new_bloom: list[str] | None = None
-    for _ in range(_MAX_COMMIT_RETRIES):
-        latest = current_version(spark, root)
+    latest, latest_m = pre_latest, pre_m
+    for attempt in range(_MAX_COMMIT_RETRIES):
+        if attempt:  # a lost CAS: re-read fresh state
+            latest = current_version(spark, root)
+            latest_m = (
+                read_manifest(spark, root, latest) if latest is not None else None
+            )
         base_files: list[str] = []
         base_stats: dict[str, dict[str, list]] = {}
         cols = stats_cols
@@ -748,12 +757,10 @@ def snapshot_write(
             # constraints are a TABLE property: they survive an overwrite
             # unless the caller explicitly re-declares the set
             if constraints is None:
-                checks = dict(
-                    read_manifest(spark, root, latest).get("constraints", {})
-                )
+                checks = dict(latest_m.get("constraints", {}))
         base_batches: list[int] = []
         if mode == "append" and latest is not None:
-            prev = prev_resolved = read_manifest(spark, root, latest)
+            prev = prev_resolved = latest_m
             if _mapping(prev) != write_mapping:
                 raise IOError(
                     f"snapshot_write conflict on {root}: a concurrent "
@@ -1893,13 +1900,17 @@ def snapshot_update(
                 F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
             )
             ident = ident.join(prior, ["__dv_file", "__dv_pos"], "left_anti")
-        matched = ident.where(F.coalesce(match, F.lit(False)))
+        # ONE candidate pass: the matched set (tiny — O(#updated rows))
+        # materializes via localCheckpoint, then feeds the vector write,
+        # the no-op check, the constraint pass, and the updated-copies
+        # write without re-scanning the candidate files
+        matched = ident.where(F.coalesce(match, F.lit(False))).localCheckpoint()
+        if matched.limit(1).count() == 0:
+            return latest  # no row matched: nothing to commit
         vec_dir = f"{root}/data/{uuid.uuid4().hex}"
         matched.select(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         ).write.parquet(vec_dir)
-        if spark.read.parquet(vec_dir).count() == 0:
-            return latest  # no row matched: the residue file is inert
         commit_dir = f"{root}/data/{uuid.uuid4().hex}"
         updated = matched.select(
             *[_assigned(f) if f.name in set_exprs else F.col(f.name) for f in schema.fields]
@@ -2095,8 +2106,6 @@ def snapshot_rename_column(
     NULL; ``mode='overwrite'`` materializes the rename and clears the
     mapping. Renaming a column referenced by a CHECK constraint is
     refused (the expression text would dangle — Delta blocks this too)."""
-    import re as _re
-
     latest = current_version(spark, root)
     if latest is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
@@ -2108,7 +2117,7 @@ def snapshot_rename_column(
         if new in schema.names:
             raise ValueError(f"column {new!r} already exists")
         for name, expr in m.get("constraints", {}).items():
-            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+            if re.search(rf"\b{re.escape(old)}\b", expr):
                 raise ValueError(
                     f"column {old!r} is referenced by CHECK constraint "
                     f"{name!r} ({expr}) — drop or rewrite the constraint "
@@ -2320,11 +2329,11 @@ def snapshot_add_constraint(
             {name: expr},
             f"existing data of {root}",
         )
+        # carry every table property EXCEPT the three this commit sets —
+        # a whitelist here silently dropped column_mapping once (all-NULL
+        # reads of a renamed column after ADD CONSTRAINT), so copy-all
         manifest = {
-            k: v
-            for k, v in m.items()
-            if k
-            in ("schema", "files", "stats_cols", "stats", "dv", "bloom", "batch_ids")
+            k: v for k, v in m.items() if k not in ("version", "action", "constraints")
         }
         manifest["version"] = latest + 1
         manifest["action"] = "set-constraint"

@@ -839,6 +839,30 @@ def test_clone_guards_and_inheritance(spark, tmp_path):
         )
 
 
+def test_add_constraint_carries_column_mapping(spark, tmp_path):
+    """Regression: snapshot_add_constraint once rebuilt the manifest from
+    a key WHITELIST that predated column mapping, silently dropping it —
+    after which the renamed column read back as all-NULL and the DML
+    gates stopped firing. The commit must carry every table property it
+    doesn't itself set."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_add_constraint,
+        snapshot_delete,
+        snapshot_rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 20), root)
+    snapshot_rename_column(spark, root, "v", "val")
+    v = snapshot_add_constraint(spark, root, "id_ok", "id >= 0")
+    m = read_manifest(spark, root, v)
+    assert m["column_mapping"] == {"val": "v"}
+    out = sorted((r.id, r.val) for r in snapshot_read(spark, root).collect())
+    assert out == [(i, 2 * i) for i in range(20)]  # not NULL
+    with pytest.raises(ValueError, match="column-mapped"):
+        snapshot_delete(spark, root, [("val", "<", 5)])  # gate still fires
+
+
 def test_tables_cli_verbs_roundtrip(spark, tmp_path):
     """The maintenance CLI (cli_tables) drives every verb against a real
     table on one shared session: history -> optimize -> rename -> clone

@@ -54,6 +54,7 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
     )
     from aws_logs_parquet_converter_spark.operators.similarity import (
+        _ivf_probes,
         ivf_coarse_k,
         ivf_pq_topk,
         kmeans_assign,
@@ -93,50 +94,11 @@ def main() -> None:
             codes_r = spark.read.parquet(f"{work}/codes")
 
             # candidates per query = sum of probed-cell sizes, from
-            # metadata-sized frames (nlist rows x n_queries probes)
+            # metadata-sized frames (nlist rows x n_queries probes); the
+            # probe set comes from the SAME helper serving uses, so the
+            # count can't desynchronize from what the scan touches
             sizes = assigned_r.groupBy("cluster").count()
-            probe_only = ivf_pq_topk(  # reuse the probe selection by running
-                em, nprobe=NPROBE, coarse=cents_r, assigned=assigned_r,
-                codebook=cb_r, codes=codes_r,
-            )  # noqa: F841  (the serve leg below times this plan)
-            # rebuild the probe set exactly as ivf_pq_topk does
-            from pyspark.sql import Window
-
-            mul = lambda a, b: a * b  # noqa: E731
-            add = lambda acc, x: acc + x  # noqa: E731
-            q = em.where(F.col("vec_id") < 8).select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").cast("array<double>").alias("q_emb"),
-            )
-            c2 = cents_r.select(
-                "cluster",
-                "centroid",
-                (
-                    F.lit(0.5)
-                    * F.aggregate(
-                        F.zip_with("centroid", "centroid", mul), F.lit(0.0), add
-                    )
-                ).alias("half_cnorm"),
-            )
-            wp = Window.partitionBy("query_id").orderBy(
-                F.desc("score"), F.asc("cluster")
-            )
-            probes = (
-                q.crossJoin(F.broadcast(c2))
-                .select(
-                    "query_id",
-                    "cluster",
-                    (
-                        F.aggregate(
-                            F.zip_with("q_emb", "centroid", mul), F.lit(0.0), add
-                        )
-                        - F.col("half_cnorm")
-                    ).alias("score"),
-                )
-                .withColumn("prn", F.row_number().over(wp))
-                .where(F.col("prn") <= NPROBE)
-                .select("query_id", "cluster")
-            )
+            probes = _ivf_probes(em, cents_r, n_queries=8, nprobe=NPROBE)
             cand_total = (
                 probes.join(sizes, "cluster").agg(F.sum("count")).collect()[0][0]
             )
