@@ -76,7 +76,23 @@ from .optimize import _fs_for
 
 SNAP_DIR = "_snapshots"
 _V_WIDTH = 8
-_MAX_COMMIT_RETRIES = 10
+#: CAS attempts before giving up. Each round has exactly one winner, so
+#: W concurrent writers need up to ~W*k rounds for k commits each — a
+#: fixed 10 starved real 8-writer contention (found by the thread-race
+#: stress test). The CAS retry is metadata-only (never repeats the data
+#: write), so a high cap costs nothing when uncontended.
+_MAX_COMMIT_RETRIES = 50
+
+
+def _commit_backoff(attempt: int) -> None:
+    """Linear backoff between lost CAS rounds (capped at 200 ms): under
+    contention every loser immediately re-listing versions turns the
+    manifest dir into a hot spot; a short sleep lets the winner's commit
+    settle and spreads the re-reads."""
+    if attempt:
+        import time
+
+        time.sleep(min(0.02 * attempt, 0.2))
 
 
 def _manifest_name(version: int) -> str:
@@ -740,7 +756,8 @@ def snapshot_write(
     new_bloom: list[str] | None = None
     latest, latest_m = pre_latest, pre_m
     for attempt in range(_MAX_COMMIT_RETRIES):
-        if attempt:  # a lost CAS: re-read fresh state
+        if attempt:  # a lost CAS: back off, then re-read fresh state
+            _commit_backoff(attempt)
             latest = current_version(spark, root)
             latest_m = (
                 read_manifest(spark, root, latest) if latest is not None else None

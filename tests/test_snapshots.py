@@ -839,6 +839,86 @@ def test_clone_guards_and_inheritance(spark, tmp_path):
         )
 
 
+def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
+    """PROTOCOL STRESS: 8 real threads x 3 appends each race on one
+    table with no external coordination — every commit must land exactly
+    once (the CAS loser rebases and retries), the final version must be
+    24, and the union of all rows must be complete with no duplicates.
+    This is the property the put-if-absent LogStore contract exists to
+    provide; the single-thread tests can't exercise the actual
+    interleavings."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "t")
+    n_writers, n_each = 8, 3
+
+    def writer(w: int) -> list[int]:
+        got = []
+        for j in range(n_each):
+            lo = (w * n_each + j) * 100
+            got.append(
+                snapshot_write(_df(spark, lo, lo + 100), root)
+            )
+        return got
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        versions = [v for vs in ex.map(writer, range(n_writers)) for v in vs]
+    assert sorted(versions) == list(range(1, n_writers * n_each + 1))
+    assert current_version(spark, root) == n_writers * n_each
+    rows = _rows(snapshot_read(spark, root))
+    assert rows == _rows(_df(spark, 0, n_writers * n_each * 100))
+
+
+def test_concurrent_append_vs_optimize_and_disjoint_merge(spark, tmp_path):
+    """Mixed-op race: appenders, an OPTIMIZE loop, and a stats-disjoint
+    merge all run concurrently. Nothing may lose rows: optimize rebases
+    over appends (or abandons), the merge rebases over stats-proven
+    disjoint appends or aborts-and-retries, and appends always land."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_merge
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 100), root, stats_cols=["id"])
+
+    def appender(w: int) -> None:
+        for j in range(2):
+            lo = 1000 * (w + 1) + j * 100
+            snapshot_write(_df(spark, lo, lo + 100), root)
+
+    def optimizer() -> None:
+        for _ in range(3):
+            snapshot_optimize(spark, root, target_file_mb=128)
+
+    def merger() -> None:
+        # keys confined to the seed's [0, 100) range: stats prove every
+        # concurrent append (ids >= 1000) disjoint, so rebase applies;
+        # an abort (optimize race) retries like a real client
+        src = spark.range(10, 20).selectExpr("id", "id * 9 AS v")
+        for _ in range(10):
+            try:
+                snapshot_merge(src, root, key="id")
+                return
+            except IOError:
+                continue
+        raise AssertionError("merge never landed in 10 attempts")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [ex.submit(appender, w) for w in range(4)]
+        futs.append(ex.submit(optimizer))
+        futs.append(ex.submit(merger))
+        for f in futs:
+            f.result()
+    out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert len(out) == 100 + 4 * 2 * 100  # no lost or duplicated rows
+    assert all(out[i] == 9 * i for i in range(10, 20))  # the merge applied
+    assert all(out[i] == 2 * i for i in range(10))
+    for w in range(4):
+        for j in range(2):
+            lo = 1000 * (w + 1) + j * 100
+            assert out[lo] == 2 * lo
+
+
 def test_add_constraint_carries_column_mapping(spark, tmp_path):
     """Regression: snapshot_add_constraint once rebuilt the manifest from
     a key WHITELIST that predated column mapping, silently dropping it —
