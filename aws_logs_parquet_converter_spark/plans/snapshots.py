@@ -350,12 +350,28 @@ def _file_survives(stats: dict | None, col: str, op: str, val) -> bool:
     """Can a file whose [min, max] is ``stats[col]`` contain a row
     matching ``col <op> val``? Missing stats => conservatively yes. An
     all-NULL file (min=max=NULL) can satisfy no comparison predicate —
-    SQL comparisons with NULL are never true — so it prunes."""
+    SQL comparisons with NULL are never true — so it prunes. ``val`` is
+    the RAW filter value (encoding happens here); for ``in`` it is the
+    value list, and the file survives if ANY element could match (NULL
+    elements never can — SQL IN semantics)."""
     if not stats or col not in stats:
         return True
     mn, mx = stats[col]
     if mn is None or mx is None:
         return False
+    if op == "in":
+        for x in val:
+            ex = _stat_encode(x)
+            if ex is _STAT_UNSUPPORTED:
+                return True  # un-encodable element: nothing is provable
+            if ex is not None and mn <= ex <= mx:
+                return True
+        return False
+    val = _stat_encode(val)
+    if val is _STAT_UNSUPPORTED:
+        return True
+    if val is None:
+        return False  # col <op> NULL matches nothing
     if op == "=":
         return mn <= val <= mx
     if op == "<":
@@ -366,7 +382,7 @@ def _file_survives(stats: dict | None, col: str, op: str, val) -> bool:
         return mx > val
     if op == ">=":
         return mx >= val
-    raise ValueError(f"unsupported prune op {op!r} (=, <, <=, >, >=)")
+    raise ValueError(f"unsupported prune op {op!r} (=, <, <=, >, >=, in)")
 
 
 def _list_commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
@@ -568,49 +584,63 @@ def _bloom_prune(
     probe's word indexes (pushed to the parquet scan) — then an
     O(#candidate-files x k)-row collect; a file with no sidecar entry is
     kept (conservative, false-positive-only)."""
-    eq = [
-        (c, v)
-        for c, op, v in filters
-        if op == "=" and c in bloom.get("cols", ()) and v is not None
-    ]
-    if not eq or not files:
+    groups: list[tuple[str, list]] = []  # (col, candidate values) AND-ed
+    for c, op, v in filters:
+        if c not in bloom.get("cols", ()):
+            continue
+        if op == "=" and v is not None:
+            groups.append((c, [v]))
+        elif op == "in":
+            vals = [x for x in v if x is not None]  # NULL never matches IN
+            if vals:
+                groups.append((c, vals))
+    if not groups or not files:
         return files
     side = spark.read.parquet(*[_abs_file(root, p) for p in bloom["files"]])
     # sidecars key files by their data/<commit>/<part> tail; manifest
     # entries may be clone-absolute — match in the normalized key space
     by_rel = {_rel_key(f): f for f in files}
     surviving = list(by_rel)
-    for c, v in eq:
+    for c, vals in groups:
         if not surviving:
             break
-        poss = _bloom_pos_py(v)
-        need: dict[int, int] = {}  # word index -> OR of needed bits
-        for p in poss:
-            need[p >> 6] = need.get(p >> 6, 0) | (1 << (p & 63))
-        total_bits = sum(bin(b).count("1") for b in need.values())
+        # one probe per value; a file survives the group if ANY value's
+        # bits are all present (IN = OR of equalities)
+        per_val_need: list[dict[int, int]] = []
+        all_words: set[int] = set()
+        for v in vals:
+            need: dict[int, int] = {}  # word index -> OR of needed bits
+            for p in _bloom_pos_py(v):
+                need[p >> 6] = need.get(p >> 6, 0) | (1 << (p & 63))
+            per_val_need.append(need)
+            all_words |= set(need)
         rows = (
             side.where(
                 (F.col("col") == c)
-                & F.col("w").isin([-1, *[int(w) for w in need]])
+                & F.col("w").isin([-1, *[int(w) for w in all_words]])
                 & F.col("file").isin(surviving)
             )
             .select("file", "w", "bits")
             .collect()
-        )  # O(#candidate-files x (k+1)) rows through the driver
-        got: dict[str, int] = {}
+        )  # O(#candidate-files x (k x |vals| + 1)) rows through the driver
+        bits_by: dict[tuple[str, int], int] = {}
         indexed: set[str] = set()
         for r in rows:
             if r["w"] == -1:
                 indexed.add(r["file"])
             else:
-                got[r["file"]] = got.get(r["file"], 0) + bin(
-                    r["bits"] & need[r["w"]]
-                ).count("1")
+                bits_by[(r["file"], r["w"])] = r["bits"]
+
+        def _passes(f: str, need: dict[int, int]) -> bool:
+            return all(
+                bits_by.get((f, w), 0) & b == b for w, b in need.items()
+            )
+
         surviving = [
             f
             for f in surviving
             if f not in indexed  # unindexed file: never skip
-            or got.get(f, 0) >= total_bits
+            or any(_passes(f, need) for need in per_val_need)
         ]
     return [by_rel[f] for f in surviving]
 
@@ -876,7 +906,7 @@ def snapshot_read(
     works until vacuum retires that version.
 
     ``filters`` — ``[(col, op, value), ...]`` with op in =, <, <=, >, >=,
-    AND-ed — is applied twice: (1) files whose manifest min/max stats
+    in (value = the candidate list), AND-ed — is applied twice: (1) files whose manifest min/max stats
     (``snapshot_write(stats_cols=...)``) prove no row can match are
     dropped BEFORE planning, so the scan never opens them (data skipping;
     verify with ``df.inputFiles()``); (2) the predicate is also applied to
@@ -899,7 +929,7 @@ def snapshot_read(
             f
             for f in files
             if all(
-                _file_survives(stats.get(f), c, op, _stat_encode(v))
+                _file_survives(stats.get(f), c, op, v)
                 for c, op, v in pfilters
             )
         ]
@@ -909,7 +939,7 @@ def snapshot_read(
         return spark.createDataFrame([], schema)
     df = _plan_scan(spark, root, m, files, schema)
     for c, op, v in filters or []:
-        df = df.where(_PRED_BUILDERS[op](c, F.lit(v)))
+        df = df.where(_PRED_BUILDERS[op](c, v))
     return df
 
 
@@ -1596,12 +1626,15 @@ def snapshot_merge(
     )
 
 
+#: raw-value predicate builders (each lifts its own literal; ``in``
+#: takes the value list directly)
 _PRED_BUILDERS = {
-    "=": lambda c, v: F.col(c) == v,
-    "<": lambda c, v: F.col(c) < v,
-    "<=": lambda c, v: F.col(c) <= v,
-    ">": lambda c, v: F.col(c) > v,
-    ">=": lambda c, v: F.col(c) >= v,
+    "=": lambda c, v: F.col(c) == F.lit(v),
+    "<": lambda c, v: F.col(c) < F.lit(v),
+    "<=": lambda c, v: F.col(c) <= F.lit(v),
+    ">": lambda c, v: F.col(c) > F.lit(v),
+    ">=": lambda c, v: F.col(c) >= F.lit(v),
+    "in": lambda c, v: F.col(c).isin(list(v)),
 }
 
 
@@ -1614,7 +1647,7 @@ def _delete_added_can_match(filters: list[tuple]):
 
     def can_match(s):
         return all(
-            _file_survives(s, c, op, _stat_encode(v)) for c, op, v in filters
+            _file_survives(s, c, op, v) for c, op, v in filters
         )
 
     return can_match
@@ -1698,7 +1731,7 @@ def snapshot_delete(
     mode: str = "cow",
 ) -> int:
     """Predicate DELETE: rows matching the AND-ed ``filters``
-    (``[(col, op, value), ...]``, op in =, <, <=, >, >=) are removed from
+    (``[(col, op, value), ...]``, op in =, <, <=, >, >=, in) are removed from
     the table. Returns the committed (or, for a provable no-op, current)
     version.
 
@@ -1742,7 +1775,7 @@ def snapshot_delete(
         )
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be cow or dv, got {mode!r}")
-    spark_preds = [_PRED_BUILDERS[op](c, F.lit(v)) for c, op, v in filters]
+    spark_preds = [_PRED_BUILDERS[op](c, v) for c, op, v in filters]
     latest = current_version(spark, root)
     if latest is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
@@ -1753,7 +1786,7 @@ def snapshot_delete(
     candidates, untouched = [], []
     for f in m["files"]:
         overlaps = all(
-            _file_survives(stats.get(f), c, op, _stat_encode(v))
+            _file_survives(stats.get(f), c, op, v)
             for c, op, v in filters
         )
         (candidates if overlaps else untouched).append(f)
@@ -1889,7 +1922,7 @@ def snapshot_update(
         f
         for f in m["files"]
         if all(
-            _file_survives(stats.get(f), c, op, _stat_encode(v))
+            _file_survives(stats.get(f), c, op, v)
             for c, op, v in filters
         )
     ]
@@ -1897,7 +1930,7 @@ def snapshot_update(
         return latest
     match = F.lit(True)
     for c, op, v in filters:
-        match = match & _PRED_BUILDERS[op](c, F.lit(v))
+        match = match & _PRED_BUILDERS[op](c, v)
 
     def _assigned(f):  # the post-update value of one column, original types kept
         return F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)

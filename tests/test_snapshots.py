@@ -839,6 +839,42 @@ def test_clone_guards_and_inheritance(spark, tmp_path):
         )
 
 
+def test_in_list_filters_prune_stats_and_bloom(spark, tmp_path):
+    """``("col", "in", [...])`` filters: exact results (NULL elements
+    never match — SQL IN), min/max stats prune files no element can hit,
+    bloom sidecars prune the rest per element (IN = OR of equalities),
+    an all-absent list plans ZERO files, and DML accepts the op too."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):  # one file per disjoint id range
+        snapshot_write(
+            _df(spark, lo, lo + 100).coalesce(1),
+            root,
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    m = read_manifest(spark, root, 4)
+    assert len(m["files"]) == 4
+    got = snapshot_read(spark, root, filters=[("id", "in", [5, 250, None])])
+    assert sorted((r.id, r.v) for r in got.collect()) == [(5, 10), (250, 500)]
+    assert len(got.inputFiles()) == 2  # only the two holding files open
+    # absent keys: stats pass (in-range) but blooms prove absence
+    empty = snapshot_read(spark, root, filters=[("id", "in", [6_001, 7_003])])
+    assert empty.count() == 0 and len(empty.inputFiles()) == 0
+    # the op works through DML candidate selection + the row predicate
+    v = snapshot_delete(spark, root, [("id", "in", [7, 8, 350])])
+    post = read_manifest(spark, root, v)
+    assert snapshot_read(spark, root).count() == 397
+    # non-candidate files (ranges 100/200) survived verbatim
+    untouched = {
+        f
+        for f, s in m["stats"].items()
+        if s["id"][0] is not None and 100 <= s["id"][0] < 300
+    }
+    assert untouched <= set(post["files"])
+
+
 def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
     """PROTOCOL STRESS: 8 real threads x 3 appends each race on one
     table with no external coordination — every commit must land exactly
