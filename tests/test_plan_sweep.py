@@ -62,6 +62,11 @@ def test_no_driver_side_collect_in_operators():
     )
     # file -> allowed occurrence count, reason
     allowed = {
+        "cli_tables.py": (
+            1,
+            "the maintenance CLI's `history` verb prints the version list "
+            "as JSON — O(#versions) driver metadata by design, not a query",
+        ),
         "operators/graph.py": (
             1,
             "connected-components per-round convergence check: 1-row count, "
