@@ -199,13 +199,25 @@ try:  # pyspark >= 4.0 only
     )
 
     class _SnapshotFilePartition(InputPartition):
-        def __init__(self, path: str, deleted: tuple = ()):
+        def __init__(
+            self,
+            path: str,
+            deleted: tuple = (),
+            selected: tuple | None = None,
+            change: str | None = None,
+            version: int | None = None,
+        ):
             self.path = path
             #: sorted ROW INDEXES this version's deletion vectors remove
             #: from the file (batch reads of dv-carrying versions)
             self.deleted = deleted
+            #: change-feed mode: emit ONLY these row indexes (the rows a
+            #: delete/update vector named), with the tag below
+            self.selected = selected
+            self.change = change
+            self.version = version
 
-    def _iter_file_batches(path, fields, filters, deleted=()):
+    def _iter_file_batches(path, fields, filters, deleted=(), selected=None):
         """One parquet file -> Arrow record batches: columns reconciled
         to the DECLARED schema (files predating an added column yield
         typed NULLs — the snapshot_read contract), deletion-vector row
@@ -226,6 +238,9 @@ try:  # pyspark >= 4.0 only
             ">=": pc.greater_equal,
         }
         dead = np.asarray(deleted, dtype=np.int64)
+        sel = (
+            np.asarray(selected, dtype=np.int64) if selected is not None else None
+        )
         pf = pq.ParquetFile(path)
         have = set(pf.schema_arrow.names)
         cols_present = [f.name for f in fields if f.name in have]
@@ -241,7 +256,12 @@ try:  # pyspark >= 4.0 only
             out = pa.RecordBatch.from_arrays(
                 cols, names=[f.name for f in fields]
             )
-            if dead.size:
+            if sel is not None:
+                local = sel[(sel >= offset) & (sel < offset + n)] - offset
+                keep = np.zeros(n, dtype=bool)
+                keep[local] = True
+                out = out.filter(pa.array(keep))
+            elif dead.size:
                 local = dead[(dead >= offset) & (dead < offset + n)] - offset
                 if local.size:
                     keep = np.ones(n, dtype=bool)
@@ -252,6 +272,84 @@ try:  # pyspark >= 4.0 only
                 mask = pc_ops[op](out.column(c), pa.scalar(v))
                 out = out.filter(pc.coalesce(mask, pa.scalar(False)))
             yield out
+
+    def _cdf_partition_specs(
+        root: str, start_v: int, end_v: int
+    ) -> list[tuple]:
+        """Driver-side plan of a CHANGE-FEED micro-batch — the streaming
+        analogue of plans.snapshots.snapshot_cdf: one spec per (file,
+        change_type) in the version range. Append-lineage commits emit
+        their fresh files as ``insert``; a dv delete emits the rows its
+        NEW vector names (``delete``) by reading the vector parquet
+        driver-side (O(#deleted rows) metadata) and grouping positions
+        per touched file; a dv update emits both halves
+        (``update_preimage`` from the vector, ``update_postimage`` from
+        its fresh files). Commits without row lineage raise the
+        re-baseline error. Spec: (path, selected_positions|None,
+        change_type, version)."""
+        import pyarrow.parquet as pq
+
+        from ..plans.snapshots import _rel_key
+
+        if _read_manifest_py(root, end_v).get("column_mapping"):
+            raise ValueError(
+                "the snapshot change feed does not support column-mapped "
+                "tables (a column was renamed via snapshot_rename_column)"
+            )
+        seen_files: set = set()
+        seen_dv: set = set()
+        if start_v > 0:
+            base = _read_manifest_py(root, start_v)
+            seen_files = set(base["files"])
+            seen_dv = set(base.get("dv", ()))
+        specs: list[tuple] = []
+        for v in range(start_v + 1, end_v + 1):
+            m = _read_manifest_py(root, v)
+            files, dv = set(m["files"]), set(m.get("dv", ()))
+            action = m.get("action", "append")
+            if action == "optimize":
+                seen_files, seen_dv = files, dv
+                continue
+            is_dv_delete = (
+                action == "delete" and files == seen_files and dv > seen_dv
+            )
+            is_dv_update = (
+                action == "update" and files >= seen_files and dv > seen_dv
+            )
+            if action in ("overwrite", "merge", "restore") or (
+                action == "delete" and not is_dv_delete
+            ) or (action == "update" and not is_dv_update):
+                raise ValueError(
+                    f"snapshot change feed hit a {action!r} commit at "
+                    f"version {v} without row-level lineage; restart the "
+                    "stream from a fresh baseline (startingVersion)"
+                )
+            if is_dv_delete or is_dv_update:
+                tag = "update_preimage" if is_dv_update else "delete"
+                positions: dict[str, list[int]] = {}
+                for p in sorted(dv - seen_dv):
+                    t = pq.read_table(os.path.join(root, p))
+                    for f, pos in zip(
+                        t.column("file").to_pylist(), t.column("pos").to_pylist()
+                    ):
+                        positions.setdefault(f, []).append(pos)
+                by_rel = {_rel_key(f): f for f in files}
+                for relk, poss in sorted(positions.items()):
+                    entry = by_rel.get(relk, relk)
+                    specs.append(
+                        (
+                            os.path.join(root, entry),
+                            tuple(sorted(poss)),
+                            tag,
+                            v,
+                        )
+                    )
+            if not is_dv_delete:
+                tag = "update_postimage" if is_dv_update else "insert"
+                for f in sorted(files - seen_files):
+                    specs.append((os.path.join(root, f), None, tag, v))
+            seen_files, seen_dv = files, dv
+        return specs
 
     class _SnapshotBatchReader(DataSourceReader):
         """``spark.read.format("snapshot_table")`` — the BATCH half of
@@ -329,6 +427,14 @@ try:  # pyspark >= 4.0 only
             if not self._root:
                 raise ValueError("snapshot_table source requires option 'root'")
             self._start = int(options.get("startingversion", "0"))
+            # CHANGE-FEED mode (Delta's streaming readChangeFeed): emit
+            # row-level insert / delete / update_preimage /
+            # update_postimage changes per version instead of appends
+            # only; the schema carries (_change_type, _commit_version)
+            self._cdf = str(options.get("changefeed", "")).lower() in (
+                "true",
+                "1",
+            )
             # predicate PUSHDOWN into the source: option 'filters' is a
             # JSON list of [col, op, value] AND-ed terms. Files whose
             # manifest stats prove no row can match are never planned as
@@ -356,6 +462,15 @@ try:  # pyspark >= 4.0 only
             return {"version": vs[-1] if vs else self._start}
 
         def partitions(self, start, end):
+            if self._cdf:
+                return [
+                    _SnapshotFilePartition(
+                        path, selected=sel, change=tag, version=v
+                    )
+                    for path, sel, tag, v in _cdf_partition_specs(
+                        self._root, int(start["version"]), int(end["version"])
+                    )
+                ]
             delta, _, stats = _delta_files(
                 self._root, int(start["version"]), int(end["version"])
             )
@@ -374,6 +489,27 @@ try:  # pyspark >= 4.0 only
             ]
 
         def read(self, partition: "_SnapshotFilePartition"):
+            if self._cdf:
+                import pyarrow as pa
+
+                fields = list(self._schema.fields)[:-2]  # table columns
+                names = [f.name for f in fields] + [
+                    "_change_type",
+                    "_commit_version",
+                ]
+                for batch in _iter_file_batches(
+                    partition.path,
+                    fields,
+                    self._filters,
+                    selected=partition.selected,
+                ):
+                    n = batch.num_rows
+                    arrays = list(batch.columns) + [
+                        pa.array([partition.change] * n, type=pa.string()),
+                        pa.array([partition.version] * n, type=pa.int64()),
+                    ]
+                    yield pa.RecordBatch.from_arrays(arrays, names=names)
+                return
             # append-lineage delta files never carry deletion vectors
             # (dv commits raise in _delta_files), so deleted=() here
             yield from _iter_file_batches(
@@ -396,15 +532,20 @@ try:  # pyspark >= 4.0 only
             return "snapshot_table"
 
         def schema(self):
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import LongType, StringType, StructType
 
             root = self.options.get("root")
             if not root:
                 raise ValueError("snapshot_table source requires option 'root'")
             v = _resolve_version_py(root, self.options)
-            return StructType.fromJson(
+            schema = StructType.fromJson(
                 json.loads(_read_manifest_py(root, v)["schema"])
             )
+            if str(self.options.get("changefeed", "")).lower() in ("true", "1"):
+                schema = schema.add("_change_type", StringType()).add(
+                    "_commit_version", LongType()
+                )
+            return schema
 
         def streamReader(self, schema):
             return _SnapshotStreamReader(schema, self.options)

@@ -498,6 +498,42 @@ def _register_gate_queries() -> None:
         "batch events projection value-for-value.",
     )(stream_snapshot_sink)
 
+    register(
+        "stream_snapshot_cdf",
+        oracle=f"""
+        SELECT event_id, user_id, 'insert' AS _change_type,
+               CAST(1 AS BIGINT) AS _commit_version
+        FROM events WHERE event_id < {CDF_SPLIT}
+        UNION ALL
+        SELECT event_id, user_id, 'delete', 2
+        FROM events WHERE event_id < {CDF_DEL}
+        UNION ALL
+        SELECT event_id, user_id, 'insert', 3
+        FROM events WHERE event_id >= {CDF_SPLIT}
+        UNION ALL
+        SELECT event_id, user_id, 'update_preimage', 4
+        FROM events WHERE event_id >= {CDF_SPLIT} AND event_id < {CDF_UPD_HI}
+        UNION ALL
+        SELECT event_id, user_id + {CDF_OFF}, 'update_postimage', 4
+        FROM events WHERE event_id >= {CDF_SPLIT} AND event_id < {CDF_UPD_HI}
+        """,
+        doc="Structured Streaming gate: the ROW-LEVEL CHANGE FEED as a "
+        "stream (Delta's streaming readChangeFeed) — the snapshot_table "
+        "source's 'changefeed' option emits insert / delete / "
+        "update_preimage / update_postimage rows per version, tagged "
+        "(_change_type, _commit_version). Inserts stream from fresh "
+        "files; delete and update pre-images stream from each commit's "
+        "deletion vector (positions planned driver-side, rows "
+        "mask-SELECTED executor-side in the same Arrow path); update "
+        "post-images from the update's fresh files. Drained over an "
+        "append/dv-delete/append/dv-update life == the oracle's exact "
+        "row history. This is the CDC feed an incremental consumer "
+        "applies at O(changed rows) per batch instead of re-reading a "
+        "100 TB table; offsets are manifest versions, replay re-reads "
+        "the same immutable vectors — exactly-once into an idempotent "
+        "sink.",
+    )(stream_snapshot_cdf)
+
     from ..operators.logformats import ALB_PARSE_ORACLE
 
     register(
@@ -1315,6 +1351,74 @@ def stream_snapshot_pruned_source(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.read.parquet(dest)
+
+
+#: change-feed fixture boundaries — non-empty at every test scale
+#: (events ids are dense from 0 at sf0.001's 1000 rows upward)
+CDF_SPLIT = 500
+CDF_DEL = 100
+CDF_UPD_HI = 550
+CDF_OFF = 1_000_000
+
+#: per-sf_dir cache of the seeded change-feed table root
+_CDF_STREAM_ROOTS: dict[str, str] = {}
+
+
+def stream_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the snapshot table's ROW-LEVEL CHANGE FEED consumed as a
+    STREAM — Delta's streaming ``readChangeFeed`` — via the
+    ``changefeed`` option of the snapshot_table source. The fixture
+    lives a four-commit life: append the first event_id half (v1),
+    dv-DELETE event_id < 100 (v2), append the second half (v3), dv-
+    UPDATE a 50-id slice (v4: user_id bumped). The drained stream must
+    contain EXACTLY the row-level history — inserts for both appends,
+    the deleted rows read back from v2's vector, and both update images
+    from v4 — each tagged (_change_type, _commit_version). Downstream
+    this is the CDC feed an incremental consumer (materialized view,
+    reverse-ETL, cache invalidation) applies instead of re-reading a
+    100 TB table: per micro-batch cost is O(changed rows), offsets are
+    manifest versions, and replay re-reads the same immutable vectors —
+    exactly-once into any idempotent sink."""
+    import tempfile
+
+    from ..catalog import load_table
+    from ..plans.snapshots import snapshot_delete, snapshot_update, snapshot_write
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    root = _CDF_STREAM_ROOTS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snapcdf_tbl_")
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        snapshot_write(ev.where(F.col("event_id") < CDF_SPLIT), root)
+        assert snapshot_delete(
+            spark, root, [("event_id", "<", CDF_DEL)], mode="dv"
+        ) == 2
+        snapshot_write(ev.where(F.col("event_id") >= CDF_SPLIT), root)
+        assert snapshot_update(
+            spark,
+            root,
+            [("event_id", ">=", CDF_SPLIT), ("event_id", "<", CDF_UPD_HI)],
+            {"user_id": f"user_id + {CDF_OFF}"},
+            mode="dv",
+        ) == 4
+        _CDF_STREAM_ROOTS[sf_dir] = root
+    register_snapshot_stream_source(spark)
+    dest = tempfile.mkdtemp(prefix="snapcdf_dest_")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="snapcdf_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest).select(
+        "event_id", "user_id", "_change_type", "_commit_version"
+    )
 
 
 def stream_alb_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

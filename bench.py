@@ -91,6 +91,7 @@ EAGER_LEGS = [
     "stream_snapshot_compaction",  # file stream committing manifest versions
     "stream_snapshot_source",  # snapshot table AS a streaming source (drain)
     "stream_semantic_dedup",  # two-table exactly-once semantic dedup stream
+    "stream_snapshot_cdf",  # row-level change feed drained as a stream
 ]
 
 # Write-only-timed legs added after r3 (seeded state builds on the first

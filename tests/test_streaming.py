@@ -545,13 +545,17 @@ def test_snapshot_stream_stats_enable_day_pruning(spark, tmp_path):
     assert delta.count() == full.count() - v1_rows > 0
 
 
-def _drain_snapshot_stream(spark, root, dest, ckpt, starting_version=None):
+def _drain_snapshot_stream(
+    spark, root, dest, ckpt, starting_version=None, changefeed=False
+):
     from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
         register_snapshot_stream_source,
     )
 
     register_snapshot_stream_source(spark)
     r = spark.readStream.format("snapshot_table").option("root", root)
+    if changefeed:
+        r = r.option("changefeed", "true")
     if starting_version is not None:
         r = r.option("startingVersion", str(starting_version))
     q = (
@@ -606,6 +610,50 @@ def test_snapshot_stream_source_evolution_and_starting_version(spark, tmp_path):
         starting_version=1,
     )
     assert sorted(r.id for r in tail.collect()) == list(range(10, 15))
+
+
+def test_snapshot_change_feed_stream_resume_and_refusals(spark, tmp_path):
+    """The change-feed stream's protocol: a first drain emits insert
+    history, a SECOND drain on the same checkpoint after a dv-delete and
+    a dv-update emits ONLY the new versions' row-level changes (pre/post
+    images exact), and commits without row lineage (CoW delete) raise
+    the re-baseline error."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_update,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    snapshot_write(spark.range(0, 40).selectExpr("id", "id*2 AS v"), root)
+    out = _drain_snapshot_stream(spark, root, dest, ckpt, changefeed=True)
+    assert sorted((r.id, r._change_type, r._commit_version) for r in out.collect()) == [
+        (i, "insert", 1) for i in range(40)
+    ]
+    snapshot_delete(spark, root, [("id", "<", 3)], mode="dv")  # v2
+    snapshot_update(spark, root, [("id", ">=", 38)], {"v": "v + 7"}, mode="dv")  # v3
+    out2 = _drain_snapshot_stream(spark, root, dest, ckpt, changefeed=True)
+    fresh = sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in out2.collect()
+        if r._commit_version > 1
+    )
+    assert fresh == [
+        (0, 0, "delete", 2),
+        (1, 2, "delete", 2),
+        (2, 4, "delete", 2),
+        (38, 76, "update_preimage", 3),
+        (38, 83, "update_postimage", 3),
+        (39, 78, "update_preimage", 3),
+        (39, 85, "update_postimage", 3),
+    ]
+    # a CoW delete has no row lineage: the feed refuses, not fabricates
+    snapshot_delete(spark, root, [("id", "=", 10)])  # v4, cow
+    with pytest.raises(StreamingQueryException, match="delete"):
+        _drain_snapshot_stream(spark, root, dest, ckpt, changefeed=True)
 
 
 def test_snapshot_stream_source_refuses_rewrite_commits(spark, tmp_path):
