@@ -534,6 +534,33 @@ def _register_gate_queries() -> None:
         "sink.",
     )(stream_snapshot_cdf)
 
+    register(
+        "stream_cdf_materialized_view",
+        oracle=f"""
+        SELECT user_id,
+               CAST(SUM(CASE
+                    WHEN event_id < {CDF_DEL} THEN 0
+                    WHEN event_id >= {CDF_SPLIT} AND event_id < {CDF_UPD_HI}
+                         THEN CAST(round((value + {CDF_VAL_BUMP}) * 100) AS BIGINT)
+                    ELSE CAST(round(value * 100) AS BIGINT)
+               END) AS DOUBLE) / 100.0 AS total_value
+        FROM events
+        GROUP BY user_id
+        """,
+        doc="Structured Streaming gate: END-TO-END CDC — the change feed "
+        "streamed out of one snapshot table maintains a materialized "
+        "per-user rollup in another. Each micro-batch folds its "
+        "insert/delete/update_preimage/update_postimage rows into "
+        "SIGNED integer-cent deltas appended to the view table via "
+        "snapshot_write(batch_id=...) — exactly-once at both ends "
+        "(version offsets on the read side, the manifest batch ledger "
+        "on the write side). The aggregated delta log must equal the "
+        "oracle's GROUP BY over the source's FINAL state (deleted rows "
+        "gone, updated rows at their new value) — the incremental path "
+        "converges to the recompute, at O(changed rows) per refresh "
+        "(the flat drain measured in tools/cdf_stream_probe.py).",
+    )(stream_cdf_materialized_view)
+
     from ..operators.logformats import ALB_PARSE_ORACLE
 
     register(
@@ -1418,6 +1445,102 @@ def stream_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.read.parquet(dest).select(
         "event_id", "user_id", "_change_type", "_commit_version"
+    )
+
+
+#: per-sf_dir cache of the CDC-view fixture's source-table root
+_CDF_VIEW_ROOTS: dict[str, str] = {}
+
+#: the dv-update's value bump in the CDC-view fixture
+CDF_VAL_BUMP = 10.0
+
+
+def stream_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: an END-TO-END CDC PIPELINE — the change feed STREAMED out of
+    one snapshot table maintains a MATERIALIZED VIEW in another, with
+    exactly-once semantics at both ends. The source table lives the
+    four-commit life (append half / dv-delete / append rest / dv-update
+    bumping value); the stream consumes it with ``changefeed=true`` and
+    each micro-batch folds its row-level changes into SIGNED per-user
+    deltas (insert/update_postimage: +cents, delete/update_preimage:
+    -cents — exact integer arithmetic, so replay-safe and
+    order-independent) appended to the VIEW table via
+    ``snapshot_write(batch_id=...)`` (at-least-once foreachBatch =>
+    exactly-once by the manifest's batch ledger). The registered read
+    aggregates the delta log — the view's per-user totals must equal
+    the oracle's GROUP BY over the source's FINAL state, proving the
+    incremental path converges to the recompute. At 100 TB this is the
+    reverse-ETL / serving-cache shape: per refresh cost is O(changed
+    rows) (the flat drain measured in tools/cdf_stream_probe.py), never
+    a source re-scan."""
+    import tempfile
+
+    from ..catalog import load_table
+    from ..functions.numeric import cents
+    from ..plans.snapshots import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_update,
+        snapshot_write,
+    )
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    roots = _CDF_VIEW_ROOTS.get(sf_dir)
+    if roots is None:
+        src_root = tempfile.mkdtemp(prefix="cdfview_src_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        snapshot_write(ev.where(F.col("event_id") < CDF_SPLIT), src_root)
+        assert snapshot_delete(
+            spark, src_root, [("event_id", "<", CDF_DEL)], mode="dv"
+        ) == 2
+        snapshot_write(ev.where(F.col("event_id") >= CDF_SPLIT), src_root)
+        assert snapshot_update(
+            spark,
+            src_root,
+            [("event_id", ">=", CDF_SPLIT), ("event_id", "<", CDF_UPD_HI)],
+            {"value": f"value + {CDF_VAL_BUMP}"},
+            mode="dv",
+        ) == 4
+        _CDF_VIEW_ROOTS[sf_dir] = roots = src_root
+    src_root = roots
+    register_snapshot_stream_source(spark)
+    view_root = tempfile.mkdtemp(prefix="cdfview_view_")
+
+    def _apply(bdf: DataFrame, batch_id: int) -> None:
+        deltas = (
+            bdf.withColumn(
+                "sign",
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            .groupBy("user_id")
+            .agg(F.sum(cents("value") * F.col("sign")).alias("delta_cents"))
+        )
+        snapshot_write(deltas, view_root, batch_id=batch_id)
+
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", src_root)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdfview_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        snapshot_read(spark, view_root)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("delta_cents").cast("double") / F.lit(100.0)).alias(
+                "total_value"
+            )
+        )
     )
 
 

@@ -92,6 +92,7 @@ EAGER_LEGS = [
     "stream_snapshot_source",  # snapshot table AS a streaming source (drain)
     "stream_semantic_dedup",  # two-table exactly-once semantic dedup stream
     "stream_snapshot_cdf",  # row-level change feed drained as a stream
+    "stream_cdf_materialized_view",  # CDC: feed -> signed deltas -> view table
 ]
 
 # Write-only-timed legs added after r3 (seeded state builds on the first
