@@ -2532,3 +2532,89 @@ def sim_ann_rplsh_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_semantic_dedup shares the frozen-centroid unrolled-Lloyd's
 # oracle with dedup_incremental_semantic (defined above)
 _attach_semantic_stream_oracle()
+
+
+#: outlier contract: the N most centroid-distant vectors (rank list, not
+#: raw scores — float cosines are not part of any oracle contract)
+OUTLIER_K = 25
+
+
+@register(
+    "sim_outlier_centroid",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cell AS (
+      SELECT generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e),
+    agg AS (
+      SELECT pos, SUM(CAST(round(v * 10000000) AS BIGINT)) AS sc, COUNT(*) AS n
+      FROM cell GROUP BY pos),
+    cent AS (
+      SELECT list((CAST(sc AS DOUBLE) / 10000000) / n ORDER BY pos) AS c
+      FROM agg),
+    scored AS (
+      SELECT e.vec_id,
+             list_dot_product(e.emb, cent.c)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(cent.c, cent.c))) AS cos
+      FROM e CROSS JOIN cent)
+    SELECT vec_id, rn FROM (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY cos ASC, vec_id) AS INTEGER) AS rn
+      FROM scored)
+    WHERE rn <= {OUTLIER_K}
+    """,
+    doc=(
+        "Embedding OUTLIER detection by centroid distance — the "
+        "off-distribution filter of a curation pipeline (drop or "
+        "down-weight samples far from the corpus mode; the companion "
+        "to SemDeDup's near-duplicate pruning at the other end of the "
+        "density spectrum). The corpus centroid is computed EXACTLY "
+        "(integer-scaled per-dimension sums, the kmeans recompute "
+        "discipline, so both engines derive bit-identical centroids at "
+        "any partitioning); each vector scores one broadcast cosine "
+        "against it and the 25 most distant surface as a rank list. "
+        "Scale shape: one narrow aggregate over (pos, v) cells + one "
+        "map-side pass — no shuffle wider than 64 cells, no pairwise "
+        "anything; at 100 TB this is two scans of the embedding column. "
+        "Cluster-scoped variants (distance to the ASSIGNED centroid) "
+        "compose from kmeans_assign the same way."
+    ),
+)
+def sim_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread_input(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cell = e.select(F.posexplode("emb").alias("pos", "v"))
+    cent = (
+        cell.groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("v") * 1e7).cast("bigint")).alias("sc"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "pos", ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias("c")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("centroid")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        (
+            dot(F.col("emb"), F.col("centroid"))
+            / (
+                F.sqrt(dot(F.col("emb"), F.col("emb")))
+                * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+            )
+        ).alias("cos"),
+    )
+    w = Window.orderBy(F.asc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= OUTLIER_K)
+        .select("vec_id", "rn")
+    )

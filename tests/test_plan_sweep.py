@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "sim_ann_ivf_pq": "sqrt(n)-row coarse-centroid cross join (broadcast) "
     "for training/assignment/probing; the ADC candidate restriction and "
     "scan are equi-joins on (cluster) and (query, m, code)",
+    "sim_outlier_centroid": "one-row exact-centroid cross join (broadcast)",
     "sim_topk_bruteforce": "small query set vs corpus (broadcast)",
     "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
     "sim_topk_ivf_label": "small query set, label-pruned corpus",
