@@ -2618,3 +2618,83 @@ def sim_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= OUTLIER_K)
         .select("vec_id", "rn")
     )
+
+
+#: per-cluster outlier contract: the N most centroid-distant members
+OUTLIER_PER_CLUSTER = 3
+
+
+def _cluster_outlier_oracle(n_iters: int = 2) -> str:
+    """The unrolled corpus-adaptive Lloyd's chain + final assignment,
+    then per-cluster ranking by cosine TO THE ASSIGNED CENTROID."""
+    parts, prev = _kmeans_cte_parts(_semantic_k_sql(), n_iters)
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body},
+    scf AS (
+      SELECT e.vec_id, e.emb, c.cluster, c.centroid,
+             list_dot_product(e.emb, c.centroid)
+               - 0.5 * list_dot_product(c.centroid, c.centroid) AS score
+      FROM e CROSS JOIN {prev} c),
+    asgf AS (
+      SELECT vec_id, emb, cluster, centroid FROM (
+        SELECT vec_id, emb, cluster, centroid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cluster) AS rn
+        FROM scf) WHERE rn = 1),
+    scored AS (
+      SELECT vec_id, cluster,
+             list_dot_product(emb, centroid)
+               / (sqrt(list_dot_product(emb, emb))
+                  * sqrt(list_dot_product(centroid, centroid))) AS cos
+      FROM asgf)
+    SELECT cluster, vec_id, rn FROM (
+      SELECT cluster, vec_id,
+             CAST(row_number() OVER (PARTITION BY cluster
+                                     ORDER BY cos ASC, vec_id) AS INTEGER) AS rn
+      FROM scored)
+    WHERE rn <= {OUTLIER_PER_CLUSTER}
+    """
+
+
+@register(
+    "sim_outlier_cluster",
+    oracle=_cluster_outlier_oracle(),
+    doc=(
+        "CLUSTER-SCOPED embedding outliers — the SemDeDup-shape "
+        "complement to sim_outlier_centroid: k-means clusters the space "
+        "(corpus-adaptive k = ceil(n/64), the semantic_k rule; trained "
+        "with the same deterministic Lloyd's loop) and each cluster "
+        "surfaces its 3 members FARTHEST from their own centroid — "
+        "locally off-mode samples a single global centroid cannot see "
+        "(a vector can sit near the corpus mean yet far from every "
+        "mode). The ENTIRE pipeline — corpus-sized k, training rounds, "
+        "final assignment, per-cluster ranking — unrolls into one DuckDB "
+        "statement and is value-hash-checked. Scale shape: training is "
+        "the measured kmeans loop; the scoring pass is one broadcast "
+        "cosine per vector against its assigned centroid (no pair term, "
+        "no shuffle wider than (vec_id, cluster, cos)); ranking "
+        "partitions by cluster, so no single-partition window."
+    ),
+)
+def sim_outlier_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, k=semantic_k(e.count()), n_iters=2)
+    assigned = kmeans_assign(e, cents)  # (vec_id, cluster, emb, nrm)
+    scored = assigned.join(F.broadcast(cents.select("cluster", "centroid")), "cluster").select(
+        "vec_id",
+        "cluster",
+        (
+            dot(F.col("emb"), F.col("centroid"))
+            / (
+                F.col("nrm")
+                * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+            )
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= OUTLIER_PER_CLUSTER)
+        .select("cluster", "vec_id", "rn")
+    )

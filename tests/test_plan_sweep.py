@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "for training/assignment/probing; the ADC candidate restriction and "
     "scan are equi-joins on (cluster) and (query, m, code)",
     "sim_outlier_centroid": "one-row exact-centroid cross join (broadcast)",
+    "sim_outlier_cluster": "K-row trained-centroid cross join (broadcast) "
+    "for the assignment; scoring joins equi on cluster",
     "sim_topk_bruteforce": "small query set vs corpus (broadcast)",
     "sim_topk_with_metadata": "small query set vs corpus (broadcast)",
     "sim_topk_ivf_label": "small query set, label-pruned corpus",
