@@ -120,6 +120,7 @@ POST_R3_LEGS = [
     "table_snapshot_update_cdf",  # update pre/post-image feed (dv update at seed)
     "table_snapshot_rename",  # mapped read across pre/post-rename files
     "table_snapshot_clone",  # clone read: absolute source refs + local appends + dv
+    "sim_ann_ivf_pq_indexed",  # IVFADC serving from the persisted index
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -37,6 +37,9 @@ BNLJ_ALLOWED = {
     "sim_ann_ivf_pq": "sqrt(n)-row coarse-centroid cross join (broadcast) "
     "for training/assignment/probing; the ADC candidate restriction and "
     "scan are equi-joins on (cluster) and (query, m, code)",
+    "sim_ann_ivf_pq_indexed": "sqrt(n)-row PERSISTED coarse-centroid "
+    "cross join (broadcast) for the per-query probe only — no training "
+    "in the plan; scans are equi-joins",
     "sim_outlier_centroid": "one-row exact-centroid cross join (broadcast)",
     "sim_outlier_cluster": "K-row trained-centroid cross join (broadcast) "
     "for the assignment; scoring joins equi on cluster",

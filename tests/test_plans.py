@@ -437,6 +437,26 @@ def test_pq_indexed_serving_plan_has_no_training(spark):
     assert pushed, "query-vector scans must push vec_id < 8"
 
 
+def test_ivf_pq_indexed_serving_plan_has_no_training(spark):
+    """sim_ann_ivf_pq_indexed serves from the persisted TWO-quantizer
+    index: coarse centroids, assignment, codebook, and codes all come
+    from parquet; neither Lloyd's loop (no ExistingRDD localCheckpoint
+    artifact) nor a full-corpus encode appears in the plan — embeddings
+    scans are only the pushed query reads and the shortlist re-rank."""
+    plan = _plan(spark, "sim_ann_ivf_pq_indexed")
+    for piece in ("ivf_pq_index_", "/coarse", "/assign", "/codebook", "/codes"):
+        assert piece in plan, piece
+    assert "ExistingRDD" not in plan  # training's localCheckpoint artifact
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embeddings" in ln
+    ]
+    assert emb_scans
+    pushed = [ln for ln in emb_scans if "LessThan(vec_id,8)" in ln]
+    assert pushed, "query-vector scans must push vec_id < 8"
+
+
 def test_incremental_exact_dedup_reads_index_not_corpus(spark):
     """dedup_incremental_exact's only documents scan carries the pushed
     batch filter; the corpus enters via the digest-only fingerprint index."""
