@@ -2603,21 +2603,13 @@ def sim_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        (
-            dot(F.col("emb"), F.col("centroid"))
-            / (
-                F.sqrt(dot(F.col("emb"), F.col("emb")))
-                * F.sqrt(dot(F.col("centroid"), F.col("centroid")))
-            )
-        ).alias("cos"),
+        "vec_id", cosine(F.col("emb"), F.col("centroid")).alias("cos")
     )
+    # parallel top-K (TakeOrderedAndProject), THEN rank the K-row result —
+    # never an unpartitioned window over the corpus
+    top = scored.orderBy(F.asc("cos"), F.asc("vec_id")).limit(OUTLIER_K)
     w = Window.orderBy(F.asc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= OUTLIER_K)
-        .select("vec_id", "rn")
-    )
+    return top.withColumn("rn", F.row_number().over(w)).select("vec_id", "rn")
 
 
 #: per-cluster outlier contract: the N most centroid-distant members

@@ -1163,7 +1163,8 @@ def snapshot_optimize(
     )  # fresh sidecars too — and the rebuild COLLAPSES the accumulated
     # per-commit sidecar list back to one commit's worth
     base, base_v = m, latest
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         if current_version(spark, root) != base_v:
             # the table moved under us. A concurrent APPEND does not
             # invalidate the pack — the packed files still represent every
@@ -1585,7 +1586,8 @@ def snapshot_merge(
         return _file_survives(s, key, ">=", lo) and _file_survives(s, key, "<=", hi)
 
     base, base_v = m, latest
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         if current_version(spark, root) != base_v:
             base, base_v = _rebase_base(
                 spark, root, m, "snapshot_merge", _added_can_match
@@ -1692,7 +1694,8 @@ def _delete_dv(
     new_dv = _list_commit_files(spark, commit_dir)
     added_can_match = _delete_added_can_match(filters)
     base, base_v = m, latest
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         if current_version(spark, root) != base_v:
             base, base_v = _rebase_base(
                 spark, root, m, "snapshot_delete", added_can_match
@@ -1819,7 +1822,8 @@ def snapshot_delete(
     )
     added_can_match = _delete_added_can_match(filters)
     base, base_v = m, latest
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         if current_version(spark, root) != base_v:
             base, base_v = _rebase_base(
                 spark, root, m, "snapshot_delete", added_can_match
@@ -2006,7 +2010,8 @@ def snapshot_update(
     )
     added_can_match = _delete_added_can_match(filters)
     base, base_v = m, latest
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         if current_version(spark, root) != base_v:
             base, base_v = _rebase_base(
                 spark, root, m, "snapshot_update", added_can_match
@@ -2159,7 +2164,8 @@ def snapshot_rename_column(
     latest = current_version(spark, root)
     if latest is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         m = read_manifest(spark, root, latest)
         schema = StructType.fromJson(json.loads(m["schema"]))
         if old not in schema.names:
@@ -2224,7 +2230,8 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
     manifests AND every data file they reference, so size the retention
     window to the rollback horizon you need."""
     target = read_manifest(spark, root, version)  # raises if retired/absent
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         latest = current_version(spark, root)
         if latest == version:
             return latest
@@ -2363,7 +2370,8 @@ def snapshot_add_constraint(
     every later commit of new rows enforces the full set. Refuses to
     replace an existing name with a different expression (drop first —
     silently changing a contract is how bad data slips in)."""
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
         latest = current_version(spark, root)
         if latest is None:
             raise FileNotFoundError(f"snapshot table {root} has no commits")

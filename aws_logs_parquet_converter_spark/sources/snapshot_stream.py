@@ -366,6 +366,13 @@ try:  # pyspark >= 4.0 only
             self._root = options.get("root")
             if not self._root:
                 raise ValueError("snapshot_table source requires option 'root'")
+            if str(options.get("changefeed", "")).lower() in ("true", "1"):
+                # without this guard the batch path would silently return
+                # the current snapshot with all-NULL change columns
+                raise ValueError(
+                    "changefeed is a STREAMING option (spark.readStream); "
+                    "for a batch change feed use plans.snapshots.snapshot_cdf"
+                )
             self._version = _resolve_version_py(self._root, options)
             self._filters = _parse_filters(options)
 

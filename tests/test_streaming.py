@@ -656,6 +656,28 @@ def test_snapshot_change_feed_stream_resume_and_refusals(spark, tmp_path):
         _drain_snapshot_stream(spark, root, dest, ckpt, changefeed=True)
 
 
+def test_batch_reader_rejects_changefeed_option(spark, tmp_path):
+    """changefeed is a streaming option; the batch path must refuse it
+    loudly — without the guard it would silently return the current
+    snapshot with all-NULL change columns."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_write
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 5).selectExpr("id", "id*2 AS v"), root)
+    register_snapshot_stream_source(spark)
+    with pytest.raises(Exception, match="changefeed is a STREAMING option"):
+        (
+            spark.read.format("snapshot_table")
+            .option("root", root)
+            .option("changefeed", "true")
+            .load()
+            .collect()
+        )
+
+
 def test_snapshot_stream_source_refuses_rewrite_commits(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 

@@ -36,8 +36,7 @@ DECADES = [
     int(x) for x in os.environ.get("SCALE_SYNTH_DECADES", "1,10,100").split(",")
 ]
 N_BASE = 100_000
-DEL_EVERY = 100  # scattered delete: one row per hundred, capped below
-DEL_CAP = 1_000
+DEL_CAP = 1_000  # clustered range delete: id < DEL_CAP, O(1) files touched
 UPD_ROWS = 500
 
 
