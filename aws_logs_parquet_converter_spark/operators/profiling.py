@@ -768,3 +768,107 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
     )
+
+
+#: drift geometry: reference = first event_id half, current = second;
+#: 10 fixed-width bins over the GLOBAL value range
+DRIFT_SPLIT_FRAC = 0.5
+DRIFT_BINS = 10
+
+
+@register(
+    "dq_drift_tvd",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(value) AS mn, MAX(value) AS mx,
+             CAST(MAX(event_id) + 1 AS BIGINT) AS n_ids FROM events),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN e.event_id < b.n_ids * {DRIFT_SPLIT_FRAC}
+                  THEN 'ref' ELSE 'cur' END AS side,
+             LEAST(CAST(floor((e.value - b.mn)
+                              / ((b.mx - b.mn) / {DRIFT_BINS})) AS BIGINT),
+                   {DRIFT_BINS - 1}) AS bin
+      FROM events e CROSS JOIN bounds b),
+    cnt AS (
+      SELECT event_type, side, bin, COUNT(*) AS n
+      FROM binned GROUP BY event_type, side, bin),
+    per_bin AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN side = 'ref' THEN n ELSE 0 END) AS rn,
+             SUM(CASE WHEN side = 'cur' THEN n ELSE 0 END) AS cn
+      FROM cnt GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type,
+             SUM(rn) AS nr, SUM(cn) AS nc FROM per_bin GROUP BY event_type)
+    SELECT p.event_type,
+           CAST(SUM(abs(p.rn * t.nc - p.cn * t.nr)) AS DOUBLE)
+             / (2.0 * t.nr * t.nc) AS tvd
+    FROM per_bin p JOIN tot t ON t.event_type = p.event_type
+    GROUP BY p.event_type, t.nr, t.nc
+    """,
+    doc=(
+        "Distribution DRIFT detection per segment — total-variation "
+        "distance between a REFERENCE slice (first event_id half) and "
+        "the CURRENT slice over 10 fixed-width value bins, grouped by "
+        "event_type: the day-over-day data-quality monitor that catches "
+        "an upstream change (new client version, schema drift, "
+        "truncated feed) before it poisons training data. TVD is "
+        "chosen over PSI deliberately: it is pure count arithmetic "
+        "(|p - q| sums — IEEE-exact, bit-identical across engines at "
+        "any partitioning), where PSI's ln() differs in ULPs between "
+        "libm implementations and would break value-hash parity. Scale "
+        "shape: one bounds aggregate + one (segment, side, bin)-keyed "
+        "count — two scans, shuffle keyed on a few hundred groups, no "
+        "row-level state."
+    ),
+)
+def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        (F.max("event_id") + 1).cast("bigint").alias("n_ids"),
+    )
+    binned = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(
+            F.col("event_id") < F.col("n_ids") * DRIFT_SPLIT_FRAC, F.lit("ref")
+        )
+        .otherwise(F.lit("cur"))
+        .alias("side"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / DRIFT_BINS)
+            ).cast("bigint"),
+            F.lit(DRIFT_BINS - 1),
+        ).alias("bin"),
+    )
+    # ALL-INTEGER until one final division: sum |rn*Nc - cn*Nr| exactly
+    # (order-independent bigints), divide once — bit-identical across
+    # engines and partitionings, unlike summing per-bin double ratios
+    per_bin = (
+        binned.groupBy("event_type", "side", "bin")
+        .agg(F.count("*").alias("n"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "ref", F.col("n")).otherwise(0)).alias("rn"),
+            F.sum(F.when(F.col("side") == "cur", F.col("n")).otherwise(0)).alias("cn"),
+        )
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("rn").alias("nr"), F.sum("cn").alias("nc")
+    )
+    return (
+        per_bin.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "nr", "nc")
+        .agg(
+            (
+                F.sum(F.abs(F.col("rn") * F.col("nc") - F.col("cn") * F.col("nr")))
+                .cast("double")
+                / (F.lit(2.0) * F.col("nr") * F.col("nc"))
+            ).alias("tvd")
+        )
+        .select("event_type", "tvd")
+    )

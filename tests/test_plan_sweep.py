@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "q_skew_keys": "one-row totals cross join (broadcast)",
     "q_stats_moments": "one-row moment sums cross join",
     "dq_profile": "two one-row aggregate legs cross-joined",
+    "dq_drift_tvd": "one-row global bounds (min/max/n) cross join (broadcast)",
     "q_winsorize_mad": "one-row median/MAD bounds broadcast",
     "q_histogram": "one-row min/max bounds broadcast",
     "sim_ivf_assign": "K-row centroid table cross join (broadcast)",
