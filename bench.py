@@ -88,6 +88,7 @@ EAGER_LEGS = [
     "stream_dedup",  # stateful dropDuplicatesWithinWatermark over 2x delivery
     "dedup_semantic_clustered",  # k-means training runs eagerly (localCheckpoint)
     "sim_ann_ivf_pq",  # both quantizer trainings run eagerly (localCheckpoint)
+    "sim_outlier_cluster",  # k-means training runs eagerly (localCheckpoint)
     "stream_snapshot_compaction",  # file stream committing manifest versions
     "stream_snapshot_source",  # snapshot table AS a streaming source (drain)
     "stream_semantic_dedup",  # two-table exactly-once semantic dedup stream
@@ -121,6 +122,8 @@ POST_R3_LEGS = [
     "table_snapshot_rename",  # mapped read across pre/post-rename files
     "table_snapshot_clone",  # clone read: absolute source refs + local appends + dv
     "sim_ann_ivf_pq_indexed",  # IVFADC serving from the persisted index
+    "sim_outlier_centroid",  # exact-centroid outlier rank (lazy plan)
+    "dq_drift_tvd",  # per-segment drift monitor (integer TVD)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
