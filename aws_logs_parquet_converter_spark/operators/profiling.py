@@ -872,3 +872,81 @@ def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "tvd")
     )
+
+
+@register(
+    "dq_drift_categorical",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(MAX(event_id) + 1 AS BIGINT) AS n_ids FROM events),
+    cnt AS (
+      SELECT e.event_type,
+             SUM(CASE WHEN e.event_id < b.n_ids * {DRIFT_SPLIT_FRAC}
+                      THEN 1 ELSE 0 END) AS rn,
+             SUM(CASE WHEN e.event_id >= b.n_ids * {DRIFT_SPLIT_FRAC}
+                      THEN 1 ELSE 0 END) AS cn
+      FROM events e CROSS JOIN bounds b GROUP BY e.event_type),
+    tot AS (SELECT SUM(rn) AS nr, SUM(cn) AS nc FROM cnt)
+    SELECT CAST(SUM(abs(c.rn * t.nc - c.cn * t.nr)) AS DOUBLE)
+             / (2.0 * t.nr * t.nc) AS tvd,
+           CAST(SUM(CASE WHEN c.rn = 0 AND c.cn > 0 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_new_categories,
+           CAST(SUM(CASE WHEN c.cn = 0 AND c.rn > 0 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_gone_categories
+    FROM cnt c CROSS JOIN tot t
+    GROUP BY t.nr, t.nc
+    """,
+    doc=(
+        "CATEGORICAL drift — total-variation distance between the "
+        "reference and current slices' event_type FREQUENCY "
+        "distributions, plus appeared/vanished category counts (the "
+        "failure a numeric-bin monitor can't name: a new client "
+        "version emitting a new enum value, or a feed silently "
+        "dropping one). Same all-integer TVD formulation as "
+        "dq_drift_tvd (exact count arithmetic, one final division — "
+        "bit-identical across engines); one count aggregate keyed on "
+        "the category, one 1-row totals broadcast."
+    ),
+)
+def dq_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg((F.max("event_id") + 1).cast("bigint").alias("n_ids"))
+    cnt = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_id") < F.col("n_ids") * DRIFT_SPLIT_FRAC, 1
+                ).otherwise(0)
+            ).alias("rn"),
+            F.sum(
+                F.when(
+                    F.col("event_id") >= F.col("n_ids") * DRIFT_SPLIT_FRAC, 1
+                ).otherwise(0)
+            ).alias("cn"),
+        )
+    )
+    tot = cnt.groupBy().agg(F.sum("rn").alias("nr"), F.sum("cn").alias("nc"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .groupBy("nr", "nc")
+        .agg(
+            (
+                F.sum(F.abs(F.col("rn") * F.col("nc") - F.col("cn") * F.col("nr")))
+                .cast("double")
+                / (F.lit(2.0) * F.col("nr") * F.col("nc"))
+            ).alias("tvd"),
+            F.sum(
+                F.when((F.col("rn") == 0) & (F.col("cn") > 0), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_new_categories"),
+            F.sum(
+                F.when((F.col("cn") == 0) & (F.col("rn") > 0), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_gone_categories"),
+        )
+        .select("tvd", "n_new_categories", "n_gone_categories")
+    )

@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "q_stats_moments": "one-row moment sums cross join",
     "dq_profile": "two one-row aggregate legs cross-joined",
     "dq_drift_tvd": "one-row global bounds (min/max/n) cross join (broadcast)",
+    "dq_drift_categorical": "one-row id-bound + one-row totals cross joins "
+    "(broadcast)",
     "q_winsorize_mad": "one-row median/MAD bounds broadcast",
     "q_histogram": "one-row min/max bounds broadcast",
     "sim_ivf_assign": "K-row centroid table cross join (broadcast)",
