@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from .. import storage as _storage
 from .optimize import _fs_for
 
 SNAP_DIR = "_snapshots"
@@ -96,7 +97,7 @@ def _commit_backoff(attempt: int) -> None:
 
 
 def _manifest_name(version: int) -> str:
-    return f"v{version:0{_V_WIDTH}d}.json"
+    return _storage.manifest_name(version)
 
 
 def _snap_path(jvm, root, name: str):
@@ -109,17 +110,9 @@ def _list_versions(fs, jvm, root) -> list[int]:
     sd = jvm.org.apache.hadoop.fs.Path(root, SNAP_DIR)
     if not fs.exists(sd):
         return []
-    out = []
-    for st in fs.listStatus(sd):
-        name = st.getPath().getName()
-        if (
-            st.isFile()
-            and name.startswith("v")
-            and name.endswith(".json")
-            and name[1:-5].isdigit()
-        ):
-            out.append(int(name[1:-5]))
-    return sorted(out)
+    return _storage.parse_version_listing(
+        st.getPath().getName() for st in fs.listStatus(sd) if st.isFile()
+    )
 
 
 def current_version(spark: SparkSession, root: str) -> int | None:
@@ -162,49 +155,55 @@ MANIFEST_CHECKPOINT_EVERY = 10
 _RESOLVED_KEYS = ("files", "stats")
 
 
+class _JvmSnapshotStorage(_storage.SnapshotStorage):
+    """Hadoop-FS (py4j) adapter onto the shared storage seam — the
+    JVM-side planner's implementation of the same three primitives the
+    Python DataSource consumes through ``LocalSnapshotStorage`` /
+    ``FsspecSnapshotStorage``. Driver-only and deliberately NOT
+    picklable (it holds a live SparkSession); the planner never ships
+    it to executors — data reads go through Spark's own parquet scan."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def list_versions(self, root: str) -> list[int]:
+        jvm, jroot, fs = _fs_for(self._spark, root)
+        return _list_versions(fs, jvm, jroot)
+
+    def read_manifest_bytes(self, root: str, version: int) -> bytes:
+        jvm, jroot, fs = _fs_for(self._spark, root)
+        path = _snap_path(jvm, jroot, _manifest_name(version))
+        if not fs.exists(path):
+            raise FileNotFoundError(
+                f"snapshot table {root} has no version {version}"
+            )
+        return _read_bytes(fs, jvm, path)
+
+    def manifest_mtime(self, root: str, version: int) -> float:
+        jvm, jroot, fs = _fs_for(self._spark, root)
+        path = _snap_path(jvm, jroot, _manifest_name(version))
+        return fs.getFileStatus(path).getModificationTime() / 1000.0
+
+
+#: shared delta-chain resolver (storage.py) — re-exported so existing
+#: importers keep working; the logic exists exactly once
+resolve_manifest_chain = _storage.resolve_manifest_chain
+
+
 def _read_raw_manifest(spark: SparkSession, root: str, version: int) -> dict:
     """The version's manifest exactly as stored — a FULL form (has
     ``files``) or a DELTA form (has ``base``/``adds``/``removes``)."""
-    jvm, jroot, fs = _fs_for(spark, root)
-    path = _snap_path(jvm, jroot, _manifest_name(version))
-    if not fs.exists(path):
-        raise FileNotFoundError(f"snapshot table {root} has no version {version}")
-    return json.loads(_read_bytes(fs, jvm, path).decode("utf-8"))
-
-
-def resolve_manifest_chain(raws: list[dict]) -> dict:
-    """Materialize a resolved manifest from a chain ``[full, delta, ...,
-    delta_v]`` (oldest first, first element FULL). Shared by the JVM-side
-    reader here and the os-level streaming source. Returns the newest
-    version's manifest with ``files`` (sorted) and ``stats`` materialized;
-    every other key passes through from the newest raw."""
-    files = set(raws[0]["files"])
-    stats: dict = dict(raws[0].get("stats", {}))
-    for d in raws[1:]:
-        files -= set(d.get("removes", ()))
-        files |= set(d.get("adds", ()))
-        for f in d.get("removes", ()):
-            stats.pop(f, None)
-        stats.update(d.get("stats_adds", {}))
-    newest = raws[-1]
-    out = {k: v for k, v in newest.items() if k not in ("adds", "removes", "stats_adds", "base")}
-    out["files"] = sorted(files)
-    if newest.get("stats_cols"):
-        out["stats"] = {f: s for f, s in stats.items() if f in files}
-    return out
+    return _storage.read_raw_manifest(_JvmSnapshotStorage(spark), root, version)
 
 
 def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     """The RESOLVED manifest of ``version``: always carries the complete
     ``files`` list (and ``stats``, when the table records them) whether
-    the version was stored full or as a delta against its predecessor."""
-    raw = _read_raw_manifest(spark, root, version)
-    if "files" in raw:
-        return raw
-    chain = [raw]
-    while "files" not in chain[-1]:
-        chain.append(_read_raw_manifest(spark, root, int(chain[-1]["base"])))
-    return resolve_manifest_chain(list(reversed(chain)))
+    the version was stored full or as a delta against its predecessor.
+    Delegates to the shared seam reader (``storage.read_manifest``) via
+    the Hadoop-FS adapter — the same code path the Python DataSource
+    resolves manifests through."""
+    return _storage.read_manifest(_JvmSnapshotStorage(spark), root, version)
 
 
 class LogStore:
@@ -572,28 +571,62 @@ def _build_bloom_sidecar(
     return _list_commit_files(spark, side_dir)
 
 
+def _bloom_coerce(value, type_name: str | None):
+    """Normalize a probe literal to the indexed column's DECLARED type so
+    the probe hashes the SAME string the commit side hashed (`CAST(col AS
+    STRING)`): a float ``42.0`` against a long column must probe ``"42"``,
+    not ``"42.0"`` — otherwise files containing 42 are silently skipped,
+    breaking the false-positive-only invariant. Returns None when the
+    literal can't be normalized losslessly (wrong-typed probe); the caller
+    then SKIPS bloom pruning for that predicate — the scan + post-filter
+    keep results exact, and a kept file is never a wrong answer."""
+    if type_name == "string":
+        return value if isinstance(value, str) else None
+    # integral column (_BLOOM_TYPES admits nothing else)
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return value
+    if isinstance(value, float) and value.is_integer():
+        return int(value)
+    return None
+
+
 def _bloom_prune(
     spark: SparkSession,
     root: str,
     bloom: dict,
     files: list[str],
     filters: list[tuple],
+    col_types: dict[str, str],
 ) -> list[str]:
     """Drop files whose bloom sidecar PROVES an equality predicate can't
     match. One narrow job over the sidecar parquet — filtered to the
     probe's word indexes (pushed to the parquet scan) — then an
     O(#candidate-files x k)-row collect; a file with no sidecar entry is
-    kept (conservative, false-positive-only)."""
+    kept (conservative, false-positive-only). ``col_types`` maps PHYSICAL
+    column name -> Spark typeName, used to normalize probe literals to
+    the hashed representation before deriving bit positions."""
     groups: list[tuple[str, list]] = []  # (col, candidate values) AND-ed
     for c, op, v in filters:
         if c not in bloom.get("cols", ()):
             continue
         if op == "=" and v is not None:
-            groups.append((c, [v]))
+            cand = [v]
         elif op == "in":
-            vals = [x for x in v if x is not None]  # NULL never matches IN
-            if vals:
-                groups.append((c, vals))
+            cand = [x for x in v if x is not None]  # NULL never matches IN
+            if not cand:
+                continue
+        else:
+            continue
+        coerced = [_bloom_coerce(x, col_types.get(c)) for x in cand]
+        if any(x is None for x in coerced):
+            # a literal that doesn't normalize to the column's type would
+            # probe the WRONG string (e.g. "42.0" vs stored "42") — skip
+            # bloom pruning for this predicate rather than risk a false
+            # negative; the post-scan filter keeps the result exact
+            continue
+        groups.append((c, coerced))
     if not groups or not files:
         return files
     side = spark.read.parquet(*[_abs_file(root, p) for p in bloom["files"]])
@@ -755,7 +788,13 @@ def snapshot_write(
         "batch_ids", []
     ):
         return None  # replayed batch: already committed — exactly-once
-    checked = False
+    # the constraint set the batch was last validated against: a retry
+    # after a lost CAS may rebase onto a manifest whose constraints GREW
+    # (concurrent snapshot_add_constraint) — the batch must be re-checked
+    # against the new set or rows violating it would commit while the
+    # manifest claims enforcement (Delta's concurrent-metadata-change
+    # conflict class)
+    checked_against: dict | None = None
     # column-mapped tables store PHYSICAL names in data files: re-label the
     # (logical) frame before writing. Overwrite resets the mapping — the
     # fresh files are written with logical names, materializing any rename.
@@ -800,12 +839,17 @@ def snapshot_write(
         checks = dict(constraints or {})
         commit_schema = schema_json
         prev_resolved = None
+        base_batches: list[int] = []
         if latest is not None and mode == "overwrite":
             # constraints are a TABLE property: they survive an overwrite
             # unless the caller explicitly re-declares the set
             if constraints is None:
                 checks = dict(latest_m.get("constraints", {}))
-        base_batches: list[int] = []
+            # so is the streaming batch-id ledger (Delta keeps
+            # SetTransaction app versions across overwrites): dropping it
+            # would let a replayed micro-batch delivered AFTER the
+            # overwrite pass the replay check and double-commit its rows
+            base_batches = latest_m.get("batch_ids", [])
         if mode == "append" and latest is not None:
             prev = prev_resolved = latest_m
             if _mapping(prev) != write_mapping:
@@ -833,7 +877,7 @@ def snapshot_write(
             commit_schema = _merge_schemas(
                 StructType.fromJson(json.loads(prev["schema"])), df.schema
             ).json()
-        if checks and not checked:
+        if checks and checks != checked_against:
             committed = (
                 spark.read.parquet(commit_dir) if new_files else df.limit(0)
             )
@@ -845,7 +889,7 @@ def snapshot_write(
                     *[F.col(c).alias(rev.get(c, c)) for c in committed.columns]
                 )
             _check_constraints(committed, checks, "snapshot_write commit")
-            checked = True
+            checked_against = dict(checks)
         if cols and new_files and new_stats is None:
             new_stats = _collect_file_stats(spark, commit_dir, list(cols))
         if bcols and new_files and new_bloom is None:
@@ -934,7 +978,13 @@ def snapshot_read(
             )
         ]
         if m.get("bloom"):
-            files = _bloom_prune(spark, root, m["bloom"], files, pfilters)
+            ptypes = {
+                f.name: f.dataType.typeName()
+                for f in _phys_schema(schema, mapping).fields
+            }
+            files = _bloom_prune(
+                spark, root, m["bloom"], files, pfilters, ptypes
+            )
     if not files:
         return spark.createDataFrame([], schema)
     df = _plan_scan(spark, root, m, files, schema)

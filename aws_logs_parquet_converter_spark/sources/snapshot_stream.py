@@ -27,61 +27,46 @@ on the Spark 4 Python DataSource API:
   column are reconciled executor-side (missing columns yield NULL), the
   same contract as ``snapshot_read``.
 
-Storage access here is ``os``-level (the driver-side offset tracker and
-executor-side readers run outside the JVM, so Hadoop FS isn't
-reachable): local/NFS paths as shipped. An object-store deployment
-implements the same three primitives (list versions, read manifest, open
-file) against its SDK — the seam is the three module functions below.
+Storage access goes through the SHARED storage seam
+(``aws_logs_parquet_converter_spark.storage``): the driver-side offset
+tracker and executor-side readers run outside the JVM, so Hadoop FS
+isn't reachable — ``storage_for_root`` picks ``LocalSnapshotStorage``
+for plain paths and ``FsspecSnapshotStorage`` for scheme-qualified URIs
+(``s3://…`` once fsspec + the scheme driver are installed). Manifest
+parsing (delta-chain resolution included) is the SAME code the JVM
+planner uses (``storage.read_manifest``), so the two readers cannot
+drift.
 """
 
 from __future__ import annotations
 
 import json
-import os
+
+from ..storage import (
+    SnapshotStorage,
+    read_manifest as _seam_read_manifest,
+    storage_for_root,
+)
 
 __all__ = ["SnapshotTableStreamSource", "register_snapshot_stream_source"]
 
 
-def _list_versions_py(root: str) -> list[int]:
-    d = os.path.join(root, "_snapshots")
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for name in os.listdir(d):
-        if name.startswith("v") and name.endswith(".json") and name[1:-5].isdigit():
-            out.append(int(name[1:-5]))
-    return sorted(out)
-
-
-def _read_raw_manifest_py(root: str, version: int) -> dict:
-    with open(os.path.join(root, "_snapshots", f"v{version:08d}.json")) as fh:
-        return json.load(fh)
-
-
-def _read_manifest_py(root: str, version: int) -> dict:
-    """RESOLVED manifest of ``version`` — full manifests load directly;
-    delta-encoded ones (``base``/``adds``/``removes``, the log-segment
-    form) walk back to their checkpoint and materialize, sharing the
-    pure-Python resolver with plans.snapshots."""
-    raw = _read_raw_manifest_py(root, version)
-    if "files" in raw:
-        return raw
-    from ..plans.snapshots import resolve_manifest_chain
-
-    chain = [raw]
-    while "files" not in chain[-1]:
-        chain.append(_read_raw_manifest_py(root, int(chain[-1]["base"])))
-    return resolve_manifest_chain(list(reversed(chain)))
+def _read_manifest_py(storage: SnapshotStorage, root: str, version: int) -> dict:
+    """RESOLVED manifest of ``version`` via the shared seam reader —
+    full manifests load directly; delta-encoded ones (the log-segment
+    form) walk back to their checkpoint and materialize. One resolver,
+    shared with plans.snapshots."""
+    return _seam_read_manifest(storage, root, version)
 
 
 def _delta_files(
-    root: str, start_v: int, end_v: int
+    storage: SnapshotStorage, root: str, start_v: int, end_v: int
 ) -> tuple[list[str], str, dict]:
     """(delta file list, schema JSON of the range's newest manifest,
     per-file stats for the delta files) — the snapshot_changes walk,
     shared by partition planning. Stats come from the manifest that
     introduced each file (the commit-time min/max the writer gathered)."""
-    if _read_manifest_py(root, end_v).get("column_mapping"):
+    if _read_manifest_py(storage, root, end_v).get("column_mapping"):
         # mirror plans.snapshots._require_unmapped: files store PHYSICAL
         # names — planning them under logical names would read NULLs
         raise ValueError(
@@ -91,12 +76,12 @@ def _delta_files(
         )
     seen: set[str] = set()
     if start_v > 0:
-        seen = set(_read_manifest_py(root, start_v)["files"])
+        seen = set(_read_manifest_py(storage, root, start_v)["files"])
     delta: list[str] = []
     stats: dict[str, dict] = {}
     schema_json = None
     for v in range(start_v + 1, end_v + 1):
-        m = _read_manifest_py(root, v)
+        m = _read_manifest_py(storage, root, v)
         schema_json = m["schema"]
         files = set(m["files"])
         action = m.get("action", "append")
@@ -117,7 +102,7 @@ def _delta_files(
                 stats[f] = m_stats[f]
         seen = files
     if schema_json is None:
-        schema_json = _read_manifest_py(root, end_v)["schema"]
+        schema_json = _read_manifest_py(storage, root, end_v)["schema"]
     return delta, schema_json, stats
 
 
@@ -148,12 +133,12 @@ def _survives(stats: dict | None, col: str, op: str, val) -> bool:
     raise ValueError(f"unsupported prune op {op!r} ({', '.join(_PC_OPS)})")
 
 
-def _resolve_version_py(root: str, options) -> int:
+def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
     """The version a batch read addresses: explicit ``version`` option,
     else ``timestamp`` (epoch seconds — newest manifest whose mtime is
     at-or-before it, the TIMESTAMP AS OF rule of
     plans.snapshots.snapshot_version_as_of), else latest."""
-    vs = _list_versions_py(root)
+    vs = storage.list_versions(root)
     if not vs:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
     if options.get("version") is not None:
@@ -165,8 +150,9 @@ def _resolve_version_py(root: str, options) -> int:
         ts = float(options["timestamp"])
         best = None
         for v in vs:
-            p = os.path.join(root, "_snapshots", f"v{v:08d}.json")
-            if os.path.getmtime(p) <= ts and (best is None or v > best):
+            if storage.manifest_mtime(root, v) <= ts and (
+                best is None or v > best
+            ):
                 best = v
         if best is None:
             raise ValueError(
@@ -199,25 +185,70 @@ try:  # pyspark >= 4.0 only
     )
 
     class _SnapshotFilePartition(InputPartition):
+        """One data file of a micro-batch / batch read. Deletion-vector
+        state ships as the vector PARQUET PATHS plus this file's key in
+        the vector space — each task reads its own positions
+        executor-side, so planning cost is O(#touched files) driver
+        metadata, never O(#deleted rows) (a GDPR-scale vector embedded
+        in the serialized partition could OOM the driver)."""
+
         def __init__(
             self,
-            path: str,
-            deleted: tuple = (),
-            selected: tuple | None = None,
+            entry: str,
+            rel_key: str | None = None,
+            dv_paths: tuple = (),
+            mode: str = "subtract",
             change: str | None = None,
             version: int | None = None,
         ):
-            self.path = path
-            #: sorted ROW INDEXES this version's deletion vectors remove
-            #: from the file (batch reads of dv-carrying versions)
-            self.deleted = deleted
-            #: change-feed mode: emit ONLY these row indexes (the rows a
-            #: delete/update vector named), with the tag below
-            self.selected = selected
+            #: manifest file entry (root-relative, or clone-absolute)
+            self.entry = entry
+            #: this file's ``data/<commit>/<part>`` key in vector space
+            self.rel_key = rel_key
+            #: deletion-vector parquet paths (manifest entries) whose
+            #: positions apply to this partition
+            self.dv_paths = dv_paths
+            #: ``subtract`` = mask the named rows out (batch read of a
+            #: dv-carrying version); ``select`` = emit ONLY the named
+            #: rows (change-feed delete/update_preimage halves)
+            self.mode = mode
             self.change = change
             self.version = version
 
-    def _iter_file_batches(path, fields, filters, deleted=(), selected=None):
+    def _dv_touched_files(storage, root, dv_paths) -> set:
+        """Rel keys of the data files the named deletion-vector parquets
+        touch — DRIVER-side planning metadata. Streams the ``file``
+        column one record batch at a time and keeps only distinct
+        values: O(#touched files) memory, the positions never leave the
+        executor-side read path."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        touched: set = set()
+        for p in dv_paths:
+            pf = pq.ParquetFile(storage.open_data_file(root, p))
+            for b in pf.iter_batches(columns=["file"]):
+                touched.update(pc.unique(b.column("file")).to_pylist())
+        return touched
+
+    def _dv_positions(storage, root, dv_paths, rel_key):
+        """THIS file's deleted row indexes from the named vector
+        parquets — runs EXECUTOR-side inside the task that reads the
+        file, the same place plans.snapshots._plan_scan applies its
+        vector anti-join."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        out: list[int] = []
+        for p in dv_paths:
+            pf = pq.ParquetFile(storage.open_data_file(root, p))
+            for b in pf.iter_batches(columns=["file", "pos"]):
+                mask = pc.equal(b.column("file"), rel_key)
+                out.extend(pc.filter(b.column("pos"), mask).to_pylist())
+        return np.asarray(sorted(out), dtype=np.int64)
+
+    def _iter_file_batches(source, fields, filters, deleted=(), selected=None):
         """One parquet file -> Arrow record batches: columns reconciled
         to the DECLARED schema (files predating an added column yield
         typed NULLs — the snapshot_read contract), deletion-vector row
@@ -241,7 +272,7 @@ try:  # pyspark >= 4.0 only
         sel = (
             np.asarray(selected, dtype=np.int64) if selected is not None else None
         )
-        pf = pq.ParquetFile(path)
+        pf = pq.ParquetFile(source)
         have = set(pf.schema_arrow.names)
         cols_present = [f.name for f in fields if f.name in have]
         offset = 0
@@ -274,24 +305,24 @@ try:  # pyspark >= 4.0 only
             yield out
 
     def _cdf_partition_specs(
-        root: str, start_v: int, end_v: int
-    ) -> list[tuple]:
+        storage, root: str, start_v: int, end_v: int
+    ) -> list["_SnapshotFilePartition"]:
         """Driver-side plan of a CHANGE-FEED micro-batch — the streaming
-        analogue of plans.snapshots.snapshot_cdf: one spec per (file,
-        change_type) in the version range. Append-lineage commits emit
-        their fresh files as ``insert``; a dv delete emits the rows its
-        NEW vector names (``delete``) by reading the vector parquet
-        driver-side (O(#deleted rows) metadata) and grouping positions
-        per touched file; a dv update emits both halves
+        analogue of plans.snapshots.snapshot_cdf: one partition per
+        (file, change_type) in the version range. Append-lineage commits
+        emit their fresh files as ``insert``; a dv delete emits the rows
+        its NEW vectors name (``delete``) — the driver reads only the
+        vectors' ``file`` column to learn WHICH files are touched
+        (O(#touched files) metadata) and each task reads its own
+        positions executor-side; a dv update emits both halves
         (``update_preimage`` from the vector, ``update_postimage`` from
-        its fresh files). Commits without row lineage raise the
-        re-baseline error. Spec: (path, selected_positions|None,
-        change_type, version)."""
-        import pyarrow.parquet as pq
-
+        its fresh files). An OPTIMIZE rewrites bytes but no rows and
+        contributes NOTHING (Delta's readChangeFeed rule: maintenance is
+        invisible to change consumers). Commits without row lineage
+        raise the re-baseline error."""
         from ..plans.snapshots import _rel_key
 
-        if _read_manifest_py(root, end_v).get("column_mapping"):
+        if _read_manifest_py(storage, root, end_v).get("column_mapping"):
             raise ValueError(
                 "the snapshot change feed does not support column-mapped "
                 "tables (a column was renamed via snapshot_rename_column)"
@@ -299,12 +330,12 @@ try:  # pyspark >= 4.0 only
         seen_files: set = set()
         seen_dv: set = set()
         if start_v > 0:
-            base = _read_manifest_py(root, start_v)
+            base = _read_manifest_py(storage, root, start_v)
             seen_files = set(base["files"])
             seen_dv = set(base.get("dv", ()))
-        specs: list[tuple] = []
+        specs: list[_SnapshotFilePartition] = []
         for v in range(start_v + 1, end_v + 1):
-            m = _read_manifest_py(root, v)
+            m = _read_manifest_py(storage, root, v)
             files, dv = set(m["files"]), set(m.get("dv", ()))
             action = m.get("action", "append")
             if action == "optimize":
@@ -326,28 +357,27 @@ try:  # pyspark >= 4.0 only
                 )
             if is_dv_delete or is_dv_update:
                 tag = "update_preimage" if is_dv_update else "delete"
-                positions: dict[str, list[int]] = {}
-                for p in sorted(dv - seen_dv):
-                    t = pq.read_table(os.path.join(root, p))
-                    for f, pos in zip(
-                        t.column("file").to_pylist(), t.column("pos").to_pylist()
-                    ):
-                        positions.setdefault(f, []).append(pos)
+                fresh_dv = tuple(sorted(dv - seen_dv))
                 by_rel = {_rel_key(f): f for f in files}
-                for relk, poss in sorted(positions.items()):
-                    entry = by_rel.get(relk, relk)
+                for relk in sorted(
+                    _dv_touched_files(storage, root, fresh_dv)
+                ):
                     specs.append(
-                        (
-                            os.path.join(root, entry),
-                            tuple(sorted(poss)),
-                            tag,
-                            v,
+                        _SnapshotFilePartition(
+                            by_rel.get(relk, relk),
+                            rel_key=relk,
+                            dv_paths=fresh_dv,
+                            mode="select",
+                            change=tag,
+                            version=v,
                         )
                     )
             if not is_dv_delete:
                 tag = "update_postimage" if is_dv_update else "insert"
                 for f in sorted(files - seen_files):
-                    specs.append((os.path.join(root, f), None, tag, v))
+                    specs.append(
+                        _SnapshotFilePartition(f, change=tag, version=v)
+                    )
             seen_files, seen_dv = files, dv
         return specs
 
@@ -373,11 +403,14 @@ try:  # pyspark >= 4.0 only
                     "changefeed is a STREAMING option (spark.readStream); "
                     "for a batch change feed use plans.snapshots.snapshot_cdf"
                 )
-            self._version = _resolve_version_py(self._root, options)
+            self._storage = storage_for_root(self._root)
+            self._version = _resolve_version_py(
+                self._storage, self._root, options
+            )
             self._filters = _parse_filters(options)
 
         def partitions(self):
-            m = _read_manifest_py(self._root, self._version)
+            m = _read_manifest_py(self._storage, self._root, self._version)
             if m.get("column_mapping"):
                 raise ValueError(
                     "the snapshot DataSource does not support column-mapped "
@@ -395,36 +428,38 @@ try:  # pyspark >= 4.0 only
                         for c, op, v in self._filters
                     )
                 ]
-            deleted: dict[str, list[int]] = {}
-            if m.get("dv"):
-                import pyarrow.parquet as pq
+            dv_paths = tuple(m.get("dv", ()))
+            touched: set = set()
+            if dv_paths:
+                # only the vectors' `file` column crosses the driver —
+                # O(#touched files) metadata; positions are read by the
+                # task that owns the file
+                touched = _dv_touched_files(self._storage, self._root, dv_paths)
+            from ..plans.snapshots import _rel_key
 
-                from ..plans.snapshots import _rel_key
-
-                # vectors key files by their data/<commit>/<part> tail;
-                # clone manifests hold absolute entries — match normalized
-                keep = {_rel_key(f): f for f in files}
-                for p in m["dv"]:
-                    t = pq.read_table(os.path.join(self._root, p))
-                    for f, pos in zip(
-                        t.column("file").to_pylist(), t.column("pos").to_pylist()
-                    ):
-                        if f in keep:
-                            deleted.setdefault(keep[f], []).append(pos)
             return [
                 _SnapshotFilePartition(
-                    os.path.join(self._root, f),
-                    tuple(sorted(deleted.get(f, ()))),
+                    f,
+                    rel_key=_rel_key(f),
+                    dv_paths=dv_paths if _rel_key(f) in touched else (),
                 )
                 for f in files
             ]
 
         def read(self, partition: "_SnapshotFilePartition"):
+            deleted = ()
+            if partition.dv_paths:
+                deleted = _dv_positions(
+                    self._storage,
+                    self._root,
+                    partition.dv_paths,
+                    partition.rel_key,
+                )
             yield from _iter_file_batches(
-                partition.path,
+                self._storage.open_data_file(self._root, partition.entry),
                 list(self._schema.fields),
                 self._filters,
-                partition.deleted,
+                deleted,
             )
 
     class _SnapshotStreamReader(DataSourceStreamReader):
@@ -433,6 +468,7 @@ try:  # pyspark >= 4.0 only
             self._root = options.get("root")
             if not self._root:
                 raise ValueError("snapshot_table source requires option 'root'")
+            self._storage = storage_for_root(self._root)
             self._start = int(options.get("startingversion", "0"))
             # CHANGE-FEED mode (Delta's streaming readChangeFeed): emit
             # row-level insert / delete / update_preimage /
@@ -465,21 +501,22 @@ try:  # pyspark >= 4.0 only
             return {"version": self._start}
 
         def latestOffset(self):
-            vs = _list_versions_py(self._root)
+            vs = self._storage.list_versions(self._root)
             return {"version": vs[-1] if vs else self._start}
 
         def partitions(self, start, end):
             if self._cdf:
-                return [
-                    _SnapshotFilePartition(
-                        path, selected=sel, change=tag, version=v
-                    )
-                    for path, sel, tag, v in _cdf_partition_specs(
-                        self._root, int(start["version"]), int(end["version"])
-                    )
-                ]
+                return _cdf_partition_specs(
+                    self._storage,
+                    self._root,
+                    int(start["version"]),
+                    int(end["version"]),
+                )
             delta, _, stats = _delta_files(
-                self._root, int(start["version"]), int(end["version"])
+                self._storage,
+                self._root,
+                int(start["version"]),
+                int(end["version"]),
             )
             if self._filters:
                 delta = [
@@ -490,25 +527,31 @@ try:  # pyspark >= 4.0 only
                         for c, op, v in self._filters
                     )
                 ]
-            return [
-                _SnapshotFilePartition(os.path.join(self._root, f))
-                for f in delta
-            ]
+            return [_SnapshotFilePartition(f) for f in delta]
 
         def read(self, partition: "_SnapshotFilePartition"):
+            source = self._storage.open_data_file(self._root, partition.entry)
             if self._cdf:
                 import pyarrow as pa
 
+                selected = None
+                if partition.mode == "select":
+                    selected = _dv_positions(
+                        self._storage,
+                        self._root,
+                        partition.dv_paths,
+                        partition.rel_key,
+                    )
                 fields = list(self._schema.fields)[:-2]  # table columns
                 names = [f.name for f in fields] + [
                     "_change_type",
                     "_commit_version",
                 ]
                 for batch in _iter_file_batches(
-                    partition.path,
+                    source,
                     fields,
                     self._filters,
-                    selected=partition.selected,
+                    selected=selected,
                 ):
                     n = batch.num_rows
                     arrays = list(batch.columns) + [
@@ -520,7 +563,7 @@ try:  # pyspark >= 4.0 only
             # append-lineage delta files never carry deletion vectors
             # (dv commits raise in _delta_files), so deleted=() here
             yield from _iter_file_batches(
-                partition.path, list(self._schema.fields), self._filters
+                source, list(self._schema.fields), self._filters
             )
 
         def commit(self, end):
@@ -544,9 +587,10 @@ try:  # pyspark >= 4.0 only
             root = self.options.get("root")
             if not root:
                 raise ValueError("snapshot_table source requires option 'root'")
-            v = _resolve_version_py(root, self.options)
+            storage = storage_for_root(root)
+            v = _resolve_version_py(storage, root, self.options)
             schema = StructType.fromJson(
-                json.loads(_read_manifest_py(root, v)["schema"])
+                json.loads(_read_manifest_py(storage, root, v)["schema"])
             )
             if str(self.options.get("changefeed", "")).lower() in ("true", "1"):
                 schema = schema.add("_change_type", StringType()).add(

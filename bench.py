@@ -261,17 +261,35 @@ def main() -> None:
     r3_comparable = round(
         sum(v for k, v in timings.items() if k not in _post_r3), 3
     )
-    payload = {
+    # Two-file emission (r6 verdict task 1): the driver keeps only the last
+    # ~2000 chars of stdout, and the full per-leg dict outgrew that (~2.8 KB
+    # at 88 legs -> BENCH_r06.json was an unparseable fragment). The final
+    # stdout line is therefore a COMPACT headline (well under 1 KB with
+    # headroom); the per-leg timings go to a committed sidecar file that
+    # VERDICT/SCALE can cite.
+    detail = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "value_r3_comparable": r3_comparable,
         "queries": timings,
         "sf": sf,
+        "n_legs": len(timings),
     }
     if compression_ratio is not None:
-        payload["log_compaction_output_to_input_size"] = compression_ratio
-    print(json.dumps(payload))
+        detail["log_compaction_output_to_input_size"] = compression_ratio
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the compact stdout line still reports
+    compact = {k: v for k, v in detail.items() if k != "queries"}
+    compact["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

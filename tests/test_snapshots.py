@@ -1762,3 +1762,71 @@ def test_streamed_table_enforces_constraints_per_batch(spark, tmp_path):
     assert current_version(spark, root) == 1
     assert snapshot_write(_df(spark, 10, 20), root, batch_id=1) == 2
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 20))
+
+
+def test_overwrite_preserves_stream_batch_ledger(spark, tmp_path):
+    """r6 ADVICE: an overwrite must CARRY the streaming batch-id ledger
+    (Delta keeps SetTransaction app versions across overwrites) — a
+    replayed micro-batch delivered after the overwrite would otherwise
+    pass the replay check and double-commit its rows."""
+    root = str(tmp_path / "t")
+    assert snapshot_write(_df(spark, 0, 5), root, batch_id=7) == 1
+    assert snapshot_write(_df(spark, 100, 105), root, mode="overwrite") == 2
+    assert read_manifest(spark, root, 2)["batch_ids"] == [7]
+    # replay delivered AFTER the overwrite: still skipped, content intact
+    assert snapshot_write(_df(spark, 0, 5), root, batch_id=7) is None
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 100, 105))
+    # fresh batches keep committing and extend the ledger
+    assert snapshot_write(_df(spark, 200, 202), root, batch_id=8) == 3
+    assert read_manifest(spark, root, 3)["batch_ids"] == [7, 8]
+
+
+def test_bloom_probe_coerces_literal_types(spark, tmp_path):
+    """r6 ADVICE: a probe literal is normalized to the indexed column's
+    declared type before hashing — the commit side hashed CAST(col AS
+    STRING) ("42"), so a float probe 42.0 must not hash "42.0" and
+    silently skip files containing 42 (a false NEGATIVE, the one error
+    class blooms must never make)."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "id % 7 AS v").repartition(8)
+    snapshot_write(df, root, bloom_cols=["id"])
+    # float literal on a long column: pruning backs off, result exact
+    assert [r.id for r in snapshot_read(spark, root, filters=[("id", "=", 42.0)]).collect()] == [42]
+    # integral float in an IN-list coerces and still prunes correctly
+    got = snapshot_read(spark, root, filters=[("id", "in", [7.0, 13])])
+    assert sorted(r.id for r in got.collect()) == [7, 13]
+    # plain int probe: the pruning fast path is untouched
+    assert [r.id for r in snapshot_read(spark, root, filters=[("id", "=", 42)]).collect()] == [42]
+    # non-integral float can never equal a long; conservative backoff
+    # keeps the files and the post-filter returns the exact empty answer
+    assert snapshot_read(spark, root, filters=[("id", "=", 42.5)]).count() == 0
+
+
+def test_lost_cas_revalidates_against_fresh_constraints(spark, tmp_path, monkeypatch):
+    """r6 ADVICE: a commit that loses its CAS to a concurrent ADD
+    CONSTRAINT must RE-VALIDATE the batch against the merged set on
+    retry — otherwise rows violating the just-added constraint commit
+    while the manifest claims enforcement (Delta's concurrent-metadata-
+    change conflict class)."""
+    import aws_logs_parquet_converter_spark.plans.snapshots as S
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 5), root, constraints={"nonneg": "v >= 0"})
+    real = S._try_commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, root_, manifest, prev=None):
+        if manifest.get("action") == "set-constraint":
+            return real(spark_, root_, manifest, prev=prev)
+        if not state["raced"]:
+            state["raced"] = True  # concurrent writer lands ADD CONSTRAINT
+            S.snapshot_add_constraint(spark_, root_, "cap", "id < 8")
+            return False  # ... and our CAS loses to it
+        return real(spark_, root_, manifest, prev=prev)
+
+    monkeypatch.setattr(S, "_try_commit", racing_commit)
+    with pytest.raises(S.ConstraintViolation, match="cap"):
+        snapshot_write(_df(spark, 8, 12), root)  # ids 8..11 violate id < 8
+    # the refused batch never landed: table state is the constraint commit
+    assert current_version(spark, root) == 2
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 5))

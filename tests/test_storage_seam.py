@@ -1,0 +1,180 @@
+"""The shared storage seam (storage.py): the three primitives every
+snapshot-table reader needs — list versions, read manifest bytes, open
+data file — contract-tested across implementations, plus the shared
+manifest resolver both the JVM planner and the Python DataSource consume
+(r6 verdict task 2: one parser, no drift between the two readers)."""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+
+from aws_logs_parquet_converter_spark import storage as st
+from aws_logs_parquet_converter_spark.plans.snapshots import (
+    MANIFEST_CHECKPOINT_EVERY,
+    read_manifest as jvm_read_manifest,
+    snapshot_read,
+    snapshot_write,
+)
+
+
+def _build_table(spark, root: str, commits: int) -> None:
+    """Enough commits to cross a manifest checkpoint boundary, so the
+    contract run exercises DELTA-encoded manifests (the chain walk)."""
+    for i in range(commits):
+        snapshot_write(
+            spark.range(10 * i, 10 * (i + 1)).selectExpr("id", "id * 2 AS v"),
+            root,
+            stats_cols=["id"],
+        )
+
+
+class _DictStorage(st.SnapshotStorage):
+    """Pure in-memory double: proves the seam readers touch NOTHING but
+    the interface (no os/path assumptions hiding in the resolver)."""
+
+    def __init__(self, local: st.LocalSnapshotStorage, root: str):
+        self._manifests = {
+            v: local.read_manifest_bytes(root, v)
+            for v in local.list_versions(root)
+        }
+
+    def list_versions(self, root):
+        return sorted(self._manifests)
+
+    def read_manifest_bytes(self, root, version):
+        if version not in self._manifests:
+            raise FileNotFoundError(f"no version {version}")
+        return self._manifests[version]
+
+
+def _impls(root):
+    impls = [("local", st.LocalSnapshotStorage())]
+    try:
+        import fsspec  # noqa: F401
+
+        impls.append(("fsspec", st.FsspecSnapshotStorage("file")))
+    except ImportError:
+        pass
+    return impls
+
+
+def test_contract_versions_and_manifests_match_jvm_reader(spark, tmp_path):
+    """Every impl lists the same versions and resolves byte-identical
+    manifests to the JVM planner's reader — including delta-encoded
+    versions, whose chain walk is the code that used to exist twice."""
+    root = str(tmp_path / "t")
+    n = MANIFEST_CHECKPOINT_EVERY + 3  # crosses a checkpoint: deltas exist
+    _build_table(spark, root, n)
+    expected = {v: jvm_read_manifest(spark, root, v) for v in range(1, n + 1)}
+    for name, impl in _impls(root):
+        assert impl.list_versions(root) == list(range(1, n + 1)), name
+        for v, want in expected.items():
+            assert st.read_manifest(impl, root, v) == want, (name, v)
+        with pytest.raises(FileNotFoundError):
+            impl.read_manifest_bytes(root, n + 99)
+
+
+def test_contract_dict_double_resolves_delta_chains(spark, tmp_path):
+    """The resolver consumes ONLY the interface: a dict-backed double
+    with no filesystem at all resolves a delta-encoded version to the
+    same manifest the JVM reader produces."""
+    root = str(tmp_path / "t")
+    n = MANIFEST_CHECKPOINT_EVERY + 2
+    _build_table(spark, root, n)
+    double = _DictStorage(st.LocalSnapshotStorage(), root)
+    for v in (1, n // 2, n):
+        assert st.read_manifest(double, root, v) == jvm_read_manifest(
+            spark, root, v
+        )
+
+
+def test_contract_open_data_file_feeds_pyarrow(spark, tmp_path):
+    """open_data_file returns something pyarrow accepts, and the rows
+    round-trip: the executor-side read path of the DataSource."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    _build_table(spark, root, 2)
+    for name, impl in _impls(root):
+        m = st.read_manifest(impl, root, 2)
+        total = 0
+        for entry in m["files"]:
+            total += pq.ParquetFile(impl.open_data_file(root, entry)).metadata.num_rows
+        assert total == 20, name
+
+
+def test_contract_manifest_mtime_orders_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_table(spark, root, 3)
+    for name, impl in _impls(root):
+        ts = [impl.manifest_mtime(root, v) for v in (1, 2, 3)]
+        assert ts == sorted(ts), name
+
+
+def test_storage_impls_are_picklable(tmp_path):
+    """The DataSource ships its storage to executors inside serialized
+    partitions/readers — both shipped impls must round-trip pickle."""
+    local = pickle.loads(pickle.dumps(st.LocalSnapshotStorage()))
+    assert isinstance(local, st.LocalSnapshotStorage)
+    fs = st.FsspecSnapshotStorage("s3", anon=True)
+    fs2 = pickle.loads(pickle.dumps(fs))
+    assert fs2._protocol == "s3" and fs2._options == {"anon": True}
+    assert fs2._fs is None  # handle rebuilt lazily executor-side
+
+
+def test_storage_for_root_dispatch():
+    assert isinstance(st.storage_for_root("/x/y"), st.LocalSnapshotStorage)
+    s3 = st.storage_for_root("s3://bucket/table")
+    assert isinstance(s3, st.FsspecSnapshotStorage)
+    assert s3._protocol == "s3"
+
+
+def test_abs_data_path_rules():
+    assert st.abs_data_path("/t", "data/c/p.parquet") == "/t/data/c/p.parquet"
+    assert st.abs_data_path("/t", "/abs/data/c/p.parquet") == "/abs/data/c/p.parquet"
+    assert (
+        st.abs_data_path("s3://b/t/", "data/c/p.parquet")
+        == "s3://b/t/data/c/p.parquet"
+    )
+    assert (
+        st.abs_data_path("/t", "s3://other/data/c/p.parquet")
+        == "s3://other/data/c/p.parquet"
+    )
+
+
+def test_version_listing_ignores_temp_and_foreign_names():
+    names = [
+        "v00000001.json",
+        "v00000010.json",
+        ".tmp-abc.json",
+        "vxx.json",
+        "v2.txt",
+        "_crc",
+    ]
+    assert st.parse_version_listing(names) == [1, 10]
+
+
+def test_local_storage_empty_table_lists_nothing(tmp_path):
+    assert st.LocalSnapshotStorage().list_versions(str(tmp_path / "nope")) == []
+
+
+def test_seam_feeds_snapshot_read_equivalence(spark, tmp_path):
+    """End-to-end: the rows snapshot_read (JVM path) returns equal the
+    rows reconstructed from the seam's manifests + pyarrow (the
+    DataSource path) — the two readers cannot drift."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    _build_table(spark, root, MANIFEST_CHECKPOINT_EVERY + 1)
+    jvm_rows = sorted(
+        (r.id, r.v) for r in snapshot_read(spark, root).collect()
+    )
+    impl = st.LocalSnapshotStorage()
+    m = st.read_manifest(impl, root, impl.list_versions(root)[-1])
+    seam_rows = []
+    for entry in m["files"]:
+        t = pq.read_table(impl.open_data_file(root, entry))
+        seam_rows.extend(zip(t.column("id").to_pylist(), t.column("v").to_pylist()))
+    assert sorted(seam_rows) == jvm_rows

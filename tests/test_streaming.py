@@ -810,3 +810,37 @@ def test_semantic_stream_two_table_transaction_replay(spark, tmp_path):
     # >= 50 may appear on the a-side of a batch-1 pair except batch rows
     got = snapshot_read(spark, pairs)
     assert got.where(F.col("vec_b") >= 60).count() == 0
+
+
+def test_changefeed_stream_survives_optimize(spark, tmp_path):
+    """r6 verdict task 5 — Delta's readChangeFeed rule: OPTIMIZE rewrites
+    bytes but no rows, so a change-feed stream crossing an interleaved
+    OPTIMIZE emits ZERO phantom rows — only the real deletes/inserts
+    around it, each tagged with its true commit version."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_optimize,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    snapshot_write(
+        spark.range(0, 30).selectExpr("id", "id*2 AS v").repartition(4), root
+    )  # v1
+    out = _drain_snapshot_stream(spark, root, dest, ckpt, changefeed=True)
+    assert out.count() == 30
+    snapshot_delete(spark, root, [("id", "<", 5)], mode="dv")  # v2
+    snapshot_optimize(spark, root, target_file_mb=128)  # v3: full rewrite
+    snapshot_write(spark.range(30, 35).selectExpr("id", "id*2 AS v"), root)  # v4
+    out2 = _drain_snapshot_stream(spark, root, dest, ckpt, changefeed=True)
+    fresh = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in out2.collect()
+        if r._commit_version > 1
+    )
+    # zero rows carry the OPTIMIZE's commit version — maintenance is
+    # invisible; the rewrite neither re-inserts survivors nor re-deletes
+    assert fresh == [(i, "delete", 2) for i in range(5)] + [
+        (i, "insert", 4) for i in range(30, 35)
+    ]
