@@ -1228,7 +1228,15 @@ def semantic_stream_batch(
     Every crash/replay interleaving converges: index committed + pairs
     not => replay skips the index commit, locates its version via
     :func:`snapshot_version_of_batch`, recomputes the identical pairs,
-    commits them; both committed => replay is two skips."""
+    commits them; both committed => replay is two skips.
+
+    OPERATIONAL CONTRACT: the index table's vacuum retention must cover
+    the stream's replay horizon — replay reconstructs its pair input by
+    time travel to ``version - 1``, and a vacuum that retired that
+    version makes the reconstruction impossible (snapshot_read raises
+    rather than silently diverging). Retain at least as long as the
+    checkpoint's maximum redelivery lag, the same rule Delta documents
+    for streaming sources over vacuumed tables."""
     from ..plans.snapshots import (
         snapshot_read,
         snapshot_version_of_batch,
@@ -1241,7 +1249,13 @@ def semantic_stream_batch(
     v = snapshot_write(assigned, index_root, batch_id=int(batch_id))
     if v is None:  # replayed: the index already holds this batch
         v = snapshot_version_of_batch(spark, index_root, int(batch_id))
-    base = snapshot_read(spark, index_root, version=v - 1)
+    if v <= 1:
+        # first batch into an EMPTY index table: there is no version 0 to
+        # time-travel to — the base is the empty frame (no prior days, so
+        # the batch pairs only against itself)
+        base = assigned.limit(0)
+    else:
+        base = snapshot_read(spark, index_root, version=v - 1)
     pairs = _cluster_scoped_pairs(
         base.select("vec_id", "cluster", "emb", "nrm"), assigned, threshold
     )

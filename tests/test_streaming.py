@@ -844,3 +844,42 @@ def test_changefeed_stream_survives_optimize(spark, tmp_path):
     assert fresh == [(i, "delete", 2) for i in range(5)] + [
         (i, "insert", 4) for i in range(30, 35)
     ]
+
+
+def test_semantic_stream_first_batch_into_empty_index(spark, tmp_path):
+    """r6 ADVICE: the FIRST batch into an empty index table commits
+    version 1 — there is no version 0 to time-travel to, so the pair
+    base is the empty frame and the batch pairs only against itself
+    (previously snapshot_read(version=0) raised)."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        kmeans_train,
+        semantic_stream_batch,
+    )
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("float"), (F.col("id") % 3).cast("float")
+            ).alias("embedding"),
+        )
+
+    cents_path = str(tmp_path / "cents")
+    kmeans_train(vecs(0, 40), k=4, n_iters=1).write.parquet(cents_path)
+    idx, pairs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    semantic_stream_batch(vecs(0, 20), 0, cents_path, idx, pairs)
+    assert current_version(spark, idx) == 1
+    got = snapshot_read(spark, pairs)
+    # every pair is intra-batch: both sides from the first 20 ids
+    assert got.where((F.col("vec_a") >= 20) | (F.col("vec_b") >= 20)).count() == 0
+    # replay converges to the same state
+    v_p = current_version(spark, pairs)
+    semantic_stream_batch(vecs(0, 20), 0, cents_path, idx, pairs)
+    assert current_version(spark, idx) == 1
+    assert current_version(spark, pairs) == v_p
