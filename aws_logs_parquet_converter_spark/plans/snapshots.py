@@ -152,7 +152,7 @@ MANIFEST_CHECKPOINT_EVERY = 10
 #: resolved-manifest keys materialized by resolution; everything else in
 #: a raw manifest (action, schema, batch_ids, ...) passes through from
 #: the version being read
-_RESOLVED_KEYS = ("files", "stats")
+_RESOLVED_KEYS = ("files", "stats", "partitions")
 
 
 class _JvmSnapshotStorage(_storage.SnapshotStorage):
@@ -271,6 +271,9 @@ def _encode_commit(manifest: dict, prev: dict | None) -> dict:
     if manifest.get("stats_cols"):
         stats = manifest.get("stats", {})
         raw["stats_adds"] = {f: stats[f] for f in adds if f in stats}
+    if manifest.get("partition_by"):
+        parts = manifest.get("partitions", {})
+        raw["partitions_adds"] = {f: parts[f] for f in adds if f in parts}
     return raw
 
 
@@ -334,7 +337,10 @@ def _collect_file_stats(
     commit_name = commit_dir.rstrip("/").rsplit("/", 1)[-1]
     out: dict[str, dict[str, list]] = {}
     for r in rows:
-        rel = f"data/{commit_name}/{r['fp'].rsplit('/', 1)[-1]}"
+        # path relative to the commit dir — partitioned commits nest
+        # files under __pv_* directories, so keep the full tail
+        sub = r["fp"].split(f"/{commit_name}/", 1)[1]
+        rel = f"data/{commit_name}/{sub}"
         per_col = {}
         for c in stats_cols:
             mn, mx = _stat_encode(r[f"mn_{c}"]), _stat_encode(r[f"mx_{c}"])
@@ -386,15 +392,117 @@ def _file_survives(stats: dict | None, col: str, op: str, val) -> bool:
 
 def _list_commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
     """Relative paths (under ``<root>/``) of the parquet files one write
-    produced — a single non-recursive listing of the commit's own
-    directory (flat by construction), markers skipped."""
+    produced — one recursive listing of the commit's own directory
+    (PARTITIONED commits nest files under ``__pv_<col>=<value>/``
+    directories; plain commits stay flat), markers skipped."""
     jvm, jdir, fs = _fs_for(spark, commit_dir)
+    prefix = jdir.toUri().getPath()
     files = []
-    for st in fs.listStatus(jdir):
+    it = fs.listFiles(jdir, True)
+    while it.hasNext():
+        st = it.next()
         name = st.getPath().getName()
-        if st.isFile() and not (name.startswith("_") or name.startswith(".")):
-            files.append(f"data/{jdir.getName()}/{name}")
+        if name.startswith("_") or name.startswith("."):
+            continue
+        sub = st.getPath().toUri().getPath()[len(prefix):].lstrip("/")
+        files.append(f"data/{jdir.getName()}/{sub}")
     return sorted(files)
+
+
+#: directory-name prefix for PARTITION COLUMNS: a partitioned commit
+#: writes through Spark's ``partitionBy`` on a *duplicated* copy of each
+#: partition column (``__pv_day=2024-01-01/...``), so the data files keep
+#: the original column (reads stay plain file-list scans, no basePath
+#: reconstruction) while the directory names record each file's partition
+#: tuple — which is what makes partition values FREE at write time: no
+#: stats pass, the writer's own layout is the metadata. Delta/Iceberg
+#: record the same per-file partition tuples in their logs
+#: (Armbrust VLDB'20 §3.1 partitionValues); the reference's equivalent is
+#: Athena partition projection (athena_create_table.sql:41-47).
+_PART_PREFIX = "__pv_"
+
+#: partition-column types whose directory-name string round-trips
+#: losslessly back to a typed value for pruning. Floats/timestamps are
+#: refused (formatting ambiguity would make pruning wrong — the same
+#: conservatism as _BLOOM_TYPES).
+_PART_TYPES = ("byte", "short", "integer", "long", "string", "date", "boolean")
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _coerce_part(s: str | None, type_name: str):
+    """A partition value as recorded in the directory name, coerced back
+    to the pruning domain of ``_file_survives``/``_stat_encode``:
+    integral -> int, boolean -> bool, date -> ISO string (order-equal),
+    string -> itself. ``None`` (the hive null dir) stays None."""
+    if s is None:
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(s)
+    if type_name == "boolean":
+        return s == "true"
+    return s
+
+
+def _parse_partition_values(entry: str, pcols: list[str]) -> list:
+    """The partition tuple encoded in a commit-relative file entry's
+    ``__pv_<col>=<value>`` directory segments, ordered like ``pcols``
+    (string-form; ``_coerce_part`` types them at prune time)."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str | None] = {}
+    for seg in entry.split("/"):
+        if seg.startswith(_PART_PREFIX) and "=" in seg:
+            k, _, v = seg.partition("=")
+            vals[k[len(_PART_PREFIX):]] = (
+                None if v == _HIVE_NULL else unquote(v)
+            )
+    return [vals.get(c) for c in pcols]
+
+
+def _phys_types(m: dict) -> dict[str, str]:
+    """PHYSICAL column name -> Spark typeName for a resolved manifest."""
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    return {
+        f.name: f.dataType.typeName()
+        for f in _phys_schema(schema, _mapping(m)).fields
+    }
+
+
+def _effective_stats(m: dict, f: str, types: dict[str, str]) -> dict | None:
+    """The manifest min/max stats of file ``f`` AUGMENTED with exact
+    ``[v, v]`` ranges derived from its recorded partition values — ONE
+    lookup serves every pruning site (read, delete, update, merge), so
+    partition pruning is data skipping with perfectly tight stats that
+    cost nothing to gather. A file without recorded values (committed
+    before partitioning, or by a CoW rewrite) contributes no partition
+    ranges and is never wrongly skipped."""
+    stats = dict(m.get("stats", {}).get(f) or {})
+    pby = m.get("partition_by")
+    if pby:
+        vals = m.get("partitions", {}).get(f)
+        if vals is not None:
+            for c, s in zip(pby, vals):
+                stats[c] = [
+                    _coerce_part(s, types.get(c, "string")),
+                    _coerce_part(s, types.get(c, "string")),
+                ]
+    return stats or None
+
+
+def _carry_partitions(
+    manifest: dict, base: dict, new_entries: dict | None = None
+) -> None:
+    """Carry the partition-column table property into a new manifest:
+    ``partition_by`` passes through; per-file values keep entries for
+    files still present plus any newly parsed ones."""
+    pby = base.get("partition_by")
+    if not pby:
+        return
+    manifest["partition_by"] = pby
+    live = set(manifest["files"])
+    merged = {**base.get("partitions", {}), **(new_entries or {})}
+    manifest["partitions"] = {f: v for f, v in merged.items() if f in live}
 
 
 def _merge_schemas(prev: StructType, new: StructType) -> StructType:
@@ -724,6 +832,7 @@ def snapshot_write(
     bloom_cols: list[str] | None = None,
     constraints: dict[str, str] | None = None,
     batch_id: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -761,6 +870,19 @@ def snapshot_write(
     passes). The set is a table property: inherited across appends and
     overwrites, carried by every action; extend an existing table with
     :func:`snapshot_add_constraint` (which validates history first).
+
+    ``partition_by`` declares FIRST-CLASS PARTITION COLUMNS (Delta's
+    ``partitionValues``, the table-layer analogue of the reference's
+    Athena partition projection, ``athena_create_table.sql:41-47``): the
+    commit's files are laid out per partition tuple and each file's
+    tuple is recorded in the manifest — FREE at write time (parsed from
+    the writer's own directory names, no stats pass) and EXACT, so
+    ``snapshot_read(filters=...)`` and the DML verbs prune candidate
+    files on partition predicates before stats/bloom even run. A table
+    property: inherited across appends and overwrites; low-cardinality
+    columns only (day, region — the Delta guidance), and types are
+    restricted to those whose directory-name string round-trips
+    losslessly (:data:`_PART_TYPES`).
 
     ``batch_id`` turns the append into an EXACTLY-ONCE STREAMING COMMIT
     (the ``foreachBatch`` sink contract): the manifest records the
@@ -813,9 +935,57 @@ def snapshot_write(
                 "of a renamed column — pick another name or rewrite the "
                 "table (mode='overwrite') to clear the mapping"
             )
+    # partition columns resolve BEFORE the data write (the layout depends
+    # on them): explicit arg wins, else inherited — a table property,
+    # surviving overwrites like constraints do
+    pcols: list[str] | None = None
+    if partition_by is not None:
+        pcols = [write_mapping.get(c, c) for c in partition_by]
+        prev_pby = (pre_m or {}).get("partition_by")
+        if prev_pby is not None and mode == "append" and pcols != prev_pby:
+            raise ValueError(
+                f"snapshot_write partition_by {pcols} conflicts with the "
+                f"table's existing partition columns {prev_pby} — "
+                "partitioning changes require mode='overwrite'"
+            )
+    elif pre_m is not None:
+        pcols = pre_m.get("partition_by")
+    if pcols:
+        missing = sorted(
+            set(pcols) - {write_mapping.get(c, c) for c in df.columns}
+        )
+        if missing:
+            raise ValueError(f"partition column(s) {missing} not in the frame")
+        for c in pcols:
+            t = df.schema[
+                {write_mapping.get(n, n): n for n in df.columns}[c]
+            ].dataType.typeName()
+            if t not in _PART_TYPES:
+                raise TypeError(
+                    f"partition column {c!r} has type {t} — only "
+                    f"{'/'.join(_PART_TYPES)} round-trip losslessly "
+                    "through directory names"
+                )
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
-    _to_physical(df, write_mapping).write.parquet(commit_dir)
+    phys_df = _to_physical(df, write_mapping)
+    if pcols:
+        # duplicate the partition columns under the __pv_ prefix so
+        # partitionBy organizes the layout while the data files KEEP the
+        # original columns — reads stay plain file-list scans
+        dup = phys_df.select(
+            "*", *[F.col(c).alias(_PART_PREFIX + c) for c in pcols]
+        )
+        dup.write.partitionBy(*[_PART_PREFIX + c for c in pcols]).parquet(
+            commit_dir
+        )
+    else:
+        phys_df.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
+    new_parts = (
+        {f: _parse_partition_values(f, pcols) for f in new_files}
+        if pcols
+        else {}
+    )
     schema_json = df.schema.json()
     if stats_cols is not None:
         stats_cols = [write_mapping.get(c, c) for c in stats_cols]
@@ -858,6 +1028,17 @@ def snapshot_write(
                     "rename changed the column mapping after this append's "
                     "files were written with the old physical names — "
                     "re-run against fresh state"
+                )
+            prev_pby = prev.get("partition_by")
+            if prev_pby and prev_pby != pcols:
+                # concurrent partition-property change (or adoption by
+                # another writer): this append's files were laid out for
+                # a different scheme — refuse rather than commit files
+                # with wrong/missing partition values
+                raise IOError(
+                    f"snapshot_write conflict on {root}: the table's "
+                    "partition columns changed after this append's files "
+                    "were laid out — re-run against fresh state"
                 )
             base_files = prev["files"]
             base_stats = prev.get("stats", {})
@@ -929,6 +1110,17 @@ def snapshot_write(
             }
         if checks:
             manifest["constraints"] = checks
+        if pcols:
+            manifest["partition_by"] = list(pcols)
+            base_parts = (
+                prev_resolved.get("partitions", {}) if prev_resolved else {}
+            )
+            live = set(manifest["files"])
+            manifest["partitions"] = {
+                f: v
+                for f, v in {**base_parts, **new_parts}.items()
+                if f in live
+            }
         if _try_commit(spark, root, manifest, prev=prev_resolved):
             return int(manifest["version"])
     raise IOError(
@@ -964,16 +1156,19 @@ def snapshot_read(
     schema = StructType.fromJson(json.loads(m["schema"]))
     files = m["files"]
     if filters:
-        stats = m.get("stats", {})
         mapping = _mapping(m)
-        # stats/blooms are keyed by PHYSICAL column names (they were
-        # gathered from the files); filters arrive logical — translate
+        # stats/blooms/partitions are keyed by PHYSICAL column names
+        # (they were gathered from the files); filters arrive logical
         pfilters = [(mapping.get(c, c), op, v) for c, op, v in filters]
+        # partition values + min/max stats prune in ONE pass (partition
+        # values become exact [v, v] ranges — see _effective_stats), so
+        # partition predicates skip files with zero stats-gathering cost
+        types = _phys_types(m)
         files = [
             f
             for f in files
             if all(
-                _file_survives(stats.get(f), c, op, v)
+                _file_survives(_effective_stats(m, f, types), c, op, v)
                 for c, op, v in pfilters
             )
         ]
@@ -997,7 +1192,12 @@ def snapshot_read(
 #: extracted from the absolute scan URI, so deletion-vector keys survive a
 #: table move/re-mount (the manifest's own path convention)
 def _rel_file_expr():
-    return F.regexp_extract(F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1)
+    # anchored on the 32-hex commit-dir name so PARTITIONED commits
+    # (nested __pv_* dirs) key identically to flat ones, and a root path
+    # that itself contains a /data/ segment can't false-match
+    return F.regexp_extract(
+        F.col("_metadata.file_path"), r"(data/[0-9a-f]{32}/.+)$", 1
+    )
 
 
 def _abs_file(root: str, f: str) -> str:
@@ -1008,7 +1208,7 @@ def _abs_file(root: str, f: str) -> str:
     return f if f.startswith("/") or "://" in f else f"{root}/{f}"
 
 
-_REL_RE = re.compile(r"(data/[^/]+/[^/]+)$")
+_REL_RE = re.compile(r"(data/[0-9a-f]{32}/.+)$")
 
 
 def _rel_key(f: str) -> str:
@@ -1190,9 +1390,31 @@ def snapshot_optimize(
     else:
         packed = cur.coalesce(want)
     mapping = _mapping(m)
+    pby = m.get("partition_by")
     commit_dir = f"{root}/data/{uuid.uuid4().hex}"
-    _to_physical(packed, mapping).write.parquet(commit_dir)
+    phys_packed = _to_physical(packed, mapping)
+    if pby:
+        # a partitioned table stays partitioned through OPTIMIZE: the
+        # rewrite co-locates rows per partition tuple (repartition on the
+        # partition columns unless a clustering already shaped the data)
+        # and writes through the same __pv_ layout, so the fresh files
+        # keep exact partition values in the manifest
+        if not (cluster_by or zorder_by):
+            phys_packed = _to_physical(cur, mapping).repartition(
+                want, *[F.col(c) for c in pby]
+            )
+        dup = phys_packed.select(
+            "*", *[F.col(c).alias(_PART_PREFIX + c) for c in pby]
+        )
+        dup.write.partitionBy(*[_PART_PREFIX + c for c in pby]).parquet(
+            commit_dir
+        )
+    else:
+        phys_packed.write.parquet(commit_dir)
     new_files = _list_commit_files(spark, commit_dir)
+    new_parts = (
+        {f: _parse_partition_values(f, pby) for f in new_files} if pby else {}
+    )
     stats_cols = m.get("stats_cols")  # stored PHYSICAL
     if cluster_by or zorder_by:
         stats_cols = sorted(
@@ -1266,6 +1488,7 @@ def snapshot_optimize(
             # the packed files were written with the same physical names
             # (_to_physical above), so the mapping rides along unchanged
             manifest["column_mapping"] = mapping
+        _carry_partitions(manifest, base, new_parts)
         if _try_commit(spark, root, manifest, prev=base):
             return base_v + 1
     return None
@@ -1589,21 +1812,22 @@ def snapshot_merge(
     # passed when they were committed
     _check_constraints(src, m.get("constraints", {}), "snapshot_merge source")
 
-    stats = m.get("stats", {})
+    types = _phys_types(m)
     bounds = src.agg(
         F.min(key).alias("mn"), F.max(key).alias("mx")
     ).collect()[0]
     lo, hi = _stat_encode(bounds["mn"]), _stat_encode(bounds["mx"])
     candidates, untouched = [], []
     for f in m["files"]:
+        fstats = _effective_stats(m, f, types)  # min/max + partition values
         if lo is None:  # empty source: no file can hold a matching key
             overlaps = False
         elif lo is _STAT_UNSUPPORTED or hi is _STAT_UNSUPPORTED:
             overlaps = True  # un-encodable key type: no pruning, still exact
         else:
             overlaps = _file_survives(
-                stats.get(f), key, ">=", lo
-            ) and _file_survives(stats.get(f), key, "<=", hi)
+                fstats, key, ">=", lo
+            ) and _file_survives(fstats, key, "<=", hi)
         (candidates if overlaps else untouched).append(f)
 
     if candidates:
@@ -1670,6 +1894,7 @@ def snapshot_merge(
                 for f, s in {**base.get("stats", {}), **new_stats}.items()
                 if f in set(manifest["files"])
             }
+        _carry_partitions(manifest, base)
         if _try_commit(spark, root, manifest, prev=base):
             return base_v + 1
     raise IOError(
@@ -1769,6 +1994,7 @@ def _delete_dv(
             # bounds after row removal, so skipping never skips wrongly
             manifest["stats_cols"] = base["stats_cols"]
             manifest["stats"] = base.get("stats", {})
+        _carry_partitions(manifest, base)
         if _try_commit(spark, root, manifest, prev=base):
             return base_v + 1
     raise IOError(
@@ -1835,11 +2061,13 @@ def snapshot_delete(
     m = read_manifest(spark, root, latest)
     _require_unmapped(m, "snapshot_delete")
     schema = StructType.fromJson(json.loads(m["schema"]))
-    stats = m.get("stats", {})
+    types = _phys_types(m)
     candidates, untouched = [], []
     for f in m["files"]:
+        # min/max stats AND recorded partition values both prune — a
+        # delete scoped to one day touches only that day's files
         overlaps = all(
-            _file_survives(stats.get(f), c, op, v)
+            _file_survives(_effective_stats(m, f, types), c, op, v)
             for c, op, v in filters
         )
         (candidates if overlaps else untouched).append(f)
@@ -1907,6 +2135,10 @@ def snapshot_delete(
                 for f, s in {**base.get("stats", {}), **new_stats}.items()
                 if f in set(manifest["files"])
             }
+        # survivor rewrites are unpartitioned files: they simply carry no
+        # partition values (never pruned), while untouched files keep
+        # theirs — pruning stays exact
+        _carry_partitions(manifest, base)
         if _try_commit(spark, root, manifest, prev=base):
             return base_v + 1
     raise IOError(
@@ -1971,12 +2203,12 @@ def snapshot_update(
             f"snapshot_update SET targets unknown column(s) {bad} — UPDATE "
             "never adds columns; append with schema evolution does"
         )
-    stats = m.get("stats", {})
+    types = _phys_types(m)
     candidates = [
         f
         for f in m["files"]
         if all(
-            _file_survives(stats.get(f), c, op, v)
+            _file_survives(_effective_stats(m, f, types), c, op, v)
             for c, op, v in filters
         )
     ]
@@ -2103,6 +2335,7 @@ def snapshot_update(
                 for f, s in {**base.get("stats", {}), **new_stats}.items()
                 if f in set(manifest["files"])
             }
+        _carry_partitions(manifest, base)
         if _try_commit(spark, root, manifest, prev=base):
             return base_v + 1
     raise IOError(
@@ -2179,6 +2412,13 @@ def snapshot_clone(
         manifest["constraints"] = sm["constraints"]
     if sm.get("column_mapping"):
         manifest["column_mapping"] = sm["column_mapping"]
+    if sm.get("partition_by"):
+        manifest["partition_by"] = sm["partition_by"]
+        manifest["partitions"] = {
+            entries[f]: v
+            for f, v in sm.get("partitions", {}).items()
+            if f in entries
+        }
     if not _try_commit(spark, dest_root, manifest):
         raise IOError(
             f"snapshot_clone: version 1 of {dest_root} was committed "
@@ -2305,6 +2545,9 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
         if target.get("column_mapping"):
             # restoring past a rename restores the old logical names too
             manifest["column_mapping"] = target["column_mapping"]
+        if target.get("partition_by"):
+            manifest["partition_by"] = target["partition_by"]
+            manifest["partitions"] = target.get("partitions", {})
         if _try_commit(
             spark, root, manifest, prev=read_manifest(spark, root, latest)
         ):
@@ -2379,13 +2622,20 @@ def snapshot_vacuum(
                 continue
             if cd.getModificationTime() > cutoff_ms:
                 continue  # possibly an in-flight commit — inside the window
+            cd_name = cd.getPath().getName()
+            cd_prefix = cd.getPath().toUri().getPath()
             alive = 0
-            for st in fs.listStatus(cd.getPath()):
+            # recursive walk: PARTITIONED commits nest files under
+            # __pv_* directories
+            it = fs.listFiles(cd.getPath(), True)
+            while it.hasNext():
+                st = it.next()
                 name = st.getPath().getName()
                 if name.startswith("_") or name.startswith("."):
                     continue  # markers/checksums live and die with their dir
-                rel = f"data/{cd.getPath().getName()}/{name}"
-                if st.isFile() and rel not in referenced:
+                sub = st.getPath().toUri().getPath()[len(cd_prefix):].lstrip("/")
+                rel = f"data/{cd_name}/{sub}"
+                if rel not in referenced:
                     fs.delete(st.getPath(), False)
                     deleted.append(rel)
                 else:

@@ -418,13 +418,18 @@ try:  # pyspark >= 4.0 only
                     "; use snapshot_read, which applies the mapping"
                 )
             files = m["files"]
-            stats = m.get("stats", {})
             if self._filters:
+                # min/max stats AND first-class partition values prune —
+                # _effective_stats folds recorded partition tuples into
+                # exact [v, v] ranges (driver-side planning, zero IO)
+                from ..plans.snapshots import _effective_stats, _phys_types
+
+                types = _phys_types(m)
                 files = [
                     f
                     for f in files
                     if all(
-                        _survives(stats.get(f), c, op, v)
+                        _survives(_effective_stats(m, f, types), c, op, v)
                         for c, op, v in self._filters
                     )
                 ]

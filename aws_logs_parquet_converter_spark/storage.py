@@ -236,21 +236,26 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
     Delta-Lake log-segment + checkpoint design (VLDB'20 §3.1)."""
     files = set(raws[0]["files"])
     stats: dict = dict(raws[0].get("stats", {}))
+    parts: dict = dict(raws[0].get("partitions", {}))
     for d in raws[1:]:
         files -= set(d.get("removes", ()))
         files |= set(d.get("adds", ()))
         for f in d.get("removes", ()):
             stats.pop(f, None)
+            parts.pop(f, None)
         stats.update(d.get("stats_adds", {}))
+        parts.update(d.get("partitions_adds", {}))
     newest = raws[-1]
     out = {
         k: v
         for k, v in newest.items()
-        if k not in ("adds", "removes", "stats_adds", "base")
+        if k not in ("adds", "removes", "stats_adds", "partitions_adds", "base")
     }
     out["files"] = sorted(files)
     if newest.get("stats_cols"):
         out["stats"] = {f: s for f, s in stats.items() if f in files}
+    if newest.get("partition_by"):
+        out["partitions"] = {f: v for f, v in parts.items() if f in files}
     return out
 
 

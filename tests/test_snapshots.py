@@ -1830,3 +1830,189 @@ def test_lost_cas_revalidates_against_fresh_constraints(spark, tmp_path, monkeyp
     # the refused batch never landed: table state is the constraint commit
     assert current_version(spark, root) == 2
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 5))
+
+
+def test_partition_columns_record_prune_and_inherit(spark, tmp_path):
+    """r6 verdict task 3 — first-class partition columns: values are
+    recorded per file at write time (parsed from the writer's own
+    directory layout — no stats pass), reads prune on partition
+    predicates (inputFiles-asserted), and the property inherits across
+    appends like stats/constraints do."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "CAST(id % 4 AS INT) AS day")
+    snapshot_write(df.repartition(4), root, partition_by=["day"])
+    m = read_manifest(spark, root, 1)
+    assert m["partition_by"] == ["day"]
+    assert set(m["partitions"]) == set(m["files"])  # every file has a tuple
+    got = snapshot_read(spark, root, filters=[("day", "=", 2)])
+    opened = got.inputFiles()
+    assert opened and all("__pv_day=2" in p for p in opened)
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(100) if i % 4 == 2
+    ]
+    # appends inherit; the full read is exact
+    snapshot_write(
+        spark.range(100, 120).selectExpr("id", "CAST(id % 4 AS INT) AS day"),
+        root,
+    )
+    m2 = read_manifest(spark, root, 2)
+    assert m2["partition_by"] == ["day"]
+    assert set(m2["partitions"]) == set(m2["files"])
+    assert snapshot_read(spark, root).count() == 120
+    # conflicting partitioning on an append refuses
+    with pytest.raises(ValueError, match="partition"):
+        snapshot_write(
+            spark.range(0, 5).selectExpr("id", "CAST(0 AS INT) AS day"),
+            root,
+            partition_by=["id"],
+        )
+
+
+def test_partition_null_values_round_trip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.range(0, 20).selectExpr(
+        "id", "IF(id < 5, NULL, CAST(id % 2 AS INT)) AS day"
+    )
+    snapshot_write(df, root, partition_by=["day"])
+    # NULL rows survive a full read; a partition predicate skips them
+    assert snapshot_read(spark, root).where("day IS NULL").count() == 5
+    got = snapshot_read(spark, root, filters=[("day", "=", 1)])
+    assert all("__pv_day=1" in p for p in got.inputFiles())
+    assert got.count() == 8  # odd ids in 5..19
+
+
+def test_partition_pruning_in_dml_candidate_selection(spark, tmp_path):
+    """DML verbs prune candidates on partition predicates: a delete or
+    update scoped to one day leaves other days' file entries VERBATIM
+    (never read, never rewritten); merge prunes by key range against
+    partition values."""
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "CAST(id % 4 AS INT) AS day")
+    snapshot_write(df, root, partition_by=["day"])
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_update,
+    )
+
+    m1 = read_manifest(spark, root, 1)
+    other_days = {
+        f for f, v in m1["partitions"].items() if v != ["1"]
+    }
+    v = snapshot_delete(spark, root, [("day", "=", 1), ("id", "<", 10)])
+    m2 = read_manifest(spark, root, v)
+    assert other_days <= set(m2["files"])  # untouched days survive verbatim
+    assert snapshot_read(spark, root).count() == 97  # ids 1,5,9 removed
+    # dv delete works against the nested rel-key space
+    v = snapshot_delete(spark, root, [("day", "=", 2), ("id", "<", 10)], mode="dv")
+    assert snapshot_read(spark, root).count() == 95  # ids 2, 6 dv-removed
+    # update scoped to day 3: files WITH recorded other-day values
+    # survive verbatim (earlier CoW-rewrite files carry no values and
+    # stay candidates — conservative, never wrong)
+    m_before = read_manifest(spark, root, v)
+    other = {
+        f
+        for f, pv in m_before["partitions"].items()
+        if pv != ["3"] and f in set(m_before["files"])
+    }
+    v2 = snapshot_update(spark, root, [("day", "=", 3)], {"id": "id + 1000"})
+    m3 = read_manifest(spark, root, v2)
+    assert other <= set(m3["files"])
+    day3 = {
+        f
+        for f, pv in m_before["partitions"].items()
+        if pv == ["3"] and f in set(m_before["files"])
+    }
+    assert day3.isdisjoint(set(m3["files"]))  # day-3 files were rewritten
+    assert snapshot_read(spark, root).where("id >= 1000").count() == 25
+    # merge on the partition column: only day-0 files are candidates
+    src = spark.range(0, 3).selectExpr(
+        "CAST(0 AS INT) AS day", "id * 4 AS id"
+    ).select("id", "day")
+    non0 = {
+        f
+        for f, pv in m3["partitions"].items()
+        if pv != ["0"] and f in set(m3["files"])
+    }
+    v3 = snapshot_merge(src, root, key="day")
+    m4 = read_manifest(spark, root, v3)
+    assert non0 <= set(m4["files"])  # value-recorded non-day-0 files kept
+
+
+def test_partitioned_table_lifecycle_optimize_clone_restore(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for lo in range(0, 80, 20):  # four small partitioned commits
+        snapshot_write(
+            spark.range(lo, lo + 20).selectExpr(
+                "id", "CAST(id % 2 AS INT) AS day"
+            ),
+            root,
+            partition_by=["day"] if lo == 0 else None,
+        )
+    v = snapshot_optimize(spark, root, target_file_mb=128)
+    m = read_manifest(spark, root, v)
+    assert m["partition_by"] == ["day"]
+    assert set(m["partitions"]) == set(m["files"])  # fresh files re-recorded
+    got = snapshot_read(spark, root, filters=[("day", "=", 1)])
+    assert got.count() == 40 and all("__pv_day=1" in p for p in got.inputFiles())
+    # clone carries the property with rewritten absolute keys
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_clone,
+        snapshot_restore,
+    )
+
+    dest = str(tmp_path / "c")
+    snapshot_clone(spark, root, dest)
+    cm = read_manifest(spark, dest, 1)
+    assert cm["partition_by"] == ["day"]
+    assert set(cm["partitions"]) == set(cm["files"])
+    cgot = snapshot_read(spark, dest, filters=[("day", "=", 0)])
+    assert cgot.count() == 40
+    # restore keeps partitions
+    snapshot_write(
+        spark.range(80, 90).selectExpr("id", "CAST(id % 2 AS INT) AS day"), root
+    )
+    rv = snapshot_restore(spark, root, v)
+    rm = read_manifest(spark, root, rv)
+    assert rm["partition_by"] == ["day"]
+    assert snapshot_read(spark, root).count() == 80
+
+
+def test_partitioned_manifests_delta_encode_batch_sized(spark, tmp_path):
+    """partitions delta-encode like stats: an append's manifest carries
+    only ITS files' tuples, resolution walks the chain — append metadata
+    stays O(batch) on a partitioned table too."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _read_raw_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in range(0, 60, 10):
+        snapshot_write(
+            spark.range(lo, lo + 10).selectExpr(
+                "id", "CAST(id % 2 AS INT) AS day"
+            ),
+            root,
+            partition_by=["day"] if lo == 0 else None,
+        )
+    raw = _read_raw_manifest(spark, root, 5)
+    assert "files" not in raw and "partitions_adds" in raw
+    assert set(raw["partitions_adds"]) == set(raw["adds"])
+    m = read_manifest(spark, root, 5)
+    assert set(m["partitions"]) == set(m["files"])
+    # the stream-source side resolves through the SAME shared resolver
+    from aws_logs_parquet_converter_spark import storage as st
+
+    assert st.read_manifest(st.LocalSnapshotStorage(), root, 5) == m
+
+
+def test_partition_type_and_retype_guards(spark, tmp_path):
+    root = str(tmp_path / "t")
+    with pytest.raises(TypeError, match="partition column"):
+        snapshot_write(
+            spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS w"),
+            root,
+            partition_by=["w"],
+        )
+    with pytest.raises(ValueError, match="not in the frame"):
+        snapshot_write(spark.range(3).selectExpr("id"), root, partition_by=["day"])
