@@ -1693,3 +1693,77 @@ def table_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.snapshots import snapshot_history
 
     return snapshot_history(spark, _snapshot_events_for(spark, sf_dir))
+
+
+#: per-sf_dir cache of seeded PARTITIONED snapshot-table roots
+_SNAPSHOT_PART_PATHS: dict[str, str] = {}
+
+
+def _snapshot_partitioned_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed a snapshot table with FIRST-CLASS PARTITION COLUMNS
+    (``snapshot_write(partition_by=["event_type"])``): two appended
+    commits (the second inherits the property), each laid out per
+    event_type with the per-file partition tuple recorded in the
+    manifest — free at write time, parsed from the writer's own
+    directory names, no stats pass. The table-layer analogue of the
+    reference's Athena partition projection
+    (athena_create_table.sql:41-47) per Delta partitionValues
+    (Armbrust VLDB'20 S3.1)."""
+    path = _SNAPSHOT_PART_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_part_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_write(
+        ev.where(F.col("event_id") < SNAP_SPLIT).repartition(4),
+        path,
+        partition_by=["event_type"],
+    )
+    snapshot_write(ev.where(F.col("event_id") >= SNAP_SPLIT).repartition(4), path)
+    _SNAPSHOT_PART_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_partitioned_read",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "Snapshot-table PARTITION PRUNING, value-checked: the table was "
+        "written with partition_by=['event_type'], so every file's "
+        "partition tuple sits in the manifest (recorded free at write "
+        "time from the writer's own directory layout — no stats "
+        "gathering), and snapshot_read(filters=[('event_type','=',"
+        "'purchase')]) drops every other partition's files before "
+        "planning. The query itself asserts via inputFiles that ONLY "
+        "purchase-partition files are opened — exact pruning, not "
+        "best-effort min/max overlap — matching Delta partitionValues "
+        "and the reference's Athena partition projection "
+        "(athena_create_table.sql:41-47) on the table layer. The "
+        "predicate is also applied to the frame, so the result is exact "
+        "regardless of metadata coverage."
+    ),
+)
+def table_snapshot_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    got = snapshot_read(
+        spark,
+        _snapshot_partitioned_events_for(spark, sf_dir),
+        filters=[("event_type", "=", "purchase")],
+    )
+    opened = got.inputFiles()
+    if not opened or not all("__pv_event_type=purchase" in p for p in opened):
+        raise AssertionError(
+            "partition pruning did not restrict the scan to the "
+            f"purchase partition: {opened[:3]}"
+        )
+    return got

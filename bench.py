@@ -124,6 +124,8 @@ POST_R3_LEGS = [
     "sim_ann_ivf_pq_indexed",  # IVFADC serving from the persisted index
     "sim_outlier_centroid",  # exact-centroid outlier rank (lazy plan)
     "dq_drift_tvd",  # per-segment drift monitor (integer TVD)
+    # round-7 table features
+    "table_snapshot_partitioned_read",  # partition-value pruned manifest read
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
