@@ -561,6 +561,30 @@ def _register_gate_queries() -> None:
         "(the flat drain measured in tools/cdf_stream_probe.py).",
     )(stream_cdf_materialized_view)
 
+    register(
+        "stream_cdf_across_optimize",
+        oracle=f"""
+        SELECT event_id, user_id, 'insert' AS _change_type,
+               CAST(1 AS BIGINT) AS _commit_version
+        FROM events WHERE event_id < {CDF_SPLIT}
+        UNION ALL
+        SELECT event_id, user_id, 'delete', 2
+        FROM events WHERE event_id < {CDF_DEL}
+        UNION ALL
+        SELECT event_id, user_id, 'insert', 4
+        FROM events WHERE event_id >= {CDF_SPLIT}
+        """,
+        doc="Structured Streaming gate: the change-feed stream CROSSES an "
+        "interleaved OPTIMIZE with zero phantom rows (Delta's "
+        "readChangeFeed rule — a row-preserving rewrite carries no row "
+        "changes). Fixture life: append / dv-delete / OPTIMIZE (full "
+        "rewrite, purges the vector) / append; the drained feed is "
+        "exactly inserts@v1 + deletes@v2 + inserts@v4 — no v3 rows, "
+        "checked by the oracle AND an explicit in-query phantom count. "
+        "This is what keeps 100 TB CDC consumers alive across routine "
+        "compaction instead of re-baselining every downstream view.",
+    )(stream_cdf_across_optimize)
+
     from ..operators.logformats import ALB_PARSE_ORACLE
 
     register(
@@ -1542,6 +1566,73 @@ def stream_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+#: per-sf_dir cache of the OPTIMIZE-interleaved change-feed table root
+_CDF_OPT_ROOTS: dict[str, str] = {}
+
+
+def stream_cdf_across_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the streaming change feed CROSSES an interleaved OPTIMIZE
+    with ZERO phantom rows — Delta's readChangeFeed rule that a
+    row-preserving rewrite carries no row changes. The fixture's life:
+    append the first event_id half (v1), dv-DELETE event_id < CDF_DEL
+    (v2), OPTIMIZE (v3 — every byte rewritten, deleted rows purged into
+    packed files), append the rest (v4). The drained feed must be
+    EXACTLY inserts@v1 + deletes@v2 + inserts@v4: the rewrite neither
+    re-inserts survivors nor re-deletes purged rows, asserted both by
+    the oracle (which has no v3 rows) and an explicit in-query check.
+    At 100 TB this is what keeps CDC consumers alive across routine
+    compaction — without it every OPTIMIZE would force a re-baseline of
+    every downstream view."""
+    import tempfile
+
+    from ..catalog import load_table
+    from ..plans.snapshots import (
+        snapshot_delete,
+        snapshot_optimize,
+        snapshot_write,
+    )
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    root = _CDF_OPT_ROOTS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snapcdfopt_tbl_")
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        snapshot_write(
+            ev.where(F.col("event_id") < CDF_SPLIT).repartition(4), root
+        )
+        assert snapshot_delete(
+            spark, root, [("event_id", "<", CDF_DEL)], mode="dv"
+        ) == 2
+        assert snapshot_optimize(spark, root, target_file_mb=128) == 3
+        snapshot_write(ev.where(F.col("event_id") >= CDF_SPLIT), root)
+        _CDF_OPT_ROOTS[sf_dir] = root
+    register_snapshot_stream_source(spark)
+    dest = tempfile.mkdtemp(prefix="snapcdfopt_dest_")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="snapcdfopt_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dest).select(
+        "event_id", "user_id", "_change_type", "_commit_version"
+    )
+    phantoms = got.where(F.col("_commit_version") == 3).count()
+    if phantoms:
+        raise AssertionError(
+            f"OPTIMIZE leaked {phantoms} phantom change rows at v3"
+        )
+    return got
 
 
 def stream_alb_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
