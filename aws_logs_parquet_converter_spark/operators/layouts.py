@@ -1767,3 +1767,45 @@ def table_snapshot_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFra
             f"purchase partition: {opened[:3]}"
         )
     return got
+
+
+@register(
+    "table_snapshot_sql_view",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "The READ side of the SQL-DML boundary, demonstrated: a snapshot "
+        "table becomes a plain Spark SQL relation via the Python "
+        "DataSource — spark.read.format('snapshot_table') into "
+        "createOrReplaceTempView, then an ordinary spark.sql GROUP BY "
+        "with COUNT DISTINCT over it. Catalyst plans the aggregation "
+        "exactly as it would over a catalog table (the DataSource "
+        "yields Arrow batches per manifest file), so every downstream "
+        "SQL tool works unchanged; only the DML verbs need the library "
+        "API (see README 'The SQL-DML boundary' / SCALE.md). The view "
+        "reads the PARTITIONED fixture, so this also proves partitioned "
+        "layouts round-trip through the DataSource."
+    ),
+)
+def table_snapshot_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    register_snapshot_stream_source(spark)
+    root = _snapshot_partitioned_events_for(spark, sf_dir)
+    spark.read.format("snapshot_table").option(
+        "root", root
+    ).load().createOrReplaceTempView("snapshot_events_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM snapshot_events_v
+        GROUP BY event_type
+        """
+    )
