@@ -38,11 +38,19 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, label) with label = min node id in the node's component.
 
     Only nodes that appear in ``edges`` are labeled (isolated rows never
     entered the pair graph and need no clustering).
+
+    Min-label propagation needs DIAMETER rounds; hitting ``max_iters``
+    without convergence raises (a silently-returned partial labeling
+    splits real components — the caller should switch to
+    :func:`connected_components_star`, whose round count is O(log n)
+    regardless of diameter). ``stats``, if given, records
+    ``rounds`` — the SCALE.md graph probe reads it.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -54,7 +62,9 @@ def connected_components(
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iters):
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
         msgs = und.join(labels, und["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("label")
         )
@@ -69,7 +79,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "— the graph's diameter exceeds the iteration cap; use "
+            "connected_components_star (O(log n) rounds at any diameter)"
+        )
     return labels
 
 
@@ -124,14 +143,15 @@ def connected_components_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 40,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, label) via alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14): O(log n) rounds regardless of graph DIAMETER, where
-    min-label propagation needs diameter rounds (and silently mislabels
-    anything deeper than its iteration cap). Use this variant for
-    adversarial/chain-shaped graphs; propagation remains cheapest for the
-    shallow dense clusters near-dup graphs produce.
+    min-label propagation needs diameter rounds (and raises past its
+    iteration cap). Use this variant for adversarial/chain-shaped
+    graphs; propagation remains cheapest for the shallow dense clusters
+    near-dup graphs produce. ``stats``, if given, records ``rounds``.
 
     Each round is two hash aggregates + joins over the EDGE set, with
     ``localCheckpoint`` truncating lineage. Convergence = edge multiset
@@ -157,7 +177,9 @@ def connected_components_star(
         return (row.n, row.h)
 
     sig = signature(nbrs)
-    for _ in range(max_rounds):
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
         # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
         m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
@@ -182,8 +204,17 @@ def connected_components_star(
 
         new_sig = signature(nbrs)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise ValueError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds — at 2 halvings/round that bounds components of "
+            "~2^80 nodes, so this indicates a bug, not a big graph"
+        )
 
     # converged: every node's smallest neighbor IS its component root
     labels = (

@@ -322,6 +322,39 @@ def test_star_components_match_propagation_and_handle_long_chains(spark):
     assert {r.label for r in labels} == {0}
 
 
+def test_components_raise_past_diameter_cap_and_report_rounds(spark):
+    """Propagation past its iteration cap must RAISE, never return a
+    partial labeling (split components silently corrupt every dedup
+    survivorship decision downstream); the star variant labels the same
+    graph in O(log n) rounds, both reporting rounds via ``stats``."""
+    import pytest
+
+    from aws_logs_parquet_converter_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], ["doc_a", "doc_b"]
+    )  # diameter 39 > cap 8
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iters=8)
+
+    st: dict = {}
+    labels = connected_components_star(chain, stats=st).collect()
+    assert {r.label for r in labels} == {0} and len(labels) == 40
+    assert 1 <= st["rounds"] <= 10  # log-bounded, never ~diameter
+
+    st2: dict = {}
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], ["doc_a", "doc_b"])
+    got = {
+        (r.node, r.label)
+        for r in connected_components(tri, stats=st2).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0)}
+    assert st2["rounds"] >= 1  # converged, rounds reported
+
+
 def test_image_near_dup_semantics(spark):
     """Planted light variants pair with their bases (cross-format: ppm base
     vs bmp variant); the heavy (half-inverted) variant pairs with nothing."""

@@ -19,6 +19,12 @@ triangles) did not. This tool synthesizes pair graphs IN SPARK at 1x /
   the hub's id sorts low — quadratic in the hub degree — while true
   degree-ordering (Suri & Vassilvitskii, WWW'11) bounds wedge work by
   sum(min-degree-endpoint out-degrees squared).
+* **chain** — the diameter pathology: one path of n nodes (diameter
+  n-1). Min-label propagation needs diameter rounds, so it is SKIPPED
+  here (it raises at its cap by design — returning split components
+  silently is the bug the cap guards); connected_components_star must
+  label it in O(log n) ROUNDS — the per-decade `rounds` field is the
+  probe's point: +~3 rounds per decade, never 10x.
 
 For each decade the probe prints wall clocks plus the ANALYTIC wedge
 volumes under both orientations (computed from degree histograms, no
@@ -57,6 +63,17 @@ def block_graph(spark: SparkSession, n: int) -> DataFrame:
         F.col("id").alias("doc_a"), (F.col("id") + 2).alias("doc_b")
     )
     return chain.unionByName(skip)
+
+
+def chain_graph(spark: SparkSession, n: int) -> DataFrame:
+    """One path of n nodes — diameter n-1, the adversarial regime for
+    min-label propagation (rounds = diameter; it now RAISES at its cap
+    instead of returning split components) and the case
+    connected_components_star exists for: its round count is the number
+    of HALVINGS, so it grows by ~constant per decade (log n), not 10x."""
+    return spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
 
 
 def hub_graph(spark: SparkSession, n: int) -> DataFrame:
@@ -126,17 +143,46 @@ def main() -> None:
         triangle_count,
     )
 
+    rounds_seen: dict[str, int] = {}
+
+    def with_rounds(fn, key):
+        def run(e):
+            st: dict = {}
+            out = fn(e, stats=st)
+            rounds_seen[key] = st.get("rounds")
+            return out
+
+        return run
+
     ops = {
-        "components": lambda e: connected_components(e),
-        "components_star": lambda e: connected_components_star(e),
+        "components": with_rounds(
+            lambda e, stats: connected_components(e, stats=stats),
+            "components",
+        ),
+        "components_star": with_rounds(
+            lambda e, stats: connected_components_star(e, stats=stats),
+            "components_star",
+        ),
         "pagerank3": lambda e: pagerank(e),
         "triangles": lambda e: triangle_count(e),
     }
     skip_ops = set(
         x for x in os.environ.get("GRAPH_SKIP_OPS", "").split(",") if x
     )
+    #: chain diameter exceeds propagation's cap BY DESIGN — only the
+    #: log-round variant is expected to finish (wedge audit is moot on a
+    #: triangle-free path, so triangles still runs as a degenerate check)
+    family_skips = {"chain": {"components"}}
 
-    for family, gen in [("block", block_graph), ("hub", hub_graph)]:
+    families = [
+        ("block", block_graph),
+        ("hub", hub_graph),
+        ("chain", chain_graph),
+    ]
+    only = os.environ.get("GRAPH_FAMILIES")
+    if only:
+        families = [f for f in families if f[0] in only.split(",")]
+    for family, gen in families:
         for dec in DECADES:
             n = BASE_N * dec
             edges = gen(spark, n).localCheckpoint(eager=True)
@@ -149,7 +195,7 @@ def main() -> None:
             row.update(wedge_volumes(edges))
             walls: dict[str, float] = {}
             for name, fn in ops.items():
-                if name in skip_ops:
+                if name in skip_ops or name in family_skips.get(family, ()):
                     continue
                 best = None
                 for _ in range(2):
@@ -166,6 +212,10 @@ def main() -> None:
                     best = w if best is None or w < best else best
                 walls[name] = best
             row["wall_s"] = walls
+            row["rounds"] = {
+                k: v for k, v in rounds_seen.items() if v is not None
+            }
+            rounds_seen.clear()
             print(json.dumps(row), flush=True)
     spark.stop()
 
