@@ -180,17 +180,24 @@ def connected_components_star(
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        # large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u})
+        # large-star: each undirected edge, seen from its SMALLER endpoint
+        # u, is REWIRED to (v, m(u)) with m(u) = min(N(u) ∪ {u}); the
+        # round's graph is exactly these emissions (Kiveris et al.
+        # Algorithm: the original edges are replaced, not kept — keeping
+        # them doubles every degree per round, a 2^r edge blowup on
+        # chain-shaped graphs that the decade probe caught as an OOM at
+        # a mere 20k-node path)
         m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
             nbrs.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        keep_small = nbrs.where(F.col("v") < F.col("u"))
-        nbrs = sym(large.unionByName(keep_small)).localCheckpoint(eager=True)
+        nbrs = sym(large).localCheckpoint(eager=True)
 
-        # small-star: neighbors v <= u (and u itself) link to the local min
+        # small-star: each edge, seen from its LARGER endpoint u, is
+        # rewired to (v, m) with m = the smallest of u's smaller
+        # neighbors, plus the (u, m) edge itself — again emissions only
         low = nbrs.where(F.col("v") < F.col("u"))
         m2 = low.groupBy("u").agg(F.min("v").alias("m"))
         small = (
@@ -199,8 +206,7 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .unionByName(m2.select("u", F.col("m").alias("v")))
         )
-        keep_large = nbrs.where(F.col("v") > F.col("u"))
-        nbrs = sym(small.unionByName(keep_large)).localCheckpoint(eager=True)
+        nbrs = sym(small).localCheckpoint(eager=True)
 
         new_sig = signature(nbrs)
         if new_sig == sig:
