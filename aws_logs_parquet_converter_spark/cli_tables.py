@@ -48,6 +48,15 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "--zorder-by", default=None,
         help="two comma-separated columns: Morton-interleaved 2-D clustering",
     )
+    opt.add_argument(
+        "--small-file-mb", type=float, default=None,
+        help="incremental pack threshold (default target/2): only files "
+        "under this size, plus dv-touched ones, are rewritten",
+    )
+    opt.add_argument(
+        "--full", action="store_true",
+        help="force a whole-table rewrite (cluster/zorder imply it)",
+    )
 
     vac = sub.add_parser("vacuum", help="retire versions outside the window")
     vac.add_argument("--root", required=True)
@@ -96,6 +105,7 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         v = S.snapshot_optimize(
             spark, args.root, target_file_mb=args.target_file_mb,
             cluster_by=cluster, zorder_by=zorder,
+            small_file_mb=args.small_file_mb, full=args.full,
         )
         return {"verb": "optimize", "root": args.root, "committed_version": v}
     if args.verb == "vacuum":

@@ -1303,6 +1303,8 @@ def snapshot_optimize(
     target_file_mb: float = 128,
     cluster_by: list[str] | None = None,
     zorder_by: tuple[str, str] | None = None,
+    small_file_mb: float | None = None,
+    full: bool = False,
 ) -> int | None:
     """Bin-pack the CURRENT version's small files into new data files and
     commit the packed list as a new version — the reader-safe OPTIMIZE:
@@ -1310,6 +1312,18 @@ def snapshot_optimize(
     may hold is ever renamed or deleted; old versions stay readable until
     vacuum. Returns the new version, or None when the table is already
     packed (repeated runs are no-ops, so it schedules safely).
+
+    The default is INCREMENTAL (Delta's OPTIMIZE semantics): only files
+    smaller than ``small_file_mb`` (default ``target_file_mb / 2``) —
+    plus every file a deletion vector touches, so vectors still purge —
+    are read and repacked; already-packed files survive in the new
+    manifest VERBATIM, stats/blooms/partition values carried, never
+    re-read. That bounds each maintenance run to O(recent-commit bytes)
+    instead of O(table bytes): at 100 TB a cadenced OPTIMIZE rewrites
+    the small-file tail the last few commits produced (measured in
+    tools/mixed_dml_probe.py / SCALE.md), not the table. ``full=True``
+    forces the old whole-table rewrite, and ``cluster_by``/``zorder_by``
+    imply it (re-clustering is by definition a property of every row).
 
     ``cluster_by`` additionally CLUSTERS the rewrite (Delta's ``OPTIMIZE
     ... ZORDER BY``, one dimension generalized to a range-cluster): rows
@@ -1349,15 +1363,47 @@ def snapshot_optimize(
     if len(m["files"]) < 2 and not has_dv:
         return None
     jvm, jroot, fs = _fs_for(spark, root)
-    total = 0
+    sizes: dict[str, int] = {}
     for f in m["files"]:
-        total += fs.getFileStatus(
+        sizes[f] = fs.getFileStatus(
             jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
         ).getLen()
-    want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    if len(m["files"]) <= want and not (cluster_by or zorder_by or has_dv):
-        return None
-    cur = snapshot_read(spark, root, latest)
+    tgt_bytes = target_file_mb * 1024 * 1024
+    full_rewrite = full or bool(cluster_by or zorder_by)
+    if full_rewrite:
+        rewrite, keep = list(m["files"]), []
+        want = max(1, math.ceil(sum(sizes.values()) / tgt_bytes))
+        if len(rewrite) <= want and not (cluster_by or zorder_by or has_dv):
+            return None
+    else:
+        # incremental: candidates are the under-sized tail plus every
+        # dv-touched file (rewriting those is what PURGES the vectors;
+        # touched ⊆ rewrite makes clearing the dv key sound)
+        small_bytes = (
+            small_file_mb if small_file_mb is not None else target_file_mb / 2
+        ) * 1024 * 1024
+        touched: set[str] = set()
+        if has_dv:
+            touched = {
+                r["file"]
+                for r in spark.read.parquet(
+                    *[_abs_file(root, p) for p in m["dv"]]
+                )
+                .select("file")
+                .distinct()
+                .collect()
+            }  # O(#touched files) driver metadata, the _plan_scan bound
+        rewrite = [
+            f
+            for f in m["files"]
+            if sizes[f] < small_bytes or _rel_key(f) in touched
+        ]
+        keep = [f for f in m["files"] if f not in set(rewrite)]
+        want = max(1, math.ceil(sum(sizes[f] for f in rewrite) / tgt_bytes))
+        if not rewrite or (len(rewrite) <= want and not has_dv):
+            return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cur = _plan_scan(spark, root, m, rewrite, schema)
     if cluster_by:
         cols = [F.col(c) for c in cluster_by]
         packed = cur.repartitionByRange(want, *cols).sortWithinPartitions(*cols)
@@ -1458,13 +1504,18 @@ def snapshot_optimize(
             "version": base_v + 1,
             "action": "optimize",
             "schema": m["schema"],
-            "files": sorted(set(new_files) | set(added)),
+            "files": sorted(set(new_files) | set(added) | set(keep)),
         }
         if stats_cols:
             base_stats = base.get("stats", {})
             manifest["stats_cols"] = list(stats_cols)
+            # kept (never-read) files carry their stats verbatim
             manifest["stats"] = {
-                **{f: base_stats[f] for f in added if f in base_stats},
+                **{
+                    f: base_stats[f]
+                    for f in (*added, *keep)
+                    if f in base_stats
+                },
                 **(new_stats or {}),
             }
         if bloom:
@@ -1473,9 +1524,16 @@ def snapshot_optimize(
             appended_sidecars = set(base["bloom"]["files"]) - set(
                 bloom.get("files", [])
             ) if base.get("bloom") else set()
+            # a FULL rewrite collapses the sidecar list to this commit's;
+            # an incremental pack must retain the prior sidecars — they
+            # hold the kept files' entries (rewritten files' entries go
+            # inert: pruning only consults files the manifest still lists)
+            prior_sidecars = set(bloom.get("files", [])) if keep else set()
             manifest["bloom"] = {
                 **bloom,
-                "files": sorted(set(new_bloom or []) | appended_sidecars),
+                "files": sorted(
+                    set(new_bloom or []) | appended_sidecars | prior_sidecars
+                ),
             }
         if base.get("constraints"):
             manifest["constraints"] = base["constraints"]

@@ -2016,3 +2016,68 @@ def test_partition_type_and_retype_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="not in the frame"):
         snapshot_write(spark.range(3).selectExpr("id"), root, partition_by=["day"])
+
+
+def test_incremental_optimize_keeps_packed_files_verbatim(spark, tmp_path):
+    """Default OPTIMIZE is incremental (Delta semantics): files at or
+    above small_file_mb are never read or rewritten — their manifest
+    entries, stats, and bytes survive verbatim — while the small-file
+    tail packs into fresh files. That bounds maintenance to
+    O(recent-commit bytes), the property mixed-DML cadencing at 100 TB
+    depends on (tools/mixed_dml_probe.py)."""
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _df(spark, 0, 50000).coalesce(1), root, stats_cols=["id"]
+    )  # one ~big file
+    big = read_manifest(spark, root, 1)["files"]
+    assert len(big) == 1
+    for lo in range(50000, 50400, 100):  # 4 tiny appends
+        snapshot_write(_df(spark, lo, lo + 100).coalesce(1), root)
+    assert len(read_manifest(spark, root, 5)["files"]) == 5
+    # threshold chosen between the tiny-append size and the big file's
+    v = snapshot_optimize(spark, root, target_file_mb=128, small_file_mb=0.05)
+    assert v == 6
+    m = read_manifest(spark, root, 6)
+    assert big[0] in m["files"]  # kept verbatim, never rewritten
+    assert all(f not in m["files"] for f in read_manifest(spark, root, 5)["files"] if f != big[0])
+    assert len(m["files"]) == 2  # kept + one packed tail file
+    # the kept file's stats carried -> data skipping still prunes it
+    assert m["stats"][big[0]] == read_manifest(spark, root, 1)["stats"][big[0]]
+    pruned = snapshot_read(spark, root, filters=[("id", ">=", 50000)])
+    assert big[0] not in [f.split("/t/", 1)[-1] for f in pruned.inputFiles()]
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 50400))
+    # idempotent: a second run finds nothing small enough to pack
+    assert snapshot_optimize(spark, root, target_file_mb=128, small_file_mb=0.05) is None
+    # full=True still forces the whole-table rewrite
+    v2 = snapshot_optimize(spark, root, target_file_mb=128, full=True)
+    assert v2 == 7
+    assert len(read_manifest(spark, root, 7)["files"]) == 1
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 50400))
+
+
+def test_incremental_optimize_rewrites_dv_touched_files_only(spark, tmp_path):
+    """A deletion vector forces its touched file into the incremental
+    rewrite set (rewriting is what PURGES the vector) while untouched
+    packed files still survive verbatim; the committed version carries
+    no dv and reads clean."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 50000).coalesce(1), root)  # file A (big)
+    snapshot_write(_df(spark, 50000, 100000).coalesce(1), root)  # file B (big)
+    a, b = (
+        read_manifest(spark, root, 1)["files"][0],
+        [f for f in read_manifest(spark, root, 2)["files"]
+         if f not in read_manifest(spark, root, 1)["files"]][0],
+    )
+    assert snapshot_delete(spark, root, [("id", "<", 10)], mode="dv") == 3
+    assert read_manifest(spark, root, 3)["dv"]
+    # nothing is "small", but A is dv-touched -> rewritten; B kept
+    v = snapshot_optimize(spark, root, target_file_mb=128, small_file_mb=0.0001)
+    assert v == 4
+    m = read_manifest(spark, root, 4)
+    assert "dv" not in m or not m["dv"]  # purged
+    assert b in m["files"] and a not in m["files"]
+    assert _rows(snapshot_read(spark, root)) == _rows(
+        _df(spark, 10, 100000)
+    )
