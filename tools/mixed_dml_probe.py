@@ -40,6 +40,10 @@ from aws_logs_parquet_converter_spark.session import build_session
 
 N_COMMITS = int(os.environ.get("DML_COMMITS", "100"))
 BATCH = int(os.environ.get("DML_BATCH", "20000"))
+#: OPTIMIZE target; small enough that packed files GRADUATE past the
+#: small-file threshold (target/2), so the incremental property is
+#: visible at probe scale: later runs pack the tail, not the table
+OPT_TARGET_MB = float(os.environ.get("DML_OPT_TARGET_MB", "8"))
 CADENCES = [
     int(x) for x in os.environ.get("DML_CADENCES", "0,10,25").split(",")
 ]
@@ -51,13 +55,28 @@ def build_history(spark: SparkSession, root: str, cadence: int) -> dict:
     the rest append BATCH rows; ``cadence`` > 0 inserts an OPTIMIZE
     after every ``cadence`` schedule steps. Returns commit-mix counts."""
     from aws_logs_parquet_converter_spark.plans.snapshots import (
+        read_manifest,
         snapshot_delete,
         snapshot_optimize,
         snapshot_update,
         snapshot_write,
     )
 
-    mix = {"append": 0, "delete": 0, "update": 0, "optimize": 0}
+    def _mb(files):
+        return sum(
+            os.path.getsize(os.path.join(root, f)) for f in files
+        ) / (1024 * 1024)
+
+    mix = {
+        "append": 0,
+        "delete": 0,
+        "update": 0,
+        "optimize": 0,
+        # incremental-OPTIMIZE accounting: MB actually rewritten vs the
+        # table's live MB at that moment — the O(tail) vs O(table) claim
+        "optimize_rewritten_mb": 0.0,
+        "table_mb_at_optimize": 0.0,
+    }
     next_id = 0
     for step in range(1, N_COMMITS + 1):
         if step % 7 == 0 and next_id:
@@ -93,8 +112,18 @@ def build_history(spark: SparkSession, root: str, cadence: int) -> dict:
             next_id += BATCH
             mix["append"] += 1
         if cadence and step % cadence == 0:
-            if snapshot_optimize(spark, root, target_file_mb=64) is not None:
+            v = snapshot_optimize(spark, root, target_file_mb=OPT_TARGET_MB)
+            if v is not None:
                 mix["optimize"] += 1
+                cur, prev = (
+                    read_manifest(spark, root, v),
+                    read_manifest(spark, root, v - 1),
+                )
+                fresh = set(cur["files"]) - set(prev["files"])
+                mix["optimize_rewritten_mb"] += round(_mb(fresh), 2)
+                mix["table_mb_at_optimize"] += round(_mb(cur["files"]), 2)
+    mix["optimize_rewritten_mb"] = round(mix["optimize_rewritten_mb"], 2)
+    mix["table_mb_at_optimize"] = round(mix["table_mb_at_optimize"], 2)
     return mix
 
 
@@ -183,7 +212,7 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
     # the freshly-OPTIMIZEd equivalent of the no-maintenance table
     t0 = time.perf_counter()
-    snapshot_optimize(spark, fresh_root, target_file_mb=64)
+    snapshot_optimize(spark, fresh_root, target_file_mb=OPT_TARGET_MB, full=True)
     row = {"optimize_s": round(time.perf_counter() - t0, 1)}
     row.update(measure(spark, fresh_root))
     results["fresh"] = row
