@@ -1769,6 +1769,82 @@ def table_snapshot_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFra
     return got
 
 
+#: per-sf_dir cache of seeded auto-compacting table roots
+_SNAPSHOT_AC_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_auto_compact",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc=(
+        "AUTO-COMPACTION as a table property (Delta autoOptimize."
+        "autoCompact): the table is created with auto_compact_mb and fed "
+        "six small appends; whenever the small-file tail accumulates one "
+        "target's worth of bytes the NEXT snapshot_write triggers an "
+        "inline INCREMENTAL optimize — the measured cadence rule "
+        "(SCALE.md mixed-DML probe) automated, no external scheduler. "
+        "The query asserts an optimize action appears in the lineage "
+        "without ever being requested and that the live file count "
+        "stays below the append count, then returns the full table — "
+        "value-identical to the plain events projection because "
+        "maintenance rewrites bytes, never rows."
+    ),
+)
+def table_snapshot_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = _SNAPSHOT_AC_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="snapshot_ac_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        n = ev.count()
+        step = max(1, n // 6)
+        bounds = list(range(0, n + step, step))
+        snapshot_write(
+            ev.where(F.col("event_id") < bounds[1]).coalesce(1), path
+        )
+        # target sized RELATIVE to the observed batch file (holds at any
+        # sf): ~3.5 batches of tail trip the trigger, and each packed
+        # output graduates past target/2, never rewritten again
+        import os as _os
+
+        first = read_manifest(spark, path, 1)["files"][0]
+        batch_mb = _os.path.getsize(_os.path.join(path, first)) / (1024 * 1024)
+        declared = False
+        for lo, hi in zip(bounds[1:], bounds[2:]):
+            snapshot_write(
+                ev.where(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                ).coalesce(1),
+                path,
+                auto_compact_mb=None if declared else 3.5 * batch_mb,
+            )
+            declared = True
+        v = current_version(spark, path)
+        hist = [read_manifest(spark, path, i) for i in range(1, v + 1)]
+        appends = sum(1 for m in hist if m["action"] == "append")
+        if not any(m["action"] == "optimize" for m in hist):
+            raise AssertionError("auto-compaction never triggered")
+        if len(hist[-1]["files"]) >= appends:
+            raise AssertionError(
+                f"tail unbounded: {len(hist[-1]['files'])} files after "
+                f"{appends} appends"
+            )
+        _SNAPSHOT_AC_PATHS[sf_dir] = path
+    return snapshot_read(spark, path)
+
+
 @register(
     "table_snapshot_sql_view",
     oracle="""

@@ -833,6 +833,7 @@ def snapshot_write(
     constraints: dict[str, str] | None = None,
     batch_id: int | None = None,
     partition_by: list[str] | None = None,
+    auto_compact_mb: float | None = None,
 ) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -893,7 +894,20 @@ def snapshot_write(
     residue — replay then commits fresh files, so table content
     converges to exactly-once. All table properties (stats, blooms,
     deletion vectors, constraints, schema merge) behave exactly as a
-    batch append."""
+    batch append.
+
+    ``auto_compact_mb`` declares AUTO-COMPACTION (Delta's
+    ``autoOptimize.autoCompact``) with the given target file size: a
+    table property, inherited across appends/overwrites and carried by
+    every action. After each successful write commit, if the table's
+    small-file tail (files under target/2) has accumulated to at least
+    one target's worth of bytes, an INCREMENTAL :func:`snapshot_optimize`
+    runs inline — the measured cadence-rule optimum
+    (tools/mixed_dml_probe.py / SCALE.md: each packed file graduates
+    past the threshold and is never rewritten again, so maintenance
+    I/O totals ~1x ingest). The size check walks the manifest's file
+    list (O(#files) metadata), which auto-compaction itself keeps
+    bounded at ~table_bytes/target + one tail."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     if batch_id is not None and mode != "append":
@@ -1010,11 +1024,14 @@ def snapshot_write(
         commit_schema = schema_json
         prev_resolved = None
         base_batches: list[int] = []
+        ac = auto_compact_mb
         if latest is not None and mode == "overwrite":
             # constraints are a TABLE property: they survive an overwrite
             # unless the caller explicitly re-declares the set
             if constraints is None:
                 checks = dict(latest_m.get("constraints", {}))
+            if ac is None:
+                ac = latest_m.get("auto_compact_mb")
             # so is the streaming batch-id ledger (Delta keeps
             # SetTransaction app versions across overwrites): dropping it
             # would let a replayed micro-batch delivered AFTER the
@@ -1055,6 +1072,8 @@ def snapshot_write(
                 checks = dict(prev.get("constraints", {}))
             else:
                 checks = {**prev.get("constraints", {}), **constraints}
+            if ac is None:
+                ac = prev.get("auto_compact_mb")
             commit_schema = _merge_schemas(
                 StructType.fromJson(json.loads(prev["schema"])), df.schema
             ).json()
@@ -1110,6 +1129,8 @@ def snapshot_write(
             }
         if checks:
             manifest["constraints"] = checks
+        if ac:
+            manifest["auto_compact_mb"] = float(ac)
         if pcols:
             manifest["partition_by"] = list(pcols)
             base_parts = (
@@ -1122,11 +1143,42 @@ def snapshot_write(
                 if f in live
             }
         if _try_commit(spark, root, manifest, prev=prev_resolved):
+            if ac:
+                _maybe_auto_compact(spark, root, manifest, float(ac))
             return int(manifest["version"])
     raise IOError(
         f"snapshot_write: lost the commit race {_MAX_COMMIT_RETRIES} times "
         f"on {root} — a runaway committer is monopolizing the table"
     )
+
+
+def _maybe_auto_compact(
+    spark: SparkSession, root: str, manifest: dict, target_mb: float
+) -> None:
+    """The auto-compaction trigger: once the just-committed version's
+    SMALL-FILE TAIL (files under target/2) holds at least one target's
+    worth of bytes, run an incremental :func:`snapshot_optimize` — the
+    measured cadence-rule optimum (SCALE.md: each packed output
+    graduates past the threshold, so maintenance I/O totals ~1x ingest
+    and the tail check itself stays O(bounded-file-count) metadata).
+    Best-effort by design (Delta autoCompact semantics): the caller's
+    write is already committed; a compaction that loses a race simply
+    returns None and the next trigger retries."""
+    jvm, _jroot, fs = _fs_for(spark, root)
+    tgt = target_mb * 1024 * 1024
+    tail = 0.0
+    for f in manifest["files"]:
+        try:
+            sz = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
+            ).getLen()
+        except Exception:
+            return  # table mutated under us; next commit re-checks
+        if sz < tgt / 2:
+            tail += sz
+            if tail >= tgt:
+                snapshot_optimize(spark, root, target_file_mb=target_mb)
+                return
 
 
 def snapshot_read(
@@ -1537,6 +1589,8 @@ def snapshot_optimize(
             }
         if base.get("constraints"):
             manifest["constraints"] = base["constraints"]
+        if base.get("auto_compact_mb"):
+            manifest["auto_compact_mb"] = base["auto_compact_mb"]
         if base.get("batch_ids"):
             # the rebased base's batch ledger, not the packed version's:
             # a concurrent stream-append's batch id must stay recorded or
@@ -1943,6 +1997,8 @@ def snapshot_merge(
             }
         if base.get("constraints"):
             manifest["constraints"] = base["constraints"]
+        if base.get("auto_compact_mb"):
+            manifest["auto_compact_mb"] = base["auto_compact_mb"]
         if base.get("batch_ids"):
             manifest["batch_ids"] = base["batch_ids"]
         if stats_cols:
@@ -2045,6 +2101,8 @@ def _delete_dv(
             manifest["bloom"] = base["bloom"]
         if base.get("constraints"):
             manifest["constraints"] = base["constraints"]
+        if base.get("auto_compact_mb"):
+            manifest["auto_compact_mb"] = base["auto_compact_mb"]
         if base.get("batch_ids"):
             manifest["batch_ids"] = base["batch_ids"]
         if base.get("stats_cols"):
@@ -2184,6 +2242,8 @@ def snapshot_delete(
             }
         if base.get("constraints"):
             manifest["constraints"] = base["constraints"]
+        if base.get("auto_compact_mb"):
+            manifest["auto_compact_mb"] = base["auto_compact_mb"]
         if base.get("batch_ids"):
             manifest["batch_ids"] = base["batch_ids"]
         if stats_cols:
@@ -2384,6 +2444,8 @@ def snapshot_update(
             }
         if base.get("constraints"):
             manifest["constraints"] = base["constraints"]
+        if base.get("auto_compact_mb"):
+            manifest["auto_compact_mb"] = base["auto_compact_mb"]
         if base.get("batch_ids"):
             manifest["batch_ids"] = base["batch_ids"]
         if stats_cols:
@@ -2468,6 +2530,8 @@ def snapshot_clone(
         }
     if sm.get("constraints"):
         manifest["constraints"] = sm["constraints"]
+    if sm.get("auto_compact_mb"):
+        manifest["auto_compact_mb"] = sm["auto_compact_mb"]
     if sm.get("column_mapping"):
         manifest["column_mapping"] = sm["column_mapping"]
     if sm.get("partition_by"):
@@ -2606,6 +2670,8 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
         if target.get("partition_by"):
             manifest["partition_by"] = target["partition_by"]
             manifest["partitions"] = target.get("partitions", {})
+        if target.get("auto_compact_mb"):
+            manifest["auto_compact_mb"] = target["auto_compact_mb"]
         if _try_commit(
             spark, root, manifest, prev=read_manifest(spark, root, latest)
         ):

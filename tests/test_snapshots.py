@@ -2081,3 +2081,28 @@ def test_incremental_optimize_rewrites_dv_touched_files_only(spark, tmp_path):
     assert _rows(snapshot_read(spark, root)) == _rows(
         _df(spark, 10, 100000)
     )
+
+
+def test_auto_compact_property_maintains_file_count(spark, tmp_path):
+    """auto_compact_mb is a table property (Delta autoCompact): once the
+    small-file tail accumulates a target's worth of bytes, the NEXT
+    write triggers an inline incremental OPTIMIZE — no scheduler. The
+    property inherits across appends and survives the optimize commits
+    it spawns; content always equals the plain-append equivalent."""
+    root = str(tmp_path / "t")
+    # ~0.02 MB target: a handful of tiny appends cross the threshold
+    snapshot_write(
+        _df(spark, 0, 1000).coalesce(1), root, auto_compact_mb=0.02
+    )
+    for lo in range(1000, 11000, 1000):
+        snapshot_write(_df(spark, lo, lo + 1000).coalesce(1), root)
+    v = current_version(spark, root)
+    hist = [read_manifest(spark, root, i) for i in range(1, v + 1)]
+    actions = [m["action"] for m in hist]
+    assert "optimize" in actions  # compaction ran without being asked
+    assert v > 11  # appends + at least one auto optimize commit
+    final = hist[-1]
+    assert final.get("auto_compact_mb") == 0.02  # property survives
+    # the tail is bounded: far fewer live files than the 11 appends
+    assert len(final["files"]) < 11
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 11000))
