@@ -105,7 +105,7 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            7,
+            8,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
             "table-sized), the manifest data-skipping stats; snapshot_merge "
@@ -124,8 +124,11 @@ def test_no_driver_side_collect_in_operators():
             "commit time (the CHECK gate); _plan_scan collects the "
             "distinct vector-touched file names (one row per touched "
             "file) so only those files pay the deletion-vector "
-            "anti-join — the untouched bulk scans clean; reads plan normally with no "
-            "driver round-trip",
+            "anti-join — the untouched bulk scans clean; incremental "
+            "snapshot_optimize collects the same distinct vector-touched "
+            "file names (one row per touched file) to force them into "
+            "the rewrite set so the vectors purge; reads plan normally "
+            "with no driver round-trip",
         ),
     }
     for py in sorted(ops_dir.rglob("*.py")):
