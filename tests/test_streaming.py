@@ -883,3 +883,52 @@ def test_semantic_stream_first_batch_into_empty_index(spark, tmp_path):
     semantic_stream_batch(vecs(0, 20), 0, cents_path, idx, pairs)
     assert current_version(spark, idx) == 1
     assert current_version(spark, pairs) == v_p
+
+
+def test_streamed_table_with_auto_compact_stays_bounded(spark, tmp_path):
+    """Streaming ingest COMPOSED with auto-compaction: the table is
+    created with the auto_compact_mb property, each micro-batch commit
+    inherits it, and once the small-file tail crosses the target an
+    incremental OPTIMIZE lands inline — the streamed table maintains
+    itself, no scheduler. Replay of a batch id after the maintenance
+    commit must still skip (the batch ledger rides the optimize)."""
+    import os
+
+    from aws_logs_parquet_converter_spark.operators.logetl import RAW_LINES
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        _write_line_files,
+        log_stream_snapshot_batch,
+        run_log_snapshot_stream,
+    )
+
+    raw_dir = _write_line_files([l for l in RAW_LINES if l.strip()], 6, "acst_")
+    root = str(tmp_path / "t")
+    # batch 0 by hand to learn the per-batch file size, then declare the
+    # property sized so a few batches trip the trigger
+    files = sorted(os.path.join(raw_dir, f) for f in os.listdir(raw_dir))
+    b0 = spark.read.text(files[0])
+    assert log_stream_snapshot_batch(b0, 0, root) == 1
+    f0 = read_manifest(spark, root, 1)["files"][0]
+    mb = os.path.getsize(os.path.join(root, f0)) / (1024 * 1024)
+    snapshot_write(
+        snapshot_read(spark, root).limit(0), root, auto_compact_mb=2.5 * mb
+    )  # empty property-declaring commit
+    run_log_snapshot_stream(spark, raw_dir, root, max_files_per_trigger=1)
+    v = current_version(spark, root)
+    hist = [read_manifest(spark, root, i) for i in range(1, v + 1)]
+    acts = [m["action"] for m in hist]
+    assert "optimize" in acts  # maintenance landed mid-stream, unasked
+    n_batches = sum(1 for a in acts if a == "stream-append")
+    assert len(hist[-1]["files"]) < n_batches  # tail stays bounded
+    # ledger survived the optimize commits: replaying batch 0 skips
+    assert log_stream_snapshot_batch(b0, 0, root) is None
+    assert current_version(spark, root) == v
+    # content: every non-dead-letter line parsed exactly once
+    total = snapshot_read(spark, root).count()
+    assert total == spark.read.text(raw_dir).where("trim(value) != ''").count()
