@@ -475,6 +475,23 @@ try:  # pyspark >= 4.0 only
                 raise ValueError("snapshot_table source requires option 'root'")
             self._storage = storage_for_root(self._root)
             self._start = int(options.get("startingversion", "0"))
+            sts = options.get("startingtimestamp")
+            if sts is not None:
+                # Delta's startingTimestamp: stream commits at-or-after
+                # the instant — the baseline is the newest version
+                # committed strictly BEFORE it (manifest mtimes are the
+                # commit clock, as in batch TIMESTAMP AS OF)
+                if options.get("startingversion") is not None:
+                    raise ValueError(
+                        "pass startingVersion or startingTimestamp, not both"
+                    )
+                ts = float(sts)
+                for v in self._storage.list_versions(self._root):
+                    if (
+                        self._storage.manifest_mtime(self._root, v) < ts
+                        and v > self._start
+                    ):
+                        self._start = v
             # CHANGE-FEED mode (Delta's streaming readChangeFeed): emit
             # row-level insert / delete / update_preimage /
             # update_postimage changes per version instead of appends

@@ -546,7 +546,8 @@ def test_snapshot_stream_stats_enable_day_pruning(spark, tmp_path):
 
 
 def _drain_snapshot_stream(
-    spark, root, dest, ckpt, starting_version=None, changefeed=False
+    spark, root, dest, ckpt, starting_version=None, changefeed=False,
+    starting_timestamp=None,
 ):
     from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
         register_snapshot_stream_source,
@@ -558,6 +559,8 @@ def _drain_snapshot_stream(
         r = r.option("changefeed", "true")
     if starting_version is not None:
         r = r.option("startingVersion", str(starting_version))
+    if starting_timestamp is not None:
+        r = r.option("startingTimestamp", str(starting_timestamp))
     q = (
         r.load()
         .writeStream.format("parquet")
@@ -932,3 +935,84 @@ def test_streamed_table_with_auto_compact_stays_bounded(spark, tmp_path):
     # content: every non-dead-letter line parsed exactly once
     total = snapshot_read(spark, root).count()
     assert total == spark.read.text(raw_dir).where("trim(value) != ''").count()
+
+
+def test_snapshot_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp (Delta's option): stream commits at-or-after
+    the instant; the baseline is the newest version committed strictly
+    before it — manifest mtimes are the commit clock, same rule as the
+    batch reader's TIMESTAMP AS OF. Mutually exclusive with
+    startingVersion."""
+    import time as _t
+
+    import pytest
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_write
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 10).selectExpr("id", "id*2 AS v"), root)
+    _t.sleep(0.3)
+    cut = _t.time()
+    _t.sleep(0.3)
+    snapshot_write(spark.range(10, 15).selectExpr("id", "id*2 AS v"), root)
+    snapshot_write(spark.range(15, 20).selectExpr("id", "id*2 AS v"), root)
+    out = _drain_snapshot_stream(
+        spark,
+        root,
+        str(tmp_path / "d"),
+        str(tmp_path / "c"),
+        starting_timestamp=cut,
+    )
+    assert sorted(r.id for r in out.collect()) == list(range(10, 20))
+    with pytest.raises(Exception, match="not both"):
+        _drain_snapshot_stream(
+            spark,
+            root,
+            str(tmp_path / "d2"),
+            str(tmp_path / "c2"),
+            starting_version=1,
+            starting_timestamp=cut,
+        )
+
+
+def test_auto_compact_on_partitioned_table(spark, tmp_path):
+    """The two round-7 table properties COMPOSE: a partitioned table
+    with auto_compact_mb keeps exact per-file partition tuples through
+    the maintenance commits its own writes trigger, and partition
+    pruning still plans only the matching partition's files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 2 == 0).cast("string").alias("even")
+        )
+
+    snapshot_write(batch(0, 2000).coalesce(1), root, partition_by=["even"])
+    f0 = read_manifest(spark, root, 1)["files"][0]
+    mb = os.path.getsize(os.path.join(root, f0)) / (1024 * 1024)
+    snapshot_write(
+        batch(2000, 4000).coalesce(1), root, auto_compact_mb=5 * mb
+    )
+    for lo in range(4000, 16000, 2000):
+        snapshot_write(batch(lo, lo + 2000).coalesce(1), root)
+    v = current_version(spark, root)
+    hist = [read_manifest(spark, root, i) for i in range(1, v + 1)]
+    assert "optimize" in [m["action"] for m in hist]
+    m = hist[-1]
+    assert m["partition_by"] == ["even"]
+    assert set(m["partitions"]) == set(m["files"])  # tuples for every file
+    got = snapshot_read(spark, root, filters=[("even", "=", "true")])
+    assert all("__pv_even=true" in p for p in got.inputFiles())
+    assert got.count() == 8000
+    assert snapshot_read(spark, root).count() == 16000
