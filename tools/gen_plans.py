@@ -36,6 +36,7 @@ PICKS = {
     "sim_ann_pq_append": "incremental ANN serving (r5): codebook trained on the OLD slice + codes for old AND appended vectors, all from the persisted index; no training stage, no old-vector re-encode in the plan",
     "dedup_levenshtein_capped": "hot-block cap (r5): block sizes aggregated once and broadcast into an anti-join BEFORE the self-join — boilerplate-prefix blocks never reach the O(len^2) confirm",
     "sim_ann_ivf_pq": "full IVFADC (r6): broadcast coarse-centroid probe restricts the ADC scan to an equi-join on (cluster) — candidate codes O(nprobe x sqrt(n)) per query, never the full codes table; exact re-rank only touches the broadcast shortlist",
+    "table_snapshot_sql_view": "plain Spark SQL over a snapshot table (r7): the Python DataSource plans one Arrow task per manifest file (BatchEvalPython-free scan) feeding an ordinary Catalyst partial+final aggregate — the read side of the SQL-DML boundary",
     "log_compaction: parse path": None,
 }
 
