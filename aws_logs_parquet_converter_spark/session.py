@@ -131,6 +131,13 @@ def build_session(
         # small objects; openCostInBytes packs them into sane splits.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.files.openCostInBytes", "4194304")
+        # Iterative operators (components, k-means, star rounds) retire
+        # per-round localCheckpoint blocks only after a DRIVER GC lets the
+        # ContextCleaner see the dropped references; Spark's default
+        # periodic GC (30min) lags long multi-sweep drivers — the graph
+        # decade probe OOM'd a 24g heap on accumulated live blocks
+        # (SCALE.md round-7). 5min keeps block retirement ahead of churn.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # Managed tables (bucketed joins) live in tmp; derby metastore too.
         .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={warehouse}")

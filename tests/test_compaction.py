@@ -374,3 +374,12 @@ def test_estimate_input_bytes_tolerates_job_markers(spark, tmp_path):
     one = part_files[0]
     est_one = estimate_input_bytes(spark.read.parquet(one))
     assert est_one == os.path.getsize(one)
+
+
+def test_session_sets_periodic_gc_for_iterative_checkpoints(spark):
+    # Iterative operators retire localCheckpoint blocks only after a driver
+    # GC lets the ContextCleaner see the dropped refs; the round-7 graph
+    # probe OOM'd on the 30min default across multi-sweep drivers.
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        pytest.skip("vanilla-session mode deliberately omits build_session confs")
+    assert spark.conf.get("spark.cleaner.periodicGC.interval") == "5min"
