@@ -76,6 +76,16 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     ren.add_argument("--column", required=True)
     ren.add_argument("--to", required=True)
 
+    sac = sub.add_parser(
+        "set-auto-compact",
+        help="set/clear the auto_compact_mb table property (metadata-only)",
+    )
+    sac.add_argument("--root", required=True)
+    sac.add_argument(
+        "--target-mb", type=float, default=None,
+        help="target file size; omit to CLEAR the property",
+    )
+
     cln = sub.add_parser("clone", help="zero-copy shallow clone")
     cln.add_argument("--root", required=True, help="source table root")
     cln.add_argument("--dest", required=True, help="fresh destination root")
@@ -128,6 +138,12 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         return {
             "verb": "clone", "source": args.root, "dest": args.dest,
             "committed_version": v,
+        }
+    if args.verb == "set-auto-compact":
+        v = S.snapshot_set_auto_compact(spark, args.root, args.target_mb)
+        return {
+            "verb": "set-auto-compact", "root": args.root,
+            "target_mb": args.target_mb, "committed_version": v,
         }
     raise SystemExit(f"unknown verb {args.verb!r}")
 

@@ -2784,6 +2784,44 @@ def snapshot_vacuum(
     return sorted(deleted)
 
 
+def snapshot_set_auto_compact(
+    spark: SparkSession, root: str, target_mb: float | None
+) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES for auto-compaction: commit a
+    metadata-only version that sets (or, with ``target_mb=None``,
+    clears) the ``auto_compact_mb`` table property on an EXISTING table
+    — the CLI/operational twin of declaring it at
+    ``snapshot_write(auto_compact_mb=...)`` time. Every later write
+    inherits the property and triggers the incremental-OPTIMIZE
+    cadence rule once the small-file tail crosses the target
+    (SCALE.md mixed-DML probe). Returns the committed version."""
+    if target_mb is not None and float(target_mb) <= 0:
+        raise ValueError("target_mb must be positive (or None to clear)")
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
+        latest = current_version(spark, root)
+        if latest is None:
+            raise FileNotFoundError(f"snapshot table {root} has no commits")
+        m = read_manifest(spark, root, latest)
+        # copy-all like snapshot_add_constraint: a whitelist here would
+        # silently drop newer table properties
+        manifest = {
+            k: v
+            for k, v in m.items()
+            if k not in ("version", "action", "auto_compact_mb")
+        }
+        manifest["version"] = latest + 1
+        manifest["action"] = "set-property"
+        if target_mb is not None:
+            manifest["auto_compact_mb"] = float(target_mb)
+        if _try_commit(spark, root, manifest, prev=m):
+            return latest + 1
+    raise IOError(
+        f"snapshot_set_auto_compact: lost the commit race "
+        f"{_MAX_COMMIT_RETRIES} times on {root}"
+    )
+
+
 def snapshot_add_constraint(
     spark: SparkSession, root: str, name: str, expr: str
 ) -> int:

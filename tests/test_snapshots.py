@@ -2106,3 +2106,44 @@ def test_auto_compact_property_maintains_file_count(spark, tmp_path):
     # the tail is bounded: far fewer live files than the 11 appends
     assert len(final["files"]) < 11
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 11000))
+
+
+def test_set_auto_compact_property_on_existing_table(spark, tmp_path):
+    """snapshot_set_auto_compact is the SET TBLPROPERTIES twin of
+    declaring auto_compact_mb at write time: a metadata-only commit
+    sets (or clears) the property on an existing table; subsequent
+    writes inherit and trigger maintenance; clearing stops it."""
+    import os
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_set_auto_compact,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 1000).coalesce(1), root)
+    f0 = read_manifest(spark, root, 1)["files"][0]
+    mb = os.path.getsize(str(tmp_path / "t" / f0)) / (1024 * 1024)
+    v = snapshot_set_auto_compact(spark, root, 2.5 * mb)
+    m = read_manifest(spark, root, v)
+    assert m["action"] == "set-property"
+    assert m["files"] == read_manifest(spark, root, 1)["files"]  # metadata-only
+    assert m["auto_compact_mb"] == 2.5 * mb
+    for lo in range(1000, 5000, 1000):
+        snapshot_write(_df(spark, lo, lo + 1000).coalesce(1), root)
+    v2 = current_version(spark, root)
+    acts = [read_manifest(spark, root, i)["action"] for i in range(1, v2 + 1)]
+    assert "optimize" in acts  # inherited property triggered maintenance
+    # clear it: later writes never compact again
+    snapshot_set_auto_compact(spark, root, None)
+    assert "auto_compact_mb" not in read_manifest(
+        spark, root, current_version(spark, root)
+    )
+    before = current_version(spark, root)
+    for lo in range(5000, 9000, 1000):
+        snapshot_write(_df(spark, lo, lo + 1000).coalesce(1), root)
+    acts2 = [
+        read_manifest(spark, root, i)["action"]
+        for i in range(before + 1, current_version(spark, root) + 1)
+    ]
+    assert acts2 == ["append"] * 4  # no further maintenance
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 9000))
