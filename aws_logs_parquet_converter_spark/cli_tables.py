@@ -1,7 +1,9 @@
 """Maintenance CLI for snapshot-manifest tables (plans/snapshots.py) —
 the operational surface a table owner schedules: DESCRIBE HISTORY,
 OPTIMIZE (plain / clustered / z-ordered), VACUUM, RESTORE, metadata-only
-column RENAME, and SHALLOW CLONE. One subcommand per verb, one Spark
+column RENAME, SHALLOW CLONE, and SET-AUTO-COMPACT (the
+auto-compaction table property, set or cleared post-hoc). One
+subcommand per verb, one Spark
 session per invocation, table roots are any Hadoop filesystem URI (the
 same contract as the log-compactor CLI).
 
@@ -16,6 +18,8 @@ Usage:
         --column user_id --to uid
     python -m aws_logs_parquet_converter_spark.cli_tables clone    --root /src \
         --dest /dst [--version 4]
+    python -m aws_logs_parquet_converter_spark.cli_tables set-auto-compact \
+        --root /t [--target-mb 128]   # omit --target-mb to clear
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from .session import build_session
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(
         description="Snapshot-table maintenance: history/optimize/vacuum/"
-        "restore/rename/clone"
+        "restore/rename/clone/set-auto-compact"
     )
     p.add_argument("--master", default=None, help="Spark master override")
     sub = p.add_subparsers(dest="verb", required=True)
