@@ -2147,3 +2147,31 @@ def test_set_auto_compact_property_on_existing_table(spark, tmp_path):
     ]
     assert acts2 == ["append"] * 4  # no further maintenance
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 9000))
+
+
+def test_incremental_optimize_preserves_bloom_coverage(spark, tmp_path):
+    """An incremental pack must RETAIN the prior bloom sidecars (they
+    hold the kept files' entries; rewritten files' entries go inert)
+    and build a fresh sidecar for the packed commit — point lookups
+    stay exact on both kept and packed rows, and an absent key still
+    plans zero files."""
+    import os
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 40000).selectExpr("id AS k", "id * 2 AS v")
+    snapshot_write(df.where("k < 30000").coalesce(1), root, bloom_cols=["k"])
+    big = read_manifest(spark, root, 1)["files"][0]
+    for lo in range(30000, 40000, 2500):  # 4 tiny appends
+        snapshot_write(
+            df.where(f"k >= {lo} AND k < {lo + 2500}").coalesce(1), root
+        )
+    mb = os.path.getsize(str(tmp_path / "t" / big)) / (1024 * 1024)
+    v = snapshot_optimize(spark, root, target_file_mb=128, small_file_mb=0.9 * mb)
+    m = read_manifest(spark, root, v)
+    assert big in m["files"] and len(m["files"]) == 2  # kept + packed tail
+    # kept-file key served by the RETAINED sidecars; packed key by the new one
+    for key in (777, 31234):
+        hit = snapshot_read(spark, root, filters=[("k", "=", key)])
+        assert [(r.k, r.v) for r in hit.collect()] == [(key, key * 2)]
+        assert len(hit.inputFiles()) == 1
+    assert snapshot_read(spark, root, filters=[("k", "=", 10**9)]).count() == 0
