@@ -96,10 +96,17 @@ def _delta_files(
             )
         fresh = sorted(files - seen)
         delta.extend(fresh)
-        m_stats = m.get("stats", {})
+        # one lookup serves min/max stats AND first-class partition
+        # values (exact [v, v] ranges) — the same fold every batch-side
+        # pruning site uses, so a partition-column filter skips streamed
+        # files too, not just rows
+        from ..plans.snapshots import _effective_stats, _phys_types
+
+        types = _phys_types(m)
         for f in fresh:
-            if f in m_stats:
-                stats[f] = m_stats[f]
+            eff = _effective_stats(m, f, types)
+            if eff:
+                stats[f] = eff
         seen = files
     if schema_json is None:
         schema_json = _read_manifest_py(storage, root, end_v)["schema"]

@@ -1016,3 +1016,59 @@ def test_auto_compact_on_partitioned_table(spark, tmp_path):
     assert all("__pv_even=true" in p for p in got.inputFiles())
     assert got.count() == 8000
     assert snapshot_read(spark, root).count() == 16000
+
+
+def test_stream_filters_prune_on_partition_values(spark, tmp_path):
+    """The stream source's filters option prunes on FIRST-CLASS
+    PARTITION VALUES, not only min/max stats: on a partitioned table
+    the non-matching partition's files are never planned as input
+    partitions (asserted at the planner seam), and the drained rows
+    are exactly the matching partition."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_write
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        _delta_files,
+        _survives,
+    )
+    from aws_logs_parquet_converter_spark.storage import storage_for_root
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") % 2 == 0).cast("string").alias("even")
+    )
+    snapshot_write(df.repartition(2), root, partition_by=["even"])
+    # planner seam: partition tuples reach the stream's per-file stats
+    storage = storage_for_root(root)
+    delta, _, stats = _delta_files(storage, root, 0, 1)
+    pruned = [
+        f for f in delta if _survives(stats.get(f), "even", "=", "true")
+    ]
+    assert 0 < len(pruned) < len(delta)
+    assert all("__pv_even=true" in f for f in pruned)
+    # end-to-end: the drained stream carries only the filtered partition
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    register_snapshot_stream_source(spark)
+    out = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("filters", _json.dumps([["even", "=", "true"]]))
+        .load()
+    )
+    dest, ckpt = str(tmp_path / "d"), str(tmp_path / "c")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dest)
+    assert got.count() == 200
+    assert got.where("even <> 'true'").count() == 0
