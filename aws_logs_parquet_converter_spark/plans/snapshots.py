@@ -1152,21 +1152,34 @@ def snapshot_write(
     )
 
 
+#: auto-compaction's file-count trigger (Delta autoCompact's
+#: minNumFiles default): a tail of this many small files compacts even
+#: when its BYTES are still short of one target — tiny-batch streams
+#: and small tables otherwise accumulate unbounded file counts under a
+#: bytes-only rule (measured: the mixed-DML probe's auto leg ended at
+#: 62 live files before this trigger existed)
+AUTO_COMPACT_MIN_FILES = 50
+
+
 def _maybe_auto_compact(
     spark: SparkSession, root: str, manifest: dict, target_mb: float
 ) -> None:
     """The auto-compaction trigger: once the just-committed version's
     SMALL-FILE TAIL (files under target/2) holds at least one target's
-    worth of bytes, run an incremental :func:`snapshot_optimize` — the
-    measured cadence-rule optimum (SCALE.md: each packed output
-    graduates past the threshold, so maintenance I/O totals ~1x ingest
-    and the tail check itself stays O(bounded-file-count) metadata).
-    Best-effort by design (Delta autoCompact semantics): the caller's
-    write is already committed; a compaction that loses a race simply
-    returns None and the next trigger retries."""
+    worth of bytes — or :data:`AUTO_COMPACT_MIN_FILES` files, whichever
+    comes first — run an incremental :func:`snapshot_optimize`. The
+    bytes rule is the measured cadence-rule optimum (SCALE.md: each
+    packed output graduates past the threshold, so maintenance I/O
+    totals ~1x ingest); the count rule is Delta autoCompact's
+    minNumFiles guard for tiny-batch workloads whose tail bytes grow
+    slowly but whose file count does not. Best-effort by design (Delta
+    autoCompact semantics): the caller's write is already committed; a
+    compaction that loses a race simply returns None and the next
+    trigger retries."""
     jvm, _jroot, fs = _fs_for(spark, root)
     tgt = target_mb * 1024 * 1024
     tail = 0.0
+    n_small = 0
     for f in manifest["files"]:
         try:
             sz = fs.getFileStatus(
@@ -1176,7 +1189,8 @@ def _maybe_auto_compact(
             return  # table mutated under us; next commit re-checks
         if sz < tgt / 2:
             tail += sz
-            if tail >= tgt:
+            n_small += 1
+            if tail >= tgt or n_small >= AUTO_COMPACT_MIN_FILES:
                 snapshot_optimize(spark, root, target_file_mb=target_mb)
                 return
 

@@ -49,12 +49,17 @@ CADENCES = [
 ]
 
 
-def build_history(spark: SparkSession, root: str, cadence: int) -> dict:
+def build_history(
+    spark: SparkSession, root: str, cadence: int, auto: bool = False
+) -> dict:
     """Drive the shared DML schedule against ``root``. Every 5th commit
     is a dv-DELETE of a thin id slice, every 7th a dv-UPDATE of another,
     the rest append BATCH rows; ``cadence`` > 0 inserts an OPTIMIZE
-    after every ``cadence`` schedule steps. Returns commit-mix counts."""
+    after every ``cadence`` schedule steps; ``auto`` instead declares
+    the auto_compact_mb table property on the first append and lets the
+    WRITE PATH trigger maintenance itself. Returns commit-mix counts."""
     from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version as current_version_of,
         read_manifest,
         snapshot_delete,
         snapshot_optimize,
@@ -107,10 +112,28 @@ def build_history(spark: SparkSession, root: str, cadence: int) -> dict:
                 (F.col("id") % 9973).cast("double").alias("val"),
             )
             snapshot_write(
-                batch.repartition(4), root, stats_cols=["id", "day"]
+                batch.repartition(4),
+                root,
+                stats_cols=["id", "day"],
+                auto_compact_mb=(
+                    OPT_TARGET_MB if auto and not mix["append"] else None
+                ),
             )
             next_id += BATCH
             mix["append"] += 1
+        if auto and step == N_COMMITS:
+            # account the auto-triggered maintenance like cadence legs:
+            # count optimize actions the write path committed and sum
+            # the MB each one actually rewrote
+            for v in range(1, (current_version_of(spark, root) or 0) + 1):
+                cur = read_manifest(spark, root, v)
+                if cur["action"] != "optimize":
+                    continue
+                mix["optimize"] += 1
+                prev = read_manifest(spark, root, v - 1)
+                fresh = set(cur["files"]) - set(prev["files"])
+                mix["optimize_rewritten_mb"] += round(_mb(fresh), 2)
+                mix["table_mb_at_optimize"] += round(_mb(cur["files"]), 2)
         if cadence and step % cadence == 0:
             v = snapshot_optimize(spark, root, target_file_mb=OPT_TARGET_MB)
             if v is not None:
@@ -196,12 +219,13 @@ def main() -> None:
     )
 
     legs = [(f"cadence{c}" if c else "never", c) for c in CADENCES]
+    legs.append(("auto", 0))  # property-driven: the write path maintains
     results = {}
     fresh_root = None
     for name, cadence in legs:
         root = tempfile.mkdtemp(prefix=f"dml_probe_{name}_")
         t0 = time.perf_counter()
-        mix = build_history(spark, root, cadence)
+        mix = build_history(spark, root, cadence, auto=(name == "auto"))
         row = {"commit_mix": mix, "history_s": round(time.perf_counter() - t0, 1)}
         row.update(measure(spark, root))
         results[name] = row
