@@ -946,6 +946,26 @@ def test_concurrent_append_vs_optimize_and_disjoint_merge(spark, tmp_path):
         for f in futs:
             f.result()
     out = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    if len(out) != 100 + 4 * 2 * 100:
+        # FORENSICS for a once-observed (2026-08-15, full-suite run, never
+        # reproduced in 26 targeted reruns incl. under load) lost-rows
+        # failure: dump the commit chain so the next occurrence shows
+        # WHICH commit dropped WHICH files
+        missing = sorted(
+            set(range(100))
+            | {1000 * (w + 1) + j * 100 + k for w in range(4) for j in range(2) for k in range(100)}
+        - set(out))
+        print(f"LOST-ROWS FORENSICS: {len(out)} ids, missing {missing[:5]}..")
+        for k in range(1, current_version(spark, root) + 1):
+            mk = read_manifest(spark, root, k)
+            print(
+                {
+                    "v": k,
+                    "action": mk["action"],
+                    "n_files": len(mk["files"]),
+                    "files": sorted(f[-24:] for f in mk["files"]),
+                }
+            )
     assert len(out) == 100 + 4 * 2 * 100  # no lost or duplicated rows
     assert all(out[i] == 9 * i for i in range(10, 20))  # the merge applied
     assert all(out[i] == 2 * i for i in range(10))
