@@ -483,6 +483,20 @@ def _effective_stats(m: dict, f: str, types: dict[str, str]) -> dict | None:
         vals = m.get("partitions", {}).get(f)
         if vals is not None:
             for c, s in zip(pby, vals):
+                if s is None and types.get(c, "string") == "string":
+                    # Spark writes BOTH NULL and '' under the
+                    # __HIVE_DEFAULT_PARTITION__ directory, so for a string
+                    # column the recorded value is AMBIGUOUS: the file may
+                    # hold NULL rows, '' rows, or both. NULL rows never
+                    # match any comparison, so the tight range of MATCHABLE
+                    # values is exactly ['', ''] — survives (col, '=', '')
+                    # and IN lists containing '' (the r7 wrong-prune bug)
+                    # while still pruning every non-empty literal. Non-
+                    # string types have no '' value, so None there IS NULL
+                    # and the exact [NULL, NULL] range below stands (prunes
+                    # every comparison — SQL NULL semantics).
+                    stats[c] = ["", ""]
+                    continue
                 stats[c] = [
                     _coerce_part(s, types.get(c, "string")),
                     _coerce_part(s, types.get(c, "string")),

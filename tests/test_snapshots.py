@@ -1901,6 +1901,40 @@ def test_partition_null_values_round_trip(spark, tmp_path):
     assert got.count() == 8  # odd ids in 5..19
 
 
+def test_partition_empty_string_not_conflated_with_null(spark, tmp_path):
+    """r7 ADVICE (medium): Spark writes both NULL and '' partition values
+    to the __HIVE_DEFAULT_PARTITION__ directory, so for a STRING partition
+    column the directory name cannot distinguish them — the pruner must
+    treat that segment as 'value unrecorded' (never prune), or filters
+    like (k, '=', '') silently skip files holding matching empty-string
+    rows across read/delete/update/merge and the stream source."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, None), (3, "a"), (4, "b")], "id long, k string"
+    )
+    snapshot_write(df, root, partition_by=["k"])
+    got = snapshot_read(spark, root, filters=[("k", "=", "")])
+    assert sorted(r.id for r in got.collect()) == [0, 1]
+    got_in = snapshot_read(spark, root, filters=[("k", "in", ["", "a"])])
+    assert sorted(r.id for r in got_in.collect()) == [0, 1, 3]
+    # unambiguous partition values still prune exactly
+    gota = snapshot_read(spark, root, filters=[("k", "=", "a")])
+    assert gota.inputFiles() and all(
+        "__pv_k=a" in p for p in gota.inputFiles()
+    )
+    assert [r.id for r in gota.collect()] == [3]
+    # DML: a delete scoped to '' removes exactly the empty-string rows
+    # (the NULL row must survive — SQL equality with NULL is never true)
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+    )
+
+    snapshot_delete(spark, root, [("k", "=", "")])
+    assert sorted(
+        r.id for r in snapshot_read(spark, root).collect()
+    ) == [2, 3, 4]
+
+
 def test_partition_pruning_in_dml_candidate_selection(spark, tmp_path):
     """DML verbs prune candidates on partition predicates: a delete or
     update scoped to one day leaves other days' file entries VERBATIM
