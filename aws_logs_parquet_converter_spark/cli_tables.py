@@ -33,7 +33,7 @@ from .session import build_session
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(
         description="Snapshot-table maintenance: history/optimize/vacuum/"
-        "restore/rename/clone/set-auto-compact"
+        "restore/rename/repartition/clone/set-auto-compact"
     )
     p.add_argument("--master", default=None, help="Spark master override")
     sub = p.add_subparsers(dest="verb", required=True)
@@ -90,6 +90,19 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         help="target file size; omit to CLEAR the property",
     )
 
+    rep = sub.add_parser(
+        "repartition",
+        help="partition evolution: one rewrite under a new partition_by "
+        "scheme (empty --by = unpartitioned)",
+    )
+    rep.add_argument("--root", required=True)
+    rep.add_argument(
+        "--by",
+        default="",
+        help="comma-separated partition columns; empty clears partitioning",
+    )
+    rep.add_argument("--target-file-mb", type=float, default=128.0)
+
     cln = sub.add_parser("clone", help="zero-copy shallow clone")
     cln.add_argument("--root", required=True, help="source table root")
     cln.add_argument("--dest", required=True, help="fresh destination root")
@@ -142,6 +155,15 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         return {
             "verb": "clone", "source": args.root, "dest": args.dest,
             "committed_version": v,
+        }
+    if args.verb == "repartition":
+        by = [c.strip() for c in args.by.split(",") if c.strip()]
+        v = S.snapshot_repartition(
+            spark, args.root, by, target_file_mb=args.target_file_mb
+        )
+        return {
+            "verb": "repartition", "root": args.root,
+            "partition_by": by, "committed_version": v,
         }
     if args.verb == "set-auto-compact":
         v = S.snapshot_set_auto_compact(spark, args.root, args.target_mb)

@@ -153,4 +153,21 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # every spark.read.text over a glob logs a WARN + full
+    # FileNotFoundException stack from FileStreamSink.hasMetadata probing
+    # the glob as a literal path (SPARK-24157 fallout; cosmetic, fires on
+    # each batch read of globbed logs). Raise that one logger to ERROR so
+    # operational tails stay legible.
+    try:
+        jvm = spark.sparkContext._jvm
+        for logger in (
+            # Spark 4 package; pre-4 name kept for older deployments
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            "org.apache.spark.sql.execution.streaming.FileStreamSink",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass  # non-log4j2 deployments: the warn is cosmetic anyway
     return spark

@@ -142,9 +142,12 @@ def _survives(stats: dict | None, col: str, op: str, val) -> bool:
 
 def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
     """The version a batch read addresses: explicit ``version`` option,
-    else ``timestamp`` (epoch seconds — newest manifest whose mtime is
-    at-or-before it, the TIMESTAMP AS OF rule of
-    plans.snapshots.snapshot_version_as_of), else latest."""
+    else ``timestamp`` (epoch seconds — newest version whose IN-COMMIT
+    ``committed_at`` stamp is at-or-before it, the TIMESTAMP AS OF rule
+    of plans.snapshots.snapshot_version_as_of; file mtime only for
+    pre-stamp manifests), else latest."""
+    from ..storage import manifest_commit_time
+
     vs = storage.list_versions(root)
     if not vs:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
@@ -157,7 +160,7 @@ def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
         ts = float(options["timestamp"])
         best = None
         for v in vs:
-            if storage.manifest_mtime(root, v) <= ts and (
+            if manifest_commit_time(storage, root, v) <= ts and (
                 best is None or v > best
             ):
                 best = v
@@ -242,17 +245,24 @@ try:  # pyspark >= 4.0 only
         """THIS file's deleted row indexes from the named vector
         parquets — runs EXECUTOR-side inside the task that reads the
         file, the same place plans.snapshots._plan_scan applies its
-        vector anti-join."""
+        vector anti-join. The ``file == rel_key`` predicate is pushed
+        INTO the parquet read (row-group statistics filter): the writer
+        sorts vectors by ``(file, pos)`` (plans.snapshots._delete_dv),
+        so each task decodes only the row groups covering its own file
+        instead of rescanning the whole vector set — a wide delete
+        touching N files costs ~O(dv_bytes) total, not O(N × dv_bytes)
+        (r7 ADVICE)."""
         import numpy as np
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         out: list[int] = []
         for p in dv_paths:
-            pf = pq.ParquetFile(storage.open_data_file(root, p))
-            for b in pf.iter_batches(columns=["file", "pos"]):
-                mask = pc.equal(b.column("file"), rel_key)
-                out.extend(pc.filter(b.column("pos"), mask).to_pylist())
+            t = pq.read_table(
+                storage.open_data_file(root, p),
+                columns=["pos"],
+                filters=[("file", "==", rel_key)],
+            )
+            out.extend(t.column("pos").to_pylist())
         return np.asarray(sorted(out), dtype=np.int64)
 
     def _iter_file_batches(source, fields, filters, deleted=(), selected=None):
@@ -312,7 +322,7 @@ try:  # pyspark >= 4.0 only
             yield out
 
     def _cdf_partition_specs(
-        storage, root: str, start_v: int, end_v: int
+        storage, root: str, start_v: int, end_v: int, filters: list = ()
     ) -> list["_SnapshotFilePartition"]:
         """Driver-side plan of a CHANGE-FEED micro-batch — the streaming
         analogue of plans.snapshots.snapshot_cdf: one partition per
@@ -326,8 +336,22 @@ try:  # pyspark >= 4.0 only
         its fresh files). An OPTIMIZE rewrites bytes but no rows and
         contributes NOTHING (Delta's readChangeFeed rule: maintenance is
         invisible to change consumers). Commits without row lineage
-        raise the re-baseline error."""
-        from ..plans.snapshots import _rel_key
+        raise the re-baseline error.
+
+        ``filters`` (the reader's pushdown option) prune FILES here the
+        same way the append path does: a change file whose manifest
+        min/max stats or recorded partition values prove no row can
+        match is never planned as a partition — a filtered changefeed
+        consumer of a partitioned 100 TB table opens only its
+        partitions' insert/delete images (rows are still filtered
+        batch-side, so the option stays exact without stats)."""
+        from ..plans.snapshots import _effective_stats, _phys_types, _rel_key
+
+        def _keep(m, types, f) -> bool:
+            if not filters:
+                return True
+            eff = _effective_stats(m, f, types)
+            return all(_survives(eff, c, op, v) for c, op, v in filters)
 
         if _read_manifest_py(storage, root, end_v).get("column_mapping"):
             raise ValueError(
@@ -362,6 +386,7 @@ try:  # pyspark >= 4.0 only
                     f"version {v} without row-level lineage; restart the "
                     "stream from a fresh baseline (startingVersion)"
                 )
+            types = _phys_types(m) if filters else {}
             if is_dv_delete or is_dv_update:
                 tag = "update_preimage" if is_dv_update else "delete"
                 fresh_dv = tuple(sorted(dv - seen_dv))
@@ -369,9 +394,12 @@ try:  # pyspark >= 4.0 only
                 for relk in sorted(
                     _dv_touched_files(storage, root, fresh_dv)
                 ):
+                    entry = by_rel.get(relk, relk)
+                    if not _keep(m, types, entry):
+                        continue  # stats prove no matching row was deleted
                     specs.append(
                         _SnapshotFilePartition(
-                            by_rel.get(relk, relk),
+                            entry,
                             rel_key=relk,
                             dv_paths=fresh_dv,
                             mode="select",
@@ -382,6 +410,8 @@ try:  # pyspark >= 4.0 only
             if not is_dv_delete:
                 tag = "update_postimage" if is_dv_update else "insert"
                 for f in sorted(files - seen_files):
+                    if not _keep(m, types, f):
+                        continue
                     specs.append(
                         _SnapshotFilePartition(f, change=tag, version=v)
                     )
@@ -393,10 +423,14 @@ try:  # pyspark >= 4.0 only
         the source: one task per data file of the addressed version
         (``version`` / ``timestamp`` / latest), manifest-stats file
         pruning for the ``filters`` option, and deletion-vector
-        subtraction planned per file (the version's vectors are grouped
-        by file at planning time — O(#deleted rows) driver metadata —
-        and each task masks its own row indexes, so a dv-carrying
-        version reads correctly through the plain reader API)."""
+        subtraction planned per file. Planning ships only vector PATHS
+        plus the set of touched file names across the driver
+        (O(#touched files) metadata — ``_dv_touched_files``); each task
+        reads its OWN deleted positions executor-side
+        (``_dv_positions``, file-key pushdown into the vector parquets),
+        so a dv-carrying version reads correctly through the plain
+        reader API without O(#deleted rows) ever landing on the
+        driver."""
 
         def __init__(self, schema, options):
             self._schema = schema
@@ -432,14 +466,17 @@ try:  # pyspark >= 4.0 only
                 from ..plans.snapshots import _effective_stats, _phys_types
 
                 types = _phys_types(m)
-                files = [
-                    f
-                    for f in files
+                # one _effective_stats fold per FILE, not per (file,
+                # filter) pair — the dict merge is driver-side work that
+                # multiplies across large manifests
+                survivors = []
+                for f in files:
+                    eff = _effective_stats(m, f, types)
                     if all(
-                        _survives(_effective_stats(m, f, types), c, op, v)
-                        for c, op, v in self._filters
-                    )
-                ]
+                        _survives(eff, c, op, v) for c, op, v in self._filters
+                    ):
+                        survivors.append(f)
+                files = survivors
             dv_paths = tuple(m.get("dv", ()))
             touched: set = set()
             if dv_paths:
@@ -486,16 +523,20 @@ try:  # pyspark >= 4.0 only
             if sts is not None:
                 # Delta's startingTimestamp: stream commits at-or-after
                 # the instant — the baseline is the newest version
-                # committed strictly BEFORE it (manifest mtimes are the
-                # commit clock, as in batch TIMESTAMP AS OF)
+                # committed strictly BEFORE it (in-commit committed_at
+                # stamps are the commit clock, as in batch TIMESTAMP AS
+                # OF — survives table copies where mtimes do not)
                 if options.get("startingversion") is not None:
                     raise ValueError(
                         "pass startingVersion or startingTimestamp, not both"
                     )
+                from ..storage import manifest_commit_time
+
                 ts = float(sts)
                 for v in self._storage.list_versions(self._root):
                     if (
-                        self._storage.manifest_mtime(self._root, v) < ts
+                        manifest_commit_time(self._storage, self._root, v)
+                        < ts
                         and v > self._start
                     ):
                         self._start = v
@@ -540,6 +581,7 @@ try:  # pyspark >= 4.0 only
                     self._root,
                     int(start["version"]),
                     int(end["version"]),
+                    self._filters,
                 )
             delta, _, stats = _delta_files(
                 self._storage,

@@ -120,7 +120,11 @@ class LocalSnapshotStorage(SnapshotStorage):
         try:
             with open(self._manifest_path(root, version), "rb") as fh:
                 return fh.read()
-        except OSError as e:
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError) as e:
+            # only genuinely-absent paths mean "no such version" — EACCES/
+            # EIO and friends propagate as the real faults they are, so
+            # version/timestamp resolution never mistakes an IO outage for
+            # a missing manifest
             raise FileNotFoundError(
                 f"snapshot table {root} has no version {version}"
             ) from e
@@ -237,25 +241,43 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
     files = set(raws[0]["files"])
     stats: dict = dict(raws[0].get("stats", {}))
     parts: dict = dict(raws[0].get("partitions", {}))
+    sizes: dict = dict(raws[0].get("sizes", {}))
+    has_sizes = "sizes" in raws[0]
     for d in raws[1:]:
         files -= set(d.get("removes", ()))
         files |= set(d.get("adds", ()))
         for f in d.get("removes", ()):
             stats.pop(f, None)
             parts.pop(f, None)
+            sizes.pop(f, None)
         stats.update(d.get("stats_adds", {}))
         parts.update(d.get("partitions_adds", {}))
+        sizes.update(d.get("sizes_adds", {}))
+        has_sizes = has_sizes or "sizes_adds" in d
     newest = raws[-1]
     out = {
         k: v
         for k, v in newest.items()
-        if k not in ("adds", "removes", "stats_adds", "partitions_adds", "base")
+        if k
+        not in (
+            "adds",
+            "removes",
+            "stats_adds",
+            "partitions_adds",
+            "sizes_adds",
+            "base",
+        )
     }
     out["files"] = sorted(files)
     if newest.get("stats_cols"):
         out["stats"] = {f: s for f, s in stats.items() if f in files}
     if newest.get("partition_by"):
         out["partitions"] = {f: v for f, v in parts.items() if f in files}
+    if has_sizes:
+        # per-file byte sizes (Delta's add.size) — may be PARTIAL when the
+        # chain's checkpoint predates the sizes upgrade; readers fall back
+        # to the filesystem per missing file
+        out["sizes"] = {f: s for f, s in sizes.items() if f in files}
     return out
 
 
@@ -263,6 +285,22 @@ def read_raw_manifest(storage: SnapshotStorage, root: str, version: int) -> dict
     """The version's manifest exactly as stored — a FULL form (has
     ``files``) or a DELTA form (has ``base``/``adds``/``removes``)."""
     return json.loads(storage.read_manifest_bytes(root, version).decode("utf-8"))
+
+
+def manifest_commit_time(
+    storage: SnapshotStorage, root: str, version: int
+) -> float:
+    """The version's commit instant for TIMESTAMP AS OF /
+    ``startingTimestamp`` resolution: the manifest's IN-COMMIT
+    ``committed_at`` stamp (epoch seconds, monotonic-clamped at write —
+    Delta's inCommitTimestamps), which survives table copies, restores,
+    and rsyncs where file mtimes do not. Manifests predating the stamp
+    fall back to the manifest file's mtime (the legacy rule)."""
+    raw = read_raw_manifest(storage, root, version)
+    ts = raw.get("committed_at")
+    if ts is not None:
+        return float(ts)
+    return storage.manifest_mtime(root, version)
 
 
 def read_manifest(storage: SnapshotStorage, root: str, version: int) -> dict:

@@ -1072,3 +1072,76 @@ def test_stream_filters_prune_on_partition_values(spark, tmp_path):
     got = spark.read.parquet(dest)
     assert got.count() == 200
     assert got.where("even <> 'true'").count() == 0
+
+
+def test_changefeed_filters_prune_partition_files(spark, tmp_path):
+    """r7 verdict task 7: the CHANGEFEED path prunes files on the
+    filters option the same way the append path does — a filtered
+    changefeed never plans (so never opens) insert-image or
+    delete-image files of non-matching partitions."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        _cdf_partition_specs,
+    )
+    from aws_logs_parquet_converter_spark.storage import storage_for_root
+
+    root = str(tmp_path / "t")
+
+    def _frame(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 4).cast("int").alias("day")
+        )
+
+    snapshot_write(_frame(0, 100).repartition(4), root, partition_by=["day"])
+    snapshot_write(_frame(100, 200).repartition(4), root)  # v2: inserts
+    snapshot_delete(spark, root, [("day", "=", 1), ("id", "<", 50)], mode="dv")
+    storage = storage_for_root(root)
+    # unfiltered: v2 inserts across all 4 days + v3 deletes on day 1
+    specs = _cdf_partition_specs(storage, root, 1, 3)
+    assert {s.change for s in specs} == {"insert", "delete"}
+    # filtered to day=2: only that partition's insert files are planned,
+    # and the day-1 delete image is pruned entirely
+    fspecs = _cdf_partition_specs(storage, root, 1, 3, [("day", "=", 2)])
+    assert fspecs and all("__pv_day=2" in s.entry for s in fspecs)
+    assert all(s.change == "insert" for s in fspecs)
+    assert len(fspecs) < len(specs)
+    # end-to-end: the drained filtered changefeed is exact
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    register_snapshot_stream_source(spark)
+    out = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("changefeed", "true")
+        .option("startingVersion", "1")
+        .option("filters", _json.dumps([["day", "=", 1]]))
+        .load()
+    )
+    dest, ckpt = str(tmp_path / "d"), str(tmp_path / "c")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dest)
+    assert got.where("day <> 1").count() == 0
+    # day-1 inserts from v2 (ids 101,105,...,197) and the v3 deletes
+    # (day-1 ids < 50: 1,5,...,49)
+    assert got.where("_change_type = 'insert'").count() == 25
+    assert got.where("_change_type = 'delete'").count() == 13
+    assert (
+        got.where("_change_type = 'delete'").agg(F.max("id")).collect()[0][0]
+        == 49
+    )

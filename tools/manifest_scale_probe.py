@@ -62,6 +62,10 @@ def _manifest(version: int, files: list[str], action: str = "append") -> dict:
         "files": sorted(files),
         "stats_cols": ["id"],
         "stats": _stats(files),
+        # per-file byte sizes are commit metadata since r8 (_resolve_sizes)
+        # — synthetic entries keep the probe measuring the real on-disk
+        # manifest shape without statting nonexistent files
+        "sizes": {f: 64 * 1024 * 1024 for f in files},
     }
 
 
