@@ -215,13 +215,178 @@ class FsspecSnapshotStorage(SnapshotStorage):
         return float(mtime)
 
 
+class MemorySnapshotStorage(SnapshotStorage):
+    """In-memory OBJECT-STORE implementation (``mem://bucket/path``
+    roots): a flat key→bytes namespace with URI addressing, no
+    directories, no rename, and upload instants as the only mtime — the
+    exact storage shape ``FsspecSnapshotStorage`` meets on
+    ``memory://``/S3 in production, exercisable OFFLINE (this
+    environment ships no fsspec). The contract suite runs over it so
+    the table layer's non-local path — URI joining, prefix listing,
+    file-like parquet opens — is tested for real, not just against
+    ``os`` paths.
+
+    Process model: driver-side instances share one process-global
+    namespace (so ``storage_for_root`` can hand out fresh instances
+    that all see the same uploaded table); PICKLING freezes a copy of
+    that namespace into the instance, which is how the DataSource ships
+    a readable snapshot to executor worker processes."""
+
+    def __init__(self):
+        self._objects: dict | None = None  # None => process-global ns
+
+    def _ns(self) -> dict:
+        return _MEMORY_OBJECTS if self._objects is None else self._objects
+
+    def put(self, uri: str, data: bytes) -> None:
+        """Upload one object (driver-side test/tooling surface)."""
+        import time as _t
+
+        self._ns()[uri] = (bytes(data), _t.time())
+
+    def __getstate__(self):
+        return {"objects": dict(self._ns())}
+
+    def __setstate__(self, state):
+        self._objects = state["objects"]
+
+    def list_versions(self, root: str) -> list[int]:
+        prefix = f"{root.rstrip('/')}/{SNAP_DIR}/"
+        return parse_version_listing(
+            k[len(prefix):] for k in self._ns() if k.startswith(prefix)
+        )
+
+    def _manifest_key(self, root: str, version: int) -> str:
+        return f"{root.rstrip('/')}/{SNAP_DIR}/{manifest_name(version)}"
+
+    def read_manifest_bytes(self, root: str, version: int) -> bytes:
+        obj = self._ns().get(self._manifest_key(root, version))
+        if obj is None:
+            raise FileNotFoundError(
+                f"snapshot table {root} has no version {version}"
+            )
+        return obj[0]
+
+    def open_data_file(self, root: str, entry: str):
+        import io
+
+        key = abs_data_path(root, entry)
+        obj = self._ns().get(key)
+        if obj is None:
+            raise FileNotFoundError(key)
+        return io.BytesIO(obj[0])
+
+    def manifest_mtime(self, root: str, version: int) -> float:
+        obj = self._ns().get(self._manifest_key(root, version))
+        if obj is None:
+            raise FileNotFoundError(
+                f"snapshot table {root} has no version {version}"
+            )
+        return obj[1]
+
+
+#: the MemorySnapshotStorage process-global namespace: uri -> (bytes, ts)
+_MEMORY_OBJECTS: dict[str, tuple[bytes, float]] = {}
+
+
+class FlatObjectStorage(SnapshotStorage):
+    """File-backed OBJECT-STORE implementation (``flat:///base/dir``
+    roots): the root's path is ONE directory holding percent-encoded
+    flat keys (``data%2F<commit>%2Fpart.parquet``) — a flat namespace
+    with prefix listing, no subdirectories, no rename, and whole-object
+    file-like reads. It models the constraints fsspec meets on
+    memory://'/S3 while remaining visible ACROSS PROCESSES, which is
+    what lets the Python DataSource's plan/executor workers read it
+    end-to-end in an offline test (a per-process memory namespace
+    cannot cross the worker boundary). Stateless and trivially
+    picklable."""
+
+    @staticmethod
+    def _dir(root: str) -> str:
+        return "/" + root.split("://", 1)[1].lstrip("/")
+
+    @staticmethod
+    def _kname(rel: str) -> str:
+        from urllib.parse import quote
+
+        return quote(rel, safe="")
+
+    def put(self, root: str, rel: str, data: bytes) -> None:
+        """Upload one object under the root (test/tooling surface)."""
+        d = self._dir(root)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, self._kname(rel)), "wb") as fh:
+            fh.write(data)
+
+    def list_versions(self, root: str) -> list[int]:
+        from urllib.parse import unquote
+
+        d = self._dir(root)
+        if not os.path.isdir(d):
+            return []
+        prefix = self._kname(f"{SNAP_DIR}/")
+        return parse_version_listing(
+            unquote(n)[len(SNAP_DIR) + 1:]
+            for n in os.listdir(d)
+            if n.startswith(prefix)
+        )
+
+    def _mpath(self, root: str, version: int) -> str:
+        return os.path.join(
+            self._dir(root), self._kname(f"{SNAP_DIR}/{manifest_name(version)}")
+        )
+
+    def read_manifest_bytes(self, root: str, version: int) -> bytes:
+        try:
+            with open(self._mpath(root, version), "rb") as fh:
+                return fh.read()
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError) as e:
+            raise FileNotFoundError(
+                f"snapshot table {root} has no version {version}"
+            ) from e
+
+    def open_data_file(self, root: str, entry: str):
+        import io
+
+        if entry.startswith("/") or is_remote_uri(entry):
+            raise FileNotFoundError(
+                f"flat:// stores hold only root-relative entries, got {entry}"
+            )
+        with open(os.path.join(self._dir(root), self._kname(entry)), "rb") as fh:
+            return io.BytesIO(fh.read())  # whole-object read, S3-style
+
+    def manifest_mtime(self, root: str, version: int) -> float:
+        return os.path.getmtime(self._mpath(root, version))
+
+
+#: scheme -> zero-arg factory overriding storage_for_root's default
+#: fsspec dispatch (register custom stores without touching this module).
+#: Pre-registered schemes are importable by DataSource WORKER processes
+#: (they re-import this module), so they work end-to-end.
+_SCHEME_FACTORIES: dict = {
+    "mem": MemorySnapshotStorage,
+    "flat": FlatObjectStorage,
+}
+
+
+def register_storage_scheme(scheme: str, factory) -> None:
+    """Route ``<scheme>://`` roots to a custom :class:`SnapshotStorage`
+    factory — the deployment hook for stores fsspec does not speak (or
+    speaks badly). ``mem`` ships pre-registered."""
+    _SCHEME_FACTORIES[scheme] = factory
+
+
 def storage_for_root(root: str) -> SnapshotStorage:
-    """Pick an implementation from the root's form: scheme-qualified
-    URIs go through fsspec, plain paths stay on ``os``. The DataSource
-    calls this, so ``option("root", "s3://bucket/table")`` works the
-    moment fsspec + the scheme's driver are installed."""
+    """Pick an implementation from the root's form: registered schemes
+    first (``mem://`` built in), other scheme-qualified URIs through
+    fsspec, plain paths on ``os``. The DataSource calls this, so
+    ``option("root", "s3://bucket/table")`` works the moment fsspec +
+    the scheme's driver are installed."""
     if is_remote_uri(root):
-        return FsspecSnapshotStorage(root.split("://", 1)[0])
+        scheme = root.split("://", 1)[0]
+        if scheme in _SCHEME_FACTORIES:
+            return _SCHEME_FACTORIES[scheme]()
+        return FsspecSnapshotStorage(scheme)
     return LocalSnapshotStorage()
 
 

@@ -49,14 +49,37 @@ class _DictStorage(st.SnapshotStorage):
         return self._manifests[version]
 
 
+def _upload_to_memory(local_root: str, mem_root: str) -> st.MemorySnapshotStorage:
+    """Mirror a local table tree into the in-memory object store —
+    the offline stand-in for syncing a table to s3:// / memory://."""
+    import os
+
+    mem = st.MemorySnapshotStorage()
+    for dirpath, _dirs, names in os.walk(local_root):
+        for n in names:
+            if n.endswith(".crc") or n.startswith(".tmp-"):
+                continue
+            p = os.path.join(dirpath, n)
+            rel = os.path.relpath(p, local_root)
+            with open(p, "rb") as fh:
+                mem.put(f"{mem_root}/{rel}", fh.read())
+    return mem
+
+
 def _impls(root):
-    impls = [("local", st.LocalSnapshotStorage())]
+    """(name, impl, addressed-root) triples: every impl must serve the
+    same table — local/fsspec over the on-disk tree, the memory
+    object-store double over an uploaded URI namespace (the non-local
+    path: URI joining, prefix listing, no rename, file-like opens)."""
+    impls = [("local", st.LocalSnapshotStorage(), root)]
     try:
         import fsspec  # noqa: F401
 
-        impls.append(("fsspec", st.FsspecSnapshotStorage("file")))
+        impls.append(("fsspec", st.FsspecSnapshotStorage("file"), root))
     except ImportError:
         pass
+    mem_root = f"mem://contract/{abs(hash(root)) % 10**8}/t"
+    impls.append(("memory", _upload_to_memory(root, mem_root), mem_root))
     return impls
 
 
@@ -68,12 +91,12 @@ def test_contract_versions_and_manifests_match_jvm_reader(spark, tmp_path):
     n = MANIFEST_CHECKPOINT_EVERY + 3  # crosses a checkpoint: deltas exist
     _build_table(spark, root, n)
     expected = {v: jvm_read_manifest(spark, root, v) for v in range(1, n + 1)}
-    for name, impl in _impls(root):
-        assert impl.list_versions(root) == list(range(1, n + 1)), name
+    for name, impl, r in _impls(root):
+        assert impl.list_versions(r) == list(range(1, n + 1)), name
         for v, want in expected.items():
-            assert st.read_manifest(impl, root, v) == want, (name, v)
+            assert st.read_manifest(impl, r, v) == want, (name, v)
         with pytest.raises(FileNotFoundError):
-            impl.read_manifest_bytes(root, n + 99)
+            impl.read_manifest_bytes(r, n + 99)
 
 
 def test_contract_dict_double_resolves_delta_chains(spark, tmp_path):
@@ -97,20 +120,24 @@ def test_contract_open_data_file_feeds_pyarrow(spark, tmp_path):
 
     root = str(tmp_path / "t")
     _build_table(spark, root, 2)
-    for name, impl in _impls(root):
-        m = st.read_manifest(impl, root, 2)
+    for name, impl, r in _impls(root):
+        m = st.read_manifest(impl, r, 2)
         total = 0
         for entry in m["files"]:
-            total += pq.ParquetFile(impl.open_data_file(root, entry)).metadata.num_rows
+            total += pq.ParquetFile(impl.open_data_file(r, entry)).metadata.num_rows
         assert total == 20, name
 
 
 def test_contract_manifest_mtime_orders_versions(spark, tmp_path):
     root = str(tmp_path / "t")
     _build_table(spark, root, 3)
-    for name, impl in _impls(root):
-        ts = [impl.manifest_mtime(root, v) for v in (1, 2, 3)]
+    for name, impl, r in _impls(root):
+        ts = [impl.manifest_mtime(r, v) for v in (1, 2, 3)]
         assert ts == sorted(ts), name
+        # the commit clock every resolution site actually uses is the
+        # in-commit stamp, identical across impls and strictly ordered
+        cts = [st.manifest_commit_time(impl, r, v) for v in (1, 2, 3)]
+        assert cts == sorted(cts) and len(set(cts)) == 3, name
 
 
 def test_storage_impls_are_picklable(tmp_path):
@@ -129,6 +156,85 @@ def test_storage_for_root_dispatch():
     s3 = st.storage_for_root("s3://bucket/table")
     assert isinstance(s3, st.FsspecSnapshotStorage)
     assert s3._protocol == "s3"
+    assert isinstance(
+        st.storage_for_root("mem://b/t"), st.MemorySnapshotStorage
+    )
+    # the deployment hook: custom schemes route to registered factories
+    class _Probe(st.LocalSnapshotStorage):
+        pass
+
+    st.register_storage_scheme("probefs", _Probe)
+    try:
+        assert isinstance(st.storage_for_root("probefs://x/y"), _Probe)
+    finally:
+        st._SCHEME_FACTORIES.pop("probefs", None)
+
+
+def test_memory_storage_pickles_a_readable_snapshot(spark, tmp_path):
+    """The DataSource ships storage to executor worker processes by
+    pickle: a MemorySnapshotStorage round-trip must carry the uploaded
+    namespace with it (the process-global dict does not cross)."""
+    root = str(tmp_path / "t")
+    _build_table(spark, root, 2)
+    mem_root = "mem://pickle-bucket/t"
+    mem = _upload_to_memory(root, mem_root)
+    clone = pickle.loads(pickle.dumps(mem))
+    assert clone.list_versions(mem_root) == [1, 2]
+    assert st.read_manifest(clone, mem_root, 2) == st.read_manifest(
+        mem, mem_root, 2
+    )
+
+
+def test_datasource_reads_table_over_object_store_scheme(spark, tmp_path):
+    """r7 verdict task 4 (offline form): one END-TO-END DataSource read
+    over a non-local root — the table is uploaded into the flat://
+    object store (flat percent-encoded keys, prefix listing, no
+    directories/rename, whole-object BytesIO reads) and read back
+    through spark.read.format('snapshot_table'), exercising the scheme
+    dispatch in the plan worker AND the file-like parquet path in
+    executor workers. (fsspec memory:// would model the same semantics
+    but its namespace is per-process — it cannot cross Spark's worker
+    boundary, and fsspec itself is absent offline.)"""
+    import os
+
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    _build_table(spark, root, 3)
+    store_root = f"flat://{tmp_path}/objstore"
+    flat = st.FlatObjectStorage()
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".crc") or n.startswith(".tmp-"):
+                continue
+            p = os.path.join(dirpath, n)
+            with open(p, "rb") as fh:
+                flat.put(store_root, os.path.relpath(p, root), fh.read())
+    # the store is genuinely flat: one directory, zero subdirectories
+    base = st.FlatObjectStorage._dir(store_root)
+    assert all(os.path.isfile(os.path.join(base, n)) for n in os.listdir(base))
+    # contract primitives over the flat namespace
+    assert flat.list_versions(store_root) == [1, 2, 3]
+    assert st.read_manifest(flat, store_root, 3) == jvm_read_manifest(
+        spark, root, 3
+    )
+    register_snapshot_stream_source(spark)
+    got = (
+        spark.read.format("snapshot_table").option("root", store_root).load()
+    )
+    assert sorted((r.id, r.v) for r in got.collect()) == [
+        (i, 2 * i) for i in range(30)
+    ]
+    # time travel through the same non-local path
+    v1 = (
+        spark.read.format("snapshot_table")
+        .option("root", store_root)
+        .option("version", "1")
+        .load()
+    )
+    assert v1.count() == 10
 
 
 def test_abs_data_path_rules():
