@@ -1769,6 +1769,70 @@ def table_snapshot_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFra
     return got
 
 
+#: per-sf_dir cache of partition-EVOLVED table roots (own seeding — the
+#: verb rewrites the table, so the shared partitioned table can't serve)
+_SNAPSHOT_REPART_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_repartition",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(user_id % 8 AS INTEGER) AS user_bucket
+    FROM events WHERE user_id % 8 = 3
+    """,
+    doc=(
+        "PARTITION EVOLUTION (snapshot_repartition): the table starts "
+        "partitioned by event_type, then one verb re-lays it out under "
+        "partition_by=['user_bucket'] — a single dv-aware rewrite whose "
+        "file count comes from the manifest's recorded byte sizes "
+        "(metadata, no per-file stat). The query asserts via inputFiles "
+        "that a user_bucket filter prunes to exactly that partition on "
+        "the NEW scheme AND that the pre-evolution version still prunes "
+        "on event_type under ITS OWN layout (time travel is "
+        "layout-faithful), then returns the bucket-3 rows — "
+        "value-checked against the plain relational oracle."
+    ),
+)
+def table_snapshot_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read, snapshot_repartition
+
+    path = _SNAPSHOT_REPART_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from ..plans.snapshots import snapshot_write
+
+        path = tempfile.mkdtemp(prefix="snapshot_repart_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("user_id") % 8).cast("int").alias("user_bucket"),
+        )
+        snapshot_write(
+            ev.repartition(4), path, partition_by=["event_type"]
+        )
+        snapshot_repartition(spark, path, ["user_bucket"])
+        _SNAPSHOT_REPART_PATHS[sf_dir] = path
+    got = snapshot_read(spark, path, filters=[("user_bucket", "=", 3)])
+    opened = got.inputFiles()
+    if not opened or not all("__pv_user_bucket=3" in p for p in opened):
+        raise AssertionError(
+            f"evolved partitioning did not prune the scan: {opened[:3]}"
+        )
+    old = snapshot_read(spark, path, 1, filters=[("event_type", "=", "purchase")])
+    old_opened = old.inputFiles()
+    if not old_opened or not all(
+        "__pv_event_type=purchase" in p for p in old_opened
+    ):
+        raise AssertionError(
+            "the pre-evolution version no longer prunes under its own "
+            f"layout: {old_opened[:3]}"
+        )
+    return got
+
+
 #: per-sf_dir cache of seeded auto-compacting table roots
 _SNAPSHOT_AC_PATHS: dict[str, str] = {}
 

@@ -1,0 +1,235 @@
+"""Randomized cross-PROCESS commit-race stressor for the snapshot-table
+protocol (r7 verdict task 3) — the dedicated hunt for the once-observed,
+never-reproduced lost-append (800-vs-900 rows, 2026-08-15; see
+tests/test_snapshots.py::test_concurrent_append_vs_optimize_and_disjoint_merge
+forensics).
+
+Shape: per trial, P real OS processes (each its own SparkSession — its
+own JVM, so the LogStore's atomic-rename CAS is exercised across process
+boundaries, not just threads) hammer ONE table on tmpfs with randomized
+interleavings of append / merge / cow-delete / dv-delete / OPTIMIZE —
+and, on property trials, the inline auto-compaction every write triggers.
+Each process owns a disjoint id space and returns the log of ops that
+actually COMMITTED (a lost CAS or a refused rebase raises IOError — the
+op then simply didn't happen and is not logged). The checker replays the
+logs into the expected id set and asserts ROW CONSERVATION: the final
+table must hold exactly the committed appends minus the committed
+deletes, values intact. On a mismatch it dumps the full commit chain
+(version, action, per-commit file tails) — the forensics that turn the
+next occurrence into a diagnosable event instead of a flaky test.
+
+Knobs: RACE_TRIALS (default 6), RACE_PROCS (4), RACE_OPS (40 per
+process). Defaults land ~960 randomized op interleavings in ~6 min.
+Findings go to SCALE.md.
+
+Run: PYTHONPATH=. python tools/commit_race_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import random
+import sys
+import tempfile
+import time
+from concurrent.futures import ProcessPoolExecutor
+
+TRIALS = int(os.environ.get("RACE_TRIALS", "6"))
+PROCS = int(os.environ.get("RACE_PROCS", "4"))
+OPS = int(os.environ.get("RACE_OPS", "40"))
+
+#: op mix: appends dominate (they did in the observed failure's suite),
+#: maintenance and row-rewrites interleave constantly
+_OP_MIX = (
+    "append", "append", "append",
+    "merge",
+    "delete_cow", "delete_dv",
+    "optimize",
+)
+
+
+def _worker(args: tuple) -> list[tuple]:
+    root, seed, proc_id, n_ops = args
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_optimize,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"race_probe_{proc_id}",
+        master="local[2]",
+        shuffle_partitions=2,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    rng = random.Random(seed)
+    base = 1_000_000 * (proc_id + 1)  # disjoint id space per process
+    next_id = base
+    committed: list[tuple] = []  # ("add"|"del", lo, hi)
+    my_ranges: list[tuple[int, int]] = []  # committed, not-yet-deleted
+    try:
+        for _ in range(n_ops):
+            op = rng.choice(_OP_MIX)
+            try:
+                if op == "append":
+                    lo = next_id
+                    hi = lo + rng.randint(5, 60)
+                    next_id = hi
+                    df = spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+                    if snapshot_write(df, root, stats_cols=["id"]) is not None:
+                        committed.append(("add", lo, hi))
+                        my_ranges.append((lo, hi))
+                elif op == "merge":
+                    # fresh disjoint keys: an upsert of never-seen ids —
+                    # provably append-shaped, so rebase applies; an abort
+                    # under an interleaved rewrite is the designed refusal
+                    lo = next_id
+                    hi = lo + rng.randint(3, 25)
+                    next_id = hi
+                    df = spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+                    snapshot_merge(df, root, key="id")
+                    committed.append(("add", lo, hi))
+                    my_ranges.append((lo, hi))
+                elif op in ("delete_cow", "delete_dv") and my_ranges:
+                    lo, hi = my_ranges.pop(rng.randrange(len(my_ranges)))
+                    mid = rng.randint(lo + 1, hi)  # drop the range's head
+                    snapshot_delete(
+                        spark,
+                        root,
+                        [("id", ">=", lo), ("id", "<", mid)],
+                        mode="dv" if op == "delete_dv" else "cow",
+                    )
+                    committed.append(("del", lo, mid))
+                    if mid < hi:
+                        my_ranges.append((mid, hi))
+                elif op == "optimize":
+                    # row-preserving by contract: nothing to log
+                    snapshot_optimize(
+                        spark, root, target_file_mb=rng.choice([0.05, 0.2, 1.0])
+                    )
+            except IOError:
+                pass  # lost the race / refused rebase: op did not commit
+    finally:
+        spark.stop()
+    return committed
+
+
+def _forensics(spark, root: str, missing: set, extra: set) -> None:
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        read_manifest,
+    )
+
+    print(
+        f"LOST-ROWS FORENSICS: missing={sorted(missing)[:10]}"
+        f"({len(missing)}) extra={sorted(extra)[:10]}({len(extra)})"
+    )
+    for k in range(1, current_version(spark, root) + 1):
+        mk = read_manifest(spark, root, k)
+        print(
+            json.dumps(
+                {
+                    "v": k,
+                    "action": mk.get("action"),
+                    "n_files": len(mk["files"]),
+                    "dv": len(mk.get("dv", [])),
+                    "files": sorted(f[-28:] for f in mk["files"]),
+                }
+            )
+        )
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark.session import build_session
+
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    spark = build_session(
+        app_name="race_probe_checker",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    results = []
+    failed = 0
+    for trial in range(TRIALS):
+        root = tempfile.mkdtemp(prefix="race_", dir=tmp_base) + "/t"
+        # odd trials set the auto-compaction property: every write then
+        # runs the inline trigger + incremental OPTIMIZE under race
+        seed_kw = {"auto_compact_mb": 0.2} if trial % 2 else {}
+        snapshot_write(
+            spark.range(0, 100).selectExpr("id", "id * 2 AS v"),
+            root,
+            stats_cols=["id"],
+            **seed_kw,
+        )
+        t0 = time.perf_counter()
+        # spawn, not fork: a forked child inherits the checker's py4j
+        # gateway and SparkSession singleton, which cannot be reused
+        with ProcessPoolExecutor(
+            max_workers=PROCS, mp_context=multiprocessing.get_context("spawn")
+        ) as ex:
+            logs = list(
+                ex.map(
+                    _worker,
+                    [
+                        (root, trial * 1000 + p, p, OPS)
+                        for p in range(PROCS)
+                    ],
+                )
+            )
+        wall = time.perf_counter() - t0
+        expected: set[int] = set(range(0, 100))
+        n_commits = 0
+        for log in logs:
+            n_commits += len(log)
+            for kind, lo, hi in log:
+                ids = set(range(lo, hi))
+                expected |= ids if kind == "add" else set()
+                expected -= ids if kind == "del" else set()
+        got = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+        ok = set(got) == expected and all(got[i] == 2 * i for i in got)
+        if not ok:
+            failed += 1
+            _forensics(spark, root, expected - set(got), set(got) - expected)
+        results.append(
+            {
+                "trial": trial,
+                "auto_compact": bool(seed_kw),
+                "committed_ops": n_commits,
+                "expected_rows": len(expected),
+                "ok": ok,
+                "wall_s": round(wall, 1),
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+    spark.stop()
+    total_ops = sum(r["committed_ops"] for r in results)
+    print(
+        json.dumps(
+            {
+                "probe": "commit_race",
+                "trials": TRIALS,
+                "procs": PROCS,
+                "ops_per_proc": OPS,
+                "committed_ops_total": total_ops,
+                "failures": failed,
+                "results": results,
+            }
+        )
+    )
+    if failed:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
