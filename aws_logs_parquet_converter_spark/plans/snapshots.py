@@ -212,8 +212,8 @@ class LogStore:
     abstraction (VLDB'20 §3.2): everything the manifest commit needs from
     storage is ONE primitive, ``put_if_absent`` — publish a fully-written
     temp manifest under its final version name iff that name is free,
-    atomically. Filesystems with atomic non-overwriting rename (local,
-    HDFS) get :class:`AtomicRenameLogStore`; S3 needs a conditional PUT
+    atomically. :class:`AtomicRenameLogStore` serves local (link(2)) and
+    HDFS (atomic non-overwriting rename); S3 needs a conditional PUT
     (If-None-Match) or an external commit log — implemented against this
     same interface, contract-tested in tests/test_snapshots.py with a
     clobbering-rename double standing in for raw S3 rename (which FAILS
@@ -227,10 +227,35 @@ class LogStore:
 
 
 class AtomicRenameLogStore(LogStore):
-    """Hadoop ``rename`` on local/HDFS is atomic and refuses an existing
-    destination — exactly put-if-absent."""
+    """put-if-absent via the filesystem's own atomic name-claim: link(2)
+    on ``file://`` (Hadoop's LOCAL rename is check-then-act and can
+    clobber under a cross-committer race — see put_if_absent), atomic
+    non-overwriting rename elsewhere (HDFS guarantees it)."""
 
     def put_if_absent(self, fs, tmp, final) -> bool:
+        uri = final.toUri()
+        if uri.getScheme() in (None, "file"):
+            # Hadoop's LOCAL rename only refuses an existing destination
+            # via a non-atomic check-then-act (RawLocalFileSystem.rename:
+            # dst.exists() then File.renameTo -> POSIX rename(2), which
+            # CLOBBERS). Two committers racing the same version inside
+            # that window both "win" and the second silently overwrites
+            # the first manifest — a lost commit. Pinned by
+            # tools/commit_race_probe.py (trial-4 autopsy: a committed
+            # cow-delete's manifest vanished under a concurrent
+            # committer; same mechanism as the once-seen r7 800-vs-900
+            # threaded failure). Publish with link(2) instead: hard-
+            # linking the temp to the final name is kernel-atomic and
+            # FAILS if the name exists — true put-if-absent. HDFS rename
+            # is atomic-no-overwrite, so non-local schemes keep rename.
+            import os as _os
+
+            try:
+                _os.link(tmp.toUri().getPath(), uri.getPath())
+            except FileExistsError:
+                return False
+            fs.delete(tmp, False)  # consumed (drops the .crc sidecar too)
+            return True
         return bool(fs.rename(tmp, final))
 
 
@@ -3001,8 +3026,9 @@ def snapshot_vacuum(
             and int(name[1:-5]) in dropped
         )
         is_stale_tmp = (
-            name.startswith(".tmp-") and st.getModificationTime() <= cutoff_ms
-        )  # a YOUNG temp manifest may be a committer between write and rename
+            name.startswith((".tmp-", "..tmp-"))  # temp + its crc sidecar
+            and st.getModificationTime() <= cutoff_ms
+        )  # a YOUNG temp manifest may be a committer between write and publish
         if is_dropped or is_stale_tmp:
             fs.delete(st.getPath(), False)
             deleted.append(f"{SNAP_DIR}/{name}")

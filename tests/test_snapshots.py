@@ -875,6 +875,57 @@ def test_in_list_filters_prune_stats_and_bloom(spark, tmp_path):
     assert untouched <= set(post["files"])
 
 
+def test_put_if_absent_exactly_one_winner_under_contention(spark, tmp_path):
+    """THE lost-commit root cause (r8, found by tools/commit_race_probe):
+    Hadoop's LOCAL rename refuses an existing destination via a
+    non-atomic dst.exists()-then-renameTo, so two committers racing the
+    SAME version number could both 'win' — the second rename(2)
+    silently clobbered the first manifest (a committed delete vanished;
+    same mechanism as the once-seen r7 800-vs-900 thread failure). The
+    store now publishes file:// manifests with link(2) — kernel-atomic
+    name claim. This test slams one version name from many threads with
+    DISTINCT payloads and asserts exactly one winner whose payload is
+    the one on disk, every round."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_logs_parquet_converter_spark.plans.optimize import _fs_for
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _manifest_name,
+        _snap_path,
+        _write_bytes,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 5), root)  # creates _snapshots/
+    jvm, jroot, fs = _fs_for(spark, root)
+    store = AtomicRenameLogStore()
+    n_threads, n_rounds = 12, 6
+    for rnd in range(n_rounds):
+        final = _snap_path(jvm, jroot, _manifest_name(100 + rnd))
+
+        def attempt(w: int) -> tuple[bool, str]:
+            payload = _json.dumps({"round": rnd, "writer": w})
+            tmp = _snap_path(jvm, jroot, f".tmp-r{rnd}w{w}.json")
+            _write_bytes(fs, tmp, payload.encode())
+            won = store.put_if_absent(fs, tmp, final)
+            if not won:
+                fs.delete(tmp, False)
+            return won, payload
+
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            results = list(ex.map(attempt, range(n_threads)))
+        winners = [p for won, p in results if won]
+        assert len(winners) == 1, f"round {rnd}: {len(winners)} winners"
+        import os as _os
+
+        with open(
+            _os.path.join(root, "_snapshots", _manifest_name(100 + rnd)),
+            "rb",
+        ) as fh:
+            assert fh.read().decode() == winners[0]  # never clobbered
+
+
 def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
     """PROTOCOL STRESS: 8 real threads x 3 appends each race on one
     table with no external coordination — every commit must land exactly

@@ -39,6 +39,10 @@ from concurrent.futures import ProcessPoolExecutor
 TRIALS = int(os.environ.get("RACE_TRIALS", "6"))
 PROCS = int(os.environ.get("RACE_PROCS", "4"))
 OPS = int(os.environ.get("RACE_OPS", "40"))
+#: replay knob: worker seeds are SEED_BASE + trial*1000 + proc, so a
+#: failing trial's exact op sequences re-run with RACE_SEED_BASE +
+#: RACE_TRIALS=1 (interleaving still OS-scheduled — rerun to reproduce)
+SEED_BASE = int(os.environ.get("RACE_SEED_BASE", "0"))
 
 #: op mix: appends dominate (they did in the observed failure's suite),
 #: maintenance and row-rewrites interleave constantly
@@ -72,16 +76,28 @@ def _worker(args: tuple) -> list[tuple]:
     next_id = base
     committed: list[tuple] = []  # ("add"|"del", lo, hi)
     my_ranges: list[tuple[int, int]] = []  # committed, not-yet-deleted
+    # per-op journal, flushed BEFORE (intent) and AFTER (result) each op:
+    # the forensic record that survives the worker process — what each op
+    # believed happened vs the commit chain's ground truth
+    jpath = os.path.join(os.path.dirname(root), f"worker_{proc_id}.jsonl")
+    jf = open(jpath, "a", buffering=1)
+
+    def log(**kw):
+        jf.write(json.dumps(kw) + "\n")
+
     try:
-        for _ in range(n_ops):
+        for i in range(n_ops):
             op = rng.choice(_OP_MIX)
             try:
                 if op == "append":
                     lo = next_id
                     hi = lo + rng.randint(5, 60)
                     next_id = hi
+                    log(i=i, op=op, lo=lo, hi=hi, phase="intent")
                     df = spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
-                    if snapshot_write(df, root, stats_cols=["id"]) is not None:
+                    v = snapshot_write(df, root, stats_cols=["id"])
+                    log(i=i, op=op, lo=lo, hi=hi, phase="done", version=v)
+                    if v is not None:
                         committed.append(("add", lo, hi))
                         my_ranges.append((lo, hi))
                 elif op == "merge":
@@ -91,57 +107,96 @@ def _worker(args: tuple) -> list[tuple]:
                     lo = next_id
                     hi = lo + rng.randint(3, 25)
                     next_id = hi
+                    log(i=i, op=op, lo=lo, hi=hi, phase="intent")
                     df = spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
-                    snapshot_merge(df, root, key="id")
+                    v = snapshot_merge(df, root, key="id")
+                    log(i=i, op=op, lo=lo, hi=hi, phase="done", version=v)
                     committed.append(("add", lo, hi))
                     my_ranges.append((lo, hi))
                 elif op in ("delete_cow", "delete_dv") and my_ranges:
                     lo, hi = my_ranges.pop(rng.randrange(len(my_ranges)))
                     mid = rng.randint(lo + 1, hi)  # drop the range's head
-                    snapshot_delete(
+                    log(i=i, op=op, lo=lo, mid=mid, hi=hi, phase="intent")
+                    v = snapshot_delete(
                         spark,
                         root,
                         [("id", ">=", lo), ("id", "<", mid)],
                         mode="dv" if op == "delete_dv" else "cow",
                     )
+                    log(i=i, op=op, lo=lo, mid=mid, hi=hi, phase="done", version=v)
                     committed.append(("del", lo, mid))
                     if mid < hi:
                         my_ranges.append((mid, hi))
                 elif op == "optimize":
-                    # row-preserving by contract: nothing to log
-                    snapshot_optimize(
+                    # row-preserving by contract: nothing to log in the
+                    # accounting (the journal still records it)
+                    log(i=i, op=op, phase="intent")
+                    v = snapshot_optimize(
                         spark, root, target_file_mb=rng.choice([0.05, 0.2, 1.0])
                     )
-            except IOError:
-                pass  # lost the race / refused rebase: op did not commit
+                    log(i=i, op=op, phase="done", version=v)
+            except IOError as e:
+                log(i=i, op=op, phase="ioerror", err=str(e)[:160])
     finally:
+        jf.close()
         spark.stop()
     return committed
 
 
 def _forensics(spark, root: str, missing: set, extra: set) -> None:
+    """Written NEXT TO the table (survives any output truncation): the
+    full missing/extra id lists, each anomalous id mapped to the file
+    holding it and the version that introduced that file, and the whole
+    commit chain — read together with the worker_*.jsonl journals."""
+    from pyspark.sql import functions as F
+
     from aws_logs_parquet_converter_spark.plans.snapshots import (
         current_version,
         read_manifest,
+        snapshot_read,
     )
 
-    print(
-        f"LOST-ROWS FORENSICS: missing={sorted(missing)[:10]}"
-        f"({len(missing)}) extra={sorted(extra)[:10]}({len(extra)})"
+    out = open(os.path.join(os.path.dirname(root), "forensics.jsonl"), "w")
+
+    def emit(obj):
+        line = json.dumps(obj)
+        out.write(line + "\n")
+        print(line)
+
+    emit(
+        {
+            "root": root,
+            "missing": sorted(missing),
+            "extra": sorted(extra),
+        }
     )
+    if extra:
+        rows = (
+            snapshot_read(spark, root)
+            .where(F.col("id").isin([int(x) for x in extra]))
+            .select("id", F.col("_metadata.file_path").alias("fp"))
+            .collect()
+        )
+        emit({"extra_locations": {r.id: r.fp.rsplit("/", 2)[-2] for r in rows}})
+    introduced = {}
+    prev: set = set()
     for k in range(1, current_version(spark, root) + 1):
         mk = read_manifest(spark, root, k)
-        print(
-            json.dumps(
-                {
-                    "v": k,
-                    "action": mk.get("action"),
-                    "n_files": len(mk["files"]),
-                    "dv": len(mk.get("dv", [])),
-                    "files": sorted(f[-28:] for f in mk["files"]),
-                }
-            )
+        for f in set(mk["files"]) - prev:
+            introduced[f.rsplit("/", 2)[-2]] = k
+        prev = set(mk["files"])
+        emit(
+            {
+                "v": k,
+                "action": mk.get("action"),
+                "n_files": len(mk["files"]),
+                "dv": len(mk.get("dv", [])),
+                "files": sorted(f[-46:] for f in mk["files"]),
+                "dv_files": sorted(p[-46:] for p in mk.get("dv", [])),
+            }
         )
+    emit({"commit_dir_introduced_at": introduced})
+    out.close()
 
 
 def main() -> None:
@@ -182,7 +237,7 @@ def main() -> None:
                 ex.map(
                     _worker,
                     [
-                        (root, trial * 1000 + p, p, OPS)
+                        (root, SEED_BASE + trial * 1000 + p, p, OPS)
                         for p in range(PROCS)
                     ],
                 )
@@ -201,13 +256,19 @@ def main() -> None:
         if not ok:
             failed += 1
             _forensics(spark, root, expected - set(got), set(got) - expected)
+        else:
+            import shutil
+
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
         results.append(
             {
                 "trial": trial,
                 "auto_compact": bool(seed_kw),
                 "committed_ops": n_commits,
                 "expected_rows": len(expected),
+                "got_rows": len(got),
                 "ok": ok,
+                "root": None if ok else root,  # kept on disk for autopsy
                 "wall_s": round(wall, 1),
             }
         )
