@@ -3154,13 +3154,9 @@ def snapshot_version_as_of(spark: SparkSession, root: str, ts) -> int:
     versions = _list_versions(fs, jvm, jroot)
     if not versions:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
-    storage = _JvmSnapshotStorage(spark)
-    best = None
-    for v in versions:
-        if _storage.manifest_commit_time(storage, root, v) <= ts and (
-            best is None or v > best
-        ):
-            best = v
+    best = _storage.version_at_or_before(
+        _JvmSnapshotStorage(spark), root, ts, versions=versions
+    )
     if best is None:
         raise ValueError(
             f"snapshot table {root} has no version committed at or before "

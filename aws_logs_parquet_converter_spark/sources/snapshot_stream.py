@@ -146,8 +146,6 @@ def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
     ``committed_at`` stamp is at-or-before it, the TIMESTAMP AS OF rule
     of plans.snapshots.snapshot_version_as_of; file mtime only for
     pre-stamp manifests), else latest."""
-    from ..storage import manifest_commit_time
-
     vs = storage.list_versions(root)
     if not vs:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
@@ -157,13 +155,10 @@ def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
             raise FileNotFoundError(f"snapshot table {root} has no version {v}")
         return v
     if options.get("timestamp") is not None:
+        from ..storage import version_at_or_before
+
         ts = float(options["timestamp"])
-        best = None
-        for v in vs:
-            if manifest_commit_time(storage, root, v) <= ts and (
-                best is None or v > best
-            ):
-                best = v
+        best = version_at_or_before(storage, root, ts, versions=vs)
         if best is None:
             raise ValueError(
                 f"snapshot table {root} has no version committed at or "
@@ -530,16 +525,14 @@ try:  # pyspark >= 4.0 only
                     raise ValueError(
                         "pass startingVersion or startingTimestamp, not both"
                     )
-                from ..storage import manifest_commit_time
+                from ..storage import version_at_or_before
 
                 ts = float(sts)
-                for v in self._storage.list_versions(self._root):
-                    if (
-                        manifest_commit_time(self._storage, self._root, v)
-                        < ts
-                        and v > self._start
-                    ):
-                        self._start = v
+                base = version_at_or_before(
+                    self._storage, self._root, ts, strict=True
+                )
+                if base is not None and base > self._start:
+                    self._start = base
             # CHANGE-FEED mode (Delta's streaming readChangeFeed): emit
             # row-level insert / delete / update_preimage /
             # update_postimage changes per version instead of appends

@@ -468,6 +468,35 @@ def manifest_commit_time(
     return storage.manifest_mtime(root, version)
 
 
+def version_at_or_before(
+    storage: SnapshotStorage,
+    root: str,
+    ts: float,
+    versions: list[int] | None = None,
+    strict: bool = False,
+) -> int | None:
+    """The newest version whose commit instant is at-or-before ``ts``
+    (``strict=True``: strictly before — the stream's startingTimestamp
+    baseline rule), or None if the oldest surviving version is younger.
+    BINARY SEARCH over the version list: in-commit timestamps are
+    monotonic-clamped at write (:func:`plans.snapshots._try_commit`),
+    so resolution costs O(log #versions) manifest reads instead of one
+    read per version — the difference between 17 and 100k round trips
+    on a long-lived table's history."""
+    vs = versions if versions is not None else storage.list_versions(root)
+    lo, hi = 0, len(vs) - 1
+    best = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        t = manifest_commit_time(storage, root, vs[mid])
+        if (t < ts) if strict else (t <= ts):
+            best = vs[mid]
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return best
+
+
 def read_manifest(storage: SnapshotStorage, root: str, version: int) -> dict:
     """The RESOLVED manifest of ``version``: always carries the complete
     ``files`` list (and ``stats``, when the table records them) whether

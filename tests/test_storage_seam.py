@@ -170,6 +170,30 @@ def test_storage_for_root_dispatch():
         st._SCHEME_FACTORIES.pop("probefs", None)
 
 
+def test_version_at_or_before_bisects(spark, tmp_path):
+    """Timestamp resolution bisects over monotonic in-commit stamps:
+    correct at-or-before / strictly-before semantics at the boundaries,
+    and O(log n) manifest reads (counted), not one per version."""
+    root = str(tmp_path / "t")
+    _build_table(spark, root, 5)
+    impl = st.LocalSnapshotStorage()
+    times = [st.manifest_commit_time(impl, root, v) for v in range(1, 6)]
+    assert st.version_at_or_before(impl, root, times[2]) == 3
+    assert st.version_at_or_before(impl, root, times[2], strict=True) == 2
+    assert st.version_at_or_before(impl, root, times[0] - 1) is None
+    assert st.version_at_or_before(impl, root, times[-1] + 1) == 5
+
+    class _Counting(st.LocalSnapshotStorage):
+        reads = 0
+
+        def read_manifest_bytes(self, r, v):
+            _Counting.reads += 1
+            return super().read_manifest_bytes(r, v)
+
+    st.version_at_or_before(_Counting(), root, times[2])
+    assert _Counting.reads <= 3  # ceil(log2(5)), not 5
+
+
 def test_memory_storage_pickles_a_readable_snapshot(spark, tmp_path):
     """The DataSource ships storage to executor worker processes by
     pickle: a MemorySnapshotStorage round-trip must carry the uploaded
