@@ -254,6 +254,11 @@ class AtomicRenameLogStore(LogStore):
                 _os.link(tmp.toUri().getPath(), uri.getPath())
             except FileExistsError:
                 return False
+            except OSError:
+                # filesystem without hard links (FAT, some mounts):
+                # degrade to Hadoop rename — the pre-fix behavior, with
+                # its documented check-then-act window
+                return bool(fs.rename(tmp, final))
             fs.delete(tmp, False)  # consumed (drops the .crc sidecar too)
             return True
         return bool(fs.rename(tmp, final))
@@ -373,13 +378,10 @@ def _try_commit(
     object-store mtime skew cannot reorder history."""
     _resolve_sizes(spark, root, manifest, prev, new_sizes)
     prev_ts = (prev or {}).get("committed_at")
-    now = time.time()
-    manifest["committed_at"] = round(
-        now
-        if prev_ts is None or now > float(prev_ts)
-        else float(prev_ts) + 1e-3,
-        3,
-    )
+    ts = round(time.time(), 3)  # compare ROUNDED, or a value that
+    if prev_ts is not None and ts <= float(prev_ts):  # rounds down could
+        ts = round(float(prev_ts) + 1e-3, 3)  # tie its predecessor
+    manifest["committed_at"] = ts
     jvm, jroot, fs = _fs_for(spark, root)
     sd = jvm.org.apache.hadoop.fs.Path(jroot, SNAP_DIR)
     fs.mkdirs(sd)
