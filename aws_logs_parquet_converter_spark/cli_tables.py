@@ -70,6 +70,10 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         help="grace window shielding in-flight commit dirs (default: the "
         "library's Delta-style retention default)",
     )
+    vac.add_argument(
+        "--dry-run", action="store_true",
+        help="report what would be retired without deleting anything",
+    )
 
     res = sub.add_parser("restore", help="metadata-only rollback to a version")
     res.add_argument("--root", required=True)
@@ -136,11 +140,14 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         )
         return {"verb": "optimize", "root": args.root, "committed_version": v}
     if args.verb == "vacuum":
-        kwargs = {"keep_last": args.keep_last}
+        kwargs = {"keep_last": args.keep_last, "dry_run": args.dry_run}
         if args.min_age_seconds is not None:
             kwargs["min_age_seconds"] = args.min_age_seconds
         gone = S.snapshot_vacuum(spark, args.root, **kwargs)
-        return {"verb": "vacuum", "root": args.root, "retired": gone}
+        return {
+            "verb": "vacuum", "root": args.root, "retired": gone,
+            "dry_run": args.dry_run,
+        }
     if args.verb == "restore":
         v = S.snapshot_restore(spark, args.root, args.version)
         return {"verb": "restore", "root": args.root, "committed_version": v}

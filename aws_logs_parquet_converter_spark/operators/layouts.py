@@ -1692,7 +1692,13 @@ def table_snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.snapshots import snapshot_history
 
-    return snapshot_history(spark, _snapshot_events_for(spark, sf_dir))
+    # the deterministic columns only: total_bytes varies with parquet
+    # encoder versions and committed_at is a wall-clock stamp (r8
+    # additions) — both belong to the operational surface, not the
+    # value-checked one
+    return snapshot_history(
+        spark, _snapshot_events_for(spark, sf_dir)
+    ).select("version", "action", "n_files", "encoding")
 
 
 #: per-sf_dir cache of seeded PARTITIONED snapshot-table roots

@@ -377,6 +377,11 @@ def _try_commit(
     survives a table copy/restore/rsync where file mtimes do not, and
     object-store mtime skew cannot reorder history."""
     _resolve_sizes(spark, root, manifest, prev, new_sizes)
+    if prev and prev.get("txns"):
+        # the batch-idempotence ledger is a table property: every commit
+        # built on `prev` carries its per-app high-water marks (a commit
+        # declaring its own txn wins its app's key)
+        manifest["txns"] = {**prev["txns"], **manifest.get("txns", {})}
     prev_ts = (prev or {}).get("committed_at")
     ts = round(time.time(), 3)  # compare ROUNDED, or a value that
     if prev_ts is not None and ts <= float(prev_ts):  # rounds down could
@@ -966,8 +971,21 @@ def snapshot_write(
     batch_id: int | None = None,
     partition_by: list[str] | None = None,
     auto_compact_mb: float | None = None,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
+
+    ``txn_app``/``txn_version`` (passed together) make BATCH writes
+    IDEMPOTENT — Delta's SetTransaction for non-streaming jobs: the
+    manifest records the highest committed ``txn_version`` per
+    application id, and a write whose version is at-or-below the
+    recorded one returns ``None`` without committing. A retried daily
+    job (orchestrator re-run, speculative duplicate, at-least-once
+    queue) therefore cannot double-append its rows. The ledger is a
+    table property: it rides every action (appends, DML, OPTIMIZE,
+    overwrite — same survival rule as the streaming ``batch_id``
+    ledger) and is readable via :func:`snapshot_txn_version`.
 
     ``append`` keeps the previous version's files and adds the new ones;
     ``overwrite`` starts the file list fresh (the old files stay on disk
@@ -1044,6 +1062,16 @@ def snapshot_write(
         raise ValueError(f"mode must be append or overwrite, got {mode!r}")
     if batch_id is not None and mode != "append":
         raise ValueError("batch_id commits are append-only")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app and txn_version declare an idempotent transaction "
+            "together — pass both or neither"
+        )
+    if txn_app is not None and batch_id is not None:
+        raise ValueError(
+            "pass txn_app/txn_version (batch idempotence) or batch_id "
+            "(streaming replay ledger), not both"
+        )
     spark = df.sparkSession
     # ONE metadata read serves the replay check, the mapping lookup, and
     # the commit loop's first iteration (a retry re-reads fresh state) —
@@ -1056,6 +1084,10 @@ def snapshot_write(
         "batch_ids", []
     ):
         return None  # replayed batch: already committed — exactly-once
+    if txn_app is not None and pre_m is not None:
+        rec = pre_m.get("txns", {}).get(txn_app)
+        if rec is not None and int(txn_version) <= int(rec):
+            return None  # replayed transaction: already committed
     # the constraint set the batch was last validated against: a retry
     # after a lost CAS may rebase onto a manifest whose constraints GREW
     # (concurrent snapshot_add_constraint) — the batch must be re-checked
@@ -1199,6 +1231,10 @@ def snapshot_write(
             base_batches = prev.get("batch_ids", [])
             if batch_id is not None and int(batch_id) in base_batches:
                 return None  # lost a race to our own replay
+            if txn_app is not None:
+                rec = prev.get("txns", {}).get(txn_app)
+                if rec is not None and int(txn_version) <= int(rec):
+                    return None  # lost a race to our own replay
             if cols is None:
                 cols = prev.get("stats_cols")
             if bcols is None and prev.get("bloom"):
@@ -1243,6 +1279,10 @@ def snapshot_write(
             # a plain append on a streamed table KEEPS the batch ledger:
             # losing it would let a later replayed micro-batch re-commit
             manifest["batch_ids"] = base_batches
+        if txn_app is not None:
+            # the idempotence ledger: this app's high-water mark advances;
+            # other apps' entries carry via _try_commit's prev-merge
+            manifest["txns"] = {txn_app: int(txn_version)}
         if mode == "append" and write_mapping:
             manifest["column_mapping"] = write_mapping
         if mode == "append" and prev_resolved and prev_resolved.get("dv"):
@@ -2949,6 +2989,7 @@ def snapshot_vacuum(
     root: str,
     keep_last: int = 2,
     min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
+    dry_run: bool = False,
 ) -> list[str]:
     """Retire history: keep the newest ``keep_last`` manifests, delete
     older manifests, temp-manifest residue, and every data file (and
@@ -2956,6 +2997,10 @@ def snapshot_vacuum(
     operation that deletes anything — time travel reaches exactly the
     versions inside the retention window. Returns the deleted paths
     (relative), for the operator's audit log.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) returns the same
+    list WITHOUT deleting anything — the look-before-you-leap an
+    operator wants before the only destructive verb in the layer.
 
     ``min_age_seconds`` is the concurrent-writer safety window: commit
     dirs and temp manifests whose modification time is within it are
@@ -3012,11 +3057,13 @@ def snapshot_vacuum(
                 sub = st.getPath().toUri().getPath()[len(cd_prefix):].lstrip("/")
                 rel = f"data/{cd_name}/{sub}"
                 if rel not in referenced:
-                    fs.delete(st.getPath(), False)
+                    if not dry_run:
+                        fs.delete(st.getPath(), False)
                     deleted.append(rel)
                 else:
                     alive += 1
-            if alive == 0:  # only markers left -> retire the whole commit dir
+            if alive == 0 and not dry_run:
+                # only markers left -> retire the whole commit dir
                 fs.delete(cd.getPath(), True)
     sd = jvm.org.apache.hadoop.fs.Path(jroot, SNAP_DIR)
     for st in fs.listStatus(sd):
@@ -3032,7 +3079,8 @@ def snapshot_vacuum(
             and st.getModificationTime() <= cutoff_ms
         )  # a YOUNG temp manifest may be a committer between write and publish
         if is_dropped or is_stale_tmp:
-            fs.delete(st.getPath(), False)
+            if not dry_run:
+                fs.delete(st.getPath(), False)
             deleted.append(f"{SNAP_DIR}/{name}")
     return sorted(deleted)
 
@@ -3137,6 +3185,21 @@ def snapshot_version_of_batch(
     )
 
 
+def snapshot_txn_version(
+    spark: SparkSession, root: str, txn_app: str
+) -> int | None:
+    """The highest ``txn_version`` committed for ``txn_app`` — Delta's
+    ``txnVersion``: an orchestrator resumes an idempotent batch pipeline
+    by asking the TABLE what it last absorbed (the table is the ledger,
+    not an external state store that can drift from it). ``None`` if the
+    app never committed. One manifest read."""
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    rec = read_manifest(spark, root, latest).get("txns", {}).get(txn_app)
+    return int(rec) if rec is not None else None
+
+
 def snapshot_version_as_of(spark: SparkSession, root: str, ts) -> int:
     """Resolve Delta's ``TIMESTAMP AS OF``: the newest version committed
     at-or-before ``ts`` (epoch seconds, or a datetime). Commit times are
@@ -3173,7 +3236,11 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     encoding (``full`` checkpoint vs ``delta`` log segment). Pure
     driver-side metadata, O(#versions) manifest reads, no data access —
     the operator's first stop before a restore, vacuum, or incremental
-    re-baseline. Columns: version, action, n_files, encoding."""
+    re-baseline. Columns: version, action, n_files, total_bytes (from
+    the manifest's recorded per-file sizes; NULL for pre-upgrade
+    versions), committed_at (the in-commit stamp, epoch seconds; NULL
+    pre-upgrade), encoding (``full`` checkpoint vs ``delta`` log
+    segment)."""
     jvm, jroot, fs = _fs_for(spark, root)
     versions = _list_versions(fs, jvm, jroot)
     if not versions:
@@ -3181,14 +3248,26 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     rows = []
     for v in versions:
         raw = _read_raw_manifest(spark, root, v)
+        m = read_manifest(spark, root, v)
+        sizes = m.get("sizes")
+        total = (
+            sum(sizes[f] for f in m["files"] if f in sizes)
+            if sizes and all(f in sizes for f in m["files"])
+            else None
+        )
+        ts = raw.get("committed_at")
         rows.append(
             (
                 v,
                 raw.get("action", "append"),
-                len(read_manifest(spark, root, v)["files"]),
+                len(m["files"]),
+                total,
+                float(ts) if ts is not None else None,
                 "full" if "files" in raw else "delta",
             )
         )
     return spark.createDataFrame(
-        rows, "version BIGINT, action STRING, n_files BIGINT, encoding STRING"
+        rows,
+        "version BIGINT, action STRING, n_files BIGINT, total_bytes BIGINT, "
+        "committed_at DOUBLE, encoding STRING",
     )

@@ -2067,6 +2067,115 @@ def test_sizes_backfill_for_pre_upgrade_manifests(spark, tmp_path):
         assert set(m3["sizes"]) == set(m3["files"])
 
 
+def test_idempotent_batch_transactions(spark, tmp_path):
+    """Delta's SetTransaction for BATCH jobs: snapshot_write with
+    txn_app/txn_version skips (returns None) when the version is
+    at-or-below the table's recorded high-water mark for that app — a
+    retried daily job cannot double-append. The ledger is a table
+    property riding every action, readable via snapshot_txn_version."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_txn_version,
+    )
+
+    root = str(tmp_path / "t")
+    assert (
+        snapshot_write(_df(spark, 0, 10), root, txn_app="daily", txn_version=1)
+        == 1
+    )
+    # exact replay: skipped, no new commit
+    assert (
+        snapshot_write(_df(spark, 0, 10), root, txn_app="daily", txn_version=1)
+        is None
+    )
+    assert current_version(spark, root) == 1
+    assert snapshot_txn_version(spark, root, "daily") == 1
+    assert snapshot_txn_version(spark, root, "nightly") is None
+    # the next version commits; apps are independent
+    assert (
+        snapshot_write(
+            _df(spark, 10, 20), root, txn_app="daily", txn_version=2
+        )
+        == 2
+    )
+    assert (
+        snapshot_write(
+            _df(spark, 20, 30), root, txn_app="nightly", txn_version=1
+        )
+        == 3
+    )
+    # the ledger rides maintenance, plain appends, and overwrites
+    snapshot_write(_df(spark, 30, 40), root)
+    snapshot_optimize(spark, root, target_file_mb=128)
+    assert (
+        snapshot_write(_df(spark, 0, 10), root, txn_app="daily", txn_version=2)
+        is None
+    )
+    snapshot_write(_df(spark, 0, 5), root, mode="overwrite")
+    assert (
+        snapshot_write(_df(spark, 0, 10), root, txn_app="daily", txn_version=2)
+        is None
+    )
+    assert snapshot_txn_version(spark, root, "nightly") == 1
+    # a NEWER version still lands after the overwrite
+    assert snapshot_write(
+        _df(spark, 5, 8), root, txn_app="daily", txn_version=3
+    ) == current_version(spark, root)
+    # validation: the pair is all-or-nothing; batch_id is the other ledger
+    with pytest.raises(ValueError, match="together"):
+        snapshot_write(_df(spark, 0, 1), root, txn_app="daily")
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_write(
+            _df(spark, 0, 1), root, txn_app="a", txn_version=1, batch_id=7
+        )
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN: the same retirement list as a real run, zero
+    deletions — and the real run then retires exactly that list."""
+    import os
+
+    root = str(tmp_path / "t")
+    for lo in range(0, 40, 10):
+        snapshot_write(_df(spark, lo, lo + 10), root)
+    snapshot_write(_df(spark, 0, 10), root, mode="overwrite")
+    would = snapshot_vacuum(
+        spark, root, keep_last=1, min_age_seconds=0, dry_run=True
+    )
+    assert would  # the overwritten files are retirable
+    for rel in would:  # nothing was touched
+        assert os.path.exists(os.path.join(root, rel)), rel
+    assert snapshot_read(spark, root).count() == 10
+    gone = snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
+    assert gone == would
+    for rel in gone:
+        assert not os.path.exists(os.path.join(root, rel)), rel
+    assert snapshot_read(spark, root).count() == 10
+
+
+def test_history_carries_commit_time_and_bytes(spark, tmp_path):
+    """snapshot_history's operational columns: total_bytes from manifest
+    sizes (exact vs the filesystem) and committed_at matching the
+    in-commit stamps, strictly increasing."""
+    import os
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 50), root)
+    snapshot_write(_df(spark, 50, 80), root)
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_history,
+    )
+
+    rows = {r.version: r for r in snapshot_history(spark, root).collect()}
+    for v in (1, 2):
+        m = read_manifest(spark, root, v)
+        disk = sum(
+            os.path.getsize(os.path.join(root, f)) for f in m["files"]
+        )
+        assert rows[v].total_bytes == disk
+        assert rows[v].committed_at == m["committed_at"]
+    assert rows[1].committed_at < rows[2].committed_at
+
+
 def test_snapshot_repartition_evolves_partitioning(spark, tmp_path):
     """r7 verdict task 6: partition evolution in one verb — re-layout
     under a new scheme with pruning working on it, old versions still
