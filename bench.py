@@ -126,6 +126,8 @@ POST_R3_LEGS = [
     "dq_drift_tvd",  # per-segment drift monitor (integer TVD)
     # round-7 table features
     "table_snapshot_partitioned_read",  # partition-value pruned manifest read
+    # round-8 table features
+    "table_snapshot_repartition",  # pruned read after partition EVOLUTION
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

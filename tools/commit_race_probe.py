@@ -50,8 +50,13 @@ _OP_MIX = (
     "append", "append", "append",
     "merge",
     "delete_cow", "delete_dv",
+    "update",
     "optimize",
 )
+
+#: the additive an UPDATE op applies to `v` — large enough that missed,
+#: doubled, or resurrected updates are unmistakable in the value check
+_UPD_DELTA = 9_000_000
 
 
 def _worker(args: tuple) -> list[tuple]:
@@ -61,6 +66,7 @@ def _worker(args: tuple) -> list[tuple]:
         snapshot_delete,
         snapshot_merge,
         snapshot_optimize,
+        snapshot_update,
         snapshot_write,
     )
     from aws_logs_parquet_converter_spark.session import build_session
@@ -127,6 +133,23 @@ def _worker(args: tuple) -> list[tuple]:
                     committed.append(("del", lo, mid))
                     if mid < hi:
                         my_ranges.append((mid, hi))
+                elif op == "update" and my_ranges:
+                    # update the head of a live range IN PLACE (no pop —
+                    # repeated updates of the same rows are legal and the
+                    # value accounting is cumulative)
+                    lo, hi = my_ranges[rng.randrange(len(my_ranges))]
+                    mid = rng.randint(lo + 1, hi)
+                    mode = rng.choice(["cow", "dv"])
+                    log(i=i, op=op, mode=mode, lo=lo, mid=mid, phase="intent")
+                    v = snapshot_update(
+                        spark,
+                        root,
+                        [("id", ">=", lo), ("id", "<", mid)],
+                        {"v": f"v + {_UPD_DELTA}"},
+                        mode=mode,
+                    )
+                    log(i=i, op=op, mode=mode, lo=lo, mid=mid, phase="done", version=v)
+                    committed.append(("upd", lo, mid))
                 elif op == "optimize":
                     # row-preserving by contract: nothing to log in the
                     # accounting (the journal still records it)
@@ -243,19 +266,38 @@ def main() -> None:
                 )
             )
         wall = time.perf_counter() - t0
-        expected: set[int] = set(range(0, 100))
+        # value-exact replay: ids from adds/deletes, values from the
+        # cumulative update deltas — ghost/missed/doubled/resurrected
+        # ops of EVERY verb are all visible in one dict compare
+        expected: dict[int, int] = {i: 2 * i for i in range(0, 100)}
         n_commits = 0
         for log in logs:
             n_commits += len(log)
             for kind, lo, hi in log:
-                ids = set(range(lo, hi))
-                expected |= ids if kind == "add" else set()
-                expected -= ids if kind == "del" else set()
+                if kind == "add":
+                    expected.update({i: 2 * i for i in range(lo, hi)})
+                elif kind == "del":
+                    for i in range(lo, hi):
+                        expected.pop(i, None)
+                elif kind == "upd":
+                    for i in range(lo, hi):
+                        if i in expected:
+                            expected[i] += _UPD_DELTA
         got = {r.id: r.v for r in snapshot_read(spark, root).collect()}
-        ok = set(got) == expected and all(got[i] == 2 * i for i in got)
+        ok = got == expected
         if not ok:
             failed += 1
-            _forensics(spark, root, expected - set(got), set(got) - expected)
+            wrong = {
+                i
+                for i in set(got) & set(expected)
+                if got[i] != expected[i]
+            }
+            _forensics(
+                spark,
+                root,
+                (set(expected) - set(got)) | wrong,
+                (set(got) - set(expected)) | wrong,
+            )
         else:
             import shutil
 
