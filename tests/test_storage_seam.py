@@ -190,8 +190,28 @@ def test_version_at_or_before_bisects(spark, tmp_path):
             _Counting.reads += 1
             return super().read_manifest_bytes(r, v)
 
-    st.version_at_or_before(_Counting(), root, times[2])
-    assert _Counting.reads <= 3  # ceil(log2(5)), not 5
+    # O(log n) read count, asserted over a history long enough to bite:
+    # 64 synthetic stamped manifests, resolution must stay within the
+    # stamp-boundary probe (~log n) + the suffix bisect (~log n) — far
+    # under the 64 an O(n) scan would cost
+    import json as _json
+    import os as _os
+
+    big = str(tmp_path / "big")
+    _os.makedirs(_os.path.join(big, "_snapshots"))
+    for v in range(1, 65):
+        with open(
+            _os.path.join(big, "_snapshots", f"v{v:08d}.json"),
+            "w",
+            encoding="utf-8",
+        ) as fh:
+            _json.dump(
+                {"version": v, "files": [], "schema": "{}",
+                 "committed_at": 1000.0 + v},
+                fh,
+            )
+    assert st.version_at_or_before(_Counting(), big, 1032.5) == 32
+    assert _Counting.reads <= 2 * 7, f"{_Counting.reads} reads for n=64"
 
 
 def test_memory_storage_pickles_a_readable_snapshot(spark, tmp_path):
