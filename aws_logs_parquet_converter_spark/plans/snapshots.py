@@ -116,11 +116,44 @@ def _list_versions(fs, jvm, root) -> list[int]:
     )
 
 
+def _seam_store(root: str):
+    """The :class:`storage.WritableObjectStorage` serving a
+    registered-scheme root (``flat://…``), or None — plain paths and
+    Hadoop-native URIs (``s3a://``, ``hdfs://``) keep the JVM
+    filesystem path. When a root routes here, EVERY table operation —
+    metadata reads, the manifest commit, data publishes, vacuum — runs
+    through the seam's object verbs: whole-object puts, conditional put
+    for the commit, prefix listing, zero rename. The store must also
+    expose ``local_scan_path`` so the JVM parquet scan can read its
+    objects natively (the read plan stays Spark's own, with pushdown)."""
+    if "://" not in root:
+        return None
+    scheme = root.split("://", 1)[0]
+    factory = _storage._SCHEME_FACTORIES.get(scheme)
+    if factory is None:
+        return None
+    store = factory()
+    if isinstance(store, _storage.WritableObjectStorage) and hasattr(
+        store, "local_scan_path"
+    ):
+        return store
+    return None
+
+
+def _meta_store(spark: SparkSession, root: str) -> "_storage.SnapshotStorage":
+    """The storage impl manifest METADATA reads go through for ``root``:
+    the registered seam store when one serves it, else the Hadoop-FS
+    adapter."""
+    return _seam_store(root) or _JvmSnapshotStorage(spark)
+
+
 def current_version(spark: SparkSession, root: str) -> int | None:
-    """Highest committed version, or None for a table with no commits."""
-    jvm, jroot, fs = _fs_for(spark, root)
-    vs = _list_versions(fs, jvm, jroot)
-    return vs[-1] if vs else None
+    """Highest committed version, or None for a table with no commits.
+    O(1) metadata via the advisory ``_snapshots/_latest`` tip pointer
+    (+ bounded forward reconcile — Delta's ``_last_checkpoint`` +
+    listFrom protocol, VLDB'20 §3.1); a missing/stale/corrupt pointer
+    falls back to the full directory LIST, never to a wrong answer."""
+    return _storage.current_version_fast(_meta_store(spark, root), root)
 
 
 def _write_bytes(fs, path, data: bytes) -> None:
@@ -185,6 +218,47 @@ class _JvmSnapshotStorage(_storage.SnapshotStorage):
         path = _snap_path(jvm, jroot, _manifest_name(version))
         return fs.getFileStatus(path).getModificationTime() / 1000.0
 
+    def manifest_exists(self, root: str, version: int) -> bool:
+        jvm, jroot, fs = _fs_for(self._spark, root)
+        return bool(fs.exists(_snap_path(jvm, jroot, _manifest_name(version))))
+
+    def read_pointer(self, root: str) -> int | None:
+        jvm, jroot, fs = _fs_for(self._spark, root)
+        p = _snap_path(jvm, jroot, _storage.POINTER_NAME)
+        try:
+            if not fs.exists(p):
+                return None
+            return _storage._parse_pointer(_read_bytes(fs, jvm, p))
+        except Exception:
+            return None  # unreadable pointer = no pointer (LIST fallback)
+
+    def write_pointer(self, root: str, version: int) -> None:
+        """Best-effort advisory update. ``file://`` roots swap in
+        atomically via ``os.replace``; other schemes overwrite-create —
+        a torn read there degrades to LIST through the tolerant parser,
+        never to a wrong tip."""
+        import os as _os
+
+        data = json.dumps({"version": int(version)}).encode("utf-8")
+        jvm, jroot, fs = _fs_for(self._spark, root)
+        p = _snap_path(jvm, jroot, _storage.POINTER_NAME)
+        try:
+            uri = p.toUri()
+            if uri.getScheme() in (None, "file"):
+                d = _os.path.dirname(uri.getPath())
+                tmp = _os.path.join(d, f".ptr-{uuid.uuid4().hex}")
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                _os.replace(tmp, uri.getPath())
+                return
+            out = fs.create(p, True)
+            try:
+                out.write(bytearray(data))
+            finally:
+                out.close()
+        except Exception:
+            pass  # advisory: next reader LISTs
+
 
 #: shared delta-chain resolver (storage.py) — re-exported so existing
 #: importers keep working; the logic exists exactly once
@@ -194,7 +268,7 @@ resolve_manifest_chain = _storage.resolve_manifest_chain
 def _read_raw_manifest(spark: SparkSession, root: str, version: int) -> dict:
     """The version's manifest exactly as stored — a FULL form (has
     ``files``) or a DELTA form (has ``base``/``adds``/``removes``)."""
-    return _storage.read_raw_manifest(_JvmSnapshotStorage(spark), root, version)
+    return _storage.read_raw_manifest(_meta_store(spark, root), root, version)
 
 
 def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
@@ -202,9 +276,9 @@ def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     ``files`` list (and ``stats``, when the table records them) whether
     the version was stored full or as a delta against its predecessor.
     Delegates to the shared seam reader (``storage.read_manifest``) via
-    the Hadoop-FS adapter — the same code path the Python DataSource
-    resolves manifests through."""
-    return _storage.read_manifest(_JvmSnapshotStorage(spark), root, version)
+    the Hadoop-FS adapter (or the root's registered object store) — the
+    same code path the Python DataSource resolves manifests through."""
+    return _storage.read_manifest(_meta_store(spark, root), root, version)
 
 
 class LogStore:
@@ -365,13 +439,18 @@ def _resolve_sizes(
     sizes = {f: s for f, s in merged.items() if f in live}
     missing = sorted(live - set(sizes))
     if missing:  # pre-upgrade manifests only: one-time backfill
-        jvm, _jroot, fs = _fs_for(spark, root)
-        for f in missing:
-            sizes[f] = int(
-                fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
-                ).getLen()
-            )
+        store = _seam_store(root)
+        if store is not None:
+            for f in missing:
+                sizes[f] = int(store.key_size(root, f))
+        else:
+            jvm, _jroot, fs = _fs_for(spark, root)
+            for f in missing:
+                sizes[f] = int(
+                    fs.getFileStatus(
+                        jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
+                    ).getLen()
+                )
     manifest["sizes"] = sizes
 
 
@@ -408,14 +487,28 @@ def _try_commit(
     if prev_ts is not None and ts <= float(prev_ts):  # rounds down could
         ts = round(float(prev_ts) + 1e-3, 3)  # tie its predecessor
     manifest["committed_at"] = ts
+    raw = _encode_commit(manifest, prev)
+    payload = json.dumps(raw, sort_keys=True).encode("utf-8")
+    version = int(manifest["version"])
+    store = _seam_store(root)
+    if store is not None:
+        # object-store commit: ONE conditional whole-object PUT — the
+        # store's put_if_absent IS the LogStore primitive (S3's
+        # If-None-Match), no temp manifest, no rename anywhere
+        if store.put_if_absent_bytes(
+            root, f"{SNAP_DIR}/{_manifest_name(version)}", payload
+        ):
+            store.write_pointer(root, version)  # advisory tip update
+            return True
+        return False
     jvm, jroot, fs = _fs_for(spark, root)
     sd = jvm.org.apache.hadoop.fs.Path(jroot, SNAP_DIR)
     fs.mkdirs(sd)
-    raw = _encode_commit(manifest, prev)
     tmp = _snap_path(jvm, jroot, f".tmp-{uuid.uuid4().hex}.json")
-    _write_bytes(fs, tmp, json.dumps(raw, sort_keys=True).encode("utf-8"))
-    final = _snap_path(jvm, jroot, _manifest_name(int(manifest["version"])))
+    _write_bytes(fs, tmp, payload)
+    final = _snap_path(jvm, jroot, _manifest_name(version))
     if _LOG_STORE.put_if_absent(fs, tmp, final):
+        _JvmSnapshotStorage(spark).write_pointer(root, version)
         return True
     fs.delete(tmp, False)
     return False
@@ -832,9 +925,12 @@ def _build_bloom_sidecar(
     packed = all_pos.groupBy("file", "col", "w").agg(
         F.expr("bit_or(bits)").alias("bits")
     )
-    side_dir = f"{root}/data/{uuid.uuid4().hex}"
+    side_dir = _commit_write_dir(spark, root)
     packed.write.parquet(side_dir)
-    return _list_commit_files(spark, side_dir)
+    files = _list_commit_files(spark, side_dir)
+    _publish_commit(spark, root, side_dir)
+    _cleanup_commit_stage(root, side_dir)
+    return files
 
 
 def _bloom_coerce(value, type_name: str | None):
@@ -1180,7 +1276,7 @@ def snapshot_write(
                     f"{'/'.join(_PART_TYPES)} round-trip losslessly "
                     "through directory names"
                 )
-    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    commit_dir = _commit_write_dir(spark, root)
     phys_df = _to_physical(df, write_mapping)
     if pcols:
         # duplicate the partition columns under the __pv_ prefix so
@@ -1203,6 +1299,7 @@ def snapshot_write(
             )
         writer.parquet(commit_dir)
     new_sizes = _list_commit_sizes(spark, commit_dir)
+    _publish_commit(spark, root, commit_dir)
     new_files = sorted(new_sizes)
     new_parts = (
         {f: _parse_partition_values(f, pcols) for f in new_files}
@@ -1216,171 +1313,176 @@ def snapshot_write(
         bloom_cols = [write_mapping.get(c, c) for c in bloom_cols]
     new_stats: dict[str, dict[str, list]] | None = None
     new_bloom: list[str] | None = None
-    latest, latest_m = pre_latest, pre_m
-    for attempt in range(_MAX_COMMIT_RETRIES):
-        if attempt:  # a lost CAS: back off, then re-read fresh state
-            _commit_backoff(attempt)
-            latest = current_version(spark, root)
-            latest_m = (
-                read_manifest(spark, root, latest) if latest is not None else None
-            )
-        if expect_base_version is not None and latest != expect_base_version:
-            raise IOError(
-                f"snapshot_write conflict on {root}: content was derived "
-                f"from version {expect_base_version} but the table is now "
-                f"at {latest} — a concurrent commit landed; re-run the "
-                "read-modify-write against fresh state (committing anyway "
-                "would silently drop the concurrent commit's rows)"
-            )
-        base_files: list[str] = []
-        base_stats: dict[str, dict[str, list]] = {}
-        cols = stats_cols
-        bcols = bloom_cols
-        base_bloom: list[str] = []
-        checks = dict(constraints or {})
-        commit_schema = schema_json
-        prev_resolved = None
-        base_batches: list[int] = []
-        ac = auto_compact_mb
-        if latest is not None and mode == "overwrite":
-            # the previous manifest anchors the in-commit timestamp's
-            # monotonic clamp (and lets _encode_commit see the rewrite
-            # shape, which always stores full — no delta regression)
-            prev_resolved = latest_m
-            # constraints are a TABLE property: they survive an overwrite
-            # unless the caller explicitly re-declares the set
-            if constraints is None:
-                checks = dict(latest_m.get("constraints", {}))
-            if ac is None:
-                ac = latest_m.get("auto_compact_mb")
-            # so is the streaming batch-id ledger (Delta keeps
-            # SetTransaction app versions across overwrites): dropping it
-            # would let a replayed micro-batch delivered AFTER the
-            # overwrite pass the replay check and double-commit its rows
-            base_batches = latest_m.get("batch_ids", [])
-        if mode == "append" and latest is not None:
-            prev = prev_resolved = latest_m
-            if _mapping(prev) != write_mapping:
-                raise IOError(
-                    f"snapshot_write conflict on {root}: a concurrent "
-                    "rename changed the column mapping after this append's "
-                    "files were written with the old physical names — "
-                    "re-run against fresh state"
+    try:
+        latest, latest_m = pre_latest, pre_m
+        for attempt in range(_MAX_COMMIT_RETRIES):
+            if attempt:  # a lost CAS: back off, then re-read fresh state
+                _commit_backoff(attempt)
+                latest = current_version(spark, root)
+                latest_m = (
+                    read_manifest(spark, root, latest) if latest is not None else None
                 )
-            prev_pby = prev.get("partition_by")
-            if prev_pby and prev_pby != pcols:
-                # concurrent partition-property change (or adoption by
-                # another writer): this append's files were laid out for
-                # a different scheme — refuse rather than commit files
-                # with wrong/missing partition values
+            if expect_base_version is not None and latest != expect_base_version:
                 raise IOError(
-                    f"snapshot_write conflict on {root}: the table's "
-                    "partition columns changed after this append's files "
-                    "were laid out — re-run against fresh state"
+                    f"snapshot_write conflict on {root}: content was derived "
+                    f"from version {expect_base_version} but the table is now "
+                    f"at {latest} — a concurrent commit landed; re-run the "
+                    "read-modify-write against fresh state (committing anyway "
+                    "would silently drop the concurrent commit's rows)"
                 )
-            base_files = prev["files"]
-            base_stats = prev.get("stats", {})
-            base_batches = prev.get("batch_ids", [])
-            if batch_id is not None and int(batch_id) in base_batches:
-                return None  # lost a race to our own replay
-            if txn_app is not None:
-                rec = prev.get("txns", {}).get(txn_app)
-                if rec is not None and int(txn_version) <= int(rec):
+            base_files: list[str] = []
+            base_stats: dict[str, dict[str, list]] = {}
+            cols = stats_cols
+            bcols = bloom_cols
+            base_bloom: list[str] = []
+            checks = dict(constraints or {})
+            commit_schema = schema_json
+            prev_resolved = None
+            base_batches: list[int] = []
+            ac = auto_compact_mb
+            if latest is not None and mode == "overwrite":
+                # the previous manifest anchors the in-commit timestamp's
+                # monotonic clamp (and lets _encode_commit see the rewrite
+                # shape, which always stores full — no delta regression)
+                prev_resolved = latest_m
+                # constraints are a TABLE property: they survive an overwrite
+                # unless the caller explicitly re-declares the set
+                if constraints is None:
+                    checks = dict(latest_m.get("constraints", {}))
+                if ac is None:
+                    ac = latest_m.get("auto_compact_mb")
+                # so is the streaming batch-id ledger (Delta keeps
+                # SetTransaction app versions across overwrites): dropping it
+                # would let a replayed micro-batch delivered AFTER the
+                # overwrite pass the replay check and double-commit its rows
+                base_batches = latest_m.get("batch_ids", [])
+            if mode == "append" and latest is not None:
+                prev = prev_resolved = latest_m
+                if _mapping(prev) != write_mapping:
+                    raise IOError(
+                        f"snapshot_write conflict on {root}: a concurrent "
+                        "rename changed the column mapping after this append's "
+                        "files were written with the old physical names — "
+                        "re-run against fresh state"
+                    )
+                prev_pby = prev.get("partition_by")
+                if prev_pby and prev_pby != pcols:
+                    # concurrent partition-property change (or adoption by
+                    # another writer): this append's files were laid out for
+                    # a different scheme — refuse rather than commit files
+                    # with wrong/missing partition values
+                    raise IOError(
+                        f"snapshot_write conflict on {root}: the table's "
+                        "partition columns changed after this append's files "
+                        "were laid out — re-run against fresh state"
+                    )
+                base_files = prev["files"]
+                base_stats = prev.get("stats", {})
+                base_batches = prev.get("batch_ids", [])
+                if batch_id is not None and int(batch_id) in base_batches:
                     return None  # lost a race to our own replay
-            if cols is None:
-                cols = prev.get("stats_cols")
-            if bcols is None and prev.get("bloom"):
-                bcols = prev["bloom"]["cols"]
-            if prev.get("bloom"):
-                base_bloom = prev["bloom"]["files"]
-            if constraints is None:
-                checks = dict(prev.get("constraints", {}))
-            else:
-                checks = {**prev.get("constraints", {}), **constraints}
-            if ac is None:
-                ac = prev.get("auto_compact_mb")
-            commit_schema = _merge_schemas(
-                StructType.fromJson(json.loads(prev["schema"])), df.schema
-            ).json()
-        if checks and checks != checked_against:
-            committed = (
-                spark.read.parquet(commit_dir) if new_files else df.limit(0)
-            )
-            if write_mapping and new_files:
-                # the commit dir holds PHYSICAL names; constraints are
-                # written against logical ones
-                rev = {p: n for n, p in write_mapping.items()}
-                committed = committed.select(
-                    *[F.col(c).alias(rev.get(c, c)) for c in committed.columns]
+                if txn_app is not None:
+                    rec = prev.get("txns", {}).get(txn_app)
+                    if rec is not None and int(txn_version) <= int(rec):
+                        return None  # lost a race to our own replay
+                if cols is None:
+                    cols = prev.get("stats_cols")
+                if bcols is None and prev.get("bloom"):
+                    bcols = prev["bloom"]["cols"]
+                if prev.get("bloom"):
+                    base_bloom = prev["bloom"]["files"]
+                if constraints is None:
+                    checks = dict(prev.get("constraints", {}))
+                else:
+                    checks = {**prev.get("constraints", {}), **constraints}
+                if ac is None:
+                    ac = prev.get("auto_compact_mb")
+                commit_schema = _merge_schemas(
+                    StructType.fromJson(json.loads(prev["schema"])), df.schema
+                ).json()
+            if checks and checks != checked_against:
+                committed = (
+                    spark.read.parquet(commit_dir) if new_files else df.limit(0)
                 )
-            _check_constraints(committed, checks, "snapshot_write commit")
-            checked_against = dict(checks)
-        if cols and new_files and new_stats is None:
-            new_stats = _collect_file_stats(spark, commit_dir, list(cols))
-        if bcols and new_files and new_bloom is None:
-            new_bloom = _build_bloom_sidecar(spark, root, commit_dir, list(bcols))
-        manifest = {
-            "version": (latest or 0) + 1,
-            "action": "stream-append" if batch_id is not None else mode,
-            "schema": commit_schema,
-            "files": sorted(set(base_files) | set(new_files)),
-        }
-        if batch_id is not None:
-            manifest["batch_ids"] = sorted({*base_batches, int(batch_id)})
-        elif base_batches:
-            # a plain append on a streamed table KEEPS the batch ledger:
-            # losing it would let a later replayed micro-batch re-commit
-            manifest["batch_ids"] = base_batches
-        if txn_app is not None:
-            # the idempotence ledger: this app's high-water mark advances;
-            # other apps' entries carry via _try_commit's prev-merge
-            manifest["txns"] = {txn_app: int(txn_version)}
-        if mode == "append" and write_mapping:
-            manifest["column_mapping"] = write_mapping
-        if mode == "append" and prev_resolved and prev_resolved.get("dv"):
-            # deletion vectors ride across appends: the deleted rows stay
-            # deleted, the new files carry no vectors (fresh commit paths
-            # can never collide with recorded (file, pos) keys)
-            manifest["dv"] = prev_resolved["dv"]
-        if cols:
-            manifest["stats_cols"] = list(cols)
-            manifest["stats"] = {
-                f: s
-                for f, s in {**base_stats, **(new_stats or {})}.items()
-                if f in set(manifest["files"])
+                if write_mapping and new_files:
+                    # the commit dir holds PHYSICAL names; constraints are
+                    # written against logical ones
+                    rev = {p: n for n, p in write_mapping.items()}
+                    committed = committed.select(
+                        *[F.col(c).alias(rev.get(c, c)) for c in committed.columns]
+                    )
+                _check_constraints(committed, checks, "snapshot_write commit")
+                checked_against = dict(checks)
+            if cols and new_files and new_stats is None:
+                new_stats = _collect_file_stats(spark, commit_dir, list(cols))
+            if bcols and new_files and new_bloom is None:
+                new_bloom = _build_bloom_sidecar(spark, root, commit_dir, list(bcols))
+            manifest = {
+                "version": (latest or 0) + 1,
+                "action": "stream-append" if batch_id is not None else mode,
+                "schema": commit_schema,
+                "files": sorted(set(base_files) | set(new_files)),
             }
-        if bcols:
-            manifest["bloom"] = {
-                "cols": list(bcols),
-                "k": BLOOM_HASHES,
-                "m": BLOOM_BITS,
-                "files": sorted(set(base_bloom) | set(new_bloom or [])),
-            }
-        if checks:
-            manifest["constraints"] = checks
-        if ac:
-            manifest["auto_compact_mb"] = float(ac)
-        if pcols:
-            manifest["partition_by"] = list(pcols)
-            base_parts = (
-                prev_resolved.get("partitions", {}) if prev_resolved else {}
-            )
-            live = set(manifest["files"])
-            manifest["partitions"] = {
-                f: v
-                for f, v in {**base_parts, **new_parts}.items()
-                if f in live
-            }
-        if _try_commit(
-            spark, root, manifest, prev=prev_resolved, new_sizes=new_sizes
-        ):
+            if batch_id is not None:
+                manifest["batch_ids"] = sorted({*base_batches, int(batch_id)})
+            elif base_batches:
+                # a plain append on a streamed table KEEPS the batch ledger:
+                # losing it would let a later replayed micro-batch re-commit
+                manifest["batch_ids"] = base_batches
+            if txn_app is not None:
+                # the idempotence ledger: this app's high-water mark advances;
+                # other apps' entries carry via _try_commit's prev-merge
+                manifest["txns"] = {txn_app: int(txn_version)}
+            if mode == "append" and write_mapping:
+                manifest["column_mapping"] = write_mapping
+            if mode == "append" and prev_resolved and prev_resolved.get("dv"):
+                # deletion vectors ride across appends: the deleted rows stay
+                # deleted, the new files carry no vectors (fresh commit paths
+                # can never collide with recorded (file, pos) keys)
+                manifest["dv"] = prev_resolved["dv"]
+            if cols:
+                manifest["stats_cols"] = list(cols)
+                manifest["stats"] = {
+                    f: s
+                    for f, s in {**base_stats, **(new_stats or {})}.items()
+                    if f in set(manifest["files"])
+                }
+            if bcols:
+                manifest["bloom"] = {
+                    "cols": list(bcols),
+                    "k": BLOOM_HASHES,
+                    "m": BLOOM_BITS,
+                    "files": sorted(set(base_bloom) | set(new_bloom or [])),
+                }
+            if checks:
+                manifest["constraints"] = checks
             if ac:
-                _maybe_auto_compact(spark, root, manifest, float(ac))
-            return int(manifest["version"])
-    raise IOError(
-        f"snapshot_write: lost the commit race {_MAX_COMMIT_RETRIES} times "
-        f"on {root} — a runaway committer is monopolizing the table"
-    )
+                manifest["auto_compact_mb"] = float(ac)
+            if pcols:
+                manifest["partition_by"] = list(pcols)
+                base_parts = (
+                    prev_resolved.get("partitions", {}) if prev_resolved else {}
+                )
+                live = set(manifest["files"])
+                manifest["partitions"] = {
+                    f: v
+                    for f, v in {**base_parts, **new_parts}.items()
+                    if f in live
+                }
+            if _try_commit(
+                spark, root, manifest, prev=prev_resolved, new_sizes=new_sizes
+            ):
+                if ac:
+                    _maybe_auto_compact(spark, root, manifest, float(ac))
+                return int(manifest["version"])
+        raise IOError(
+            f"snapshot_write: lost the commit race {_MAX_COMMIT_RETRIES} times "
+            f"on {root} — a runaway committer is monopolizing the table"
+        )
+    finally:
+        # seam roots: drop the local staging tree (objects are
+        # already published; hardlinks make this metadata-only)
+        _cleanup_commit_stage(root, commit_dir)
 
 
 #: auto-compaction's file-count trigger (Delta autoCompact's
@@ -1417,18 +1519,22 @@ def _maybe_auto_compact(
     manifest predates fall back to one stat each."""
     sizes = manifest.get("sizes", {})
     fs = jvm = None  # lazy: reached only for pre-upgrade manifests
+    store = _seam_store(root)
     tgt = target_mb * 1024 * 1024
     tail = 0.0
     n_small = 0
     for f in manifest["files"]:
         sz = sizes.get(f)
         if sz is None:
-            if fs is None:
-                jvm, _jroot, fs = _fs_for(spark, root)
             try:
-                sz = fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
-                ).getLen()
+                if store is not None:
+                    sz = store.key_size(root, f)
+                else:
+                    if fs is None:
+                        jvm, _jroot, fs = _fs_for(spark, root)
+                    sz = fs.getFileStatus(
+                        jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
+                    ).getLen()
             except Exception:
                 return  # table mutated under us; next commit re-checks
         if sz < tgt / 2:
@@ -1446,15 +1552,19 @@ def _live_sizes(spark: SparkSession, root: str, m: dict) -> dict[str, int]:
     pre-upgrade manifest predates."""
     msizes = m.get("sizes", {})
     fs = jvm = None
+    store = _seam_store(root)
     sizes: dict[str, int] = {}
     for f in m["files"]:
         sz = msizes.get(f)
         if sz is None:
-            if fs is None:
-                jvm, _jroot, fs = _fs_for(spark, root)
-            sz = fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
-            ).getLen()
+            if store is not None:
+                sz = store.key_size(root, f)
+            else:
+                if fs is None:
+                    jvm, _jroot, fs = _fs_for(spark, root)
+                sz = fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(_abs_file(root, f))
+                ).getLen()
         sizes[f] = int(sz)
     return sizes
 
@@ -1514,21 +1624,89 @@ def snapshot_read(
 #: table-relative path of the file a row came from — `data/<commit>/<part>`
 #: extracted from the absolute scan URI, so deletion-vector keys survive a
 #: table move/re-mount (the manifest's own path convention)
-def _rel_file_expr():
+def _rel_file_expr(root: str | None = None):
     # anchored on the 32-hex commit-dir name so PARTITIONED commits
     # (nested __pv_* dirs) key identically to flat ones, and a root path
     # that itself contains a /data/ segment can't false-match
-    return F.regexp_extract(
-        F.col("_metadata.file_path"), r"(data/[0-9a-f]{32}/.+)$", 1
-    )
+    fp = F.col("_metadata.file_path")
+    if root is not None and _seam_store(root) is not None:
+        # object-store scans read flat TILDE-ESCAPED object names
+        # (FlatObjectStorage._kname: '~'->'~7E', '/'->'~2F'); decode so
+        # dv/changefeed keys stay in the manifest's data/<commit>/<part>
+        # space. Order matters: '~2F' first (an original literal '~2F'
+        # was escaped to '~7E2F', which cannot false-match).
+        fp = F.regexp_replace(F.regexp_replace(fp, "~2F", "/"), "~7E", "~")
+    return F.regexp_extract(fp, r"(data/[0-9a-f]{32}/.+)$", 1)
 
 
 def _abs_file(root: str, f: str) -> str:
     """Resolve a manifest file entry to a readable path. Entries are
     normally root-RELATIVE (``data/<commit>/<part>``); a SHALLOW CLONE
     (:func:`snapshot_clone`) records the source's files as ABSOLUTE
-    paths/URIs, which pass through untouched."""
-    return f if f.startswith("/") or "://" in f else f"{root}/{f}"
+    paths/URIs, which pass through untouched. Registered object-store
+    roots resolve through the store's ``local_scan_path`` (the escaped
+    physical object name — directly scannable by the JVM)."""
+    if f.startswith("/") or "://" in f:
+        return f
+    store = _seam_store(root)
+    if store is not None:
+        return store.local_scan_path(root, f)
+    return f"{root}/{f}"
+
+
+def _commit_write_dir(spark: SparkSession, root: str) -> str:
+    """Where Spark writes ONE commit's parquet files. Filesystem roots
+    write in place (``<root>/data/<uuid>``). Object-store (seam) roots
+    STAGE locally under ``<tmp>/data/<uuid>`` — the path keeps the
+    ``data/<32-hex>/`` tail so stats/bloom passes key files identically
+    — and :func:`_publish_commit` uploads each file as a whole object
+    before the manifest CAS (readers resolve manifest-then-objects, so
+    objects must be visible first). This is the S3A staging-committer
+    shape; on real clouds the JVM writes through its native committer
+    instead, and only the flat:// offline twin pays the local stage."""
+    if _seam_store(root) is None:
+        return f"{root}/data/{uuid.uuid4().hex}"
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="snapstage-")
+    return f"{base}/data/{uuid.uuid4().hex}"
+
+
+def _publish_commit(spark: SparkSession, root: str, commit_dir: str) -> None:
+    """Seam roots: upload the staged commit's data files as whole
+    objects (hard-linked zero-copy when the store is file-backed and
+    same-device). Filesystem roots: no-op (files are already in place).
+    The staging dir is kept until :func:`_cleanup_commit_stage` — the
+    commit loop re-reads it for constraint re-checks after a lost CAS.
+    A crash between publish and the manifest CAS leaves only inert
+    unreferenced objects (vacuum sweeps them), exactly like the JVM
+    path's unreferenced commit dirs."""
+    store = _seam_store(root)
+    if store is None:
+        return
+    import os as _os
+
+    name = commit_dir.rstrip("/").rsplit("/", 1)[-1]
+    for dirpath, _dirs, files in _os.walk(commit_dir):
+        for n in files:
+            if n.startswith(("_", ".")):
+                continue  # markers/checksums never become objects
+            lp = _os.path.join(dirpath, n)
+            sub = _os.path.relpath(lp, commit_dir)
+            store.put_file(root, f"data/{name}/{sub}", lp)
+
+
+def _cleanup_commit_stage(root: str, commit_dir: str) -> None:
+    """Remove a seam root's local staging tree (best-effort; a leaked
+    tempdir is inert). No-op for filesystem roots."""
+    if _seam_store(root) is None:
+        return
+    import os as _os
+    import shutil as _shutil
+
+    base = _os.path.dirname(_os.path.dirname(commit_dir.rstrip("/")))
+    if _os.path.basename(base).startswith("snapstage-"):
+        _shutil.rmtree(base, ignore_errors=True)
 
 
 _REL_RE = re.compile(r"(data/[0-9a-f]{32}/.+)$")
@@ -1598,7 +1776,7 @@ def _plan_scan(
         cols = scan.columns
         parts.append(
             _logical(
-                scan.withColumn("__dv_file", _rel_file_expr())
+                scan.withColumn("__dv_file", _rel_file_expr(root))
                 .withColumn("__dv_pos", F.col("_metadata.row_index"))
                 .join(dv, ["__dv_file", "__dv_pos"], "left_anti")
                 .select(*cols)
@@ -1758,7 +1936,7 @@ def snapshot_optimize(
         packed = cur.coalesce(want)
     mapping = _mapping(m)
     pby = m.get("partition_by")
-    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    commit_dir = _commit_write_dir(spark, root)
     phys_packed = _to_physical(packed, mapping)
     if pby:
         # a partitioned table stays partitioned through OPTIMIZE: the
@@ -1802,6 +1980,8 @@ def snapshot_optimize(
         else None
     )  # fresh sidecars too — and the rebuild COLLAPSES the accumulated
     # per-commit sidecar list back to one commit's worth
+    _publish_commit(spark, root, commit_dir)
+    _cleanup_commit_stage(root, commit_dir)
     base, base_v = m, latest
     for _attempt in range(_MAX_COMMIT_RETRIES):
         _commit_backoff(_attempt)
@@ -2021,7 +2201,7 @@ def snapshot_cdf(
                 *[_abs_file(root, by_rel.get(t, t)) for t in touched]
             )
             removed = (
-                rows.withColumn("__dv_file", _rel_file_expr())
+                rows.withColumn("__dv_file", _rel_file_expr(root))
                 .withColumn("__dv_pos", F.col("_metadata.row_index"))
                 .join(
                     F.broadcast(
@@ -2219,7 +2399,7 @@ def snapshot_merge(
         out = keep.select(*merged_schema.names).unionByName(src)
     else:
         out = src
-    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    commit_dir = _commit_write_dir(spark, root)
     out.write.parquet(commit_dir)
     new_sizes = _list_commit_sizes(spark, commit_dir)
     new_files = sorted(new_sizes)
@@ -2234,6 +2414,8 @@ def snapshot_merge(
         if m.get("bloom") and new_files
         else []
     )
+    _publish_commit(spark, root, commit_dir)
+    _cleanup_commit_stage(root, commit_dir)
 
     def _added_can_match(s):  # could a concurrently appended file hold a source key?
         if lo is None:
@@ -2334,7 +2516,7 @@ def _delete_dv(
     commit's NEW vector exactly its delete delta, the property
     :func:`snapshot_cdf` reads row-level change feeds from."""
     cand = spark.read.schema(schema).parquet(*[_abs_file(root, f) for f in candidates])
-    ident = cand.withColumn("__dv_file", _rel_file_expr()).withColumn(
+    ident = cand.withColumn("__dv_file", _rel_file_expr(root)).withColumn(
         "__dv_pos", F.col("_metadata.row_index")
     )  # reserved names: a table column can't collide with them
     if m.get("dv"):
@@ -2345,7 +2527,7 @@ def _delete_dv(
     matched = ident.where(F.coalesce(match, F.lit(False))).select(
         F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
     )
-    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    commit_dir = _commit_write_dir(spark, root)
     # sorted by (file, pos): row-group `file` stats become tight, so a
     # reader's file==key pushdown decodes only its own row groups (the
     # vector is O(#matching rows) — the sort's exchange is cheap)
@@ -2353,8 +2535,11 @@ def _delete_dv(
     # metadata-only count over the just-written vector: zero matches ->
     # no commit (the schema-only residue file is inert; vacuum sweeps it)
     if spark.read.parquet(commit_dir).count() == 0:
+        _cleanup_commit_stage(root, commit_dir)
         return latest
     new_dv = _list_commit_files(spark, commit_dir)
+    _publish_commit(spark, root, commit_dir)
+    _cleanup_commit_stage(root, commit_dir)
     added_can_match = _delete_added_can_match(filters)
     base, base_v = m, latest
     for _attempt in range(_MAX_COMMIT_RETRIES):
@@ -2471,7 +2656,7 @@ def snapshot_delete(
     # resurrect in the rewrite
     cand = _plan_scan(spark, root, m, candidates, schema)
     keep = cand.where(~F.coalesce(match, F.lit(False)))
-    commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+    commit_dir = _commit_write_dir(spark, root)
     keep.write.parquet(commit_dir)
     new_sizes = _list_commit_sizes(spark, commit_dir)
     new_files = sorted(new_sizes)
@@ -2486,6 +2671,8 @@ def snapshot_delete(
         if m.get("bloom") and new_files
         else []
     )
+    _publish_commit(spark, root, commit_dir)
+    _cleanup_commit_stage(root, commit_dir)
     added_can_match = _delete_added_can_match(filters)
     base, base_v = m, latest
     for _attempt in range(_MAX_COMMIT_RETRIES):
@@ -2613,7 +2800,7 @@ def snapshot_update(
         raw = spark.read.schema(schema).parquet(
             *[_abs_file(root, f) for f in candidates]
         )
-        ident = raw.withColumn("__dv_file", _rel_file_expr()).withColumn(
+        ident = raw.withColumn("__dv_file", _rel_file_expr(root)).withColumn(
             "__dv_pos", F.col("_metadata.row_index")
         )
         if m.get("dv"):
@@ -2628,13 +2815,13 @@ def snapshot_update(
         matched = ident.where(F.coalesce(match, F.lit(False))).localCheckpoint()
         if matched.limit(1).count() == 0:
             return latest  # no row matched: nothing to commit
-        vec_dir = f"{root}/data/{uuid.uuid4().hex}"
+        vec_dir = _commit_write_dir(spark, root)
         # sorted like _delete_dv's vectors: tight row-group `file` stats
         # let readers' file==key pushdown skip other files' row groups
         matched.select(
             F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
         ).sort("file", "pos").write.parquet(vec_dir)
-        commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+        commit_dir = _commit_write_dir(spark, root)
         updated = matched.select(
             *[_assigned(f) if f.name in set_exprs else F.col(f.name) for f in schema.fields]
         )
@@ -2645,6 +2832,8 @@ def snapshot_update(
         new_sizes = _list_commit_sizes(spark, commit_dir)
         new_files = sorted(new_sizes)
         new_dv = _list_commit_files(spark, vec_dir)
+        _publish_commit(spark, root, vec_dir)
+        _cleanup_commit_stage(root, vec_dir)
     else:
         # dv-aware candidate read: vector-deleted rows must not resurrect
         cand = _plan_scan(spark, root, m, candidates, schema)
@@ -2663,7 +2852,7 @@ def snapshot_update(
             m.get("constraints", {}),
             "snapshot_update rows",
         )
-        commit_dir = f"{root}/data/{uuid.uuid4().hex}"
+        commit_dir = _commit_write_dir(spark, root)
         out.drop("__upd").write.parquet(commit_dir)
         new_sizes = _list_commit_sizes(spark, commit_dir)
         new_files = sorted(new_sizes)
@@ -2679,6 +2868,8 @@ def snapshot_update(
         if m.get("bloom") and new_files
         else []
     )
+    _publish_commit(spark, root, commit_dir)
+    _cleanup_commit_stage(root, commit_dir)
     added_can_match = _delete_added_can_match(filters)
     base, base_v = m, latest
     for _attempt in range(_MAX_COMMIT_RETRIES):
@@ -3129,6 +3320,8 @@ def snapshot_vacuum(
     (e.g. single-process tests)."""
     import time
 
+    if _seam_store(root) is not None:
+        return _vacuum_seam(spark, root, keep_last, min_age_seconds, dry_run)
     jvm, jroot, fs = _fs_for(spark, root)
     versions = _list_versions(fs, jvm, jroot)
     if not versions:
@@ -3194,13 +3387,66 @@ def snapshot_vacuum(
             and int(name[1:-5]) in dropped
         )
         is_stale_tmp = (
-            name.startswith((".tmp-", "..tmp-"))  # temp + its crc sidecar
+            # temp manifests + crc sidecars + pointer-update temps
+            name.startswith((".tmp-", "..tmp-", ".ptr-", "..ptr-"))
             and st.getModificationTime() <= cutoff_ms
         )  # a YOUNG temp manifest may be a committer between write and publish
         if is_dropped or is_stale_tmp:
             if not dry_run:
                 fs.delete(st.getPath(), False)
             deleted.append(f"{SNAP_DIR}/{name}")
+    return sorted(deleted)
+
+
+def _vacuum_seam(
+    spark: SparkSession,
+    root: str,
+    keep_last: int,
+    min_age_seconds: float,
+    dry_run: bool,
+) -> list[str]:
+    """:func:`snapshot_vacuum` over an object-store (seam) root: the
+    same retention semantics expressed in object verbs — prefix listing
+    instead of directory walks, per-OBJECT upload-instant grace window
+    (strictly tighter than the JVM path's per-commit-dir window), and
+    unconditional deletes. Nothing here renames; data objects that no
+    kept version references and manifests of retired versions simply
+    disappear, exactly the S3 lifecycle shape."""
+    import time
+
+    store = _seam_store(root)
+    versions = store.list_versions(root)
+    if not versions:
+        return []
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    chain_needed: set[int] = set()
+    for v in kept:
+        km = _storage.read_manifest(store, root, v)
+        referenced.update(km["files"])
+        referenced.update(km.get("dv", ()))
+        referenced.update(km.get("bloom", {}).get("files", ()))
+        raw = _storage.read_raw_manifest(store, root, v)
+        while "files" not in raw:
+            base = int(raw["base"])
+            chain_needed.add(base)
+            raw = _storage.read_raw_manifest(store, root, base)
+    dropped = [v for v in dropped if v not in chain_needed]
+    deleted: list[str] = []
+    cutoff = time.time() - min_age_seconds
+    for key in store.list_keys(root, "data/"):
+        if key in referenced:
+            continue
+        if store.key_mtime(root, key) > cutoff:
+            continue  # possibly an in-flight commit's fresh object
+        if not dry_run:
+            store.delete_key(root, key)
+        deleted.append(key)
+    for v in dropped:
+        mkey = f"{SNAP_DIR}/{_manifest_name(v)}"
+        if not dry_run:
+            store.delete_key(root, mkey)
+        deleted.append(mkey)
     return sorted(deleted)
 
 
@@ -3295,8 +3541,7 @@ def snapshot_version_of_batch(
     (``version - 1`` = the table as the original delivery saw it), which
     is how multi-table streaming transactions stay deterministic under
     at-least-once delivery."""
-    jvm, jroot, fs = _fs_for(spark, root)
-    for v in _list_versions(fs, jvm, jroot):
+    for v in _meta_store(spark, root).list_versions(root):
         if int(batch_id) in read_manifest(spark, root, v).get("batch_ids", []):
             return v
     raise ValueError(
@@ -3334,13 +3579,11 @@ def snapshot_version_as_of(spark: SparkSession, root: str, ts) -> int:
 
     if isinstance(ts, datetime.datetime):
         ts = ts.timestamp()
-    jvm, jroot, fs = _fs_for(spark, root)
-    versions = _list_versions(fs, jvm, jroot)
+    store = _meta_store(spark, root)
+    versions = store.list_versions(root)
     if not versions:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
-    best = _storage.version_at_or_before(
-        _JvmSnapshotStorage(spark), root, ts, versions=versions
-    )
+    best = _storage.version_at_or_before(store, root, ts, versions=versions)
     if best is None:
         raise ValueError(
             f"snapshot table {root} has no version committed at or before "
@@ -3360,8 +3603,7 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     versions), committed_at (the in-commit stamp, epoch seconds; NULL
     pre-upgrade), encoding (``full`` checkpoint vs ``delta`` log
     segment)."""
-    jvm, jroot, fs = _fs_for(spark, root)
-    versions = _list_versions(fs, jvm, jroot)
+    versions = _meta_store(spark, root).list_versions(root)
     if not versions:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
     rows = []

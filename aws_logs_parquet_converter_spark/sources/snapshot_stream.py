@@ -6,8 +6,10 @@ the "table as a stream" half of the Delta design (Armbrust et al.,
 VLDB'20 §4.3: a streaming source whose offsets are log positions), built
 on the Spark 4 Python DataSource API:
 
-* **Offsets are version numbers.** ``latestOffset`` lists the manifest
-  directory (O(#versions) metadata, no data access); a micro-batch covers
+* **Offsets are version numbers.** ``latestOffset`` reads the advisory
+  ``_snapshots/_latest`` tip pointer (O(1) metadata + a bounded forward
+  reconcile — Delta's ``_last_checkpoint`` protocol; a missing pointer
+  falls back to the directory LIST); a micro-batch covers
   the versions committed since the last checkpointed offset. Replay of a
   batch re-reads the same version range — deterministic by manifest
   immutability, so the engine's own checkpoint gives exactly-once into
@@ -145,18 +147,21 @@ def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
     else ``timestamp`` (epoch seconds — newest version whose IN-COMMIT
     ``committed_at`` stamp is at-or-before it, the TIMESTAMP AS OF rule
     of plans.snapshots.snapshot_version_as_of; file mtime only for
-    pre-stamp manifests), else latest."""
-    vs = storage.list_versions(root)
-    if not vs:
-        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    pre-stamp manifests), else latest. The latest/explicit paths cost
+    O(1) metadata (the ``_latest`` tip pointer / one existence probe) —
+    only timestamp resolution pays a directory LIST (it needs the
+    surviving-version set)."""
     if options.get("version") is not None:
         v = int(options["version"])
-        if v not in vs:
+        if not storage.manifest_exists(root, v):
             raise FileNotFoundError(f"snapshot table {root} has no version {v}")
         return v
     if options.get("timestamp") is not None:
         from ..storage import version_at_or_before
 
+        vs = storage.list_versions(root)
+        if not vs:
+            raise FileNotFoundError(f"snapshot table {root} has no commits")
         ts = float(options["timestamp"])
         best = version_at_or_before(storage, root, ts, versions=vs)
         if best is None:
@@ -165,7 +170,12 @@ def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
                 f"before {ts}"
             )
         return best
-    return vs[-1]
+    from ..storage import current_version_fast
+
+    tip = current_version_fast(storage, root)
+    if tip is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    return tip
 
 
 def _parse_filters(options) -> list[tuple]:
@@ -564,8 +574,14 @@ try:  # pyspark >= 4.0 only
             return {"version": self._start}
 
         def latestOffset(self):
-            vs = self._storage.list_versions(self._root)
-            return {"version": vs[-1] if vs else self._start}
+            # O(1) per poll via the _latest tip pointer (+ bounded
+            # forward reconcile) — a micro-batch poll loop on a
+            # 100k-commit table no longer pays a full directory LIST
+            # every trigger
+            from ..storage import current_version_fast
+
+            tip = current_version_fast(self._storage, self._root)
+            return {"version": tip if tip is not None else self._start}
 
         def partitions(self, start, end):
             if self._cdf:

@@ -126,6 +126,66 @@ def main() -> None:
         print(json.dumps(row))
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
     print(json.dumps({"probe": "manifest_scale", "results": results}))
+
+    # --- tip-pointer leg (r9): TIP-RESOLUTION cost vs HISTORY LENGTH ---
+    # Delta's _last_checkpoint design: with the advisory _latest pointer
+    # the tip resolves in O(1) (read pointer + verify + one tip+1
+    # probe) regardless of history length; the LIST fallback the old
+    # code always paid is O(#versions). A stale pointer (lag L from a
+    # crash window) adds exactly L existence probes.
+    from aws_logs_parquet_converter_spark import storage as st
+
+    ptr_results = []
+    for n_versions in (
+        int(x)
+        for x in os.environ.get(
+            "SCALE_VERSION_DECADES", "100,1000,10000"
+        ).split(",")
+    ):
+        base = tempfile.mkdtemp(prefix="ptr_probe_")
+        root = base + "/t"
+        sd = os.path.join(root, "_snapshots")
+        os.makedirs(sd)
+        for v in range(1, n_versions + 1):
+            with open(
+                os.path.join(sd, f"v{v:08d}.json"), "w", encoding="utf-8"
+            ) as fh:
+                json.dump(
+                    {
+                        "version": v,
+                        "files": [],
+                        "schema": "{}",
+                        "committed_at": 1000.0 + v,
+                    },
+                    fh,
+                )
+        impl = st.LocalSnapshotStorage()
+
+        def _avg_us(fn, reps=50) -> float:
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                assert fn() == n_versions
+            return round((time.perf_counter() - t0) / reps * 1e6, 1)
+
+        impl.write_pointer(root, n_versions)
+        row = {
+            "versions": n_versions,
+            "pointer_us": _avg_us(
+                lambda: st.current_version_fast(impl, root)
+            ),
+        }
+        impl.write_pointer(root, max(1, n_versions - 8))  # crash lag 8
+        row["stale8_pointer_us"] = _avg_us(
+            lambda: st.current_version_fast(impl, root)
+        )
+        os.remove(os.path.join(sd, st.POINTER_NAME))
+        row["list_fallback_us"] = _avg_us(
+            lambda: st.current_version_fast(impl, root)
+        )
+        ptr_results.append(row)
+        print(json.dumps(row))
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"probe": "tip_pointer_scale", "results": ptr_results}))
     spark.stop()
 
 
