@@ -454,6 +454,28 @@ def _resolve_sizes(
     manifest["sizes"] = sizes
 
 
+def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
+    """The last, pure step every commit path shares (JVM planner AND the
+    Python DataSource sink): merge the previous version's transaction
+    ledger (a table property — a commit built on ``prev`` carries its
+    per-app high-water marks, its own txn winning its app's key), stamp
+    the IN-COMMIT timestamp (``committed_at``, monotonic-clamped against
+    the predecessor — Delta's inCommitTimestamps, so time travel
+    survives table copies and object-store mtime skew), pick the on-disk
+    form (full or delta, :func:`_encode_commit`), and serialize. The
+    caller publishes the returned payload via its put-if-absent
+    primitive. Mutates ``manifest`` (txns/committed_at) by design."""
+    if prev and prev.get("txns"):
+        manifest["txns"] = {**prev["txns"], **manifest.get("txns", {})}
+    prev_ts = (prev or {}).get("committed_at")
+    ts = round(time.time(), 3)  # compare ROUNDED, or a value that
+    if prev_ts is not None and ts <= float(prev_ts):  # rounds down could
+        ts = round(float(prev_ts) + 1e-3, 3)  # tie its predecessor
+    manifest["committed_at"] = ts
+    raw = _encode_commit(manifest, prev)
+    return json.dumps(raw, sort_keys=True).encode("utf-8")
+
+
 def _try_commit(
     spark: SparkSession,
     root: str,
@@ -477,18 +499,7 @@ def _try_commit(
     survives a table copy/restore/rsync where file mtimes do not, and
     object-store mtime skew cannot reorder history."""
     _resolve_sizes(spark, root, manifest, prev, new_sizes)
-    if prev and prev.get("txns"):
-        # the batch-idempotence ledger is a table property: every commit
-        # built on `prev` carries its per-app high-water marks (a commit
-        # declaring its own txn wins its app's key)
-        manifest["txns"] = {**prev["txns"], **manifest.get("txns", {})}
-    prev_ts = (prev or {}).get("committed_at")
-    ts = round(time.time(), 3)  # compare ROUNDED, or a value that
-    if prev_ts is not None and ts <= float(prev_ts):  # rounds down could
-        ts = round(float(prev_ts) + 1e-3, 3)  # tie its predecessor
-    manifest["committed_at"] = ts
-    raw = _encode_commit(manifest, prev)
-    payload = json.dumps(raw, sort_keys=True).encode("utf-8")
+    payload = _finalize_commit(manifest, prev)
     version = int(manifest["version"])
     store = _seam_store(root)
     if store is not None:

@@ -684,6 +684,16 @@ try:  # pyspark >= 4.0 only
         def reader(self, schema):
             return _SnapshotBatchReader(schema, self.options)
 
+        def writer(self, schema, overwrite):
+            from .snapshot_sink import SnapshotTableWriter
+
+            return SnapshotTableWriter(schema, self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite):
+            from .snapshot_sink import SnapshotTableStreamWriter
+
+            return SnapshotTableStreamWriter(schema, self.options, overwrite)
+
 except ImportError:  # pragma: no cover - pyspark < 4
     SnapshotTableStreamSource = None  # type: ignore[assignment]
 

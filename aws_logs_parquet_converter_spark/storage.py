@@ -225,6 +225,59 @@ class LocalSnapshotStorage(SnapshotStorage):
     def manifest_exists(self, root: str, version: int) -> bool:
         return os.path.exists(self._manifest_path(root, version))
 
+    # -- write verbs (the Python DataSource sink commits through these;
+    # the JVM planner keeps its Hadoop-FS path) -------------------------
+
+    def put_file(self, root: str, rel: str, local_path: str) -> None:
+        """Publish a staged local file under the root. ``link(2)`` when
+        same-device (zero-copy), whole-file copy otherwise; the target
+        name is commit-unique so an existing destination is a replayed
+        attempt's own artifact (last publish wins, like an object PUT)."""
+        dst = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(local_path, dst)
+        except FileExistsError:
+            os.remove(dst)
+            os.link(local_path, dst)
+        except OSError:  # cross-device or linkless fs
+            import shutil
+
+            tmp = os.path.join(
+                os.path.dirname(dst), f".stage-{os.path.basename(dst)}"
+            )
+            shutil.copyfile(local_path, tmp)
+            os.replace(tmp, dst)  # whole-file visibility
+
+    def put_if_absent_bytes(self, root: str, rel: str, data: bytes) -> bool:
+        """CONDITIONAL create — the LogStore/conditional-PUT primitive
+        (same ``link(2)`` kernel-atomic name claim as
+        ``plans.snapshots.AtomicRenameLogStore`` and
+        :class:`FlatObjectStorage`): True = ``rel`` now holds ``data``,
+        False = the name was already taken. Never clobbers, never
+        exposes a partial file."""
+        import uuid as _uuid
+
+        dst = os.path.join(root, rel)
+        d = os.path.dirname(dst)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".claim-{_uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        return True
+
+    def delete_key(self, root: str, rel: str) -> None:
+        os.remove(os.path.join(root, rel))
+
+    def key_size(self, root: str, rel: str) -> int:
+        return os.path.getsize(os.path.join(root, rel))
+
 
 class FsspecSnapshotStorage(SnapshotStorage):
     """fsspec-backed implementation: the same three primitives against
