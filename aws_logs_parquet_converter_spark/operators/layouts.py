@@ -1955,3 +1955,145 @@ def table_snapshot_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+#: per-sf_dir cache of tables written THROUGH the DataFrame writer
+_SNAPSHOT_DFW_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_df_writer",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "DATAFRAME-WRITER ingestion (sources/snapshot_sink.py): the table "
+        "is created and grown entirely through df.write.format("
+        "'snapshot_table') — a partitioned first append plus a plain "
+        "second append that INHERITS the scheme — never touching the "
+        "Python API. Executors publish data objects and per-file stats "
+        "directly (no driver data IO); the commit is one conditional "
+        "put under the shared manifest protocol. The query asserts via "
+        "inputFiles that an event_type filter prunes to exactly that "
+        "partition across BOTH appends' files, then returns the "
+        "purchase rows — value-checked against the plain relational "
+        "oracle. The reference writes plain parquet with no "
+        "transactional layer (converters/s3-server-access-log/"
+        "converter.py); this is its write path upgraded to "
+        "Delta-protocol semantics without leaving the DataFrame API."
+    ),
+)
+def table_snapshot_df_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    register_snapshot_stream_source(spark)
+    path = _SNAPSHOT_DFW_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="snapshot_dfw_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        cut = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+        first, second = ev.where(F.col("event_id") <= cut), ev.where(
+            F.col("event_id") > cut
+        )
+        (
+            first.write.format("snapshot_table")
+            .option("root", path)
+            .option("partitionBy", "event_type")
+            .mode("append")
+            .save()
+        )
+        # the second append passes NO options beyond root: partition
+        # scheme and stats columns are table properties it inherits
+        (
+            second.write.format("snapshot_table")
+            .option("root", path)
+            .mode("append")
+            .save()
+        )
+        _SNAPSHOT_DFW_PATHS[sf_dir] = path
+    got = snapshot_read(spark, path, filters=[("event_type", "=", "purchase")])
+    opened = got.inputFiles()
+    if not opened or not all("__pv_event_type=purchase" in p for p in opened):
+        raise AssertionError(
+            f"df-writer partition layout did not prune the scan: {opened[:3]}"
+        )
+    return got
+
+
+#: per-sf_dir cache of (source_root, sink_root) for the streaming loop
+_SNAPSHOT_SINK_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_stream_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc=(
+        "NATIVE STREAMING SINK (sources/snapshot_sink.py): a snapshot "
+        "table is drained by the snapshot_table STREAM SOURCE (versions "
+        "as offsets) into a SECOND snapshot table through writeStream."
+        "format('snapshot_table') — the full table-to-table streaming "
+        "loop with no foreachBatch anywhere. Two availableNow runs "
+        "against one checkpoint: the first drains the seed commit, the "
+        "second resumes and ships only the source's NEW append; each "
+        "micro-batch lands as one ledgered stream-append commit "
+        "(exactly-once via batch_ids — replay semantics are "
+        "crash-tested in tests/test_snapshot_sink.py). The sink table's "
+        "full content is value-checked against the plain events "
+        "projection."
+    ),
+)
+def table_snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    register_snapshot_stream_source(spark)
+    sink = _SNAPSHOT_SINK_PATHS.get(sf_dir)
+    if sink is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="snapshot_sink_loop_")
+        src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        cut = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+        snapshot_write(ev.where(F.col("event_id") <= cut), src)
+
+        def _drain() -> None:
+            q = (
+                spark.readStream.format("snapshot_table")
+                .option("root", src)
+                .load()
+                .writeStream.format("snapshot_table")
+                .option("root", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        _drain()
+        snapshot_write(ev.where(F.col("event_id") > cut), src)
+        _drain()  # resume: ONLY the new source commit ships
+        ledger = read_manifest(
+            spark, sink, current_version(spark, sink)
+        ).get("batch_ids", [])
+        if len(ledger) < 2:
+            raise AssertionError(
+                f"expected two ledgered micro-batch commits, got {ledger}"
+            )
+        _SNAPSHOT_SINK_PATHS[sf_dir] = sink
+    return snapshot_read(spark, sink)

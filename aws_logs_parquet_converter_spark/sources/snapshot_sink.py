@@ -404,6 +404,30 @@ def _write_task(cfg: dict, iterator) -> _FilesMessage:
             entry["stats"] = _encode_stats(state, stats_cols)
         done.append(entry)
 
+    def _open(part_dir: str, schema) -> _OpenFile:
+        nonlocal opened
+        n = seq.get(part_dir, 0)
+        seq[part_dir] = n + 1
+        name = f"part-{task_uid}-{n:05d}.parquet"
+        rel = f"data/{cfg['commit_name']}/" + (
+            f"{part_dir}/{name}" if part_dir else name
+        )
+        opened += 1
+        path = os.path.join(tmpdir, f"stage-{opened}")
+        writer = pq.ParquetWriter(path, schema, compression="zstd")
+        state = open_files[part_dir] = _OpenFile(writer, path, rel)
+        return state
+
+    def _append(part_dir: str, sub) -> None:
+        state = open_files.get(part_dir) or _open(part_dir, sub.schema)
+        state.writer.write_batch(sub)
+        state.rows += sub.num_rows
+        if stats_cols:
+            _fold_stats(state, sub, stats_cols)
+        if cfg["max_records"] and state.rows >= cfg["max_records"]:
+            _finish(open_files.pop(part_dir))
+
+    cap = cfg["max_records"]
     try:
         for batch in iterator:
             if batch.num_rows == 0:
@@ -411,26 +435,19 @@ def _write_task(cfg: dict, iterator) -> _FilesMessage:
             for part_dir, sub in _split_batch(
                 batch, cfg["pcols"], cfg["ptypes"]
             ):
-                state = open_files.get(part_dir)
-                if state is None:
-                    n = seq.get(part_dir, 0)
-                    seq[part_dir] = n + 1
-                    name = f"part-{task_uid}-{n:05d}.parquet"
-                    rel = f"data/{cfg['commit_name']}/" + (
-                        f"{part_dir}/{name}" if part_dir else name
-                    )
-                    opened += 1
-                    path = os.path.join(tmpdir, f"stage-{opened}")
-                    writer = pq.ParquetWriter(
-                        path, sub.schema, compression="zstd"
-                    )
-                    state = open_files[part_dir] = _OpenFile(writer, path, rel)
-                state.writer.write_batch(sub)
-                state.rows += sub.num_rows
-                if stats_cols:
-                    _fold_stats(state, sub, stats_cols)
-                if cfg["max_records"] and state.rows >= cfg["max_records"]:
-                    _finish(open_files.pop(part_dir))
+                if not cap:
+                    _append(part_dir, sub)
+                    continue
+                # exact maxRecordsPerFile (Spark's contract): slice the
+                # group at each file's remaining capacity — zero-copy
+                # Arrow slices, so the cap costs no materialization
+                off = 0
+                while off < sub.num_rows:
+                    state = open_files.get(part_dir)
+                    room = cap - (state.rows if state else 0)
+                    take = min(room, sub.num_rows - off)
+                    _append(part_dir, sub.slice(off, take))
+                    off += take
         for state in open_files.values():
             _finish(state)
     finally:

@@ -274,6 +274,16 @@ class LocalSnapshotStorage(SnapshotStorage):
 
     def delete_key(self, root: str, rel: str) -> None:
         os.remove(os.path.join(root, rel))
+        # prune now-empty parent dirs (object stores have no dirs; a
+        # local root shouldn't accumulate empty commit-dir husks either)
+        d = os.path.dirname(os.path.join(root, rel))
+        stop = os.path.normpath(root)
+        while os.path.normpath(d) != stop:
+            try:
+                os.rmdir(d)
+            except OSError:
+                break  # non-empty (or gone) — done
+            d = os.path.dirname(d)
 
     def key_size(self, root: str, rel: str) -> int:
         return os.path.getsize(os.path.join(root, rel))
