@@ -1,4 +1,6 @@
-"""Snapshot-manifest tables as a STRUCTURED STREAMING SOURCE.
+"""Snapshot-manifest tables as a STRUCTURED STREAMING SOURCE (and, via
+``sources/snapshot_sink.py``, as a batch-writer target and a native
+streaming SINK — all four halves of the DataSource registered here).
 
 ``spark.readStream.format("snapshot_table").option("root", ...)`` turns a
 versioned table (plans/snapshots.py) into a stream of its appended rows —
@@ -651,11 +653,14 @@ try:  # pyspark >= 4.0 only
 
     class SnapshotTableStreamSource(DataSource):
         """``format("snapshot_table")`` — see module docstring. Serves
-        BOTH halves of the reader API: ``spark.readStream`` (versions as
-        offsets) and ``spark.read`` (one task per file of the addressed
-        version — ``version`` / ``timestamp`` options are time travel
-        through the standard reader API, and deletion-vector versions
-        read correctly)."""
+        all FOUR halves of the DataSource API: ``spark.readStream``
+        (versions as offsets) and ``spark.read`` (one task per file of
+        the addressed version — ``version`` / ``timestamp`` options are
+        time travel through the standard reader API, and deletion-vector
+        versions read correctly) on the read side; ``df.write`` (append/
+        overwrite through the manifest protocol) and ``df.writeStream``
+        (exactly-once ledgered sink) via ``snapshot_sink.py`` on the
+        write side."""
 
         @classmethod
         def name(cls):

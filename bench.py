@@ -128,6 +128,10 @@ POST_R3_LEGS = [
     "table_snapshot_partitioned_read",  # partition-value pruned manifest read
     # round-8 table features
     "table_snapshot_repartition",  # pruned read after partition EVOLUTION
+    # round-9 table features (seed writes/drains memoize; min-of-3 times
+    # the steady-state read)
+    "table_snapshot_df_writer",  # pruned read of a df.write-ingested table
+    "table_snapshot_stream_sink",  # read of a native-sink-drained table
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -45,13 +45,20 @@ OPS = int(os.environ.get("RACE_OPS", "40"))
 SEED_BASE = int(os.environ.get("RACE_SEED_BASE", "0"))
 
 #: op mix: appends dominate (they did in the observed failure's suite),
-#: maintenance and row-rewrites interleave constantly
+#: maintenance and row-rewrites interleave constantly. Vacuum races with
+#: its DEFAULT min_age guard (r8 verdict task 7): under contention the
+#: guard must keep every data object any committed version references —
+#: during the probe everything is younger than the window, so a racing
+#: vacuum may retire dropped MANIFESTS but never a live data file; the
+#: min_age=0 legs (dry + real) run quiescently per trial in the checker,
+#: exactly the single-committer precondition the docstring sets for 0.
 _OP_MIX = (
     "append", "append", "append",
     "merge",
     "delete_cow", "delete_dv",
     "update",
     "optimize",
+    "vacuum",
 )
 
 #: the additive an UPDATE op applies to `v` — large enough that missed,
@@ -67,6 +74,7 @@ def _worker(args: tuple) -> list[tuple]:
         snapshot_merge,
         snapshot_optimize,
         snapshot_update,
+        snapshot_vacuum,
         snapshot_write,
     )
     from aws_logs_parquet_converter_spark.session import build_session
@@ -158,6 +166,27 @@ def _worker(args: tuple) -> list[tuple]:
                         spark, root, target_file_mb=rng.choice([0.05, 0.2, 1.0])
                     )
                     log(i=i, op=op, phase="done", version=v)
+                elif op == "vacuum":
+                    # DEFAULT min_age guard under full contention: data
+                    # objects younger than the window (all of them, in a
+                    # minutes-long trial) must survive; only retired
+                    # manifests may go. Row conservation plus the
+                    # checker's every-version files-exist walk prove no
+                    # kept version lost a file to this. Dry runs
+                    # interleave too (must delete nothing).
+                    dry = rng.random() < 0.4
+                    keep = rng.choice([2, 3, 5])
+                    log(i=i, op=op, dry=dry, keep=keep, phase="intent")
+                    gone = snapshot_vacuum(
+                        spark, root, keep_last=keep, dry_run=dry
+                    )
+                    log(
+                        i=i, op=op, dry=dry, keep=keep, phase="done",
+                        n_deleted=len(gone),
+                        data_deleted=sum(
+                            1 for p in gone if p.startswith("data/")
+                        ),
+                    )
             except IOError as e:
                 log(i=i, op=op, phase="ioerror", err=str(e)[:160])
     finally:
@@ -222,10 +251,41 @@ def _forensics(spark, root: str, missing: set, extra: set) -> None:
     out.close()
 
 
+def _versions_with_all_files(
+    spark, root: str, only_last: int | None = None
+) -> tuple[int, list[str]]:
+    """Walk still-listed versions: resolve each manifest and stat every
+    file it references (data + deletion vectors + bloom sidecars).
+    Returns (versions_checked, missing_refs) — a non-empty second half
+    is the 'kept version references a deleted file' corruption class the
+    vacuum legs exist to rule out. ``only_last`` restricts the walk to
+    the newest N versions — required AFTER a real vacuum, whose retired
+    versions legitimately keep their (tiny) manifests as delta-chain
+    metadata while their data files are gone; with the DEFAULT min_age
+    guard under race, every surviving version must walk clean."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import read_manifest
+    from aws_logs_parquet_converter_spark.storage import LocalSnapshotStorage
+
+    missing: list[str] = []
+    versions = LocalSnapshotStorage().list_versions(root)
+    if only_last is not None:
+        versions = versions[-only_last:]
+    for v in versions:
+        m = read_manifest(spark, root, v)
+        for f in (
+            list(m["files"]) + list(m.get("dv", ())) +
+            list(m.get("bloom", {}).get("files", ()))
+        ):
+            if not os.path.exists(os.path.join(root, f)):
+                missing.append(f"v{v}:{f}")
+    return len(versions), missing
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from aws_logs_parquet_converter_spark.plans.snapshots import (
         snapshot_read,
+        snapshot_vacuum,
         snapshot_write,
     )
     from aws_logs_parquet_converter_spark.session import build_session
@@ -285,6 +345,48 @@ def main() -> None:
                             expected[i] += _UPD_DELTA
         got = {r.id: r.v for r in snapshot_read(spark, root).collect()}
         ok = got == expected
+        # vacuum-integrity leg 1: after the contention phase (racing
+        # default-guard vacuums included), every surviving version must
+        # still reference only existing files
+        n_vers, missing_refs = _versions_with_all_files(spark, root)
+        # vacuum-integrity leg 2 (quiescent — the single-committer
+        # precondition min_age=0 documents): DRY must delete nothing and
+        # predict exactly what REAL then deletes; afterwards the kept
+        # window must be fully resolvable and the table content unmoved
+        dry_list = snapshot_vacuum(
+            spark, root, keep_last=2, min_age_seconds=0, dry_run=True
+        )
+        dry_deleted_nothing = all(
+            os.path.exists(os.path.join(root, p)) for p in dry_list
+        )
+        real_list = snapshot_vacuum(spark, root, keep_last=2, min_age_seconds=0)
+        _pv_vers, pv_missing = _versions_with_all_files(spark, root, only_last=2)
+        got_pv = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+        vacuum_ok = (
+            not missing_refs
+            and dry_deleted_nothing
+            and set(real_list) == set(dry_list)
+            and not pv_missing
+            and got_pv == expected
+        )
+        if not vacuum_ok:
+            print(
+                json.dumps(
+                    {
+                        "vacuum_failure": {
+                            "missing_refs": missing_refs[:20],
+                            "dry_deleted_nothing": dry_deleted_nothing,
+                            "dry_vs_real": sorted(
+                                set(dry_list) ^ set(real_list)
+                            )[:20],
+                            "post_vacuum_missing": pv_missing[:20],
+                            "post_vacuum_rows_ok": got_pv == expected,
+                        }
+                    }
+                ),
+                flush=True,
+            )
+        ok = ok and vacuum_ok
         if not ok:
             failed += 1
             wrong = {
@@ -309,6 +411,9 @@ def main() -> None:
                 "committed_ops": n_commits,
                 "expected_rows": len(expected),
                 "got_rows": len(got),
+                "versions_walked": n_vers,
+                "vacuum_ok": vacuum_ok,
+                "quiescent_vacuumed": len(real_list),
                 "ok": ok,
                 "root": None if ok else root,  # kept on disk for autopsy
                 "wall_s": round(wall, 1),
