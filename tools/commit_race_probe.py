@@ -39,6 +39,14 @@ from concurrent.futures import ProcessPoolExecutor
 TRIALS = int(os.environ.get("RACE_TRIALS", "6"))
 PROCS = int(os.environ.get("RACE_PROCS", "4"))
 OPS = int(os.environ.get("RACE_OPS", "40"))
+#: RACE_SCHEME=flat races the SAME mix over a flat:// object-store root:
+#: manifests commit via conditional whole-object PUT
+#: (FlatObjectStorage.put_if_absent_bytes), data publishes as whole
+#: objects, vacuum deletes by prefix listing — the honest offline S3
+#: twin, under real cross-process contention instead of the contract
+#: test's threads. Empty (default) = plain local root via the JVM
+#: Hadoop path + link(2) LogStore.
+SCHEME = os.environ.get("RACE_SCHEME", "")
 #: replay knob: worker seeds are SEED_BASE + trial*1000 + proc, so a
 #: failing trial's exact op sequences re-run with RACE_SEED_BASE +
 #: RACE_TRIALS=1 (interleaving still OS-scheduled — rerun to reproduce)
@@ -93,7 +101,8 @@ def _worker(args: tuple) -> list[tuple]:
     # per-op journal, flushed BEFORE (intent) and AFTER (result) each op:
     # the forensic record that survives the worker process — what each op
     # believed happened vs the commit chain's ground truth
-    jpath = os.path.join(os.path.dirname(root), f"worker_{proc_id}.jsonl")
+    phys = root.split("://", 1)[1] if "://" in root else root
+    jpath = os.path.join(os.path.dirname(phys), f"worker_{proc_id}.jsonl")
     jf = open(jpath, "a", buffering=1)
 
     def log(**kw):
@@ -208,7 +217,8 @@ def _forensics(spark, root: str, missing: set, extra: set) -> None:
         snapshot_read,
     )
 
-    out = open(os.path.join(os.path.dirname(root), "forensics.jsonl"), "w")
+    phys = root.split("://", 1)[1] if "://" in root else root
+    out = open(os.path.join(os.path.dirname(phys), "forensics.jsonl"), "w")
 
     def emit(obj):
         line = json.dumps(obj)
@@ -264,10 +274,16 @@ def _versions_with_all_files(
     metadata while their data files are gone; with the DEFAULT min_age
     guard under race, every surviving version must walk clean."""
     from aws_logs_parquet_converter_spark.plans.snapshots import read_manifest
-    from aws_logs_parquet_converter_spark.storage import LocalSnapshotStorage
+    from aws_logs_parquet_converter_spark.storage import storage_for_root
 
+    store = storage_for_root(root)
+    if hasattr(store, "list_keys"):  # object-store root: one prefix LIST
+        existing = set(store.list_keys(root, "data/"))
+        exists = existing.__contains__
+    else:
+        exists = lambda f: os.path.exists(os.path.join(root, f))  # noqa: E731
     missing: list[str] = []
-    versions = LocalSnapshotStorage().list_versions(root)
+    versions = store.list_versions(root)
     if only_last is not None:
         versions = versions[-only_last:]
     for v in versions:
@@ -276,7 +292,7 @@ def _versions_with_all_files(
             list(m["files"]) + list(m.get("dv", ())) +
             list(m.get("bloom", {}).get("files", ()))
         ):
-            if not os.path.exists(os.path.join(root, f)):
+            if not exists(f):
                 missing.append(f"v{v}:{f}")
     return len(versions), missing
 
@@ -300,7 +316,10 @@ def main() -> None:
     results = []
     failed = 0
     for trial in range(TRIALS):
-        root = tempfile.mkdtemp(prefix="race_", dir=tmp_base) + "/t"
+        phys_base = tempfile.mkdtemp(prefix="race_", dir=tmp_base)
+        root = phys_base + "/t"
+        if SCHEME:  # e.g. flat:///dev/shm/race_x/t — object-store path
+            root = f"{SCHEME}://{root}"
         # odd trials set the auto-compaction property: every write then
         # runs the inline trigger + incremental OPTIMIZE under race
         seed_kw = {"auto_compact_mb": 0.2} if trial % 2 else {}
@@ -356,9 +375,16 @@ def main() -> None:
         dry_list = snapshot_vacuum(
             spark, root, keep_last=2, min_age_seconds=0, dry_run=True
         )
-        dry_deleted_nothing = all(
-            os.path.exists(os.path.join(root, p)) for p in dry_list
-        )
+        from aws_logs_parquet_converter_spark.storage import storage_for_root
+
+        _st = storage_for_root(root)
+        if hasattr(_st, "list_keys"):
+            _all_keys = set(_st.list_keys(root))
+            dry_deleted_nothing = all(p in _all_keys for p in dry_list)
+        else:
+            dry_deleted_nothing = all(
+                os.path.exists(os.path.join(root, p)) for p in dry_list
+            )
         real_list = snapshot_vacuum(spark, root, keep_last=2, min_age_seconds=0)
         _pv_vers, pv_missing = _versions_with_all_files(spark, root, only_last=2)
         got_pv = {r.id: r.v for r in snapshot_read(spark, root).collect()}
@@ -403,7 +429,7 @@ def main() -> None:
         else:
             import shutil
 
-            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+            shutil.rmtree(phys_base, ignore_errors=True)
         results.append(
             {
                 "trial": trial,
