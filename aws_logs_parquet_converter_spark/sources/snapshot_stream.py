@@ -8,7 +8,8 @@ the "table as a stream" half of the Delta design (Armbrust et al.,
 VLDB'20 §4.3: a streaming source whose offsets are log positions), built
 on the Spark 4 Python DataSource API:
 
-* **Offsets are version numbers.** ``latestOffset`` reads the advisory
+* **Offsets are version numbers** (plus an optional sub-version
+  ``index`` under rate limiting). ``latestOffset`` reads the advisory
   ``_snapshots/_latest`` tip pointer (O(1) metadata + a bounded forward
   reconcile — Delta's ``_last_checkpoint`` protocol; a missing pointer
   falls back to the directory LIST); a micro-batch covers
@@ -19,6 +20,22 @@ on the Spark 4 Python DataSource API:
   (streaming/events.py writes micro-batches AS manifest versions): two
   tables chained through a snapshot table form an end-to-end
   exactly-once pipeline.
+* **Rate-limited admission** (Delta's ``maxFilesPerTrigger`` /
+  ``maxBytesPerTrigger``): with either option set, ``latestOffset``
+  advances by at most that many delta files / manifest-recorded bytes
+  per micro-batch (always at least one file), splitting WITHIN a
+  version when needed — the offset gains an ``index`` naming how many
+  of the version's (deterministically sorted) delta units are consumed,
+  Delta's DeltaSourceOffset shape. Byte accounting reads the manifests'
+  per-file ``sizes`` (pure metadata, no stat calls); a stream catching
+  up on a 100 TB backlog takes it in governed slices whose size the
+  cluster chooses, instead of one unbounded first batch. Restart
+  recovery rides the engine's replay of the offset log's last batch
+  (the call-order contract PySpark's own simple-reader wrapper depends
+  on), so the first post-restart batch is bounded too. With
+  ``Trigger.AvailableNow``/``Once`` the engine captures ONE admission
+  per run (the wrapper polls once); steady backpressure wants a
+  processing-time trigger.
 * **A batch plans one task per DELTA FILE.** ``partitions`` walks the
   manifests in the offset range exactly like
   ``plans.snapshots.snapshot_changes`` — append-lineage commits
@@ -63,13 +80,22 @@ def _read_manifest_py(storage: SnapshotStorage, root: str, version: int) -> dict
     return _seam_read_manifest(storage, root, version)
 
 
-def _delta_files(
-    storage: SnapshotStorage, root: str, start_v: int, end_v: int
-) -> tuple[list[str], str, dict]:
-    """(delta file list, schema JSON of the range's newest manifest,
-    per-file stats for the delta files) — the snapshot_changes walk,
-    shared by partition planning. Stats come from the manifest that
-    introduced each file (the commit-time min/max the writer gathered)."""
+def _iter_version_deltas(
+    storage: SnapshotStorage,
+    root: str,
+    baseline_v: int,
+    first_v: int,
+    end_v: int,
+):
+    """Yield ``(version, fresh_files_sorted, manifest)`` for every
+    version in ``[first_v, end_v]`` against the ``baseline_v`` snapshot —
+    the snapshot_changes walk as a GENERATOR so callers can stop early
+    (rate-limited admission walks only as far as the limit reaches) or
+    slice a version's file list (sub-version offsets). Optimize commits
+    yield an EMPTY fresh list (maintenance is invisible to consumers);
+    rewrite actions raise the re-baseline error. The per-version order
+    is ``sorted`` — deterministic, so a ``(version, index)`` offset
+    names the same file set on every replay."""
     if _read_manifest_py(storage, root, end_v).get("column_mapping"):
         # mirror plans.snapshots._require_unmapped: files store PHYSICAL
         # names — planning them under logical names would read NULLs
@@ -79,18 +105,15 @@ def _delta_files(
             "the table (mode='overwrite') to materialize the rename"
         )
     seen: set[str] = set()
-    if start_v > 0:
-        seen = set(_read_manifest_py(storage, root, start_v)["files"])
-    delta: list[str] = []
-    stats: dict[str, dict] = {}
-    schema_json = None
-    for v in range(start_v + 1, end_v + 1):
+    if baseline_v > 0:
+        seen = set(_read_manifest_py(storage, root, baseline_v)["files"])
+    for v in range(first_v, end_v + 1):
         m = _read_manifest_py(storage, root, v)
-        schema_json = m["schema"]
         files = set(m["files"])
         action = m.get("action", "append")
         if action == "optimize":
             seen = files
+            yield v, [], m
             continue
         if action in ("overwrite", "merge", "delete", "restore", "update"):
             raise ValueError(
@@ -99,19 +122,36 @@ def _delta_files(
                 "baseline (startingVersion)"
             )
         fresh = sorted(files - seen)
+        seen = files
+        yield v, fresh, m
+
+
+def _delta_files(
+    storage: SnapshotStorage, root: str, start_v: int, end_v: int
+) -> tuple[list[str], str, dict]:
+    """(delta file list, schema JSON of the range's newest manifest,
+    per-file stats for the delta files) — the snapshot_changes walk,
+    shared by partition planning. Stats come from the manifest that
+    introduced each file (the commit-time min/max the writer gathered)."""
+    from ..plans.snapshots import _effective_stats, _phys_types
+
+    delta: list[str] = []
+    stats: dict[str, dict] = {}
+    schema_json = None
+    for v, fresh, m in _iter_version_deltas(
+        storage, root, start_v, start_v + 1, end_v
+    ):
+        schema_json = m["schema"]
         delta.extend(fresh)
         # one lookup serves min/max stats AND first-class partition
         # values (exact [v, v] ranges) — the same fold every batch-side
         # pruning site uses, so a partition-column filter skips streamed
         # files too, not just rows
-        from ..plans.snapshots import _effective_stats, _phys_types
-
         types = _phys_types(m)
         for f in fresh:
             eff = _effective_stats(m, f, types)
             if eff:
                 stats[f] = eff
-        seen = files
     if schema_json is None:
         schema_json = _read_manifest_py(storage, root, end_v)["schema"]
     return delta, schema_json, stats
@@ -178,6 +218,27 @@ def _resolve_version_py(storage: SnapshotStorage, root: str, options) -> int:
     if tip is None:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
     return tip
+
+
+_BYTE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _parse_byte_size(raw: str) -> int:
+    """``maxBytesPerTrigger`` values: a plain integer byte count or a
+    ``k``/``m``/``g``/``t``-suffixed size (``"128m"``)."""
+    s = str(raw).strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(float(s[:-1]) * _BYTE_SUFFIX[s[-1]])
+    return int(s)
+
+
+def _norm_off(off: dict) -> tuple[int, int | None]:
+    """``(version, index)`` of an offset dict — ``index`` is the number
+    of the version's delta units (files; change specs in CDF mode)
+    already consumed, or None when the version is wholly consumed (the
+    pre-rate-limit offset shape, so old checkpoints keep resolving)."""
+    idx = off.get("index")
+    return int(off["version"]), (int(idx) if idx is not None else None)
 
 
 def _parse_filters(options) -> list[tuple]:
@@ -328,37 +389,30 @@ try:  # pyspark >= 4.0 only
                 out = out.filter(pc.coalesce(mask, pa.scalar(False)))
             yield out
 
-    def _cdf_partition_specs(
-        storage, root: str, start_v: int, end_v: int, filters: list = ()
-    ) -> list["_SnapshotFilePartition"]:
-        """Driver-side plan of a CHANGE-FEED micro-batch — the streaming
-        analogue of plans.snapshots.snapshot_cdf: one partition per
-        (file, change_type) in the version range. Append-lineage commits
-        emit their fresh files as ``insert``; a dv delete emits the rows
-        its NEW vectors name (``delete``) — the driver reads only the
-        vectors' ``file`` column to learn WHICH files are touched
-        (O(#touched files) metadata) and each task reads its own
-        positions executor-side; a dv update emits both halves
-        (``update_preimage`` from the vector, ``update_postimage`` from
-        its fresh files). An OPTIMIZE rewrites bytes but no rows and
-        contributes NOTHING (Delta's readChangeFeed rule: maintenance is
-        invisible to change consumers). Commits without row lineage
-        raise the re-baseline error.
+    def _iter_cdf_version_specs(
+        storage, root: str, baseline_v: int, first_v: int, end_v: int
+    ):
+        """Yield ``(version, UNFILTERED spec list, manifest)`` for every
+        version in ``[first_v, end_v]`` against ``baseline_v`` — the
+        change-feed analogue of :func:`_iter_version_deltas`. Append-
+        lineage commits emit their fresh files as ``insert``; a dv
+        delete emits the rows its NEW vectors name (``delete``) — the
+        driver reads only the vectors' ``file`` column to learn WHICH
+        files are touched (O(#touched files) metadata) and each task
+        reads its own positions executor-side; a dv update emits both
+        halves (``update_preimage`` from the vector, ``update_postimage``
+        from its fresh files). An OPTIMIZE rewrites bytes but no rows
+        and contributes an EMPTY list (Delta's readChangeFeed rule:
+        maintenance is invisible to change consumers). Commits without
+        row lineage raise the re-baseline error.
 
-        ``filters`` (the reader's pushdown option) prune FILES here the
-        same way the append path does: a change file whose manifest
-        min/max stats or recorded partition values prove no row can
-        match is never planned as a partition — a filtered changefeed
-        consumer of a partitioned 100 TB table opens only its
-        partitions' insert/delete images (rows are still filtered
-        batch-side, so the option stays exact without stats)."""
-        from ..plans.snapshots import _effective_stats, _phys_types, _rel_key
-
-        def _keep(m, types, f) -> bool:
-            if not filters:
-                return True
-            eff = _effective_stats(m, f, types)
-            return all(_survives(eff, c, op, v) for c, op, v in filters)
+        Specs are yielded UNFILTERED and in a deterministic per-version
+        order (dv preimages sorted by rel key, then fresh files sorted),
+        so a ``(version, index)`` rate-limit offset names the same spec
+        set on every replay and stays valid if the consumer's
+        ``filters`` option changes across a restart — pruning is the
+        caller's second pass."""
+        from ..plans.snapshots import _rel_key
 
         if _read_manifest_py(storage, root, end_v).get("column_mapping"):
             raise ValueError(
@@ -367,17 +421,17 @@ try:  # pyspark >= 4.0 only
             )
         seen_files: set = set()
         seen_dv: set = set()
-        if start_v > 0:
-            base = _read_manifest_py(storage, root, start_v)
+        if baseline_v > 0:
+            base = _read_manifest_py(storage, root, baseline_v)
             seen_files = set(base["files"])
             seen_dv = set(base.get("dv", ()))
-        specs: list[_SnapshotFilePartition] = []
-        for v in range(start_v + 1, end_v + 1):
+        for v in range(first_v, end_v + 1):
             m = _read_manifest_py(storage, root, v)
             files, dv = set(m["files"]), set(m.get("dv", ()))
             action = m.get("action", "append")
             if action == "optimize":
                 seen_files, seen_dv = files, dv
+                yield v, [], m
                 continue
             is_dv_delete = (
                 action == "delete" and files == seen_files and dv > seen_dv
@@ -393,7 +447,7 @@ try:  # pyspark >= 4.0 only
                     f"version {v} without row-level lineage; restart the "
                     "stream from a fresh baseline (startingVersion)"
                 )
-            types = _phys_types(m) if filters else {}
+            specs: list[_SnapshotFilePartition] = []
             if is_dv_delete or is_dv_update:
                 tag = "update_preimage" if is_dv_update else "delete"
                 fresh_dv = tuple(sorted(dv - seen_dv))
@@ -401,12 +455,9 @@ try:  # pyspark >= 4.0 only
                 for relk in sorted(
                     _dv_touched_files(storage, root, fresh_dv)
                 ):
-                    entry = by_rel.get(relk, relk)
-                    if not _keep(m, types, entry):
-                        continue  # stats prove no matching row was deleted
                     specs.append(
                         _SnapshotFilePartition(
-                            entry,
+                            by_rel.get(relk, relk),
                             rel_key=relk,
                             dv_paths=fresh_dv,
                             mode="select",
@@ -417,12 +468,45 @@ try:  # pyspark >= 4.0 only
             if not is_dv_delete:
                 tag = "update_postimage" if is_dv_update else "insert"
                 for f in sorted(files - seen_files):
-                    if not _keep(m, types, f):
-                        continue
                     specs.append(
                         _SnapshotFilePartition(f, change=tag, version=v)
                     )
             seen_files, seen_dv = files, dv
+            yield v, specs, m
+
+    def _filter_cdf_specs(specs, m, filters):
+        """Second-pass pruning of a version's (possibly sliced) spec
+        list under the reader's ``filters`` option: a change file whose
+        manifest min/max stats or recorded partition values prove no row
+        can match is never planned as a partition — a filtered
+        changefeed consumer of a partitioned 100 TB table opens only its
+        partitions' insert/delete images (rows are still filtered
+        batch-side, so the option stays exact without stats)."""
+        if not filters:
+            return list(specs)
+        from ..plans.snapshots import _effective_stats, _phys_types
+
+        types = _phys_types(m)
+        out = []
+        for s in specs:
+            eff = _effective_stats(m, s.entry, types)
+            if all(_survives(eff, c, op, v) for c, op, v in filters):
+                out.append(s)
+        return out
+
+    def _cdf_partition_specs(
+        storage, root: str, start_v: int, end_v: int, filters: list = ()
+    ) -> list["_SnapshotFilePartition"]:
+        """Driver-side plan of a CHANGE-FEED micro-batch — the streaming
+        analogue of plans.snapshots.snapshot_cdf: one partition per
+        (file, change_type) in the version range (see
+        :func:`_iter_cdf_version_specs` for the per-action rules),
+        pruned under the reader's ``filters`` option."""
+        specs: list[_SnapshotFilePartition] = []
+        for _v, vspecs, m in _iter_cdf_version_specs(
+            storage, root, start_v, start_v + 1, end_v
+        ):
+            specs.extend(_filter_cdf_specs(vspecs, m, filters))
         return specs
 
     class _SnapshotBatchReader(DataSourceReader):
@@ -571,9 +655,53 @@ try:  # pyspark >= 4.0 only
                             f"({', '.join(_PC_OPS)})"
                         )
                     self._filters.append((c, op, v))
+            # RATE-LIMITED ADMISSION (Delta's maxFilesPerTrigger /
+            # maxBytesPerTrigger): bound what each micro-batch admits so
+            # a stream catching up on a 100 TB backlog takes it in
+            # governed slices instead of one unbounded batch. Offsets
+            # gain a sub-version ``index`` (units of a version already
+            # consumed — Delta's DeltaSourceOffset reservoir index);
+            # byte accounting is PURE METADATA via the manifests'
+            # recorded per-file ``sizes``.
+            self._max_files: int | None = None
+            self._max_bytes: int | None = None
+            raw = options.get("maxfilespertrigger")
+            if raw is not None:
+                self._max_files = int(raw)
+                if self._max_files <= 0:
+                    raise ValueError("maxFilesPerTrigger must be positive")
+            raw = options.get("maxbytespertrigger")
+            if raw is not None:
+                self._max_bytes = _parse_byte_size(raw)
+                if self._max_bytes <= 0:
+                    raise ValueError("maxBytesPerTrigger must be positive")
+            # the reader's own position — the end offset of the newest
+            # batch it has planned or admitted. Recovery across restarts
+            # rides the engine's contract of REPLANNING the offset log's
+            # last batch before the first poll (``partitions`` sees the
+            # checkpointed end offset and records it; PySpark's own
+            # _SimpleStreamReaderWrapper relies on the same call order),
+            # so a restarted rate-limited stream resumes bounded from
+            # the checkpoint, never unbounded.
+            self._pos: dict | None = None
 
         def initialOffset(self):
+            if self._pos is None:
+                self._pos = {"version": self._start}
             return {"version": self._start}
+
+        def _iter_units(self, baseline_v: int, first_v: int, end_v: int):
+            """(version, deterministic per-version unit list, manifest)
+            — units are change SPECS in CDF mode, file entries otherwise;
+            the shared walk behind admission and planning."""
+            if self._cdf:
+                yield from _iter_cdf_version_specs(
+                    self._storage, self._root, baseline_v, first_v, end_v
+                )
+            else:
+                yield from _iter_version_deltas(
+                    self._storage, self._root, baseline_v, first_v, end_v
+                )
 
         def latestOffset(self):
             # O(1) per poll via the _latest tip pointer (+ bounded
@@ -583,33 +711,98 @@ try:  # pyspark >= 4.0 only
             from ..storage import current_version_fast
 
             tip = current_version_fast(self._storage, self._root)
-            return {"version": tip if tip is not None else self._start}
+            if tip is None:
+                return {"version": self._start}
+            if self._max_files is None and self._max_bytes is None:
+                self._pos = {"version": tip}
+                return self._pos
+            if self._pos is None:
+                # first poll of a FRESH query (the engine polls before
+                # initialOffset); a restart never lands here — the
+                # replanned last batch set the position already
+                self._pos = {"version": self._start}
+            sv, si = _norm_off(self._pos)
+            if tip <= sv and si is None:
+                return self._pos  # caught up: nothing to admit
+            max_f = self._max_files or float("inf")
+            max_b = self._max_bytes or float("inf")
+            baseline = sv - 1 if si is not None else sv
+            first = sv if si is not None else sv + 1
+            taken_f = taken_b = 0
+            end: dict = {"version": tip}
+            for v, units, m in self._iter_units(baseline, first, tip):
+                sizes = m.get("sizes") or {}
+                consumed = si if (si is not None and v == sv) else 0
+                for u in units[consumed:]:
+                    entry = u.entry if self._cdf else u
+                    if taken_f and (taken_f >= max_f or taken_b >= max_b):
+                        # limit reached BEFORE this unit ("always admit
+                        # at least one", Delta's rule, covers a single
+                        # file larger than maxBytes)
+                        end = (
+                            {"version": v, "index": consumed}
+                            if consumed < len(units)
+                            else {"version": v}
+                        )
+                        self._pos = end
+                        return end
+                    taken_f += 1
+                    # a pre-``sizes`` manifest (pre-upgrade history)
+                    # admits by file count only: missing size = 0
+                    taken_b += int(sizes.get(entry, 0))
+                    consumed += 1
+                if taken_f and (taken_f >= max_f or taken_b >= max_b):
+                    end = {"version": v}
+                    self._pos = end
+                    return end
+            self._pos = end
+            return end
 
         def partitions(self, start, end):
+            if self._pos is None:
+                # restart: the engine replans the offset log's last
+                # batch before its first poll — the checkpointed end IS
+                # the position to resume admission from
+                self._pos = dict(end)
+            sv, si = _norm_off(start)
+            ev, ei = _norm_off(end)
+            if (sv, si) == (ev, ei):
+                return []
+            baseline = sv - 1 if si is not None else sv
+            first = sv if si is not None else sv + 1
+            out: list[_SnapshotFilePartition] = []
             if self._cdf:
-                return _cdf_partition_specs(
-                    self._storage,
-                    self._root,
-                    int(start["version"]),
-                    int(end["version"]),
-                    self._filters,
-                )
-            delta, _, stats = _delta_files(
-                self._storage,
-                self._root,
-                int(start["version"]),
-                int(end["version"]),
-            )
-            if self._filters:
-                delta = [
-                    f
-                    for f in delta
-                    if all(
-                        _survives(stats.get(f), c, op, v)
-                        for c, op, v in self._filters
+                for v, specs, m in _iter_cdf_version_specs(
+                    self._storage, self._root, baseline, first, ev
+                ):
+                    lo = si if (si is not None and v == sv) else 0
+                    hi = ei if (ei is not None and v == ev) else len(specs)
+                    out.extend(
+                        _filter_cdf_specs(specs[lo:hi], m, self._filters)
                     )
-                ]
-            return [_SnapshotFilePartition(f) for f in delta]
+                return out
+            from ..plans.snapshots import _effective_stats, _phys_types
+
+            for v, fresh, m in _iter_version_deltas(
+                self._storage, self._root, baseline, first, ev
+            ):
+                lo = si if (si is not None and v == sv) else 0
+                hi = ei if (ei is not None and v == ev) else len(fresh)
+                chunk = fresh[lo:hi]
+                if self._filters and chunk:
+                    types = _phys_types(m)
+                    chunk = [
+                        f
+                        for f in chunk
+                        if all(
+                            _survives(
+                                _effective_stats(m, f, types), c, op, v2
+                            )
+                            for c, op, v2 in self._filters
+                        )
+                    ]
+                out.extend(_SnapshotFilePartition(f) for f in chunk)
+            return out
 
         def read(self, partition: "_SnapshotFilePartition"):
             source = self._storage.open_data_file(self._root, partition.entry)
@@ -649,7 +842,12 @@ try:  # pyspark >= 4.0 only
             )
 
         def commit(self, end):
-            pass  # offsets live in the engine's checkpoint; nothing to do
+            # offsets live in the engine's checkpoint; just track the
+            # position (defensive second recovery channel after
+            # ``partitions`` — the engine commits the replayed batch
+            # before polling for a new one)
+            if self._pos is None:
+                self._pos = dict(end)
 
     class SnapshotTableStreamSource(DataSource):
         """``format("snapshot_table")`` — see module docstring. Serves

@@ -485,6 +485,21 @@ def _register_gate_queries() -> None:
     )(stream_snapshot_pruned_source)
 
     register(
+        "stream_rate_limited_source",
+        oracle="SELECT event_id, user_id, event_type FROM events",
+        doc="Structured Streaming gate: RATE-LIMITED admission — "
+        "maxFilesPerTrigger/maxBytesPerTrigger on the snapshot source "
+        "(Delta's read limits). latestOffset self-bounds each "
+        "micro-batch from the reader's recovered position, splitting "
+        "within versions via sub-version index offsets (Delta's "
+        "DeltaSourceOffset shape); byte accounting is pure metadata "
+        "from the manifests' per-file sizes. A 100 TB backlog catches "
+        "up in governed slices instead of one unbounded first batch; "
+        "drained at 6 files/trigger over the 16-file lifecycle fixture, "
+        "the union == the batch events projection.",
+    )(stream_rate_limited_source)
+
+    register(
         "stream_snapshot_sink",
         oracle="SELECT event_id, user_id, event_type FROM events",
         doc="Structured Streaming gate: the GENERIC exactly-once sink — "
@@ -1401,6 +1416,56 @@ def stream_snapshot_pruned_source(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
+    return spark.read.parquet(dest)
+
+
+def stream_rate_limited_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: RATE-LIMITED admission on the snapshot streaming source —
+    ``maxFilesPerTrigger`` (with ``maxBytesPerTrigger``, Delta's read
+    limits) bounds what each micro-batch admits, splitting WITHIN a
+    version via sub-version ``index`` offsets when a commit holds more
+    files than one batch may take. Behind it is the 16-file lifecycle
+    fixture (8+8 fragmented appends + an OPTIMIZE); at 6 files per
+    trigger the drain needs >=3 micro-batches whose boundaries fall
+    inside versions, and the drained union must equal the batch read —
+    governed catch-up loses and duplicates nothing. Per-batch bounds,
+    restart recovery, byte accounting from manifest ``sizes``, and CDF
+    composition are pinned in tests/test_stream_rate_limit.py."""
+    import tempfile
+    import time
+
+    from ..operators.layouts import _snapshot_events_for
+    from ..plans.snapshots import snapshot_read
+    from ..sources.snapshot_stream import register_snapshot_stream_source
+
+    root = _snapshot_events_for(spark, sf_dir)
+    register_snapshot_stream_source(spark)
+    expected = snapshot_read(spark, root).count()
+    dest = tempfile.mkdtemp(prefix="snapsrc_rl_dest_")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .option("maxFilesPerTrigger", 6)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="snapsrc_rl_ckpt_")
+        )
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(dest).count() >= expected:
+                    break
+            except Exception:
+                pass  # sink not committed yet
+            time.sleep(0.2)
+    finally:
+        q.stop()
     return spark.read.parquet(dest)
 
 

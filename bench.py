@@ -94,6 +94,8 @@ EAGER_LEGS = [
     "stream_semantic_dedup",  # two-table exactly-once semantic dedup stream
     "stream_snapshot_cdf",  # row-level change feed drained as a stream
     "stream_cdf_materialized_view",  # CDC: feed -> signed deltas -> view table
+    # round-9 streaming features
+    "stream_rate_limited_source",  # maxFilesPerTrigger-governed catch-up drain
 ]
 
 # Write-only-timed legs added after r3 (seeded state builds on the first
