@@ -33,7 +33,7 @@ from .session import build_session
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(
         description="Snapshot-table maintenance: history/optimize/vacuum/"
-        "restore/rename/repartition/clone/set-auto-compact"
+        "restore/rename/drop-column/repartition/clone/set-auto-compact"
     )
     p.add_argument("--master", default=None, help="Spark master override")
     sub = p.add_subparsers(dest="verb", required=True)
@@ -83,6 +83,14 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     ren.add_argument("--root", required=True)
     ren.add_argument("--column", required=True)
     ren.add_argument("--to", required=True)
+
+    drp = sub.add_parser(
+        "drop-column",
+        help="metadata-only column drop (tombstoned against re-add "
+        "resurrection; zero data I/O)",
+    )
+    drp.add_argument("--root", required=True)
+    drp.add_argument("--column", required=True)
 
     sac = sub.add_parser(
         "set-auto-compact",
@@ -156,6 +164,12 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         return {
             "verb": "rename", "root": args.root,
             "column": args.column, "to": args.to, "committed_version": v,
+        }
+    if args.verb == "drop-column":
+        v = S.snapshot_drop_column(spark, args.root, args.column)
+        return {
+            "verb": "drop-column", "root": args.root,
+            "column": args.column, "committed_version": v,
         }
     if args.verb == "clone":
         v = S.snapshot_clone(spark, args.root, args.dest, version=args.version)

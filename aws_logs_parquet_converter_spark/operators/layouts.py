@@ -964,6 +964,101 @@ def table_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_renamed_events_for(spark, sf_dir))
 
 
+#: re-added slice boundary — events ids are dense from 0 at every SF
+SNAP_DROP_READD = 100
+
+#: per-sf_dir cache of seeded drop/re-add table roots
+_SNAPSHOT_DROP_PATHS: dict[str, str] = {}
+
+
+def _snapshot_dropped_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed half the events WITH the value column, DROP it (metadata-only:
+    asserted zero file-list change, physical name tombstoned, stats
+    declaration shed), append the other half without it, then RE-ADD a
+    'value' column on a small slice — the append maps it to a FRESH
+    physical name (value_1), so the pre-drop files' stale bytes can
+    never resurrect. The final read must show NULL value for every
+    original row and the re-added values only on the new slice."""
+    path = _SNAPSHOT_DROP_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import (
+        read_manifest,
+        snapshot_drop_column,
+        snapshot_write,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapshot_drop_tbl_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    snapshot_write(
+        ev.where(F.col("event_id") < SNAP_Q[0]).repartition(2),
+        path,
+        stats_cols=["event_id", "value"],
+    )
+    v = snapshot_drop_column(spark, path, "value")
+    assert v == 2
+    m1, m2 = read_manifest(spark, path, 1), read_manifest(spark, path, 2)
+    assert m2["files"] == m1["files"], "drop must be metadata-only"
+    assert m2["dropped_cols"] == ["value"]
+    assert m2["stats_cols"] == ["event_id"], "stats declaration must shed"
+    assert not m2.get("column_mapping"), "drop alone must stay unmapped"
+    snapshot_write(
+        ev.where(F.col("event_id") >= SNAP_Q[0]).drop("value").repartition(2),
+        path,
+    )
+    snapshot_write(
+        ev.where(F.col("event_id") < SNAP_DROP_READD)
+        .withColumn("value", F.col("value") + F.lit(7.0))
+        .repartition(2),
+        path,
+    )
+    m4 = read_manifest(spark, path, 4)
+    assert m4["column_mapping"] == {"value": "value_1"}, m4.get(
+        "column_mapping"
+    )
+    assert m4["dropped_cols"] == ["value"]
+    _SNAPSHOT_DROP_PATHS[sf_dir] = path
+    return path
+
+
+@register(
+    "table_snapshot_drop_column",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+    FROM events
+    UNION ALL
+    SELECT event_id, user_id, event_type, value + 7 AS value
+    FROM events WHERE event_id < {SNAP_DROP_READD}
+    """,
+    doc=(
+        "METADATA-ONLY column DROP with re-add tombstones (Delta's "
+        "drop-column-under-column-mapping): snapshot_drop_column commits "
+        "one manifest — zero data I/O, file list byte-identical "
+        "(fixture-asserted) — removing the column from the logical "
+        "schema and tombstoning its PHYSICAL name in dropped_cols. "
+        "Reads plan the declared schema, so the dead bytes are never "
+        "scanned again (parquet column pruning); time travel to "
+        "pre-drop versions still shows the column. The tombstone is the "
+        "correctness half: a later append RE-ADDING the name maps it to "
+        "a fresh physical name (value -> value_1 here), so pre-drop "
+        "files' stale values read as NULL instead of silently "
+        "resurrecting — the oracle's NULL column on every original row "
+        "IS the no-resurrection proof. Tombstones ride every commit "
+        "like the txn ledger and clear on overwrite (all-fresh files). "
+        "At 100 TB this makes dropping a column a one-manifest "
+        "operation instead of a petabyte rewrite."
+    ),
+)
+def table_snapshot_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_dropped_events_for(spark, sf_dir))
+
+
 #: update boundary + user_id offsets — the change-set touches only the
 #: FIRST quartile's files (driver-side stats candidate selection)
 SNAP_UPD = 1250

@@ -467,6 +467,20 @@ def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
     primitive. Mutates ``manifest`` (txns/committed_at) by design."""
     if prev and prev.get("txns"):
         manifest["txns"] = {**prev["txns"], **manifest.get("txns", {})}
+    # dropped-column TOMBSTONES (snapshot_drop_column) are a table
+    # property riding every commit built on prev, like the txn ledger —
+    # losing them would let a re-added column of the same name resurrect
+    # stale values from pre-drop files. An 'overwrite' clears the slate
+    # (every live file is fresh — no stale physical column survives);
+    # 'restore' takes the TARGET version's tombstones (snapshot_restore
+    # sets them itself, so no prev-carry either).
+    if (
+        prev
+        and prev.get("dropped_cols")
+        and "dropped_cols" not in manifest
+        and manifest.get("action") not in ("overwrite", "restore")
+    ):
+        manifest["dropped_cols"] = prev["dropped_cols"]
     prev_ts = (prev or {}).get("committed_at")
     ts = round(time.time(), 3)  # compare ROUNDED, or a value that
     if prev_ts is not None and ts <= float(prev_ts):  # rounds down could
@@ -1242,8 +1256,12 @@ def snapshot_write(
     # (logical) frame before writing. Overwrite resets the mapping — the
     # fresh files are written with logical names, materializing any rename.
     write_mapping: dict = {}
+    inherited_mapping: dict = {}
+    tombstones: list = []
     if mode == "append" and pre_m is not None:
-        write_mapping = _mapping(pre_m)
+        inherited_mapping = _mapping(pre_m)
+        write_mapping = dict(inherited_mapping)
+        tombstones = list(pre_m.get("dropped_cols", []))
         phys_taken = set(write_mapping.values())
         clash = sorted(
             c
@@ -1256,6 +1274,32 @@ def snapshot_write(
                 "of a renamed column — pick another name or rewrite the "
                 "table (mode='overwrite') to clear the mapping"
             )
+        tombs = set(tombstones)
+        if tombs:
+            # RE-ADDING a dropped column name (snapshot_drop_column is
+            # metadata-only, so pre-drop files still hold STALE data
+            # under the old physical name): the new logical column maps
+            # to a FRESH physical name, making the stale values
+            # unreachable forever — Delta's column-mapping rule for
+            # drop/re-add. The table becomes column-mapped from here
+            # (the documented rename-class consequence).
+            prev_names = StructType.fromJson(
+                json.loads(pre_m["schema"])
+            ).names
+            reserved = (
+                tombs
+                | phys_taken
+                | set(df.columns)
+                | {inherited_mapping.get(n, n) for n in prev_names}
+            )
+            for c in df.columns:
+                if c in write_mapping or c not in tombs:
+                    continue
+                k = 1
+                while f"{c}_{k}" in reserved:
+                    k += 1
+                write_mapping[c] = f"{c}_{k}"
+                reserved.add(f"{c}_{k}")
     # partition columns resolve BEFORE the data write (the layout depends
     # on them): explicit arg wins, else inherited — a table property,
     # surviving overwrites like constraints do
@@ -1369,12 +1413,22 @@ def snapshot_write(
                 base_batches = latest_m.get("batch_ids", [])
             if mode == "append" and latest is not None:
                 prev = prev_resolved = latest_m
-                if _mapping(prev) != write_mapping:
+                if _mapping(prev) != inherited_mapping:
                     raise IOError(
                         f"snapshot_write conflict on {root}: a concurrent "
                         "rename changed the column mapping after this append's "
                         "files were written with the old physical names — "
                         "re-run against fresh state"
+                    )
+                if prev.get("dropped_cols", []) != tombstones:
+                    # a concurrent drop landed after this append's files
+                    # (and any fresh-name choices) were written — our
+                    # physical names may now collide with new tombstones
+                    raise IOError(
+                        f"snapshot_write conflict on {root}: a concurrent "
+                        "snapshot_drop_column changed the table's dropped-"
+                        "column tombstones after this append's files were "
+                        "written — re-run against fresh state"
                     )
                 prev_pby = prev.get("partition_by")
                 if prev_pby and prev_pby != pcols:
@@ -3007,6 +3061,10 @@ def snapshot_clone(
         manifest["auto_compact_mb"] = sm["auto_compact_mb"]
     if sm.get("column_mapping"):
         manifest["column_mapping"] = sm["column_mapping"]
+    if sm.get("dropped_cols"):
+        # the clone shares the source's pre-drop files (absolute refs),
+        # so it inherits the same stale-resurrection tombstones
+        manifest["dropped_cols"] = sm["dropped_cols"]
     if sm.get("partition_by"):
         manifest["partition_by"] = sm["partition_by"]
         manifest["partitions"] = {
@@ -3099,6 +3157,117 @@ def snapshot_rename_column(
     )
 
 
+def snapshot_drop_column(spark: SparkSession, root: str, col: str) -> int:
+    """METADATA-ONLY column drop — Delta's drop-column-under-column-
+    mapping semantics: data files are immutable, so the column's bytes
+    stay inside pre-drop files; this commit only removes the column from
+    the manifest's logical schema and records the PHYSICAL name as a
+    TOMBSTONE (``dropped_cols``). Dropping a column from a 100 TB table
+    costs ONE manifest write and zero data I/O; reads plan the declared
+    schema, so the dropped physical column is never scanned again
+    (parquet column pruning makes the dead bytes free), and time travel
+    to pre-drop versions still shows it under their own manifests.
+
+    The tombstone is the correctness half: a later append RE-ADDING the
+    same column name gets a FRESH physical name via the column mapping
+    (see :func:`snapshot_write`) — without it, old files' stale values
+    would silently resurrect into the new column. Tombstones ride every
+    commit like the txn ledger (:func:`_finalize_commit`); an
+    ``overwrite`` rewrites every live file and clears them. A table
+    that has only DROPPED (never re-added) stays UNMAPPED: every reader
+    — engine, batch DataSource, stream — keeps working; a re-add makes
+    the table column-mapped with the same documented consequences as
+    :func:`snapshot_rename_column`.
+
+    Refused: partition columns (the physical layout depends on them —
+    Delta refuses too), columns referenced by a CHECK constraint (the
+    expression would dangle), and the last remaining column. Stats and
+    bloom DECLARATIONS shed the column so future writes stop gathering
+    it; existing per-file entries for it stay verbatim — they are inert
+    (no filter can name the dropped logical column, and a re-add maps
+    to a fresh physical name with no old-file entries), and the delta
+    encoding reconstructs carried files' stats from the previous
+    version anyway. Returns the new version."""
+    latest = current_version(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"snapshot table {root} has no commits")
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
+        m = read_manifest(spark, root, latest)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if col not in schema.names:
+            raise ValueError(f"no column {col!r} to drop (has {schema.names})")
+        if len(schema.names) == 1:
+            raise ValueError(
+                f"cannot drop {col!r}: it is the table's only column"
+            )
+        mapping = _mapping(m)
+        phys = mapping.get(col, col)
+        if phys in (m.get("partition_by") or []):
+            raise ValueError(
+                f"column {col!r} is a partition column — repartition the "
+                "table off it (snapshot_repartition) before dropping"
+            )
+        for name, expr in m.get("constraints", {}).items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"column {col!r} is referenced by CHECK constraint "
+                    f"{name!r} ({expr}) — drop or rewrite the constraint "
+                    "before dropping the column"
+                )
+        new_mapping = {l: p for l, p in mapping.items() if l != col}
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        manifest = {
+            k: v
+            for k, v in m.items()
+            if k
+            not in (
+                "version",
+                "action",
+                "schema",
+                "column_mapping",
+                "dropped_cols",
+                "stats_cols",
+                "stats",
+                "bloom",
+            )
+        }
+        manifest.update(
+            version=latest + 1,
+            action="drop-column",
+            schema=new_schema.json(),
+            dropped_cols=sorted({*m.get("dropped_cols", []), phys}),
+        )
+        if new_mapping:
+            manifest["column_mapping"] = new_mapping
+        stats_cols = [c for c in m.get("stats_cols", []) if c != phys]
+        if stats_cols:
+            manifest["stats_cols"] = stats_cols
+            # per-file entries for the dropped physical stay verbatim:
+            # they are INERT (no filter can name the dropped logical,
+            # and a re-add maps to a fresh physical with no old-file
+            # entries) and pruning them would fight the delta encoding,
+            # which reconstructs carried files' stats from the previous
+            # version
+            manifest["stats"] = m.get("stats", {})
+        bloom = m.get("bloom")
+        if bloom:
+            bcols = [c for c in bloom["cols"] if c != phys]
+            if bcols:
+                manifest["bloom"] = {**bloom, "cols": bcols}
+            # else: the bloom declaration dies with its only column;
+            # sidecar parquets become inert residue vacuum sweeps
+        if _try_commit(spark, root, manifest, prev=m):
+            return latest + 1
+        latest = current_version(spark, root)
+    raise IOError(
+        f"snapshot_drop_column: lost the commit race {_MAX_COMMIT_RETRIES} "
+        f"times on {root} — a runaway committer is monopolizing the table"
+    )
+
+
 def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
     """ROLL BACK the table to the contents of ``version`` by committing a
     NEW version whose file list is the old version's — Delta's
@@ -3143,6 +3312,10 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
         if target.get("column_mapping"):
             # restoring past a rename restores the old logical names too
             manifest["column_mapping"] = target["column_mapping"]
+        if target.get("dropped_cols"):
+            # the restored state's tombstones, not the rolled-past ones
+            # (_finalize_commit skips the prev-carry for 'restore')
+            manifest["dropped_cols"] = target["dropped_cols"]
         if target.get("partition_by"):
             manifest["partition_by"] = target["partition_by"]
             manifest["partitions"] = target.get("partitions", {})

@@ -152,6 +152,30 @@ def _refuse_unsupported(m: dict) -> None:
         )
 
 
+def _refuse_tombstoned_readds(m: dict, names) -> None:
+    """An append RE-ADDING a dropped column's name needs a fresh
+    physical name via the column mapping (stale values inside pre-drop
+    files would resurrect otherwise) — a Spark-side relabel this
+    session-free writer cannot run. Refuse loudly with the supported
+    path; appends that do not touch tombstoned names pass."""
+    import json as _json
+
+    tombs = set(m.get("dropped_cols", []))
+    if not tombs:
+        return
+    from pyspark.sql.types import StructType
+
+    prev = set(StructType.fromJson(_json.loads(m["schema"])).names)
+    readds = sorted((set(names) - prev) & tombs)
+    if readds:
+        raise ValueError(
+            f"column(s) {readds} re-add a DROPPED column's name "
+            "(snapshot_drop_column tombstones); mapping them to fresh "
+            "physical names needs the engine's write path — use "
+            "plans.snapshots.snapshot_write"
+        )
+
+
 def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
     """Resolve and validate everything a write needs, ONCE, driver-side:
     the storage impl, mode, partition columns (option ``partitionBy`` as
@@ -184,6 +208,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
             _merge_schemas(  # fail fast on a type change
                 StructType.fromJson(json.loads(latest_m["schema"])), schema
             )
+            _refuse_tombstoned_readds(latest_m, schema.names)
     raw_pcols = options.get("partitionby")
     if raw_pcols is not None:
         pcols = [c.strip() for c in raw_pcols.split(",") if c.strip()]
@@ -547,6 +572,10 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
                     StructType.fromJson(json.loads(latest_m["schema"])),
                     StructType.fromJson(json.loads(cfg["schema_json"])),
                 ).json()
+                _refuse_tombstoned_readds(  # a drop may have raced in
+                    latest_m,
+                    StructType.fromJson(json.loads(cfg["schema_json"])).names,
+                )
         manifest: dict = {
             "version": (latest or 0) + 1,
             "action": "stream-append" if batch_id is not None else mode,

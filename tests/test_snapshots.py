@@ -1131,6 +1131,11 @@ def test_tables_cli_verbs_roundtrip(spark, tmp_path):
         spark, root, rep2["committed_version"]
     )
     assert snapshot_read(spark, root).count() == 200
+    # metadata-only column drop through the CLI
+    drp = verb("drop-column", "--root", root, "--column", "v")
+    m = read_manifest(spark, root, drp["committed_version"])
+    assert m["dropped_cols"] == ["v"]
+    assert snapshot_read(spark, root).columns == ["id"]
 
 
 def test_rename_is_metadata_only_and_reads_apply_mapping(spark, tmp_path):
@@ -2794,3 +2799,205 @@ def test_incremental_optimize_preserves_bloom_coverage(spark, tmp_path):
         assert [(r.k, r.v) for r in hit.collect()] == [(key, key * 2)]
         assert len(hit.inputFiles()) == 1
     assert snapshot_read(spark, root, filters=[("k", "=", 10**9)]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_drop_column: metadata-only drop + re-add tombstones
+# ---------------------------------------------------------------------------
+
+
+def _drop3(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "id * 2 AS v", "concat('s', id) AS s"
+    )
+
+
+def test_drop_column_is_metadata_only_and_sheds_declarations(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_drop_column,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _drop3(spark, 0, 100), root, stats_cols=["id", "v"], bloom_cols=["v"]
+    )
+    v = snapshot_drop_column(spark, root, "v")
+    m1, m2 = read_manifest(spark, root, 1), read_manifest(spark, root, v)
+    assert m2["files"] == m1["files"], "drop must write no data file"
+    assert m2["dropped_cols"] == ["v"]
+    assert m2["stats_cols"] == ["id"]
+    assert "bloom" not in m2, "single-column bloom declaration dies"
+    # data skipping on the SURVIVING declared column still works
+    hit = snapshot_read(spark, root, filters=[("id", "<", 1)])
+    assert hit.count() == 1
+    assert not m2.get("column_mapping"), "drop alone stays unmapped"
+    got = snapshot_read(spark, root)
+    assert got.columns == ["id", "s"]
+    assert got.count() == 100
+    # time travel still shows the column under its own manifest
+    assert snapshot_read(spark, root, version=1).columns == ["id", "v", "s"]
+
+
+def test_drop_column_readd_maps_fresh_physical_no_resurrection(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_drop_column,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_drop3(spark, 0, 10), root)
+    snapshot_drop_column(spark, root, "v")
+    # re-add the NAME with different values: fresh physical, stale bytes dead
+    snapshot_write(
+        spark.range(10, 13).selectExpr(
+            "id", "id * 100 AS v", "concat('s', id) AS s"
+        ),
+        root,
+    )
+    m = read_manifest(spark, root, 3)
+    assert m["column_mapping"] == {"v": "v_1"}
+    assert m["dropped_cols"] == ["v"]
+    rows = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+    assert all(rows[i] is None for i in range(10)), "stale values resurrected"
+    assert [rows[i] for i in (10, 11, 12)] == [1000, 1100, 1200]
+    # the fresh-name choice avoids taken names: drop the re-add and add again
+    snapshot_drop_column(spark, root, "v")
+    m = read_manifest(spark, root, 4)
+    assert sorted(m["dropped_cols"]) == ["v", "v_1"]
+    snapshot_write(
+        spark.range(13, 14).selectExpr(
+            "id", "id * 7 AS v", "concat('s', id) AS s"
+        ),
+        root,
+    )
+    assert read_manifest(spark, root, 5)["column_mapping"] == {"v": "v_2"}
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_add_constraint,
+        snapshot_drop_column,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 20).selectExpr(
+            "id", "id % 3 AS part", "id * 2 AS v"
+        ),
+        root,
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_drop_column(spark, root, "part")
+    snapshot_add_constraint(spark, root, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snapshot_drop_column(spark, root, "v")
+    with pytest.raises(ValueError, match="no column"):
+        snapshot_drop_column(spark, root, "ghost")
+    one = str(tmp_path / "one")
+    snapshot_write(spark.range(0, 5).selectExpr("id"), one)
+    with pytest.raises(ValueError, match="only column"):
+        snapshot_drop_column(spark, one, "id")
+
+
+def test_dropped_tombstones_carry_and_clear(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_delete,
+        snapshot_drop_column,
+        snapshot_restore,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_drop3(spark, 0, 40).repartition(4), root)
+    snapshot_drop_column(spark, root, "v")                     # v2
+    snapshot_write(
+        spark.range(40, 50).selectExpr("id", "concat('s', id) AS s"), root
+    )                                                          # v3: append
+    assert read_manifest(spark, root, 3)["dropped_cols"] == ["v"]
+    assert snapshot_optimize(spark, root, full=True) == 4      # v4: optimize
+    assert read_manifest(spark, root, 4)["dropped_cols"] == ["v"]
+    snapshot_delete(spark, root, [("id", "<", 5)])             # v5: cow delete
+    assert read_manifest(spark, root, 5)["dropped_cols"] == ["v"]
+    # restore to a PRE-drop version: the column returns, tombstones gone
+    v = snapshot_restore(spark, root, 1)
+    m = read_manifest(spark, root, v)
+    assert "dropped_cols" not in m
+    assert snapshot_read(spark, root).columns == ["id", "v", "s"]
+    # overwrite clears tombstones (every live file is fresh)
+    root2 = str(tmp_path / "t2")
+    snapshot_write(_drop3(spark, 0, 10), root2)
+    snapshot_drop_column(spark, root2, "v")
+    snapshot_write(
+        spark.range(0, 3).selectExpr("id", "concat('x', id) AS s"),
+        root2,
+        mode="overwrite",
+    )
+    assert "dropped_cols" not in read_manifest(
+        spark, root2, current_version(spark, root2)
+    )
+
+
+def test_drop_column_datasource_reads_until_readd(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_drop_column,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_drop3(spark, 0, 10), root)
+    snapshot_drop_column(spark, root, "v")
+    register_snapshot_stream_source(spark)
+    got = spark.read.format("snapshot_table").option("root", root).load()
+    assert got.columns == ["id", "s"] and got.count() == 10
+    # a re-add makes the table column-mapped: the DataSource refuses
+    snapshot_write(
+        spark.range(10, 12).selectExpr(
+            "id", "id AS v", "concat('s', id) AS s"
+        ),
+        root,
+    )
+    with pytest.raises(Exception, match="column-mapped"):
+        spark.read.format("snapshot_table").option("root", root).load().count()
+
+
+def test_drop_renamed_column_tombstones_physical_name(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_drop_column,
+        snapshot_rename_column,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_drop3(spark, 0, 10), root)
+    snapshot_rename_column(spark, root, "v", "w")
+    v = snapshot_drop_column(spark, root, "w")
+    m = read_manifest(spark, root, v)
+    assert m["dropped_cols"] == ["v"], "tombstone records the PHYSICAL name"
+    assert not m.get("column_mapping"), "the dropped entry leaves the mapping"
+    assert snapshot_read(spark, root).columns == ["id", "s"]
+
+
+def test_sink_refuses_tombstoned_readd(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_drop_column,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_drop3(spark, 0, 10), root)
+    snapshot_drop_column(spark, root, "v")
+    register_snapshot_stream_source(spark)
+    # an append WITHOUT the tombstoned name passes through the writer
+    spark.range(10, 12).selectExpr("id", "concat('s', id) AS s").write.format(
+        "snapshot_table"
+    ).mode("append").option("root", root).save()
+    assert snapshot_read(spark, root).count() == 12
+    # re-adding the dropped name needs the engine's relabeling write path
+    with pytest.raises(Exception, match="re-add a DROPPED column"):
+        spark.range(12, 13).selectExpr(
+            "id", "id AS v", "concat('s', id) AS s"
+        ).write.format("snapshot_table").mode("append").option(
+            "root", root
+        ).save()
