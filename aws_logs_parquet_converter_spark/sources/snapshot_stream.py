@@ -87,7 +87,7 @@ def _iter_version_deltas(
     first_v: int,
     end_v: int,
 ):
-    """Yield ``(version, fresh_files_sorted, manifest)`` for every
+    """Yield ``(version, fresh_files_sorted, manifest-view)`` for every
     version in ``[first_v, end_v]`` against the ``baseline_v`` snapshot —
     the snapshot_changes walk as a GENERATOR so callers can stop early
     (rate-limited admission walks only as far as the limit reaches) or
@@ -95,8 +95,29 @@ def _iter_version_deltas(
     yield an EMPTY fresh list (maintenance is invisible to consumers);
     rewrite actions raise the re-baseline error. The per-version order
     is ``sorted`` — deterministic, so a ``(version, index)`` offset
-    names the same file set on every replay."""
-    if _read_manifest_py(storage, root, end_v).get("column_mapping"):
+    names the same file set on every replay.
+
+    COST: O(fresh files) per version, NOT O(live files). Delta-encoded
+    manifests (the steady-state on-disk form) record ``adds`` —
+    byte-identical to ``sorted(files(v) - files(v-1))`` — plus the adds'
+    own ``sizes_adds``/``stats_adds``/``partitions_adds``, so the walk
+    reads raw commit JSONs without EVER materializing a full file list;
+    only a FULL-form manifest in range (a checkpoint every
+    MANIFEST_CHECKPOINT_EVERY versions, or a rewrite-shaped commit)
+    pays one predecessor resolution to rebuild the running set. Without
+    this, every micro-batch poll on a 100k-file table would decode the
+    whole manifest to plan an 8-file batch (measured growing in
+    tools/rate_limit_probe.py; flat after).
+
+    The yielded manifest-view carries ``schema``/``column_mapping``
+    plus ``sizes``/``stats``/``partitions`` covering AT LEAST the fresh
+    files — everything admission and planning read per file.
+    (``baseline_v`` is implied by ``first_v`` here — the raw walk
+    resolves a predecessor lazily; the parameter stays for signature
+    parity with the CDF twin.)"""
+    from ..storage import read_raw_manifest
+
+    if read_raw_manifest(storage, root, end_v).get("column_mapping"):
         # mirror plans.snapshots._require_unmapped: files store PHYSICAL
         # names — planning them under logical names would read NULLs
         raise ValueError(
@@ -104,26 +125,53 @@ def _iter_version_deltas(
             "(a column was renamed via snapshot_rename_column); rewrite "
             "the table (mode='overwrite') to materialize the rename"
         )
-    seen: set[str] = set()
-    if baseline_v > 0:
-        seen = set(_read_manifest_py(storage, root, baseline_v)["files"])
+    seen: set[str] | None = None  # lazily materialized full file set
     for v in range(first_v, end_v + 1):
-        m = _read_manifest_py(storage, root, v)
-        files = set(m["files"])
-        action = m.get("action", "append")
-        if action == "optimize":
-            seen = files
-            yield v, [], m
-            continue
+        raw = read_raw_manifest(storage, root, v)
+        action = raw.get("action", "append")
         if action in ("overwrite", "merge", "delete", "restore", "update"):
             raise ValueError(
                 f"snapshot stream hit a {action!r} commit at version {v} — "
                 "rows were rewritten; restart the stream from a fresh "
                 "baseline (startingVersion)"
             )
+        if "files" not in raw:
+            # DELTA form: base is always v-1, so `adds` IS the fresh
+            # set in the walk's own order; the running set only needs
+            # updating if a full-form version already materialized it
+            adds = raw.get("adds", [])
+            if seen is not None:  # in place: O(changes), not O(live)
+                seen.difference_update(raw.get("removes", ()))
+                seen.update(adds)
+            view = {
+                "version": v,
+                "action": action,
+                "schema": raw["schema"],
+                "sizes": raw.get("sizes_adds", {}),
+                "stats": raw.get("stats_adds", {}),
+                "partitions": raw.get("partitions_adds", {}),
+            }
+            for k in ("column_mapping", "stats_cols", "partition_by"):
+                if raw.get(k):
+                    view[k] = raw[k]
+            yield v, ([] if action == "optimize" else list(adds)), view
+            continue
+        # FULL form (checkpoint / rewrite-shaped): raw IS the complete
+        # manifest; rebuild the running set from the predecessor once
+        files = set(raw["files"])
+        if action == "optimize":
+            seen = files
+            yield v, [], raw
+            continue
+        if seen is None:
+            seen = (
+                set(_read_manifest_py(storage, root, v - 1)["files"])
+                if v - 1 > 0
+                else set()
+            )
         fresh = sorted(files - seen)
         seen = files
-        yield v, fresh, m
+        yield v, fresh, raw
 
 
 def _delta_files(
