@@ -1059,6 +1059,97 @@ def table_snapshot_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_dropped_events_for(spark, sf_dir))
 
 
+#: per-sf_dir cache of seeded type-widened table roots
+_SNAPSHOT_WIDEN_PATHS: dict[str, str] = {}
+
+
+def _snapshot_widened_events_for(spark: SparkSession, sf_dir: str) -> str:
+    """Seed half the events NARROW (event_id as INT, value as FLOAT),
+    then append the other half at the natural wide types (LONG/DOUBLE)
+    — a WIDENING append: the schema takes the wider types, the old
+    files keep their narrow bytes and read back natively upcast. A
+    third, narrower append then proves the other direction: the frame
+    upcasts to the table's width before writing (fresh files are
+    int64/double — asserted on the parquet footer)."""
+    path = _SNAPSHOT_WIDEN_PATHS.get(sf_dir)
+    if path is not None:
+        return path
+    import tempfile
+
+    from ..plans.snapshots import snapshot_write
+
+    path = tempfile.mkdtemp(prefix="snapshot_widen_tbl_")
+    ev = load_table(spark, sf_dir, "events")
+    narrow = ev.selectExpr(
+        "CAST(event_id AS INT) AS event_id",
+        "user_id",
+        "CAST(value AS FLOAT) AS value",
+    )
+    wide = ev.select("event_id", "user_id", "value")
+    snapshot_write(
+        narrow.where(F.col("event_id") < SNAP_Q[0]).repartition(2),
+        path,
+        stats_cols=["event_id"],
+    )
+    snapshot_write(
+        wide.where(
+            (F.col("event_id") >= SNAP_Q[0])
+            & (F.col("event_id") >= SNAP_DROP_READD)
+        ).repartition(2),
+        path,
+    )
+    # narrower post-widening append: upcast-on-write keeps files wide
+    snapshot_write(
+        narrow.where(
+            (F.col("event_id") >= SNAP_Q[0])
+            & (F.col("event_id") < SNAP_DROP_READD)
+        ).repartition(1),
+        path,
+    )
+    return _SNAPSHOT_WIDEN_PATHS.setdefault(sf_dir, path)
+
+
+@register(
+    "table_snapshot_type_widening",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(CAST(value AS REAL) AS DOUBLE) AS value
+    FROM events WHERE event_id < {SNAP_Q[0]}
+    UNION ALL
+    SELECT event_id, user_id, value
+    FROM events WHERE event_id >= {SNAP_Q[0]} AND event_id >= {SNAP_DROP_READD}
+    UNION ALL
+    SELECT event_id, user_id,
+           CAST(CAST(value AS REAL) AS DOUBLE) AS value
+    FROM events WHERE event_id >= {SNAP_Q[0]} AND event_id < {SNAP_DROP_READD}
+    """,
+    doc=(
+        "Lossless TYPE WIDENING in schema evolution (Delta's type "
+        "widening): an append may widen a column along "
+        "byte<short<int<long, int/float->double, decimal precision — "
+        "the manifest schema takes the wider type while historical "
+        "files keep their narrow bytes, resolved natively by the JVM "
+        "parquet reader and cast per Arrow batch in the DataSource "
+        "path; a NARROWER incoming frame instead upcasts before the "
+        "write so fresh files stay at the table's width. Here the "
+        "first half of events is written (int32, float32), the second "
+        "half widens to (int64, double), and a narrower tail upcasts "
+        "on write; the oracle mirrors the float32 round-trip with "
+        "CAST(value AS REAL) — IEEE rounding is engine-identical, so "
+        "the hash match proves bit-stable reads across mixed-width "
+        "files. Stats pruning stays exact across the boundary and "
+        "date->timestamp is deliberately refused (mixed ISO widths "
+        "would break lexicographic min/max pruning) — both pinned in "
+        "tests/test_snapshots.py. At 100 TB, retyping a column stops "
+        "being a petabyte rewrite."
+    ),
+)
+def table_snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_read
+
+    return snapshot_read(spark, _snapshot_widened_events_for(spark, sf_dir))
+
+
 #: update boundary + user_id offsets — the change-set touches only the
 #: FIRST quartile's files (driver-side stats candidate selection)
 SNAP_UPD = 1250

@@ -781,26 +781,74 @@ def _carry_partitions(
     manifest["partitions"] = {f: v for f, v in merged.items() if f in live}
 
 
+#: lossless TYPE WIDENINGS legal in schema evolution (Delta's type
+#: widening, the subset Spark's parquet readers resolve natively when
+#: the declared read schema is wider than a file's stored type —
+#: verified against Spark 4's vectorized reader). Keyed by
+#: ``typeName()``; value = the strictly-wider types it may become.
+#: date->timestamp is deliberately ABSENT: manifest stats encode dates
+#: and timestamps as ISO strings, and mixing the two widths breaks the
+#: lexicographic min/max compare ("1970-01-02" vs "1970-01-02T00:00:00"
+#: orders unequal values as equal-prunable) — a wrong-prune class, so
+#: that widening stays refused rather than silently unsafe.
+_WIDENINGS: dict[str, tuple[str, ...]] = {
+    "byte": ("short", "integer", "long", "double"),
+    "short": ("integer", "long", "double"),
+    "integer": ("long", "double"),
+    "float": ("double",),
+}
+
+
+def _widens_to(frm, to) -> bool:
+    """Is ``frm -> to`` a legal lossless widening? Covers the numeric
+    chain above plus decimal PRECISION growth at unchanged scale
+    (decimal stats are never gathered, so pruning cannot mis-compare)."""
+    if frm.typeName() == "decimal" and to.typeName() == "decimal":
+        return to.scale == frm.scale and to.precision >= frm.precision
+    return to.typeName() in _WIDENINGS.get(frm.typeName(), ())
+
+
 def _merge_schemas(prev: StructType, new: StructType) -> StructType:
     """Schema EVOLUTION for appends (the Delta ``mergeSchema`` contract):
-    the appended frame may ADD columns, never change or drop the type of
-    an existing one. The merged schema keeps the table's column order and
-    appends new columns (forced nullable — historical files don't have
-    them, so readers see NULL there, which parquet's missing-column
-    semantics give for free once ``snapshot_read`` plans with the
-    manifest's merged schema). A type change raises: silent coercion is
-    how tables rot."""
+    the appended frame may ADD columns, and may WIDEN an existing
+    column's type along the lossless chain (byte < short < int < long,
+    int/float -> double, decimal precision growth — Delta's type
+    widening): the merged schema takes the wider type, historical files
+    keep their narrow bytes, and readers resolve them natively (the
+    JVM parquet reader upcasts to the declared read schema; the Arrow
+    DataSource path casts per batch). The merged schema keeps the
+    table's column order and appends new columns (forced nullable —
+    historical files don't have them, so readers see NULL there, which
+    parquet's missing-column semantics give for free once
+    ``snapshot_read`` plans with the manifest's merged schema). An
+    incoming NARROWER frame does not shrink the schema — the table
+    type stands (:func:`snapshot_write` upcasts the frame before
+    writing, keeping fresh files at the table's width). Any other type
+    change raises: silent coercion is how tables rot."""
     prev_by_name = {f.name: f for f in prev.fields}
     new_by_name = {f.name: f for f in new.fields}
+    widened: dict[str, object] = {}
     for name, f in new_by_name.items():
         if name in prev_by_name and prev_by_name[name].dataType != f.dataType:
-            raise TypeError(
-                f"snapshot append changes column {name!r} from "
-                f"{prev_by_name[name].dataType.simpleString()} to "
-                f"{f.dataType.simpleString()} — schema evolution only ADDS "
-                "columns; rewrite the table (mode='overwrite') to retype"
-            )
-    merged = list(prev.fields)
+            old = prev_by_name[name].dataType
+            if _widens_to(old, f.dataType):
+                widened[name] = f.dataType  # schema takes the wider type
+            elif _widens_to(f.dataType, old):
+                pass  # narrower frame: table type stands, writer upcasts
+            else:
+                raise TypeError(
+                    f"snapshot append changes column {name!r} from "
+                    f"{old.simpleString()} to "
+                    f"{f.dataType.simpleString()} — schema evolution only "
+                    "ADDS columns or WIDENS types losslessly "
+                    "(byte<short<int<long, int/float->double, decimal "
+                    "precision); rewrite the table (mode='overwrite') to "
+                    "retype"
+                )
+    merged = [
+        f.__class__(f.name, widened.get(f.name, f.dataType), f.nullable)
+        for f in prev.fields
+    ]
     for f in new.fields:
         if f.name not in prev_by_name:
             merged.append(f.__class__(f.name, f.dataType, True))
@@ -1300,6 +1348,29 @@ def snapshot_write(
                     k += 1
                 write_mapping[c] = f"{c}_{k}"
                 reserved.add(f"{c}_{k}")
+        # a NARROWER incoming column upcasts to the table's type before
+        # the write, so fresh files stay at the table's width (the
+        # _merge_schemas type-widening contract: only a WIDENING commit
+        # leaves older files narrow, and readers resolve those natively)
+        prev_fields = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(pre_m["schema"])).fields
+        }
+        upcasts = {
+            f.name: prev_fields[f.name]
+            for f in df.schema.fields
+            if f.name in prev_fields
+            and f.dataType != prev_fields[f.name]
+            and _widens_to(f.dataType, prev_fields[f.name])
+        }
+        if upcasts:
+            df = df.select(
+                *[
+                    F.col(c).cast(upcasts[c]).alias(c) if c in upcasts
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
     # partition columns resolve BEFORE the data write (the layout depends
     # on them): explicit arg wins, else inherited — a table property,
     # surviving overwrites like constraints do

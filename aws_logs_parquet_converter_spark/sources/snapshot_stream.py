@@ -414,7 +414,15 @@ try:  # pyspark >= 4.0 only
             cols = []
             for f in fields:
                 if f.name in have:
-                    cols.append(batch.column(f.name))
+                    col = batch.column(f.name)
+                    want = to_arrow_type(f.dataType)
+                    if col.type != want:
+                        # pre-widening file: stored narrow (int32 under
+                        # a long column, float under double, ...) —
+                        # upcast to the declared type, the Arrow twin of
+                        # the JVM reader's native schema resolution
+                        col = pc.cast(col, want)
+                    cols.append(col)
                 else:  # pre-evolution file: typed NULL column
                     cols.append(pa.nulls(n, type=to_arrow_type(f.dataType)))
             out = pa.RecordBatch.from_arrays(

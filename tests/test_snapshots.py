@@ -3001,3 +3001,187 @@ def test_sink_refuses_tombstoned_readd(spark, tmp_path):
         ).write.format("snapshot_table").mode("append").option(
             "root", root
         ).save()
+
+
+# ---------------------------------------------------------------------------
+# type widening on append (lossless schema evolution)
+# ---------------------------------------------------------------------------
+
+
+def test_widening_append_widens_schema_and_reads_old_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 5).selectExpr(
+            "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+        ),
+        root,
+        stats_cols=["a"],
+    )
+    snapshot_write(
+        spark.range(5, 10).selectExpr(
+            "CAST(id AS LONG) AS a", "CAST(id AS DOUBLE) AS b"
+        ),
+        root,
+    )
+    out = snapshot_read(spark, root)
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "a:bigint",
+        "b:double",
+    ]
+    assert sorted((r.a, r.b) for r in out.collect()) == [
+        (i, float(i)) for i in range(10)
+    ]
+    # stats pruning stays exact across the width boundary
+    hit = snapshot_read(spark, root, filters=[("a", "=", 7)])
+    assert [(r.a, r.b) for r in hit.collect()] == [(7, 7.0)]
+    # time travel shows the narrow schema under its own manifest
+    assert [
+        f.simpleString()
+        for f in snapshot_read(spark, root, version=1).schema.fields
+    ] == ["a:int", "b:float"]
+
+
+def test_narrower_append_upcasts_before_write(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 5).selectExpr("id AS a", "CAST(id AS DOUBLE) AS b"),
+        root,
+    )
+    snapshot_write(
+        spark.range(5, 8).selectExpr(
+            "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+        ),
+        root,
+    )
+    m2 = read_manifest(spark, root, 2)
+    fresh = sorted(set(m2["files"]) - set(read_manifest(spark, root, 1)["files"]))
+    sch = pq.read_schema(os.path.join(root, fresh[0]))
+    assert str(sch.field("a").type) == "int64", "narrow frame must upcast"
+    assert str(sch.field("b").type) == "double"
+    # the table schema never narrowed
+    assert [f.simpleString() for f in snapshot_read(spark, root).schema.fields] == [
+        "a:bigint",
+        "b:double",
+    ]
+
+
+def test_widening_whitelist_and_refusals(spark, tmp_path):
+    from pyspark.sql.types import DecimalType, IntegerType
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import _widens_to
+
+    assert _widens_to(IntegerType(), DecimalType(10, 0)) is False
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 3).selectExpr(
+            "CAST(id AS SMALLINT) AS a",
+            "CAST(id AS DECIMAL(5,2)) AS d",
+            "DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS dt",
+        ),
+        root,
+    )
+    # short -> long and decimal(5,2) -> decimal(12,2) widen
+    snapshot_write(
+        spark.range(3, 5).selectExpr(
+            "id AS a",
+            "CAST(id AS DECIMAL(12,2)) AS d",
+            "DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS dt",
+        ),
+        root,
+    )
+    out = snapshot_read(spark, root)
+    assert dict((f.name, f.simpleString().split(":")[1]) for f in out.schema.fields) == {
+        "a": "bigint", "d": "decimal(12,2)", "dt": "date"
+    }
+    assert out.count() == 5
+    # decimal SCALE change is not lossless: refused
+    with pytest.raises(TypeError, match="schema evolution"):
+        snapshot_write(
+            spark.range(5, 6).selectExpr(
+                "id AS a",
+                "CAST(id AS DECIMAL(12,4)) AS d",
+                "DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS dt",
+            ),
+            root,
+        )
+    # date -> timestamp is EXCLUDED (ISO stats of mixed widths would
+    # compare wrong in the lexicographic pruner)
+    with pytest.raises(TypeError, match="schema evolution"):
+        snapshot_write(
+            spark.range(5, 6).selectExpr(
+                "id AS a",
+                "CAST(id AS DECIMAL(12,2)) AS d",
+                "CAST(TIMESTAMP'2024-01-01' AS TIMESTAMP_NTZ) AS dt",
+            ),
+            root,
+        )
+    # arbitrary retype refused
+    with pytest.raises(TypeError, match="schema evolution"):
+        snapshot_write(
+            spark.range(5, 6).selectExpr(
+                "CAST(id AS STRING) AS a",
+                "CAST(id AS DECIMAL(12,2)) AS d",
+                "DATE_FROM_UNIX_DATE(CAST(id AS INT)) AS dt",
+            ),
+            root,
+        )
+
+
+def test_widened_table_reads_through_datasource_and_stream(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 6).selectExpr(
+            "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+        ),
+        root,
+    )
+    snapshot_write(
+        spark.range(6, 9).selectExpr("id AS a", "CAST(id AS DOUBLE) AS b"),
+        root,
+    )
+    register_snapshot_stream_source(spark)
+    want = sorted((r.a, r.b) for r in snapshot_read(spark, root).collect())
+    ds = spark.read.format("snapshot_table").option("root", root).load()
+    assert sorted((r.a, r.b) for r in ds.collect()) == want
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(
+        (r.a, r.b) for r in spark.read.parquet(dest).collect()
+    ) == want
+
+
+def test_merge_with_widening_source(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_merge
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 6).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS FLOAT) AS v"
+        ),
+        root,
+        stats_cols=["k"],
+    )
+    src = spark.range(4, 8).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v")
+    snapshot_merge(src, root, "k")
+    out = sorted((r.k, r.v) for r in snapshot_read(spark, root).collect())
+    assert out == [(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0)] + [
+        (k, k * 10.0) for k in (4, 5, 6, 7)
+    ]
