@@ -481,6 +481,25 @@ def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
         and manifest.get("action") not in ("overwrite", "restore")
     ):
         manifest["dropped_cols"] = prev["dropped_cols"]
+    # PROTOCOL FEATURE STAMPS (Delta's readerFeatures/writerFeatures):
+    # derived fresh per commit from the manifest's own keys, so the
+    # stamp always reflects exactly what correct consumption of THIS
+    # version requires — an old engine build opening the table fails
+    # naming the feature instead of misreading (storage.ensure_readable
+    # / ensure_writable; the checks live on the shared seam so every
+    # reader path shares them)
+    rfeats = set(manifest.get("reader_features", ()))
+    if manifest.get("dv"):
+        rfeats.add("deletion-vectors")
+    if manifest.get("column_mapping"):
+        rfeats.add("column-mapping")
+    if rfeats:
+        manifest["reader_features"] = sorted(rfeats)
+    wfeats = set(manifest.get("writer_features", ())) | rfeats
+    if manifest.get("dropped_cols"):
+        wfeats.add("dropped-column-tombstones")
+    if wfeats:
+        manifest["writer_features"] = sorted(wfeats)
     prev_ts = (prev or {}).get("committed_at")
     ts = round(time.time(), 3)  # compare ROUNDED, or a value that
     if prev_ts is not None and ts <= float(prev_ts):  # rounds down could
@@ -512,6 +531,12 @@ def _try_commit(
     the stream's ``startingTimestamp`` resolve from it, so time travel
     survives a table copy/restore/rsync where file mtimes do not, and
     object-store mtime skew cannot reorder history."""
+    if prev is not None:
+        # writerFeatures gate at the ONE chokepoint every JVM-side
+        # commit crosses: mutating a table whose previous version
+        # stamps an unknown writer feature could corrupt invariants
+        # that feature maintains
+        _storage.ensure_writable(prev, root)
     _resolve_sizes(spark, root, manifest, prev, new_sizes)
     payload = _finalize_commit(manifest, prev)
     version = int(manifest["version"])
@@ -3212,7 +3237,12 @@ def snapshot_rename_column(
         manifest = {
             k: v
             for k, v in m.items()
-            if k not in ("version", "action", "schema", "column_mapping")
+            # feature stamps re-derive in _finalize_commit (a rename
+            # back to the physical name clears the mapping — carrying
+            # the stale "column-mapping" stamp would lock old readers
+            # out of a plain table)
+            if k not in ("version", "action", "schema", "column_mapping",
+                         "reader_features", "writer_features")
         }
         manifest.update(
             version=latest + 1, action="rename", schema=new_schema.json()
@@ -3303,6 +3333,8 @@ def snapshot_drop_column(spark: SparkSession, root: str, col: str) -> int:
                 "stats_cols",
                 "stats",
                 "bloom",
+                "reader_features",
+                "writer_features",
             )
         }
         manifest.update(
@@ -3590,6 +3622,10 @@ def snapshot_vacuum(
     chain_needed: set[int] = set()
     for v in kept:
         km = read_manifest(spark, root, v)
+        if v == kept[-1]:
+            # vacuum is a WRITE: an unknown feature may reference files
+            # through keys an old build would sweep as unreferenced
+            _storage.ensure_writable(km, root)
         referenced.update(km["files"])
         # deletion-vector and bloom-sidecar parquet are data a kept
         # version still reads
@@ -3678,6 +3714,8 @@ def _vacuum_seam(
     chain_needed: set[int] = set()
     for v in kept:
         km = _storage.read_manifest(store, root, v)
+        if v == kept[-1]:
+            _storage.ensure_writable(km, root)  # vacuum is a write
         referenced.update(km["files"])
         referenced.update(km.get("dv", ()))
         referenced.update(km.get("bloom", {}).get("files", ()))

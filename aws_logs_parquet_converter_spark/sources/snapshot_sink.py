@@ -76,6 +76,7 @@ from ..storage import (
     LocalSnapshotStorage,
     WritableObjectStorage,
     current_version_fast,
+    ensure_writable,
     manifest_name,
     read_manifest,
     storage_for_root,
@@ -202,6 +203,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
     latest_m = read_manifest(store, root, latest) if latest is not None else None
     if latest_m is not None:
         _refuse_unsupported(latest_m)
+        ensure_writable(latest_m, root)  # unknown writerFeatures gate
         if mode == "append":
             from pyspark.sql.types import StructType
 
@@ -530,6 +532,7 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
         )
         if latest_m is not None:
             _refuse_unsupported(latest_m)  # may have raced onto the table
+            ensure_writable(latest_m, root)  # unknown writerFeatures gate
         if (
             batch_id is not None
             and latest_m is not None

@@ -126,8 +126,14 @@ def _iter_version_deltas(
             "the table (mode='overwrite') to materialize the rename"
         )
     seen: set[str] | None = None  # lazily materialized full file set
+    from ..storage import ensure_readable
+
     for v in range(first_v, end_v + 1):
         raw = read_raw_manifest(storage, root, v)
+        # the raw walk bypasses the resolver, so the readerFeatures
+        # gate applies here too — an unknown feature must error, not
+        # stream wrong rows
+        ensure_readable(raw, root)
         action = raw.get("action", "append")
         if action in ("overwrite", "merge", "delete", "restore", "update"):
             raise ValueError(

@@ -858,16 +858,74 @@ def version_at_or_before(
     return None
 
 
+#: manifest PROTOCOL FEATURES this engine build understands — Delta's
+#: readerFeatures/writerFeatures table-feature design (the successor to
+#: its monolithic protocol versions). A commit whose correct READING
+#: depends on a feature stamps it in ``reader_features``; one whose
+#: correct MUTATION depends on it stamps ``writer_features`` (a writer
+#: must understand everything a reader must, so the writer set is a
+#: superset). On a fleet where engine builds roll out gradually — the
+#: 100 TB reality — an old build opening a table a newer build upgraded
+#: must FAIL NAMING THE FEATURE, not misread rows (a reader ignorant of
+#: deletion vectors would resurrect deleted rows; a writer ignorant of
+#: drop-column tombstones would resurrect stale bytes on re-add).
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletion-vectors", "column-mapping"}
+)
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
+    {"dropped-column-tombstones"}
+)
+
+
+def ensure_readable(m: dict, root: str = "") -> None:
+    """Raise if the manifest declares a reader feature this engine
+    build does not implement — reading anyway would produce wrong rows,
+    not an error."""
+    unknown = sorted(
+        set(m.get("reader_features", ())) - SUPPORTED_READER_FEATURES
+    )
+    if unknown:
+        raise ValueError(
+            f"snapshot table {root or '<table>'} requires reader "
+            f"feature(s) {unknown} this engine build does not support — "
+            "upgrade the engine to read this table"
+        )
+
+
+def ensure_writable(m: dict, root: str = "") -> None:
+    """Raise if the manifest declares a reader OR writer feature this
+    engine build does not implement — committing anyway could corrupt
+    invariants the unknown feature maintains (Delta's writerFeatures
+    rule; vacuum counts as a write: an unknown feature may reference
+    files through keys an old build would sweep as unreferenced)."""
+    ensure_readable(m, root)
+    unknown = sorted(
+        set(m.get("writer_features", ())) - SUPPORTED_WRITER_FEATURES
+    )
+    if unknown:
+        raise ValueError(
+            f"snapshot table {root or '<table>'} requires writer "
+            f"feature(s) {unknown} this engine build does not support — "
+            "upgrade the engine to modify this table (reads may still "
+            "work)"
+        )
+
+
 def read_manifest(storage: SnapshotStorage, root: str, version: int) -> dict:
     """The RESOLVED manifest of ``version``: always carries the complete
     ``files`` list (and ``stats``, when the table records them) whether
     the version was stored full or as a delta against its predecessor.
     Walks back to the nearest checkpoint (bounded by the writer's
-    ``MANIFEST_CHECKPOINT_EVERY``) and resolves."""
+    ``MANIFEST_CHECKPOINT_EVERY``) and resolves. Raises — never
+    misreads — when the manifest stamps a reader feature this build
+    lacks (:func:`ensure_readable`)."""
     raw = read_raw_manifest(storage, root, version)
     if "files" in raw:
+        ensure_readable(raw, root)
         return raw
     chain = [raw]
     while "files" not in chain[-1]:
         chain.append(read_raw_manifest(storage, root, int(chain[-1]["base"])))
-    return resolve_manifest_chain(list(reversed(chain)))
+    resolved = resolve_manifest_chain(list(reversed(chain)))
+    ensure_readable(resolved, root)
+    return resolved

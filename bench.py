@@ -134,6 +134,8 @@ POST_R3_LEGS = [
     # the steady-state read)
     "table_snapshot_df_writer",  # pruned read of a df.write-ingested table
     "table_snapshot_stream_sink",  # read of a native-sink-drained table
+    "table_snapshot_drop_column",  # read across a metadata-only drop + re-add
+    "table_snapshot_type_widening",  # read across mixed-width files
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -546,3 +546,145 @@ def test_seam_feeds_snapshot_read_equivalence(spark, tmp_path):
         t = pq.read_table(impl.open_data_file(root, entry))
         seam_rows.extend(zip(t.column("id").to_pylist(), t.column("v").to_pylist()))
     assert sorted(seam_rows) == jvm_rows
+
+
+# ---------------------------------------------------------------------------
+# protocol feature flags (readerFeatures / writerFeatures)
+# ---------------------------------------------------------------------------
+
+
+def test_feature_stamps_derive_from_manifest_keys(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        read_manifest,
+        snapshot_delete,
+        snapshot_drop_column,
+        snapshot_optimize,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v", "id AS w"), root
+    )
+    assert "reader_features" not in read_manifest(spark, root, 1)
+    snapshot_delete(spark, root, [("id", "<", 2)], mode="dv")
+    m = read_manifest(spark, root, 2)
+    assert m["reader_features"] == ["deletion-vectors"]
+    assert m["writer_features"] == ["deletion-vectors"]
+    # OPTIMIZE purges the vectors: the stamp goes with them
+    snapshot_optimize(spark, root, full=True)
+    assert "reader_features" not in read_manifest(spark, root, 3)
+    snapshot_rename_column(spark, root, "v", "val")
+    assert read_manifest(spark, root, 4)["reader_features"] == [
+        "column-mapping"
+    ]
+    # renaming BACK clears the mapping — and the stamp (no stale lockout)
+    snapshot_rename_column(spark, root, "val", "v")
+    assert "reader_features" not in read_manifest(spark, root, 5)
+    snapshot_drop_column(spark, root, "w")
+    m = read_manifest(spark, root, 6)
+    assert "reader_features" not in m  # drop alone: readers unaffected
+    assert m["writer_features"] == ["dropped-column-tombstones"]
+
+
+def test_unknown_reader_feature_refuses_every_read_path(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _try_commit,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), root)
+    m1 = read_manifest(spark, root, 1)
+    fut = {
+        "version": 2,
+        "action": "append",
+        "schema": m1["schema"],
+        "files": m1["files"],
+        "reader_features": ["v9-frobnication"],
+    }
+    assert _try_commit(spark, root, fut, prev=m1)
+    with pytest.raises(ValueError, match="v9-frobnication"):
+        snapshot_read(spark, root)
+    register_snapshot_stream_source(spark)
+    with pytest.raises(Exception, match="v9-frobnication"):
+        spark.read.format("snapshot_table").option("root", root).load().count()
+    # the stream's raw walk refuses too
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        _delta_files,
+    )
+    from aws_logs_parquet_converter_spark.storage import storage_for_root
+
+    with pytest.raises(ValueError, match="v9-frobnication"):
+        _delta_files(storage_for_root(root), root, 0, 2)
+    # a writer building on the future version refuses (reader subset)
+    with pytest.raises(ValueError, match="v9-frobnication"):
+        snapshot_write(spark.range(5, 6).selectExpr("id", "id * 2 AS v"), root)
+    # time travel BEFORE the future commit still works
+    assert snapshot_read(spark, root, version=1).count() == 5
+
+
+def test_unknown_writer_feature_reads_but_refuses_mutation(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _try_commit,
+        read_manifest,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), root)
+    m1 = read_manifest(spark, root, 1)
+    fut = {
+        "version": 2,
+        "action": "append",
+        "schema": m1["schema"],
+        "files": m1["files"],
+        "writer_features": ["v9-conditional-updates"],
+    }
+    assert _try_commit(spark, root, fut, prev=m1)
+    # reads are unaffected — the feature only constrains mutation
+    assert snapshot_read(spark, root).count() == 5
+    with pytest.raises(ValueError, match="v9-conditional-updates"):
+        snapshot_write(spark.range(5, 6).selectExpr("id", "id * 2 AS v"), root)
+    with pytest.raises(ValueError, match="v9-conditional-updates"):
+        snapshot_vacuum(spark, root, keep_last=1, min_age_seconds=0)
+
+
+def test_unknown_writer_feature_refuses_datasource_writer(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _try_commit,
+        read_manifest,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), root)
+    m1 = read_manifest(spark, root, 1)
+    assert _try_commit(
+        spark,
+        root,
+        {
+            "version": 2,
+            "action": "append",
+            "schema": m1["schema"],
+            "files": m1["files"],
+            "writer_features": ["v9-conditional-updates"],
+        },
+        prev=m1,
+    )
+    register_snapshot_stream_source(spark)
+    with pytest.raises(Exception, match="v9-conditional-updates"):
+        spark.range(5, 6).selectExpr("id", "id * 2 AS v").write.format(
+            "snapshot_table"
+        ).mode("append").option("root", root).save()
