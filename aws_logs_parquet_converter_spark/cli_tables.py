@@ -33,7 +33,8 @@ from .session import build_session
 def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(
         description="Snapshot-table maintenance: history/optimize/vacuum/"
-        "restore/rename/drop-column/repartition/clone/set-auto-compact"
+        "restore/rename/drop-column/add-constraint/drop-constraint/"
+        "repartition/clone/set-auto-compact"
     )
     p.add_argument("--master", default=None, help="Spark master override")
     sub = p.add_subparsers(dest="verb", required=True)
@@ -91,6 +92,22 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     )
     drp.add_argument("--root", required=True)
     drp.add_argument("--column", required=True)
+
+    adc = sub.add_parser(
+        "add-constraint",
+        help="ALTER TABLE ... ADD CONSTRAINT: validate current data "
+        "once, then enforce on every future commit",
+    )
+    adc.add_argument("--root", required=True)
+    adc.add_argument("--name", required=True)
+    adc.add_argument("--expr", required=True, help="SQL boolean expression")
+
+    ddc = sub.add_parser(
+        "drop-constraint",
+        help="ALTER TABLE ... DROP CONSTRAINT (metadata-only)",
+    )
+    ddc.add_argument("--root", required=True)
+    ddc.add_argument("--name", required=True)
 
     sac = sub.add_parser(
         "set-auto-compact",
@@ -170,6 +187,18 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         return {
             "verb": "drop-column", "root": args.root,
             "column": args.column, "committed_version": v,
+        }
+    if args.verb == "add-constraint":
+        v = S.snapshot_add_constraint(spark, args.root, args.name, args.expr)
+        return {
+            "verb": "add-constraint", "root": args.root,
+            "name": args.name, "expr": args.expr, "committed_version": v,
+        }
+    if args.verb == "drop-constraint":
+        v = S.snapshot_drop_constraint(spark, args.root, args.name)
+        return {
+            "verb": "drop-constraint", "root": args.root,
+            "name": args.name, "committed_version": v,
         }
     if args.verb == "clone":
         v = S.snapshot_clone(spark, args.root, args.dest, version=args.version)

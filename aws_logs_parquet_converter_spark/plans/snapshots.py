@@ -3825,6 +3825,48 @@ def snapshot_add_constraint(
     )
 
 
+def snapshot_drop_constraint(
+    spark: SparkSession, root: str, name: str
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: commit a metadata-only version
+    whose constraint set no longer includes ``name`` — the counterpart
+    :func:`snapshot_add_constraint`'s replace-refusal points at, and
+    the unblock for :func:`snapshot_rename_column` /
+    :func:`snapshot_drop_column` on a constrained column. Existing data
+    is untouched (it passed the contract while it was in force); only
+    FUTURE commits stop enforcing it. Raises on an unknown name — a
+    silently-absent contract and a dropped one must not be
+    indistinguishable."""
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        _commit_backoff(_attempt)
+        latest = current_version(spark, root)
+        if latest is None:
+            raise FileNotFoundError(f"snapshot table {root} has no commits")
+        m = read_manifest(spark, root, latest)
+        existing = dict(m.get("constraints", {}))
+        if name not in existing:
+            raise ValueError(
+                f"no constraint {name!r} on {root} "
+                f"(has {sorted(existing) or 'none'})"
+            )
+        del existing[name]
+        manifest = {
+            k: v
+            for k, v in m.items()
+            if k not in ("version", "action", "constraints")
+        }
+        manifest["version"] = latest + 1
+        manifest["action"] = "set-constraint"
+        if existing:
+            manifest["constraints"] = existing
+        if _try_commit(spark, root, manifest, prev=m):
+            return latest + 1
+    raise IOError(
+        f"snapshot_drop_constraint: lost the commit race "
+        f"{_MAX_COMMIT_RETRIES} times on {root}"
+    )
+
+
 def snapshot_version_of_batch(
     spark: SparkSession, root: str, batch_id: int
 ) -> int:

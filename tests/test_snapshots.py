@@ -3185,3 +3185,52 @@ def test_merge_with_widening_source(spark, tmp_path):
     assert out == [(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0)] + [
         (k, k * 10.0) for k in (4, 5, 6, 7)
     ]
+
+
+def test_drop_constraint_roundtrip_and_unblocks_schema_verbs(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_add_constraint,
+        snapshot_drop_column,
+        snapshot_drop_constraint,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 20), root)
+    snapshot_add_constraint(spark, root, "v_pos", "v >= 0")
+    # enforced: a violating append refuses
+    with pytest.raises(ValueError, match="v_pos"):
+        snapshot_write(
+            spark.range(0, 1).selectExpr("id", "-5 AS v"), root
+        )
+    with pytest.raises(ValueError, match="no constraint"):
+        snapshot_drop_constraint(spark, root, "ghost")
+    v = snapshot_drop_constraint(spark, root, "v_pos")
+    m = read_manifest(spark, root, v)
+    assert "constraints" not in m and m["action"] == "set-constraint"
+    # the contract is gone: the same append now commits...
+    snapshot_write(spark.range(0, 1).selectExpr("id", "-5 AS v"), root)
+    # ...and the column the constraint guarded can now be dropped
+    snapshot_drop_column(spark, root, "v")
+    assert snapshot_read(spark, root).columns == ["id"]
+
+
+def test_constraint_cli_verbs(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.cli_tables import (
+        parse_arguments,
+        run_verb,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+
+    def verb(*argv):
+        return run_verb(spark, parse_arguments(list(argv)))
+
+    rep = verb(
+        "add-constraint", "--root", root, "--name", "v_pos", "--expr", "v >= 0"
+    )
+    assert rep["committed_version"] == 2
+    assert read_manifest(spark, root, 2)["constraints"] == {"v_pos": "v >= 0"}
+    rep = verb("drop-constraint", "--root", root, "--name", "v_pos")
+    assert rep["committed_version"] == 3
+    assert "constraints" not in read_manifest(spark, root, 3)
