@@ -67,6 +67,17 @@ _OP_MIX = (
     "update",
     "optimize",
     "vacuum",
+    # round-9 surfaces: metadata commits racing data commits.
+    # "constraint" randomly ADDs or DROPs an always-true CHECK — the
+    # interesting victim is a concurrent append whose constraint set
+    # GREW between its file write and its manifest CAS (the
+    # checked_against re-validation path); accounting is unaffected
+    # because the contract holds for every row the probe ever writes.
+    # Mixed-WIDTH appends (int32/float32 vs long/double, below) race
+    # the type-widening schema merge and the upcast-on-write path —
+    # values are numerically identical either width, so the checker's
+    # value-exact accounting is blind to representation, as it must be.
+    "constraint",
 )
 
 #: the additive an UPDATE op applies to `v` — large enough that missed,
@@ -78,7 +89,9 @@ def _worker(args: tuple) -> list[tuple]:
     root, seed, proc_id, n_ops = args
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_add_constraint,
         snapshot_delete,
+        snapshot_drop_constraint,
         snapshot_merge,
         snapshot_optimize,
         snapshot_update,
@@ -116,8 +129,18 @@ def _worker(args: tuple) -> list[tuple]:
                     lo = next_id
                     hi = lo + rng.randint(5, 60)
                     next_id = hi
-                    log(i=i, op=op, lo=lo, hi=hi, phase="intent")
-                    df = spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+                    # half the appends arrive NARROW (int32 v): the first
+                    # committed width sets the base, and every later
+                    # mismatch exercises the widening merge or the
+                    # upcast-on-write under CAS rebase (ids stay < 2^31)
+                    narrow = rng.random() < 0.5
+                    log(i=i, op=op, lo=lo, hi=hi, narrow=narrow,
+                        phase="intent")
+                    df = spark.range(lo, hi).selectExpr(
+                        "id",
+                        "CAST(id * 2 AS INT) AS v" if narrow
+                        else "id * 2 AS v",
+                    )
                     v = snapshot_write(df, root, stats_cols=["id"])
                     log(i=i, op=op, lo=lo, hi=hi, phase="done", version=v)
                     if v is not None:
@@ -196,6 +219,29 @@ def _worker(args: tuple) -> list[tuple]:
                             1 for p in gone if p.startswith("data/")
                         ),
                     )
+                elif op == "constraint":
+                    # metadata commit racing data commits: add or drop an
+                    # ALWAYS-TRUE check (every row the probe writes keeps
+                    # v >= 0, updates included). The victim under test is
+                    # a concurrent append whose constraint set grew
+                    # between its file write and its CAS — it must
+                    # re-validate, never commit unchecked (ValueError =
+                    # the name raced in/out under us: a legal outcome)
+                    adding = rng.random() < 0.5
+                    log(i=i, op=op, adding=adding, phase="intent")
+                    try:
+                        if adding:
+                            v = snapshot_add_constraint(
+                                spark, root, "v_nonneg", "v >= 0"
+                            )
+                        else:
+                            v = snapshot_drop_constraint(
+                                spark, root, "v_nonneg"
+                            )
+                        log(i=i, op=op, adding=adding, phase="done", version=v)
+                    except (ValueError, FileNotFoundError) as e:
+                        log(i=i, op=op, adding=adding, phase="refused",
+                            err=str(e)[:120])
             except IOError as e:
                 log(i=i, op=op, phase="ioerror", err=str(e)[:160])
     finally:
