@@ -387,6 +387,29 @@ try:  # pyspark >= 4.0 only
             out.extend(t.column("pos").to_pylist())
         return np.asarray(sorted(out), dtype=np.int64)
 
+    def _arrow_widens(frm, to) -> bool:
+        """Is ``frm -> to`` a LEGAL lossless widening at the Arrow
+        level — the read-side mirror of plans.snapshots._WIDENINGS?
+        Casting in this direction is exact; anything else must raise,
+        not narrow."""
+        import pyarrow as pa
+
+        ints = {
+            pa.int8(): 0,
+            pa.int16(): 1,
+            pa.int32(): 2,
+            pa.int64(): 3,
+        }
+        if frm in ints:
+            if to in ints:
+                return ints[frm] <= ints[to]
+            return to == pa.float64()
+        if frm == pa.float32() and to == pa.float64():
+            return True
+        if pa.types.is_decimal(frm) and pa.types.is_decimal(to):
+            return to.scale == frm.scale and to.precision >= frm.precision
+        return False
+
     def _iter_file_batches(source, fields, filters, deleted=(), selected=None):
         """One parquet file -> Arrow record batches: columns reconciled
         to the DECLARED schema (files predating an added column yield
@@ -423,6 +446,22 @@ try:  # pyspark >= 4.0 only
                     col = batch.column(f.name)
                     want = to_arrow_type(f.dataType)
                     if col.type != want:
+                        if not _arrow_widens(col.type, want):
+                            # the file is WIDER than (or incompatible
+                            # with) the declared type: a type-widening
+                            # commit landed after this stream captured
+                            # its schema. Narrowing silently would be
+                            # wrong and casting can overflow — fail with
+                            # the restart instruction (Delta's rule for
+                            # non-additive schema changes mid-stream)
+                            raise ValueError(
+                                f"column {f.name!r} stores {col.type} but "
+                                f"this reader's schema declares {want} — "
+                                "the table's schema was widened or retyped "
+                                "after this stream/reader captured its "
+                                "schema; restart the query to adopt the "
+                                "current schema"
+                            )
                         # pre-widening file: stored narrow (int32 under
                         # a long column, float under double, ...) —
                         # upcast to the declared type, the Arrow twin of

@@ -339,3 +339,72 @@ def test_filters_compose_with_limits(spark, tmp_path):
     want = snapshot_read(spark, root).filter("id < 5")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_mid_stream_widening_fails_with_restart_instruction(spark, tmp_path):
+    """A widening commit landing WHILE a stream runs makes later files
+    WIDER than the query's captured schema: the reader must fail naming
+    the restart remedy, never silently narrow values (a restarted query
+    re-resolves the wide schema and reads both widths fine)."""
+    import time
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import snapshot_write
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 4).selectExpr(
+            "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+        ),
+        root,
+    )
+    register_snapshot_stream_source(spark)
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(dest).count() >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.2)
+        # WIDENING append lands mid-stream
+        snapshot_write(
+            spark.range(4, 8).selectExpr("id AS a", "CAST(id AS DOUBLE) AS b"),
+            root,
+        )
+        with pytest.raises(Exception, match="widened or retyped"):
+            q.awaitTermination(90)
+            raise AssertionError("stream survived a mid-run widening")
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    # a RESTARTED query adopts the wide schema and drains the rest
+    q2 = (
+        spark.readStream.format("snapshot_table")
+        .option("root", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # the sink now holds mixed-width parquet (run 1 wrote int32 a, the
+    # restarted run writes int64): declare the wide schema to read both
+    got = spark.read.schema("a long, b double").parquet(dest)
+    assert got.count() == 8
+    assert sorted(r.a for r in got.collect()) == list(range(8))
