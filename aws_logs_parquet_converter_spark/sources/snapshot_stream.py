@@ -493,19 +493,26 @@ try:  # pyspark >= 4.0 only
     def _iter_cdf_version_specs(
         storage, root: str, baseline_v: int, first_v: int, end_v: int
     ):
-        """Yield ``(version, UNFILTERED spec list, manifest)`` for every
-        version in ``[first_v, end_v]`` against ``baseline_v`` — the
-        change-feed analogue of :func:`_iter_version_deltas`. Append-
-        lineage commits emit their fresh files as ``insert``; a dv
-        delete emits the rows its NEW vectors name (``delete``) — the
-        driver reads only the vectors' ``file`` column to learn WHICH
-        files are touched (O(#touched files) metadata) and each task
-        reads its own positions executor-side; a dv update emits both
-        halves (``update_preimage`` from the vector, ``update_postimage``
-        from its fresh files). An OPTIMIZE rewrites bytes but no rows
-        and contributes an EMPTY list (Delta's readChangeFeed rule:
+        """Yield ``(version, UNFILTERED spec list, manifest-view)`` for
+        every version in ``[first_v, end_v]`` — the change-feed analogue
+        of :func:`_iter_version_deltas`. Append-lineage commits emit
+        their fresh files as ``insert``; a dv delete emits the rows its
+        NEW vectors name (``delete``) — the driver reads only the
+        vectors' ``file`` column to learn WHICH files are touched
+        (O(#touched files) metadata) and each task reads its own
+        positions executor-side; a dv update emits both halves
+        (``update_preimage`` from the vector, ``update_postimage`` from
+        its fresh files). An OPTIMIZE rewrites bytes but no rows and
+        contributes an EMPTY list (Delta's readChangeFeed rule:
         maintenance is invisible to change consumers). Commits without
         row lineage raise the re-baseline error.
+
+        COST mirrors the append walk: raw delta manifests serve
+        append-lineage versions directly (``adds`` IS the insert set;
+        empty adds+removes IS the dv-delete file-stability proof), so a
+        rate-limited CDF poll over an append-dominated history reads
+        O(admitted) metadata. Only dv versions (which plan row-level
+        vector work anyway) and full-form manifests pay a resolution.
 
         Specs are yielded UNFILTERED and in a deterministic per-version
         order (dv preimages sorted by rel key, then fresh files sorted),
@@ -514,42 +521,64 @@ try:  # pyspark >= 4.0 only
         ``filters`` option changes across a restart — pruning is the
         caller's second pass."""
         from ..plans.snapshots import _rel_key
+        from ..storage import ensure_readable, read_raw_manifest
 
-        if _read_manifest_py(storage, root, end_v).get("column_mapping"):
+        if read_raw_manifest(storage, root, end_v).get("column_mapping"):
             raise ValueError(
                 "the snapshot change feed does not support column-mapped "
                 "tables (a column was renamed via snapshot_rename_column)"
             )
-        seen_files: set = set()
-        seen_dv: set = set()
-        if baseline_v > 0:
-            base = _read_manifest_py(storage, root, baseline_v)
-            seen_files = set(base["files"])
-            seen_dv = set(base.get("dv", ()))
+        #: lazily materialized running sets; dv lists ride every raw
+        #: form whole (dv is not delta-encoded), so only FILE sets cost
+        seen_files: set | None = None
+        seen_dv: set | None = None
+
+        def _raise_rebaseline(action, v):
+            raise ValueError(
+                f"snapshot change feed hit a {action!r} commit at "
+                f"version {v} without row-level lineage; restart the "
+                "stream from a fresh baseline (startingVersion)"
+            )
+
         for v in range(first_v, end_v + 1):
-            m = _read_manifest_py(storage, root, v)
-            files, dv = set(m["files"]), set(m.get("dv", ()))
-            action = m.get("action", "append")
-            if action == "optimize":
-                seen_files, seen_dv = files, dv
-                yield v, [], m
-                continue
-            is_dv_delete = (
-                action == "delete" and files == seen_files and dv > seen_dv
-            )
-            is_dv_update = (
-                action == "update" and files >= seen_files and dv > seen_dv
-            )
-            if action in ("overwrite", "merge", "restore") or (
-                action == "delete" and not is_dv_delete
-            ) or (action == "update" and not is_dv_update):
-                raise ValueError(
-                    f"snapshot change feed hit a {action!r} commit at "
-                    f"version {v} without row-level lineage; restart the "
-                    "stream from a fresh baseline (startingVersion)"
+            raw = read_raw_manifest(storage, root, v)
+            ensure_readable(raw, root)
+            action = raw.get("action", "append")
+            if action in ("overwrite", "merge", "restore"):
+                _raise_rebaseline(action, v)
+            delta_form = "files" not in raw
+            if action in ("delete", "update"):
+                # dv versions plan row-level vector work: one resolution
+                # is proportionate (and the stability checks need sets)
+                m = _read_manifest_py(storage, root, v)
+                files, dv = set(m["files"]), set(m.get("dv", ()))
+                if seen_files is None:
+                    seen_files = (
+                        set(_read_manifest_py(storage, root, v - 1)["files"])
+                        if v - 1 > 0
+                        else set()
+                    )
+                if seen_dv is None:
+                    seen_dv = (
+                        set(
+                            read_raw_manifest(storage, root, v - 1).get(
+                                "dv", ()
+                            )
+                        )
+                        if v - 1 > 0
+                        else set()
+                    )
+                is_dv_delete = (
+                    action == "delete" and files == seen_files and dv > seen_dv
                 )
-            specs: list[_SnapshotFilePartition] = []
-            if is_dv_delete or is_dv_update:
+                is_dv_update = (
+                    action == "update" and files >= seen_files and dv > seen_dv
+                )
+                if (action == "delete" and not is_dv_delete) or (
+                    action == "update" and not is_dv_update
+                ):
+                    _raise_rebaseline(action, v)
+                specs: list[_SnapshotFilePartition] = []
                 tag = "update_preimage" if is_dv_update else "delete"
                 fresh_dv = tuple(sorted(dv - seen_dv))
                 by_rel = {_rel_key(f): f for f in files}
@@ -566,14 +595,61 @@ try:  # pyspark >= 4.0 only
                             version=v,
                         )
                     )
-            if not is_dv_delete:
-                tag = "update_postimage" if is_dv_update else "insert"
-                for f in sorted(files - seen_files):
-                    specs.append(
-                        _SnapshotFilePartition(f, change=tag, version=v)
-                    )
-            seen_files, seen_dv = files, dv
-            yield v, specs, m
+                if is_dv_update:
+                    for f in sorted(files - seen_files):
+                        specs.append(
+                            _SnapshotFilePartition(
+                                f, change="update_postimage", version=v
+                            )
+                        )
+                seen_files, seen_dv = files, dv
+                yield v, specs, m
+                continue
+            if delta_form:
+                adds = raw.get("adds", [])
+                if seen_files is not None:  # in place: O(changes)
+                    seen_files.difference_update(raw.get("removes", ()))
+                    seen_files.update(adds)
+                seen_dv = set(raw.get("dv", ()))
+                view = {
+                    "version": v,
+                    "action": action,
+                    "schema": raw["schema"],
+                    "sizes": raw.get("sizes_adds", {}),
+                    "stats": raw.get("stats_adds", {}),
+                    "partitions": raw.get("partitions_adds", {}),
+                }
+                for k in ("column_mapping", "stats_cols", "partition_by"):
+                    if raw.get(k):
+                        view[k] = raw[k]
+                if action == "optimize":
+                    yield v, [], view
+                    continue
+                yield v, [
+                    _SnapshotFilePartition(f, change="insert", version=v)
+                    for f in adds  # encoder order == sorted fresh order
+                ], view
+                continue
+            # FULL form (checkpoint / rewrite-shaped)
+            files = set(raw["files"])
+            if action == "optimize":
+                seen_files = files
+                seen_dv = set(raw.get("dv", ()))
+                yield v, [], raw
+                continue
+            if seen_files is None:
+                seen_files = (
+                    set(_read_manifest_py(storage, root, v - 1)["files"])
+                    if v - 1 > 0
+                    else set()
+                )
+            fresh = sorted(files - seen_files)
+            seen_files = files
+            seen_dv = set(raw.get("dv", ()))
+            yield v, [
+                _SnapshotFilePartition(f, change="insert", version=v)
+                for f in fresh
+            ], raw
 
     def _filter_cdf_specs(specs, m, filters):
         """Second-pass pruning of a version's (possibly sliced) spec

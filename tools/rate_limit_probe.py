@@ -71,17 +71,26 @@ def _manifest(version: int, files: list[str]) -> dict:
     }
 
 
-def _reader(root: str):
-    from pyspark.sql.types import LongType, StructField, StructType
+def _reader(root: str, cdf: bool = False):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
         _SnapshotStreamReader,
     )
 
-    return _SnapshotStreamReader(
-        StructType([StructField("id", LongType())]),
-        {"root": root, "maxfilespertrigger": str(MAX_FILES)},
-    )
+    schema = StructType([StructField("id", LongType())])
+    opts = {"root": root, "maxfilespertrigger": str(MAX_FILES)}
+    if cdf:
+        schema = schema.add("_change_type", StringType()).add(
+            "_commit_version", LongType()
+        )
+        opts["changefeed"] = "true"
+    return _SnapshotStreamReader(schema, opts)
 
 
 def main() -> None:
@@ -137,6 +146,29 @@ def main() -> None:
         ), "a file was planned twice during the drain"
         assert len(seen) == total_files, (len(seen), total_files)
         assert max(sizes) <= MAX_FILES, sizes
+
+        # the CHANGE-FEED twin over the same backlog: raw-walk polls
+        # must stay O(admitted) too (the insert specs come straight
+        # from the delta manifests' adds)
+        rc = _reader(root, cdf=True)
+        cur = rc.initialOffset()
+        cdf_polls: list[float] = []
+        cdf_specs = 0
+        while True:
+            t0 = time.perf_counter()
+            nxt = rc.latestOffset()
+            if json.dumps(nxt, sort_keys=True) == json.dumps(
+                cur, sort_keys=True
+            ):
+                break
+            parts = rc.partitions(cur, nxt)
+            cdf_polls.append((time.perf_counter() - t0) * 1000)
+            cdf_specs += len(parts)
+            assert len(parts) <= MAX_FILES
+            rc.commit(nxt)
+            cur = nxt
+        assert cdf_specs == total_files, (cdf_specs, total_files)
+
         results.append(
             {
                 "backlog_commits": commits,
@@ -145,6 +177,7 @@ def main() -> None:
                 "batch_max_files": max(sizes),
                 "poll_ms_p50": round(statistics.median(polls), 2),
                 "poll_ms_max": round(max(polls), 2),
+                "cdf_poll_ms_p50": round(statistics.median(cdf_polls), 2),
                 "idle_poll_ms": round(idle_ms, 2),
                 "restart_poll_ms": round(restart_ms, 2),
             }
