@@ -75,6 +75,11 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "--dry-run", action="store_true",
         help="report what would be retired without deleting anything",
     )
+    vac.add_argument(
+        "--retain-hours", type=float, default=None,
+        help="ALSO keep every version committed within this window "
+        "(Delta's VACUUM ... RETAIN; by in-commit timestamp)",
+    )
 
     res = sub.add_parser("restore", help="metadata-only rollback to a version")
     res.add_argument("--root", required=True)
@@ -168,6 +173,8 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         kwargs = {"keep_last": args.keep_last, "dry_run": args.dry_run}
         if args.min_age_seconds is not None:
             kwargs["min_age_seconds"] = args.min_age_seconds
+        if args.retain_hours is not None:
+            kwargs["retain_hours"] = args.retain_hours
         gone = S.snapshot_vacuum(spark, args.root, **kwargs)
         return {
             "verb": "vacuum", "root": args.root, "retired": gone,

@@ -3581,18 +3581,50 @@ def snapshot_repartition(
 VACUUM_MIN_AGE_SECONDS = 3600.0
 
 
+def _vacuum_split(
+    storage, root: str, versions: list[int], keep_last: int,
+    retain_hours: float | None,
+) -> tuple[list[int], list[int]]:
+    """(kept, dropped) under BOTH retention rules: the newest
+    ``keep_last`` versions always survive (the version-count floor), and
+    ``retain_hours`` (Delta's ``VACUUM ... RETAIN``) additionally keeps
+    every version whose COMMIT INSTANT is inside the window — resolved
+    from the in-commit ``committed_at`` stamps (monotonic, so one
+    :func:`storage.version_at_or_before` bisect finds the window edge;
+    survives table copies where mtimes do not). Time-based retention is
+    the rule an operator can actually reason about ("I can roll back 7
+    days") — a version count says nothing on a table whose commit rate
+    varies 100x between backfill and steady state."""
+    import time as _t
+
+    cut = max(0, len(versions) - keep_last)
+    if retain_hours is not None:
+        cutoff = _t.time() - float(retain_hours) * 3600.0
+        edge = _storage.version_at_or_before(
+            storage, root, cutoff, versions=versions
+        )
+        # every version strictly newer than the edge is in-window
+        first_in_window = 0 if edge is None else versions.index(edge) + 1
+        cut = min(cut, first_in_window)
+    cut = min(cut, len(versions) - 1)  # the tip is never vacuumable
+    return versions[cut:], versions[:cut]
+
+
 def snapshot_vacuum(
     spark: SparkSession,
     root: str,
     keep_last: int = 2,
     min_age_seconds: float = VACUUM_MIN_AGE_SECONDS,
     dry_run: bool = False,
+    retain_hours: float | None = None,
 ) -> list[str]:
-    """Retire history: keep the newest ``keep_last`` manifests, delete
-    older manifests, temp-manifest residue, and every data file (and
-    emptied commit dir) referenced by NO kept manifest. This is the only
-    operation that deletes anything — time travel reaches exactly the
-    versions inside the retention window. Returns the deleted paths
+    """Retire history: keep the newest ``keep_last`` manifests — plus,
+    with ``retain_hours`` (Delta's ``VACUUM ... RETAIN n HOURS``), every
+    version committed inside the window, by in-commit timestamp — then
+    delete older manifests, temp-manifest residue, and every data file
+    (and emptied commit dir) referenced by NO kept manifest. This is the
+    only operation that deletes anything — time travel reaches exactly
+    the versions inside the retention window. Returns the deleted paths
     (relative), for the operator's audit log.
 
     ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) returns the same
@@ -3608,12 +3640,16 @@ def snapshot_vacuum(
     import time
 
     if _seam_store(root) is not None:
-        return _vacuum_seam(spark, root, keep_last, min_age_seconds, dry_run)
+        return _vacuum_seam(
+            spark, root, keep_last, min_age_seconds, dry_run, retain_hours
+        )
     jvm, jroot, fs = _fs_for(spark, root)
     versions = _list_versions(fs, jvm, jroot)
     if not versions:
         return []
-    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    kept, dropped = _vacuum_split(
+        _meta_store(spark, root), root, versions, keep_last, retain_hours
+    )
     referenced: set[str] = set()
     # a kept DELTA manifest resolves through its base chain: those chain
     # manifests must survive as metadata (they are tiny) even when their
@@ -3695,6 +3731,7 @@ def _vacuum_seam(
     keep_last: int,
     min_age_seconds: float,
     dry_run: bool,
+    retain_hours: float | None = None,
 ) -> list[str]:
     """:func:`snapshot_vacuum` over an object-store (seam) root: the
     same retention semantics expressed in object verbs — prefix listing
@@ -3709,7 +3746,9 @@ def _vacuum_seam(
     versions = store.list_versions(root)
     if not versions:
         return []
-    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    kept, dropped = _vacuum_split(
+        store, root, versions, keep_last, retain_hours
+    )
     referenced: set[str] = set()
     chain_needed: set[int] = set()
     for v in kept:

@@ -1,0 +1,120 @@
+"""Property-based test (hypothesis) for the manifest LOG-SEGMENT
+encoding: for ANY history of file-set mutations — appends, rewrites,
+optimizes, with per-file sizes/stats/partition values riding along —
+every version resolved through ``storage.read_manifest`` (raw form +
+delta-chain walk + checkpoint cuts) must equal the ground-truth
+manifest the writer handed ``_try_commit``. The encoder picks full or
+delta form per commit (rewrite-shaped commits and every
+``MANIFEST_CHECKPOINT_EVERY``-th version store full); resolution must
+be form-blind.
+
+This pins the invariant every reader in the engine leans on — scans,
+DataSource halves, stream walks, vacuum's reference accounting — at the
+protocol layer itself, against adversarial histories no fixture would
+think to write.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aws_logs_parquet_converter_spark.plans.snapshots import _try_commit
+from aws_logs_parquet_converter_spark.storage import (
+    read_manifest,
+    read_raw_manifest,
+    storage_for_root,
+)
+
+SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+        ],
+    }
+)
+
+#: one step of a history: (n_added, n_removed, optimize?, size_unit)
+STEPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=4),
+        st.booleans(),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(steps=STEPS)
+def test_any_history_resolves_to_ground_truth(
+    spark, tmp_path_factory, steps
+):
+    root = str(tmp_path_factory.mktemp("mprop")) + "/t"
+    storage = storage_for_root(root)
+    live: list[str] = []
+    sizes: dict[str, int] = {}
+    stats: dict[str, dict] = {}
+    parts: dict[str, list] = {}
+    truth: dict[int, dict] = {}
+    prev = None
+    v = 0
+    serial = 0
+    for n_add, n_rm, optimize, unit in steps:
+        v += 1
+        action = "optimize" if optimize else "append"
+        # removals first (rewrite/optimize shapes), then fresh files
+        rm = live[:n_rm] if optimize or n_rm else []
+        live = [f for f in live if f not in rm]
+        fresh = []
+        for _ in range(n_add):
+            serial += 1
+            fresh.append(f"data/{v:08d}/part-{serial:04d}.parquet")
+        live = sorted(live + fresh)
+        for f in fresh:
+            sizes[f] = unit * 1000
+            stats[f] = {"id": [serial, serial + 10]}
+            parts[f] = [str(serial % 3)]
+        for f in rm:
+            sizes.pop(f, None)
+            stats.pop(f, None)
+            parts.pop(f, None)
+        m = {
+            "version": v,
+            "action": action,
+            "schema": SCHEMA,
+            "files": list(live),
+            "sizes": {f: sizes[f] for f in live},
+            "stats_cols": ["id"],
+            "stats": {f: stats[f] for f in live},
+            "partition_by": ["p"],
+            "partitions": {f: parts[f] for f in live},
+        }
+        assert _try_commit(spark, root, m, prev=prev)
+        prev = m
+        truth[v] = {
+            "files": list(live),
+            "sizes": {f: sizes[f] for f in live},
+            "stats": {f: stats[f] for f in live},
+            "partitions": {f: parts[f] for f in live},
+        }
+    # EVERY version must resolve to its ground truth, form-blind
+    forms = set()
+    for ver, want in truth.items():
+        raw = read_raw_manifest(storage, root, ver)
+        forms.add("full" if "files" in raw else "delta")
+        got = read_manifest(storage, root, ver)
+        assert sorted(got["files"]) == want["files"], ver
+        assert got.get("sizes", {}) == want["sizes"], ver
+        assert got.get("stats", {}) == want["stats"], ver
+        assert got.get("partitions", {}) == want["partitions"], ver
+        assert got["schema"] == SCHEMA

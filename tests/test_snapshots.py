@@ -3234,3 +3234,83 @@ def test_constraint_cli_verbs(spark, tmp_path):
     rep = verb("drop-constraint", "--root", root, "--name", "v_pos")
     assert rep["committed_version"] == 3
     assert "constraints" not in read_manifest(spark, root, 3)
+
+
+def test_vacuum_retain_hours_keeps_window_versions(spark, tmp_path):
+    """Time-based retention (Delta's VACUUM ... RETAIN): versions whose
+    in-commit instant is inside the window survive even beyond
+    keep_last; outside the window keep_last is the floor; the tip is
+    never vacuumable."""
+    import time
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10).coalesce(1), root)   # v1 (old)
+    snapshot_write(_df(spark, 10, 20).coalesce(1), root)  # v2 (old)
+    time.sleep(2.5)
+    # v3 OVERWRITES: old versions' files go unreferenced and the kept
+    # suffix resolves without chaining into the retired manifests
+    snapshot_write(
+        _df(spark, 0, 30).coalesce(1), root, mode="overwrite"
+    )                                                     # v3 (young)
+    snapshot_write(_df(spark, 30, 40).coalesce(1), root)  # v4 (young)
+    # a BIG window keeps everything despite keep_last=1
+    gone = snapshot_vacuum(
+        spark, root, keep_last=1, min_age_seconds=0, retain_hours=24.0,
+        dry_run=True,
+    )
+    assert gone == []
+    # a ~2s window keeps v3+v4 (inside) though keep_last=1 would keep v4
+    gone = snapshot_vacuum(
+        spark, root, keep_last=1, min_age_seconds=0,
+        retain_hours=2.0 / 3600.0,
+    )
+    assert any("v00000001" in p for p in gone)
+    assert any("v00000002" in p for p in gone)
+    assert not any("v00000003" in p or "v00000004" in p for p in gone)
+    assert snapshot_read(spark, root, version=3).count() == 30
+    assert snapshot_read(spark, root).count() == 40
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, root, version=1)
+    # retain_hours=0 degrades to the keep_last rule; v3 survives as the
+    # kept v4 delta's chain metadata (the protocol's chain-keep), so
+    # nothing retires here — and the table still reads
+    gone = snapshot_vacuum(
+        spark, root, keep_last=1, min_age_seconds=0, retain_hours=0.0
+    )
+    assert not any("v00000004" in p for p in gone)
+    assert snapshot_read(spark, root).count() == 40
+
+
+def test_vacuum_retain_hours_on_flat_scheme(spark, tmp_path):
+    """The seam vacuum applies the same time-based rule on an
+    object-store root."""
+    import time
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_vacuum,
+    )
+    from aws_logs_parquet_converter_spark.storage import (
+        FlatObjectStorage,
+        register_storage_scheme,
+    )
+
+    register_storage_scheme("flat", FlatObjectStorage)
+    root = f"flat://{tmp_path}/obj"
+    snapshot_write(_df(spark, 0, 5).coalesce(1), root)
+    time.sleep(2.5)
+    snapshot_write(_df(spark, 0, 10).coalesce(1), root, mode="overwrite")
+    gone = snapshot_vacuum(
+        spark, root, keep_last=1, min_age_seconds=0, retain_hours=24.0,
+        dry_run=True,
+    )
+    assert gone == []
+    gone = snapshot_vacuum(
+        spark, root, keep_last=1, min_age_seconds=0,
+        retain_hours=2.0 / 3600.0,
+    )
+    assert any("v00000001" in p for p in gone)
+    assert snapshot_read(spark, root).count() == 10
