@@ -1150,6 +1150,33 @@ def table_snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_read(spark, _snapshot_widened_events_for(spark, sf_dir))
 
 
+@register(
+    "table_snapshot_metadata_count",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events",
+    doc=(
+        "METADATA-ONLY COUNT(*) (Delta's numRecords): every "
+        "stats-gathering write records each file's row count beside its "
+        "min/max entries (free in the same distributed pass; the "
+        "session-free DataFrame writer folds it from the Arrow batches "
+        "it already holds), riding the delta encoding and every "
+        "optimize/restore/clone/DML carry. snapshot_count answers from "
+        "ONE sum over the manifest — plus an O(deleted rows) vector "
+        "read under merge-on-read deletes — never a data scan: on a "
+        "100 TB table that is a JSON sum versus a petabyte of footers. "
+        "Poison-tested (a truncated data file cannot break the count) "
+        "and falls back to an exact scan when any live file predates "
+        "the row stats. Computed here over the four-quartile stats "
+        "table; must equal the oracle's COUNT(*) of events exactly."
+    ),
+)
+def table_snapshot_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_count
+
+    root = _snapshot_stats_events_for(spark, sf_dir)
+    n = snapshot_count(spark, root)
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
 #: update boundary + user_id offsets — the change-set touches only the
 #: FIRST quartile's files (driver-side stats candidate selection)
 SNAP_UPD = 1250

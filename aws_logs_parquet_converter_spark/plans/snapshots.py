@@ -583,16 +583,32 @@ def _stat_encode(v):
 _STAT_UNSUPPORTED = object()
 
 
+#: per-file ROW COUNT's key inside the stats dict — Delta's
+#: ``numRecords``, stored beside the min/max entries so it rides the
+#: same delta encoding, optimize/restore/clone carries, and DML
+#: re-gathering for free. Not a column name ('#' cannot start a SQL
+#: identifier in any dialect the engine accepts filters from), and
+#: reserved loudly in _collect_file_stats anyway.
+ROWS_STAT_KEY = "#rows"
+
+
 def _collect_file_stats(
     spark: SparkSession, commit_dir: str, stats_cols: list[str]
 ) -> dict[str, dict[str, list]]:
-    """Per-file min/max of ``stats_cols`` for the files one commit just
-    wrote — ONE column-pruned distributed pass over the commit dir,
-    grouped on the ``_metadata.file_path`` hidden column (the Iceberg/
-    Delta data-skipping stats, gathered while the data is hot). Cost is
+    """Per-file min/max of ``stats_cols`` — PLUS the file's row count
+    (:data:`ROWS_STAT_KEY`, Delta's numRecords) — for the files one
+    commit just wrote: ONE column-pruned distributed pass over the
+    commit dir, grouped on the ``_metadata.file_path`` hidden column
+    (the Iceberg/Delta data-skipping stats, gathered while the data is
+    hot; the count aggregate is free in the same job). Cost is
     O(commit size) over only the stats columns — never table-sized."""
+    if ROWS_STAT_KEY in stats_cols:
+        raise ValueError(
+            f"stats column name {ROWS_STAT_KEY!r} is reserved for the "
+            "per-file row count"
+        )
     df = spark.read.parquet(commit_dir)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"mn_{c}"))
         aggs.append(F.max(c).alias(f"mx_{c}"))
@@ -606,7 +622,7 @@ def _collect_file_stats(
         # files under __pv_* directories, so keep the full tail
         sub = r["fp"].split(f"/{commit_name}/", 1)[1]
         rel = f"data/{commit_name}/{sub}"
-        per_col = {}
+        per_col: dict = {ROWS_STAT_KEY: int(r["__n_rows"])}
         for c in stats_cols:
             mn, mx = _stat_encode(r[f"mn_{c}"]), _stat_encode(r[f"mx_{c}"])
             if mn is _STAT_UNSUPPORTED or mx is _STAT_UNSUPPORTED:
@@ -3904,6 +3920,39 @@ def snapshot_drop_constraint(
         f"snapshot_drop_constraint: lost the commit race "
         f"{_MAX_COMMIT_RETRIES} times on {root}"
     )
+
+
+def snapshot_count(
+    spark: SparkSession, root: str, version: int | None = None
+) -> int:
+    """``COUNT(*)`` of the table as of ``version`` (default latest) —
+    PURE METADATA when the manifest carries per-file row counts
+    (:data:`ROWS_STAT_KEY`, recorded free by every stats-gathering
+    write since round 9): the answer is one sum over the manifest, plus
+    an O(deleted rows) read of the deletion-vector parquets when the
+    version carries vectors — never a scan of the data files. On a
+    100 TB table the difference is one JSON sum versus reading every
+    footer of a petabyte-scale file list. Falls back to an exact
+    ``snapshot_read(...).count()`` when any live file predates the
+    row-count stats (pre-upgrade history, or a table written without
+    ``stats_cols``) — a wrong fast answer is worse than a slow exact
+    one."""
+    if version is None:
+        version = current_version(spark, root)
+        if version is None:
+            raise FileNotFoundError(f"snapshot table {root} has no commits")
+    m = read_manifest(spark, root, version)
+    stats = m.get("stats", {})
+    counts = [stats.get(f, {}).get(ROWS_STAT_KEY) for f in m["files"]]
+    if any(c is None for c in counts):
+        return snapshot_read(spark, root, version).count()
+    total = int(sum(counts))
+    dv = m.get("dv")
+    if dv:
+        total -= int(
+            spark.read.parquet(*[_abs_file(root, p) for p in dv]).count()
+        )
+    return total
 
 
 def snapshot_version_of_batch(

@@ -351,9 +351,14 @@ def _encode_stats(state: _OpenFile, stats_cols: list[str]) -> dict:
     range, which correctly prunes every comparison."""
     import datetime
 
-    from ..plans.snapshots import _STAT_UNSUPPORTED, _stat_encode
+    from ..plans.snapshots import (
+        _STAT_UNSUPPORTED,
+        ROWS_STAT_KEY,
+        _stat_encode,
+    )
 
-    out: dict[str, list] = {}
+    # the row count the task already kept (Delta's numRecords) — free
+    out: dict = {ROWS_STAT_KEY: int(state.rows)}
     for c in stats_cols:
         if c in state.bad_stats:
             continue

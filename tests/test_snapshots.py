@@ -3314,3 +3314,73 @@ def test_vacuum_retain_hours_on_flat_scheme(spark, tmp_path):
     )
     assert any("v00000001" in p for p in gone)
     assert snapshot_read(spark, root).count() == 10
+
+
+def test_snapshot_count_is_metadata_only_with_dv_subtraction(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        ROWS_STAT_KEY,
+        snapshot_count,
+        snapshot_delete,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _df(spark, 0, 40).repartition(4), root, stats_cols=["id"]
+    )
+    snapshot_write(_df(spark, 40, 60).repartition(2), root)
+    m = read_manifest(spark, root, 2)
+    assert all(ROWS_STAT_KEY in m["stats"][f] for f in m["files"])
+    assert sum(m["stats"][f][ROWS_STAT_KEY] for f in m["files"]) == 60
+    assert snapshot_count(spark, root) == 60
+    # dv delete: metadata sum minus the vector rows
+    snapshot_delete(spark, root, [("id", "<", 7)], mode="dv")
+    assert snapshot_count(spark, root) == 53
+    # time travel counts under each version's own manifest
+    assert snapshot_count(spark, root, version=1) == 40
+    # OPTIMIZE purges vectors; packed files get fresh counts
+    v = snapshot_optimize(spark, root, full=True)
+    assert snapshot_count(spark, root, version=v) == 53
+    # POISON: the metadata path must not open data files — truncate one
+    # and the count still answers while a scan would fail
+    import os
+
+    victim = read_manifest(spark, root, v)["files"][0]
+    with open(os.path.join(root, victim), "w") as fh:
+        fh.write("poison")
+    assert snapshot_count(spark, root, version=v) == 53
+
+
+def test_snapshot_count_falls_back_without_row_stats(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_count,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 25), root)  # no stats_cols: no counts
+    assert "stats" not in read_manifest(spark, root, 1)
+    assert snapshot_count(spark, root) == 25  # exact via the scan path
+
+
+def test_sink_records_row_counts(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        ROWS_STAT_KEY,
+        snapshot_count,
+    )
+    from aws_logs_parquet_converter_spark.sources.snapshot_stream import (
+        register_snapshot_stream_source,
+    )
+
+    register_snapshot_stream_source(spark)
+    root = str(tmp_path / "t")
+    (
+        spark.range(0, 30)
+        .selectExpr("id", "id * 2 AS v")
+        .write.format("snapshot_table")
+        .mode("append")
+        .option("root", root)
+        .option("stats", "id")
+        .save()
+    )
+    m = read_manifest(spark, root, 1)
+    assert sum(m["stats"][f][ROWS_STAT_KEY] for f in m["files"]) == 30
+    assert snapshot_count(spark, root) == 30
