@@ -4023,9 +4023,12 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     the operator's first stop before a restore, vacuum, or incremental
     re-baseline. Columns: version, action, n_files, total_bytes (from
     the manifest's recorded per-file sizes; NULL for pre-upgrade
-    versions), committed_at (the in-commit stamp, epoch seconds; NULL
-    pre-upgrade), encoding (``full`` checkpoint vs ``delta`` log
-    segment)."""
+    versions), total_rows (from the per-file row counts the stats pass
+    records — Delta's numRecords; NULL when any live file predates
+    them; NOT dv-adjusted: this is the files' physical row count, use
+    :func:`snapshot_count` for the logical answer), committed_at (the
+    in-commit stamp, epoch seconds; NULL pre-upgrade), encoding
+    (``full`` checkpoint vs ``delta`` log segment)."""
     versions = _meta_store(spark, root).list_versions(root)
     if not versions:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
@@ -4040,12 +4043,20 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
             else None
         )
         ts = raw.get("committed_at")
+        stats = m.get("stats", {})
+        counts = [stats.get(f, {}).get(ROWS_STAT_KEY) for f in m["files"]]
+        total_rows = (
+            int(sum(counts)) if counts and all(
+                c is not None for c in counts
+            ) else None
+        )
         rows.append(
             (
                 v,
                 raw.get("action", "append"),
                 len(m["files"]),
                 total,
+                total_rows,
                 float(ts) if ts is not None else None,
                 "full" if "files" in raw else "delta",
             )
@@ -4053,5 +4064,5 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "version BIGINT, action STRING, n_files BIGINT, total_bytes BIGINT, "
-        "committed_at DOUBLE, encoding STRING",
+        "total_rows BIGINT, committed_at DOUBLE, encoding STRING",
     )

@@ -3384,3 +3384,21 @@ def test_sink_records_row_counts(spark, tmp_path):
     m = read_manifest(spark, root, 1)
     assert sum(m["stats"][f][ROWS_STAT_KEY] for f in m["files"]) == 30
     assert snapshot_count(spark, root) == 30
+
+
+def test_history_total_rows_column(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_history,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 30).repartition(3), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 30, 50).repartition(2), root)
+    hist = {r.version: r.total_rows for r in snapshot_history(spark, root).collect()}
+    assert hist == {1: 30, 2: 50}
+    # a table without row stats shows NULL, never a wrong number
+    root2 = str(tmp_path / "t2")
+    snapshot_write(_df(spark, 0, 5), root2)
+    assert [
+        r.total_rows for r in snapshot_history(spark, root2).collect()
+    ] == [None]
