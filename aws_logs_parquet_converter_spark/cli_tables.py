@@ -137,6 +137,14 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     )
     rep.add_argument("--target-file-mb", type=float, default=128.0)
 
+    cnt = sub.add_parser(
+        "count",
+        help="COUNT(*) from manifest row stats (metadata-only when "
+        "available; exact scan fallback otherwise)",
+    )
+    cnt.add_argument("--root", required=True)
+    cnt.add_argument("--version", type=int, default=None)
+
     cln = sub.add_parser("clone", help="zero-copy shallow clone")
     cln.add_argument("--root", required=True, help="source table root")
     cln.add_argument("--dest", required=True, help="fresh destination root")
@@ -206,6 +214,12 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         return {
             "verb": "drop-constraint", "root": args.root,
             "name": args.name, "committed_version": v,
+        }
+    if args.verb == "count":
+        n = S.snapshot_count(spark, args.root, version=args.version)
+        return {
+            "verb": "count", "root": args.root,
+            "version": args.version, "n_rows": n,
         }
     if args.verb == "clone":
         v = S.snapshot_clone(spark, args.root, args.dest, version=args.version)

@@ -3402,3 +3402,17 @@ def test_history_total_rows_column(spark, tmp_path):
     assert [
         r.total_rows for r in snapshot_history(spark, root2).collect()
     ] == [None]
+
+
+def test_count_cli_verb(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.cli_tables import (
+        parse_arguments,
+        run_verb,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 42), root, stats_cols=["id"])
+    rep = run_verb(
+        spark, parse_arguments(["count", "--root", root])
+    )
+    assert rep["n_rows"] == 42
