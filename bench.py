@@ -136,6 +136,7 @@ POST_R3_LEGS = [
     "table_snapshot_stream_sink",  # read of a native-sink-drained table
     "table_snapshot_drop_column",  # read across a metadata-only drop + re-add
     "table_snapshot_type_widening",  # read across mixed-width files
+    "table_snapshot_metadata_count",  # COUNT(*) from manifest row stats
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
