@@ -81,9 +81,17 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
         "(Delta's VACUUM ... RETAIN; by in-commit timestamp)",
     )
 
-    res = sub.add_parser("restore", help="metadata-only rollback to a version")
+    res = sub.add_parser(
+        "restore",
+        help="metadata-only rollback to a version or timestamp",
+    )
     res.add_argument("--root", required=True)
-    res.add_argument("--version", type=int, required=True)
+    res.add_argument("--version", type=int, default=None)
+    res.add_argument(
+        "--timestamp", type=float, default=None,
+        help="epoch seconds: restore to the newest version committed "
+        "at-or-before this instant (in-commit-timestamp resolved)",
+    )
 
     ren = sub.add_parser("rename", help="metadata-only column rename")
     ren.add_argument("--root", required=True)
@@ -189,7 +197,9 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
             "dry_run": args.dry_run,
         }
     if args.verb == "restore":
-        v = S.snapshot_restore(spark, args.root, args.version)
+        v = S.snapshot_restore(
+            spark, args.root, version=args.version, timestamp=args.timestamp
+        )
         return {"verb": "restore", "root": args.root, "committed_version": v}
     if args.verb == "rename":
         v = S.snapshot_rename_column(spark, args.root, args.column, args.to)

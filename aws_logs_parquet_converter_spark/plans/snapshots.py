@@ -3387,9 +3387,18 @@ def snapshot_drop_column(spark: SparkSession, root: str, col: str) -> int:
     )
 
 
-def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
-    """ROLL BACK the table to the contents of ``version`` by committing a
-    NEW version whose file list is the old version's — Delta's
+def snapshot_restore(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp=None,
+) -> int:
+    """ROLL BACK the table to the contents of ``version`` — or, with
+    ``timestamp`` (epoch seconds or a datetime), to the newest version
+    committed at-or-before that instant (Delta's ``RESTORE TABLE ... TO
+    TIMESTAMP AS OF``, resolved from the in-commit stamps by
+    :func:`snapshot_version_as_of`) — by committing a NEW version whose
+    file list is the old version's — Delta's
     ``RESTORE TABLE ... TO VERSION AS OF``. Pure metadata: no data file
     is read, written, or moved (the old files are still on disk — that
     is the immutability invariant), so a restore costs one manifest
@@ -3405,6 +3414,10 @@ def snapshot_restore(spark: SparkSession, root: str, version: int) -> int:
     not retired; :func:`snapshot_vacuum` keeps the newest ``keep_last``
     manifests AND every data file they reference, so size the retention
     window to the rollback horizon you need."""
+    if (version is None) == (timestamp is None):
+        raise ValueError("snapshot_restore takes version OR timestamp")
+    if timestamp is not None:
+        version = snapshot_version_as_of(spark, root, timestamp)
     target = read_manifest(spark, root, version)  # raises if retired/absent
     for _attempt in range(_MAX_COMMIT_RETRIES):
         _commit_backoff(_attempt)

@@ -3416,3 +3416,25 @@ def test_count_cli_verb(spark, tmp_path):
         spark, parse_arguments(["count", "--root", root])
     )
     assert rep["n_rows"] == 42
+
+
+def test_restore_by_timestamp(spark, tmp_path):
+    import time
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_restore,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    time.sleep(1.2)
+    mid = time.time()
+    time.sleep(1.2)
+    snapshot_write(_df(spark, 10, 20), root)
+    v = snapshot_restore(spark, root, timestamp=mid)
+    assert v == 3
+    assert snapshot_read(spark, root).count() == 10
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        snapshot_restore(spark, root)
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        snapshot_restore(spark, root, version=1, timestamp=mid)
