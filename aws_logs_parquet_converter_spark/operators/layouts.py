@@ -2303,10 +2303,14 @@ def table_snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain()  # resume: ONLY the new source commit ships
         ledger = read_manifest(
             spark, sink, current_version(spark, sink)
-        ).get("batch_ids", [])
-        if len(ledger) < 2:
+        ).get("txns", {})
+        hwm = max(
+            (int(v) for k, v in ledger.items() if k.startswith("stream-")),
+            default=-1,
+        )
+        if hwm < 1:  # batch ids 0 and 1 => HWM 1 (scalar txns ledger)
             raise AssertionError(
-                f"expected two ledgered micro-batch commits, got {ledger}"
+                f"expected two ledgered micro-batch commits, got txns={ledger}"
             )
         _SNAPSHOT_SINK_PATHS[sf_dir] = sink
     return snapshot_read(spark, sink)

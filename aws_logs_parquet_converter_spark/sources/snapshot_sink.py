@@ -36,12 +36,17 @@ Execution model, designed for the 1000-executor case:
   (``plans.snapshots._finalize_commit``). It runs in the DataSource's
   Python worker, where no SparkSession exists — everything here is
   deliberately session-free.
-- **Exactly-once**: the streaming sink records each micro-batch in the
-  manifest's cumulative ``batch_ids`` ledger and SKIPS a re-delivered
-  batch before committing (the replayed attempt's freshly published
-  files are unreferenced residue — deleted best-effort, inert for
-  vacuum otherwise). Batch writes take ``txnAppId``/``txnVersion``
-  options (Delta's SetTransaction) for idempotent job retries.
+- **Exactly-once**: the streaming sink records its high-water mark in
+  the manifest's ``txns`` ledger under a stable per-stream app id
+  (``streamAppId`` option, else derived from the checkpoint location —
+  Delta's SetTransaction keyed on query identity) and SKIPS a
+  re-delivered batch before committing (batch ids are monotone per
+  checkpoint; the replayed attempt's freshly published files are
+  unreferenced residue — deleted best-effort, inert for vacuum
+  otherwise). The ledger is a SCALAR, so manifest bytes stay O(1) in
+  stream lifetime; legacy cumulative ``batch_ids`` lists from pre-r10
+  builds are honored and folded. Batch writes take
+  ``txnAppId``/``txnVersion`` options for idempotent job retries.
 
 Scoped boundaries (each refused with an actionable error, never a wrong
 result): CHECK-constraint tables (validation needs the engine's SQL
@@ -254,8 +259,31 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
     if streaming and txn_app is not None:
         raise ValueError(
             "txnAppId/txnVersion are batch options; the streaming sink "
-            "is already idempotent per micro-batch (batch_ids ledger)"
+            "is already idempotent per micro-batch (txns HWM ledger)"
         )
+    stream_app = None
+    if streaming:
+        # the stream's replay-ledger identity (txns key): an explicit
+        # streamAppId option wins; else derived from the checkpoint
+        # location — the SAME checkpoint must be reused for a restart to
+        # replay at all, so it is the stable query identity (Delta's
+        # sink keys SetTransaction on the checkpoint's queryId the same
+        # way). A checkpoint-less corner (none in practice: Spark
+        # requires one) falls back to the reserved single-stream key.
+        stream_app = options.get("streamappid")
+        if stream_app is None:
+            ckpt = options.get("checkpointlocation")
+            if ckpt:
+                import hashlib
+
+                stream_app = (
+                    "stream-"
+                    + hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:16]
+                )
+            else:
+                from ..plans.snapshots import DEFAULT_STREAM_APP
+
+                stream_app = DEFAULT_STREAM_APP
     mrpf = options.get("maxrecordsperfile")
     return {
         "root": root,
@@ -268,6 +296,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
         "max_records": int(mrpf) if mrpf else None,
         "txn_app": txn_app,
         "txn_version": int(txn_version) if txn_version is not None else None,
+        "stream_app": stream_app,
         "commit_name": uuid.uuid4().hex,
     }
 
@@ -515,10 +544,12 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
     files are deleted as residue)."""
     from ..plans.snapshots import (
         _MAX_COMMIT_RETRIES,
+        _batch_replayed,
         _commit_backoff,
         _finalize_commit,
         _merge_schemas,
         _parse_partition_values,
+        _stream_ledger,
     )
     from pyspark.sql.types import StructType
 
@@ -538,10 +569,8 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
         if latest_m is not None:
             _refuse_unsupported(latest_m)  # may have raced onto the table
             ensure_writable(latest_m, root)  # unknown writerFeatures gate
-        if (
-            batch_id is not None
-            and latest_m is not None
-            and int(batch_id) in latest_m.get("batch_ids", [])
+        if batch_id is not None and _batch_replayed(
+            latest_m, cfg["stream_app"], int(batch_id)
         ):
             _delete_residue(cfg, messages)
             return None  # replayed micro-batch: already committed
@@ -591,8 +620,12 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
             "files": sorted(set(base_files) | set(new_files)),
         }
         if batch_id is not None:
-            manifest["batch_ids"] = sorted({*base_batches, int(batch_id)})
+            # scalar HWM ledger (O(1) manifest bytes per commit in stream
+            # lifetime); folds any legacy cumulative list and retires it
+            _stream_ledger(manifest, latest_m, cfg["stream_app"], int(batch_id))
         elif base_batches:
+            # batch append on a LEGACY-ledgered table: keep the list until
+            # a stream commit folds it into the txns scalar
             manifest["batch_ids"] = base_batches
         if cfg["txn_app"] is not None:
             manifest["txns"] = {cfg["txn_app"]: int(cfg["txn_version"])}

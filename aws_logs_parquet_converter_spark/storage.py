@@ -669,6 +669,195 @@ class FlatObjectStorage(WritableObjectStorage):
         return os.path.exists(self._mpath(root, version))
 
 
+class S3ConditionalPutStorage(WritableObjectStorage):
+    """Real-S3 implementation of the write seam over boto3, built on
+    S3's native conditional write (``If-None-Match: *`` on PutObject —
+    GA since 2024, the primitive that retired Delta's external
+    commit-coordinator requirement for S3). ``s3://bucket/prefix``
+    roots dispatch here; every verb is a whole-object operation — no
+    rename exists anywhere, exactly the constraint the protocol was
+    designed under (the ``flat://`` store is this class's offline twin
+    and shares the contract suite).
+
+    CONDITIONAL-PUT SEMANTICS (the LogStore exactly-one-winner
+    contract): ``put_if_absent_bytes`` maps S3's responses as
+    - 200 -> True (we won the key),
+    - 412 ``PreconditionFailed`` -> False (the key exists: someone
+      already won),
+    - 409 ``ConditionalRequestConflict`` -> RETRY with backoff, never
+      False: 409 means a concurrent conditional write on the same key
+      is still in flight — if that writer ultimately FAILS, the key is
+      free, and a False here would mean NO winner (a lost commit, the
+      exact failure the primitive exists to prevent). Exhausted retries
+      raise.
+
+    This sandbox has no AWS access, so the class cannot be exercised
+    against live S3 here; the contract tests run it against an
+    in-memory client double that enforces conditional-put semantics
+    under thread contention (and a deliberately CLOBBERING double that
+    must fail the same suite — proving the test has teeth). The client
+    is injected for exactly that reason; the default builds a boto3
+    client lazily and raises an actionable error offline.
+
+    Picklable (executors re-build the client on first use)."""
+
+    #: 409 ConditionalRequestConflict retry schedule (seconds)
+    _CONFLICT_BACKOFFS = (0.05, 0.1, 0.2, 0.5, 1.0, 2.0)
+
+    def __init__(self, client=None):
+        self._client = client
+
+    def __getstate__(self):
+        return {}  # clients hold sockets: rebuild lazily after unpickle
+
+    def __setstate__(self, state):
+        self._client = None
+
+    def _c(self):
+        if self._client is None:
+            try:
+                import boto3
+            except ImportError as e:
+                raise RuntimeError(
+                    "s3:// snapshot-table roots need boto3 (pip install "
+                    "boto3) and AWS credentials via the standard provider "
+                    "chain; offline, use a flat:// root or "
+                    "register_storage_scheme() to supply a custom store"
+                ) from e
+            self._client = boto3.client("s3")
+        return self._client
+
+    @staticmethod
+    def _bucket_key(root: str, rel: str = "") -> tuple[str, str]:
+        rest = root.split("://", 1)[1]
+        bucket, _, prefix = rest.partition("/")
+        prefix = prefix.strip("/")
+        key = f"{prefix}/{rel}" if prefix and rel else (rel or prefix)
+        return bucket, key
+
+    @staticmethod
+    def _err_code(e: Exception) -> str:
+        # botocore ClientError carries .response; test doubles mirror it
+        resp = getattr(e, "response", None) or {}
+        return str(resp.get("Error", {}).get("Code", ""))
+
+    def put_bytes(self, root: str, rel: str, data: bytes) -> None:
+        b, k = self._bucket_key(root, rel)
+        self._c().put_object(Bucket=b, Key=k, Body=data)
+
+    def put_if_absent_bytes(self, root: str, rel: str, data: bytes) -> bool:
+        import time as _time
+
+        b, k = self._bucket_key(root, rel)
+        for backoff in (*self._CONFLICT_BACKOFFS, None):
+            try:
+                self._c().put_object(
+                    Bucket=b, Key=k, Body=data, IfNoneMatch="*"
+                )
+                return True
+            except Exception as e:  # noqa: BLE001 - code-dispatched below
+                code = self._err_code(e)
+                if code in ("PreconditionFailed", "412"):
+                    return False  # key taken: a committed winner exists
+                if code in ("ConditionalRequestConflict", "409"):
+                    if backoff is None:
+                        raise  # contended past the schedule: surface it
+                    _time.sleep(backoff)
+                    continue
+                raise
+        raise AssertionError("unreachable")
+
+    def delete_key(self, root: str, rel: str) -> None:
+        b, k = self._bucket_key(root, rel)
+        self._c().delete_object(Bucket=b, Key=k)
+
+    def list_keys(self, root: str, prefix: str = "") -> list[str]:
+        b, base = self._bucket_key(root)
+        full = f"{base}/{prefix}" if base else prefix
+        strip = len(base) + 1 if base else 0
+        out = []
+        token: str | None = None
+        while True:  # paginated, S3-style (ListObjectsV2)
+            kw = {"Bucket": b, "Prefix": full}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._c().list_objects_v2(**kw)
+            for entry in resp.get("Contents", []) or []:
+                rel = entry["Key"][strip:]
+                if rel.rsplit("/", 1)[-1].startswith("."):
+                    continue  # temp-residue rule, as the contract states
+                out.append(rel)
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sorted(out)
+
+    def key_mtime(self, root: str, rel: str) -> float:
+        b, k = self._bucket_key(root, rel)
+        lm = self._c().head_object(Bucket=b, Key=k)["LastModified"]
+        return lm if isinstance(lm, (int, float)) else lm.timestamp()
+
+    def key_size(self, root: str, rel: str) -> int:
+        b, k = self._bucket_key(root, rel)
+        return int(self._c().head_object(Bucket=b, Key=k)["ContentLength"])
+
+    def _get(self, root: str, rel: str) -> bytes:
+        b, k = self._bucket_key(root, rel)
+        try:
+            return self._c().get_object(Bucket=b, Key=k)["Body"].read()
+        except Exception as e:  # noqa: BLE001 - code-dispatched below
+            if self._err_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(f"{root}: no object {rel}") from e
+            raise
+
+    def list_versions(self, root: str) -> list[int]:
+        keys = self.list_keys(root, f"{SNAP_DIR}/")
+        return parse_version_listing(k[len(SNAP_DIR) + 1:] for k in keys)
+
+    def read_manifest_bytes(self, root: str, version: int) -> bytes:
+        try:
+            return self._get(root, f"{SNAP_DIR}/{manifest_name(version)}")
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"snapshot table {root} has no version {version}"
+            ) from e
+
+    def open_data_file(self, root: str, entry: str):
+        import io
+
+        if entry.startswith("/") or is_remote_uri(entry):
+            raise FileNotFoundError(
+                f"s3:// stores hold only root-relative entries, got {entry}"
+            )
+        return io.BytesIO(self._get(root, entry))
+
+    def manifest_mtime(self, root: str, version: int) -> float:
+        return self.key_mtime(root, f"{SNAP_DIR}/{manifest_name(version)}")
+
+    def manifest_exists(self, root: str, version: int) -> bool:
+        try:
+            self.key_size(root, f"{SNAP_DIR}/{manifest_name(version)}")
+            return True
+        except Exception:  # noqa: BLE001 - absence is the signal
+            return False
+
+    def read_pointer(self, root: str) -> int | None:
+        try:
+            return _parse_pointer(self._get(root, f"{SNAP_DIR}/{POINTER_NAME}"))
+        except Exception:  # noqa: BLE001 - advisory: fall back to LIST
+            return None
+
+    def write_pointer(self, root: str, version: int) -> None:
+        try:  # best-effort advisory, never correctness
+            self.put_bytes(
+                root,
+                f"{SNAP_DIR}/{POINTER_NAME}",
+                json.dumps({"version": int(version)}).encode(),
+            )
+        except Exception:  # noqa: BLE001
+            pass
+
+
 #: scheme -> zero-arg factory overriding storage_for_root's default
 #: fsspec dispatch (register custom stores without touching this module).
 #: Pre-registered schemes are importable by DataSource WORKER processes
@@ -676,6 +865,7 @@ class FlatObjectStorage(WritableObjectStorage):
 _SCHEME_FACTORIES: dict = {
     "mem": MemorySnapshotStorage,
     "flat": FlatObjectStorage,
+    "s3": S3ConditionalPutStorage,
 }
 
 
@@ -756,10 +946,119 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
     return out
 
 
+#: raw-manifest payloads whose plain JSON reaches this many bytes are
+#: stored in the COMPACT form instead: columnar per-file arrays + gzip
+#: (:func:`encode_manifest_bytes`). The threshold keeps small manifests
+#: — the overwhelming steady state under delta encoding — human-readable
+#: plain JSON, and engages exactly where the r9 VERDICT measured the
+#: cost: the every-10th full-form checkpoint, 13.1 MB of driver-decoded
+#: JSON at 100k live files and ~10x that at the 1M-file design point
+#: (Delta's answer is parquet checkpoints, VLDB'20 §3.1; gzip+columnar
+#: is the engine's dependency-free analog — zstd slots in behind the
+#: same magic-byte sniff when available).
+MANIFEST_COMPACT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_MANIFEST_COMPACT_MIN", str(256 * 1024))
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+COMPACT_FEATURE = "compact-manifests"
+
+#: per-file dict keys and the files-list key their entries align to —
+#: the compact form stores each as an array parallel to that list
+#: (missing entries -> null), cutting both bytes (no repeated path keys)
+#: and decode wall (json array parse + one C-level zip, not a dict per
+#: file)
+_COLUMNAR_KEYS = (
+    ("files", ("stats", "partitions", "sizes")),
+    ("adds", ("stats_adds", "partitions_adds", "sizes_adds")),
+)
+
+
+def _to_compact(raw: dict) -> dict:
+    """Columnar re-encode of a raw manifest's per-file dicts. Pure and
+    lossless: :func:`_from_compact` inverts it exactly (pinned by
+    round-trip tests over full AND delta forms)."""
+    out = {k: v for k, v in raw.items()}
+    for files_key, dict_keys in _COLUMNAR_KEYS:
+        names = raw.get(files_key)
+        if not names:
+            continue
+        for key in dict_keys:
+            d = raw.get(key)
+            if d is None:
+                continue
+            del out[key]
+            out[key + "@"] = [d.get(f) for f in names]
+    out["_compact"] = 1
+    return out
+
+
+def _from_compact(obj: dict) -> dict:
+    """Invert :func:`_to_compact`: re-key each parallel array by its
+    files list, dropping nulls (a file with no recorded entry)."""
+    out = {
+        k: v for k, v in obj.items() if not k.endswith("@") and k != "_compact"
+    }
+    for files_key, dict_keys in _COLUMNAR_KEYS:
+        names = obj.get(files_key)
+        if not names:
+            continue
+        for key in dict_keys:
+            arr = obj.get(key + "@")
+            if arr is None:
+                continue
+            out[key] = {f: v for f, v in zip(names, arr) if v is not None}
+    return out
+
+
+def encode_manifest_bytes(raw: dict) -> bytes:
+    """Serialize a raw manifest for storage: plain sorted-key JSON below
+    :data:`MANIFEST_COMPACT_MIN_BYTES`, else the COMPACT form — columnar
+    per-file arrays, gzip-compressed, with the ``compact-manifests``
+    reader feature stamped INSIDE the payload so any feature-aware build
+    lacking the codec refuses by name (:func:`ensure_readable`; builds
+    predating the r9 feature gate fail at JSON decode instead — an old
+    build cannot be taught a new error message). The ONE manifest
+    serializer: every commit path (JVM planner and the session-free
+    DataSource sink) funnels through ``_finalize_commit`` into here."""
+    import gzip
+
+    data = json.dumps(raw, sort_keys=True).encode("utf-8")
+    if len(data) < MANIFEST_COMPACT_MIN_BYTES:
+        return data
+    feats = sorted(set(raw.get("reader_features", ())) | {COMPACT_FEATURE})
+    stamped = {
+        **raw,
+        "reader_features": feats,
+        "writer_features": sorted(set(raw.get("writer_features", ())) | set(feats)),
+    }
+    blob = gzip.compress(
+        json.dumps(_to_compact(stamped), sort_keys=True, separators=(",", ":")).encode(
+            "utf-8"
+        ),
+        6,
+    )
+    return blob if len(blob) < len(data) else data
+
+
+def decode_manifest_bytes(data: bytes) -> dict:
+    """Inverse of :func:`encode_manifest_bytes`: magic-byte sniff — a
+    gzip payload is the compact form, anything else plain JSON (incl.
+    every manifest written before round 10)."""
+    import gzip
+
+    if data[:2] == _GZIP_MAGIC:
+        obj = json.loads(gzip.decompress(data).decode("utf-8"))
+        return _from_compact(obj) if obj.get("_compact") else obj
+    return json.loads(data.decode("utf-8"))
+
+
 def read_raw_manifest(storage: SnapshotStorage, root: str, version: int) -> dict:
     """The version's manifest exactly as stored — a FULL form (has
-    ``files``) or a DELTA form (has ``base``/``adds``/``removes``)."""
-    return json.loads(storage.read_manifest_bytes(root, version).decode("utf-8"))
+    ``files``) or a DELTA form (has ``base``/``adds``/``removes``) —
+    decoded from plain or compact (:func:`decode_manifest_bytes`)
+    encoding."""
+    return decode_manifest_bytes(storage.read_manifest_bytes(root, version))
 
 
 def manifest_commit_time(
@@ -870,7 +1169,7 @@ def version_at_or_before(
 #: deletion vectors would resurrect deleted rows; a writer ignorant of
 #: drop-column tombstones would resurrect stale bytes on re-add).
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletion-vectors", "column-mapping"}
+    {"deletion-vectors", "column-mapping", "compact-manifests"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
     {"dropped-column-tombstones"}

@@ -1121,10 +1121,11 @@ def log_stream_snapshot_batch(
 
     Where :func:`log_stream_merge_batch` gets replay idempotence from
     dynamic partition OVERWRITE semantics, here it is a property of the
-    COMMIT PROTOCOL: every manifest carries the cumulative ``batch_ids``
-    it contains, so a re-delivered batch (foreachBatch is at-least-once)
-    is detected and SKIPPED before any work — the check is one manifest
-    read, the skip costs nothing. A crash after the data write but before
+    COMMIT PROTOCOL: every manifest carries the stream's scalar
+    high-water mark in the ``txns`` ledger (batch ids are monotone per
+    checkpoint — Delta's SetTransaction), so a re-delivered batch
+    (foreachBatch is at-least-once) is detected and SKIPPED before any
+    work — the check is one manifest read, the skip costs nothing. A crash after the data write but before
     the manifest CAS leaves only an unreferenced commit dir (inert by
     construction; vacuum sweeps it after the grace window) and the replay
     commits fresh files, so table content converges to exactly-once.
@@ -1139,7 +1140,7 @@ def log_stream_snapshot_batch(
     Round 6 unified the commit core into ``snapshot_write(batch_id=...)``
     so streamed tables inherit EVERY table property — stats, bloom
     sidecars, deletion vectors riding appends, CHECK constraints, schema
-    merge — and the ``batch_ids`` ledger now survives maintenance
+    merge — and the replay ledger now survives maintenance
     commits (OPTIMIZE/delete/merge/restore carry it), closing the
     replay-after-OPTIMIZE double-commit gap the standalone
     implementation had. This fn adds only the log-specific parse and the

@@ -301,6 +301,13 @@ def test_missing_root_refused(spark):
 # ---------------------------------------------------------------------------
 
 
+def _stream_app(ckpt: str) -> str:
+    """The sink's checkpoint-derived txns app id (its replay identity)."""
+    import hashlib
+
+    return "stream-" + hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:16]
+
+
 def _drain(spark, src_glob, root, ckpt):
     q = (
         spark.readStream.schema("id long, v long")
@@ -322,14 +329,45 @@ def test_stream_sink_drains_and_resumes(spark, tmp_path):
     _drain(spark, src + "/*", root, ckpt)
     m = read_manifest(spark, root, current_version(spark, root))
     assert m["action"] == "stream-append"
-    assert m["batch_ids"] == [0]
+    # scalar HWM ledger keyed on the checkpoint-derived stream identity
+    # (r9 VERDICT: no cumulative batch_ids list riding every manifest)
+    assert m["txns"] == {_stream_app(ckpt): 0}
+    assert "batch_ids" not in m
     assert snapshot_read(spark, root).count() == 50
     # resume from the same checkpoint: only NEW input commits
     spark.range(50, 80).selectExpr("id", "id * 2 as v").write.json(src + "/b1")
     _drain(spark, src + "/*", root, ckpt)
     assert snapshot_read(spark, root).count() == 80
     m2 = read_manifest(spark, root, current_version(spark, root))
-    assert m2["batch_ids"] == [0, 1]
+    assert m2["txns"] == {_stream_app(ckpt): 1}
+    assert "batch_ids" not in m2
+
+
+def test_stream_sink_explicit_app_id_and_two_streams(spark, tmp_path):
+    """An explicit streamAppId option overrides the checkpoint-derived
+    identity, and two streams (distinct checkpoints) draining one table
+    keep independent scalar HWMs — neither shadows the other's replays."""
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    root = str(tmp_path / "t")
+    spark.range(0, 20).selectExpr("id", "id * 2 as v").write.json(src1 + "/b0")
+    spark.range(100, 130).selectExpr("id", "id * 2 as v").write.json(src2 + "/b0")
+    q = (
+        spark.readStream.schema("id long, v long")
+        .json(src1 + "/*")
+        .writeStream.format("snapshot_table")
+        .option("root", root)
+        .option("streamAppId", "ingest-left")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    _drain(spark, src2 + "/*", root, str(tmp_path / "ck2"))
+    m = read_manifest(spark, root, current_version(spark, root))
+    ck2_app = _stream_app(str(tmp_path / "ck2"))
+    assert m["txns"] == {"ingest-left": 0, ck2_app: 0}
+    assert "batch_ids" not in m
+    assert snapshot_read(spark, root).count() == 50
 
 
 def test_stream_sink_replayed_batch_commits_once(spark, tmp_path):

@@ -553,6 +553,114 @@ def test_seam_feeds_snapshot_read_equivalence(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_compact_manifest_roundtrip_pure():
+    """encode/decode are exact inverses over full AND delta raw forms,
+    sparse per-file dicts included (a file with no stats entry)."""
+    full = {
+        "version": 20,
+        "action": "append",
+        "schema": "{}",
+        "files": [f"data/c/{i:04d}.parquet" for i in range(200)],
+        "stats_cols": ["id"],
+        "stats": {f"data/c/{i:04d}.parquet": {"id": [i, i + 1]} for i in range(150)},
+        "sizes": {f"data/c/{i:04d}.parquet": 100 + i for i in range(200)},
+        "txns": {"a": 3},
+        "committed_at": 5.0,
+    }
+    delta = {
+        "version": 21,
+        "base": 20,
+        "adds": full["files"][:40],
+        "removes": full["files"][40:80],
+        "stats_cols": ["id"],
+        "stats_adds": {f: {"id": [0, 1]} for f in full["files"][:40]},
+        "sizes_adds": {f: 7 for f in full["files"][:40]},
+        "committed_at": 6.0,
+    }
+    old = st.MANIFEST_COMPACT_MIN_BYTES
+    st.MANIFEST_COMPACT_MIN_BYTES = 1
+    try:
+        for raw in (full, delta):
+            blob = st.encode_manifest_bytes(raw)
+            assert blob[:2] == b"\x1f\x8b"  # gzip magic: compact form
+            dec = st.decode_manifest_bytes(blob)
+            want = {
+                **raw,
+                "reader_features": ["compact-manifests"],
+                "writer_features": ["compact-manifests"],
+            }
+            assert dec == want
+    finally:
+        st.MANIFEST_COMPACT_MIN_BYTES = old
+    # below the threshold: plain sorted-key JSON, byte-identical to r9
+    small = {"version": 1, "files": ["a"], "schema": "{}"}
+    import json as _json
+
+    assert st.encode_manifest_bytes(small) == _json.dumps(
+        small, sort_keys=True
+    ).encode("utf-8")
+
+
+def test_compact_manifests_end_to_end(spark, tmp_path, monkeypatch):
+    """With the threshold forced to 0, EVERY manifest a table writes is
+    compact — and the whole lifecycle (append/delta chains/time travel/
+    stream commits/every seam impl) reads identically. The shape the
+    13 MB checkpoint takes at the 100k-file design point, exercised on
+    the full protocol."""
+    import json as _json
+    import os
+
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
+    root = str(tmp_path / "t")
+    n = MANIFEST_CHECKPOINT_EVERY + 3
+    _build_table(spark, root, n)
+    snapshot_write(
+        spark.range(500, 505).selectExpr("id", "id * 2 AS v"),
+        root,
+        batch_id=0,
+    )
+    # on disk: gzip, not JSON — and the feature is stamped inside
+    sd = os.path.join(root, "_snapshots")
+    with open(os.path.join(sd, "v00000001.json"), "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"
+    m = jvm_read_manifest(spark, root, n + 1)
+    assert "compact-manifests" in m["reader_features"]
+    assert m["txns"] == {"_stream": 0}
+    # every seam impl resolves the same manifests (incl. delta chains)
+    for name, impl, r in _impls(root):
+        for v in (1, n // 2, n + 1):
+            assert st.read_manifest(impl, r, v) == jvm_read_manifest(
+                spark, root, v
+            ), (name, v)
+    # rows and time travel behave identically to plain-JSON tables
+    assert snapshot_read(spark, root).count() == 10 * n + 5
+    assert snapshot_read(spark, root, version=2).count() == 20
+    # a build WITHOUT the codec feature refuses BY NAME, not by misread
+    monkeypatch.setattr(
+        st,
+        "SUPPORTED_READER_FEATURES",
+        st.SUPPORTED_READER_FEATURES - {"compact-manifests"},
+    )
+    with pytest.raises(ValueError, match="compact-manifests"):
+        jvm_read_manifest(spark, root, n + 1)
+
+
+def test_compact_and_plain_manifests_interleave(spark, tmp_path, monkeypatch):
+    """A table can mix encodings version-by-version (the threshold is
+    per-payload): readers sniff magic bytes, so a history of plain
+    deltas over a compact checkpoint — the real steady state — resolves
+    exactly."""
+    root = str(tmp_path / "t")
+    _build_table(spark, root, 3)  # plain (tiny)
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
+    _build_table(spark, root, 2)  # compact
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 256 * 1024)
+    _build_table(spark, root, 2)  # plain again
+    assert snapshot_read(spark, root).count() == 10 * 7
+    for v in range(1, 8):
+        assert len(jvm_read_manifest(spark, root, v)["files"]) >= 1
+
+
 def test_feature_stamps_derive_from_manifest_keys(spark, tmp_path):
     from aws_logs_parquet_converter_spark.plans.snapshots import (
         read_manifest,

@@ -186,6 +186,54 @@ def main() -> None:
         print(json.dumps(row))
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"probe": "tip_pointer_scale", "results": ptr_results}))
+
+    # --- compact-checkpoint leg (r10 VERDICT #2): the every-10th FULL
+    # manifest was 13.1 MB of driver-decoded plain JSON at 100k live
+    # files and ~10x at the 1M design point. encode_manifest_bytes'
+    # columnar+gzip form must cut BOTH the stored/transferred bytes and
+    # the single-threaded decode wall every checkpoint-crossing read
+    # pays. Pure metadata — no Spark.
+    comp_results = []
+    for n_files in (
+        int(x)
+        for x in os.environ.get(
+            "SCALE_CKPT_DECADES", "100000,1000000"
+        ).split(",")
+    ):
+        files = _files("ck", n_files)
+        raw = _manifest(50, files)
+        t0 = time.perf_counter()
+        plain = json.dumps(raw, sort_keys=True).encode("utf-8")
+        enc_plain = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        json.loads(plain)
+        dec_plain = time.perf_counter() - t0
+        old_min = st.MANIFEST_COMPACT_MIN_BYTES
+        st.MANIFEST_COMPACT_MIN_BYTES = 1
+        try:
+            t0 = time.perf_counter()
+            blob = st.encode_manifest_bytes(raw)
+            enc_c = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            dec = st.decode_manifest_bytes(blob)
+            dec_c = time.perf_counter() - t0
+        finally:
+            st.MANIFEST_COMPACT_MIN_BYTES = old_min
+        assert blob[:2] == b"\x1f\x8b" and len(dec["files"]) == n_files
+        assert dec["stats"] == raw["stats"] and dec["sizes"] == raw["sizes"]
+        row = {
+            "files": n_files,
+            "plain_bytes": len(plain),
+            "compact_bytes": len(blob),
+            "bytes_ratio": round(len(blob) / len(plain), 4),
+            "plain_decode_ms": round(dec_plain * 1000, 1),
+            "compact_decode_ms": round(dec_c * 1000, 1),
+            "plain_encode_ms": round(enc_plain * 1000, 1),
+            "compact_encode_ms": round(enc_c * 1000, 1),
+        }
+        comp_results.append(row)
+        print(json.dumps(row))
+    print(json.dumps({"probe": "compact_checkpoint", "results": comp_results}))
     spark.stop()
 
 
