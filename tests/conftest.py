@@ -2,6 +2,17 @@ import os
 
 import pytest
 
+# Mock-S3 plumbing for the s3:// end-to-end tests (tests/test_s3_moto.py):
+# boto3 resolves AWS_ENDPOINT_URL_S3 / credentials from the ENVIRONMENT at
+# client build time, and Python DataSource workers inherit the JVM's env,
+# which inherits ours — but only if these are set BEFORE the JVM launches.
+# Setting them unconditionally is harmless: nothing else speaks boto3, and
+# the port is only served while a moto server fixture is up.
+os.environ.setdefault("AWS_ENDPOINT_URL_S3", "http://127.0.0.1:5191")
+os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+
 from aws_logs_parquet_converter_spark.session import build_session
 
 
