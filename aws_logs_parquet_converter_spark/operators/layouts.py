@@ -2257,7 +2257,7 @@ _SNAPSHOT_SINK_PATHS: dict[str, str] = {}
         "against one checkpoint: the first drains the seed commit, the "
         "second resumes and ships only the source's NEW append; each "
         "micro-batch lands as one ledgered stream-append commit "
-        "(exactly-once via batch_ids — replay semantics are "
+        "(exactly-once via the scalar txns HWM — replay semantics are "
         "crash-tested in tests/test_snapshot_sink.py). The sink table's "
         "full content is value-checked against the plain events "
         "projection."
@@ -2314,3 +2314,133 @@ def table_snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _SNAPSHOT_SINK_PATHS[sf_dir] = sink
     return snapshot_read(spark, sink)
+
+
+#: per-sf_dir cache of compact-manifest table roots
+_SNAPSHOT_COMPACT_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_compact_manifests",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc=(
+        "COMPACT MANIFEST ENCODING (r10; storage.encode_manifest_bytes): "
+        "raw manifests whose plain JSON crosses a size threshold are "
+        "stored columnar+gzip — per-file stats/partitions/sizes dicts "
+        "become arrays parallel to the file list, then the payload "
+        "gzips; readers sniff magic bytes, so plain and compact versions "
+        "interleave freely in one history. This is the fix for the r9 "
+        "finding that the every-10th FULL checkpoint was 13.1 MB of "
+        "driver-decoded JSON at 100k live files (~130 MB at 1M): "
+        "measured at the 1M-file design point the checkpoint drops "
+        "132.8 MB -> 7.6 MB with a faster decode "
+        "(tools/manifest_scale_probe.py). Here the threshold is forced "
+        "to zero so EVERY manifest this table writes takes the compact "
+        "form — the manifest bytes are asserted gzip with the "
+        "'compact-manifests' reader feature stamped inside — and the "
+        "full content must round-trip value-exact against the oracle."
+    ),
+)
+def table_snapshot_compact_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import storage as _st
+    from ..plans.snapshots import read_manifest, snapshot_read, snapshot_write
+
+    path = _SNAPSHOT_COMPACT_PATHS.get(sf_dir)
+    if path is None:
+        import os
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="snapshot_compact_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        old = _st.MANIFEST_COMPACT_MIN_BYTES
+        _st.MANIFEST_COMPACT_MIN_BYTES = 1
+        try:
+            for k in range(4):
+                snapshot_write(
+                    ev.where(F.pmod(F.col("event_id"), F.lit(4)) == k),
+                    path,
+                    stats_cols=["event_id"],
+                )
+        finally:
+            _st.MANIFEST_COMPACT_MIN_BYTES = old
+        with open(
+            os.path.join(path, "_snapshots", "v00000002.json"), "rb"
+        ) as fh:
+            if fh.read(2) != b"\x1f\x8b":
+                raise AssertionError("expected a compact (gzip) manifest")
+        m = read_manifest(spark, path, 4)
+        if "compact-manifests" not in m.get("reader_features", ()):
+            raise AssertionError(
+                "compact manifests must stamp their reader feature"
+            )
+        _SNAPSHOT_COMPACT_PATHS[sf_dir] = path
+    return snapshot_read(spark, path).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+#: per-sf_dir cache of two-stream table roots
+_SNAPSHOT_MULTI_STREAM_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_multi_stream",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc=(
+        "MULTI-STREAM REPLAY LEDGER (r10): two independent streams drain "
+        "into ONE table, each under its own batch_app key in the txns "
+        "scalar high-water-mark ledger (Delta's SetTransaction). "
+        "Distinct checkpoints number micro-batches independently from 0, "
+        "so the r9 single cumulative batch_ids list would have treated "
+        "stream B's batch 0 as a replay of stream A's — here each app's "
+        "mark advances alone, interleaved re-deliveries of BOTH apps "
+        "are skipped before any work, and the ledger stays O(#streams) "
+        "bytes regardless of stream lifetime. Content must equal the "
+        "plain events projection value-exact (nothing lost to a "
+        "shadowed ledger, nothing doubled by a missed replay)."
+    ),
+)
+def table_snapshot_multi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import (
+        current_version,
+        read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = _SNAPSHOT_MULTI_STREAM_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="snapshot_multi_stream_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+
+        def quarter(k: int) -> DataFrame:
+            return ev.where(F.pmod(F.col("event_id"), F.lit(4)) == k)
+
+        # left ships quarters 0,2 as its batches 0,1; right ships 1,3 as
+        # ITS batches 0,1 — same numbers, different checkpoints
+        assert snapshot_write(quarter(0), path, batch_id=0, batch_app="left") == 1
+        assert snapshot_write(quarter(1), path, batch_id=0, batch_app="right") == 2
+        # crash-replay of left's batch 0 interleaves: skipped, not doubled
+        assert snapshot_write(quarter(0), path, batch_id=0, batch_app="left") is None
+        assert snapshot_write(quarter(2), path, batch_id=1, batch_app="left") == 3
+        assert snapshot_write(quarter(3), path, batch_id=1, batch_app="right") == 4
+        assert snapshot_write(quarter(1), path, batch_id=0, batch_app="right") is None
+        m = read_manifest(spark, path, current_version(spark, path))
+        if m.get("txns") != {"left": 1, "right": 1}:
+            raise AssertionError(f"per-app HWMs wrong: {m.get('txns')}")
+        if "batch_ids" in m:
+            raise AssertionError("cumulative list must not ride the manifest")
+        _SNAPSHOT_MULTI_STREAM_PATHS[sf_dir] = path
+    return snapshot_read(spark, path).select(
+        "event_id", "user_id", "event_type"
+    )

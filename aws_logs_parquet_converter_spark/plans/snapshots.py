@@ -71,7 +71,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from .. import storage as _storage
 from .optimize import _fs_for
@@ -3601,24 +3601,37 @@ def snapshot_repartition(
             raise ValueError(
                 f"partition column(s) {missing} not in the table"
             )
-        # per-tuple salt moduli: one counting pass reading ONLY the new
+        # per-tuple salt moduli: ONE counting pass reading ONLY the new
         # partition columns (parquet column pruning makes this cheap
-        # relative to the rewrite), one scalar to the driver
+        # relative to the rewrite). The per-tuple rows are collected —
+        # bounded by the partition-column low-cardinality contract, not
+        # data-sized — so the total AND the salt table derive from one
+        # job; the r9 plan consumed `counts` twice (.first() + the ktab
+        # broadcast), physically recomputing the aggregation (r9 VERDICT)
         counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__salt_rows"))
-        trow = counts.agg(F.sum("__salt_rows").alias("n")).first()
-        total_rows = int(trow["n"] or 0)
+        tuple_rows = counts.collect()
+        total_rows = sum(int(r["__salt_rows"]) for r in tuple_rows)
         if total_rows and total:
             # rows that fit one target-sized file, from the manifest's
             # recorded live bytes (metadata) and the measured row count
             max_rpf = max(1, math.ceil(total_rows * tgt_bytes / total))
-            ktab = counts.select(
-                *[F.col(c).alias(f"__sk_{c}") for c in pcols],
-                F.greatest(
-                    F.lit(1),
-                    F.ceil(F.col("__salt_rows") / F.lit(max_rpf)),
-                )
-                .cast("long")
-                .alias("__salt_k"),
+            by_name = {f.name: f for f in df.schema.fields}
+            ksch = StructType(
+                [
+                    StructField(f"__sk_{c}", by_name[c].dataType, True)
+                    for c in pcols
+                ]
+                + [StructField("__salt_k", LongType(), False)]
+            )
+            ktab = spark.createDataFrame(
+                [
+                    (
+                        *[r[c] for c in pcols],
+                        max(1, math.ceil(int(r["__salt_rows"]) / max_rpf)),
+                    )
+                    for r in tuple_rows
+                ],
+                ksch,
             )
             cond = None
             for c in pcols:  # null-safe: a NULL tuple still gets its k

@@ -105,7 +105,7 @@ def test_no_driver_side_collect_in_operators():
             "streams through mapInPandas",
         ),
         "plans/snapshots.py": (
-            8,
+            9,
             "_collect_file_stats gathers per-file min/max at COMMIT time — "
             "one row per file just written (commit-sized, never "
             "table-sized), the manifest data-skipping stats; snapshot_merge "
@@ -127,8 +127,12 @@ def test_no_driver_side_collect_in_operators():
             "anti-join — the untouched bulk scans clean; incremental "
             "snapshot_optimize collects the same distinct vector-touched "
             "file names (one row per touched file) to force them into "
-            "the rewrite set so the vectors purge; reads plan normally "
-            "with no driver round-trip",
+            "the rewrite set so the vectors purge; snapshot_repartition "
+            "collects the per-tuple row counts — bounded by the "
+            "partition-column low-cardinality contract — so ONE counting "
+            "job yields both the total and the salt table (the r9 plan "
+            "recomputed the aggregation for the broadcast); reads plan "
+            "normally with no driver round-trip",
         ),
     }
     for py in sorted(ops_dir.rglob("*.py")):

@@ -78,6 +78,14 @@ _OP_MIX = (
     # values are numerically identical either width, so the checker's
     # value-exact accounting is blind to representation, as it must be.
     "constraint",
+    # round-10 surfaces (r9 VERDICT task 7): RESTORE rewrites the file
+    # list wholesale (a buggy one could absorb or drop a concurrent
+    # append's files) and DROP COLUMN rewrites schema+tombstones (a
+    # buggy one could resurrect dropped values). Both need the checker's
+    # VERSION-ORDERED replay: a restore's effect depends on global
+    # commit order, which the manifest version numbers record exactly.
+    "restore",
+    "drop_column",
 )
 
 #: the additive an UPDATE op applies to `v` — large enough that missed,
@@ -89,11 +97,15 @@ def _worker(args: tuple) -> list[tuple]:
     root, seed, proc_id, n_ops = args
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from aws_logs_parquet_converter_spark.plans.snapshots import (
+        current_version,
+        read_manifest,
         snapshot_add_constraint,
         snapshot_delete,
+        snapshot_drop_column,
         snapshot_drop_constraint,
         snapshot_merge,
         snapshot_optimize,
+        snapshot_restore,
         snapshot_update,
         snapshot_vacuum,
         snapshot_write,
@@ -109,7 +121,11 @@ def _worker(args: tuple) -> list[tuple]:
     rng = random.Random(seed)
     base = 1_000_000 * (proc_id + 1)  # disjoint id space per process
     next_id = base
-    committed: list[tuple] = []  # ("add"|"del", lo, hi)
+    # committed ops as dicts CARRYING THE COMMIT VERSION: the checker
+    # replays them in version order (required once RESTORE is in the
+    # mix — its effect depends on global commit order, and manifest
+    # version numbers record that order exactly)
+    committed: list[dict] = []
     my_ranges: list[tuple[int, int]] = []  # committed, not-yet-deleted
     # per-op journal, flushed BEFORE (intent) and AFTER (result) each op:
     # the forensic record that survives the worker process — what each op
@@ -134,17 +150,41 @@ def _worker(args: tuple) -> list[tuple]:
                     # mismatch exercises the widening merge or the
                     # upcast-on-write under CAS rebase (ids stay < 2^31)
                     narrow = rng.random() < 0.5
+                    # a quarter carry the droppable `aux` column — its
+                    # schema-merge add and drop_column tombstoning race
+                    # real commits. A RE-ADD after a drop would make the
+                    # table column-mapped, where delete/update/merge
+                    # refuse by documented design (plans/snapshots
+                    # _require_unmapped) — that would gut the DML mix, so
+                    # aux appends pre-check the tombstones; the unavoidable
+                    # check-to-commit race window is handled by the DML
+                    # ops treating the mapped refusal as a legal outcome
+                    with_aux = rng.random() < 0.25
+                    if with_aux:
+                        tip = current_version(spark, root)
+                        dropped = read_manifest(spark, root, tip).get(
+                            "dropped_cols", []
+                        )
+                        if any(d.get("name") == "aux" if isinstance(d, dict)
+                               else d == "aux" for d in dropped):
+                            with_aux = False
                     log(i=i, op=op, lo=lo, hi=hi, narrow=narrow,
-                        phase="intent")
-                    df = spark.range(lo, hi).selectExpr(
+                        aux=with_aux, phase="intent")
+                    exprs = [
                         "id",
                         "CAST(id * 2 AS INT) AS v" if narrow
                         else "id * 2 AS v",
-                    )
+                    ]
+                    if with_aux:
+                        exprs.append("id * 3 AS aux")
+                    df = spark.range(lo, hi).selectExpr(*exprs)
                     v = snapshot_write(df, root, stats_cols=["id"])
                     log(i=i, op=op, lo=lo, hi=hi, phase="done", version=v)
                     if v is not None:
-                        committed.append(("add", lo, hi))
+                        committed.append(
+                            {"kind": "add", "lo": lo, "hi": hi, "ver": v,
+                             "aux": with_aux}
+                        )
                         my_ranges.append((lo, hi))
                 elif op == "merge":
                     # fresh disjoint keys: an upsert of never-seen ids —
@@ -155,22 +195,46 @@ def _worker(args: tuple) -> list[tuple]:
                     next_id = hi
                     log(i=i, op=op, lo=lo, hi=hi, phase="intent")
                     df = spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
-                    v = snapshot_merge(df, root, key="id")
+                    try:
+                        v = snapshot_merge(df, root, key="id")
+                    except ValueError as e:
+                        # table went column-mapped under us (a drop/re-add
+                        # race): the refusal is the documented contract
+                        if "column-mapped" not in str(e):
+                            raise
+                        log(i=i, op=op, lo=lo, hi=hi, phase="refused",
+                            err=str(e)[:120])
+                        continue
                     log(i=i, op=op, lo=lo, hi=hi, phase="done", version=v)
-                    committed.append(("add", lo, hi))
-                    my_ranges.append((lo, hi))
+                    if v is not None:
+                        committed.append(
+                            {"kind": "add", "lo": lo, "hi": hi, "ver": v,
+                             "aux": False}
+                        )
+                        my_ranges.append((lo, hi))
                 elif op in ("delete_cow", "delete_dv") and my_ranges:
                     lo, hi = my_ranges.pop(rng.randrange(len(my_ranges)))
                     mid = rng.randint(lo + 1, hi)  # drop the range's head
                     log(i=i, op=op, lo=lo, mid=mid, hi=hi, phase="intent")
-                    v = snapshot_delete(
-                        spark,
-                        root,
-                        [("id", ">=", lo), ("id", "<", mid)],
-                        mode="dv" if op == "delete_dv" else "cow",
-                    )
+                    try:
+                        v = snapshot_delete(
+                            spark,
+                            root,
+                            [("id", ">=", lo), ("id", "<", mid)],
+                            mode="dv" if op == "delete_dv" else "cow",
+                        )
+                    except ValueError as e:
+                        if "column-mapped" not in str(e):
+                            raise
+                        log(i=i, op=op, lo=lo, mid=mid, hi=hi,
+                            phase="refused", err=str(e)[:120])
+                        my_ranges.append((lo, hi))  # nothing deleted
+                        continue
                     log(i=i, op=op, lo=lo, mid=mid, hi=hi, phase="done", version=v)
-                    committed.append(("del", lo, mid))
+                    if v is not None:
+                        committed.append(
+                            {"kind": "del", "lo": lo, "hi": mid, "ver": v}
+                        )
                     if mid < hi:
                         my_ranges.append((mid, hi))
                 elif op == "update" and my_ranges:
@@ -181,15 +245,25 @@ def _worker(args: tuple) -> list[tuple]:
                     mid = rng.randint(lo + 1, hi)
                     mode = rng.choice(["cow", "dv"])
                     log(i=i, op=op, mode=mode, lo=lo, mid=mid, phase="intent")
-                    v = snapshot_update(
-                        spark,
-                        root,
-                        [("id", ">=", lo), ("id", "<", mid)],
-                        {"v": f"v + {_UPD_DELTA}"},
-                        mode=mode,
-                    )
+                    try:
+                        v = snapshot_update(
+                            spark,
+                            root,
+                            [("id", ">=", lo), ("id", "<", mid)],
+                            {"v": f"v + {_UPD_DELTA}"},
+                            mode=mode,
+                        )
+                    except ValueError as e:
+                        if "column-mapped" not in str(e):
+                            raise
+                        log(i=i, op=op, mode=mode, lo=lo, mid=mid,
+                            phase="refused", err=str(e)[:120])
+                        continue
                     log(i=i, op=op, mode=mode, lo=lo, mid=mid, phase="done", version=v)
-                    committed.append(("upd", lo, mid))
+                    if v is not None:
+                        committed.append(
+                            {"kind": "upd", "lo": lo, "hi": mid, "ver": v}
+                        )
                 elif op == "optimize":
                     # row-preserving by contract: nothing to log in the
                     # accounting (the journal still records it)
@@ -242,6 +316,43 @@ def _worker(args: tuple) -> list[tuple]:
                     except (ValueError, FileNotFoundError) as e:
                         log(i=i, op=op, adding=adding, phase="refused",
                             err=str(e)[:120])
+                elif op == "restore":
+                    # roll back 0-2 versions from the tip observed NOW.
+                    # Restore's CAS loop rebases onto whatever commits
+                    # interleave, so the content outcome depends on
+                    # global order — the version-ordered replay accounts
+                    # for it exactly. A buggy restore (absorbing a
+                    # concurrent append's files, resurrecting wrong
+                    # tombstones) shows up as a value mismatch.
+                    tip = current_version(spark, root)
+                    target = max(1, tip - rng.randint(0, 2))
+                    log(i=i, op=op, target=target, phase="intent")
+                    try:
+                        v = snapshot_restore(spark, root, version=target)
+                    except (ValueError, FileNotFoundError) as e:
+                        # target vacuumed/retired under us: a legal race
+                        log(i=i, op=op, target=target, phase="refused",
+                            err=str(e)[:120])
+                        continue
+                    log(i=i, op=op, target=target, phase="done", version=v)
+                    if v != target:  # no-op restores commit nothing
+                        committed.append(
+                            {"kind": "restore", "target": target, "ver": v}
+                        )
+                elif op == "drop_column":
+                    # metadata-only DROP of `aux` racing the appends that
+                    # re-add it (fresh physical name via column mapping).
+                    # Resurrected values from pre-drop files would trip
+                    # the checker's aux replay.
+                    log(i=i, op=op, phase="intent")
+                    try:
+                        v = snapshot_drop_column(spark, root, "aux")
+                    except (ValueError, FileNotFoundError) as e:
+                        # not in the schema right now: a legal race
+                        log(i=i, op=op, phase="refused", err=str(e)[:120])
+                        continue
+                    log(i=i, op=op, phase="done", version=v)
+                    committed.append({"kind": "dropcol", "ver": v})
             except IOError as e:
                 log(i=i, op=op, phase="ioerror", err=str(e)[:160])
     finally:
@@ -391,25 +502,66 @@ def main() -> None:
                 )
             )
         wall = time.perf_counter() - t0
-        # value-exact replay: ids from adds/deletes, values from the
-        # cumulative update deltas — ghost/missed/doubled/resurrected
-        # ops of EVERY verb are all visible in one dict compare
-        expected: dict[int, int] = {i: 2 * i for i in range(0, 100)}
-        n_commits = 0
-        for log in logs:
-            n_commits += len(log)
-            for kind, lo, hi in log:
-                if kind == "add":
-                    expected.update({i: 2 * i for i in range(lo, hi)})
-                elif kind == "del":
-                    for i in range(lo, hi):
-                        expected.pop(i, None)
-                elif kind == "upd":
-                    for i in range(lo, hi):
-                        if i in expected:
-                            expected[i] += _UPD_DELTA
-        got = {r.id: r.v for r in snapshot_read(spark, root).collect()}
+        # VERSION-ORDERED value-exact replay (r10): with RESTORE in the
+        # mix the final content depends on global commit ORDER, which
+        # the manifest version numbers record exactly — so apply every
+        # committed op at its version and snapshot state per version
+        # for restore targets. Unlogged versions (optimize, constraint,
+        # auto-compact) are row- and aux-preserving, so "state at t" =
+        # state at the newest logged version <= t. Ghost/missed/doubled/
+        # resurrected ops of EVERY verb — now including a restore that
+        # absorbs a concurrent append or a drop that resurrects values —
+        # are all visible in one dict compare.
+        import bisect
+
+        events = sorted(
+            (e for log in logs for e in log), key=lambda e: e["ver"]
+        )
+        n_commits = len(events)
+        state: dict[int, int] = {i: 2 * i for i in range(0, 100)}
+        auxs: dict[int, int] = {}  # id -> aux value (absent = NULL)
+        snaps: dict[int, tuple[dict, dict]] = {1: (dict(state), dict(auxs))}
+        snap_vers: list[int] = [1]
+        for e in events:
+            k = e["kind"]
+            if k == "add":
+                for n in range(e["lo"], e["hi"]):
+                    state[n] = 2 * n
+                    if e["aux"]:
+                        auxs[n] = 3 * n
+                    else:
+                        auxs.pop(n, None)
+            elif k == "del":
+                for n in range(e["lo"], e["hi"]):
+                    state.pop(n, None)
+                    auxs.pop(n, None)
+            elif k == "upd":
+                for n in range(e["lo"], e["hi"]):
+                    if n in state:
+                        state[n] += _UPD_DELTA
+            elif k == "dropcol":
+                auxs = {}  # logically NULL for every live row
+            elif k == "restore":
+                j = bisect.bisect_right(snap_vers, e["target"]) - 1
+                s, a = snaps[snap_vers[j]]
+                state, auxs = dict(s), dict(a)
+            snaps[e["ver"]] = (dict(state), dict(auxs))
+            snap_vers.append(e["ver"])
+        expected = state
+        final_rows = snapshot_read(spark, root).collect()
+        got = {r.id: r.v for r in final_rows}
         ok = got == expected
+        # aux resurrection check: pre-drop values must never reappear,
+        # post-re-add values must be exactly the re-added batches'
+        if final_rows and "aux" in final_rows[0].__fields__:
+            got_aux = {r.id: r.aux for r in final_rows}
+            exp_aux = {n: auxs.get(n) for n in expected}
+            aux_ok = got_aux == exp_aux
+        else:
+            aux_ok = not auxs  # column absent => replay must hold none
+        if not aux_ok:
+            print(json.dumps({"aux_mismatch": True}), flush=True)
+        ok = ok and aux_ok
         # vacuum-integrity leg 1: after the contention phase (racing
         # default-guard vacuums included), every surviving version must
         # still reference only existing files
