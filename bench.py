@@ -146,6 +146,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # diagnostic knob (r10 drift investigation): SPARK_GRAFT_BENCH_LEGS=
+    # headline runs ONLY the r3-comparable set, isolating how much of the
+    # comparable-legs wall is session pressure from the ever-growing
+    # post-r3/eager leg population (seed tables, streaming queries,
+    # codegen classes, GC) vs the legs' own cost
+    headline_only = os.environ.get("SPARK_GRAFT_BENCH_LEGS") == "headline"
+    eager_legs = [] if headline_only else EAGER_LEGS
+    post_r3_legs = [] if headline_only else POST_R3_LEGS
+    upsert_legs = [] if headline_only else ["stream_upsert_merge"]
 
     spark = build_session(
         app_name="bench",
@@ -154,7 +163,7 @@ def main() -> None:
     queries = operators.all_queries()
     # JVM/codegen warmup at the smallest SF so timings measure the engine,
     # not first-query classloading.
-    for name in HEADLINE + EAGER_LEGS + POST_R3_LEGS + ["stream_upsert_merge"]:
+    for name in HEADLINE + eager_legs + post_r3_legs + upsert_legs:
         queries[name](spark, WARMUP_SF_DIR).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()  # drop warmup caches before timing
 
@@ -163,19 +172,22 @@ def main() -> None:
     # 5x one-off spikes); min-of-3 measures the engine.
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name in HEADLINE + POST_R3_LEGS:
+        for name in HEADLINE + post_r3_legs:
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
-        for name in EAGER_LEGS:
+        for name in eager_legs:
             t0 = time.perf_counter()  # construction IS the work for these
             queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+        if headline_only:
+            spark.catalog.clearCache()
+            continue
         # CDC merge gate with the fixture SPLIT OUT (r4 verdict item 4):
         # seeding the stale destination is a plain partitioned parquet
         # write and gets its own leg; the drain leg times only the

@@ -118,3 +118,81 @@ def test_any_history_resolves_to_ground_truth(
         assert got.get("stats", {}) == want["stats"], ver
         assert got.get("partitions", {}) == want["partitions"], ver
         assert got["schema"] == SCHEMA
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=STEPS,
+    thresholds=st.lists(
+        st.sampled_from([1, 400, 10**9]), min_size=14, max_size=14
+    ),
+)
+def test_any_history_resolves_across_mixed_encodings(
+    spark, tmp_path_factory, steps, thresholds
+):
+    """r10 twin of the property above with the COMPACT encoding in play:
+    each commit draws its own MANIFEST_COMPACT_MIN_BYTES (always-compact
+    / sometimes / never), so arbitrary histories interleave plain-JSON
+    and columnar+gzip manifests version-by-version — and every version
+    must still resolve to ground truth, form- AND encoding-blind. Pins
+    the magic-byte sniff and the columnar round-trip at the protocol
+    layer against histories no fixture would write."""
+    from aws_logs_parquet_converter_spark import storage as stmod
+
+    root = str(tmp_path_factory.mktemp("mpropc")) + "/t"
+    storage = storage_for_root(root)
+    live: list[str] = []
+    sizes: dict[str, int] = {}
+    stats: dict[str, dict] = {}
+    truth: dict[int, dict] = {}
+    prev = None
+    v = 0
+    serial = 0
+    old_min = stmod.MANIFEST_COMPACT_MIN_BYTES
+    try:
+        for (n_add, n_rm, optimize, unit), thr in zip(steps, thresholds):
+            stmod.MANIFEST_COMPACT_MIN_BYTES = thr
+            v += 1
+            rm = live[:n_rm] if optimize or n_rm else []
+            live = [f for f in live if f not in rm]
+            fresh = []
+            for _ in range(n_add):
+                serial += 1
+                fresh.append(f"data/{v:08d}/part-{serial:04d}.parquet")
+            live = sorted(live + fresh)
+            for f in fresh:
+                sizes[f] = unit * 1000
+                stats[f] = {"id": [serial, serial + 10]}
+            for f in rm:
+                sizes.pop(f, None)
+                stats.pop(f, None)
+            m = {
+                "version": v,
+                "action": "optimize" if optimize else "append",
+                "schema": SCHEMA,
+                "files": list(live),
+                "sizes": {f: sizes[f] for f in live},
+                "stats_cols": ["id"],
+                "stats": {f: stats[f] for f in live},
+            }
+            assert _try_commit(spark, root, m, prev=prev)
+            prev = m
+            truth[v] = {
+                "files": list(live),
+                "sizes": {f: sizes[f] for f in live},
+                "stats": {f: stats[f] for f in live},
+            }
+    finally:
+        stmod.MANIFEST_COMPACT_MIN_BYTES = old_min
+    encodings = set()
+    for ver, want in truth.items():
+        data = storage.read_manifest_bytes(root, ver)
+        encodings.add("compact" if data[:2] == b"\x1f\x8b" else "plain")
+        got = read_manifest(storage, root, ver)
+        assert sorted(got["files"]) == want["files"], ver
+        assert got.get("sizes", {}) == want["sizes"], ver
+        assert got.get("stats", {}) == want["stats"], ver

@@ -1979,6 +1979,41 @@ def test_manifest_bytes_flat_in_stream_lifetime(spark, tmp_path):
     assert late - early < 64, f"ledger bytes grew {early} -> {late}"
 
 
+def test_version_of_batch_walks_raw_manifests_only(spark, tmp_path, monkeypatch):
+    """r9 VERDICT task 5: the forensics walk must cost ONE raw manifest
+    read per version — the old walk resolved full manifests, paying up
+    to a whole delta CHAIN (10 raw reads) per version. Both ledgers pass
+    through raw manifests verbatim, so no resolution is needed. Pinned
+    by counting the storage reads through a wrapper."""
+    from aws_logs_parquet_converter_spark.plans import snapshots as S
+
+    root = str(tmp_path / "t")
+    n = 14  # crosses a checkpoint: versions 11..14 are delta-encoded
+    for b in range(n):
+        snapshot_write(_df(spark, b, b + 1), root, batch_id=b)
+
+    class _Counting:
+        def __init__(self, inner):
+            self._inner = inner
+            self.reads = 0
+
+        def read_manifest_bytes(self, root, version):
+            self.reads += 1
+            return self._inner.read_manifest_bytes(root, version)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    counter = _Counting(S._meta_store(spark, root))
+    monkeypatch.setattr(S, "_meta_store", lambda _s, _r: counter)
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_version_of_batch,
+    )
+
+    assert snapshot_version_of_batch(spark, root, n - 1) == n
+    assert counter.reads == n  # one RAW read per version, no chain walks
+
+
 def test_streamed_table_enforces_constraints_per_batch(spark, tmp_path):
     from aws_logs_parquet_converter_spark.plans.snapshots import (
         ConstraintViolation,

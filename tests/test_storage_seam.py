@@ -153,9 +153,14 @@ def test_storage_impls_are_picklable(tmp_path):
 
 def test_storage_for_root_dispatch():
     assert isinstance(st.storage_for_root("/x/y"), st.LocalSnapshotStorage)
-    s3 = st.storage_for_root("s3://bucket/table")
-    assert isinstance(s3, st.FsspecSnapshotStorage)
-    assert s3._protocol == "s3"
+    # r10: s3:// routes to the conditional-put store (WRITE-capable; the
+    # LogStore primitive) instead of the read-only fsspec fallback
+    assert isinstance(
+        st.storage_for_root("s3://bucket/table"), st.S3ConditionalPutStorage
+    )
+    gs = st.storage_for_root("gs://bucket/table")
+    assert isinstance(gs, st.FsspecSnapshotStorage)
+    assert gs._protocol == "gs"
     assert isinstance(
         st.storage_for_root("mem://b/t"), st.MemorySnapshotStorage
     )
