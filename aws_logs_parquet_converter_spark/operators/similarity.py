@@ -1212,6 +1212,7 @@ def semantic_stream_batch(
     index_root: str,
     pairs_root: str,
     threshold: float = 0.35,
+    batch_app: str | None = None,
 ) -> None:
     """One micro-batch of STREAMING semantic dedup — a two-table
     exactly-once transaction built from snapshot batch commits:
@@ -1246,9 +1247,13 @@ def semantic_stream_batch(
     spark = bdf.sparkSession
     cents = spark.read.parquet(cents_path)
     assigned = kmeans_assign(bdf, cents)
-    v = snapshot_write(assigned, index_root, batch_id=int(batch_id))
+    v = snapshot_write(
+        assigned, index_root, batch_id=int(batch_id), batch_app=batch_app
+    )
     if v is None:  # replayed: the index already holds this batch
-        v = snapshot_version_of_batch(spark, index_root, int(batch_id))
+        v = snapshot_version_of_batch(
+            spark, index_root, int(batch_id), batch_app=batch_app
+        )
     if v <= 1:
         # first batch into an EMPTY index table: there is no version 0 to
         # time-travel to — the base is the empty frame (no prior days, so
@@ -1259,7 +1264,7 @@ def semantic_stream_batch(
     pairs = _cluster_scoped_pairs(
         base.select("vec_id", "cluster", "emb", "nrm"), assigned, threshold
     )
-    snapshot_write(pairs, pairs_root, batch_id=int(batch_id))
+    snapshot_write(pairs, pairs_root, batch_id=int(batch_id), batch_app=batch_app)
 
 
 #: batch boundary for the two-file arrival fixture — inside the new-half

@@ -1114,6 +1114,7 @@ def log_stream_snapshot_batch(
     root: str,
     fmt: str = "s3",
     stats_cols: list[str] | None = None,
+    batch_app: str | None = None,
 ) -> int | None:
     """EXACTLY-ONCE micro-batch commit onto a snapshot-manifest table —
     the composition of the two r5 headline features (idempotent streaming
@@ -1156,7 +1157,13 @@ def log_stream_snapshot_batch(
         "batch", F.lit(int(batch_id))
     )
     return snapshot_write(
-        out, root, stats_cols=stats_cols, batch_id=int(batch_id)
+        out,
+        root,
+        stats_cols=stats_cols,
+        batch_id=int(batch_id),
+        # multiple log streams may drain one table: each passes its own
+        # app id so the scalar HWM ledgers stay independent (r10)
+        batch_app=batch_app,
     )
 
 
