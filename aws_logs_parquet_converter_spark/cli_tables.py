@@ -153,6 +153,14 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     cnt.add_argument("--root", required=True)
     cnt.add_argument("--version", type=int, default=None)
 
+    stp = sub.add_parser(
+        "streams",
+        help="per-stream replay positions: the txns high-water marks "
+        "(and any pre-r10 cumulative batch_ids ledger) at a version",
+    )
+    stp.add_argument("--root", required=True)
+    stp.add_argument("--version", type=int, default=None)
+
     cln = sub.add_parser("clone", help="zero-copy shallow clone")
     cln.add_argument("--root", required=True, help="source table root")
     cln.add_argument("--dest", required=True, help="fresh destination root")
@@ -224,6 +232,24 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
         return {
             "verb": "drop-constraint", "root": args.root,
             "name": args.name, "committed_version": v,
+        }
+    if args.verb == "streams":
+        v = args.version
+        if v is None:
+            v = S.current_version(spark, args.root)
+            if v is None:
+                raise SystemExit(f"snapshot table {args.root} has no commits")
+        m = S.read_manifest(spark, args.root, v)
+        return {
+            "verb": "streams",
+            "root": args.root,
+            "version": v,
+            # app id -> highest committed batch/txn version (scalar HWM;
+            # an orchestrator resumes a stream by asking the TABLE)
+            "txns": m.get("txns", {}),
+            # pre-r10 cumulative list, if the table still carries one
+            # (folded into txns["_stream"] by the next stream commit)
+            "legacy_batch_ids": m.get("batch_ids", []),
         }
     if args.verb == "count":
         n = S.snapshot_count(spark, args.root, version=args.version)
