@@ -244,11 +244,16 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
             "verb": "streams",
             "root": args.root,
             "version": v,
-            # app id -> highest committed batch/txn version (scalar HWM;
-            # an orchestrator resumes a stream by asking the TABLE)
-            "txns": m.get("txns", {}),
+            # app id -> highest committed micro-batch (scalar HWM; an
+            # orchestrator resumes a stream by asking the TABLE). The
+            # stream ledger is its own manifest key, so batch-job
+            # txnAppId marks can never masquerade as stream positions
+            "stream_txns": m.get("stream_txns", {}),
+            # batch-side SetTransaction marks, labeled separately
+            "batch_txns": m.get("txns", {}),
             # pre-r10 cumulative list, if the table still carries one
-            # (folded into txns["_stream"] by the next stream commit)
+            # (folded into stream_txns["_stream"] by the next stream
+            # commit)
             "legacy_batch_ids": m.get("batch_ids", []),
         }
     if args.verb == "count":

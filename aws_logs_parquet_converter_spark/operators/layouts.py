@@ -2303,14 +2303,12 @@ def table_snapshot_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain()  # resume: ONLY the new source commit ships
         ledger = read_manifest(
             spark, sink, current_version(spark, sink)
-        ).get("txns", {})
-        hwm = max(
-            (int(v) for k, v in ledger.items() if k.startswith("stream-")),
-            default=-1,
-        )
-        if hwm < 1:  # batch ids 0 and 1 => HWM 1 (scalar txns ledger)
+        ).get("stream_txns", {})
+        hwm = max((int(v) for v in ledger.values()), default=-1)
+        if hwm < 1:  # batch ids 0 and 1 => HWM 1 (scalar stream ledger)
             raise AssertionError(
-                f"expected two ledgered micro-batch commits, got txns={ledger}"
+                "expected two ledgered micro-batch commits, got "
+                f"stream_txns={ledger}"
             )
         _SNAPSHOT_SINK_PATHS[sf_dir] = sink
     return snapshot_read(spark, sink)
@@ -2427,17 +2425,23 @@ def table_snapshot_multi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             return ev.where(F.pmod(F.col("event_id"), F.lit(4)) == k)
 
         # left ships quarters 0,2 as its batches 0,1; right ships 1,3 as
-        # ITS batches 0,1 — same numbers, different checkpoints
-        assert snapshot_write(quarter(0), path, batch_id=0, batch_app="left") == 1
-        assert snapshot_write(quarter(1), path, batch_id=0, batch_app="right") == 2
-        # crash-replay of left's batch 0 interleaves: skipped, not doubled
-        assert snapshot_write(quarter(0), path, batch_id=0, batch_app="left") is None
-        assert snapshot_write(quarter(2), path, batch_id=1, batch_app="left") == 3
-        assert snapshot_write(quarter(3), path, batch_id=1, batch_app="right") == 4
-        assert snapshot_write(quarter(1), path, batch_id=0, batch_app="right") is None
+        # ITS batches 0,1 — same numbers, different checkpoints. Plain
+        # calls + explicit checks (NOT bare asserts: under python -O a
+        # stripped assert would skip the table build entirely)
+        got = [
+            snapshot_write(quarter(0), path, batch_id=0, batch_app="left"),
+            snapshot_write(quarter(1), path, batch_id=0, batch_app="right"),
+            # crash-replay of left's batch 0 interleaves: skipped
+            snapshot_write(quarter(0), path, batch_id=0, batch_app="left"),
+            snapshot_write(quarter(2), path, batch_id=1, batch_app="left"),
+            snapshot_write(quarter(3), path, batch_id=1, batch_app="right"),
+            snapshot_write(quarter(1), path, batch_id=0, batch_app="right"),
+        ]
+        if got != [1, 2, None, 3, 4, None]:
+            raise AssertionError(f"multi-stream commit sequence wrong: {got}")
         m = read_manifest(spark, path, current_version(spark, path))
-        if m.get("txns") != {"left": 1, "right": 1}:
-            raise AssertionError(f"per-app HWMs wrong: {m.get('txns')}")
+        if m.get("stream_txns") != {"left": 1, "right": 1}:
+            raise AssertionError(f"per-app HWMs wrong: {m.get('stream_txns')}")
         if "batch_ids" in m:
             raise AssertionError("cumulative list must not ride the manifest")
         _SNAPSHOT_MULTI_STREAM_PATHS[sf_dir] = path

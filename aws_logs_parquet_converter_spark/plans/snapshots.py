@@ -463,18 +463,27 @@ DEFAULT_STREAM_APP = "_stream"
 
 def _batch_replayed(m: dict | None, app: str, batch_id: int) -> bool:
     """True when ``m``'s ledgers prove ``batch_id`` already committed for
-    stream ``app``: the scalar high-water mark ``txns[app]`` (Spark batch
-    ids are strictly monotone per checkpoint and only the LAST batch is
-    ever re-delivered, so ``batch_id <= hwm`` ⇔ replayed — Delta's
-    SetTransaction rule, VLDB'20 §3.2) or membership in a legacy
-    cumulative ``batch_ids`` list written by a pre-r10 build. Pure and
-    session-free: shared by ``snapshot_write`` and the Python DataSource
-    sink (``sources/snapshot_sink._commit_files``)."""
+    stream ``app``: the scalar high-water mark ``stream_txns[app]``
+    (Spark batch ids are strictly monotone per checkpoint and only the
+    LAST batch is ever re-delivered, so ``batch_id <= hwm`` ⇔ replayed —
+    Delta's SetTransaction rule, VLDB'20 §3.2). A legacy cumulative
+    ``batch_ids`` list written by a pre-r10 build is honored for the
+    DEFAULT app ONLY: legacy tables had exactly one implicit stream, so
+    the list is that stream's ledger — letting it veto a NEW, distinctly
+    named stream (whose fresh checkpoint numbers batches from 0) would
+    silently DROP that stream's first batches (r10 self-review finding
+    #2; a pre-r10 stream resumed under a new identity can adopt the
+    legacy ledger by passing ``batch_app="_stream"`` /
+    ``streamAppId=_stream``). Pure and session-free: shared by
+    ``snapshot_write`` and the Python DataSource sink
+    (``sources/snapshot_sink._commit_files``)."""
     if m is None:
         return False
-    rec = m.get("txns", {}).get(app)
+    rec = m.get("stream_txns", {}).get(app)
     if rec is not None and int(batch_id) <= int(rec):
         return True
+    if app != DEFAULT_STREAM_APP:
+        return False
     return int(batch_id) in m.get("batch_ids", [])
 
 
@@ -482,24 +491,36 @@ def _stream_ledger(
     manifest: dict, prev: dict | None, app: str, batch_id: int
 ) -> None:
     """Record a stream commit's replay ledger entry on ``manifest``: the
-    app's scalar high-water mark ``txns[app] = batch_id`` — O(1) bytes
-    per commit regardless of stream lifetime (the r9 cumulative-list
-    design re-serialized every micro-batch id ever committed into every
-    later manifest: ~25 MB/year of JSON on a 10s trigger). A legacy
-    ``batch_ids`` list on ``prev`` is FOLDED once into the reserved
-    ``"_stream"`` key (its max is a valid HWM: ids are monotone and only
-    the last batch replays, so nothing at-or-below max can ever arrive
-    as a new batch) and then retired — the caller must NOT copy the list
-    forward when this ran. Other apps' marks carry via
-    ``_finalize_commit``'s prev-merge."""
+    app's scalar high-water mark ``stream_txns[app] = batch_id`` — O(1)
+    bytes per commit regardless of stream lifetime (the r9
+    cumulative-list design re-serialized every micro-batch id ever
+    committed into every later manifest: ~25 MB/year of JSON on a 10s
+    trigger). ``stream_txns`` is a SEPARATE key from the batch-side
+    ``txns`` (Delta folds both into SetTransaction; keeping them apart
+    means an orchestrator asking for stream positions never mistakes a
+    batch job's txnAppId mark for one — r10 self-review finding #7 —
+    and the writer-feature fence below has an unambiguous trigger). A
+    legacy ``batch_ids`` list on ``prev`` is FOLDED once into the
+    reserved ``"_stream"`` key (its max is a valid HWM: ids are monotone
+    and only the last batch replays, so nothing at-or-below max can ever
+    arrive as a new batch) and then retired — the caller must NOT copy
+    the list forward when this ran. Other apps' marks carry via
+    ``_finalize_commit``'s prev-merge, which also stamps the
+    ``stream-txn-ledger`` WRITER feature whenever the key is present:
+    a pre-r10 build neither merges the key across its commits nor
+    checks it for replays, so letting one mutate a folded table would
+    drop the marks and re-open the double-commit window — it must fail
+    naming the feature instead (r10 self-review finding #3)."""
     t = {app: int(batch_id)}
     legacy = (prev or {}).get("batch_ids", [])
     if legacy:
-        prev_hwm = int((prev or {}).get("txns", {}).get(DEFAULT_STREAM_APP, -1))
+        prev_hwm = int(
+            (prev or {}).get("stream_txns", {}).get(DEFAULT_STREAM_APP, -1)
+        )
         t[DEFAULT_STREAM_APP] = max(
             max(int(b) for b in legacy), t.get(DEFAULT_STREAM_APP, -1), prev_hwm
         )
-    manifest["txns"] = {**manifest.get("txns", {}), **t}
+    manifest["stream_txns"] = {**manifest.get("stream_txns", {}), **t}
 
 
 def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
@@ -515,6 +536,13 @@ def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
     primitive. Mutates ``manifest`` (txns/committed_at) by design."""
     if prev and prev.get("txns"):
         manifest["txns"] = {**prev["txns"], **manifest.get("txns", {})}
+    if prev and prev.get("stream_txns"):
+        # the stream half of the ledger carries identically (a restore
+        # merges the TIP's marks, so stream HWMs never roll back)
+        manifest["stream_txns"] = {
+            **prev["stream_txns"],
+            **manifest.get("stream_txns", {}),
+        }
     # dropped-column TOMBSTONES (snapshot_drop_column) are a table
     # property riding every commit built on prev, like the txn ledger —
     # losing them would let a re-added column of the same name resurrect
@@ -546,6 +574,11 @@ def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
     wfeats = set(manifest.get("writer_features", ())) | rfeats
     if manifest.get("dropped_cols"):
         wfeats.add("dropped-column-tombstones")
+    if manifest.get("stream_txns"):
+        # a build that does not carry stream_txns across its commits
+        # would silently drop every stream's replay mark (see
+        # _stream_ledger) — writers must understand the key to mutate
+        wfeats.add("stream-txn-ledger")
     if wfeats:
         manifest["writer_features"] = sorted(wfeats)
     prev_ts = (prev or {}).get("committed_at")
@@ -1335,22 +1368,31 @@ def snapshot_write(
 
     ``batch_id`` turns the append into an EXACTLY-ONCE STREAMING COMMIT
     (the ``foreachBatch`` sink contract): the manifest records the
-    stream's HIGH-WATER MARK in the ``txns`` ledger under the stream's
-    app id (``batch_app``, default the reserved ``"_stream"`` — Delta's
-    SetTransaction, VLDB'20 §3.2), a re-delivered batch (foreachBatch is
+    stream's HIGH-WATER MARK in the ``stream_txns`` ledger under the
+    stream's app id (``batch_app``, default the reserved ``"_stream"``
+    — Delta's SetTransaction, VLDB'20 §3.2, kept as a separate key from
+    the batch-side ``txns`` so the two idempotence surfaces never
+    shadow each other), a re-delivered batch (foreachBatch is
     at-least-once; Spark batch ids are strictly monotone per checkpoint
     and only the LAST batch is ever re-delivered, so
-    ``batch_id <= txns[app]`` ⇔ replayed) is detected from one manifest
-    read and SKIPPED before any work (returns None), and a crash between
-    the data write and the manifest CAS leaves only inert unreferenced
-    residue — replay then commits fresh files, so table content
-    converges to exactly-once. The ledger is a SCALAR per stream: commit
-    metadata stays O(1) in stream lifetime (a year of 10s triggers is
-    one integer, not 3.2M of them). Tables written by older builds carry
-    a cumulative ``batch_ids`` LIST instead; those are honored for
-    replay checks and FOLDED into the scalar (under ``"_stream"``) by
-    the first new-style stream commit, after which the list stops
-    riding every manifest. Distinct streams draining into ONE table
+    ``batch_id <= stream_txns[app]`` ⇔ replayed) is detected from one
+    manifest read and SKIPPED before any work (returns None), and a
+    crash between the data write and the manifest CAS leaves only inert
+    unreferenced residue — replay then commits fresh files, so table
+    content converges to exactly-once. The ledger is a SCALAR per
+    stream: commit metadata stays O(1) in stream lifetime (a year of
+    10s triggers is one integer, not 3.2M of them), and its presence
+    stamps the ``stream-txn-ledger`` WRITER feature so pre-r10 builds —
+    which neither carry the key nor check it — fail naming it instead
+    of silently dropping replay marks. Tables written by older builds
+    carry a cumulative ``batch_ids`` LIST instead; the list is honored
+    for replay checks under the DEFAULT app (legacy tables had exactly
+    one implicit stream — a NEW, distinctly named stream must not have
+    its fresh batch numbers vetoed by it) and FOLDED into the scalar
+    (under ``"_stream"``) by the first new-style stream commit, after
+    which the list stops riding every manifest; a pre-r10 stream
+    resuming under a new identity adopts the legacy ledger by passing
+    ``batch_app="_stream"``. Distinct streams draining into ONE table
     pass distinct ``batch_app`` ids (each checkpoint numbers batches
     independently). All table properties (stats, blooms, deletion
     vectors, constraints, schema merge) behave exactly as a batch
@@ -3205,6 +3247,24 @@ def snapshot_clone(
     deletion vectors is refused — its vector files live in the source's
     lifecycle; ``snapshot_optimize`` the source first (purges vectors)
     or clone a clean version."""
+    if (
+        _storage.is_remote_uri(dest_root)
+        and dest_root.split("://", 1)[0] in _storage._SCHEME_FACTORIES
+    ):
+        # a shallow clone's manifest records the SOURCE's files as
+        # absolute paths/URIs, and every registered object-store seam
+        # reader (flat://, mem://, s3://) serves root-RELATIVE entries
+        # only — the clone would commit fine and then fail every read
+        # (r10 self-review finding #5). Hadoop-native URIs (hdfs://,
+        # s3a://) keep the JVM filesystem path, which resolves absolute
+        # refs, so they stay allowed. Refuse with the alternatives.
+        raise ValueError(
+            f"shallow clone to object-store root {dest_root!r} is not "
+            "supported: the clone's absolute source references cannot be "
+            "read back through that scheme's storage seam. Clone to a "
+            "local/shared-FS root, or materialize a real copy "
+            "(snapshot_read + df.write.format('snapshot_table'))"
+        )
     latest = current_version(spark, source_root)
     if latest is None:
         raise FileNotFoundError(f"snapshot table {source_root} has no commits")
@@ -4073,11 +4133,12 @@ def snapshot_version_of_batch(
     b = int(batch_id)
     for v in store.list_versions(root):
         raw = _storage.read_raw_manifest(store, root, v)
-        # legacy membership first: at the fold commit txns["_stream"]
-        # jumps to the list's max, but that batch was CREATED earlier
+        # legacy membership first: at the fold commit
+        # stream_txns["_stream"] jumps to the list's max, but that
+        # batch was CREATED earlier
         if b in raw.get("batch_ids", []):
             return v
-        rec = raw.get("txns", {}).get(app)
+        rec = raw.get("stream_txns", {}).get(app)
         if rec is not None and int(rec) == b:
             return v
     raise ValueError(

@@ -37,7 +37,7 @@ Execution model, designed for the 1000-executor case:
   Python worker, where no SparkSession exists — everything here is
   deliberately session-free.
 - **Exactly-once**: the streaming sink records its high-water mark in
-  the manifest's ``txns`` ledger under a stable per-stream app id
+  the manifest's ``stream_txns`` ledger under a stable per-stream app id
   (``streamAppId`` option, else derived from the checkpoint location —
   Delta's SetTransaction keyed on query identity) and SKIPS a
   re-delivered batch before committing (batch ids are monotone per
@@ -109,6 +109,29 @@ class _FilesMessage(WriterCommitMessage):
 # ---------------------------------------------------------------------------
 # plan-time resolution (driver-side Python worker)
 # ---------------------------------------------------------------------------
+
+
+def stream_app_for_checkpoint(ckpt: str) -> str:
+    """The sink's derived replay identity for a checkpoint location —
+    ``stream-<md5 of the NORMALIZED path>``. Normalization strips the
+    local-file scheme and trailing slashes first: Spark treats
+    ``/ckpt``, ``/ckpt/`` and ``file:///ckpt`` as the SAME checkpoint
+    (the restarted query resumes and may re-deliver its last batch), so
+    hashing the verbatim option string would mint a fresh identity for
+    a respelled path and wave the replay through (r10 self-review
+    finding #4). Delta keys SetTransaction on the checkpoint's queryId;
+    the path is the stable proxy available to a Python DataSource —
+    pass ``streamAppId`` explicitly to decouple identity from location
+    entirely."""
+    import hashlib
+
+    norm = ckpt.strip()
+    for prefix in ("file://", "file:"):
+        if norm.startswith(prefix):
+            norm = norm[len(prefix):]
+            break
+    norm = norm.rstrip("/") or "/"
+    return "stream-" + hashlib.md5(norm.encode("utf-8")).hexdigest()[:16]
 
 
 def _store_for_write(root: str):
@@ -259,11 +282,12 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
     if streaming and txn_app is not None:
         raise ValueError(
             "txnAppId/txnVersion are batch options; the streaming sink "
-            "is already idempotent per micro-batch (txns HWM ledger)"
+            "is already idempotent per micro-batch (stream_txns HWM "
+            "ledger)"
         )
     stream_app = None
     if streaming:
-        # the stream's replay-ledger identity (txns key): an explicit
+        # the stream's replay-ledger identity (stream_txns key): an explicit
         # streamAppId option wins; else derived from the checkpoint
         # location — the SAME checkpoint must be reused for a restart to
         # replay at all, so it is the stable query identity (Delta's
@@ -274,12 +298,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
         if stream_app is None:
             ckpt = options.get("checkpointlocation")
             if ckpt:
-                import hashlib
-
-                stream_app = (
-                    "stream-"
-                    + hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:16]
-                )
+                stream_app = stream_app_for_checkpoint(ckpt)
             else:
                 from ..plans.snapshots import DEFAULT_STREAM_APP
 
@@ -625,7 +644,7 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
             _stream_ledger(manifest, latest_m, cfg["stream_app"], int(batch_id))
         elif base_batches:
             # batch append on a LEGACY-ledgered table: keep the list until
-            # a stream commit folds it into the txns scalar
+            # a stream commit folds it into the stream_txns scalar
             manifest["batch_ids"] = base_batches
         if cfg["txn_app"] is not None:
             manifest["txns"] = {cfg["txn_app"]: int(cfg["txn_version"])}

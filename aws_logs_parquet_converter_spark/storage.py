@@ -977,25 +977,40 @@ _COLUMNAR_KEYS = (
 def _to_compact(raw: dict) -> dict:
     """Columnar re-encode of a raw manifest's per-file dicts. Pure and
     lossless: :func:`_from_compact` inverts it exactly (pinned by
-    round-trip tests over full AND delta forms)."""
+    round-trip tests over full AND delta forms). Entries whose key is
+    NOT in the aligning files list stay behind as a RESIDUAL dict under
+    the original key — ``sizes_adds`` legitimately carries them (the
+    one-time sizes backfill on the first post-upgrade commit of an old
+    table records every live file's size, not just the adds',
+    ``plans.snapshots._encode_commit``); silently dropping those would
+    leave the resolved table's ``sizes`` partial FOREVER and re-trigger
+    the per-file stat backfill on every later commit (r10 self-review
+    finding #1)."""
     out = {k: v for k, v in raw.items()}
     for files_key, dict_keys in _COLUMNAR_KEYS:
         names = raw.get(files_key)
         if not names:
             continue
+        name_set = set(names)
         for key in dict_keys:
             d = raw.get(key)
             if d is None:
                 continue
-            del out[key]
             out[key + "@"] = [d.get(f) for f in names]
+            residual = {f: v for f, v in d.items() if f not in name_set}
+            if residual:
+                out[key] = residual
+            else:
+                del out[key]
     out["_compact"] = 1
     return out
 
 
 def _from_compact(obj: dict) -> dict:
     """Invert :func:`_to_compact`: re-key each parallel array by its
-    files list, dropping nulls (a file with no recorded entry)."""
+    files list (dropping nulls — a file with no recorded entry) and
+    merge back any residual dict the encoder kept for out-of-list
+    entries."""
     out = {
         k: v for k, v in obj.items() if not k.endswith("@") and k != "_compact"
     }
@@ -1007,7 +1022,11 @@ def _from_compact(obj: dict) -> dict:
             arr = obj.get(key + "@")
             if arr is None:
                 continue
-            out[key] = {f: v for f, v in zip(names, arr) if v is not None}
+            rebuilt = {f: v for f, v in zip(names, arr) if v is not None}
+            residual = obj.get(key)
+            if residual:
+                rebuilt = {**residual, **rebuilt}
+            out[key] = rebuilt
     return out
 
 
@@ -1023,9 +1042,19 @@ def encode_manifest_bytes(raw: dict) -> bytes:
     DataSource sink) funnels through ``_finalize_commit`` into here."""
     import gzip
 
-    data = json.dumps(raw, sort_keys=True).encode("utf-8")
-    if len(data) < MANIFEST_COMPACT_MIN_BYTES:
-        return data
+    # fast path for the manifests the feature exists for: a 100k-file
+    # checkpoint is ~13 MB of plain JSON — serializing it ONLY to
+    # discover it crosses the threshold doubles the encode wall and
+    # peak memory on exactly the biggest commits. ~130 bytes/file is
+    # the measured floor with stats+sizes, so above a conservative
+    # entry count the plain dump cannot come in under any sane
+    # threshold and is skipped outright (r10 self-review finding #8).
+    n_entries = len(raw.get("files") or raw.get("adds") or ())
+    data: bytes | None = None
+    if n_entries * 40 < MANIFEST_COMPACT_MIN_BYTES:
+        data = json.dumps(raw, sort_keys=True).encode("utf-8")
+        if len(data) < MANIFEST_COMPACT_MIN_BYTES:
+            return data
     feats = sorted(set(raw.get("reader_features", ())) | {COMPACT_FEATURE})
     stamped = {
         **raw,
@@ -1038,7 +1067,9 @@ def encode_manifest_bytes(raw: dict) -> bytes:
         ),
         6,
     )
-    return blob if len(blob) < len(data) else data
+    if data is not None and len(data) <= len(blob):
+        return data  # gzip did not help (tiny threshold + tiny manifest)
+    return blob
 
 
 def decode_manifest_bytes(data: bytes) -> dict:
@@ -1172,7 +1203,7 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"deletion-vectors", "column-mapping", "compact-manifests"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset(
-    {"dropped-column-tombstones"}
+    {"dropped-column-tombstones", "stream-txn-ledger"}
 )
 
 

@@ -132,13 +132,13 @@ def test_stream_sink_drains_onto_s3(spark, s3_server, tmp_path):
     store = st.S3ConditionalPutStorage()
     v = st.current_version_fast(store, root)
     m = st.read_manifest(store, root, v)
-    assert m["txns"] == {"s3-e2e": 0}
+    assert m["stream_txns"] == {"s3-e2e": 0}
     spark.range(40, 60).selectExpr("id", "id * 3 AS v").write.json(src + "/b1")
     drain()
     got = spark.read.format("snapshot_table").option("root", root).load()
     assert got.count() == 60
     v2 = st.current_version_fast(store, root)
-    assert st.read_manifest(store, root, v2)["txns"] == {"s3-e2e": 1}
+    assert st.read_manifest(store, root, v2)["stream_txns"] == {"s3-e2e": 1}
 
 
 def test_concurrent_commits_one_winner_on_moto(s3_server):

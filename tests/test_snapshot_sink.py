@@ -302,10 +302,12 @@ def test_missing_root_refused(spark):
 
 
 def _stream_app(ckpt: str) -> str:
-    """The sink's checkpoint-derived txns app id (its replay identity)."""
-    import hashlib
+    """The sink's checkpoint-derived replay identity (normalized path)."""
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        stream_app_for_checkpoint,
+    )
 
-    return "stream-" + hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:16]
+    return stream_app_for_checkpoint(ckpt)
 
 
 def _drain(spark, src_glob, root, ckpt):
@@ -331,7 +333,7 @@ def test_stream_sink_drains_and_resumes(spark, tmp_path):
     assert m["action"] == "stream-append"
     # scalar HWM ledger keyed on the checkpoint-derived stream identity
     # (r9 VERDICT: no cumulative batch_ids list riding every manifest)
-    assert m["txns"] == {_stream_app(ckpt): 0}
+    assert m["stream_txns"] == {_stream_app(ckpt): 0}
     assert "batch_ids" not in m
     assert snapshot_read(spark, root).count() == 50
     # resume from the same checkpoint: only NEW input commits
@@ -339,7 +341,7 @@ def test_stream_sink_drains_and_resumes(spark, tmp_path):
     _drain(spark, src + "/*", root, ckpt)
     assert snapshot_read(spark, root).count() == 80
     m2 = read_manifest(spark, root, current_version(spark, root))
-    assert m2["txns"] == {_stream_app(ckpt): 1}
+    assert m2["stream_txns"] == {_stream_app(ckpt): 1}
     assert "batch_ids" not in m2
 
 
@@ -365,7 +367,7 @@ def test_stream_sink_explicit_app_id_and_two_streams(spark, tmp_path):
     _drain(spark, src2 + "/*", root, str(tmp_path / "ck2"))
     m = read_manifest(spark, root, current_version(spark, root))
     ck2_app = _stream_app(str(tmp_path / "ck2"))
-    assert m["txns"] == {"ingest-left": 0, ck2_app: 0}
+    assert m["stream_txns"] == {"ingest-left": 0, ck2_app: 0}
     assert "batch_ids" not in m
     assert snapshot_read(spark, root).count() == 50
 

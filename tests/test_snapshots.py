@@ -1854,7 +1854,7 @@ def test_batch_id_replay_skipped_even_after_maintenance(spark, tmp_path):
     assert snapshot_write(_df(spark, 50, 100), root, batch_id=1) is None  # replay
     assert snapshot_optimize(spark, root, target_file_mb=128) == 3
     # the scalar HWM carries across maintenance via the txns prev-merge
-    assert read_manifest(spark, root, 3)["txns"]["_stream"] == 1
+    assert read_manifest(spark, root, 3)["stream_txns"]["_stream"] == 1
     assert "batch_ids" not in read_manifest(spark, root, 3)
     # replay AFTER the optimize: still skipped
     assert snapshot_write(_df(spark, 50, 100), root, batch_id=1) is None
@@ -1877,7 +1877,8 @@ def test_stream_ledger_is_scalar_not_cumulative(spark, tmp_path):
     for b in range(6):
         assert snapshot_write(_df(spark, b, b + 1), root, batch_id=b) == b + 1
     m = read_manifest(spark, root, 6)
-    assert m["txns"] == {"_stream": 5}
+    assert m["stream_txns"] == {"_stream": 5}
+    assert "txns" not in m  # batch ledger untouched by stream commits
     assert "batch_ids" not in m
     # HWM semantics: ANY batch at-or-below the mark is a replay (batch
     # ids are monotone per checkpoint; only the last ever re-delivers)
@@ -1918,7 +1919,7 @@ def test_legacy_batch_ids_list_honored_and_folded(spark, tmp_path):
     assert snapshot_write(_df(spark, 40, 50), root, batch_id=3) == 3
     m = read_manifest(spark, root, 3)
     assert "batch_ids" not in m
-    assert m["txns"]["_stream"] == 3
+    assert m["stream_txns"]["_stream"] == 3
     # replays of LEGACY batches now skip via the folded HWM
     assert snapshot_write(_df(spark, 0, 1), root, batch_id=1) is None
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 50))
@@ -1929,6 +1930,68 @@ def test_legacy_batch_ids_list_honored_and_folded(spark, tmp_path):
 
     assert snapshot_version_of_batch(spark, root, 1) == 1
     assert snapshot_version_of_batch(spark, root, 3) == 3
+
+
+def test_named_stream_not_vetoed_by_legacy_list(spark, tmp_path):
+    """r10 self-review finding #2: a legacy cumulative ``batch_ids``
+    list belongs to the table's ONE pre-r10 implicit stream — it must
+    not veto a NEW, distinctly named stream whose fresh checkpoint
+    numbers batches from 0 (silent data loss), while the DEFAULT app
+    still honors it (the continuing legacy stream)."""
+    import os
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 10), root)
+    p = os.path.join(root, "_snapshots", "v00000001.json")
+    with open(p) as fh:
+        raw = json.loads(fh.read())
+    raw["batch_ids"] = [0, 1, 2]
+    with open(p, "w") as fh:
+        fh.write(json.dumps(raw))
+    crc = os.path.join(root, "_snapshots", ".v00000001.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # the default app IS the legacy stream: listed ids skip
+    assert snapshot_write(_df(spark, 0, 1), root, batch_id=1) is None
+    # a NAMED new stream's batches 0..2 are fresh data, not replays
+    assert snapshot_write(_df(spark, 10, 14), root, batch_id=0, batch_app="n") == 2
+    assert snapshot_write(_df(spark, 14, 18), root, batch_id=1, batch_app="n") == 3
+    assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 18))
+    # its own replays still skip via its scalar mark
+    assert snapshot_write(_df(spark, 10, 14), root, batch_id=1, batch_app="n") is None
+    # the fold retired the list; the legacy stream's replays keep skipping
+    m = read_manifest(spark, root, 3)
+    assert "batch_ids" not in m
+    assert snapshot_write(_df(spark, 0, 1), root, batch_id=2) is None
+
+
+def test_stream_ledger_fences_out_pre_r10_writers(spark, tmp_path, monkeypatch):
+    """r10 self-review finding #3: a build that does not understand
+    ``stream_txns`` would neither carry it across commits nor check it
+    for replays — dropping every stream's mark and re-opening the
+    double-commit window. Stream-ledgered tables therefore stamp the
+    ``stream-txn-ledger`` WRITER feature: unknowing builds fail naming
+    it (reads stay open — the feature changes no row bytes)."""
+    from aws_logs_parquet_converter_spark import storage as st
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 5), root, batch_id=0)
+    m = read_manifest(spark, root, 1)
+    assert "stream-txn-ledger" in m["writer_features"]
+    assert "stream-txn-ledger" not in m.get("reader_features", ())
+    # the stamp persists across later non-stream commits (key carries)
+    snapshot_write(_df(spark, 5, 9), root)
+    assert "stream-txn-ledger" in read_manifest(spark, root, 2)["writer_features"]
+    # an old build (feature removed from its supported set): reads fine,
+    # mutations refused BY NAME
+    monkeypatch.setattr(
+        st,
+        "SUPPORTED_WRITER_FEATURES",
+        st.SUPPORTED_WRITER_FEATURES - {"stream-txn-ledger"},
+    )
+    assert snapshot_read(spark, root).count() == 9
+    with pytest.raises(ValueError, match="stream-txn-ledger"):
+        snapshot_write(_df(spark, 9, 12), root)
 
 
 def test_distinct_stream_apps_keep_independent_hwms(spark, tmp_path):
@@ -1943,7 +2006,7 @@ def test_distinct_stream_apps_keep_independent_hwms(spark, tmp_path):
     assert snapshot_write(_df(spark, 5, 9), root, batch_id=0, batch_app="b") is None
     assert snapshot_write(_df(spark, 9, 11), root, batch_id=6, batch_app="a") == 3
     m = read_manifest(spark, root, 3)
-    assert m["txns"] == {"a": 6, "b": 0}
+    assert m["stream_txns"] == {"a": 6, "b": 0}
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 0, 11))
     from aws_logs_parquet_converter_spark.plans.snapshots import (
         snapshot_version_of_batch,
@@ -1991,13 +2054,14 @@ def test_cli_streams_verb_reports_replay_positions(spark, tmp_path):
     snapshot_write(_df(spark, 0, 5), root, batch_id=3, batch_app="a")
     snapshot_write(_df(spark, 5, 9), root, batch_id=0, batch_app="b")
     out = run_verb(spark, parse_arguments(["streams", "--root", root]))
-    assert out["txns"] == {"a": 3, "b": 0}
+    assert out["stream_txns"] == {"a": 3, "b": 0}
+    assert out["batch_txns"] == {}
     assert out["legacy_batch_ids"] == []
     assert out["version"] == 2
     old = run_verb(
         spark, parse_arguments(["streams", "--root", root, "--version", "1"])
     )
-    assert old["txns"] == {"a": 3}
+    assert old["stream_txns"] == {"a": 3}
 
 
 def test_version_of_batch_walks_raw_manifests_only(spark, tmp_path, monkeypatch):
@@ -2062,13 +2126,13 @@ def test_overwrite_preserves_stream_batch_ledger(spark, tmp_path):
     root = str(tmp_path / "t")
     assert snapshot_write(_df(spark, 0, 5), root, batch_id=7) == 1
     assert snapshot_write(_df(spark, 100, 105), root, mode="overwrite") == 2
-    assert read_manifest(spark, root, 2)["txns"]["_stream"] == 7
+    assert read_manifest(spark, root, 2)["stream_txns"]["_stream"] == 7
     # replay delivered AFTER the overwrite: still skipped, content intact
     assert snapshot_write(_df(spark, 0, 5), root, batch_id=7) is None
     assert _rows(snapshot_read(spark, root)) == _rows(_df(spark, 100, 105))
     # fresh batches keep committing and extend the ledger
     assert snapshot_write(_df(spark, 200, 202), root, batch_id=8) == 3
-    assert read_manifest(spark, root, 3)["txns"]["_stream"] == 8
+    assert read_manifest(spark, root, 3)["stream_txns"]["_stream"] == 8
 
 
 def test_bloom_probe_coerces_literal_types(spark, tmp_path):

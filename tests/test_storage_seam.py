@@ -582,10 +582,25 @@ def test_compact_manifest_roundtrip_pure():
         "sizes_adds": {f: 7 for f in full["files"][:40]},
         "committed_at": 6.0,
     }
+    # the one delta key whose entries legitimately EXCEED its aligning
+    # list: sizes_adds carries the one-time whole-table sizes backfill
+    # on the first post-upgrade commit (keys far beyond `adds`) — the
+    # compact form must keep those as a residual, not drop them (r10
+    # self-review finding #1: dropped residuals leave resolved sizes
+    # partial forever and re-trigger the per-file stat backfill on
+    # every later commit)
+    backfill_delta = {
+        "version": 22,
+        "base": 21,
+        "adds": full["files"][:10],
+        "removes": [],
+        "sizes_adds": {f: 55 for f in full["files"]},  # ALL live files
+        "committed_at": 7.0,
+    }
     old = st.MANIFEST_COMPACT_MIN_BYTES
     st.MANIFEST_COMPACT_MIN_BYTES = 1
     try:
-        for raw in (full, delta):
+        for raw in (full, delta, backfill_delta):
             blob = st.encode_manifest_bytes(raw)
             assert blob[:2] == b"\x1f\x8b"  # gzip magic: compact form
             dec = st.decode_manifest_bytes(blob)
@@ -630,7 +645,7 @@ def test_compact_manifests_end_to_end(spark, tmp_path, monkeypatch):
         assert fh.read(2) == b"\x1f\x8b"
     m = jvm_read_manifest(spark, root, n + 1)
     assert "compact-manifests" in m["reader_features"]
-    assert m["txns"] == {"_stream": 0}
+    assert m["stream_txns"] == {"_stream": 0}
     # every seam impl resolves the same manifests (incl. delta chains)
     for name, impl, r in _impls(root):
         for v in (1, n // 2, n + 1):

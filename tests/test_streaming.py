@@ -467,7 +467,7 @@ def test_snapshot_stream_replay_skips_committed_batches(spark, tmp_path):
     bdf1 = spark.createDataFrame([(l,) for l in extra], "value string")
     assert log_stream_snapshot_batch(bdf1, 1, root) == 2
     m = read_manifest(spark, root, 2)
-    assert m["txns"]["_stream"] == 1  # scalar HWM, not a cumulative list
+    assert m["stream_txns"]["_stream"] == 1  # scalar HWM, not a list
     assert len(table()) == len(want) + len(extra)
 
 
@@ -808,7 +808,7 @@ def test_semantic_stream_two_table_transaction_replay(spark, tmp_path):
     semantic_stream_batch(b1, 1, cents_path, idx, pairs)
     assert current_version(spark, idx) == v_idx + 1  # index commit skipped
     m = read_manifest(spark, pairs, current_version(spark, pairs))
-    assert m["txns"]["_stream"] == 1
+    assert m["stream_txns"]["_stream"] == 1
     # pairs for batch 1 computed against the PRE-batch index: no vec_id
     # >= 50 may appear on the a-side of a batch-1 pair except batch rows
     got = snapshot_read(spark, pairs)
