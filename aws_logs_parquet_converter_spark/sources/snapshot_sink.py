@@ -113,23 +113,41 @@ class _FilesMessage(WriterCommitMessage):
 
 def stream_app_for_checkpoint(ckpt: str) -> str:
     """The sink's derived replay identity for a checkpoint location —
-    ``stream-<md5 of the NORMALIZED path>``. Normalization strips the
-    local-file scheme and trailing slashes first: Spark treats
-    ``/ckpt``, ``/ckpt/`` and ``file:///ckpt`` as the SAME checkpoint
-    (the restarted query resumes and may re-deliver its last batch), so
+    ``stream-<md5 of the NORMALIZED path>``. Spark treats every
+    respelling of the same location as the SAME checkpoint (the
+    restarted query resumes and may re-deliver its last batch), so
     hashing the verbatim option string would mint a fresh identity for
     a respelled path and wave the replay through (r10 self-review
-    finding #4). Delta keys SetTransaction on the checkpoint's queryId;
-    the path is the stable proxy available to a Python DataSource —
-    pass ``streamAppId`` explicitly to decouple identity from location
-    entirely."""
+    finding #4). Normalization therefore goes beyond scheme/trailing-
+    slash stripping (r11, r10 ADVICE): a ``file:`` URI drops its
+    authority (``file://localhost/x`` == ``file:///x`` == ``/x``),
+    local/schemeless paths are absolutized and ``normpath``-ed
+    (relative spellings, ``..`` segments, duplicated slashes), and
+    remote URIs get their path component slash-collapsed. Delta keys
+    SetTransaction on the checkpoint's queryId; the path is the stable
+    proxy available to a Python DataSource — pass ``streamAppId``
+    explicitly to decouple identity from location entirely."""
     import hashlib
+    import re
 
     norm = ckpt.strip()
-    for prefix in ("file://", "file:"):
-        if norm.startswith(prefix):
-            norm = norm[len(prefix):]
-            break
+    if norm.startswith("file:"):
+        rest = norm[len("file:"):]
+        if rest.startswith("//"):
+            # file URI authority (empty or localhost) — strip to the path
+            rest = rest[2:]
+            cut = rest.find("/")
+            rest = rest[cut:] if cut >= 0 else "/"
+        norm = rest
+    if "://" not in norm:
+        # local path: absolutize + normpath so /a//b, /a/./b, a/../a
+        # and a relative spelling of the same dir all hash identically
+        norm = os.path.normpath(os.path.abspath(norm))
+    else:
+        scheme, rest = norm.split("://", 1)
+        authority, _, path = rest.partition("/")
+        path = re.sub(r"/+", "/", "/" + path)
+        norm = f"{scheme}://{authority}{path}"
     norm = norm.rstrip("/") or "/"
     return "stream-" + hashlib.md5(norm.encode("utf-8")).hexdigest()[:16]
 
@@ -286,6 +304,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
             "ledger)"
         )
     stream_app = None
+    stream_app_derived = False
     if streaming:
         # the stream's replay-ledger identity (stream_txns key): an explicit
         # streamAppId option wins; else derived from the checkpoint
@@ -299,6 +318,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
             ckpt = options.get("checkpointlocation")
             if ckpt:
                 stream_app = stream_app_for_checkpoint(ckpt)
+                stream_app_derived = True
             else:
                 from ..plans.snapshots import DEFAULT_STREAM_APP
 
@@ -316,6 +336,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
         "txn_app": txn_app,
         "txn_version": int(txn_version) if txn_version is not None else None,
         "stream_app": stream_app,
+        "stream_app_derived": stream_app_derived,
         "commit_name": uuid.uuid4().hex,
     }
 
@@ -563,6 +584,7 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
     files are deleted as residue)."""
     from ..plans.snapshots import (
         _MAX_COMMIT_RETRIES,
+        DEFAULT_STREAM_APP,
         _batch_replayed,
         _commit_backoff,
         _finalize_commit,
@@ -588,8 +610,35 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
         if latest_m is not None:
             _refuse_unsupported(latest_m)  # may have raced onto the table
             ensure_writable(latest_m, root)  # unknown writerFeatures gate
-        if batch_id is not None and _batch_replayed(
-            latest_m, cfg["stream_app"], int(batch_id)
+        # UPGRADE PATH (r10 ADVICE): a table written by the pre-r10 sink
+        # carries a legacy cumulative `batch_ids` list with no app notion
+        # — it belonged to that table's ONE stream. When that stream
+        # resumes on the same checkpoint under this build, its app id is
+        # freshly DERIVED (stream-<md5>), so the scalar ledger has no
+        # entry for it and the legacy list would be ignored — letting the
+        # engine's re-delivered last batch commit twice. Adopt the legacy
+        # list as THIS stream's history when (a) the id was derived, not
+        # explicit, (b) the scalar ledger has never seen this app, and
+        # (c) the delivered batch id is at-or-past the legacy high-water
+        # mark — a resumed stream replays its last batch (== max) or
+        # delivers the next (max+1), while a genuinely NEW stream starts
+        # at batch 0 (< max whenever the legacy stream committed more
+        # than one batch) and must NOT be vetoed by another stream's
+        # ledger (r10 self-review finding #2). The fold below lands on
+        # this stream's own key, so the adoption is sticky across later
+        # restarts. A distinct new stream on a legacy table can always
+        # decouple explicitly via streamAppId.
+        adopt_legacy = False
+        if batch_id is not None and cfg.get("stream_app_derived") and latest_m:
+            legacy = latest_m.get("batch_ids") or []
+            adopt_legacy = bool(
+                legacy
+                and cfg["stream_app"] not in latest_m.get("stream_txns", {})
+                and int(batch_id) >= max(int(b) for b in legacy)
+            )
+        if batch_id is not None and (
+            _batch_replayed(latest_m, cfg["stream_app"], int(batch_id))
+            or (adopt_legacy and int(batch_id) in latest_m.get("batch_ids", []))
         ):
             _delete_residue(cfg, messages)
             return None  # replayed micro-batch: already committed
@@ -640,8 +689,16 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
         }
         if batch_id is not None:
             # scalar HWM ledger (O(1) manifest bytes per commit in stream
-            # lifetime); folds any legacy cumulative list and retires it
-            _stream_ledger(manifest, latest_m, cfg["stream_app"], int(batch_id))
+            # lifetime); folds any legacy cumulative list and retires it —
+            # onto THIS stream's key when it adopted the legacy history
+            # (see above), so later restarts keep finding their HWM
+            _stream_ledger(
+                manifest,
+                latest_m,
+                cfg["stream_app"],
+                int(batch_id),
+                fold_app=cfg["stream_app"] if adopt_legacy else DEFAULT_STREAM_APP,
+            )
         elif base_batches:
             # batch append on a LEGACY-ledgered table: keep the list until
             # a stream commit folds it into the stream_txns scalar

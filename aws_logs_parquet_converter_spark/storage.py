@@ -838,8 +838,17 @@ class S3ConditionalPutStorage(WritableObjectStorage):
         try:
             self.key_size(root, f"{SNAP_DIR}/{manifest_name(version)}")
             return True
-        except Exception:  # noqa: BLE001 - absence is the signal
-            return False
+        except Exception as e:  # noqa: BLE001 - code-dispatched below
+            # ONLY genuine absence means "no such version" — HeadObject
+            # reports a missing key as 404/NotFound (no body, so no
+            # NoSuchKey; doubles may use either). Throttling, auth, and
+            # network faults PROPAGATE: swallowing them here would make
+            # an explicit-version read during a transient S3 outage
+            # surface as "table has no version N" (r10 ADVICE), which
+            # misleads operators and defeats callers' retry logic.
+            if self._err_code(e) in ("404", "NotFound", "NoSuchKey"):
+                return False
+            raise
 
     def read_pointer(self, root: str) -> int | None:
         try:
@@ -933,6 +942,23 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
             "base",
         )
     }
+    # CHAIN-ENCODING features union across the chain: resolving this
+    # view required decoding every chain element, so a compact (or any
+    # future codec) raw anywhere in the chain is a requirement of the
+    # RESOLVED view too (r10 ADVICE). State features (deletion-vectors,
+    # column-mapping) follow the newest raw alone — the resolved view
+    # takes their keys from it, and a tip that legitimately dropped the
+    # key (mapping renamed back, vectors purged) must not have the
+    # stamp resurrected by a mid-chain ancestor.
+    chain_r = set().union(
+        *(r.get("reader_features", ()) for r in raws)
+    ) & CHAIN_FEATURES
+    if chain_r:
+        rf = sorted(set(newest.get("reader_features", ())) | chain_r)
+        out["reader_features"] = rf
+        out["writer_features"] = sorted(
+            set(newest.get("writer_features", ())) | set(rf)
+        )
     out["files"] = sorted(files)
     if newest.get("stats_cols"):
         out["stats"] = {f: s for f, s in stats.items() if f in files}
@@ -962,6 +988,16 @@ MANIFEST_COMPACT_MIN_BYTES = int(
 
 _GZIP_MAGIC = b"\x1f\x8b"
 COMPACT_FEATURE = "compact-manifests"
+
+#: reader features a DELTA commit must CARRY FORWARD from its
+#: predecessor: features about the ENCODING of chain elements (not
+#: about keys in the resolved view), which the newest raw's own keys
+#: cannot re-derive — a plain-JSON delta atop a compact checkpoint
+#: still needs the compact codec to RESOLVE, so its own payload must
+#: advertise the feature or an old feature-aware build passes the tip
+#: check and then crashes raw at the checkpoint (r10 ADVICE). A FULL
+#: commit resets the chain and drops the carry.
+CHAIN_FEATURES = frozenset({COMPACT_FEATURE})
 
 #: per-file dict keys and the files-list key their entries align to —
 #: the compact form stores each as an array parallel to that list
@@ -996,6 +1032,22 @@ def _to_compact(raw: dict) -> dict:
             d = raw.get(key)
             if d is None:
                 continue
+            # ABSENT-vs-None convention, enforced at encode time: the
+            # columnar form spells "file has no entry" as null, so an
+            # EXPLICIT None value in a per-file dict would silently
+            # decode back as absence — a lossy round-trip. No writer
+            # emits explicit Nones (stats omit unsupported columns;
+            # partitions/sizes values are lists/ints), and this guard
+            # keeps a future writer from violating that silently (r10
+            # verdict hardening note).
+            if any(v is None for v in d.values()):
+                bad = sorted(f for f, v in d.items() if v is None)[:3]
+                raise ValueError(
+                    f"manifest key {key!r} stores an explicit None for "
+                    f"{bad} — per-file entries must be OMITTED, not "
+                    "None (the compact encoding cannot distinguish the "
+                    "two)"
+                )
             out[key + "@"] = [d.get(f) for f in names]
             residual = {f: v for f, v in d.items() if f not in name_set}
             if residual:
@@ -1250,12 +1302,18 @@ def read_manifest(storage: SnapshotStorage, root: str, version: int) -> dict:
     misreads — when the manifest stamps a reader feature this build
     lacks (:func:`ensure_readable`)."""
     raw = read_raw_manifest(storage, root, version)
+    ensure_readable(raw, root)  # refuse BY NAME before walking the chain
     if "files" in raw:
-        ensure_readable(raw, root)
         return raw
     chain = [raw]
     while "files" not in chain[-1]:
-        chain.append(read_raw_manifest(storage, root, int(chain[-1]["base"])))
+        nxt = read_raw_manifest(storage, root, int(chain[-1]["base"]))
+        # each chain element checks too: with CHAIN_FEATURES carried onto
+        # every delta this is redundant for tables this build wrote, but
+        # it keeps a mid-chain raw stamping a feature the tip predates
+        # from slipping past the gate (defense in depth)
+        ensure_readable(nxt, root)
+        chain.append(nxt)
     resolved = resolve_manifest_chain(list(reversed(chain)))
     ensure_readable(resolved, root)
     return resolved

@@ -196,3 +196,59 @@ def test_any_history_resolves_across_mixed_encodings(
         assert sorted(got["files"]) == want["files"], ver
         assert got.get("sizes", {}) == want["sizes"], ver
         assert got.get("stats", {}) == want["stats"], ver
+
+
+def test_compact_codec_absent_vs_none_convention():
+    """The compact form spells "no entry for this file" as null in the
+    parallel array, so an EXPLICIT ``None`` value in a per-file dict
+    cannot round-trip — the encoder must REFUSE it loudly (r10 verdict
+    hardening note: the convention was implicit; a future writer could
+    have violated it silently). Residual out-of-list entries, the other
+    half of the convention, must keep merging on decode."""
+    import pytest
+
+    from aws_logs_parquet_converter_spark import storage as stmod
+
+    files = [f"data/c/{i:04d}.parquet" for i in range(40)]
+    base = {
+        "version": 3,
+        "schema": SCHEMA,
+        "files": files,
+        "stats_cols": ["id"],
+        "committed_at": 1.0,
+    }
+    old_min = stmod.MANIFEST_COMPACT_MIN_BYTES
+    stmod.MANIFEST_COMPACT_MIN_BYTES = 1
+    try:
+        # explicit-None per-file entries refuse at encode, naming the key
+        for key, val in (
+            ("stats", None),
+            ("sizes", None),
+            ("partitions", None),
+        ):
+            raw = {**base, key: {files[0]: val, files[1]: {"id": [1, 2]}}}
+            with pytest.raises(ValueError, match=key):
+                stmod.encode_manifest_bytes(raw)
+        # absence (the legal spelling) round-trips exactly
+        raw = {
+            **base,
+            "stats": {f: {"id": [i, i + 1]} for i, f in enumerate(files[1:])},
+            "sizes": {f: 10 for f in files},
+        }
+        dec = stmod.decode_manifest_bytes(stmod.encode_manifest_bytes(raw))
+        assert dec["stats"] == raw["stats"]  # files[0] stays absent
+        assert dec["sizes"] == raw["sizes"]
+        # residual entries (keys beyond the aligning list — the sizes
+        # backfill shape) still merge back on decode
+        delta = {
+            "version": 4,
+            "base": 3,
+            "adds": files[:5],
+            "removes": [],
+            "sizes_adds": {f: 99 for f in files},  # all live, not just adds
+            "committed_at": 2.0,
+        }
+        dec = stmod.decode_manifest_bytes(stmod.encode_manifest_bytes(delta))
+        assert dec["sizes_adds"] == delta["sizes_adds"]
+    finally:
+        stmod.MANIFEST_COMPACT_MIN_BYTES = old_min

@@ -491,3 +491,156 @@ def test_concurrent_version_claim_rebases(spark, tmp_path):
     writer.commit([msg])
     assert current_version(spark, root) == 3
     assert snapshot_read(spark, root).count() == 40
+
+# ---------------------------------------------------------------------------
+# legacy batch_ids ledger: the pre-r10 sink upgrade path (r10 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def _deliver(spark, writer, lo, hi, batch_id):
+    """Stand in for one executor task + the engine's commit call."""
+    import pyarrow as pa
+
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        _write_task,
+    )
+
+    df = spark.range(lo, hi).selectExpr("id", "id * 3 as v")
+    msg = _write_task(
+        writer._cfg,
+        pa.Table.from_pandas(df.toPandas(), preserve_index=False).to_batches(),
+    )
+    writer.commit([msg], batchId=batch_id)
+
+
+def _legacyize(root):
+    """Rewrite the tip manifest into the PRE-r10 sink's ledger shape: a
+    cumulative ``batch_ids`` list, no ``stream_txns``, no
+    ``stream-txn-ledger`` writer feature — the on-disk state an old-sink
+    table carries when this build first opens it."""
+    import glob
+    import json as _json
+
+    from aws_logs_parquet_converter_spark import storage as st
+
+    tip = sorted(glob.glob(os.path.join(root, "_snapshots", "v*.json")))[-1]
+    with open(tip, "rb") as fh:
+        raw = st.decode_manifest_bytes(fh.read())
+    hwm = max(raw.pop("stream_txns").values())
+    raw["batch_ids"] = list(range(hwm + 1))
+    wf = [f for f in raw.get("writer_features", []) if f != "stream-txn-ledger"]
+    if wf:
+        raw["writer_features"] = wf
+    else:
+        raw.pop("writer_features", None)
+    with open(tip, "wb") as fh:
+        fh.write(_json.dumps(raw, sort_keys=True).encode())
+
+
+def test_stream_sink_legacy_ledger_upgrade_replay_skipped(spark, tmp_path):
+    """A pre-r10 sink table (cumulative batch_ids list, one implicit
+    stream) resumed on the SAME checkpoint under this build: the derived
+    app id has no scalar ledger entry, but the legacy list is ADOPTED as
+    this stream's history — the engine's re-delivered last batch is
+    skipped, not committed twice (r10 ADVICE medium), and the fold lands
+    on the stream's own key so the adoption survives later restarts."""
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        SnapshotTableStreamWriter,
+    )
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(root, exist_ok=True)
+    schema = spark.range(0, 1).selectExpr("id", "id * 3 as v").schema
+    opts = {"root": root, "checkpointlocation": ckpt}
+    w0 = SnapshotTableStreamWriter(schema, opts, overwrite=False)
+    for b in range(3):
+        _deliver(spark, w0, b * 10, b * 10 + 10, b)
+    _legacyize(root)  # now the table looks written by the PRE-r10 sink
+    m = read_manifest(spark, root, 3)
+    assert m["batch_ids"] == [0, 1, 2] and "stream_txns" not in m
+
+    # resume on the same checkpoint: batch 2 is RE-DELIVERED
+    w1 = SnapshotTableStreamWriter(schema, opts, overwrite=False)
+    _deliver(spark, w1, 20, 30, 2)
+    assert current_version(spark, root) == 3  # skipped, no 4th version
+    assert snapshot_read(spark, root).count() == 30
+    # the next NEW batch commits and folds the list onto THIS stream's key
+    _deliver(spark, w1, 30, 40, 3)
+    m4 = read_manifest(spark, root, 4)
+    app = _stream_app(ckpt)
+    assert m4["stream_txns"] == {app: 3}
+    assert "batch_ids" not in m4
+    assert snapshot_read(spark, root).count() == 40
+    # restart AFTER the fold: the adopted identity is sticky
+    w2 = SnapshotTableStreamWriter(schema, opts, overwrite=False)
+    _deliver(spark, w2, 30, 40, 3)  # re-delivered
+    assert current_version(spark, root) == 4
+    assert snapshot_read(spark, root).count() == 40
+
+
+def test_stream_sink_new_stream_not_vetoed_by_legacy_list(spark, tmp_path):
+    """A genuinely NEW stream (fresh checkpoint, batches from 0) draining
+    a legacy-ledgered table must NOT adopt the old stream's list — its
+    batch 0 sits below the legacy high-water mark, so adoption declines
+    and the rows commit (the r10 self-review finding #2 guarantee,
+    preserved under the upgrade-path fix)."""
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        SnapshotTableStreamWriter,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    schema = spark.range(0, 1).selectExpr("id", "id * 3 as v").schema
+    old = SnapshotTableStreamWriter(
+        schema,
+        {"root": root, "checkpointlocation": str(tmp_path / "old-ck")},
+        overwrite=False,
+    )
+    for b in range(3):
+        _deliver(spark, old, b * 10, b * 10 + 10, b)
+    _legacyize(root)
+    fresh = SnapshotTableStreamWriter(
+        schema,
+        {"root": root, "checkpointlocation": str(tmp_path / "new-ck")},
+        overwrite=False,
+    )
+    _deliver(spark, fresh, 100, 110, 0)  # batch 0 of the NEW stream
+    assert current_version(spark, root) == 4
+    assert snapshot_read(spark, root).count() == 40
+    m = read_manifest(spark, root, 4)
+    assert m["stream_txns"][_stream_app(str(tmp_path / "new-ck"))] == 0
+
+
+def test_stream_app_normalizes_checkpoint_respellings(tmp_path):
+    """Every spelling Spark treats as the same checkpoint hashes to the
+    same replay identity (r10 ADVICE: relative paths, file URI
+    authority, duplicated slashes all minted fresh identities)."""
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        stream_app_for_checkpoint as app,
+    )
+
+    base = app("/tmp/ck/q1")
+    assert app("/tmp/ck/q1/") == base
+    assert app("/tmp//ck//q1") == base
+    assert app("/tmp/ck/./q1") == base
+    assert app("/tmp/ck/other/../q1") == base
+    assert app("file:///tmp/ck/q1") == base
+    assert app("file://localhost/tmp/ck/q1") == base
+    assert app("file:/tmp/ck/q1") == base
+    # relative spellings resolve against the cwd
+    cwd = os.getcwd()
+    try:
+        os.chdir("/tmp/ck") if os.path.isdir("/tmp/ck") else os.makedirs(
+            "/tmp/ck", exist_ok=True
+        ) or os.chdir("/tmp/ck")
+        assert app("q1") == base
+        assert app("./q1/") == base
+    finally:
+        os.chdir(cwd)
+    # distinct locations stay distinct
+    assert app("/tmp/ck/q2") != base
+    # remote URIs: path collapsed, authority preserved
+    assert app("hdfs://nn:8020//ck//q1/") == app("hdfs://nn:8020/ck/q1")
+    assert app("hdfs://nn:8020/ck/q1") != app("hdfs://other:8020/ck/q1")

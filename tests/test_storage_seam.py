@@ -816,3 +816,56 @@ def test_unknown_writer_feature_refuses_datasource_writer(spark, tmp_path):
         spark.range(5, 6).selectExpr("id", "id * 2 AS v").write.format(
             "snapshot_table"
         ).mode("append").option("root", root).save()
+
+
+def test_chain_feature_carries_onto_plain_deltas(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: a plain-JSON delta whose resolution chain crosses a
+    compact checkpoint must ADVERTISE `compact-manifests` in its own
+    stored payload — a feature-aware build lacking the codec then
+    refuses BY NAME at the tip instead of crashing raw mid-chain. A
+    later plain FULL checkpoint starts a fresh chain and drops the
+    carry."""
+    import json as _json
+    import os
+
+    root = str(tmp_path / "t")
+    # version 10 (a checkpoint multiple) stores FULL and COMPACT
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
+    _build_table(spark, root, MANIFEST_CHECKPOINT_EVERY)
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 256 * 1024)
+    _build_table(spark, root, 2)  # v11, v12: plain deltas on the compact base
+    local = st.LocalSnapshotStorage()
+    ckpt_raw = local.read_manifest_bytes(root, MANIFEST_CHECKPOINT_EVERY)
+    assert ckpt_raw[:2] == b"\x1f\x8b"
+    for v in (MANIFEST_CHECKPOINT_EVERY + 1, MANIFEST_CHECKPOINT_EVERY + 2):
+        data = local.read_manifest_bytes(root, v)
+        assert data[:2] != b"\x1f\x8b"  # plain JSON delta
+        raw = _json.loads(data.decode("utf-8"))
+        assert "base" in raw
+        assert "compact-manifests" in raw.get("reader_features", [])
+        assert "compact-manifests" in raw.get("writer_features", [])
+    # the resolved view advertises it too (chain union)
+    m = jvm_read_manifest(spark, root, MANIFEST_CHECKPOINT_EVERY + 2)
+    assert "compact-manifests" in m["reader_features"]
+    # a codec-less feature-aware build refuses the TIP by name — before
+    # any chain walk reaches the gzip checkpoint
+    monkeypatch.setattr(
+        st,
+        "SUPPORTED_READER_FEATURES",
+        st.SUPPORTED_READER_FEATURES - {"compact-manifests"},
+    )
+    with pytest.raises(ValueError, match="compact-manifests"):
+        st.read_manifest(local, root, MANIFEST_CHECKPOINT_EVERY + 2)
+    monkeypatch.undo()
+    # drive to the NEXT checkpoint (v20, plain full): the carry stops
+    _build_table(spark, root, MANIFEST_CHECKPOINT_EVERY - 2)
+    v20 = 2 * MANIFEST_CHECKPOINT_EVERY
+    data = local.read_manifest_bytes(root, v20)
+    assert data[:2] != b"\x1f\x8b"
+    raw = _json.loads(data.decode("utf-8"))
+    assert "files" in raw  # full checkpoint
+    assert "compact-manifests" not in raw.get("reader_features", [])
+    _build_table(spark, root, 1)  # v21: delta on the PLAIN checkpoint
+    raw21 = _json.loads(local.read_manifest_bytes(root, v20 + 1).decode())
+    assert "compact-manifests" not in raw21.get("reader_features", [])
+    assert snapshot_read(spark, root).count() == 10 * (v20 + 1)
