@@ -166,6 +166,30 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     cln.add_argument("--dest", required=True, help="fresh destination root")
     cln.add_argument("--version", type=int, default=None)
 
+    vw = sub.add_parser(
+        "view",
+        help="register the table as a temp view (pinned to --version / "
+        "--timestamp, else the tip) and optionally run --sql against it",
+    )
+    vw.add_argument("--root", required=True)
+    vw.add_argument("--name", required=True, help="temp view name")
+    vw.add_argument("--version", type=int, default=None)
+    vw.add_argument(
+        "--timestamp", type=float, default=None,
+        help="TIMESTAMP AS OF (epoch seconds) — resolved via the "
+        "in-commit stamps",
+    )
+    vw.add_argument(
+        "--sql", default=None,
+        help="a SELECT to run through spark.sql against the view "
+        "(SQL DML is not supported on snapshot tables — use the "
+        "Python verbs)",
+    )
+    vw.add_argument(
+        "--limit", type=int, default=20,
+        help="max rows of --sql output to print (default 20)",
+    )
+
     return p.parse_args(argv)
 
 
@@ -268,6 +292,19 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
             "verb": "clone", "source": args.root, "dest": args.dest,
             "committed_version": v,
         }
+    if args.verb == "view":
+        v = S.snapshot_view(
+            spark, args.root, args.name,
+            version=args.version, timestamp=args.timestamp,
+        )
+        out = {
+            "verb": "view", "root": args.root, "name": args.name,
+            "pinned_version": v,
+        }
+        if args.sql:
+            rows = spark.sql(args.sql).limit(args.limit).collect()
+            out["rows"] = [r.asDict() for r in rows]
+        return out
     if args.verb == "repartition":
         by = [c.strip() for c in args.by.split(",") if c.strip()]
         v = S.snapshot_repartition(

@@ -2355,7 +2355,9 @@ def table_snapshot_compact_manifests(spark: SparkSession, sf_dir: str) -> DataFr
             "event_id", "user_id", "event_type"
         )
         old = _st.MANIFEST_COMPACT_MIN_BYTES
+        old_fmt = _st.MANIFEST_BIG_FORMAT
         _st.MANIFEST_COMPACT_MIN_BYTES = 1
+        _st.MANIFEST_BIG_FORMAT = "gzip"  # this query pins the r10 form
         try:
             for k in range(4):
                 snapshot_write(
@@ -2365,6 +2367,7 @@ def table_snapshot_compact_manifests(spark: SparkSession, sf_dir: str) -> DataFr
                 )
         finally:
             _st.MANIFEST_COMPACT_MIN_BYTES = old
+            _st.MANIFEST_BIG_FORMAT = old_fmt
         with open(
             os.path.join(path, "_snapshots", "v00000002.json"), "rb"
         ) as fh:
@@ -2378,6 +2381,154 @@ def table_snapshot_compact_manifests(spark: SparkSession, sf_dir: str) -> DataFr
         _SNAPSHOT_COMPACT_PATHS[sf_dir] = path
     return snapshot_read(spark, path).select(
         "event_id", "user_id", "event_type"
+    )
+
+
+#: per-sf_dir cache of parquet-manifest table roots
+_SNAPSHOT_PARQUET_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_parquet_manifests",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events WHERE event_id > 100
+    """,
+    doc=(
+        "PARQUET MANIFEST ENCODING (r11; storage._to_parquet — Delta's "
+        "parquet checkpoint, Armbrust VLDB'20 §3.1, embedded in the "
+        "manifest object so the conditional-put commit protocol is "
+        "unchanged): big manifests store per-file stats/partitions/"
+        "sizes as real parquet columns with the scalar keys as footer "
+        "metadata, and DECODE LAZILY — a committed_at probe reads ~1 ms "
+        "of footer, a scan materializes only the file list, and only a "
+        "stats-walking consumer pays the per-file dict floor. This "
+        "retires the r10 verdict's open scale cost (a 1M-file "
+        "checkpoint-crossing read paid ~3.2 s of single-threaded "
+        "gzip+JSON before ANY work; measured in "
+        "tools/manifest_scale_probe.py). Here the threshold is forced "
+        "to zero so EVERY manifest takes the parquet form — asserted by "
+        "PAR1 magic with the 'checkpoint-parquet' reader feature "
+        "stamped inside — then the table is mutated (DELETE) and read "
+        "THROUGH the lazy sections with a stats-pruned filter scan; "
+        "content must round-trip value-exact against the oracle."
+    ),
+)
+def table_snapshot_parquet_manifests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .. import storage as _st
+    from ..plans.snapshots import (
+        read_manifest,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = _SNAPSHOT_PARQUET_PATHS.get(sf_dir)
+    if path is None:
+        import os
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="snapshot_parquet_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        old = _st.MANIFEST_COMPACT_MIN_BYTES
+        old_fmt = _st.MANIFEST_BIG_FORMAT
+        _st.MANIFEST_COMPACT_MIN_BYTES = 1
+        _st.MANIFEST_BIG_FORMAT = "parquet"
+        try:
+            for k in range(3):
+                snapshot_write(
+                    ev.where(F.pmod(F.col("event_id"), F.lit(3)) == k),
+                    path,
+                    stats_cols=["event_id"],
+                )
+            # a DML pass commits THROUGH lazily decoded predecessors
+            snapshot_delete(spark, path, [("event_id", "<=", 100)])
+        finally:
+            _st.MANIFEST_COMPACT_MIN_BYTES = old
+            _st.MANIFEST_BIG_FORMAT = old_fmt
+        with open(
+            os.path.join(path, "_snapshots", "v00000002.json"), "rb"
+        ) as fh:
+            if fh.read(4) != b"PAR1":
+                raise AssertionError("expected a parquet-form manifest")
+        m = read_manifest(spark, path, 4)
+        if "checkpoint-parquet" not in m.get("reader_features", ()):
+            raise AssertionError(
+                "parquet manifests must stamp their reader feature"
+            )
+        _SNAPSHOT_PARQUET_PATHS[sf_dir] = path
+    # the filter exercises stats pruning THROUGH the lazy stats section
+    return snapshot_read(
+        spark, path, filters=[("event_id", ">", 100)]
+    ).select("event_id", "user_id", "event_type")
+
+
+#: per-sf_dir cache of sql-view table roots
+_SNAPSHOT_VIEW_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_view_pinned",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "SQL SELECT over snapshot tables via snapshot_view (r11; r10 "
+        "verdict task 4): the table registers as a session temp view "
+        "pinned to a resolved version, and the query runs THROUGH "
+        "spark.sql — no hand-rolled snapshot_read per query. The "
+        "builder also registers a TIME-TRAVEL pin (version=1) and "
+        "checks it sees only the first commit while the tip view sees "
+        "all rows — the same table, two pinned views, one SQL surface. "
+        "SQL DML remains a documented boundary (no DSv2 catalog hook "
+        "for Python DataSources); mutations use the Python verbs."
+    ),
+)
+def table_snapshot_view_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.snapshots import snapshot_view, snapshot_write
+
+    path = _SNAPSHOT_VIEW_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="snapshot_view_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        first = ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+        snapshot_write(first, path, stats_cols=["event_id"])
+        snapshot_write(
+            ev.where(F.pmod(F.col("event_id"), F.lit(2)) == 1), path
+        )
+        pinned = snapshot_view(spark, path, "snap_ev_v1", version=1)
+        if pinned != 1:
+            raise AssertionError(f"expected pin at version 1, got {pinned}")
+        n_v1 = spark.sql("SELECT COUNT(*) AS n FROM snap_ev_v1").first()["n"]
+        if n_v1 != first.count():
+            raise AssertionError(
+                "time-travel view must see exactly the first commit"
+            )
+        _SNAPSHOT_VIEW_PATHS[sf_dir] = path
+    snapshot_view(spark, path, "snap_ev_all")  # tip pin (re-registered)
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(event_id) AS min_id,
+               MAX(event_id) AS max_id
+        FROM snap_ev_all
+        GROUP BY event_type
+        """
     )
 
 

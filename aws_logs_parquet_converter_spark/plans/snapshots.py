@@ -622,16 +622,18 @@ def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
     # above it (storage.encode_manifest_bytes — the 13 MB checkpoint
     # decode the r9 VERDICT flagged; reader-feature-stamped)
     payload = _storage.encode_manifest_bytes(raw)
-    if payload[:2] == b"\x1f\x8b":
-        # the payload went compact: mirror the stamp the encoder wrote
-        # inside it onto the in-memory manifest too, so a caller that
-        # passes THIS dict as the next commit's ``prev`` (instead of
-        # re-reading) still sees the chain-encoding feature and carries
-        # it (the CHAIN_FEATURES block above)
-        rf = sorted(
-            set(manifest.get("reader_features", ()))
-            | {_storage.COMPACT_FEATURE}
-        )
+    big_feat = None
+    if payload[:4] == _storage.PARQUET_MAGIC:
+        big_feat = _storage.PARQUET_FEATURE
+    elif payload[:2] == b"\x1f\x8b":
+        big_feat = _storage.COMPACT_FEATURE
+    if big_feat:
+        # the payload took a big (codec) form: mirror the stamp the
+        # encoder wrote inside it onto the in-memory manifest too, so a
+        # caller that passes THIS dict as the next commit's ``prev``
+        # (instead of re-reading) still sees the chain-encoding feature
+        # and carries it (the CHAIN_FEATURES block above)
+        rf = sorted(set(manifest.get("reader_features", ())) | {big_feat})
         manifest["reader_features"] = rf
         manifest["writer_features"] = sorted(
             set(manifest.get("writer_features", ())) | set(rf)
@@ -4253,6 +4255,47 @@ def snapshot_version_as_of(spark: SparkSession, root: str, ts) -> int:
             f"{ts} — the oldest surviving manifest is younger (vacuumed?)"
         )
     return best
+
+
+def snapshot_view(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int | None = None,
+    timestamp=None,
+) -> int:
+    """Register ``name`` as a session TEMP VIEW over the snapshot table
+    — the SQL SELECT ergonomics verb (r10 verdict task 4): SQL-side
+    users write ``spark.sql("SELECT ... FROM name")`` instead of
+    hand-rolling ``snapshot_read`` / ``spark.read.format(
+    "snapshot_table")`` per query. The view is PINNED to the version
+    resolved NOW (``version``, or ``timestamp`` via Delta's TIMESTAMP
+    AS OF rule, else the current tip): an immutable file list with
+    pushdown/pruning intact, unaffected by later commits — re-register
+    to follow the tip. Returns the pinned version.
+
+    THE DML BOUNDARY, documented where SQL users will look for it: SQL
+    **SELECT** over snapshot tables works through these views (and the
+    batch DataSource); SQL **DML strings** (``MERGE INTO`` / ``UPDATE``
+    / ``DELETE`` / ``INSERT``) do NOT — Spark 4's Python DataSource has
+    no DSv2 catalog or row-level-operation surface to plug a Python
+    table format into (probed r9, SCALE.md). Mutations go through the
+    Python verbs: :func:`snapshot_write`, :func:`snapshot_merge`,
+    :func:`snapshot_update`, :func:`snapshot_delete`; attempting SQL DML
+    against a temp view fails with Spark's own "not writable" analysis
+    error, not silent no-op."""
+    if version is not None and timestamp is not None:
+        raise ValueError(
+            "snapshot_view: pass version OR timestamp, not both"
+        )
+    if timestamp is not None:
+        version = snapshot_version_as_of(spark, root, timestamp)
+    elif version is None:
+        version = current_version(spark, root)
+        if version is None:
+            raise FileNotFoundError(f"snapshot table {root} has no commits")
+    snapshot_read(spark, root, version).createOrReplaceTempView(name)
+    return int(version)
 
 
 def snapshot_history(spark: SparkSession, root: str) -> DataFrame:

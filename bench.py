@@ -142,6 +142,35 @@ POST_R3_LEGS = [
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _calibration_wall() -> tuple[float, str]:
+    """Fixed-work, fixed-seed, PURE-CPU box calibration (r10 verdict
+    task 3: rounds 3, 9, and 10 each re-adjudicated wall-clock drift
+    that turned out to be the box). One single-threaded leg — a sha256
+    chain plus an integer sort, zero I/O, zero Spark — sized to ~1 s on
+    the r11 box. Identical work every run, so the min-of-3 wall is a
+    direct measure of the box's single-core speed DURING this bench;
+    round-over-round comparisons divide comparable-legs wall by the
+    calibration ratio before calling anything a regression (rule
+    documented in SCALE.md). The digest pins that the work really is
+    fixed — a library change that altered it would show here."""
+    import hashlib
+
+    best = float("inf")
+    digest = ""
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = b"\x00" * 32
+        for i in range(400_000):
+            h = hashlib.sha256(h + i.to_bytes(4, "little")).digest()
+        xs = [(i * 2654435761) & 0xFFFFFFFF for i in range(2_000_000)]
+        xs.sort()
+        best = min(best, time.perf_counter() - t0)
+        digest = h[:4].hex()
+    if digest != "011bee7f":  # the fixed work's fixed answer
+        raise AssertionError(f"calibration work changed: {digest}")
+    return round(best, 3), digest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -274,6 +303,10 @@ def main() -> None:
     except Exception:  # bench must still report queries if this leg fails
         pass
 
+    # box-speed calibration, measured AFTER the query passes so it sees
+    # the box in its during-bench state (not a cold start)
+    calibration_wall, _ = _calibration_wall()
+
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: the sum over exactly the legs BENCH_r03
     # timed (eager/streaming legs are r4-r5 additions and inflate `value`
@@ -297,6 +330,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "value_r3_comparable": r3_comparable,
+        "calibration_wall": calibration_wall,
         "queries": timings,
         "sf": sf,
         "n_legs": len(timings),

@@ -130,17 +130,22 @@ def test_any_history_resolves_to_ground_truth(
     thresholds=st.lists(
         st.sampled_from([1, 400, 10**9]), min_size=14, max_size=14
     ),
+    formats=st.lists(
+        st.sampled_from(["parquet", "gzip"]), min_size=14, max_size=14
+    ),
 )
 def test_any_history_resolves_across_mixed_encodings(
-    spark, tmp_path_factory, steps, thresholds
+    spark, tmp_path_factory, steps, thresholds, formats
 ):
-    """r10 twin of the property above with the COMPACT encoding in play:
-    each commit draws its own MANIFEST_COMPACT_MIN_BYTES (always-compact
-    / sometimes / never), so arbitrary histories interleave plain-JSON
-    and columnar+gzip manifests version-by-version — and every version
-    must still resolve to ground truth, form- AND encoding-blind. Pins
-    the magic-byte sniff and the columnar round-trip at the protocol
-    layer against histories no fixture would write."""
+    """r10 twin of the property above with the big encodings in play:
+    each commit draws its own MANIFEST_COMPACT_MIN_BYTES (always-big /
+    sometimes / never) AND its big form (r11 parquet vs r10 gzip
+    compact), so arbitrary histories interleave plain-JSON, gzip, and
+    parquet manifests version-by-version — and every version must still
+    resolve to ground truth, form- AND encoding-blind (lazy parquet
+    sections compare equal to plain dicts). Pins the magic-byte sniff
+    and both columnar round-trips at the protocol layer against
+    histories no fixture would write."""
     from aws_logs_parquet_converter_spark import storage as stmod
 
     root = str(tmp_path_factory.mktemp("mpropc")) + "/t"
@@ -153,9 +158,13 @@ def test_any_history_resolves_across_mixed_encodings(
     v = 0
     serial = 0
     old_min = stmod.MANIFEST_COMPACT_MIN_BYTES
+    old_fmt = stmod.MANIFEST_BIG_FORMAT
     try:
-        for (n_add, n_rm, optimize, unit), thr in zip(steps, thresholds):
+        for (n_add, n_rm, optimize, unit), thr, fmt in zip(
+            steps, thresholds, formats
+        ):
             stmod.MANIFEST_COMPACT_MIN_BYTES = thr
+            stmod.MANIFEST_BIG_FORMAT = fmt
             v += 1
             rm = live[:n_rm] if optimize or n_rm else []
             live = [f for f in live if f not in rm]
@@ -188,10 +197,15 @@ def test_any_history_resolves_across_mixed_encodings(
             }
     finally:
         stmod.MANIFEST_COMPACT_MIN_BYTES = old_min
+        stmod.MANIFEST_BIG_FORMAT = old_fmt
     encodings = set()
     for ver, want in truth.items():
         data = storage.read_manifest_bytes(root, ver)
-        encodings.add("compact" if data[:2] == b"\x1f\x8b" else "plain")
+        encodings.add(
+            "parquet"
+            if data[:4] == b"PAR1"
+            else ("compact" if data[:2] == b"\x1f\x8b" else "plain")
+        )
         got = read_manifest(storage, root, ver)
         assert sorted(got["files"]) == want["files"], ver
         assert got.get("sizes", {}) == want["sizes"], ver

@@ -3671,3 +3671,74 @@ def test_restore_by_timestamp(spark, tmp_path):
         snapshot_restore(spark, root)
     with pytest.raises(ValueError, match="version OR timestamp"):
         snapshot_restore(spark, root, version=1, timestamp=mid)
+
+
+def test_snapshot_view_sql_select_and_time_travel(spark, tmp_path):
+    """snapshot_view registers pinned temp views so SQL users run plain
+    spark.sql SELECTs (r10 verdict task 4): the tip view sees all rows,
+    a version pin time-travels, a timestamp pin resolves via the
+    in-commit stamps, and the pin is STABLE — a later commit does not
+    leak into an already-registered view. SQL DML against the view
+    fails with Spark's own analysis error (the documented boundary)."""
+    import pytest as _pytest
+
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_view,
+        snapshot_write,
+    )
+    from aws_logs_parquet_converter_spark import storage as _st
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 50), root, stats_cols=["id"])
+    snapshot_write(_df(spark, 50, 80), root)
+    assert snapshot_view(spark, root, "sv_tip") == 2
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_tip").first()["n"] == 80
+    assert snapshot_view(spark, root, "sv_v1", version=1) == 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_v1").first()["n"] == 50
+    # timestamp pin: v1's in-commit stamp resolves to version 1
+    store = _st.LocalSnapshotStorage()
+    t1 = _st.manifest_commit_time(store, root, 1)
+    assert snapshot_view(spark, root, "sv_ts", timestamp=t1) == 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_ts").first()["n"] == 50
+    # the tip pin is STABLE across later commits until re-registered
+    snapshot_write(_df(spark, 80, 90), root)
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_tip").first()["n"] == 80
+    assert snapshot_view(spark, root, "sv_tip") == 3
+    assert spark.sql("SELECT COUNT(*) AS n FROM sv_tip").first()["n"] == 90
+    with _pytest.raises(ValueError, match="not both"):
+        snapshot_view(spark, root, "sv_bad", version=1, timestamp=t1)
+    # SQL DML is refused by Spark's analyzer, not silently dropped
+    with _pytest.raises(Exception, match="(?i)not supported|does not support|expect"):
+        spark.sql("DELETE FROM sv_tip WHERE id < 5")
+
+
+def test_cli_view_verb(spark, tmp_path):
+    from aws_logs_parquet_converter_spark.cli_tables import (
+        parse_arguments,
+        run_verb,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_df(spark, 0, 40), root)
+    snapshot_write(_df(spark, 40, 60), root)
+    out = run_verb(
+        spark,
+        parse_arguments(
+            [
+                "view", "--root", root, "--name", "cli_v",
+                "--sql", "SELECT COUNT(*) AS n FROM cli_v",
+            ]
+        ),
+    )
+    assert out["pinned_version"] == 2 and out["rows"] == [{"n": 60}]
+    out1 = run_verb(
+        spark,
+        parse_arguments(
+            [
+                "view", "--root", root, "--name", "cli_v1",
+                "--version", "1",
+                "--sql", "SELECT COUNT(*) AS n FROM cli_v1",
+            ]
+        ),
+    )
+    assert out1["pinned_version"] == 1 and out1["rows"] == [{"n": 40}]

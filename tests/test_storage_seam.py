@@ -598,8 +598,10 @@ def test_compact_manifest_roundtrip_pure():
         "committed_at": 7.0,
     }
     old = st.MANIFEST_COMPACT_MIN_BYTES
+    old_fmt = st.MANIFEST_BIG_FORMAT
     st.MANIFEST_COMPACT_MIN_BYTES = 1
     try:
+        st.MANIFEST_BIG_FORMAT = "gzip"
         for raw in (full, delta, backfill_delta):
             blob = st.encode_manifest_bytes(raw)
             assert blob[:2] == b"\x1f\x8b"  # gzip magic: compact form
@@ -610,8 +612,22 @@ def test_compact_manifest_roundtrip_pure():
                 "writer_features": ["compact-manifests"],
             }
             assert dec == want
+        # the r11 PARQUET big form round-trips the same raws exactly
+        # (lazy sections compare equal to the plain dicts)
+        st.MANIFEST_BIG_FORMAT = "parquet"
+        for raw in (full, delta, backfill_delta):
+            blob = st.encode_manifest_bytes(raw)
+            assert blob[:4] == b"PAR1"
+            dec = st.decode_manifest_bytes(blob)
+            want = {
+                **raw,
+                "reader_features": ["checkpoint-parquet"],
+                "writer_features": ["checkpoint-parquet"],
+            }
+            assert st.materialize_manifest(dec) == want
     finally:
         st.MANIFEST_COMPACT_MIN_BYTES = old
+        st.MANIFEST_BIG_FORMAT = old_fmt
     # below the threshold: plain sorted-key JSON, byte-identical to r9
     small = {"version": 1, "files": ["a"], "schema": "{}"}
     import json as _json
@@ -631,6 +647,7 @@ def test_compact_manifests_end_to_end(spark, tmp_path, monkeypatch):
     import os
 
     monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
+    monkeypatch.setattr(st, "MANIFEST_BIG_FORMAT", "gzip")
     root = str(tmp_path / "t")
     n = MANIFEST_CHECKPOINT_EVERY + 3
     _build_table(spark, root, n)
@@ -671,6 +688,7 @@ def test_compact_and_plain_manifests_interleave(spark, tmp_path, monkeypatch):
     deltas over a compact checkpoint — the real steady state — resolves
     exactly."""
     root = str(tmp_path / "t")
+    monkeypatch.setattr(st, "MANIFEST_BIG_FORMAT", "gzip")
     _build_table(spark, root, 3)  # plain (tiny)
     monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
     _build_table(spark, root, 2)  # compact
@@ -830,6 +848,7 @@ def test_chain_feature_carries_onto_plain_deltas(spark, tmp_path, monkeypatch):
 
     root = str(tmp_path / "t")
     # version 10 (a checkpoint multiple) stores FULL and COMPACT
+    monkeypatch.setattr(st, "MANIFEST_BIG_FORMAT", "gzip")
     monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
     _build_table(spark, root, MANIFEST_CHECKPOINT_EVERY)
     monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 256 * 1024)
@@ -869,3 +888,85 @@ def test_chain_feature_carries_onto_plain_deltas(spark, tmp_path, monkeypatch):
     raw21 = _json.loads(local.read_manifest_bytes(root, v20 + 1).decode())
     assert "compact-manifests" not in raw21.get("reader_features", [])
     assert snapshot_read(spark, root).count() == 10 * (v20 + 1)
+
+
+def test_parquet_manifests_end_to_end(spark, tmp_path, monkeypatch):
+    """r11 twin of the compact e2e: with the threshold forced to 0 and
+    the parquet big form selected, EVERY manifest a table writes is an
+    embedded parquet payload — and the whole lifecycle (append/delta
+    chains/time travel/stream commits/every seam impl) reads
+    identically, with `files`/`stats`/`sizes`/`partitions` coming back
+    as lazy containers that compare equal to the JVM reader's plain
+    dicts. A codec-less feature-aware build refuses BY NAME."""
+    import json as _json
+    import os
+
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
+    monkeypatch.setattr(st, "MANIFEST_BIG_FORMAT", "parquet")
+    root = str(tmp_path / "t")
+    n = MANIFEST_CHECKPOINT_EVERY + 3
+    _build_table(spark, root, n)
+    snapshot_write(
+        spark.range(500, 505).selectExpr("id", "id * 2 AS v"),
+        root,
+        batch_id=0,
+    )
+    # on disk: parquet magic, feature stamped inside the footer header
+    sd = os.path.join(root, "_snapshots")
+    with open(os.path.join(sd, "v00000001.json"), "rb") as fh:
+        assert fh.read(4) == b"PAR1"
+    m = jvm_read_manifest(spark, root, n + 1)
+    assert "checkpoint-parquet" in m["reader_features"]
+    assert m["stream_txns"] == {"_stream": 0}
+    # every seam impl resolves the same manifests (incl. delta chains);
+    # materialize both sides so lazy-vs-plain compares value-exact
+    for name, impl, r in _impls(root):
+        for v in (1, n // 2, n + 1):
+            assert st.materialize_manifest(
+                st.read_manifest(impl, r, v)
+            ) == st.materialize_manifest(jvm_read_manifest(spark, root, v)), (
+                name,
+                v,
+            )
+    # rows, filters (stats pruning through lazy sections), time travel
+    assert snapshot_read(spark, root).count() == 10 * n + 5
+    assert snapshot_read(spark, root, version=2).count() == 20
+    assert (
+        snapshot_read(spark, root, filters=[("id", "<", 10)]).count() == 10
+    )
+    # a build WITHOUT the codec feature refuses BY NAME, not by misread
+    monkeypatch.setattr(
+        st,
+        "SUPPORTED_READER_FEATURES",
+        st.SUPPORTED_READER_FEATURES - {"checkpoint-parquet"},
+    )
+    with pytest.raises(ValueError, match="checkpoint-parquet"):
+        jvm_read_manifest(spark, root, n + 1)
+
+
+def test_all_three_encodings_interleave(spark, tmp_path, monkeypatch):
+    """One history mixing plain JSON, gzip compact, and parquet
+    manifests version-by-version resolves exactly — readers sniff magic
+    bytes per payload, and a plain delta atop a PARQUET checkpoint
+    advertises `checkpoint-parquet` on its own payload (the chain-
+    feature carry extends to the r11 form)."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    _build_table(spark, root, 3)  # plain (tiny)
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
+    monkeypatch.setattr(st, "MANIFEST_BIG_FORMAT", "gzip")
+    _build_table(spark, root, 2)  # gzip compact (v4, v5)
+    monkeypatch.setattr(st, "MANIFEST_BIG_FORMAT", "parquet")
+    _build_table(spark, root, 5)  # parquet (v6..v10; v10 = checkpoint)
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 256 * 1024)
+    _build_table(spark, root, 2)  # plain deltas on the parquet ckpt
+    assert snapshot_read(spark, root).count() == 10 * 12
+    local = st.LocalSnapshotStorage()
+    assert local.read_manifest_bytes(root, 10)[:4] == b"PAR1"
+    for v in (11, 12):
+        data = local.read_manifest_bytes(root, v)
+        raw = _json.loads(data.decode("utf-8"))
+        assert "checkpoint-parquet" in raw.get("reader_features", [])
+    for v in range(1, 13):
+        assert len(list(jvm_read_manifest(spark, root, v)["files"])) >= 1

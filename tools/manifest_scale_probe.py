@@ -209,7 +209,9 @@ def main() -> None:
         json.loads(plain)
         dec_plain = time.perf_counter() - t0
         old_min = st.MANIFEST_COMPACT_MIN_BYTES
+        old_fmt0 = st.MANIFEST_BIG_FORMAT
         st.MANIFEST_COMPACT_MIN_BYTES = 1
+        st.MANIFEST_BIG_FORMAT = "gzip"  # measure the r10 form explicitly
         try:
             t0 = time.perf_counter()
             blob = st.encode_manifest_bytes(raw)
@@ -219,6 +221,7 @@ def main() -> None:
             dec_c = time.perf_counter() - t0
         finally:
             st.MANIFEST_COMPACT_MIN_BYTES = old_min
+            st.MANIFEST_BIG_FORMAT = old_fmt0
         assert blob[:2] == b"\x1f\x8b" and len(dec["files"]) == n_files
         assert dec["stats"] == raw["stats"] and dec["sizes"] == raw["sizes"]
         row = {
@@ -231,6 +234,46 @@ def main() -> None:
             "plain_encode_ms": round(enc_plain * 1000, 1),
             "compact_encode_ms": round(enc_c * 1000, 1),
         }
+        # --- r11 PARQUET checkpoint leg (r10 VERDICT next-round #1): the
+        # compact form fixed the BYTES but still charged every
+        # checkpoint-crossing read a single-threaded gzip+JSON decode
+        # (~3.2 s at 1M files). The parquet form is footer-lazy: a
+        # scalar read (committed_at bisect) decodes the header only, a
+        # scan materializes just the file list, and only a stats-walking
+        # consumer pays the per-file dict floor.
+        old_min = st.MANIFEST_COMPACT_MIN_BYTES
+        old_fmt = st.MANIFEST_BIG_FORMAT
+        st.MANIFEST_COMPACT_MIN_BYTES = 1
+        st.MANIFEST_BIG_FORMAT = "parquet"
+        try:
+            t0 = time.perf_counter()
+            pblob = st.encode_manifest_bytes(raw)
+            enc_p = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pdec = st.decode_manifest_bytes(pblob)
+            hdr_p = time.perf_counter() - t0  # header only: lazy decode
+            assert pdec["version"] == 50  # scalar access stays header-cheap
+            t0 = time.perf_counter()
+            n_names = len(list(pdec["files"]))
+            files_p = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            full_stats = dict(pdec["stats"])
+            full_sizes = dict(pdec["sizes"])
+            full_p = files_p + hdr_p + (time.perf_counter() - t0)
+        finally:
+            st.MANIFEST_COMPACT_MIN_BYTES = old_min
+            st.MANIFEST_BIG_FORMAT = old_fmt
+        assert pblob[:4] == b"PAR1" and n_names == n_files
+        assert full_stats == raw["stats"] and full_sizes == raw["sizes"]
+        row.update(
+            {
+                "parquet_bytes": len(pblob),
+                "parquet_encode_ms": round(enc_p * 1000, 1),
+                "parquet_header_ms": round(hdr_p * 1000, 2),
+                "parquet_files_ms": round(files_p * 1000, 1),
+                "parquet_full_ms": round(full_p * 1000, 1),
+            }
+        )
         comp_results.append(row)
         print(json.dumps(row))
     print(json.dumps({"probe": "compact_checkpoint", "results": comp_results}))
