@@ -461,6 +461,13 @@ def _resolve_sizes(
 #: stream per table)
 DEFAULT_STREAM_APP = "_stream"
 
+#: warn when a table's ``stream_txns`` ledger accumulates this many app
+#: ids (each is one scalar carried in every later manifest — real fleets
+#: run tens of streams; thousands means identities are being minted per
+#: restart). Once per process; see ``_finalize_commit``.
+STREAM_APPS_WARN = int(os.environ.get("SPARK_GRAFT_STREAM_APPS_WARN", "256"))
+_WARNED_MANY_STREAM_APPS = False
+
 
 def _batch_replayed(m: dict | None, app: str, batch_id: int) -> bool:
     """True when ``m``'s ledgers prove ``batch_id`` already committed for
@@ -555,6 +562,30 @@ def _finalize_commit(manifest: dict, prev: dict | None) -> bytes:
             **prev["stream_txns"],
             **manifest.get("stream_txns", {}),
         }
+    n_apps = len(manifest.get("stream_txns", ()))
+    if n_apps >= STREAM_APPS_WARN:
+        # each app id is ONE scalar carried forever — fine for real
+        # fleets (tens of streams), but a misconfigured sink that mints
+        # a NEW app id per restart (fresh checkpoint path each run, or a
+        # random streamAppId) regrows the r9 unbounded-metadata disease
+        # one key at a time. Warn loudly ONCE per process; the table
+        # stays correct either way (tools/ledger_growth_probe.py
+        # measures the ~25 bytes/app/manifest bound).
+        global _WARNED_MANY_STREAM_APPS
+        if not _WARNED_MANY_STREAM_APPS:
+            _WARNED_MANY_STREAM_APPS = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stream_txns ledger holds %d app ids (warn threshold %d): "
+                "every id is carried in every future manifest. If streams "
+                "are minting fresh identities per restart (new checkpoint "
+                "path / random streamAppId), pin a stable streamAppId — "
+                "inspect with `cli_tables streams`. Override the threshold "
+                "via SPARK_GRAFT_STREAM_APPS_WARN.",
+                n_apps,
+                STREAM_APPS_WARN,
+            )
     # dropped-column TOMBSTONES (snapshot_drop_column) are a table
     # property riding every commit built on prev, like the txn ledger —
     # losing them would let a re-added column of the same name resurrect

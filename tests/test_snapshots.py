@@ -3742,3 +3742,29 @@ def test_cli_view_verb(spark, tmp_path):
         ),
     )
     assert out1["pinned_version"] == 1 and out1["rows"] == [{"n": 40}]
+
+
+def test_many_stream_apps_warns_once(spark, tmp_path, monkeypatch, caplog):
+    """A ledger accumulating distinct stream app ids past the sanity
+    threshold warns ONCE per process (r10 verdict task 6): each id is a
+    scalar carried forever, so a sink minting fresh identities per
+    restart regrows unbounded metadata one key at a time — the warn
+    names the fix (stable streamAppId) without failing the commit."""
+    import logging
+
+    from aws_logs_parquet_converter_spark.plans import snapshots as S
+
+    monkeypatch.setattr(S, "STREAM_APPS_WARN", 3)
+    monkeypatch.setattr(S, "_WARNED_MANY_STREAM_APPS", False)
+    root = str(tmp_path / "t")
+    with caplog.at_level(logging.WARNING):
+        for k in range(5):
+            snapshot_write(
+                _df(spark, k * 10, k * 10 + 10), root,
+                batch_id=0, batch_app=f"restart-{k}",
+            )
+    hits = [r for r in caplog.records if "stream_txns ledger" in r.getMessage()]
+    assert len(hits) == 1  # once per process, not per commit
+    assert "streamAppId" in hits[0].getMessage()
+    # the commits themselves all landed — the warn never blocks
+    assert snapshot_read(spark, root).count() == 50

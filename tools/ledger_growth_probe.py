@@ -100,6 +100,69 @@ def main() -> None:
     if growth > FLAT_EPS:
         sys.exit(1)
 
+    # --- many-apps leg (r11, r10 verdict task 6): stream_txns grows one
+    # scalar per DISTINCT app id forever. Fine for real fleets (tens of
+    # streams), but a misconfigured sink minting a NEW app id per
+    # restart (fresh checkpoint path each run) regrows the r9 disease
+    # one key at a time. Measure the per-app manifest cost so the bound
+    # is a number, and prove the WARN fires at the threshold.
+    many_apps_leg()
+
+
+def many_apps_leg() -> None:
+    from aws_logs_parquet_converter_spark.plans import snapshots as S
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        SnapshotTableStreamWriter,
+    )
+
+    n_apps = int(os.environ.get("LEDGER_PROBE_APPS", "512"))
+    root = tempfile.mkdtemp(prefix="ledger_apps_probe_")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", LongType())]
+    )
+    store = LocalSnapshotStorage()
+    bytes_at: dict[int, int] = {}
+    warned_at: int | None = None
+    t0 = time.time()
+    for k in range(n_apps):
+        # a fresh identity per "restart" — the pathology under test
+        writer = SnapshotTableStreamWriter(
+            schema, {"root": root, "streamappid": f"restart-{k:05d}"},
+            overwrite=False,
+        )
+        tbl = pa.table({"id": [k], "v": [k * 2]})
+        msg = _write_task(writer._cfg, tbl.to_batches())
+        writer.commit([msg], batchId=0)
+        if warned_at is None and S._WARNED_MANY_STREAM_APPS:
+            warned_at = k + 1
+        if (k + 1) in (8, 64, 256, n_apps):
+            # measure the STEADY-STATE (delta) manifest — a checkpoint
+            # version's bytes are file-list-sized, not ledger-sized
+            v = current_version_fast(store, root)
+            if "base" not in read_raw_manifest(store, root, v):
+                v -= 1
+            bytes_at[k + 1] = len(store.read_manifest_bytes(root, v))
+    wall = time.time() - t0
+    per_app = (
+        (bytes_at[n_apps] - bytes_at[8]) / (n_apps - 8)
+        if n_apps > 8
+        else None
+    )
+    out = {
+        "metric": "ledger_many_apps_probe",
+        "n_apps": n_apps,
+        "wall_sec": round(wall, 2),
+        "manifest_bytes_at_apps": {str(k): v for k, v in bytes_at.items()},
+        "bytes_per_app": round(per_app, 1) if per_app else None,
+        "warn_threshold": S.STREAM_APPS_WARN,
+        "warned_at_apps": warned_at,
+        "warn_fired": warned_at is not None,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(root, ignore_errors=True)
+    if warned_at is None and n_apps >= S.STREAM_APPS_WARN:
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
