@@ -20,6 +20,10 @@ Usage:
         --dest /dst [--version 4]
     python -m aws_logs_parquet_converter_spark.cli_tables set-auto-compact \
         --root /t [--target-mb 128]   # omit --target-mb to clear
+    python -m aws_logs_parquet_converter_spark.cli_tables view     --root /t \
+        --name t_v [--version 4 | --timestamp 1755350000] \
+        [--sql "SELECT count(*) AS n FROM t_v"]   # SELECT only: DML uses
+                                                  # the Python verbs
 """
 
 from __future__ import annotations

@@ -1268,7 +1268,7 @@ def _typed_or_none(values):
         if kinds == {int}:
             return pa.array(values, type=pa.int64())
         return pa.array(values)
-    except (pa.lib.ArrowInvalid, OverflowError):
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, OverflowError):
         return None
 
 
@@ -1394,9 +1394,19 @@ def _to_parquet(raw: dict) -> bytes:
         set(header.get("writer_features", ())) | set(feats)
     )
     header["_spec"] = spec
-    tbl = pa.table(cols).replace_schema_metadata(
-        {"m": json.dumps(header, sort_keys=True)}
-    )
+    hjson = json.dumps(header, sort_keys=True).encode("utf-8")
+    if len(hjson) > 64 * 1024:
+        # parquet footer metadata is stored UNCOMPRESSED — a
+        # remove-heavy delta or the one-time sizes-backfill residual
+        # (dict keys beyond the aligned list) would bloat the payload
+        # far past the gzip form's. Big headers gzip under a separate
+        # key; metadata values are arbitrary bytes, so no base64 tax.
+        import gzip
+
+        meta = {"m.gz": gzip.compress(hjson, 6)}
+    else:
+        meta = {"m": hjson}
+    tbl = pa.table(cols).replace_schema_metadata(meta)
     buf = io.BytesIO()
     pq.write_table(tbl, buf, compression="zstd", row_group_size=1 << 20)
     return buf.getvalue()
@@ -1419,7 +1429,12 @@ def _from_parquet(data: bytes) -> dict:
 
     pf = pq.ParquetFile(io.BytesIO(data))
     meta = pf.schema_arrow.metadata or {}
-    header = json.loads(meta[b"m"].decode("utf-8"))
+    if b"m.gz" in meta:
+        import gzip
+
+        header = json.loads(gzip.decompress(meta[b"m.gz"]).decode("utf-8"))
+    else:
+        header = json.loads(meta[b"m"].decode("utf-8"))
     spec = header.pop("_spec")
     group = spec["group"]
     suffix = "" if group == "files" else "_adds"

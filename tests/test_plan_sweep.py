@@ -72,9 +72,11 @@ def test_no_driver_side_collect_in_operators():
     # file -> allowed occurrence count, reason
     allowed = {
         "cli_tables.py": (
-            1,
+            2,
             "the maintenance CLI's `history` verb prints the version list "
-            "as JSON — O(#versions) driver metadata by design, not a query",
+            "as JSON — O(#versions) driver metadata by design, not a query; "
+            "the `view` verb's --sql fetch collects the user's SELECT "
+            "result to print it, hard-capped by --limit (default 20 rows)",
         ),
         "operators/graph.py": (
             1,
