@@ -137,6 +137,10 @@ POST_R3_LEGS = [
     "table_snapshot_drop_column",  # read across a metadata-only drop + re-add
     "table_snapshot_type_widening",  # read across mixed-width files
     "table_snapshot_metadata_count",  # COUNT(*) from manifest row stats
+    # round-11 table features (seed builds memoize; min-of-3 times the
+    # steady-state read)
+    "table_snapshot_parquet_manifests",  # stats-pruned read via lazy parquet manifests
+    "table_snapshot_view_pinned",  # spark.sql over a pinned snapshot_view
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -970,3 +970,35 @@ def test_all_three_encodings_interleave(spark, tmp_path, monkeypatch):
         assert "checkpoint-parquet" in raw.get("reader_features", [])
     for v in range(1, 13):
         assert len(list(jvm_read_manifest(spark, root, v)["files"])) >= 1
+
+
+def test_parquet_manifest_partition_pruning(spark, tmp_path, monkeypatch):
+    """Partition-value pruning reads THROUGH the lazy partitions section
+    of a parquet-form manifest: a filter on the partition column opens
+    only that tuple's files (inputFiles-asserted), values exact."""
+    monkeypatch.setattr(st, "MANIFEST_COMPACT_MIN_BYTES", 1)
+    monkeypatch.setattr(st, "MANIFEST_BIG_FORMAT", "parquet")
+    root = str(tmp_path / "t")
+    df = spark.range(0, 300).selectExpr(
+        "id", "case when id % 3 = 0 then 'a' when id % 3 = 1 then 'b' end as g"
+    )
+    snapshot_write(df, root, partition_by=["g"], stats_cols=["id"])
+    snapshot_write(
+        spark.range(300, 360).selectExpr("id", "'a' as g"), root
+    )
+    local = st.LocalSnapshotStorage()
+    assert local.read_manifest_bytes(root, 1)[:4] == b"PAR1"
+    assert local.read_manifest_bytes(root, 2)[:4] == b"PAR1"
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        snapshot_read as sread,
+    )
+
+    got = sread(spark, root, filters=[("g", "=", "a")])
+    opened = got.inputFiles()
+    assert opened and all("__pv_g=a" in p for p in opened)
+    assert got.count() == 100 + 60
+    # the hive-null dir holds the NULL g rows; they read back as NULL
+    assert sread(spark, root).where("g is null").count() == 100
+    # stats + partition predicates compose through both lazy sections
+    both = sread(spark, root, filters=[("g", "=", "b"), ("id", "<", 30)])
+    assert both.count() == 10
