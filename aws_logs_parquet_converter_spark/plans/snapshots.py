@@ -970,6 +970,106 @@ def _survives_all(
     return all(_file_survives(es, c, op, v) for c, op, v in filters)
 
 
+def _prune_survivors(
+    m: dict, files, types: dict[str, str], filters: list[tuple]
+) -> list[str]:
+    """The files surviving the AND-ed ``filters`` — the BATCH twin of
+    the ``_survives_all`` loop with every per-QUERY invariant hoisted
+    out of the per-file pass (r11): filter values encode ONCE instead of
+    once per file, only partition columns a filter actually touches get
+    coerced, and no per-file merged dict is built at all — at 1M files
+    the r10-shaped loop spent most of its wall re-encoding constants
+    and copying dicts. Decision-for-decision identical to
+    ``[f for f in files if _survives_all(m, f, types, filters)]``
+    (pinned by a hypothesis equivalence property), including the
+    NULL/''-partition ambiguity rule and SQL NULL semantics."""
+    stats = m.get("stats") or {}
+    pby = m.get("partition_by") or []
+    parts = m.get("partitions") or {} if pby else {}
+    pidx = {c: i for i, c in enumerate(pby)}
+    # pre-encoded filters: (col, op, encoded value(s), partition slot).
+    # An un-encodable value keeps its filter with the UNSUPPORTED
+    # sentinel rather than dropping it: the all-NULL-range rule STILL
+    # applies (a file whose recorded range is [NULL, NULL] satisfies no
+    # comparison, whatever the value) — exactly _file_survives' check
+    # order, which tests encodability only after the NULL-range gate.
+    prepared: list[tuple] = []
+    for c, op, v in filters:
+        if op == "in":
+            enc = []
+            for x in v:
+                ex = _stat_encode(x)
+                if ex is _STAT_UNSUPPORTED:
+                    enc = _STAT_UNSUPPORTED  # nothing provable: survives
+                    break
+                if ex is not None:  # NULL elements never match (SQL IN)
+                    enc.append(ex)
+        else:
+            enc = _stat_encode(v)
+        prepared.append((c, op, enc, pidx.get(c)))
+    if not prepared:
+        return list(files)
+    # per-(filter, partition-string) coercion cache: partition columns
+    # are low-cardinality by the table contract, so each filter coerces
+    # each distinct directory value once, not once per file
+    pcache: list[dict] = [{} for _ in prepared]
+
+    def _rng_cmp(mn, mx, op, enc) -> bool:
+        if op == "in":
+            return any(mn <= x <= mx for x in enc)
+        if enc is None:
+            return False  # col <op> NULL matches nothing
+        if op == "=":
+            return mn <= enc <= mx
+        if op == "<":
+            return mn < enc
+        if op == "<=":
+            return mn <= enc
+        if op == ">":
+            return mx > enc
+        if op == ">=":
+            return mx >= enc
+        raise ValueError(f"unsupported prune op {op!r} (=, <, <=, >, >=, in)")
+
+    out: list[str] = []
+    for f in files:
+        st_f = stats.get(f)
+        pv_f = parts.get(f) if pby else None
+        ok = True
+        for k, (c, op, enc, slot) in enumerate(prepared):
+            mnmx = None
+            if slot is not None and pv_f is not None:
+                # exact [v, v] range from the recorded partition value —
+                # same override _effective_stats applies (it wins over
+                # any min/max entry for the same column)
+                s = pv_f[slot]
+                cache = pcache[k]
+                if s in cache:
+                    mnmx = cache[s]
+                else:
+                    if s is None and types.get(c, "string") == "string":
+                        mnmx = ("", "")  # NULL/'' directory ambiguity
+                    else:
+                        cv = _coerce_part(s, types.get(c, "string"))
+                        mnmx = (cv, cv)
+                    cache[s] = mnmx
+            elif st_f and c in st_f:
+                mnmx = st_f[c]
+            if mnmx is None:
+                continue  # no stats for this column: never wrongly skip
+            if mnmx[0] is None or mnmx[1] is None:
+                ok = False  # all-NULL range satisfies no comparison
+                break
+            if enc is _STAT_UNSUPPORTED:
+                continue  # un-encodable value: nothing provable, survive
+            if not _rng_cmp(mnmx[0], mnmx[1], op, enc):
+                ok = False
+                break
+        if ok:
+            out.append(f)
+    return out
+
+
 def _carry_partitions(
     manifest: dict, base: dict, new_entries: dict | None = None
 ) -> None:
@@ -1974,7 +2074,7 @@ def snapshot_read(
         # values become exact [v, v] ranges — see _effective_stats), so
         # partition predicates skip files with zero stats-gathering cost
         types = _phys_types(m)
-        files = [f for f in files if _survives_all(m, f, types, pfilters)]
+        files = _prune_survivors(m, files, types, pfilters)
         if m.get("bloom"):
             ptypes = {
                 f.name: f.dataType.typeName()
@@ -3151,9 +3251,7 @@ def snapshot_update(
             "never adds columns; append with schema evolution does"
         )
     types = _phys_types(m)
-    candidates = [
-        f for f in m["files"] if _survives_all(m, f, types, filters)
-    ]
+    candidates = _prune_survivors(m, m["files"], types, filters)
     if not candidates:
         return latest
     match = F.lit(True)

@@ -266,3 +266,87 @@ def test_compact_codec_absent_vs_none_convention():
         assert dec["sizes_adds"] == delta["sizes_adds"]
     finally:
         stmod.MANIFEST_COMPACT_MIN_BYTES = old_min
+
+
+@settings(max_examples=400, deadline=None)
+@given(data=st.data())
+def test_batch_pruner_equals_per_file_loop(data):
+    """`_prune_survivors` (the r11 batch pruner with hoisted filter
+    encoding and no per-file dict merge) must make EXACTLY the decisions
+    of the original `_survives_all` per-file loop over adversarial
+    manifests — missing stats, all-NULL ranges, partition overrides, the
+    NULL/'' string-partition ambiguity, IN lists with NULL and
+    un-encodable elements, un-encodable filter values."""
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _prune_survivors,
+        _survives_all,
+    )
+
+    n = data.draw(st.integers(min_value=0, max_value=30))
+    files = [f"data/c/{i:03d}.parquet" for i in range(n)]
+    # stats/filters share each column's type, like the engine guarantees
+    # (stats are gathered FROM the column; filter values are the user's
+    # typed predicates) — mismatched types would TypeError in both paths
+    num = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+    pby = data.draw(
+        st.sampled_from([[], ["p"], ["p", "q"]])
+    )
+    types = {"x": "long", "p": data.draw(st.sampled_from(["string", "long"])),
+             "q": "string"}
+    m: dict = {"files": files, "stats_cols": ["x"]}
+    stats = {}
+    for f in files:
+        if data.draw(st.booleans()):
+            entry = {}
+            if data.draw(st.booleans()):
+                a, b = data.draw(st.lists(num, min_size=2, max_size=2))
+                if a is not None and b is not None and a > b:
+                    a, b = b, a
+                entry["x"] = [a, b]
+            stats[f] = entry
+    if stats:
+        m["stats"] = stats
+    if pby:
+        m["partition_by"] = pby
+        parts = {}
+        for f in files:
+            if data.draw(st.booleans()):
+                vals = []
+                for c in pby:
+                    v = data.draw(st.one_of(st.none(), st.sampled_from(
+                        ["1", "2", "a", ""] if types.get(c) == "string" else ["1", "2", "7"]
+                    )))
+                    vals.append(v)
+                parts[f] = vals
+        if parts:
+            m["partitions"] = parts
+    ops = ["=", "<", "<=", ">", ">=", "in"]
+
+    def _val_strategy(c):
+        # typed per column: ints for long columns, strings for string
+        # columns, plus NULL and an un-encodable object everywhere
+        if types.get(c, "string") == "long" or c == "x":
+            base = st.integers(min_value=-3, max_value=3)
+        else:
+            base = st.sampled_from(["1", "2", "a", "zz", ""])
+        return st.one_of(st.none(), base, st.just(object()))
+
+    n_filters = data.draw(st.integers(min_value=0, max_value=3))
+    filters = []
+    for _ in range(n_filters):
+        c = data.draw(st.sampled_from(["x", "p", "q", "nostats"]))
+        op = data.draw(st.sampled_from(ops))
+        if op == "in":
+            v = data.draw(st.lists(_val_strategy(c), max_size=4))
+        else:
+            v = data.draw(_val_strategy(c))
+        filters.append((c, op, v))
+    want = [f for f in files if _survives_all(m, f, types, filters)]
+    got = _prune_survivors(m, files, types, filters)
+    if got != want:
+        import pprint
+
+        with open("/tmp/pruner_repro.txt", "w") as fh:
+            pprint.pprint({"m": m, "types": types, "filters": filters,
+                           "want": want, "got": got}, stream=fh, width=100)
+    assert got == want
