@@ -970,6 +970,192 @@ def _survives_all(
     return all(_file_survives(es, c, op, v) for c, op, v in filters)
 
 
+def _rng_cmp(mn, mx, op, enc) -> bool:
+    """Could a file whose recorded range is ``[mn, mx]`` (both non-NULL)
+    hold a row matching ``col <op> enc``? ``enc`` is pre-encoded
+    (:func:`_stat_encode`); for ``in`` it is the encoded element list."""
+    if op == "in":
+        return any(mn <= x <= mx for x in enc)
+    if enc is None:
+        return False  # col <op> NULL matches nothing
+    if op == "=":
+        return mn <= enc <= mx
+    if op == "<":
+        return mn < enc
+    if op == "<=":
+        return mn <= enc
+    if op == ">":
+        return mx > enc
+    if op == ">=":
+        return mx >= enc
+    raise ValueError(f"unsupported prune op {op!r} (=, <, <=, >, >=, in)")
+
+
+def _prune_survivors_arrow(
+    m: dict, files, types: dict[str, str], prepared: list[tuple], handle
+) -> list[str] | None:
+    """Vectorized twin of the `_prune_survivors` loop for parquet-form
+    manifests (r11): each filter's min/max range test evaluates with
+    pyarrow.compute over the BASE checkpoint's encoded stats columns —
+    one C-side pass per filter instead of a million per-file dict
+    lookups — then a delta chain's overlay entries and any recorded
+    partition-value overrides compose per file on top. Returns ``None``
+    (caller falls back to the scalar loop, the semantics of record)
+    when exactness can't be proven columnar-side: a filter column whose
+    stats encoded under the json fallback kind, or an arrow comparison
+    that raises where the scalar path has defined behavior. Pinned
+    decision-for-decision equal to the scalar loop by the same
+    hypothesis property that covers the batch pruner
+    (tests/test_property_manifest.py)."""
+    try:
+        import numpy as np
+        import pyarrow.compute as pc
+    except Exception:  # pragma: no cover - both baked into the container
+        return None
+
+    key_idx = {k: j for j, k in enumerate(handle.keys)}
+    js: list[int | None] = []
+    for c, _op, _enc, _slot in prepared:
+        j = key_idx.get(c)
+        if j is not None and handle.kinds[j] != "mm":
+            # stats exist for this column but not as typed min/max
+            # columns (the json fallback kind) — only scalar is exact
+            return None
+        js.append(j)
+    if any(op not in ("=", "<", "<=", ">", ">=", "in") for _c, op, _e, _s in prepared):
+        return None  # let the scalar loop raise its canonical error
+
+    def _np(a):
+        return a.to_numpy(zero_copy_only=False)
+
+    # per-filter mask over base rows: True = this filter cannot prune
+    # this base file. None = no stats recorded anywhere for the column
+    # (all-pass). Semantics per row, mirroring the scalar loop exactly:
+    # entry absent -> pass; either bound NULL -> fail; un-encodable
+    # value -> pass; else the range test.
+    masks: list = []
+    try:
+        tbl = None
+        for (c, op, enc, slot), j in zip(prepared, js):
+            if j is None:
+                masks.append(None)
+                continue
+            if tbl is None:
+                tbl = handle.tbl_fn()
+            pres = tbl.column(f"s{j}?")
+            mn_c = tbl.column(f"s{j}<")
+            mx_c = tbl.column(f"s{j}>")
+            bounds_ok = pc.and_(pc.is_valid(mn_c), pc.is_valid(mx_c))
+            if enc is _STAT_UNSUPPORTED:
+                passing = bounds_ok
+            elif op == "in":
+                acc = None
+                for x in enc:
+                    hit = pc.and_kleene(
+                        pc.less_equal(mn_c, x), pc.greater_equal(mx_c, x)
+                    )
+                    acc = hit if acc is None else pc.or_kleene(acc, hit)
+                passing = (
+                    None
+                    if acc is None
+                    else pc.and_(bounds_ok, pc.fill_null(acc, False))
+                )
+            elif enc is None:
+                passing = None  # col <op> NULL matches nothing
+            else:
+                if op == "=":
+                    cmpv = pc.and_kleene(
+                        pc.less_equal(mn_c, enc), pc.greater_equal(mx_c, enc)
+                    )
+                elif op == "<":
+                    cmpv = pc.less(mn_c, enc)
+                elif op == "<=":
+                    cmpv = pc.less_equal(mn_c, enc)
+                elif op == ">":
+                    cmpv = pc.greater(mx_c, enc)
+                else:
+                    cmpv = pc.greater_equal(mx_c, enc)
+                passing = pc.and_(bounds_ok, pc.fill_null(cmpv, False))
+            if passing is None:
+                masks.append(_np(pc.invert(pres)))
+            else:
+                masks.append(_np(pc.or_(pc.invert(pres), passing)))
+    except Exception:
+        # an arrow kernel refused the (column type, value type) pair —
+        # the scalar path defines what happens (compare or TypeError)
+        return None
+
+    overlay, removed = handle.chain()
+    has_slot = any(slot is not None for _c, _o, _e, slot in prepared)
+    # AND of the masks fully decided columnar-side: filters on
+    # non-partition columns (no per-file override possible)
+    vec = None
+    for (_c, _o, _e, slot), mk in zip(prepared, masks):
+        if slot is None and mk is not None:
+            vec = mk.copy() if vec is None else (vec & mk)
+    names = handle.names_fn()
+    if not has_slot and not overlay and not removed:
+        base = files.materialize() if hasattr(files, "materialize") else files
+        if len(base) == len(names) and (base is names or base == names):
+            # the common full-scan prune: survivors straight off the mask
+            if vec is None:
+                return list(files)
+            return [names[i] for i in np.nonzero(vec)[0].tolist()]
+    idx = handle.index()
+    parts = (m.get("partitions") or {}) if has_slot else {}
+    pcache: list[dict] = [{} for _ in prepared]
+    out: list[str] = []
+    for f in files:
+        ov = f in overlay
+        i = None
+        if not ov:
+            i = idx.get(f)
+            if i is not None and f in removed:
+                i = None  # base entry invalidated by a delta remove
+        if i is not None and vec is not None and not vec[i]:
+            continue  # decided columnar-side
+        st_f = overlay.get(f) if ov else None
+        pv_f = parts.get(f) if has_slot else None
+        ok = True
+        for k, (c, op, enc, slot) in enumerate(prepared):
+            mnmx = None
+            if slot is not None and pv_f is not None:
+                s = pv_f[slot]
+                cache = pcache[k]
+                if s in cache:
+                    mnmx = cache[s]
+                else:
+                    if s is None and types.get(c, "string") == "string":
+                        mnmx = ("", "")  # NULL/'' directory ambiguity
+                    else:
+                        cv = _coerce_part(s, types.get(c, "string"))
+                        mnmx = (cv, cv)
+                    cache[s] = mnmx
+            elif i is not None:
+                if slot is None:
+                    continue  # enforced by vec above
+                mk = masks[k]  # partition filter, no recorded value:
+                if mk is not None and not mk[i]:  # stats fallback, columnar
+                    ok = False
+                    break
+                continue
+            elif st_f and c in st_f:
+                mnmx = st_f[c]
+            if mnmx is None:
+                continue  # no stats for this column: never wrongly skip
+            if mnmx[0] is None or mnmx[1] is None:
+                ok = False  # all-NULL range satisfies no comparison
+                break
+            if enc is _STAT_UNSUPPORTED:
+                continue  # un-encodable value: nothing provable, survive
+            if not _rng_cmp(mnmx[0], mnmx[1], op, enc):
+                ok = False
+                break
+        if ok:
+            out.append(f)
+    return out
+
+
 def _prune_survivors(
     m: dict, files, types: dict[str, str], filters: list[tuple]
 ) -> list[str]:
@@ -983,9 +1169,7 @@ def _prune_survivors(
     ``[f for f in files if _survives_all(m, f, types, filters)]``
     (pinned by a hypothesis equivalence property), including the
     NULL/''-partition ambiguity rule and SQL NULL semantics."""
-    stats = m.get("stats") or {}
     pby = m.get("partition_by") or []
-    parts = m.get("partitions") or {} if pby else {}
     pidx = {c: i for i, c in enumerate(pby)}
     # pre-encoded filters: (col, op, encoded value(s), partition slot).
     # An un-encodable value keeps its filter with the UNSUPPORTED
@@ -1009,27 +1193,26 @@ def _prune_survivors(
         prepared.append((c, op, enc, pidx.get(c)))
     if not prepared:
         return list(files)
+    # parquet-form manifests expose the stats columns through an arrow
+    # handle: evaluate the range tests columnar-side (pyarrow.compute)
+    # without materializing the per-file stats dicts at all — the ~2 s
+    # driver floor at 1M files the r10 verdict flagged. Falls back to
+    # this loop (the semantics of record) whenever a filter shape the
+    # columns can't prove exactly appears.
+    handle = getattr(m.get("stats"), "arrow", None)
+    if handle is not None:
+        got = _prune_survivors_arrow(m, files, types, prepared, handle)
+        if got is not None:
+            return got
+    # scalar path: bind the sections only now — on the arrow path above
+    # neither the stats nor (for unpartitioned filters) the partitions
+    # LazySection ever materializes
+    stats = m.get("stats") or {}
+    parts = m.get("partitions") or {} if pby else {}
     # per-(filter, partition-string) coercion cache: partition columns
     # are low-cardinality by the table contract, so each filter coerces
     # each distinct directory value once, not once per file
     pcache: list[dict] = [{} for _ in prepared]
-
-    def _rng_cmp(mn, mx, op, enc) -> bool:
-        if op == "in":
-            return any(mn <= x <= mx for x in enc)
-        if enc is None:
-            return False  # col <op> NULL matches nothing
-        if op == "=":
-            return mn <= enc <= mx
-        if op == "<":
-            return mn < enc
-        if op == "<=":
-            return mn <= enc
-        if op == ">":
-            return mx > enc
-        if op == ">=":
-            return mx >= enc
-        raise ValueError(f"unsupported prune op {op!r} (=, <, <=, >, >=, in)")
 
     out: list[str] = []
     for f in files:

@@ -974,6 +974,26 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
     out["files"] = sorted(files)
     if newest.get("stats_cols"):
         out["stats"] = _section("stats", "stats_adds")
+        base_handle = getattr(base.get("stats"), "arrow", None)
+        if base_handle is not None and isinstance(out["stats"], LazySection):
+            # the vectorized handle COMPOSES through chain resolution:
+            # the base checkpoint's columns stay the bulk truth; the
+            # deltas' stats mutations ride as a small overlay the
+            # consumer applies per-entry — so a checkpoint-crossing
+            # filtered read prunes columnar-side without ever building
+            # the per-file stats dicts (mirrors _merge exactly: removes
+            # invalidate the base row, later adds win)
+            def _stats_chain(deltas=deltas):
+                overlay: dict = {}
+                removed: set = set()
+                for d in deltas:
+                    for f in d.get("removes", ()):
+                        removed.add(f)
+                        overlay.pop(f, None)
+                    overlay.update(d.get("stats_adds") or {})
+                return overlay, removed
+
+            out["stats"].arrow = base_handle.with_chain(_stats_chain)
     if newest.get("partition_by"):
         out["partitions"] = _section("partitions", "partitions_adds")
     if has_sizes:
@@ -1135,11 +1155,14 @@ class LazySection(_abc.Mapping):
     and :func:`encode_manifest_bytes` materializes sections before any
     serialization. Pickles as a plain dict."""
 
-    __slots__ = ("_loader", "_d")
+    __slots__ = ("_loader", "_d", "arrow")
 
     def __init__(self, loader):
         self._loader = loader
         self._d = None
+        #: optional :class:`StatsArrowHandle` for vectorized consumers
+        #: (set by the parquet decoder on stats sections; never pickled)
+        self.arrow = None
 
     def materialize(self) -> dict:
         if self._d is None:
@@ -1229,6 +1252,58 @@ class LazyFiles(_abc.Sequence):
 
     def __reduce__(self):
         return (list, (self.materialize(),))
+
+
+class StatsArrowHandle:
+    """Vectorized access to a parquet-form manifest's STATS section —
+    what the planner's batch pruner consumes to evaluate min/max range
+    predicates with pyarrow.compute over the encoded columns instead of
+    materializing a million per-file dicts first. ``tbl_fn``/``keys``/
+    ``kinds`` describe the BASE full manifest's columns (``s{j}?``
+    presence + ``s{j}<``/``s{j}>`` bounds per min/max key); ``names_fn``
+    returns the base file list (shared/cached with the section's own
+    decode). ``chain()`` yields a delta chain's stats mutations on top
+    of the base — ``(overlay, removed)``, both delta-sized — computed
+    LAZILY (a delta's own ``stats_adds`` may be a lazy section) and
+    cached; the consumer evaluates overlay entries per-file. ``index()``
+    lazily builds and caches the base file->row map. Never pickled (the
+    owning LazySection reduces to a plain dict)."""
+
+    __slots__ = ("tbl_fn", "keys", "kinds", "names_fn", "_chain_fn", "_chain", "_idx")
+
+    def __init__(self, tbl_fn, keys, kinds, names_fn, chain_fn=None):
+        self.tbl_fn = tbl_fn
+        self.keys = list(keys)
+        self.kinds = list(kinds)
+        self.names_fn = names_fn
+        self._chain_fn = chain_fn
+        self._chain = None
+        self._idx = None
+
+    def chain(self) -> tuple[dict, frozenset]:
+        """``(overlay, removed)`` of the delta chain over the base:
+        ``overlay`` maps file -> its CURRENT stats entry for files whose
+        entry was (re)written by a delta (wins over the base row);
+        ``removed`` holds files whose base entry no longer applies
+        (removed, possibly re-added without stats)."""
+        if self._chain is None:
+            if self._chain_fn is None:
+                self._chain = ({}, frozenset())
+            else:
+                overlay, removed = self._chain_fn()
+                self._chain = (overlay, frozenset(removed))
+        return self._chain
+
+    def index(self) -> dict:
+        if self._idx is None:
+            names = self.names_fn()
+            self._idx = dict(zip(names, range(len(names))))
+        return self._idx
+
+    def with_chain(self, chain_fn) -> "StatsArrowHandle":
+        return StatsArrowHandle(
+            self.tbl_fn, self.keys, self.kinds, self.names_fn, chain_fn
+        )
 
 
 def materialize_manifest(m: dict) -> dict:
@@ -1596,7 +1671,14 @@ def _from_parquet(data: bytes) -> dict:
                     d = {f: {} for f, p in zip(names, pres) if p}
             return _with_res("stats" + suffix, d)
 
-        out["stats" + suffix] = LazySection(_stats)
+        sec = LazySection(_stats)
+        if group == "files" and not residuals.get("stats"):
+            # vectorized handle for the batch pruner: FULL manifests
+            # only (a delta's adds-aligned arrays are overlay-shaped by
+            # definition), and only when every stats entry lives in the
+            # columns (a residual would be invisible to the mask)
+            sec.arrow = StatsArrowHandle(_tbl, keys, skinds, _names)
+        out["stats" + suffix] = sec
     return out
 
 

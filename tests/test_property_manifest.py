@@ -350,3 +350,154 @@ def test_batch_pruner_equals_per_file_loop(data):
             pprint.pprint({"m": m, "types": types, "filters": filters,
                            "want": want, "got": got}, stream=fh, width=100)
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_arrow_pruner_equals_per_file_loop(data):
+    """The vectorized parquet-form pruner (`_prune_survivors_arrow`,
+    r11) must make EXACTLY the decisions of the `_survives_all` per-file
+    loop over adversarial PARQUET-ENCODED manifests — direct full reads
+    AND checkpoint-crossing delta chains (removes, re-adds with and
+    without fresh stats, overlay entries updating base rows), partition
+    overrides, all-NULL ranges, IN lists with NULL and un-encodable
+    elements. Also pins ENGAGEMENT: for these shapes (typed int stats,
+    type-matched filters) the arrow path must never silently fall back
+    to the scalar loop — a fallback here means the fast path rotted
+    while the suite stayed green."""
+    from aws_logs_parquet_converter_spark import storage as stmod
+    from aws_logs_parquet_converter_spark.plans import snapshots as snap
+
+    n = data.draw(st.integers(min_value=0, max_value=25))
+    files = [f"data/c/{i:03d}.parquet" for i in range(n)]
+    num = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+    pby = data.draw(st.sampled_from([[], ["p"], ["p", "q"]]))
+    types = {
+        "x": "long",
+        "p": data.draw(st.sampled_from(["string", "long"])),
+        "q": "string",
+    }
+
+    def _draw_entry():
+        entry = {}
+        if data.draw(st.booleans()):
+            a, b = data.draw(st.lists(num, min_size=2, max_size=2))
+            if a is not None and b is not None and a > b:
+                a, b = b, a
+            entry["x"] = [a, b]
+        return entry
+
+    full: dict = {"version": 0, "files": files, "stats_cols": ["x"]}
+    stats = {f: _draw_entry() for f in files if data.draw(st.booleans())}
+    if stats:
+        full["stats"] = stats
+    if pby:
+        full["partition_by"] = pby
+        parts = {}
+        for f in files:
+            if data.draw(st.booleans()):
+                vals = []
+                for c in pby:
+                    v = data.draw(st.one_of(st.none(), st.sampled_from(
+                        ["1", "2", "a", ""]
+                        if types.get(c) == "string"
+                        else ["1", "2", "7"]
+                    )))
+                    vals.append(v)
+                parts[f] = vals
+        if parts:
+            full["partitions"] = parts
+    old_min = stmod.MANIFEST_COMPACT_MIN_BYTES
+    old_fmt = stmod.MANIFEST_BIG_FORMAT
+    stmod.MANIFEST_COMPACT_MIN_BYTES = 1
+    stmod.MANIFEST_BIG_FORMAT = "parquet"
+    try:
+        raws = [stmod.decode_manifest_bytes(stmod.encode_manifest_bytes(full))]
+    finally:
+        stmod.MANIFEST_COMPACT_MIN_BYTES = old_min
+        stmod.MANIFEST_BIG_FORMAT = old_fmt
+    live = list(files)
+    removed_pool: list[str] = []
+    for v in range(data.draw(st.integers(min_value=0, max_value=2))):
+        removes = (
+            data.draw(st.lists(st.sampled_from(live), unique=True, max_size=6))
+            if live
+            else []
+        )
+        n_new = data.draw(st.integers(min_value=0, max_value=4))
+        adds = [f"data/d{v}/{i:02d}.parquet" for i in range(n_new)]
+        removed_pool = [f for f in removed_pool if f not in adds] + removes
+        if removed_pool and data.draw(st.booleans()):
+            # RE-ADD a previously removed file (with or without stats)
+            adds.append(data.draw(st.sampled_from(removed_pool)))
+        live = [f for f in live if f not in removes] + [
+            f for f in adds if f not in live
+        ]
+        stats_adds = {}
+        for f in adds:
+            if data.draw(st.booleans()):
+                stats_adds[f] = _draw_entry()
+        # a delta may also REWRITE an existing file's stats entry
+        if live and data.draw(st.booleans()):
+            stats_adds[data.draw(st.sampled_from(live))] = _draw_entry()
+        delta: dict = {
+            "version": v + 1,
+            "base": v,
+            "adds": adds,
+            "removes": removes,
+            "stats_cols": ["x"],
+        }
+        if stats_adds:
+            delta["stats_adds"] = stats_adds
+        if pby:
+            delta["partition_by"] = pby
+            padds = {
+                f: [data.draw(st.sampled_from(["1", "2"])) for _ in pby]
+                for f in adds
+                if data.draw(st.booleans())
+            }
+            if padds:
+                delta["partitions_adds"] = padds
+        raws.append(delta)
+    m = stmod.resolve_manifest_chain(raws) if len(raws) > 1 else raws[0]
+
+    ops = ["=", "<", "<=", ">", ">=", "in"]
+
+    def _val_strategy(c):
+        if types.get(c, "string") == "long" or c == "x":
+            base = st.integers(min_value=-3, max_value=3)
+        else:
+            base = st.sampled_from(["1", "2", "a", "zz", ""])
+        return st.one_of(st.none(), base, st.just(object()))
+
+    filters = []
+    for _ in range(data.draw(st.integers(min_value=0, max_value=3))):
+        c = data.draw(st.sampled_from(["x", "p", "q", "nostats"]))
+        op = data.draw(st.sampled_from(ops))
+        if op == "in":
+            val = data.draw(st.lists(_val_strategy(c), max_size=4))
+        else:
+            val = data.draw(_val_strategy(c))
+        filters.append((c, op, val))
+
+    # ground truth from the per-file loop over a fully MATERIALIZED copy
+    mm = stmod.materialize_manifest(m)
+    want = [f for f in mm["files"] if snap._survives_all(mm, f, types, filters)]
+
+    engaged = []
+    orig = snap._prune_survivors_arrow
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        engaged.append(r is not None)
+        return r
+
+    snap._prune_survivors_arrow = spy
+    try:
+        got = snap._prune_survivors(m, m["files"], types, filters)
+    finally:
+        snap._prune_survivors_arrow = orig
+    assert got == want
+    handle = getattr(m.get("stats"), "arrow", None)
+    if handle is not None and filters:
+        assert engaged and all(engaged), "arrow fast path silently fell back"

@@ -274,6 +274,34 @@ def main() -> None:
                 "parquet_full_ms": round(full_p * 1000, 1),
             }
         )
+        # --- r11 vectorized-prune leg: a FILTERED READ's file pruning
+        # over the parquet form. The arrow path evaluates the min/max
+        # range tests with pyarrow.compute over the encoded stats
+        # columns (never building the per-file dicts); the scalar loop
+        # — forced by stripping the handle — pays the full lazy-decode
+        # materialization plus the per-file pass, the pre-r11 cost of
+        # every filtered checkpoint-crossing read.
+        from aws_logs_parquet_converter_spark.plans import snapshots as sn
+
+        types = {"id": "long"}
+        filters = [("id", ">=", n_files * 50), ("id", "<", n_files * 60)]
+        pdec2 = st.decode_manifest_bytes(pblob)
+        t0 = time.perf_counter()
+        got_vec = sn._prune_survivors(pdec2, pdec2["files"], types, filters)
+        vec_ms = time.perf_counter() - t0
+        pdec3 = st.decode_manifest_bytes(pblob)
+        pdec3["stats"].arrow = None  # force the scalar loop
+        t0 = time.perf_counter()
+        got_sca = sn._prune_survivors(pdec3, pdec3["files"], types, filters)
+        sca_ms = time.perf_counter() - t0
+        assert got_vec == got_sca and 0 < len(got_vec) < n_files
+        row.update(
+            {
+                "prune_survivors": len(got_vec),
+                "prune_vec_ms": round(vec_ms * 1000, 1),
+                "prune_scalar_ms": round(sca_ms * 1000, 1),
+            }
+        )
         comp_results.append(row)
         print(json.dumps(row))
     print(json.dumps({"probe": "compact_checkpoint", "results": comp_results}))
