@@ -1085,28 +1085,198 @@ def _prune_survivors_arrow(
         # the scalar path defines what happens (compare or TypeError)
         return None
 
-    overlay, removed = handle.chain()
+    stats_ov, parts_ov, removed = handle.chain()
     has_slot = any(slot is not None for _c, _o, _e, slot in prepared)
-    # AND of the masks fully decided columnar-side: filters on
-    # non-partition columns (no per-file override possible)
+    names = handle.names_fn()
+    idx = handle.index()
+    pcache: list[dict] = [{} for _ in prepared]
+    # the stats-ONLY masks survive the partition-override composition
+    # below: rest-file evaluation needs the pure stats decision as the
+    # no-recorded-partition fallback
+    stats_masks = list(masks)
+
+    # --- partition overrides, vectorized too (r11): when the base's
+    # partition tuples live in typed columns matching the manifest's
+    # CURRENT partition_by, each slot filter's override evaluates as a
+    # column expression (recorded value -> exact [v, v] range; NULL/''
+    # ambiguity and type coercion replicated) with that filter's stats
+    # mask as the no-recorded-value fallback — so a partitioned
+    # filtered read never builds the partitions dict either.
+    parts_vec = (
+        has_slot
+        and handle.part_kinds is not None
+        and getattr(m.get("partitions"), "arrow", None) is handle
+        and handle.part_by == (m.get("partition_by") or [])
+    )
+    presp_np = None
+    svals: dict[int, object] = {}
+    if parts_vec:
+        try:
+            import pyarrow as pa
+
+            if tbl is None:
+                tbl = handle.tbl_fn()
+            presp_np = _np(tbl.column("p?"))
+            for k, (c, op, enc, slot) in enumerate(prepared):
+                if slot is None:
+                    continue
+                if handle.part_kinds[slot] != "typed":
+                    raise TypeError("json-kind partition column")
+                sval = tbl.column(f"p{slot}")
+                if pa.types.is_dictionary(sval.type):
+                    sval = sval.cast(sval.type.value_type)
+                if not (
+                    pa.types.is_string(sval.type)
+                    or pa.types.is_large_string(sval.type)
+                ):
+                    # engine-written tables record directory STRINGS;
+                    # anything else only the scalar coercion defines
+                    raise TypeError("non-string partition column")
+                svals[slot] = sval
+                t = types.get(c, "string")
+                nulls_np = _np(pc.is_null(sval))
+                if t in ("byte", "short", "integer", "long"):
+                    cvcol = pc.cast(sval, pa.int64())
+                    r_null = False  # NULL value -> [NULL, NULL] -> fail
+                elif t == "boolean":
+                    cvcol = pc.equal(sval, "true")
+                    r_null = False
+                elif t in ("string", "date"):
+                    cvcol = sval
+                    if t == "string":
+                        # the NULL/'' directory ambiguity: range ["",""]
+                        if enc is _STAT_UNSUPPORTED:
+                            r_null = True
+                        elif enc is None and op != "in":
+                            r_null = False
+                        else:
+                            r_null = _rng_cmp("", "", op, enc)
+                    else:
+                        r_null = False
+                else:
+                    raise TypeError(f"unvectorizable partition type {t}")
+                if enc is _STAT_UNSUPPORTED:
+                    row_np = np.where(nulls_np, r_null, True)
+                elif op == "in":
+                    if not enc:
+                        row_np = np.where(nulls_np, r_null, False)
+                    else:
+                        hit = pc.is_in(cvcol, value_set=pa.array(enc))
+                        row_np = np.where(
+                            nulls_np, r_null, _np(pc.fill_null(hit, False))
+                        )
+                elif enc is None:
+                    row_np = np.where(nulls_np, r_null, False)
+                else:
+                    cmpf = {
+                        "=": pc.equal,
+                        "<": pc.less,
+                        "<=": pc.less_equal,
+                        ">": pc.greater,
+                        ">=": pc.greater_equal,
+                    }[op]
+                    row_np = np.where(
+                        nulls_np,
+                        r_null,
+                        _np(pc.fill_null(cmpf(cvcol, enc), False)),
+                    )
+                # recorded value decides; otherwise the stats fallback
+                fb = masks[k] if masks[k] is not None else True
+                masks[k] = np.where(presp_np, row_np, fb)
+        except Exception:
+            parts_vec = False
+            presp_np = None
+            svals = {}
+
+    # AND of the masks fully decided columnar-side: every filter when
+    # partition overrides vectorized (or none recorded); otherwise only
+    # filters on non-partition columns (no per-file override possible)
     vec = None
     for (_c, _o, _e, slot), mk in zip(prepared, masks):
-        if slot is None and mk is not None:
+        if (slot is None or parts_vec) and mk is not None:
             vec = mk.copy() if vec is None else (vec & mk)
-    names = handle.names_fn()
-    if not has_slot and not overlay and not removed:
+
+    if (not has_slot or parts_vec) and not stats_ov and not parts_ov and not removed:
         base = files.materialize() if hasattr(files, "materialize") else files
         if len(base) == len(names) and (base is names or base == names):
             # the common full-scan prune: survivors straight off the mask
             if vec is None:
                 return list(files)
             return [names[i] for i in np.nonzero(vec)[0].tolist()]
-    idx = handle.index()
-    parts = (m.get("partitions") or {}) if has_slot else {}
-    pcache: list[dict] = [{} for _ in prepared]
-    out: list[str] = []
+
+    if parts_vec or not has_slot:
+        # fully-vectorized bulk; only chain-touched / out-of-base files
+        # (delta-sized) evaluate per-entry
+        rest = set(stats_ov) | set(parts_ov) | set(removed)
+        slot_js = [s for _c, _o, _e, s in prepared if s is not None]
+        out: list[str] = []
+        for f in files:
+            i = idx.get(f)
+            if i is not None and f not in rest:
+                if vec is None or vec[i]:
+                    out.append(f)
+                continue
+            base_i = i if (i is not None and f not in removed) else None
+            in_st_ov = f in stats_ov
+            st_f = stats_ov.get(f)
+            if f in parts_ov:
+                pv_f = parts_ov[f]
+            elif (
+                slot_js
+                and base_i is not None
+                and presp_np is not None
+                and presp_np[base_i]
+            ):
+                # base partition tuple, gathered per-row (rest is small)
+                pv_f = {j: svals[j][base_i].as_py() for j in slot_js}
+            else:
+                pv_f = None
+            ok = True
+            for k, (c, op, enc, slot) in enumerate(prepared):
+                mnmx = None
+                if slot is not None and pv_f is not None:
+                    s = pv_f[slot]
+                    cache = pcache[k]
+                    if s in cache:
+                        mnmx = cache[s]
+                    else:
+                        if s is None and types.get(c, "string") == "string":
+                            mnmx = ("", "")  # NULL/'' directory ambiguity
+                        else:
+                            cv = _coerce_part(s, types.get(c, "string"))
+                            mnmx = (cv, cv)
+                        cache[s] = mnmx
+                elif in_st_ov:
+                    if st_f and c in st_f:
+                        mnmx = st_f[c]
+                elif base_i is not None:
+                    # base stats row: the stats-only mask IS the decision
+                    mk = stats_masks[k]
+                    if mk is not None and not mk[base_i]:
+                        ok = False
+                        break
+                    continue
+                if mnmx is None:
+                    continue  # no stats for this column: never wrongly skip
+                if mnmx[0] is None or mnmx[1] is None:
+                    ok = False  # all-NULL range satisfies no comparison
+                    break
+                if enc is _STAT_UNSUPPORTED:
+                    continue  # un-encodable value: nothing provable, survive
+                if not _rng_cmp(mnmx[0], mnmx[1], op, enc):
+                    ok = False
+                    break
+            if ok:
+                out.append(f)
+        return out
+
+    # mixed path: stats vectorized, partition overrides per-file from
+    # the (materialized) partitions section — exact for every shape the
+    # vectorized partition pass refused
+    parts = m.get("partitions") or {}
+    out = []
     for f in files:
-        ov = f in overlay
+        ov = f in stats_ov
         i = None
         if not ov:
             i = idx.get(f)
@@ -1114,8 +1284,8 @@ def _prune_survivors_arrow(
                 i = None  # base entry invalidated by a delta remove
         if i is not None and vec is not None and not vec[i]:
             continue  # decided columnar-side
-        st_f = overlay.get(f) if ov else None
-        pv_f = parts.get(f) if has_slot else None
+        st_f = stats_ov.get(f) if ov else None
+        pv_f = parts.get(f)
         ok = True
         for k, (c, op, enc, slot) in enumerate(prepared):
             mnmx = None
@@ -1193,13 +1363,19 @@ def _prune_survivors(
         prepared.append((c, op, enc, pidx.get(c)))
     if not prepared:
         return list(files)
-    # parquet-form manifests expose the stats columns through an arrow
-    # handle: evaluate the range tests columnar-side (pyarrow.compute)
-    # without materializing the per-file stats dicts at all — the ~2 s
-    # driver floor at 1M files the r10 verdict flagged. Falls back to
-    # this loop (the semantics of record) whenever a filter shape the
-    # columns can't prove exactly appears.
-    handle = getattr(m.get("stats"), "arrow", None)
+    # parquet-form manifests expose the stats/partition columns through
+    # an arrow handle: evaluate the range tests columnar-side
+    # (pyarrow.compute) without materializing the per-file dicts at all
+    # — the ~2 s driver floor at 1M files the r10 verdict flagged.
+    # Falls back to this loop (the semantics of record) whenever a
+    # filter shape the columns can't prove exactly appears. When a
+    # stats section EXISTS the handle must come from it (a handle-less
+    # stats section means residual entries the columns can't see); a
+    # stats-less partitioned manifest may use the partitions handle.
+    stats_sec = m.get("stats")
+    handle = getattr(stats_sec, "arrow", None)
+    if handle is None and stats_sec is None:
+        handle = getattr(m.get("partitions"), "arrow", None)
     if handle is not None:
         got = _prune_survivors_arrow(m, files, types, prepared, handle)
         if got is not None:

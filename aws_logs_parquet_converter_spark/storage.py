@@ -972,30 +972,48 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
             set(newest.get("writer_features", ())) | set(rf)
         )
     out["files"] = sorted(files)
+    # the vectorized handle COMPOSES through chain resolution: the base
+    # checkpoint's columns stay the bulk truth; the deltas' stats and
+    # partition mutations ride as small overlays the consumer applies
+    # per-entry — so a checkpoint-crossing filtered read prunes
+    # columnar-side without ever building the per-file dicts (mirrors
+    # _merge exactly: removes invalidate the base row, later adds win)
+    base_handle = getattr(base.get("stats"), "arrow", None) or getattr(
+        base.get("partitions"), "arrow", None
+    )
+    composed = None
+    if base_handle is not None:
+
+        def _chain_fn(deltas=deltas):
+            stats_ov: dict = {}
+            parts_ov: dict = {}
+            removed: set = set()
+            for d in deltas:
+                for f in d.get("removes", ()):
+                    removed.add(f)
+                    stats_ov.pop(f, None)
+                    parts_ov.pop(f, None)
+                stats_ov.update(d.get("stats_adds") or {})
+                parts_ov.update(d.get("partitions_adds") or {})
+            return stats_ov, parts_ov, removed
+
+        composed = base_handle.with_chain(_chain_fn)
     if newest.get("stats_cols"):
         out["stats"] = _section("stats", "stats_adds")
-        base_handle = getattr(base.get("stats"), "arrow", None)
-        if base_handle is not None and isinstance(out["stats"], LazySection):
-            # the vectorized handle COMPOSES through chain resolution:
-            # the base checkpoint's columns stay the bulk truth; the
-            # deltas' stats mutations ride as a small overlay the
-            # consumer applies per-entry — so a checkpoint-crossing
-            # filtered read prunes columnar-side without ever building
-            # the per-file stats dicts (mirrors _merge exactly: removes
-            # invalidate the base row, later adds win)
-            def _stats_chain(deltas=deltas):
-                overlay: dict = {}
-                removed: set = set()
-                for d in deltas:
-                    for f in d.get("removes", ()):
-                        removed.add(f)
-                        overlay.pop(f, None)
-                    overlay.update(d.get("stats_adds") or {})
-                return overlay, removed
-
-            out["stats"].arrow = base_handle.with_chain(_stats_chain)
+        if (
+            composed is not None
+            and isinstance(out["stats"], LazySection)
+            and getattr(base.get("stats"), "arrow", None) is not None
+        ):
+            out["stats"].arrow = composed
     if newest.get("partition_by"):
         out["partitions"] = _section("partitions", "partitions_adds")
+        if (
+            composed is not None
+            and isinstance(out["partitions"], LazySection)
+            and getattr(base.get("partitions"), "arrow", None) is not None
+        ):
+            out["partitions"].arrow = composed
     if has_sizes:
         # per-file byte sizes (Delta's add.size) — may be PARTIAL when the
         # chain's checkpoint predates the sizes upgrade; readers fall back
@@ -1255,43 +1273,57 @@ class LazyFiles(_abc.Sequence):
 
 
 class StatsArrowHandle:
-    """Vectorized access to a parquet-form manifest's STATS section —
-    what the planner's batch pruner consumes to evaluate min/max range
-    predicates with pyarrow.compute over the encoded columns instead of
-    materializing a million per-file dicts first. ``tbl_fn``/``keys``/
-    ``kinds`` describe the BASE full manifest's columns (``s{j}?``
-    presence + ``s{j}<``/``s{j}>`` bounds per min/max key); ``names_fn``
-    returns the base file list (shared/cached with the section's own
-    decode). ``chain()`` yields a delta chain's stats mutations on top
-    of the base — ``(overlay, removed)``, both delta-sized — computed
-    LAZILY (a delta's own ``stats_adds`` may be a lazy section) and
-    cached; the consumer evaluates overlay entries per-file. ``index()``
-    lazily builds and caches the base file->row map. Never pickled (the
-    owning LazySection reduces to a plain dict)."""
+    """Vectorized access to a parquet-form manifest's per-file metadata
+    columns — what the planner's batch pruner consumes to evaluate
+    min/max range predicates with pyarrow.compute over the encoded
+    arrays instead of materializing a million per-file dicts first.
+    ``tbl_fn``/``keys``/``kinds`` describe the BASE full manifest's
+    stats columns (``s{j}?`` presence + ``s{j}<``/``s{j}>`` bounds per
+    min/max key); ``part_kinds``/``part_by`` describe its PARTITION
+    columns (``p?`` presence + ``p{j}`` per column of the base's
+    ``partition_by``; None when partitions are absent, header-resident,
+    or residual-bearing — then only the scalar path is exact);
+    ``names_fn`` returns the base file list (shared/cached with the
+    sections' own decode). ``chain()`` yields a delta chain's mutations
+    on top of the base — ``(stats_overlay, parts_overlay, removed)``,
+    all delta-sized — computed LAZILY (a delta's own adds sections may
+    be lazy) and cached; the consumer evaluates overlay entries
+    per-file. ``index()`` lazily builds and caches the base file->row
+    map. Never pickled (the owning LazySection reduces to a plain
+    dict)."""
 
-    __slots__ = ("tbl_fn", "keys", "kinds", "names_fn", "_chain_fn", "_chain", "_idx")
+    __slots__ = (
+        "tbl_fn", "keys", "kinds", "part_kinds", "part_by",
+        "names_fn", "_chain_fn", "_chain", "_idx",
+    )
 
-    def __init__(self, tbl_fn, keys, kinds, names_fn, chain_fn=None):
+    def __init__(
+        self, tbl_fn, keys, kinds, names_fn,
+        part_kinds=None, part_by=None, chain_fn=None,
+    ):
         self.tbl_fn = tbl_fn
         self.keys = list(keys)
         self.kinds = list(kinds)
         self.names_fn = names_fn
+        self.part_kinds = list(part_kinds) if part_kinds is not None else None
+        self.part_by = list(part_by) if part_by is not None else None
         self._chain_fn = chain_fn
         self._chain = None
         self._idx = None
 
-    def chain(self) -> tuple[dict, frozenset]:
-        """``(overlay, removed)`` of the delta chain over the base:
-        ``overlay`` maps file -> its CURRENT stats entry for files whose
-        entry was (re)written by a delta (wins over the base row);
-        ``removed`` holds files whose base entry no longer applies
-        (removed, possibly re-added without stats)."""
+    def chain(self) -> tuple[dict, dict, frozenset]:
+        """``(stats_overlay, parts_overlay, removed)`` of the delta
+        chain over the base: the overlays map file -> its CURRENT
+        stats/partition entry for files whose entry was (re)written by
+        a delta (wins over the base row); ``removed`` holds files whose
+        base entries no longer apply (removed, possibly re-added
+        without fresh metadata)."""
         if self._chain is None:
             if self._chain_fn is None:
-                self._chain = ({}, frozenset())
+                self._chain = ({}, {}, frozenset())
             else:
-                overlay, removed = self._chain_fn()
-                self._chain = (overlay, frozenset(removed))
+                stats_ov, parts_ov, removed = self._chain_fn()
+                self._chain = (stats_ov, parts_ov, frozenset(removed))
         return self._chain
 
     def index(self) -> dict:
@@ -1302,7 +1334,8 @@ class StatsArrowHandle:
 
     def with_chain(self, chain_fn) -> "StatsArrowHandle":
         return StatsArrowHandle(
-            self.tbl_fn, self.keys, self.kinds, self.names_fn, chain_fn
+            self.tbl_fn, self.keys, self.kinds, self.names_fn,
+            self.part_kinds, self.part_by, chain_fn,
         )
 
 
@@ -1671,14 +1704,32 @@ def _from_parquet(data: bytes) -> dict:
                     d = {f: {} for f, p in zip(names, pres) if p}
             return _with_res("stats" + suffix, d)
 
-        sec = LazySection(_stats)
-        if group == "files" and not residuals.get("stats"):
-            # vectorized handle for the batch pruner: FULL manifests
-            # only (a delta's adds-aligned arrays are overlay-shaped by
-            # definition), and only when every stats entry lives in the
-            # columns (a residual would be invisible to the mask)
-            sec.arrow = StatsArrowHandle(_tbl, keys, skinds, _names)
-        out["stats" + suffix] = sec
+        out["stats" + suffix] = LazySection(_stats)
+    if group == "files":
+        # vectorized handle for the batch pruner: FULL manifests only
+        # (a delta's adds-aligned arrays are overlay-shaped by
+        # definition), and per section only when every entry lives in
+        # the columns (a residual would be invisible to the mask)
+        skeys = spec.get("stat_keys")
+        stats_ok = skeys is not None and not residuals.get("stats")
+        parts_ok = (
+            "part_kinds" in spec
+            and not residuals.get("partitions")
+            and header.get("partition_by") is not None
+        )
+        if stats_ok or parts_ok:
+            h = StatsArrowHandle(
+                _tbl,
+                skeys if stats_ok else [],
+                spec.get("stat_kinds", []) if stats_ok else [],
+                _names,
+                part_kinds=spec["part_kinds"] if parts_ok else None,
+                part_by=header["partition_by"] if parts_ok else None,
+            )
+            if stats_ok:
+                out["stats"].arrow = h
+            if parts_ok and isinstance(out.get("partitions"), LazySection):
+                out["partitions"].arrow = h
     return out
 
 

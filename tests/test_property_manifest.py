@@ -480,10 +480,6 @@ def test_arrow_pruner_equals_per_file_loop(data):
             val = data.draw(_val_strategy(c))
         filters.append((c, op, val))
 
-    # ground truth from the per-file loop over a fully MATERIALIZED copy
-    mm = stmod.materialize_manifest(m)
-    want = [f for f in mm["files"] if snap._survives_all(mm, f, types, filters)]
-
     engaged = []
     orig = snap._prune_survivors_arrow
 
@@ -497,7 +493,27 @@ def test_arrow_pruner_equals_per_file_loop(data):
         got = snap._prune_survivors(m, m["files"], types, filters)
     finally:
         snap._prune_survivors_arrow = orig
-    assert got == want
     handle = getattr(m.get("stats"), "arrow", None)
     if handle is not None and filters:
         assert engaged and all(engaged), "arrow fast path silently fell back"
+        # FULL laziness through pruning: neither per-file section may
+        # have materialized — every shape this generator draws is
+        # columnar-provable (stats masks; partition overrides via the
+        # r11 vectorized override pass, whose tell is exactly that the
+        # partitions dict is never built)
+        sec = m.get("stats")
+        if isinstance(sec, stmod.LazySection):
+            assert sec._d is None, "stats materialized despite arrow path"
+        psec = m.get("partitions")
+        if (
+            isinstance(psec, stmod.LazySection)
+            and getattr(psec, "arrow", None) is handle
+        ):
+            assert psec._d is None, "partitions materialized despite arrow path"
+
+    # ground truth from the per-file loop over a fully MATERIALIZED copy
+    # (computed AFTER `got` so truth-side materialization cannot mask a
+    # laziness regression above)
+    mm = stmod.materialize_manifest(m)
+    want = [f for f in mm["files"] if snap._survives_all(mm, f, types, filters)]
+    assert got == want

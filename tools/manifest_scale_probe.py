@@ -302,6 +302,42 @@ def main() -> None:
                 "prune_scalar_ms": round(sca_ms * 1000, 1),
             }
         )
+        # partitioned variant: a partition predicate + a stats range —
+        # the r11 partition-override vectorization means neither the
+        # stats NOR the partitions dict is built
+        praw = dict(raw)
+        praw["partition_by"] = ["day"]
+        praw["partitions"] = {
+            f: [f"2024-01-{(i % 30) + 1:02d}"] for i, f in enumerate(files)
+        }
+        st.MANIFEST_COMPACT_MIN_BYTES = 1
+        st.MANIFEST_BIG_FORMAT = "parquet"
+        try:
+            ppblob = st.encode_manifest_bytes(praw)
+        finally:
+            st.MANIFEST_COMPACT_MIN_BYTES = old_min
+            st.MANIFEST_BIG_FORMAT = old_fmt
+        ptypes = {"id": "long", "day": "string"}
+        pfilters = [("day", "=", "2024-01-05"), ("id", ">=", n_files * 50)]
+        ppdec = st.decode_manifest_bytes(ppblob)
+        t0 = time.perf_counter()
+        got_pvec = sn._prune_survivors(ppdec, ppdec["files"], ptypes, pfilters)
+        pvec_ms = time.perf_counter() - t0
+        assert ppdec["partitions"]._d is None and ppdec["stats"]._d is None
+        ppdec2 = st.decode_manifest_bytes(ppblob)
+        ppdec2["stats"].arrow = None
+        ppdec2["partitions"].arrow = None
+        t0 = time.perf_counter()
+        got_psca = sn._prune_survivors(ppdec2, ppdec2["files"], ptypes, pfilters)
+        psca_ms = time.perf_counter() - t0
+        assert got_pvec == got_psca and 0 < len(got_pvec) < n_files
+        row.update(
+            {
+                "prune_part_survivors": len(got_pvec),
+                "prune_part_vec_ms": round(pvec_ms * 1000, 1),
+                "prune_part_scalar_ms": round(psca_ms * 1000, 1),
+            }
+        )
         comp_results.append(row)
         print(json.dumps(row))
     print(json.dumps({"probe": "compact_checkpoint", "results": comp_results}))
