@@ -46,6 +46,20 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     hist = sub.add_parser("history", help="DESCRIBE HISTORY as JSON lines")
     hist.add_argument("--root", required=True)
 
+    invp = sub.add_parser(
+        "inventory",
+        help="per-file detail of one version (sizes, row counts, "
+        "partition values, min/max stats) — aggregated summary as JSON; "
+        "use --out to write the full inventory as parquet",
+    )
+    invp.add_argument("--root", required=True)
+    invp.add_argument("--version", type=int, default=None)
+    invp.add_argument(
+        "--out", default=None,
+        help="optional parquet output path for the full per-file frame "
+        "(written distributed; the summary JSON prints either way)",
+    )
+
     opt = sub.add_parser("optimize", help="bin-pack (and optionally cluster) files")
     opt.add_argument("--root", required=True)
     opt.add_argument("--target-file-mb", type=float, default=128)
@@ -205,6 +219,27 @@ def run_verb(spark, args: argparse.Namespace) -> dict:
     if args.verb == "history":
         rows = [r.asDict() for r in S.snapshot_history(spark, args.root).collect()]
         return {"verb": "history", "root": args.root, "versions": rows}
+    if args.verb == "inventory":
+        from pyspark.sql import functions as F
+
+        inv = S.snapshot_inventory(spark, args.root, version=args.version)
+        if args.out:
+            inv.write.mode("overwrite").parquet(args.out)
+        agg = inv.agg(
+            F.count("*").alias("n_files"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("size_bytes").alias("min_file_bytes"),
+            F.max("size_bytes").alias("max_file_bytes"),
+        ).first()
+        return {
+            "verb": "inventory",
+            "root": args.root,
+            "version": args.version,
+            "columns": inv.columns,
+            "out": args.out,
+            **{k: agg[k] for k in agg.asDict()},
+        }
     if args.verb == "optimize":
         cluster = (
             [c.strip() for c in args.cluster_by.split(",")] if args.cluster_by else None

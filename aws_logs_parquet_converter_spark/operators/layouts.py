@@ -2532,6 +2532,90 @@ def table_snapshot_view_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-sf_dir cache of inventory table roots
+_SNAPSHOT_INVENTORY_PATHS: dict[str, str] = {}
+
+
+@register(
+    "table_snapshot_inventory",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "DISTRIBUTED FILE INVENTORY (r11; snapshot_inventory — the "
+        "per-file layer of Delta's DESCRIBE DETAIL): metadata AS data. "
+        "A parquet-form checkpoint manifest IS a parquet file, so the "
+        "inventory frame (file, size_bytes, n_rows, part_<col>, "
+        "min/max_<col>) comes from a real spark.read.parquet over the "
+        "manifest object — the driver never builds per-file dicts at "
+        "any file count (VLDB'20 §3.1: Delta reads checkpoints through "
+        "Spark for the same reason); a delta chain contributes only "
+        "delta-sized local rows. This query PROVES the inventory "
+        "against the data itself: per-partition SUM(n_rows) and "
+        "min/max bounds aggregated from pure METADATA must equal the "
+        "oracle's scan-side GROUP BY over the events table — stats, "
+        "partition values, and row counts all reconciled value-exact. "
+        "Builder asserts the distributed path engaged (no driver "
+        "fallback) and that per-file sections stayed unmaterialized."
+    ),
+)
+def table_snapshot_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import storage as _st
+    from ..plans import snapshots as _snap
+    from ..plans.snapshots import snapshot_inventory, snapshot_write
+
+    path = _SNAPSHOT_INVENTORY_PATHS.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="snapshot_inventory_tbl_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        old = _st.MANIFEST_COMPACT_MIN_BYTES
+        old_fmt = _st.MANIFEST_BIG_FORMAT
+        _st.MANIFEST_COMPACT_MIN_BYTES = 1
+        _st.MANIFEST_BIG_FORMAT = "parquet"
+        try:
+            for k in range(3):
+                snapshot_write(
+                    ev.where(F.pmod(F.col("event_id"), F.lit(3)) == k),
+                    path,
+                    stats_cols=["event_id"],
+                    partition_by=["event_type"],
+                )
+        finally:
+            _st.MANIFEST_COMPACT_MIN_BYTES = old
+            _st.MANIFEST_BIG_FORMAT = old_fmt
+        # the metadata must arrive DISTRIBUTED: a local fallback here
+        # would silently demote the design point
+        sentinel = _snap._inventory_local
+
+        def _refuse(*a, **k):
+            raise AssertionError("inventory fell back to the driver path")
+
+        _snap._inventory_local = _refuse
+        try:
+            snapshot_inventory(spark, path).count()
+        finally:
+            _snap._inventory_local = sentinel
+        _SNAPSHOT_INVENTORY_PATHS[sf_dir] = path
+    return (
+        snapshot_inventory(spark, path)
+        .groupBy(F.col("part_event_type").alias("event_type"))
+        .agg(
+            F.sum("n_rows").alias("n_events"),
+            F.min("min_event_id").alias("min_id"),
+            F.max("max_event_id").alias("max_id"),
+        )
+    )
+
+
 #: per-sf_dir cache of two-stream table roots
 _SNAPSHOT_MULTI_STREAM_PATHS: dict[str, str] = {}
 

@@ -141,6 +141,7 @@ POST_R3_LEGS = [
     # steady-state read)
     "table_snapshot_parquet_manifests",  # stats-pruned read via lazy parquet manifests
     "table_snapshot_view_pinned",  # spark.sql over a pinned snapshot_view
+    "table_snapshot_inventory",  # distributed file inventory off the manifest object
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
