@@ -1128,9 +1128,13 @@ def _prune_survivors_arrow(
                 if not (
                     pa.types.is_string(sval.type)
                     or pa.types.is_large_string(sval.type)
+                    or pa.types.is_null(sval.type)
                 ):
                     # engine-written tables record directory STRINGS;
-                    # anything else only the scalar coercion defines
+                    # anything else only the scalar coercion defines.
+                    # (An all-None column arrives NULL-typed — fine:
+                    # every pc op below yields nulls, and the null
+                    # branch constant decides those rows.)
                     raise TypeError("non-string partition column")
                 svals[slot] = sval
                 t = types.get(c, "string")
@@ -4887,9 +4891,14 @@ def _inventory_distributed(
 ) -> DataFrame | None:
     """The distributed inventory path over a parquet-form base
     checkpoint, or None when only the local path is exact."""
-    handle = getattr(base.get("stats"), "arrow", None) or getattr(
-        base.get("partitions"), "arrow", None
-    )
+    handle = getattr(base.get("stats"), "arrow", None)
+    if handle is None:
+        if base.get("stats") is not None:
+            # a stats section the columns can't fully see (residuals):
+            # the distributed frame would show NULLs where the local
+            # path surfaces values — only the local path is exact
+            return None
+        handle = getattr(base.get("partitions"), "arrow", None)
     if handle is None:
         return None
     pby = m.get("partition_by") or []

@@ -511,9 +511,24 @@ def test_arrow_pruner_equals_per_file_loop(data):
         ):
             assert psec._d is None, "partitions materialized despite arrow path"
 
+    # the MIXED path too (stats columnar, partition overrides from the
+    # materialized dict — what unvectorizable partition shapes fall back
+    # to): force it by hiding the handle's partition columns and demand
+    # the same decisions
+    got_mixed = None
+    if handle is not None and handle.part_kinds is not None:
+        saved = handle.part_kinds
+        handle.part_kinds = None
+        try:
+            got_mixed = snap._prune_survivors(m, m["files"], types, filters)
+        finally:
+            handle.part_kinds = saved
+
     # ground truth from the per-file loop over a fully MATERIALIZED copy
     # (computed AFTER `got` so truth-side materialization cannot mask a
     # laziness regression above)
     mm = stmod.materialize_manifest(m)
     want = [f for f in mm["files"] if snap._survives_all(mm, f, types, filters)]
     assert got == want
+    if got_mixed is not None:
+        assert got_mixed == want
