@@ -141,11 +141,37 @@ def _seam_store(root: str):
     return None
 
 
+#: per-session memo of "is the session's fs.defaultFS the local FS?" —
+#: one py4j probe per session, not per manifest read
+_LOCAL_DEFAULT_FS: dict[int, bool] = {}
+
+
 def _meta_store(spark: SparkSession, root: str) -> "_storage.SnapshotStorage":
     """The storage impl manifest METADATA reads go through for ``root``:
-    the registered seam store when one serves it, else the Hadoop-FS
-    adapter."""
-    return _seam_store(root) or _JvmSnapshotStorage(spark)
+    the registered seam store when one serves it; NATIVE local reads
+    for scheme-less roots on a local default FS (manifest bytes through
+    py4j cost ~40 ms/MB of bytearray decode — r11, found profiling
+    DESCRIBE HISTORY over MB-scale parquet checkpoints); else the
+    Hadoop-FS adapter (hdfs://, s3a://, or a cluster default FS)."""
+    seam = _seam_store(root)
+    if seam is not None:
+        return seam
+    if "://" not in root and not root.startswith("file:/"):
+        key = id(spark)
+        local = _LOCAL_DEFAULT_FS.get(key)
+        if local is None:
+            try:
+                dfs = (
+                    spark._jsc.hadoopConfiguration().get("fs.defaultFS")
+                    or "file:///"
+                )
+            except Exception:  # pragma: no cover - conf always reachable
+                dfs = ""
+            local = str(dfs).startswith("file:")
+            _LOCAL_DEFAULT_FS[key] = local
+        if local:
+            return _storage.LocalSnapshotStorage()
+    return _JvmSnapshotStorage(spark)
 
 
 def current_version(spark: SparkSession, root: str) -> int | None:
@@ -1085,7 +1111,7 @@ def _prune_survivors_arrow(
         # the scalar path defines what happens (compare or TypeError)
         return None
 
-    stats_ov, parts_ov, removed = handle.chain()
+    stats_ov, parts_ov, _sizes_ov, removed = handle.chain()
     has_slot = any(slot is not None for _c, _o, _e, slot in prepared)
     names = handle.names_fn()
     idx = handle.index()
@@ -4660,11 +4686,21 @@ def snapshot_count(
         if version is None:
             raise FileNotFoundError(f"snapshot table {root} has no commits")
     m = read_manifest(spark, root, version)
-    stats = m.get("stats", {})
-    counts = [stats.get(f, {}).get(ROWS_STAT_KEY) for f in m["files"]]
-    if any(c is None for c in counts):
+    # columnar fast path (parquet manifests): ONE pyarrow sum + delta
+    # adjustments, no per-file dicts at any file count
+    ok, total = _columnar_total(m, "stats", ROWS_STAT_KEY)
+    if ok and total is None and len(m["files"]) == 0:
+        total = 0  # empty table counts 0 (history spells it None)
+    if not ok:
+        stats = m.get("stats", {})
+        counts = [stats.get(f, {}).get(ROWS_STAT_KEY) for f in m["files"]]
+        total = (
+            None
+            if any(c is None for c in counts)
+            else int(sum(counts))
+        )
+    if total is None:
         return snapshot_read(spark, root, version).count()
-    total = int(sum(counts))
     dv = m.get("dv")
     if dv:
         total -= int(
@@ -4790,6 +4826,79 @@ def snapshot_view(
     return int(version)
 
 
+def _columnar_total(m: dict, section: str, key: str | None):
+    """``(ok, total)`` — the sum of one per-file metric over the LIVE
+    files of resolved manifest ``m``, computed from the parquet form's
+    column (pyarrow sum) plus delta-sized adjustments, WITHOUT
+    materializing the section. ``key=None`` sums the sizes column;
+    otherwise the named int-kind stats key (the per-file row count).
+    ``total`` is None unless EVERY live file carries a value — the
+    all-covered semantics of :func:`snapshot_history`. ``ok`` False
+    means the columns can't prove it (caller materializes instead)."""
+    sec = m.get(section)
+    handle = getattr(sec, "arrow", None)
+    if handle is None:
+        return False, None
+    try:
+        import pyarrow.compute as pc
+
+        tbl = handle.tbl_fn()
+        if key is None:
+            col = tbl.column("z")
+        elif key in handle.keys:
+            j = handle.keys.index(key)
+            if handle.kinds[j] != "int":
+                return False, None  # non-int encoding: scalar decides
+            col = tbl.column(f"s{j}")
+        else:
+            col = None  # no base row carries it
+        stats_ov, _p, sizes_ov, removed = handle.chain()
+        ov = sizes_ov if key is None else stats_ov
+        n_live = len(m["files"])  # O(1) on a direct parquet read
+        if n_live == 0:
+            return True, None  # mirrors the dict path: nothing to total
+        excluded = set(ov) | set(removed)
+        if col is not None:
+            s = pc.sum(col).as_py()
+            total = int(s) if s is not None else 0
+            kept_missing = col.null_count
+            base_kept = tbl.num_rows
+        else:
+            total = 0
+            kept_missing = tbl.num_rows
+            base_kept = tbl.num_rows
+        if excluded:
+            idx = handle.index()
+            for f in excluded:
+                i = idx.get(f)
+                if i is None:
+                    continue
+                base_kept -= 1
+                v = col[i].as_py() if col is not None else None
+                if v is None:
+                    kept_missing -= 1
+                else:
+                    total -= int(v)
+        if kept_missing > 0:
+            return True, None  # a live base file lacks the value
+        valued = base_kept
+        if ov:
+            live = set(m["files"])
+            for f, entry in ov.items():
+                if f not in live:
+                    continue
+                v = entry if key is None else (entry or {}).get(key)
+                if v is None or not isinstance(v, int) or isinstance(v, bool):
+                    return (True, None) if v is None else (False, None)
+                total += v
+                valued += 1
+        if valued != n_live:
+            return True, None  # an added live file carries no value
+        return True, int(total)
+    except Exception:
+        return False, None
+
+
 def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     """DESCRIBE HISTORY for a snapshot table: one row per committed
     version — action tag, resolved file count, and the on-disk manifest
@@ -4804,27 +4913,61 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     :func:`snapshot_count` for the logical answer), committed_at (the
     in-commit stamp, epoch seconds; NULL pre-upgrade), encoding
     (``full`` checkpoint vs ``delta`` log segment)."""
-    versions = _meta_store(spark, root).list_versions(root)
+    store = _meta_store(spark, root)
+    versions = store.list_versions(root)
     if not versions:
         raise FileNotFoundError(f"snapshot table {root} has no commits")
+    # consecutive versions share their chain's checkpoint: decode each
+    # raw ONCE for the whole walk (shared lazy sections also share the
+    # parquet form's cached arrow table/file list across versions) —
+    # without this the loop is O(V^2) raw reads within each checkpoint
+    # interval (r11, found profiling DESCRIBE HISTORY at 100k files)
+    raw_cache: dict[int, dict] = {}
+
+    def _raw(v: int) -> dict:
+        if v not in raw_cache:
+            r = _storage.read_raw_manifest(store, root, v)
+            _storage.ensure_readable(r, root)
+            raw_cache[v] = r
+        return raw_cache[v]
+
+    def _resolved(v: int) -> dict:
+        raw = _raw(v)
+        if "files" in raw:
+            return raw
+        chain = [raw]
+        while "files" not in chain[-1]:
+            chain.append(_raw(int(chain[-1]["base"])))
+        resolved = _storage.resolve_manifest_chain(list(reversed(chain)))
+        _storage.ensure_readable(resolved, root)
+        return resolved
+
     rows = []
     for v in versions:
-        raw = _read_raw_manifest(spark, root, v)
-        m = read_manifest(spark, root, v)
-        sizes = m.get("sizes")
-        total = (
-            sum(sizes[f] for f in m["files"] if f in sizes)
-            if sizes and all(f in sizes for f in m["files"])
-            else None
-        )
+        raw = _raw(v)
+        m = _resolved(v)
+        # totals come off the parquet form's COLUMNS when available
+        # (pyarrow sums + delta-sized adjustments; ~ms per version at
+        # any file count) — the dict path below is the fallback AND the
+        # semantics of record: None unless every live file is covered
+        ok_b, total = _columnar_total(m, "sizes", None)
+        if not ok_b:
+            sizes = m.get("sizes")
+            total = (
+                sum(sizes[f] for f in m["files"] if f in sizes)
+                if sizes and all(f in sizes for f in m["files"])
+                else None
+            )
         ts = raw.get("committed_at")
-        stats = m.get("stats", {})
-        counts = [stats.get(f, {}).get(ROWS_STAT_KEY) for f in m["files"]]
-        total_rows = (
-            int(sum(counts)) if counts and all(
-                c is not None for c in counts
-            ) else None
-        )
+        ok_r, total_rows = _columnar_total(m, "stats", ROWS_STAT_KEY)
+        if not ok_r:
+            stats = m.get("stats", {})
+            counts = [stats.get(f, {}).get(ROWS_STAT_KEY) for f in m["files"]]
+            total_rows = (
+                int(sum(counts)) if counts and all(
+                    c is not None for c in counts
+                ) else None
+            )
         rows.append(
             (
                 v,

@@ -978,8 +978,10 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
     # per-entry — so a checkpoint-crossing filtered read prunes
     # columnar-side without ever building the per-file dicts (mirrors
     # _merge exactly: removes invalidate the base row, later adds win)
-    base_handle = getattr(base.get("stats"), "arrow", None) or getattr(
-        base.get("partitions"), "arrow", None
+    base_handle = (
+        getattr(base.get("stats"), "arrow", None)
+        or getattr(base.get("partitions"), "arrow", None)
+        or getattr(base.get("sizes"), "arrow", None)
     )
     composed = None
     if base_handle is not None:
@@ -987,15 +989,18 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
         def _chain_fn(deltas=deltas):
             stats_ov: dict = {}
             parts_ov: dict = {}
+            sizes_ov: dict = {}
             removed: set = set()
             for d in deltas:
                 for f in d.get("removes", ()):
                     removed.add(f)
                     stats_ov.pop(f, None)
                     parts_ov.pop(f, None)
+                    sizes_ov.pop(f, None)
                 stats_ov.update(d.get("stats_adds") or {})
                 parts_ov.update(d.get("partitions_adds") or {})
-            return stats_ov, parts_ov, removed
+                sizes_ov.update(d.get("sizes_adds") or {})
+            return stats_ov, parts_ov, sizes_ov, removed
 
         composed = base_handle.with_chain(_chain_fn)
     if newest.get("stats_cols"):
@@ -1019,6 +1024,12 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
         # chain's checkpoint predates the sizes upgrade; readers fall back
         # to the filesystem per missing file
         out["sizes"] = _section("sizes", "sizes_adds")
+        if (
+            composed is not None
+            and isinstance(out["sizes"], LazySection)
+            and getattr(base.get("sizes"), "arrow", None) is not None
+        ):
+            out["sizes"].arrow = composed
     return out
 
 
@@ -1221,11 +1232,15 @@ class LazyFiles(_abc.Sequence):
     list subclass for the same fail-loud reason as :class:`LazySection`.
     Pickles as a plain list."""
 
-    __slots__ = ("_loader", "_l")
+    __slots__ = ("_loader", "_l", "_len_fn")
 
-    def __init__(self, loader):
+    def __init__(self, loader, len_fn=None):
         self._loader = loader
         self._l = None
+        #: optional O(1) length (the parquet footer's num_rows) so
+        #: len()-only consumers (file counts in DESCRIBE HISTORY) skip
+        #: the full string materialization
+        self._len_fn = len_fn
 
     def materialize(self) -> list:
         if self._l is None:
@@ -1240,6 +1255,8 @@ class LazyFiles(_abc.Sequence):
         return iter(self.materialize())
 
     def __len__(self):
+        if self._l is None and self._len_fn is not None:
+            return self._len_fn()
         return len(self.materialize())
 
     def __contains__(self, x):
@@ -1285,12 +1302,12 @@ class StatsArrowHandle:
     or residual-bearing — then only the scalar path is exact);
     ``names_fn`` returns the base file list (shared/cached with the
     sections' own decode). ``chain()`` yields a delta chain's mutations
-    on top of the base — ``(stats_overlay, parts_overlay, removed)``,
-    all delta-sized — computed LAZILY (a delta's own adds sections may
-    be lazy) and cached; the consumer evaluates overlay entries
-    per-file. ``index()`` lazily builds and caches the base file->row
-    map. Never pickled (the owning LazySection reduces to a plain
-    dict)."""
+    on top of the base — ``(stats_overlay, parts_overlay,
+    sizes_overlay, removed)``, all delta-sized — computed LAZILY (a
+    delta's own adds sections may be lazy) and cached; the consumer
+    evaluates overlay entries per-file. ``index()`` lazily builds and
+    caches the base file->row map. Never pickled (the owning
+    LazySection reduces to a plain dict)."""
 
     __slots__ = (
         "tbl_fn", "keys", "kinds", "part_kinds", "part_by",
@@ -1311,19 +1328,19 @@ class StatsArrowHandle:
         self._chain = None
         self._idx = None
 
-    def chain(self) -> tuple[dict, dict, frozenset]:
-        """``(stats_overlay, parts_overlay, removed)`` of the delta
-        chain over the base: the overlays map file -> its CURRENT
-        stats/partition entry for files whose entry was (re)written by
-        a delta (wins over the base row); ``removed`` holds files whose
-        base entries no longer apply (removed, possibly re-added
-        without fresh metadata)."""
+    def chain(self) -> tuple[dict, dict, dict, frozenset]:
+        """``(stats_overlay, parts_overlay, sizes_overlay, removed)`` of
+        the delta chain over the base: the overlays map file -> its
+        CURRENT stats/partition/size entry for files whose entry was
+        (re)written by a delta (wins over the base row); ``removed``
+        holds files whose base entries no longer apply (removed,
+        possibly re-added without fresh metadata)."""
         if self._chain is None:
             if self._chain_fn is None:
-                self._chain = ({}, {}, frozenset())
+                self._chain = ({}, {}, {}, frozenset())
             else:
-                stats_ov, parts_ov, removed = self._chain_fn()
-                self._chain = (stats_ov, parts_ov, frozenset(removed))
+                stats_ov, parts_ov, sizes_ov, removed = self._chain_fn()
+                self._chain = (stats_ov, parts_ov, sizes_ov, frozenset(removed))
         return self._chain
 
     def index(self) -> dict:
@@ -1585,7 +1602,7 @@ def _from_parquet(data: bytes) -> dict:
             names_box.append(_pylist(_tbl().column("f")))
         return names_box[0]
 
-    out[group] = LazyFiles(_names)
+    out[group] = LazyFiles(_names, len_fn=lambda: pf.metadata.num_rows)
 
     def _with_res(key: str, d: dict) -> dict:
         res = residuals.get(key)
@@ -1717,7 +1734,8 @@ def _from_parquet(data: bytes) -> dict:
             and not residuals.get("partitions")
             and header.get("partition_by") is not None
         )
-        if stats_ok or parts_ok:
+        sizes_ok = bool(spec.get("sizes")) and not residuals.get("sizes")
+        if stats_ok or parts_ok or sizes_ok:
             h = StatsArrowHandle(
                 _tbl,
                 skeys if stats_ok else [],
@@ -1730,6 +1748,8 @@ def _from_parquet(data: bytes) -> dict:
                 out["stats"].arrow = h
             if parts_ok and isinstance(out.get("partitions"), LazySection):
                 out["partitions"].arrow = h
+            if sizes_ok and isinstance(out.get("sizes"), LazySection):
+                out["sizes"].arrow = h
     return out
 
 

@@ -51,7 +51,12 @@ def _files(prefix: str, n: int) -> list[str]:
 
 
 def _stats(files: list[str]) -> dict:
-    return {f: {"id": [i * 100, i * 100 + 99]} for i, f in enumerate(files)}
+    # "#rows" = the per-file row count (ROWS_STAT_KEY) so the
+    # metadata-count and history-totals legs stay pure metadata
+    return {
+        f: {"id": [i * 100, i * 100 + 99], "#rows": 100}
+        for i, f in enumerate(files)
+    }
 
 
 def _manifest(version: int, files: list[str], action: str = "append") -> dict:
@@ -121,6 +126,33 @@ def main() -> None:
         t0 = time.perf_counter()
         read_manifest(spark, root, 1)
         row["read_full_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+
+        # r11: DESCRIBE HISTORY + metadata COUNT over the 11-version
+        # table — totals off the parquet form's columns (one pyarrow
+        # sum + delta adjustments per version) vs the per-version
+        # dict-materializing path
+        from aws_logs_parquet_converter_spark.plans import (
+            snapshots as _sn,
+        )
+
+        t0 = time.perf_counter()
+        hist = _sn.snapshot_history(spark, root)
+        row["history_wall_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+        assert hist.count() == 11  # the 11-row job is untimed Spark noise
+        t0 = time.perf_counter()
+        assert _sn.snapshot_count(spark, root) > 0
+        row["count_wall_ms"] = round((time.perf_counter() - t0) * 1000, 1)
+        orig_ct = _sn._columnar_total
+        _sn._columnar_total = lambda *a: (False, None)
+        try:
+            t0 = time.perf_counter()
+            hist = _sn.snapshot_history(spark, root)
+            row["history_dict_wall_ms"] = round(
+                (time.perf_counter() - t0) * 1000, 1
+            )
+            assert hist.count() == 11
+        finally:
+            _sn._columnar_total = orig_ct
 
         results.append(row)
         print(json.dumps(row))
