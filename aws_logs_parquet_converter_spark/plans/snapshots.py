@@ -4826,16 +4826,19 @@ def snapshot_view(
     return int(version)
 
 
-def _columnar_total(m: dict, section: str, key: str | None):
+def _columnar_total_core(
+    sec, key: str | None, ov: dict, removed, n_live: int, is_live
+):
     """``(ok, total)`` — the sum of one per-file metric over the LIVE
-    files of resolved manifest ``m``, computed from the parquet form's
-    column (pyarrow sum) plus delta-sized adjustments, WITHOUT
-    materializing the section. ``key=None`` sums the sizes column;
-    otherwise the named int-kind stats key (the per-file row count).
-    ``total`` is None unless EVERY live file carries a value — the
-    all-covered semantics of :func:`snapshot_history`. ``ok`` False
-    means the columns can't prove it (caller materializes instead)."""
-    sec = m.get(section)
+    files of a manifest, computed from the parquet form's column
+    (pyarrow sum) plus delta-sized adjustments, WITHOUT materializing
+    the section. ``key=None`` sums the sizes column; otherwise the
+    named int-kind stats key (the per-file row count). ``ov``/
+    ``removed`` are the delta chain's mutations over the base;
+    ``is_live(f)`` answers liveness for overlay files. ``total`` is
+    None unless EVERY live file carries a value — the all-covered
+    semantics of :func:`snapshot_history`. ``ok`` False means the
+    columns can't prove it (caller materializes instead)."""
     handle = getattr(sec, "arrow", None)
     if handle is None:
         return False, None
@@ -4852,9 +4855,6 @@ def _columnar_total(m: dict, section: str, key: str | None):
             col = tbl.column(f"s{j}")
         else:
             col = None  # no base row carries it
-        stats_ov, _p, sizes_ov, removed = handle.chain()
-        ov = sizes_ov if key is None else stats_ov
-        n_live = len(m["files"])  # O(1) on a direct parquet read
         if n_live == 0:
             return True, None  # mirrors the dict path: nothing to total
         excluded = set(ov) | set(removed)
@@ -4882,21 +4882,39 @@ def _columnar_total(m: dict, section: str, key: str | None):
         if kept_missing > 0:
             return True, None  # a live base file lacks the value
         valued = base_kept
-        if ov:
-            live = set(m["files"])
-            for f, entry in ov.items():
-                if f not in live:
-                    continue
-                v = entry if key is None else (entry or {}).get(key)
-                if v is None or not isinstance(v, int) or isinstance(v, bool):
-                    return (True, None) if v is None else (False, None)
-                total += v
-                valued += 1
+        for f, entry in ov.items():
+            if not is_live(f):
+                continue
+            v = entry if key is None else (entry or {}).get(key)
+            if v is None or not isinstance(v, int) or isinstance(v, bool):
+                return (True, None) if v is None else (False, None)
+            total += v
+            valued += 1
         if valued != n_live:
             return True, None  # an added live file carries no value
         return True, int(total)
     except Exception:
         return False, None
+
+
+def _columnar_total(m: dict, section: str, key: str | None):
+    """:func:`_columnar_total_core` over a RESOLVED manifest — overlay
+    and liveness come from the composed handle's chain and the resolved
+    file list (built lazily, only when a chain overlay exists)."""
+    sec = m.get(section)
+    handle = getattr(sec, "arrow", None)
+    if handle is None:
+        return False, None
+    stats_ov, _p, sizes_ov, removed = handle.chain()
+    ov = sizes_ov if key is None else stats_ov
+    live_box: list = []
+
+    def is_live(f):
+        if not live_box:
+            live_box.append(set(m["files"]))
+        return f in live_box[0]
+
+    return _columnar_total_core(sec, key, ov, removed, len(m["files"]), is_live)
 
 
 def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
@@ -4942,37 +4960,91 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
         _storage.ensure_readable(resolved, root)
         return resolved
 
-    rows = []
-    for v in versions:
+    def _version_meta(v: int):
+        """``(n_files, total_bytes, total_rows)`` for one version —
+        WITHOUT building the resolved file set when the chain's
+        checkpoint is parquet-form: the file count is base-count plus
+        delta-sized membership arithmetic, and the totals come off the
+        base's columns (pyarrow sums) with overlay adjustments
+        (:func:`_columnar_total_core`). Falls back to resolution + the
+        dict math (the semantics of record) whenever the columns can't
+        prove a value."""
         raw = _raw(v)
+        if "files" not in raw:
+            chain = [raw]
+            while "files" not in chain[-1]:
+                chain.append(_raw(int(chain[-1]["base"])))
+            base = chain[-1]
+            h = getattr(base.get("stats"), "arrow", None) or getattr(
+                base.get("sizes"), "arrow", None
+            )
+            if h is not None:
+                idx = h.index()
+                stats_ov: dict = {}
+                sizes_ov: dict = {}
+                removed: set = set()
+                changes: dict = {}
+                for d in reversed(chain[:-1]):  # oldest delta first
+                    for f in d.get("removes", ()):
+                        removed.add(f)
+                        changes[f] = False
+                        stats_ov.pop(f, None)
+                        sizes_ov.pop(f, None)
+                    for f in d.get("adds", ()):
+                        changes[f] = True
+                    stats_ov.update(d.get("stats_adds") or {})
+                    sizes_ov.update(d.get("sizes_adds") or {})
+                n_files = len(idx) + sum(
+                    (1 if alive else 0) - (1 if f in idx else 0)
+                    for f, alive in changes.items()
+                )
+
+                def is_live(f, changes=changes, idx=idx):
+                    return changes[f] if f in changes else f in idx
+
+                ok_b, tb = _columnar_total_core(
+                    base.get("sizes"), None, sizes_ov, removed, n_files, is_live
+                )
+                ok_r, tr = _columnar_total_core(
+                    base.get("stats"),
+                    ROWS_STAT_KEY,
+                    stats_ov,
+                    removed,
+                    n_files,
+                    is_live,
+                )
+                if ok_b and ok_r:
+                    return n_files, tb, tr
         m = _resolved(v)
-        # totals come off the parquet form's COLUMNS when available
-        # (pyarrow sums + delta-sized adjustments; ~ms per version at
-        # any file count) — the dict path below is the fallback AND the
-        # semantics of record: None unless every live file is covered
-        ok_b, total = _columnar_total(m, "sizes", None)
+        ok_b, tb = _columnar_total(m, "sizes", None)
         if not ok_b:
             sizes = m.get("sizes")
-            total = (
+            tb = (
                 sum(sizes[f] for f in m["files"] if f in sizes)
                 if sizes and all(f in sizes for f in m["files"])
                 else None
             )
-        ts = raw.get("committed_at")
-        ok_r, total_rows = _columnar_total(m, "stats", ROWS_STAT_KEY)
+        ok_r, tr = _columnar_total(m, "stats", ROWS_STAT_KEY)
         if not ok_r:
             stats = m.get("stats", {})
             counts = [stats.get(f, {}).get(ROWS_STAT_KEY) for f in m["files"]]
-            total_rows = (
+            tr = (
                 int(sum(counts)) if counts and all(
                     c is not None for c in counts
                 ) else None
             )
+        return len(m["files"]), tb, tr
+
+    rows = []
+    for v in versions:
+        raw = _raw(v)
+        n_files, total, total_rows = _version_meta(v)
+        ts = raw.get("committed_at")
         rows.append(
             (
                 v,
                 raw.get("action", "append"),
-                len(m["files"]),
+                n_files,
                 total,
                 total_rows,
                 float(ts) if ts is not None else None,

@@ -3906,3 +3906,94 @@ def test_meta_store_routes_local_roots_natively(spark, tmp_path):
     snapshot_write(_df(spark, 0, 10), root)
     assert snap.current_version(spark, root) == 1
     assert sorted(snap.read_manifest(spark, root, 1)["files"])
+
+
+def test_history_columnar_totals_equal_dict_path(spark, tmp_path):
+    """snapshot_history's columnar totals (r11: pyarrow column sums +
+    delta-sized adjustments + membership arithmetic, no per-version
+    resolve) must equal the dict path row-for-row over adversarial
+    hand-written chains — re-adds, stats rewrites of live files,
+    partial coverage (-> None totals), full coverage (-> real totals)
+    — across BOTH manifest encodings."""
+    import json as _json
+    import os
+    import random
+
+    from aws_logs_parquet_converter_spark import storage as stmod
+    from aws_logs_parquet_converter_spark.plans import snapshots as snap
+
+    def mk_table(tag, parquet, full_cover):
+        root = str(tmp_path / f"{tag}")
+        sd = os.path.join(root, "_snapshots")
+        os.makedirs(sd)
+        old = stmod.MANIFEST_COMPACT_MIN_BYTES, stmod.MANIFEST_BIG_FORMAT
+        if parquet:
+            stmod.MANIFEST_COMPACT_MIN_BYTES = 1
+            stmod.MANIFEST_BIG_FORMAT = "parquet"
+        try:
+            files = [f"data/c/{i:03d}.parquet" for i in range(60)]
+            cov = (lambda i: True) if full_cover else (lambda i: i % 11 != 0)
+            full = {
+                "version": 1, "schema": "{}", "files": files,
+                "stats_cols": ["x"], "committed_at": 100.0,
+                "stats": {
+                    f: {"x": [i, i + 1], "#rows": 10}
+                    for i, f in enumerate(files) if cov(i)
+                },
+                "sizes": {
+                    f: 100 + i for i, f in enumerate(files) if cov(i + 1)
+                },
+            }
+            with open(os.path.join(sd, "v00000001.json"), "wb") as fh:
+                fh.write(stmod.encode_manifest_bytes(full))
+            live, removed_pool = list(files), []
+            for v in range(2, 6):
+                removes = random.sample(live, k=min(5, len(live)))
+                adds = [f"data/d{v}/{i:02d}.parquet" for i in range(3)]
+                if removed_pool:
+                    adds.append(random.choice(removed_pool))
+                removed_pool = [
+                    f for f in removed_pool + removes if f not in adds
+                ]
+                live = [f for f in live if f not in removes] + [
+                    f for f in adds if f not in live
+                ]
+                p_have = 1.1 if full_cover else 0.8
+                delta = {
+                    "version": v, "base": v - 1, "schema": "{}",
+                    "adds": adds, "removes": removes, "stats_cols": ["x"],
+                    "committed_at": 100.0 + v,
+                    "stats_adds": {
+                        f: {"x": [1, 2], "#rows": 10}
+                        for f in adds if random.random() < p_have
+                    },
+                    "sizes_adds": {
+                        f: 50 for f in adds if random.random() < p_have
+                    },
+                }
+                if live and random.random() < 0.6:
+                    delta["stats_adds"][random.choice(live)] = {
+                        "x": [0, 3], "#rows": 10
+                    }
+                with open(os.path.join(sd, f"v{v:08d}.json"), "wb") as fh:
+                    fh.write(stmod.encode_manifest_bytes(delta))
+        finally:
+            stmod.MANIFEST_COMPACT_MIN_BYTES, stmod.MANIFEST_BIG_FORMAT = old
+        return root
+
+    for full_cover in (True, False):
+        random.seed(7)
+        r_pq = mk_table(f"pq{full_cover}", True, full_cover)
+        random.seed(7)
+        r_pl = mk_table(f"pl{full_cover}", False, full_cover)
+        a = [tuple(r) for r in snap.snapshot_history(spark, r_pq).collect()]
+        b = [tuple(r) for r in snap.snapshot_history(spark, r_pl).collect()]
+        assert a == b, (full_cover, a, b)
+        if full_cover:
+            # totals must be REAL through the chains, not vacuously None
+            assert all(r[3] is not None and r[4] is not None for r in a), a
+            # and counts agree with the metadata COUNT verb
+            assert snap.snapshot_count(spark, r_pq) == a[-1][4]
+            assert snap.snapshot_count(spark, r_pl) == a[-1][4]
+        else:
+            assert any(r[3] is None for r in a), a
