@@ -532,3 +532,78 @@ def test_arrow_pruner_equals_per_file_loop(data):
     assert got == want
     if got_mixed is not None:
         assert got_mixed == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_vacuum_referenced_equals_per_version_union(data):
+    """`_vacuum_referenced` (r11: one incremental walk) must equal the
+    naive per-kept-version resolved-list union — the set vacuum's
+    deletions are complemented against, where any divergence is data
+    loss — over adversarial histories: removes, re-adds, mid-range FULL
+    checkpoints, dv/bloom sidecars, delta chains, and BOTH contiguous
+    and arbitrary kept subsets."""
+    import os
+    import tempfile
+
+    from aws_logs_parquet_converter_spark import storage as stmod
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _vacuum_referenced,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="vacref_")
+    root = os.path.join(base_dir, "t")
+    sd = os.path.join(root, "_snapshots")
+    os.makedirs(sd)
+    store = stmod.LocalSnapshotStorage()
+    n_versions = data.draw(st.integers(min_value=1, max_value=8))
+    live: list[str] = []
+    removed_pool: list[str] = []
+    all_versions = []
+    for v in range(1, n_versions + 1):
+        removes = (
+            data.draw(st.lists(st.sampled_from(live), unique=True, max_size=4))
+            if live
+            else []
+        )
+        n_new = data.draw(st.integers(min_value=0, max_value=4))
+        adds = [f"data/c{v}/{i:02d}.parquet" for i in range(n_new)]
+        if removed_pool and data.draw(st.booleans()):
+            adds.append(data.draw(st.sampled_from(removed_pool)))
+        removed_pool = [f for f in removed_pool + removes if f not in adds]
+        live = [f for f in live if f not in removes] + [
+            f for f in adds if f not in live
+        ]
+        m: dict = {"version": v, "schema": "{}", "committed_at": 100.0 + v}
+        if data.draw(st.booleans()):
+            m["dv"] = [f"data/dv{v}/d.parquet"]
+        if v == 1 or data.draw(st.integers(0, 3)) == 0:  # FULL form
+            m["files"] = sorted(live)
+        else:
+            m.update({"base": v - 1, "adds": adds, "removes": removes})
+        with open(os.path.join(sd, f"v{v:08d}.json"), "wb") as fh:
+            fh.write(stmod.encode_manifest_bytes(m))
+        all_versions.append(v)
+    kept = sorted(
+        data.draw(
+            st.sets(st.sampled_from(all_versions), min_size=1)
+        )
+    )
+    got_ref, got_chain = _vacuum_referenced(store, root, kept)
+    want_ref: set = set()
+    want_chain: set = set()
+    for v in kept:
+        km = stmod.read_manifest(store, root, v)
+        want_ref.update(km["files"])
+        want_ref.update(km.get("dv", ()))
+        want_ref.update(km.get("bloom", {}).get("files", ()))
+        raw = stmod.read_raw_manifest(store, root, v)
+        while "files" not in raw:
+            b = int(raw["base"])
+            want_chain.add(b)
+            raw = stmod.read_raw_manifest(store, root, b)
+    assert got_ref == want_ref, (kept, got_ref ^ want_ref)
+    assert got_chain == want_chain
+    import shutil
+
+    shutil.rmtree(base_dir, ignore_errors=True)
