@@ -2949,30 +2949,32 @@ def snapshot_changes(
             f"(latest is {latest})"
         )
     _require_unmapped(
-        read_manifest(spark, root, to_version), "snapshot_changes"
+        _read_raw_manifest(spark, root, to_version), "snapshot_changes"
     )
-    prev_files: set[str] = set()
-    if from_version > 0:
-        prev_files = set(read_manifest(spark, root, from_version)["files"])
+    # the O(fresh)-per-version raw walk the snapshot stream plans with
+    # (r11: shared — delta manifests record `adds`, byte-identical to
+    # files(v) - files(v-1), so a catch-up over a 1M-file table costs
+    # the delta sizes, not range x full-list resolutions)
+    from ..sources.snapshot_stream import RewriteInRange, _iter_version_deltas
+
     delta: list[str] = []
-    seen = set(prev_files)
     schema_json = None
-    for v in range(from_version + 1, to_version + 1):
-        m = read_manifest(spark, root, v)
-        schema_json = m["schema"]
-        action = m.get("action", "append")
-        files = set(m["files"])
-        if action == "optimize":
-            seen = files  # same rows, new packing — nothing to emit
-            continue
-        if action in ("overwrite", "merge", "delete", "restore", "update"):
-            raise ValueError(
-                f"version {v} is a {action!r} commit — it rewrites or removes "
-                "rows, so the delta is not expressible as appended files; "
-                f"re-baseline with snapshot_read(version={to_version})"
-            )
-        delta.extend(sorted(files - seen))
-        seen = files
+    try:
+        for _v, fresh, view in _iter_version_deltas(
+            _meta_store(spark, root),
+            root,
+            from_version,
+            from_version + 1,
+            to_version,
+        ):
+            schema_json = view["schema"]
+            delta.extend(fresh)
+    except RewriteInRange as e:
+        raise ValueError(
+            f"version {e.version} is a {e.action!r} commit — it rewrites "
+            "or removes rows, so the delta is not expressible as appended "
+            f"files; re-baseline with snapshot_read(version={to_version})"
+        ) from None
     if schema_json is None:  # empty range
         schema_json = read_manifest(spark, root, to_version)["schema"]
     schema = StructType.fromJson(json.loads(schema_json))

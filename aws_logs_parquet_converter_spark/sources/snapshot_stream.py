@@ -80,6 +80,19 @@ def _read_manifest_py(storage: SnapshotStorage, root: str, version: int) -> dict
     return _seam_read_manifest(storage, root, version)
 
 
+class RewriteInRange(ValueError):
+    """A rewrite-action commit (overwrite/merge/delete/restore/update)
+    inside an append-lineage version range: its delta is not
+    expressible as appended files. Carries ``version``/``action`` so
+    batch-side callers (``snapshot_changes``) can re-raise with their
+    own re-baseline advice; stream callers see the ValueError text."""
+
+    def __init__(self, version: int, action: str, msg: str):
+        super().__init__(msg)
+        self.version = version
+        self.action = action
+
+
 def _iter_version_deltas(
     storage: SnapshotStorage,
     root: str,
@@ -136,10 +149,12 @@ def _iter_version_deltas(
         ensure_readable(raw, root)
         action = raw.get("action", "append")
         if action in ("overwrite", "merge", "delete", "restore", "update"):
-            raise ValueError(
+            raise RewriteInRange(
+                v,
+                action,
                 f"snapshot stream hit a {action!r} commit at version {v} — "
                 "rows were rewritten; restart the stream from a fresh "
-                "baseline (startingVersion)"
+                "baseline (startingVersion)",
             )
         if "files" not in raw:
             # DELTA form: base is always v-1, so `adds` IS the fresh
