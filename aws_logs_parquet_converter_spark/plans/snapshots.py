@@ -142,8 +142,13 @@ def _seam_store(root: str):
 
 
 #: per-session memo of "is the session's fs.defaultFS the local FS?" —
-#: one py4j probe per session, not per manifest read
-_LOCAL_DEFAULT_FS: dict[int, bool] = {}
+#: one py4j probe per session, not per manifest read. WEAK-keyed on the
+#: session object: an id()-keyed dict could hand a recycled address the
+#: previous session's answer (a cluster session after a local one would
+#: read local paths for scheme-less HDFS roots — a wrong-FS read).
+import weakref as _weakref
+
+_LOCAL_DEFAULT_FS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _meta_store(spark: SparkSession, root: str) -> "_storage.SnapshotStorage":
@@ -157,8 +162,7 @@ def _meta_store(spark: SparkSession, root: str) -> "_storage.SnapshotStorage":
     if seam is not None:
         return seam
     if "://" not in root and not root.startswith("file:/"):
-        key = id(spark)
-        local = _LOCAL_DEFAULT_FS.get(key)
+        local = _LOCAL_DEFAULT_FS.get(spark)
         if local is None:
             try:
                 dfs = (
@@ -168,7 +172,10 @@ def _meta_store(spark: SparkSession, root: str) -> "_storage.SnapshotStorage":
             except Exception:  # pragma: no cover - conf always reachable
                 dfs = ""
             local = str(dfs).startswith("file:")
-            _LOCAL_DEFAULT_FS[key] = local
+            try:
+                _LOCAL_DEFAULT_FS[spark] = local
+            except TypeError:  # pragma: no cover - non-weakrefable session
+                pass
         if local:
             return _storage.LocalSnapshotStorage()
     return _JvmSnapshotStorage(spark)
