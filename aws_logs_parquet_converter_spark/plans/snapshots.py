@@ -992,6 +992,24 @@ def _effective_stats(m: dict, f: str, types: dict[str, str]) -> dict | None:
     return stats or None
 
 
+#: sentinel for "no recorded partition value at this slot" — a recorded
+#: tuple SHORTER than the current partition_by (written before a layout
+#: evolution; _inventory_local pads the same shape) must fall back to
+#: the column's stats entry, exactly what _effective_stats' zip() does
+#: implicitly (r12, advisor finding). Distinct from None, which is a
+#: legitimately recorded hive-null value.
+_PV_ABSENT = object()
+
+
+def _pv_at(pv_f, slot: int):
+    """Recorded partition value of one file at ``slot``, or
+    ``_PV_ABSENT`` when the recorded tuple doesn't reach it."""
+    try:
+        return pv_f[slot]
+    except (IndexError, KeyError):
+        return _PV_ABSENT
+
+
 def _survives_all(
     m: dict, f: str, types: dict[str, str], filters: list[tuple]
 ) -> bool:
@@ -1271,8 +1289,12 @@ def _prune_survivors_arrow(
             ok = True
             for k, (c, op, enc, slot) in enumerate(prepared):
                 mnmx = None
-                if slot is not None and pv_f is not None:
-                    s = pv_f[slot]
+                s = (
+                    _pv_at(pv_f, slot)
+                    if slot is not None and pv_f is not None
+                    else _PV_ABSENT
+                )
+                if s is not _PV_ABSENT:
                     cache = pcache[k]
                     if s in cache:
                         mnmx = cache[s]
@@ -1326,8 +1348,12 @@ def _prune_survivors_arrow(
         ok = True
         for k, (c, op, enc, slot) in enumerate(prepared):
             mnmx = None
-            if slot is not None and pv_f is not None:
-                s = pv_f[slot]
+            s = (
+                _pv_at(pv_f, slot)
+                if slot is not None and pv_f is not None
+                else _PV_ABSENT
+            )
+            if s is not _PV_ABSENT:
                 cache = pcache[k]
                 if s in cache:
                     mnmx = cache[s]
@@ -1434,11 +1460,15 @@ def _prune_survivors(
         ok = True
         for k, (c, op, enc, slot) in enumerate(prepared):
             mnmx = None
-            if slot is not None and pv_f is not None:
+            s = (
+                _pv_at(pv_f, slot)
+                if slot is not None and pv_f is not None
+                else _PV_ABSENT
+            )
+            if s is not _PV_ABSENT:
                 # exact [v, v] range from the recorded partition value —
                 # same override _effective_stats applies (it wins over
                 # any min/max entry for the same column)
-                s = pv_f[slot]
                 cache = pcache[k]
                 if s in cache:
                     mnmx = cache[s]
@@ -4428,7 +4458,7 @@ def snapshot_vacuum(
     # their DATA files are still retired below unless a kept version
     # references them. One incremental walk, not O(kept x F).
     referenced, chain_needed = _vacuum_referenced(
-        _meta_store(spark, root), root, kept
+        _meta_store(spark, root), root, kept, versions
     )
     dropped = [v for v in dropped if v not in chain_needed]
     deleted: list[str] = []
@@ -4483,7 +4513,9 @@ def snapshot_vacuum(
     return sorted(deleted)
 
 
-def _vacuum_referenced(store, root: str, kept: list[int]):
+def _vacuum_referenced(
+    store, root: str, kept: list[int], versions: list[int] | None = None
+):
     """``(referenced, chain_needed)`` for vacuum: the union of every
     kept version's resolved file list (plus each kept version's dv /
     bloom sidecars), and the base versions kept delta manifests resolve
@@ -4495,7 +4527,18 @@ def _vacuum_referenced(store, root: str, kept: list[int]):
     per-version union (pinned by a test over adversarial histories with
     re-adds and mid-range checkpoints). Every raw crossed is
     feature-gated with ``ensure_readable`` — vacuum must never sweep
-    under a manifest it cannot fully interpret."""
+    under a manifest it cannot fully interpret.
+
+    ``versions`` is the LISTED on-disk version set: a prior vacuum may
+    have left the history sparse (it preserves ``chain_needed`` base
+    manifests below its window while deleting the versions between them
+    and its kept set), so the walk iterates only versions that exist.
+    Crossing a gap, the delta carry is re-baselined by fully resolving
+    the first post-gap version — its base chain is preserved by
+    construction (every prior vacuum keeps the FULL chain of every
+    surviving manifest), and no kept version can sit inside a gap, so
+    files live only during deleted versions are correctly unreferenced
+    (r12, per advisor)."""
     raws: dict[int, dict] = {}
 
     def _raw(v: int) -> dict:
@@ -4504,6 +4547,17 @@ def _vacuum_referenced(store, root: str, kept: list[int]):
             _storage.ensure_readable(r, root)
             raws[v] = r
         return raws[v]
+
+    def _resolve(v: int) -> set:
+        # resolved file set of one version (one O(F) chain build)
+        chain = [_raw(v)]
+        while "files" not in chain[-1]:
+            chain.append(_raw(int(chain[-1]["base"])))
+        lv = set(chain[-1]["files"])
+        for d in reversed(chain[:-1]):
+            lv -= set(d.get("removes", ()))
+            lv |= set(d.get("adds", ()))
+        return lv
 
     kept_set = set(kept)
     referenced: set[str] = set()
@@ -4519,21 +4573,25 @@ def _vacuum_referenced(store, root: str, kept: list[int]):
             chain_needed.add(b)
             r = _raw(b)
     lo, hi = kept[0], kept[-1]
-    # resolved file set of the OLDEST kept version (one O(F) build)
-    chain = [_raw(lo)]
-    while "files" not in chain[-1]:
-        chain.append(_raw(int(chain[-1]["base"])))
-    live = set(chain[-1]["files"])
-    for d in reversed(chain[:-1]):
-        live -= set(d.get("removes", ()))
-        live |= set(d.get("adds", ()))
+    live = _resolve(lo)
     referenced |= live
     # walk forward: adds ride as pending until a kept version confirms
     # them live (invariant: live ⊆ referenced ∪ pending)
     pending: set[str] = set()
-    for v in range(lo + 1, hi + 1):
+    walk = (
+        [w for w in versions if lo < w <= hi]
+        if versions is not None
+        else list(range(lo + 1, hi + 1))
+    )
+    prev = lo
+    for v in walk:
         r = _raw(v)
-        if "files" in r:
+        if v != prev + 1:
+            # gap: the intervening versions were vacuumed away —
+            # re-baseline instead of applying this delta to a stale live
+            live = _resolve(v)
+            pending = live - referenced
+        elif "files" in r:
             live = set(r["files"])
             pending = live - referenced
         else:
@@ -4544,6 +4602,7 @@ def _vacuum_referenced(store, root: str, kept: list[int]):
         if v in kept_set:
             referenced |= pending
             pending = set()
+        prev = v
     return referenced, chain_needed
 
 
@@ -4575,7 +4634,7 @@ def _vacuum_seam(
     _storage.ensure_writable(
         _storage.read_manifest(store, root, kept[-1]), root
     )
-    referenced, chain_needed = _vacuum_referenced(store, root, kept)
+    referenced, chain_needed = _vacuum_referenced(store, root, kept, versions)
     dropped = [v for v in dropped if v not in chain_needed]
     deleted: list[str] = []
     cutoff = time.time() - min_age_seconds

@@ -111,23 +111,12 @@ class _FilesMessage(WriterCommitMessage):
 # ---------------------------------------------------------------------------
 
 
-def stream_app_for_checkpoint(ckpt: str) -> str:
-    """The sink's derived replay identity for a checkpoint location —
-    ``stream-<md5 of the NORMALIZED path>``. Spark treats every
-    respelling of the same location as the SAME checkpoint (the
-    restarted query resumes and may re-deliver its last batch), so
-    hashing the verbatim option string would mint a fresh identity for
-    a respelled path and wave the replay through (r10 self-review
-    finding #4). Normalization therefore goes beyond scheme/trailing-
-    slash stripping (r11, r10 ADVICE): a ``file:`` URI drops its
-    authority (``file://localhost/x`` == ``file:///x`` == ``/x``),
-    local/schemeless paths are absolutized and ``normpath``-ed
-    (relative spellings, ``..`` segments, duplicated slashes), and
-    remote URIs get their path component slash-collapsed. Delta keys
-    SetTransaction on the checkpoint's queryId; the path is the stable
-    proxy available to a Python DataSource — pass ``streamAppId``
-    explicitly to decouple identity from location entirely."""
-    import hashlib
+def _normalize_checkpoint(ckpt: str, absolutize: bool) -> str:
+    """Shared checkpoint-path normalizer. ``absolutize`` replays the
+    r11-era behavior (relative local spellings resolved against the
+    driver CWD) — kept ONLY so :func:`_stream_app_legacy_aliases` can
+    recompute that generation's hash; the current identity never calls
+    it with True (a CWD-dependent identity differs run-to-run)."""
     import re
 
     norm = ckpt.strip()
@@ -140,16 +129,85 @@ def stream_app_for_checkpoint(ckpt: str) -> str:
             rest = rest[cut:] if cut >= 0 else "/"
         norm = rest
     if "://" not in norm:
-        # local path: absolutize + normpath so /a//b, /a/./b, a/../a
-        # and a relative spelling of the same dir all hash identically
-        norm = os.path.normpath(os.path.abspath(norm))
+        # local path: normpath so /a//b, /a/./b and a/../a hash
+        # identically. Relative spellings normalize but do NOT
+        # absolutize (r12): the driver CWD can differ run-to-run, which
+        # would derive a different identity for the same checkpoint.
+        if absolutize:
+            norm = os.path.abspath(norm)
+        norm = os.path.normpath(norm)
     else:
         scheme, rest = norm.split("://", 1)
         authority, _, path = rest.partition("/")
         path = re.sub(r"/+", "/", "/" + path)
         norm = f"{scheme}://{authority}{path}"
-    norm = norm.rstrip("/") or "/"
+    return norm.rstrip("/") or "/"
+
+
+def _hash_app(norm: str) -> str:
+    import hashlib
+
     return "stream-" + hashlib.md5(norm.encode("utf-8")).hexdigest()[:16]
+
+
+def stream_app_for_checkpoint(ckpt: str) -> str:
+    """The sink's derived replay identity for a checkpoint location —
+    ``stream-<md5 of the NORMALIZED path>``. Spark treats every
+    respelling of the same location as the SAME checkpoint (the
+    restarted query resumes and may re-deliver its last batch), so
+    hashing the verbatim option string would mint a fresh identity for
+    a respelled path and wave the replay through (r10 self-review
+    finding #4). Normalization therefore goes beyond scheme/trailing-
+    slash stripping (r11, r10 ADVICE): a ``file:`` URI drops its
+    authority (``file://localhost/x`` == ``file:///x`` == ``/x``),
+    local/schemeless paths are ``normpath``-ed (``..`` segments,
+    duplicated slashes) — relative spellings deliberately NOT
+    absolutized (r12): the driver CWD differs run-to-run and from
+    Hadoop's working-dir resolution, so an identity derived through it
+    is unstable — and remote URIs get their path component
+    slash-collapsed. Tables whose ledger was keyed by an EARLIER
+    generation's normalization are found via
+    :func:`_stream_app_legacy_aliases` at commit time. Delta keys
+    SetTransaction on the checkpoint's queryId; the path is the stable
+    proxy available to a Python DataSource — pass ``streamAppId``
+    explicitly to decouple identity from location entirely."""
+    return _hash_app(_normalize_checkpoint(ckpt, absolutize=False))
+
+
+def _stream_app_legacy_aliases(ckpt: str) -> list[str]:
+    """Derived ids EARLIER builds minted for the same checkpoint
+    spelling, most-recent generation first. An upgraded table's
+    ``stream_txns`` ledger may be keyed under one of these (r12,
+    advisor finding): the r10 normalization only stripped a ``file:``
+    prefix and trailing slashes (``file://localhost/x`` hashed as
+    ``localhost/x``; ``/a//b`` kept its doubled slash), and r11
+    absolutized relative spellings against the driver CWD. On a ledger
+    miss for the current derived id, the commit path probes these and
+    folds a hit onto the current key — otherwise the engine's
+    re-delivered last batch after an upgrade would pass the replay
+    check and commit twice. The r11 alias for a relative spelling is
+    recomputed against the CURRENT cwd — best effort, exact when the
+    restart runs from the same directory (any other cwd could not be
+    derived here or anywhere)."""
+    import hashlib
+
+    cur = stream_app_for_checkpoint(ckpt)
+    out: list[str] = []
+    # r11: identical except relative local paths were absolutized
+    r11 = _hash_app(_normalize_checkpoint(ckpt, absolutize=True))
+    if r11 != cur:
+        out.append(r11)
+    # r10: strip file:// / file: prefix, rstrip slashes, hash verbatim
+    n10 = ckpt.strip()
+    for prefix in ("file://", "file:"):
+        if n10.startswith(prefix):
+            n10 = n10[len(prefix):]
+            break
+    n10 = n10.rstrip("/") or "/"
+    r10 = "stream-" + hashlib.md5(n10.encode("utf-8")).hexdigest()[:16]
+    if r10 != cur and r10 not in out:
+        out.append(r10)
+    return out
 
 
 def _store_for_write(root: str):
@@ -305,6 +363,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
         )
     stream_app = None
     stream_app_derived = False
+    stream_app_aliases: list[str] = []
     if streaming:
         # the stream's replay-ledger identity (stream_txns key): an explicit
         # streamAppId option wins; else derived from the checkpoint
@@ -319,6 +378,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
             if ckpt:
                 stream_app = stream_app_for_checkpoint(ckpt)
                 stream_app_derived = True
+                stream_app_aliases = _stream_app_legacy_aliases(ckpt)
             else:
                 from ..plans.snapshots import DEFAULT_STREAM_APP
 
@@ -337,6 +397,7 @@ def _plan_write(schema, options, overwrite: bool, streaming: bool) -> dict:
         "txn_version": int(txn_version) if txn_version is not None else None,
         "stream_app": stream_app,
         "stream_app_derived": stream_app_derived,
+        "stream_app_aliases": stream_app_aliases,
         "commit_name": uuid.uuid4().hex,
     }
 
@@ -629,15 +690,38 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
         # restarts. A distinct new stream on a legacy table can always
         # decouple explicitly via streamAppId.
         adopt_legacy = False
+        alias_app = None
         if batch_id is not None and cfg.get("stream_app_derived") and latest_m:
             legacy = latest_m.get("batch_ids") or []
+            # single-batch ambiguity (r12, advisor): when the legacy
+            # table committed EXACTLY one batch (batch_ids == [0]), a
+            # resumed legacy stream replaying batch 0 and a genuinely
+            # NEW stream delivering ITS batch 0 are indistinguishable.
+            # Decline adoption then — the chosen failure mode is a
+            # possible duplicate of that one batch (at-least-once),
+            # never silently DROPPING a new stream's first batch and
+            # deleting its staged files. Pass streamAppId=_stream to
+            # resolve the ambiguity explicitly toward replay-veto.
             adopt_legacy = bool(
                 legacy
                 and cfg["stream_app"] not in latest_m.get("stream_txns", {})
                 and int(batch_id) >= max(int(b) for b in legacy)
+                and max(int(b) for b in legacy) > 0
             )
+            # ledger miss on the CURRENT derived id: the table may have
+            # been keyed by an earlier build's normalization of the same
+            # checkpoint spelling (r12, advisor) — probe those hashes
+            # and, on a hit, treat that entry as this stream's history
+            # (folded onto the current key at commit below)
+            if cfg["stream_app"] not in latest_m.get("stream_txns", {}):
+                for cand in cfg.get("stream_app_aliases") or ():
+                    if cand in latest_m.get("stream_txns", {}):
+                        alias_app = cand
+                        break
         if batch_id is not None and (
             _batch_replayed(latest_m, cfg["stream_app"], int(batch_id))
+            or (alias_app is not None
+                and _batch_replayed(latest_m, alias_app, int(batch_id)))
             or (adopt_legacy and int(batch_id) in latest_m.get("batch_ids", []))
         ):
             _delete_residue(cfg, messages)
@@ -699,6 +783,18 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
                 int(batch_id),
                 fold_app=cfg["stream_app"] if adopt_legacy else DEFAULT_STREAM_APP,
             )
+            if alias_app is not None:
+                # fold the earlier-normalization key's HWM onto the
+                # current key so later restarts (which derive the
+                # current id) keep finding their high-water mark; the
+                # alias key itself carries via _finalize_commit's
+                # prev-merge — ~25 inert bytes, and still correct if
+                # the table is ever opened by the older build again
+                st = manifest["stream_txns"]
+                st[cfg["stream_app"]] = max(
+                    int(st[cfg["stream_app"]]),
+                    int(latest_m["stream_txns"][alias_app]),
+                )
         elif base_batches:
             # batch append on a LEGACY-ledgered table: keep the list until
             # a stream commit folds it into the stream_txns scalar

@@ -451,11 +451,18 @@ def test_arrow_pruner_equals_per_file_loop(data):
             delta["stats_adds"] = stats_adds
         if pby:
             delta["partition_by"] = pby
-            padds = {
-                f: [data.draw(st.sampled_from(["1", "2"])) for _ in pby]
-                for f in adds
-                if data.draw(st.booleans())
-            }
+            padds = {}
+            for f in adds:
+                if not data.draw(st.booleans()):
+                    continue
+                # a tuple may be SHORT (recorded before a partition-
+                # layout evolution widened partition_by): pruning must
+                # fall back to the stats entry for the missing slots,
+                # never IndexError (r12, advisor finding)
+                n = data.draw(st.integers(min_value=0, max_value=len(pby)))
+                padds[f] = [
+                    data.draw(st.sampled_from(["1", "2"])) for _ in range(n)
+                ]
             if padds:
                 delta["partitions_adds"] = padds
         raws.append(delta)
@@ -606,4 +613,93 @@ def test_vacuum_referenced_equals_per_version_union(data):
     assert got_chain == want_chain
     import shutil
 
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_vacuum_referenced_sparse_history(data):
+    """A PRIOR vacuum leaves the version sequence SPARSE: it preserves
+    ``chain_needed`` base manifests below its window while deleting the
+    versions between them and its kept set. A later vacuum whose
+    retention pulls such a base into ``kept`` must not crash on (or
+    silently misread through) the deleted mid-range versions — it walks
+    only versions that exist, re-baselining at gaps (r12, advisor
+    finding). Oracle: per-kept-version resolved union, same as the
+    dense property."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_logs_parquet_converter_spark import storage as stmod
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        _vacuum_referenced,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="vacref_sp_")
+    root = os.path.join(base_dir, "t")
+    sd = os.path.join(root, "_snapshots")
+    os.makedirs(sd)
+    store = stmod.LocalSnapshotStorage()
+    n_versions = data.draw(st.integers(min_value=3, max_value=10))
+    live: list[str] = []
+    all_versions = []
+    for v in range(1, n_versions + 1):
+        removes = (
+            data.draw(st.lists(st.sampled_from(live), unique=True, max_size=3))
+            if live
+            else []
+        )
+        n_new = data.draw(st.integers(min_value=0, max_value=3))
+        adds = [f"data/c{v}/{i:02d}.parquet" for i in range(n_new)]
+        live = [f for f in live if f not in removes] + adds
+        m: dict = {"version": v, "schema": "{}", "committed_at": 100.0 + v}
+        if v == 1 or data.draw(st.integers(0, 3)) == 0:  # FULL form
+            m["files"] = sorted(live)
+        else:
+            m.update({"base": v - 1, "adds": adds, "removes": removes})
+        with open(os.path.join(sd, f"v{v:08d}.json"), "wb") as fh:
+            fh.write(stmod.encode_manifest_bytes(m))
+        all_versions.append(v)
+
+    def _chain_closure(vs: set[int]) -> set[int]:
+        out = set(vs)
+        frontier = list(vs)
+        while frontier:
+            raw = stmod.read_raw_manifest(store, root, frontier.pop())
+            while "files" not in raw:
+                b = int(raw["base"])
+                if b not in out:
+                    out.add(b)
+                    frontier.append(b)
+                raw = stmod.read_raw_manifest(store, root, b)
+        return out
+
+    # simulate the PRIOR vacuum: keep an arbitrary subset that includes
+    # the tip (keep_last >= 1 always keeps it), preserve full chains,
+    # physically delete everything else
+    prior_kept = set(
+        data.draw(st.sets(st.sampled_from(all_versions), min_size=1))
+    ) | {n_versions}
+    surviving = _chain_closure(prior_kept)
+    for v in all_versions:
+        if v not in surviving:
+            os.unlink(os.path.join(sd, f"v{v:08d}.json"))
+    versions = sorted(surviving)
+    kept = sorted(
+        data.draw(st.sets(st.sampled_from(versions), min_size=1))
+    )
+    got_ref, got_chain = _vacuum_referenced(store, root, kept, versions)
+    want_ref: set = set()
+    want_chain: set = set()
+    for v in kept:
+        km = stmod.read_manifest(store, root, v)
+        want_ref.update(km["files"])
+        raw = stmod.read_raw_manifest(store, root, v)
+        while "files" not in raw:
+            b = int(raw["base"])
+            want_chain.add(b)
+            raw = stmod.read_raw_manifest(store, root, b)
+    assert got_ref == want_ref, (kept, versions, got_ref ^ want_ref)
+    assert got_chain == want_chain
     shutil.rmtree(base_dir, ignore_errors=True)

@@ -629,14 +629,18 @@ def test_stream_app_normalizes_checkpoint_respellings(tmp_path):
     assert app("file:///tmp/ck/q1") == base
     assert app("file://localhost/tmp/ck/q1") == base
     assert app("file:/tmp/ck/q1") == base
-    # relative spellings resolve against the cwd
+    # relative spellings hash verbatim-normalized, NOT cwd-resolved
+    # (r12, advisor): a cwd-dependent identity differs run-to-run, so
+    # the same relative spelling must hash identically from any cwd
     cwd = os.getcwd()
     try:
-        os.chdir("/tmp/ck") if os.path.isdir("/tmp/ck") else os.makedirs(
-            "/tmp/ck", exist_ok=True
-        ) or os.chdir("/tmp/ck")
-        assert app("q1") == base
-        assert app("./q1/") == base
+        os.makedirs("/tmp/ck", exist_ok=True)
+        os.chdir("/tmp/ck")
+        rel = app("q1")
+        assert app("./q1/") == rel
+        os.chdir("/tmp")
+        assert app("q1") == rel  # stable across cwd changes
+        assert rel != base  # relative and absolute forms stay distinct
     finally:
         os.chdir(cwd)
     # distinct locations stay distinct
@@ -644,3 +648,100 @@ def test_stream_app_normalizes_checkpoint_respellings(tmp_path):
     # remote URIs: path collapsed, authority preserved
     assert app("hdfs://nn:8020//ck//q1/") == app("hdfs://nn:8020/ck/q1")
     assert app("hdfs://nn:8020/ck/q1") != app("hdfs://other:8020/ck/q1")
+
+
+def test_stream_sink_r10_alias_ledger_adopted_on_upgrade(spark, tmp_path):
+    """A table whose ``stream_txns`` ledger was keyed by an EARLIER
+    build's normalization of the same checkpoint spelling (r10 hashed
+    ``file://localhost/x`` as ``localhost/x``): on a ledger miss for
+    the current derived id, the alias hash is probed — the engine's
+    re-delivered last batch is skipped, and the next batch folds the
+    alias HWM onto the current key (r12 advisor medium)."""
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        SnapshotTableStreamWriter,
+        _stream_app_legacy_aliases,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    ckpt = "file://localhost" + str(tmp_path / "ck")
+    aliases = _stream_app_legacy_aliases(ckpt)
+    assert aliases, "file://localhost spelling must have an r10 alias"
+    schema = spark.range(0, 1).selectExpr("id", "id * 3 as v").schema
+    # the r10-era build keyed the ledger under its own hash: emulate by
+    # writing batches 0-2 with that id passed explicitly
+    old = SnapshotTableStreamWriter(
+        schema,
+        {"root": root, "checkpointlocation": ckpt, "streamappid": aliases[-1]},
+        overwrite=False,
+    )
+    for b in range(3):
+        _deliver(spark, old, b * 10, b * 10 + 10, b)
+    m = read_manifest(spark, root, 3)
+    assert m["stream_txns"] == {aliases[-1]: 2}
+
+    # upgrade: the resumed stream derives the CURRENT id from the same
+    # spelling; Spark re-delivers the last batch
+    new = SnapshotTableStreamWriter(
+        schema, {"root": root, "checkpointlocation": ckpt}, overwrite=False
+    )
+    _deliver(spark, new, 20, 30, 2)  # re-delivered: must be skipped
+    assert current_version(spark, root) == 3
+    assert snapshot_read(spark, root).count() == 30
+    _deliver(spark, new, 30, 40, 3)  # next batch: commits + folds
+    m4 = read_manifest(spark, root, 4)
+    assert m4["stream_txns"][_stream_app(ckpt)] == 3
+    assert snapshot_read(spark, root).count() == 40
+    # restart after the fold: the current key holds the HWM
+    again = SnapshotTableStreamWriter(
+        schema, {"root": root, "checkpointlocation": ckpt}, overwrite=False
+    )
+    _deliver(spark, again, 30, 40, 3)  # re-delivered
+    assert current_version(spark, root) == 4
+
+
+def test_stream_sink_single_batch_legacy_declines_adoption(spark, tmp_path):
+    """batch_ids == [0] is AMBIGUOUS: a resumed legacy stream replaying
+    batch 0 and a genuinely new stream delivering its batch 0 look the
+    same. The sink declines adoption — the chosen failure mode is a
+    possible duplicate of that one batch, never dropping a new stream's
+    first batch (r12 advisor low; streamAppId=_stream opts into the
+    replay-veto instead)."""
+    from aws_logs_parquet_converter_spark.sources.snapshot_sink import (
+        SnapshotTableStreamWriter,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    schema = spark.range(0, 1).selectExpr("id", "id * 3 as v").schema
+    old = SnapshotTableStreamWriter(
+        schema,
+        {"root": root, "checkpointlocation": str(tmp_path / "old-ck")},
+        overwrite=False,
+    )
+    _deliver(spark, old, 0, 10, 0)  # exactly ONE legacy batch
+    _legacyize(root)
+    m = read_manifest(spark, root, 1)
+    assert m["batch_ids"] == [0]
+
+    # a NEW stream's batch 0 must COMMIT, not be vetoed + residue-deleted
+    fresh = SnapshotTableStreamWriter(
+        schema,
+        {"root": root, "checkpointlocation": str(tmp_path / "new-ck")},
+        overwrite=False,
+    )
+    _deliver(spark, fresh, 100, 110, 0)
+    assert current_version(spark, root) == 2
+    assert snapshot_read(spark, root).count() == 20
+    # the explicit opt-in resolves the ambiguity the other way
+    opted = SnapshotTableStreamWriter(
+        schema,
+        {
+            "root": root,
+            "checkpointlocation": str(tmp_path / "old-ck"),
+            "streamappid": "_stream",
+        },
+        overwrite=False,
+    )
+    _deliver(spark, opted, 0, 10, 0)  # replay of the legacy batch
+    assert current_version(spark, root) == 2  # vetoed by the legacy list
