@@ -44,7 +44,7 @@ def parse_arguments(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--log-format",
         default="s3",
-        choices=["s3", "alb", "vpcflow", "cloudfront"],
+        choices=["s3", "alb", "vpcflow", "cloudfront", "cloudtrail"],
         help="Input log format (default s3 server-access-log)",
     )
     p.add_argument("--master", default=None, help="Spark master override (default local[$SPARK_GRAFT_CPUS])")

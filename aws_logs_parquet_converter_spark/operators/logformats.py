@@ -259,9 +259,155 @@ def q_cloudfront_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CloudTrail (JSON-lines)
+# ---------------------------------------------------------------------------
+
+from ..functions.cloudtrail_parse import (
+    _FIELDS as CT_FIELDS,
+    parse_cloudtrail_lines,
+)
+from ..sources.generator import generate_cloudtrail_lines
+
+CT_LINES = tuple(generate_cloudtrail_lines(120, seed=SEED, garbage_every=29))
+
+
+def _ct_field_exprs(good: bool) -> list[str]:
+    """Per-field DuckDB expressions generated from the one CT_FIELDS
+    spec: good rows extract from the unnested record, bad rows emit
+    typed NULLs so the UNION branches line up column-for-column."""
+    exprs = []
+    for name, path, cast in CT_FIELDS:
+        if cast == "timestamp":
+            e = (
+                f"epoch_us(TRY_CAST(json_extract_string(rec, '$.{path}') "
+                "AS TIMESTAMP))"
+                if good
+                else "CAST(NULL AS BIGINT)"
+            )
+            name = f"{name}_us"
+        elif cast == "bool":
+            # compared as 'true'/'false' text: a nullable BOOLEAN column
+            # degrades to float NaN through pandas, breaking NULL parity
+            e = (
+                f"CAST(json_extract(rec, '$.{path}') AS BOOLEAN)::VARCHAR"
+                if good
+                else "CAST(NULL AS VARCHAR)"
+            )
+            name = f"{name}_str"
+        elif cast == "json":
+            e = (
+                f"json_extract(rec, '$.{path}')::VARCHAR"
+                if good
+                else "CAST(NULL AS VARCHAR)"
+            )
+        else:
+            e = (
+                f"json_extract_string(rec, '$.{path}')"
+                if good
+                else "CAST(NULL AS VARCHAR)"
+            )
+        exprs.append(f"{e} AS {name}")
+    exprs.append(("NULL" if good else "line") + " AS error_line")
+    return exprs
+
+
+# Shared with the streaming CloudTrail compaction gate (streaming/events.py)
+CT_PARSE_ORACLE = f"""
+    WITH raw(value) AS (VALUES
+      {_values_cte(CT_LINES)}),
+    stripped AS (
+      SELECT regexp_replace(value, '^\\s+|\\s+$', '', 'g') AS line FROM raw),
+    nonblank AS (SELECT line FROM stripped WHERE length(line) > 0),
+    flagged AS (
+      -- COALESCE: json_type is NULL (not false) when Records is absent
+      -- or the line is not JSON, and a NULL ok would drop the line from
+      -- BOTH union branches instead of dead-lettering it
+      SELECT line, TRY_CAST(line AS JSON) AS j,
+             COALESCE(json_type(TRY_CAST(line AS JSON), '$.Records')
+                      = 'ARRAY', FALSE) AS ok
+      FROM nonblank),
+    recs AS (
+      SELECT unnest(CAST(j -> '$.Records' AS JSON[])) AS rec
+      FROM flagged WHERE ok)
+    SELECT {", ".join(_ct_field_exprs(True))} FROM recs
+    UNION ALL
+    SELECT {", ".join(_ct_field_exprs(False))} FROM flagged WHERE NOT ok
+    """
+
+
+def ct_parity_columns() -> list:
+    """Comparable projection of a parsed CloudTrail frame: every typed
+    column, the eventTime timestamp as epoch micros, free-form JSON
+    sub-documents as their compact text, plus the dead-letter line."""
+    cols = []
+    for name, _path, cast in CT_FIELDS:
+        if cast == "timestamp":
+            cols.append(F.unix_micros(F.col(name)).alias(f"{name}_us"))
+        elif cast == "bool":
+            cols.append(F.col(name).cast("string").alias(f"{name}_str"))
+        else:
+            cols.append(F.col(name))
+    cols.append(F.col("error_line"))
+    return cols
+
+
+@register(
+    "q_cloudtrail_parse_fields",
+    oracle=CT_PARSE_ORACLE,
+    doc="Row-level CloudTrail parse parity: from_json + Records explosion "
+    "vs an independent DuckDB JSON re-parse of the same lines — 21 typed "
+    "columns incl. nested userIdentity fields and free-form "
+    "requestParameters/responseElements captured as compact JSON text; "
+    "non-JSON / missing-Records / non-array-Records lines dead-lettered.",
+)
+def q_cloudtrail_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame([(l,) for l in CT_LINES], "value string")
+    return parse_cloudtrail_lines(raw).select(*ct_parity_columns())
+
+
+@register(
+    "q_cloudtrail_agg",
+    oracle=f"""
+    WITH raw(value) AS (VALUES
+      {_values_cte(CT_LINES)}),
+    flagged AS (
+      SELECT TRY_CAST(value AS JSON) AS j,
+             COALESCE(json_type(TRY_CAST(value AS JSON), '$.Records')
+                      = 'ARRAY', FALSE) AS ok
+      FROM raw),
+    recs AS (
+      SELECT unnest(CAST(j -> '$.Records' AS JSON[])) AS rec
+      FROM flagged WHERE ok)
+    SELECT json_extract_string(rec, '$.eventSource') AS event_source,
+           COUNT(*) AS n_events,
+           COUNT(json_extract(rec, '$.errorCode')) AS n_errors,
+           COUNT(DISTINCT json_extract_string(
+               rec, '$.requestParameters.bucketName')) AS n_buckets
+    FROM recs
+    GROUP BY 1
+    """,
+    doc="CloudTrail analytics over the exploded records: per-service event "
+    "and error counts plus a drill-in DISTINCT on a field INSIDE the "
+    "free-form requestParameters JSON (get_json_object on the captured "
+    "text) — the Athena-style query shape the nested format exists for.",
+)
+def q_cloudtrail_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame([(l,) for l in CT_LINES], "value string")
+    parsed = parse_cloudtrail_lines(raw).where(F.col("error_line").isNull())
+    return parsed.groupBy("event_source").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("error_code").alias("n_errors"),
+        F.countDistinct(
+            F.get_json_object("request_parameters", "$.bucketName")
+        ).alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Format auto-detection under the oracle
 # ---------------------------------------------------------------------------
 
+from ..functions.cloudtrail_parse import CLOUDTRAIL_LINE_PATTERN
 from ..functions.s3_log_parse import S3_ACCESS_LOG_PATTERN
 from ..sources.generator import generate_log_lines
 
@@ -270,6 +416,7 @@ _MIX_LINES = tuple(
     + list(generate_alb_lines(60, seed=12))
     + list(generate_vpc_flow_lines(60, seed=13))
     + list(generate_cloudfront_lines(60, seed=14))
+    + list(generate_cloudtrail_lines(60, seed=15, garbage_every=29))
 )
 
 
@@ -280,6 +427,8 @@ _MIX_LINES = tuple(
       {_values_cte(_MIX_LINES)})
     SELECT value,
            CASE
+             WHEN regexp_matches(value, {_q(CLOUDTRAIL_LINE_PATTERN)})
+                  THEN 'cloudtrail'
              WHEN regexp_matches(value, {_q(S3_ACCESS_LOG_PATTERN)}) THEN 's3'
              WHEN regexp_matches(value, {_q(ALB_LOG_PATTERN)}) THEN 'alb'
              WHEN len(string_split(ltrim(value), chr(9))) = 33
@@ -290,8 +439,8 @@ _MIX_LINES = tuple(
     """,
     doc="Per-line format classification under the oracle: the native-"
     "expression classifier (sources/registry.py: classify_lines) vs the "
-    "same priority CASE re-expressed in DuckDB over a 240-line corpus "
-    "mixing all four formats plus garbage/blank/header lines.",
+    "same priority CASE re-expressed in DuckDB over a 300-line corpus "
+    "mixing all five formats plus garbage/blank/header lines.",
 )
 def q_format_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.registry import classify_lines

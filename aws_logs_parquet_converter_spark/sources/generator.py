@@ -255,6 +255,97 @@ def generate_cloudfront_lines(n: int, seed: int = 42, garbage_every: int = 97) -
     return lines
 
 
+def generate_cloudtrail_lines(
+    n: int, seed: int = 42, garbage_every: int = 97
+) -> list[str]:
+    """CloudTrail-style JSON lines: each line one delivered log document
+    ``{"Records": [...]}`` holding 1-5 records (compact JSON, stable key
+    order — the parser's re-serialization of the free-form sub-objects
+    must round-trip byte-identically). Garbage lines rotate through the
+    three dead-letter shapes: non-JSON text, JSON without a Records
+    array, and a Records that is not an array."""
+    import json
+
+    rng = random.Random(seed)
+    start = datetime(2024, 7, 1, 0, 0, 0)
+    apis = [
+        ("s3.amazonaws.com", "GetObject", True),
+        ("s3.amazonaws.com", "PutObject", False),
+        ("s3.amazonaws.com", "ListBuckets", True),
+        ("ec2.amazonaws.com", "DescribeInstances", True),
+        ("ec2.amazonaws.com", "RunInstances", False),
+        ("sts.amazonaws.com", "AssumeRole", True),
+        ("iam.amazonaws.com", "CreateUser", False),
+    ]
+    regions = ["us-east-1", "us-west-2", "eu-west-1", "ap-northeast-1"]
+    accounts = ["111122223333", "444455556666", "777788889999"]
+    bad_shapes = [
+        lambda i: f"not a cloudtrail line {i}",
+        lambda i: json.dumps({"NotRecords": i}, separators=(",", ":")),
+        lambda i: json.dumps({"Records": f"oops{i}"}, separators=(",", ":")),
+    ]
+    lines: list[str] = []
+    for i in range(n):
+        if garbage_every and i % garbage_every == garbage_every - 1:
+            lines.append(bad_shapes[(i // garbage_every) % len(bad_shapes)](i))
+            continue
+        records = []
+        for _ in range(rng.randint(1, 5)):
+            src, name, ro = rng.choice(apis)
+            acct = rng.choice(accounts)
+            ts = start + timedelta(seconds=rng.randint(0, 30 * 24 * 3600))
+            user = rng.choice(["alice", "bob", "carol", None])
+            ident: dict = {"type": "IAMUser" if user else "AWSService"}
+            if user:
+                ident.update(
+                    {
+                        "principalId": f"AIDA{rng.getrandbits(32):08X}",
+                        "arn": f"arn:aws:iam::{acct}:user/{user}",
+                        "accountId": acct,
+                        "userName": user,
+                    }
+                )
+            rec: dict = {
+                "eventVersion": "1.08",
+                "eventTime": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "eventSource": src,
+                "eventName": name,
+                "awsRegion": rng.choice(regions),
+                "sourceIPAddress": f"192.0.2.{rng.randint(1, 254)}",
+                "userIdentity": ident,
+                "requestID": f"{rng.getrandbits(64):016X}",
+                "eventID": f"evt-{rng.getrandbits(48):012x}",
+                "readOnly": ro,
+                "eventType": "AwsApiCall",
+                "recipientAccountId": acct,
+            }
+            if rng.random() < 0.8:
+                rec["userAgent"] = rng.choice(
+                    ["aws-cli/2.15.0", "Boto3/1.34.0", "console.amazonaws.com"]
+                )
+            if src == "s3.amazonaws.com" and name != "ListBuckets":
+                rec["requestParameters"] = {
+                    "bucketName": f"bkt-{rng.randint(0, 9)}",
+                    "key": f"data/{rng.randint(0, 999)}.parquet",
+                }
+            elif name == "RunInstances":
+                rec["requestParameters"] = {
+                    "instanceType": rng.choice(["m5.large", "r5.xlarge"]),
+                    "minCount": 1,
+                    "maxCount": rng.randint(1, 4),
+                }
+            if name == "AssumeRole" and rng.random() < 0.5:
+                rec["responseElements"] = {
+                    "credentials": {"expiration": "2024-08-01T00:00:00Z"}
+                }
+            if rng.random() < 0.08:
+                rec["errorCode"] = rng.choice(["AccessDenied", "ThrottlingException"])
+                rec["errorMessage"] = "operation failed"
+            records.append(rec)
+        lines.append(json.dumps({"Records": records}, separators=(",", ":")))
+    return lines
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 Python DataSource: synthetic S3 access-log lines as a first-class
 # parallel source (spark.read.format("synthetic_s3_logs"))

@@ -24,6 +24,10 @@ from ..functions.cloudfront_log_parse import (
     CLOUDFRONT_LOG_SCHEMA,
     parse_cloudfront_log_lines,
 )
+from ..functions.cloudtrail_parse import (
+    CLOUDTRAIL_LOG_SCHEMA,
+    parse_cloudtrail_lines,
+)
 from ..functions.s3_log_parse import S3_ACCESS_LOG_SCHEMA, parse_s3_access_log_lines
 from ..functions.vpc_flow_parse import VPC_FLOW_SCHEMA, parse_vpc_flow_lines
 from .logs import read_text_lines
@@ -42,6 +46,9 @@ FORMATS: dict[str, LogFormat] = {
     "vpcflow": LogFormat("vpcflow", VPC_FLOW_SCHEMA, parse_vpc_flow_lines),
     "cloudfront": LogFormat(
         "cloudfront", CLOUDFRONT_LOG_SCHEMA, parse_cloudfront_log_lines
+    ),
+    "cloudtrail": LogFormat(
+        "cloudtrail", CLOUDTRAIL_LOG_SCHEMA, parse_cloudtrail_lines
     ),
 }
 
@@ -165,9 +172,10 @@ def read_http_events(spark: SparkSession, sources: dict[str, str]) -> DataFrame:
 def classify_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Add a ``detected_format`` column classifying each raw line.
 
-    Pure native expressions, evaluated in registry priority order. The four
-    formats are structurally disjoint on a single line: the S3 grammar
-    needs a bracketed timestamp 3rd field, ALB an ISO8601 2nd field after a
+    Pure native expressions, evaluated in registry priority order. The five
+    formats are structurally disjoint on a single line: CloudTrail is a
+    JSON document opening with a ``Records`` key, the S3 grammar needs a
+    bracketed timestamp 3rd field, ALB an ISO8601 2nd field after a
     scheme token, VPC flow exactly 14 space-separated fields, CloudFront
     exactly 33 tab-separated fields (or a ``#`` W3C header). Unmatched
     lines classify NULL.
@@ -175,12 +183,14 @@ def classify_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..functions.alb_log_parse import ALB_LOG_PATTERN
+    from ..functions.cloudtrail_parse import CLOUDTRAIL_LINE_PATTERN
     from ..functions.s3_log_parse import S3_ACCESS_LOG_PATTERN
 
     v = F.col(value_col)
     return lines.withColumn(
         "detected_format",
-        F.when(v.rlike(S3_ACCESS_LOG_PATTERN), "s3")
+        F.when(v.rlike(CLOUDTRAIL_LINE_PATTERN), "cloudtrail")
+        .when(v.rlike(S3_ACCESS_LOG_PATTERN), "s3")
         .when(v.rlike(ALB_LOG_PATTERN), "alb")
         .when(
             (F.size(F.split(F.ltrim(v), "\t")) == 33)

@@ -638,6 +638,19 @@ def _register_gate_queries() -> None:
         "re-split of the same corpus.",
     )(stream_cloudfront_compaction)
 
+    from ..operators.logformats import CT_PARSE_ORACLE
+
+    register(
+        "stream_cloudtrail_compaction",
+        oracle=CT_PARSE_ORACLE,
+        doc="Structured Streaming gate: the multi-format streaming log "
+        "path on the NESTED-JSON CloudTrail format — from_json + Records "
+        "explosion (one line fans out into N typed rows) through "
+        "run_log_file_stream's idempotent (day, batch) commits; drained "
+        "table == the independent DuckDB JSON re-parse of the same "
+        "corpus, dead letters (day=dead partition) included.",
+    )(stream_cloudtrail_compaction)
+
     if tws_available():
         # Registered wherever the TWS worker protocol can run: with a real
         # protobuf runtime, or via the wire-compatible shim
@@ -1047,6 +1060,7 @@ _STREAM_TIME_COLS = {
     "alb": "time",
     "vpcflow": "start_ts",
     "cloudfront": "request_ts",
+    "cloudtrail": "event_time",
 }
 
 
@@ -1753,3 +1767,22 @@ def stream_cloudfront_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = tempfile.mkdtemp(prefix="stream_cf_dest_")
     run_log_file_stream(spark, raw_dir, dest, fmt="cloudfront")
     return spark.read.parquet(dest).select(*cf_parity_columns())
+
+
+def stream_cloudtrail_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the multi-format streaming path on the NESTED-JSON format —
+    CloudTrail documents fan out (one line explodes into N records)
+    through the same arrival-driven file stream + (day, batch)
+    idempotent-overwrite machinery; the drained table must match the
+    independent DuckDB JSON re-parse oracle shared with
+    q_cloudtrail_parse_fields (21 typed columns, dead letters in the
+    day=dead partition included). With this, all FIVE batch formats run
+    end-to-end as streams through one parameterized path."""
+    import tempfile
+
+    from ..operators.logformats import CT_LINES, ct_parity_columns
+
+    raw_dir = _write_line_files(CT_LINES, 3, "stream_ct_raw_")
+    dest = tempfile.mkdtemp(prefix="stream_ct_dest_")
+    run_log_file_stream(spark, raw_dir, dest, fmt="cloudtrail")
+    return spark.read.parquet(dest).select(*ct_parity_columns())

@@ -108,7 +108,9 @@ def test_registry_dispatch(spark, tmp_path):
     vpc = read_logs(spark, str(vpc_dir) + "/*.txt", fmt="vpcflow")
     assert vpc.schema == VPC_FLOW_SCHEMA
     assert vpc.where("error_line IS NULL").count() > 150
-    assert sorted(FORMATS) == ["alb", "cloudfront", "s3", "vpcflow"]
+    assert sorted(FORMATS) == [
+        "alb", "cloudfront", "cloudtrail", "s3", "vpcflow"
+    ]
 
 
 def test_cloudfront_golden_line(spark):
@@ -215,11 +217,12 @@ def test_normalized_http_union_across_formats(spark, tmp_path):
 
 
 def test_format_autodetection_mixed_directory(spark, tmp_path):
-    """A directory mixing all four formats: every file is detected
+    """A directory mixing all five formats: every file is detected
     correctly and read_logs_auto parses each group with the right parser."""
     from aws_logs_parquet_converter_spark.sources.generator import (
         generate_alb_lines,
         generate_cloudfront_lines,
+        generate_cloudtrail_lines,
         generate_log_lines,
         generate_vpc_flow_lines,
     )
@@ -235,6 +238,9 @@ def test_format_autodetection_mixed_directory(spark, tmp_path):
     (d / "alb.log").write_text("\n".join(generate_alb_lines(60, seed=3)) + "\n")
     (d / "vpc.log").write_text("\n".join(generate_vpc_flow_lines(60, seed=4)) + "\n")
     (d / "cf.log").write_text("\n".join(generate_cloudfront_lines(60, seed=5)) + "\n")
+    (d / "ct.log").write_text(
+        "\n".join(generate_cloudtrail_lines(60, seed=6)) + "\n"
+    )
 
     detected = {
         r.file.rsplit("/", 1)[-1]: r.detected_format
@@ -246,13 +252,113 @@ def test_format_autodetection_mixed_directory(spark, tmp_path):
         "alb.log": "alb",
         "vpc.log": "vpcflow",
         "cf.log": "cloudfront",
+        "ct.log": "cloudtrail",
     }
 
     tables = read_logs_auto(spark, str(d) + "/*.log")
-    assert set(tables) == {"s3", "alb", "vpcflow", "cloudfront"}
+    assert set(tables) == {"s3", "alb", "vpcflow", "cloudfront", "cloudtrail"}
     # the two s3 files parse together; garbage lines dead-letter, blanks drop
     assert tables["s3"].count() > 100
     assert "request_time" in tables["s3"].columns
     assert tables["alb"].columns[-1] == "error_line"
     assert tables["vpcflow"].where("log_status = 'NODATA'").count() >= 0
     assert "x_edge_location" in tables["cloudfront"].columns
+
+
+# ---------------------------------------------------------------------------
+# CloudTrail (JSON-lines)
+# ---------------------------------------------------------------------------
+
+
+def test_cloudtrail_golden_line(spark):
+    """One hand-built document: every typed column lands, nested
+    userIdentity flattens, free-form requestParameters round-trips as
+    compact JSON text, eventTime types as a UTC timestamp."""
+    from aws_logs_parquet_converter_spark.functions.cloudtrail_parse import (
+        parse_cloudtrail_lines,
+    )
+
+    line = (
+        '{"Records":[{"eventVersion":"1.08","eventTime":"2024-07-01T12:00:05Z",'
+        '"eventSource":"s3.amazonaws.com","eventName":"GetObject",'
+        '"awsRegion":"us-east-1","sourceIPAddress":"192.0.2.7",'
+        '"userAgent":"aws-cli/2.15",'
+        '"userIdentity":{"type":"IAMUser","principalId":"AIDA1",'
+        '"arn":"arn:aws:iam::111122223333:user/bob",'
+        '"accountId":"111122223333","userName":"bob"},'
+        '"requestParameters":{"bucketName":"b1","key":"k/1.txt"},'
+        '"requestID":"R1","eventID":"E1","readOnly":true,'
+        '"eventType":"AwsApiCall","recipientAccountId":"111122223333"}]}'
+    )
+    df = spark.createDataFrame([(line,)], "value string")
+    r = parse_cloudtrail_lines(df).collect()[0]
+    assert r.event_name == "GetObject"
+    assert r.user_name == "bob"
+    assert r.user_type == "IAMUser"
+    assert r.request_parameters == '{"bucketName":"b1","key":"k/1.txt"}'
+    assert r.read_only is True
+    assert r.error_code is None
+    assert r.event_time.strftime("%Y-%m-%d %H:%M:%S") == "2024-07-01 12:00:05"
+    assert r.error_line is None
+
+
+def test_cloudtrail_explosion_and_dead_letters(spark):
+    """A multi-record document fans out one row per record; each of the
+    three bad shapes (non-JSON, missing Records, non-array Records)
+    yields exactly one dead-letter row; an EMPTY Records array yields
+    zero rows; blank lines drop."""
+    from aws_logs_parquet_converter_spark.functions.cloudtrail_parse import (
+        parse_cloudtrail_lines,
+    )
+
+    two = (
+        '{"Records":[{"eventID":"A","eventTime":"2024-07-01T00:00:00Z"},'
+        '{"eventID":"B","eventTime":"2024-07-02T00:00:00Z"}]}'
+    )
+    lines = [two, "garbage", '{"NotRecords":1}', '{"Records":"oops"}',
+             '{"Records":[]}', "", "   "]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = parse_cloudtrail_lines(df)
+    rows = out.collect()
+    assert len(rows) == 5  # 2 records + 3 dead letters
+    dead = [r.error_line for r in rows if r.error_line is not None]
+    assert sorted(dead) == sorted(
+        ["garbage", '{"NotRecords":1}', '{"Records":"oops"}']
+    )
+    good = sorted(r.event_id for r in rows if r.error_line is None)
+    assert good == ["A", "B"]
+    # dead-letter rows carry NULL in every typed column
+    for r in rows:
+        if r.error_line is not None:
+            assert r.event_id is None and r.event_time is None
+
+
+def test_cloudtrail_generator_roundtrip(spark):
+    """The seeded corpus parses with the expected record fan-out and
+    garbage accounting (ground truth recomputed with json.loads)."""
+    import json
+
+    from aws_logs_parquet_converter_spark.functions.cloudtrail_parse import (
+        parse_cloudtrail_lines,
+    )
+    from aws_logs_parquet_converter_spark.sources.generator import (
+        generate_cloudtrail_lines,
+    )
+
+    lines = generate_cloudtrail_lines(120, seed=7, garbage_every=29)
+    n_good = n_bad = 0
+    for l in lines:
+        try:
+            r = json.loads(l).get("Records")
+            if isinstance(r, list):
+                n_good += len(r)
+            else:
+                n_bad += 1
+        except (ValueError, AttributeError):
+            n_bad += 1
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = parse_cloudtrail_lines(df).cache()
+    assert out.where("error_line is null").count() == n_good
+    assert out.where("error_line is not null").count() == n_bad
+    assert n_bad == 4  # all three bad shapes cycle through the corpus
+    out.unpersist()
