@@ -417,6 +417,59 @@ def _encode_commit(manifest: dict, prev: dict | None) -> dict:
         or v % MANIFEST_CHECKPOINT_EVERY == 0
     ):
         return manifest
+    files_obj = manifest["files"]
+    if (
+        isinstance(files_obj, _storage.RebasedFiles)
+        and files_obj.base is prev.get("files")
+        and files_obj._l is None
+    ):
+        # REBASED fast path (r12): the commit declared its own
+        # (adds, removes) against prev, so the delta falls out with no
+        # set-diff over the base list (resolution applies removes then
+        # adds, so a redundant member in either is a no-op). O(batch).
+        adds = list(files_obj.adds)
+        removes = sorted(files_obj.removes)
+        n_est = _approx_files_len(files_obj)
+        if len(adds) + len(removes) >= n_est:
+            return manifest  # rewrite-shaped commit
+        raw = {
+            k: val for k, val in manifest.items() if k not in _RESOLVED_KEYS
+        }
+        raw["base"] = v - 1
+        raw["adds"] = adds
+        raw["removes"] = removes
+        adds_set = set(adds)
+        for mkey, dkey in (
+            ("stats", "stats_adds"),
+            ("partitions", "partitions_adds"),
+            ("sizes", "sizes_adds"),
+        ):
+            sec = manifest.get(mkey)
+            if sec is None:
+                continue
+            if (mkey == "stats" and not manifest.get("stats_cols")) or (
+                mkey == "partitions" and not manifest.get("partition_by")
+            ):
+                continue
+            if (
+                isinstance(sec, _storage.RebasedSection)
+                and sec.base is prev.get(mkey)
+                and set(sec.adds) <= adds_set
+            ):
+                raw[dkey] = dict(sec.adds)
+            else:  # unexpected layering: the scalar diff is the record
+                sec_d = dict(sec)
+                raw[dkey] = {f: sec_d[f] for f in adds if f in sec_d}
+                if mkey == "sizes":
+                    prev_sizes = prev.get("sizes", {})
+                    raw[dkey].update(
+                        {
+                            f: s
+                            for f, s in sec_d.items()
+                            if f not in prev_sizes
+                        }
+                    )
+        return raw
     prev_files, files = set(prev["files"]), set(manifest["files"])
     adds, removes = sorted(files - prev_files), sorted(prev_files - files)
     if len(adds) + len(removes) >= len(files):
@@ -448,6 +501,18 @@ def _encode_commit(manifest: dict, prev: dict | None) -> dict:
     return raw
 
 
+def _approx_files_len(files_obj) -> int:
+    """Upper-bound length of a (possibly rebased) files container in
+    O(chain) — only feeds the delta-vs-full size heuristic, so adds
+    already present in the base over-counting is harmless."""
+    n = 0
+    cur = files_obj
+    while isinstance(cur, _storage.RebasedFiles):
+        n += len(cur.adds)
+        cur = cur.base
+    return n + len(cur)
+
+
 def _resolve_sizes(
     spark: SparkSession,
     root: str,
@@ -464,6 +529,28 @@ def _resolve_sizes(
     what lets the auto-compaction trigger and incremental OPTIMIZE run
     on pure metadata instead of one driver RPC per live file (the r7
     weak item)."""
+    files_obj = manifest["files"]
+    prev_sizes = (prev or {}).get("sizes")
+    if (
+        "sizes" not in manifest
+        and isinstance(files_obj, _storage.RebasedFiles)
+        and prev is not None
+        and files_obj.base is prev.get("files")
+        and isinstance(prev_sizes, _storage.LazySection)
+        and set(files_obj.adds) <= set(new_sizes or ())
+    ):
+        # rebased fast path (r12): a parquet-form prev was written by a
+        # post-upgrade build, whose commit enforced the completeness
+        # invariant (sizes covers every live file) — so the only new
+        # entries are this commit's own listing, O(batch), and no
+        # membership scan of the base is needed
+        manifest["sizes"] = _storage.rebase_section(
+            prev_sizes,
+            {f: int(new_sizes[f]) for f in files_obj.adds},
+            files_obj.removes,
+            files_obj,
+        )
+        return
     live = set(manifest["files"])
     merged = {
         **(prev or {}).get("sizes", {}),
@@ -2315,7 +2402,11 @@ def snapshot_write(
                 "version": (latest or 0) + 1,
                 "action": "stream-append" if batch_id is not None else mode,
                 "schema": commit_schema,
-                "files": sorted(set(base_files) | set(new_files)),
+                # REBASED over prev (r12): the merged list defers, and
+                # the carried (base, adds) triple lets the delta encoder
+                # diff and the checkpoint encoder rebuild arrow-to-arrow
+                # without materializing the base — commit cost O(batch)
+                "files": _storage.rebase_files(base_files, new_files),
             }
             if batch_id is not None:
                 # scalar HWM ledger; folds any legacy list and retires it
@@ -2338,11 +2429,9 @@ def snapshot_write(
                 manifest["dv"] = prev_resolved["dv"]
             if cols:
                 manifest["stats_cols"] = list(cols)
-                manifest["stats"] = {
-                    f: s
-                    for f, s in {**base_stats, **(new_stats or {})}.items()
-                    if f in set(manifest["files"])
-                }
+                manifest["stats"] = _storage.rebase_section(
+                    base_stats, new_stats or {}, frozenset(), manifest["files"]
+                )
             if bcols:
                 manifest["bloom"] = {
                     "cols": list(bcols),
@@ -2359,12 +2448,9 @@ def snapshot_write(
                 base_parts = (
                     prev_resolved.get("partitions", {}) if prev_resolved else {}
                 )
-                live = set(manifest["files"])
-                manifest["partitions"] = {
-                    f: v
-                    for f, v in {**base_parts, **new_parts}.items()
-                    if f in live
-                }
+                manifest["partitions"] = _storage.rebase_section(
+                    base_parts, new_parts, frozenset(), manifest["files"]
+                )
             if _try_commit(
                 spark, root, manifest, prev=prev_resolved, new_sizes=new_sizes
             ):
@@ -2617,6 +2703,53 @@ def _rel_key(f: str) -> str:
     return mm.group(1) if mm else f
 
 
+#: explicit path lists at or above this size route through the joined
+#: hand-off + bounded discovery (below it, the stock API's cost is noise)
+_SCAN_PATHS_FAST_MIN = 4096
+
+
+def _read_parquet_paths(spark: SparkSession, paths: list[str], pschema=None):
+    """``spark.read.schema(s).parquet(*paths)`` with the two DRIVER
+    walls of a large explicit file list bounded (r12 verdict #2,
+    measured in ``tools/scan_handoff_probe.py``):
+
+    * **py4j hand-off** — the stock varargs path converts ONE STRING PER
+      WIRE CALL (~11 s per 100k paths, ~2 min at 1M survivors). Large
+      lists ship as a single comma-joined string split JVM-side
+      (``org.apache.spark.util.Utils.stringToSeq`` — 0.16 s per 100k,
+      ~70x).
+    * **discovery job** — InMemoryFileIndex launches
+      ``min(n_paths, parallelPartitionDiscovery.parallelism=10000)``
+      listing tasks no matter how few paths there are (~17 s of pure
+      task-scheduling overhead on local[8] even at 10k paths). Bounded
+      here to ~1 task per 256 paths for the duration of the plan call.
+
+    Falls back to the stock API below the threshold or when any path
+    contains a comma (the join separator)."""
+    reader = spark.read if pschema is None else spark.read.schema(pschema)
+    n = len(paths)
+    if n < _SCAN_PATHS_FAST_MIN or any("," in p for p in paths):
+        return reader.parquet(*paths)
+    from pyspark.sql import DataFrame as _PyDF
+
+    key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+    # get with a None default returns None unless the conf was SET
+    # explicitly — get() without one would return the session default
+    # and the restore below would pin it as if user-set
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(min(n // 256 + 1, 10000)))
+    try:
+        jseq = spark._jvm.org.apache.spark.util.Utils.stringToSeq(
+            ",".join(paths)
+        )
+        return _PyDF(reader._jreader.parquet(jseq), spark)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _plan_scan(
     spark: SparkSession,
     root: str,
@@ -2654,7 +2787,9 @@ def _plan_scan(
     dv_files = m.get("dv")
     if not dv_files:
         return _logical(
-            spark.read.schema(pschema).parquet(*[_abs_file(root, f) for f in files])
+            _read_parquet_paths(
+                spark, [_abs_file(root, f) for f in files], pschema
+            )
         )
     dv = spark.read.parquet(*[_abs_file(root, p) for p in dv_files]).select(
         F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
@@ -2666,8 +2801,8 @@ def _plan_scan(
     clean = [f for f in files if _rel_key(f) not in touched]
     parts = []
     if dirty:
-        scan = spark.read.schema(pschema).parquet(
-            *[_abs_file(root, f) for f in dirty]
+        scan = _read_parquet_paths(
+            spark, [_abs_file(root, f) for f in dirty], pschema
         )
         cols = scan.columns
         parts.append(
@@ -2681,8 +2816,8 @@ def _plan_scan(
     if clean:
         parts.append(
             _logical(
-                spark.read.schema(pschema).parquet(
-                    *[_abs_file(root, f) for f in clean]
+                _read_parquet_paths(
+                    spark, [_abs_file(root, f) for f in clean], pschema
                 )
             )
         )
@@ -3017,7 +3152,9 @@ def snapshot_changes(
     schema = StructType.fromJson(json.loads(schema_json))
     if not delta:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*[_abs_file(root, f) for f in delta])
+    return _read_parquet_paths(
+        spark, [_abs_file(root, f) for f in delta], schema
+    )
 
 
 def snapshot_cdf(
@@ -3122,8 +3259,9 @@ def snapshot_cdf(
             fresh = sorted(files - seen_files)
             if fresh:
                 pieces.append(
-                    spark.read.schema(schema)
-                    .parquet(*[_abs_file(root, f) for f in fresh])
+                    _read_parquet_paths(
+                        spark, [_abs_file(root, f) for f in fresh], schema
+                    )
                     .withColumn(
                         "_change_type",
                         F.lit("update_postimage" if is_dv_update else "insert"),
@@ -3413,7 +3551,9 @@ def _delete_dv(
     row identity appears in at most one vector — which makes each
     commit's NEW vector exactly its delete delta, the property
     :func:`snapshot_cdf` reads row-level change feeds from."""
-    cand = spark.read.schema(schema).parquet(*[_abs_file(root, f) for f in candidates])
+    cand = _read_parquet_paths(
+        spark, [_abs_file(root, f) for f in candidates], schema
+    )
     ident = cand.withColumn("__dv_file", _rel_file_expr(root)).withColumn(
         "__dv_pos", F.col("_metadata.row_index")
     )  # reserved names: a table column can't collide with them

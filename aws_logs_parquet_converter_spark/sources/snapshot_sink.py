@@ -78,12 +78,15 @@ from dataclasses import dataclass
 from .. import storage as _storage
 from ..storage import (
     SNAP_DIR,
+    LazySection,
     LocalSnapshotStorage,
     WritableObjectStorage,
     current_version_fast,
     ensure_writable,
     manifest_name,
     read_manifest,
+    rebase_files,
+    rebase_section,
     storage_for_root,
 )
 
@@ -769,7 +772,9 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
             "version": (latest or 0) + 1,
             "action": "stream-append" if batch_id is not None else mode,
             "schema": commit_schema,
-            "files": sorted(set(base_files) | set(new_files)),
+            # rebased over prev (r12): defers the merged list and lets
+            # the shared encoder diff / rebuild columnar, O(batch)
+            "files": rebase_files(base_files, list(new_files)),
         }
         if batch_id is not None:
             # scalar HWM ledger (O(1) manifest bytes per commit in stream
@@ -805,50 +810,53 @@ def _commit_files(cfg: dict, messages, batch_id: int | None = None) -> int | Non
             manifest["dv"] = prev["dv"]
         if cols:
             manifest["stats_cols"] = list(cols)
-            live = set(manifest["files"])
-            manifest["stats"] = {
-                f: s
-                for f, s in {
-                    **base_stats,
-                    **{
-                        rel: e.get("stats", {})
-                        for rel, e in new_files.items()
-                    },
-                }.items()
-                if f in live
-            }
+            manifest["stats"] = rebase_section(
+                base_stats,
+                {rel: e.get("stats", {}) for rel, e in new_files.items()},
+                frozenset(),
+                manifest["files"],
+            )
         if pcols:
             manifest["partition_by"] = list(pcols)
             base_parts = (prev or {}).get("partitions", {}) if mode == "append" else {}
-            live = set(manifest["files"])
-            manifest["partitions"] = {
-                f: v
-                for f, v in {
-                    **base_parts,
-                    **{
-                        rel: _parse_partition_values(rel, pcols)
-                        for rel in new_files
-                    },
-                }.items()
-                if f in live
-            }
+            manifest["partitions"] = rebase_section(
+                base_parts,
+                {
+                    rel: _parse_partition_values(rel, pcols)
+                    for rel in new_files
+                },
+                frozenset(),
+                manifest["files"],
+            )
         if ac:
             manifest["auto_compact_mb"] = float(ac)
         # sizes: fresh files bring theirs from the tasks' own staging
         # stat; live files inherit; pre-upgrade files backfill via the
-        # store (same invariant as plans.snapshots._resolve_sizes)
-        live = set(manifest["files"])
-        sizes = {
-            f: s
-            for f, s in {
-                **((prev or {}).get("sizes", {})),
-                **{rel: e["size"] for rel, e in new_files.items()},
-            }.items()
-            if f in live
-        }
-        for f in sorted(live - set(sizes)):
-            sizes[f] = int(store.key_size(root, f))
-        manifest["sizes"] = sizes
+        # store (same invariant as plans.snapshots._resolve_sizes). A
+        # lazy post-upgrade prev keeps the rebased fast path (complete-
+        # coverage invariant held at its own commit); a plain-dict prev
+        # (tiny JSON / legacy) takes the checked scalar merge.
+        prev_sizes = (prev or {}).get("sizes")
+        if mode == "append" and isinstance(prev_sizes, LazySection):
+            manifest["sizes"] = rebase_section(
+                prev_sizes,
+                {rel: int(e["size"]) for rel, e in new_files.items()},
+                frozenset(),
+                manifest["files"],
+            )
+        else:
+            live = set(manifest["files"])
+            sizes = {
+                f: s
+                for f, s in {
+                    **(dict(prev_sizes) if prev_sizes else {}),
+                    **{rel: e["size"] for rel, e in new_files.items()},
+                }.items()
+                if f in live
+            }
+            for f in sorted(live - set(sizes)):
+                sizes[f] = int(store.key_size(root, f))
+            manifest["sizes"] = sizes
         payload = _finalize_commit(manifest, prev)
         version = int(manifest["version"])
         if store.put_if_absent_bytes(

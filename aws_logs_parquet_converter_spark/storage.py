@@ -913,10 +913,29 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
     The delta form (``base``/``adds``/``removes``/``stats_adds``) is the
     Delta-Lake log-segment + checkpoint design (VLDB'20 §3.1)."""
     base, deltas = raws[0], raws[1:]
-    files = set(base["files"])
-    for d in deltas:
-        files -= set(d.get("removes", ()))
-        files |= set(d.get("adds", ()))
+    base_files = base["files"]
+    lazy_files = isinstance(base_files, LazyFiles)
+    if lazy_files:
+        # keep the file list DEFERRED (r12): accumulate the chain's
+        # cumulative adds/removes instead of applying them to a
+        # materialized base set — a chain-resolved read that never
+        # iterates files (commit rebases, metadata probes) skips the
+        # O(F) string build entirely, and the rebase triple lets the
+        # columnar commit encoder reuse the base's arrow columns
+        acc_a: set = set()
+        acc_r: set = set()
+        for d in deltas:
+            rs = set(d.get("removes", ()))
+            acc_a -= rs
+            acc_r |= rs
+            acc_a |= set(d.get("adds", ()))
+        files_obj = rebase_files(base_files, acc_a, acc_r)
+    else:
+        files = set(base_files)
+        for d in deltas:
+            files -= set(d.get("removes", ()))
+            files |= set(d.get("adds", ()))
+        files_obj = sorted(files)
     has_sizes = "sizes" in base or any("sizes_adds" in d for d in deltas)
 
     def _merge(key: str, adds_key: str) -> dict:
@@ -925,7 +944,8 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
             for f in d.get("removes", ()):
                 m.pop(f, None)
             m.update(d.get(adds_key, {}))
-        return {f: v for f, v in m.items() if f in files}
+        live = set(files_obj)
+        return {f: v for f, v in m.items() if f in live}
 
     def _section(key: str, adds_key: str):
         # LAZINESS PROPAGATES through chain resolution: when the base
@@ -971,7 +991,7 @@ def resolve_manifest_chain(raws: list[dict]) -> dict:
         out["writer_features"] = sorted(
             set(newest.get("writer_features", ())) | set(rf)
         )
-    out["files"] = sorted(files)
+    out["files"] = files_obj
     # the vectorized handle COMPOSES through chain resolution: the base
     # checkpoint's columns stay the bulk truth; the deltas' stats and
     # partition mutations ride as small overlays the consumer applies
@@ -1222,6 +1242,24 @@ class LazySection(_abc.Mapping):
         return (dict, (self.materialize(),))
 
 
+class _ArrowSrc:
+    """Ties a parquet-form manifest's decoded containers back to their
+    source table: ``tbl_fn`` loads the full pyarrow table (all columns
+    — ``f``, ``z``, ``p*``, ``s*``), ``spec`` is the encode layout
+    header, ``num_rows`` the O(1) footer count. Attached to the
+    ``files`` :class:`LazyFiles` of FULL manifests so the columnar
+    commit encoder (:func:`_to_parquet_rebase`) can rebuild a new
+    checkpoint arrow-to-arrow from (base table + overlay) without ever
+    materializing per-file Python objects (r12)."""
+
+    __slots__ = ("tbl_fn", "spec", "num_rows")
+
+    def __init__(self, tbl_fn, spec, num_rows):
+        self.tbl_fn = tbl_fn
+        self.spec = spec
+        self.num_rows = num_rows
+
+
 class LazyFiles(_abc.Sequence):
     """The manifest ``files`` list, materialized on first use — scalar
     raw reads (the ``committed_at`` bisect behind TIMESTAMP AS OF /
@@ -1232,7 +1270,7 @@ class LazyFiles(_abc.Sequence):
     list subclass for the same fail-loud reason as :class:`LazySection`.
     Pickles as a plain list."""
 
-    __slots__ = ("_loader", "_l", "_len_fn")
+    __slots__ = ("_loader", "_l", "_len_fn", "arrow_src")
 
     def __init__(self, loader, len_fn=None):
         self._loader = loader
@@ -1241,6 +1279,9 @@ class LazyFiles(_abc.Sequence):
         #: len()-only consumers (file counts in DESCRIBE HISTORY) skip
         #: the full string materialization
         self._len_fn = len_fn
+        #: optional :class:`_ArrowSrc` back-reference (parquet decoder,
+        #: full manifests only); never pickled
+        self.arrow_src = None
 
     def materialize(self) -> list:
         if self._l is None:
@@ -1287,6 +1328,68 @@ class LazyFiles(_abc.Sequence):
 
     def __reduce__(self):
         return (list, (self.materialize(),))
+
+
+class RebasedFiles(LazyFiles):
+    """The ``files`` list of a manifest built ON TOP of a previous
+    version — ``sorted((base − removes) ∪ adds)`` — deferred until
+    something actually reads it, and carrying the rebase triple
+    (``base``/``adds``/``removes``) so the delta encoder diffs and the
+    columnar checkpoint encoder rebuilds WITHOUT ever materializing the
+    base list (r12: commit cost O(changed), the verdict's top-next).
+    Reads like a list; reduces/materializes to the exact merged sorted
+    list, so every scalar consumer keeps today's semantics."""
+
+    __slots__ = ("base", "adds", "removes")
+
+
+def rebase_files(base, adds, removes=()) -> RebasedFiles:
+    """``files = sorted((base − removes) ∪ adds)``, lazily. ``base`` is
+    the previous manifest's container (list / LazyFiles / RebasedFiles
+    — identity is preserved so downstream can recognize 'built on
+    prev'); ``adds``/``removes`` are this commit's (or chain's)
+    cumulative mutations."""
+    adds_l = sorted(set(adds))
+    removes_f = frozenset(removes)
+
+    def _load():
+        return sorted((set(base) - removes_f) | set(adds_l))
+
+    rf = RebasedFiles(_load)
+    rf.base = base
+    rf.adds = adds_l
+    rf.removes = removes_f
+    return rf
+
+
+class RebasedSection(LazySection):
+    """A per-file section (``stats``/``partitions``/``sizes``) layered
+    on a previous version's: base entries minus ``removes``, overlaid
+    with ``adds``, restricted to the live file set — deferred. Carries
+    the layer so encoding composes arrow-to-arrow (r12)."""
+
+    __slots__ = ("base", "adds", "removes")
+
+
+def rebase_section(base, adds: dict, removes, live) -> RebasedSection:
+    """Lazy ``{**(base − removes), **adds}`` restricted to ``live``
+    (the manifest's files container). ``base`` may be a plain dict or a
+    (possibly lazy) Mapping; identity is preserved for the encoder."""
+    adds_d = dict(adds)
+    removes_f = frozenset(removes)
+
+    def _load():
+        b = base.materialize() if isinstance(base, LazySection) else base
+        d = {f: v for f, v in b.items() if f not in removes_f}
+        d.update(adds_d)
+        live_set = set(live)
+        return {f: v for f, v in d.items() if f in live_set}
+
+    rs = RebasedSection(_load)
+    rs.base = base
+    rs.adds = adds_d
+    rs.removes = removes_f
+    return rs
 
 
 class StatsArrowHandle:
@@ -1513,6 +1616,19 @@ def _to_parquet(raw: dict) -> bytes:
         spec["stat_kinds"] = skinds
     if residuals:
         spec["residuals"] = residuals
+    return _finish_parquet_payload(pa.table(cols), header, spec)
+
+
+def _finish_parquet_payload(tbl, header: dict, spec: dict) -> bytes:
+    """Shared tail of both parquet encoders: feature-stamp the header,
+    attach it (gzipped when large — parquet footer metadata is stored
+    uncompressed, and a remove-heavy delta or the one-time
+    sizes-backfill residual would bloat the payload far past the gzip
+    form's), and serialize the table."""
+    import io
+
+    import pyarrow.parquet as pq
+
     feats = sorted(set(header.get("reader_features", ())) | {PARQUET_FEATURE})
     header["reader_features"] = feats
     header["writer_features"] = sorted(
@@ -1521,20 +1637,359 @@ def _to_parquet(raw: dict) -> bytes:
     header["_spec"] = spec
     hjson = json.dumps(header, sort_keys=True).encode("utf-8")
     if len(hjson) > 64 * 1024:
-        # parquet footer metadata is stored UNCOMPRESSED — a
-        # remove-heavy delta or the one-time sizes-backfill residual
-        # (dict keys beyond the aligned list) would bloat the payload
-        # far past the gzip form's. Big headers gzip under a separate
-        # key; metadata values are arbitrary bytes, so no base64 tax.
         import gzip
 
         meta = {"m.gz": gzip.compress(hjson, 6)}
     else:
         meta = {"m": hjson}
-    tbl = pa.table(cols).replace_schema_metadata(meta)
+    tbl = tbl.replace_schema_metadata(meta)
     buf = io.BytesIO()
     pq.write_table(tbl, buf, compression="zstd", row_group_size=1 << 20)
     return buf.getvalue()
+
+
+#: emit-set fraction above which the columnar rebase encoder declines:
+#: past this, per-row Python work approaches the scalar encoder's and
+#: the interleave bookkeeping stops paying (one-time backfill commits
+#: rewrite every entry — exactly the full-rebuild shape)
+_REBASE_MAX_EMIT_FRACTION = 0.25
+
+
+class _RebaseIneligible(Exception):
+    """Internal: a shape the arrow-to-arrow encoder cannot prove it
+    reproduces exactly — the caller falls back to the scalar path, the
+    semantics of record."""
+
+
+def _to_parquet_rebase(raw: dict) -> bytes | None:
+    """Arrow-to-arrow FULL-manifest encode: when the commit's containers
+    are rebased over a parquet-form base (``RebasedFiles`` /
+    ``RebasedSection`` bottoming at a decoded checkpoint), build the new
+    checkpoint payload from (base table + overlays) — unchanged entries
+    pass through as filtered arrow columns, only the changed files
+    (adds, chain rewrites) are touched as Python objects. Commit-encode
+    cost is O(changed) Python + O(all) C-side copy, instead of the r11
+    full per-file dict rebuild (4.4 s at 1M files, SCALE.md's residual;
+    Delta's multi-part checkpoint idea, VLDB'20 §3.1). Returns ``None``
+    whenever ANY shape can't be proven exact — residuals, header
+    partitions, section/spec disagreement, new stat keys, partition
+    width or value-type mismatches, emit set too large — and the caller
+    runs the scalar encoder, whose output the property suite pins this
+    one against."""
+    rf = raw.get("files")
+    if not isinstance(rf, RebasedFiles) or rf._l is not None:
+        return None
+    try:
+        return _rebase_encode(raw, rf)
+    except _RebaseIneligible:
+        return None
+
+
+def _rebase_encode(raw: dict, rf: RebasedFiles) -> bytes:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # ---- walk the files layers down to the parquet base --------------
+    f_layers = []
+    cur = rf
+    while isinstance(cur, RebasedFiles):
+        f_layers.append((cur.adds, cur.removes))
+        cur = cur.base
+    src = getattr(cur, "arrow_src", None) if isinstance(cur, LazyFiles) else None
+    if src is None:
+        raise _RebaseIneligible
+    spec = src.spec
+    if (
+        spec.get("group") != "files"
+        or spec.get("residuals")
+        or spec.get("parts_header")
+    ):
+        raise _RebaseIneligible
+    # cumulative adds/removes, oldest layer first: applying (a, r) to
+    # X = (base − R) ∪ A gives ((X − r) ∪ a) = (base − (R∪r)) ∪ ((A−r)∪a)
+    A: set = set()
+    R: set = set()
+    for adds, removes in reversed(f_layers):
+        rs = set(removes)
+        A -= rs
+        R |= rs
+        A |= set(adds)
+    est = src.num_rows - len(R) + len(A)
+    if est * 40 < MANIFEST_COMPACT_MIN_BYTES:
+        raise _RebaseIneligible  # tiny manifest: plain JSON path wins
+
+    # ---- sections: spec/manifest agreement + composed overlays ------
+    has = {
+        "stats": "stat_keys" in spec,
+        "partitions": "part_kinds" in spec,
+        "sizes": bool(spec.get("sizes")),
+    }
+    for key, expected in has.items():
+        if (key in raw) != expected:
+            raise _RebaseIneligible
+
+    def _compose(key: str, chain_slot: int) -> dict:
+        """file -> current entry for every file whose entry differs from
+        its base row (chain deltas + commit layers), walking the
+        section's Rebased layers down to the base/composed bottom."""
+        layers = []
+        cur_s = raw[key]
+        while isinstance(cur_s, RebasedSection):
+            layers.append((cur_s.adds, cur_s.removes))
+            cur_s = cur_s.base
+        if not isinstance(cur_s, LazySection):
+            raise _RebaseIneligible  # plain dict bottom: scalar path
+        h = cur_s.arrow
+        if h is None or h.tbl_fn is not src.tbl_fn:
+            raise _RebaseIneligible  # different table / no columnar view
+        ov = dict(h.chain()[chain_slot])
+        sec_removed: set = set(h.chain()[3])
+        for adds, removes in reversed(layers):
+            if removes:
+                sec_removed |= set(removes)
+                for f in removes:
+                    ov.pop(f, None)
+            ov.update(adds)
+        # an entry DELETION for a file that stays live (remove without a
+        # file-level remove or re-add) would need its base row's
+        # presence flag flipped — not representable as an overlay row
+        if not sec_removed <= (R | A):
+            raise _RebaseIneligible
+        return ov
+
+    stats_ov = _compose("stats", 0) if has["stats"] else {}
+    parts_ov = _compose("partitions", 1) if has["partitions"] else {}
+    sizes_ov = _compose("sizes", 2) if has["sizes"] else {}
+    # entries for files no longer live never encode
+    for ov in (stats_ov, parts_ov, sizes_ov):
+        for f in [f for f in ov if f in R and f not in A]:
+            del ov[f]
+
+    emit = A | (
+        (set(stats_ov) | set(parts_ov) | set(sizes_ov)) - A
+    )
+    rewritten = sorted(emit - A)
+    if len(emit) > max(1024, int(_REBASE_MAX_EMIT_FRACTION * src.num_rows)):
+        raise _RebaseIneligible
+
+    tbl = src.tbl_fn()
+    fcol = tbl.column("f")
+    drop = R | emit
+    if drop:
+        mask = pc.is_in(
+            fcol, value_set=pa.array(sorted(drop), type=pa.string())
+        )
+        kept = tbl.filter(pc.invert(mask))
+    else:
+        kept = tbl
+
+    # ---- base-row values for rewritten files (small gather) ----------
+    base_rows: dict[str, dict] = {}
+    if rewritten:
+        pos = pc.index_in(
+            pa.array(rewritten, type=pa.string()), value_set=fcol
+        )
+        if pos.null_count:
+            raise _RebaseIneligible  # claimed rewrite of a non-base file
+        sub = tbl.take(pos).to_pydict()
+        for i, f in enumerate(rewritten):
+            base_rows[f] = {c: sub[c][i] for c in sub}
+
+    # ---- per-emit-file final entries ---------------------------------
+    emit_names = sorted(emit)
+    keys = spec.get("stat_keys", [])
+    skinds = spec.get("stat_kinds", [])
+    pkinds = spec.get("part_kinds", [])
+
+    def _base_stats_entry(row: dict):
+        if not row.get("s?"):
+            return None
+        d = {}
+        for j, (k, kind) in enumerate(zip(keys, skinds)):
+            if kind == "mm":
+                if row.get(f"s{j}?"):
+                    d[k] = [row[f"s{j}<"], row[f"s{j}>"]]
+            elif kind == "json":
+                v = row.get(f"s{j}")
+                if v is not None:
+                    d[k] = json.loads(v)
+            else:
+                v = row.get(f"s{j}")
+                if v is not None:
+                    d[k] = v
+        return d
+
+    def _base_parts_entry(row: dict):
+        if not row.get("p?"):
+            return None
+        out = []
+        for j, kind in enumerate(pkinds):
+            v = row.get(f"p{j}")
+            out.append(json.loads(v) if (kind == "json" and v is not None) else v)
+        return out
+
+    _ABSENT = object()
+
+    def _entry(f: str, ov: dict, base_decode):
+        if f in ov:
+            return ov[f]
+        if f in base_rows:
+            return base_decode(base_rows[f])
+        return _ABSENT  # genuinely new file without an entry
+
+    # ---- emit table, column-for-column matching the base schema ------
+    cols: dict = {}
+    sentries = (
+        [_entry(f, stats_ov, _base_stats_entry) for f in emit_names]
+        if has["stats"]
+        else None
+    )
+    pentries = (
+        [_entry(f, parts_ov, _base_parts_entry) for f in emit_names]
+        if has["partitions"]
+        else None
+    )
+    zentries = (
+        [_entry(f, sizes_ov, lambda row: row.get("z")) for f in emit_names]
+        if has["sizes"]
+        else None
+    )
+
+    def _typed_col(values, col_name):
+        base_t = tbl.schema.field(col_name).type
+        target = base_t.value_type if pa.types.is_dictionary(base_t) else base_t
+        try:
+            arr = pa.array(values, type=target)
+        except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError, OverflowError):
+            raise _RebaseIneligible from None
+        if pa.types.is_dictionary(base_t):
+            arr = arr.dictionary_encode()
+        return arr
+
+    for name in tbl.schema.names:
+        if name == "f":
+            cols[name] = pa.array(emit_names, type=pa.string())
+        elif name == "z":
+            cols[name] = _typed_col(
+                [None if z is _ABSENT else z for z in zentries], name
+            )
+        elif name == "p?":
+            cols[name] = pa.array(
+                [p is not _ABSENT and p is not None for p in pentries],
+                type=pa.bool_(),
+            )
+        elif name.startswith("p"):
+            j = int(name[1:])
+            vals = []
+            for p in pentries:
+                if p is _ABSENT or p is None:
+                    vals.append(None)
+                else:
+                    if len(p) != len(pkinds):
+                        raise _RebaseIneligible  # width drift
+                    v = p[j]
+                    vals.append(
+                        None
+                        if v is None
+                        else (json.dumps(v) if pkinds[j] == "json" else v)
+                    )
+            cols[name] = _typed_col(vals, name)
+        elif name == "s?":
+            cols[name] = pa.array(
+                [s is not _ABSENT and s is not None for s in sentries],
+                type=pa.bool_(),
+            )
+        elif name.startswith("s"):
+            body = name[1:].rstrip("?<>")
+            j = int(body)
+            k, kind = keys[j], skinds[j]
+
+            def _sv(s):
+                if s is _ABSENT or s is None or k not in s:
+                    return None
+                return s[k]
+
+            if name.endswith("?"):
+                cols[name] = pa.array(
+                    [_sv(s) is not None for s in sentries], type=pa.bool_()
+                )
+            elif name.endswith("<") or name.endswith(">"):
+                half = 0 if name.endswith("<") else 1
+                vals = []
+                for s in sentries:
+                    v = _sv(s)
+                    if v is None:
+                        vals.append(None)
+                    elif not (isinstance(v, list) and len(v) == 2):
+                        raise _RebaseIneligible  # kind drift vs base
+                    else:
+                        vals.append(v[half])
+                cols[name] = _typed_col(vals, name)
+            elif kind == "json":
+                cols[name] = pa.array(
+                    [
+                        None if (v := _sv(s)) is None else json.dumps(v)
+                        for s in sentries
+                    ],
+                    type=pa.string(),
+                )
+            else:  # int kind (#rows)
+                vals = []
+                for s in sentries:
+                    v = _sv(s)
+                    if v is not None and type(v) is not int:  # noqa: E721
+                        raise _RebaseIneligible
+                    vals.append(v)
+                cols[name] = _typed_col(vals, name)
+        else:  # unknown column layout from a future build
+            raise _RebaseIneligible
+    # any NEW stat key in an overlay entry has no base column to land in
+    if has["stats"]:
+        known = set(keys)
+        for s in sentries:
+            if s is not _ABSENT and s is not None and not known.issuperset(s):
+                raise _RebaseIneligible
+    emit_tbl = pa.table([cols[n] for n in tbl.schema.names], names=list(tbl.schema.names))
+
+    # ---- sorted interleave: base is sorted, emits binary-search in ---
+    kept_f = kept.column("f").combine_chunks()
+    nk = len(kept_f)
+
+    def _bsearch(x: str) -> int:
+        lo, hi = 0, nk
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if kept_f[mid].as_py() < x:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    segs = []
+    last = 0
+    for i, f in enumerate(emit_names):
+        p = _bsearch(f)
+        if p > last:
+            segs.append(kept.slice(last, p - last))
+            last = p
+        segs.append(emit_tbl.slice(i, 1))
+    segs.append(kept.slice(last))
+    out_tbl = pa.concat_tables([s for s in segs if s.num_rows], promote_options="permissive")
+
+    header = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("files", "stats", "partitions", "sizes")
+    }
+    new_spec: dict = {"group": "files"}
+    if has["sizes"]:
+        new_spec["sizes"] = 1
+    if has["partitions"]:
+        new_spec["part_kinds"] = list(pkinds)
+    if has["stats"]:
+        new_spec["stat_keys"] = list(keys)
+        new_spec["stat_kinds"] = list(skinds)
+    return _finish_parquet_payload(out_tbl, header, new_spec)
 
 
 def _from_parquet(data: bytes) -> dict:
@@ -1603,6 +2058,9 @@ def _from_parquet(data: bytes) -> dict:
         return names_box[0]
 
     out[group] = LazyFiles(_names, len_fn=lambda: pf.metadata.num_rows)
+    if group == "files":
+        # source back-reference for the columnar commit encoder
+        out[group].arrow_src = _ArrowSrc(_tbl, spec, pf.metadata.num_rows)
 
     def _with_res(key: str, d: dict) -> dict:
         res = residuals.get(key)
@@ -1767,6 +2225,14 @@ def encode_manifest_bytes(raw: dict) -> bytes:
     funnels through ``_finalize_commit`` into here."""
     import gzip
 
+    if MANIFEST_BIG_FORMAT == "parquet":
+        # arrow-to-arrow fast path (r12): a commit rebased over a
+        # parquet-form base encodes from (base table + overlays),
+        # touching only the changed files as Python objects; returns
+        # None for every shape it cannot prove exact
+        blob = _to_parquet_rebase(raw)
+        if blob is not None:
+            return blob
     raw = materialize_manifest(raw)  # lazy sections -> plain, for dumps
     # fast path for the manifests the feature exists for: a 100k-file
     # checkpoint is ~13 MB of plain JSON — serializing it ONLY to

@@ -703,3 +703,205 @@ def test_vacuum_referenced_sparse_history(data):
     assert got_ref == want_ref, (kept, versions, got_ref ^ want_ref)
     assert got_chain == want_chain
     shutil.rmtree(base_dir, ignore_errors=True)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_rebase_encoder_equals_scalar_encoder(data):
+    """The arrow-to-arrow checkpoint encoder (r12: `_to_parquet_rebase`,
+    commit encode O(changed) Python) must produce a payload that DECODES
+    to exactly what the scalar encoder produces for the same logical
+    manifest — over adversarial shapes: delta chains with stats/partition
+    rewrites, re-adds, removes, multiple commit layers, missing entries,
+    json-kind stat values, and hive-null partition values. Engagement is
+    asserted whenever the shape is one the fast path claims (base
+    parquet-form, no residuals): silently rotting back to scalar is the
+    regression mode the suite exists to pin."""
+    import random as _random
+
+    from aws_logs_parquet_converter_spark import storage as stmod
+
+    old_min = stmod.MANIFEST_COMPACT_MIN_BYTES
+    old_fmt = stmod.MANIFEST_BIG_FORMAT
+    stmod.MANIFEST_COMPACT_MIN_BYTES = 1
+    stmod.MANIFEST_BIG_FORMAT = "parquet"
+    try:
+        n = data.draw(st.integers(min_value=5, max_value=40))
+        files = [f"data/c0/{i:05d}.parquet" for i in range(n)]
+        types = data.draw(st.sampled_from(["int", "str", "mixed"]))
+
+        def _stat_val(rng_key):
+            if types == "int" or (types == "mixed" and data.draw(st.booleans())):
+                a = data.draw(st.integers(-5, 5))
+                return [a, a + data.draw(st.integers(0, 3))]
+            return [
+                data.draw(st.sampled_from(["a", "b", ""])),
+                data.draw(st.sampled_from(["x", "zz"])),
+            ]
+
+        with_parts = data.draw(st.booleans())
+        with_stats = data.draw(st.booleans())
+        with_sizes = data.draw(st.booleans())
+        full: dict = {
+            "version": 10,
+            "schema": "{}",
+            "committed_at": 1.0,
+            "files": files,
+        }
+        if with_stats:
+            full["stats_cols"] = ["x"]
+            full["stats"] = {
+                f: (
+                    {"x": _stat_val(i), "#rows": data.draw(st.integers(0, 9))}
+                    if data.draw(st.integers(0, 3))
+                    else {}
+                )
+                for i, f in enumerate(files)
+                if data.draw(st.integers(0, 4))
+            }
+        if with_parts:
+            full["partition_by"] = ["g"]
+            full["partitions"] = {
+                f: [data.draw(st.one_of(st.none(), st.sampled_from(["1", "2"])))]
+                for f in files
+                if data.draw(st.integers(0, 4))
+            }
+        if with_sizes:
+            full["sizes"] = {f: 100 + i for i, f in enumerate(files)}
+        base = stmod.decode_manifest_bytes(
+            stmod.encode_manifest_bytes(dict(full))
+        )
+        if not isinstance(base.get("files"), stmod.LazyFiles):
+            return  # tiny-JSON fallback: nothing to rebase against
+
+        # a chain of deltas (resolution overlays)
+        raws = [base]
+        live = list(files)
+        removed_pool: list[str] = []
+        for v in range(11, 11 + data.draw(st.integers(0, 2))):
+            removes = (
+                data.draw(
+                    st.lists(st.sampled_from(live), unique=True, max_size=3)
+                )
+                if live
+                else []
+            )
+            adds = [
+                f"data/d{v}/{i:02d}.parquet"
+                for i in range(data.draw(st.integers(0, 3)))
+            ]
+            if removed_pool and data.draw(st.booleans()):
+                adds.append(data.draw(st.sampled_from(removed_pool)))
+            removed_pool = [
+                f for f in removed_pool + removes if f not in adds
+            ]
+            live = [f for f in live if f not in removes] + [
+                f for f in adds if f not in live
+            ]
+            d: dict = {
+                "version": v,
+                "base": v - 1,
+                "schema": "{}",
+                "committed_at": float(v),
+                "adds": adds,
+                "removes": removes,
+            }
+            if with_stats:
+                d["stats_cols"] = ["x"]
+                d["stats_adds"] = {
+                    f: {"x": _stat_val(0)}
+                    for f in adds
+                    if data.draw(st.booleans())
+                }
+                if live and data.draw(st.booleans()):  # REWRITE an entry
+                    d["stats_adds"][data.draw(st.sampled_from(live))] = {
+                        "x": _stat_val(1),
+                        "#rows": 3,
+                    }
+            if with_parts:
+                d["partition_by"] = ["g"]
+                d["partitions_adds"] = {
+                    f: [data.draw(st.sampled_from(["1", "3"]))]
+                    for f in adds
+                    if data.draw(st.booleans())
+                }
+            if with_sizes:
+                d["sizes_adds"] = {f: 7 for f in adds}
+            raws.append(d)
+        resolved = (
+            stmod.resolve_manifest_chain(raws) if len(raws) > 1 else base
+        )
+
+        # one or two COMMIT layers on top (the snapshot_write shape)
+        cur = resolved
+        for layer in range(data.draw(st.integers(1, 2))):
+            new_files = [
+                f"data/e{layer}/{i:02d}.parquet"
+                for i in range(data.draw(st.integers(0, 3)))
+            ]
+            rem = (
+                set(
+                    data.draw(
+                        st.lists(st.sampled_from(live), unique=True, max_size=2)
+                    )
+                )
+                if live and data.draw(st.booleans())
+                else set()
+            )
+            live = [f for f in live if f not in rem] + new_files
+            commit: dict = {
+                "version": 20 + layer,
+                "schema": "{}",
+                "committed_at": 20.0 + layer,
+                "action": "append",
+                "files": stmod.rebase_files(cur["files"], new_files, rem),
+            }
+            if with_stats:
+                commit["stats_cols"] = ["x"]
+                commit["stats"] = stmod.rebase_section(
+                    cur.get("stats", {}),
+                    {
+                        f: {"x": _stat_val(2), "#rows": 1}
+                        for f in new_files
+                        if data.draw(st.booleans())
+                    },
+                    rem,
+                    commit["files"],
+                )
+            if with_parts:
+                commit["partition_by"] = ["g"]
+                commit["partitions"] = stmod.rebase_section(
+                    cur.get("partitions", {}),
+                    {
+                        f: [data.draw(st.sampled_from(["1", "2"]))]
+                        for f in new_files
+                        if data.draw(st.booleans())
+                    },
+                    rem,
+                    commit["files"],
+                )
+            if with_sizes:
+                commit["sizes"] = stmod.rebase_section(
+                    cur.get("sizes", {}),
+                    {f: 11 for f in new_files},
+                    rem,
+                    commit["files"],
+                )
+            cur = commit
+
+        blob = stmod._to_parquet_rebase(dict(cur))
+        # engagement: this generator only builds claimable shapes
+        assert blob is not None, "rebase encoder silently fell back"
+        got = stmod.materialize_manifest(stmod.decode_manifest_bytes(blob))
+        truth_m = stmod.materialize_manifest(dict(cur))
+        want = stmod.materialize_manifest(
+            stmod.decode_manifest_bytes(stmod._to_parquet(truth_m))
+        )
+        assert got == want, {
+            k: (got.get(k), want.get(k))
+            for k in set(got) | set(want)
+            if got.get(k) != want.get(k)
+        }
+    finally:
+        stmod.MANIFEST_COMPACT_MIN_BYTES = old_min
+        stmod.MANIFEST_BIG_FORMAT = old_fmt

@@ -3997,3 +3997,40 @@ def test_history_columnar_totals_equal_dict_path(spark, tmp_path):
             assert snap.snapshot_count(spark, r_pl) == a[-1][4]
         else:
             assert any(r[3] is None for r in a), a
+
+
+def test_read_parquet_paths_fast_handoff_equals_stock(spark, tmp_path):
+    """The large-list scan hand-off (r12: one joined-string py4j
+    transfer + bounded discovery job) must plan EXACTLY the same file
+    set and rows as the stock varargs API, restore the discovery conf,
+    and engage automatically inside snapshot_read for big survivor
+    lists (threshold forced down here; tools/scan_handoff_probe.py
+    carries the 100k+ walls)."""
+    from aws_logs_parquet_converter_spark.plans import snapshots as snap
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 2000).selectExpr("id", "id % 7 as k").repartition(8),
+        root,
+    )
+    m = read_manifest(spark, root, 1)
+    files = [snap._abs_file(root, f) for f in m["files"]]
+    assert len(files) == 8
+    schema = spark.read.parquet(files[0]).schema
+    old_min = snap._SCAN_PATHS_FAST_MIN
+    key = "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+    before = spark.conf.get(key, None)
+    snap._SCAN_PATHS_FAST_MIN = 2
+    try:
+        fast = snap._read_parquet_paths(spark, files, schema)
+        stock = spark.read.schema(schema).parquet(*files)
+        assert sorted(fast.inputFiles()) == sorted(stock.inputFiles())
+        assert fast.count() == 2000
+        # conf restored after planning
+        assert spark.conf.get(key, None) == before
+        # engages through the real read path too
+        got = snapshot_read(spark, root)
+        assert got.count() == 2000
+        assert len(got.inputFiles()) == 8
+    finally:
+        snap._SCAN_PATHS_FAST_MIN = old_min

@@ -373,6 +373,101 @@ def main() -> None:
         comp_results.append(row)
         print(json.dumps(row))
     print(json.dumps({"probe": "compact_checkpoint", "results": comp_results}))
+
+    # --- COLUMNAR COMMIT leg (r12 VERDICT #1): the write side. r11 left
+    # one honest residual — every CHECKPOINT commit rebuilt the full
+    # per-file dicts to encode (4.4 s at 1M files). The rebased commit
+    # path (RebasedFiles/RebasedSection + _to_parquet_rebase) must make
+    # (a) delta commits O(batch) wall with NO base materialization and
+    # (b) checkpoint commits bounded by the C-side arrow copy, not the
+    # Python dict floor — measured against the scalar encoder on the
+    # same logical manifest, one more decade out (10M).
+    reb_results = []
+    for n_files in (
+        int(x)
+        for x in os.environ.get(
+            "SCALE_REBASE_DECADES", "1000000,10000000"
+        ).split(",")
+    ):
+        base_dir = tempfile.mkdtemp(prefix="rebase_probe_")
+        root = base_dir + "/t"
+        files = _files("c0", n_files)
+        t0 = time.perf_counter()
+        assert _try_commit(spark, root, _manifest(1, files))
+        fixture_s = time.perf_counter() - t0
+        row = {
+            "table_files": n_files,
+            "fixture_full_commit_s": round(fixture_s, 2),
+        }
+        del files
+        engaged = {"n": 0}
+        orig_reb = st._to_parquet_rebase
+
+        def _spy(raw):
+            blob = orig_reb(raw)
+            if blob is not None:
+                engaged["n"] += 1
+            return blob
+
+        st._to_parquet_rebase = _spy
+        try:
+            # v2..v9: rebased delta commits of a constant 8-file batch
+            delta_walls = []
+            for v in range(2, 10):
+                t0 = time.perf_counter()
+                prev = read_manifest(spark, root, v - 1)
+                adds = _files(f"r{v}", BATCH_FILES)
+                files_obj = st.rebase_files(prev["files"], adds)
+                m = {
+                    "version": v,
+                    "action": "append",
+                    "schema": '{"type":"struct","fields":[]}',
+                    "files": files_obj,
+                    "stats_cols": ["id"],
+                    "stats": st.rebase_section(
+                        prev["stats"], _stats(adds), frozenset(), files_obj
+                    ),
+                }
+                assert _try_commit(
+                    spark, root, m, prev=prev,
+                    new_sizes={f: 1024 for f in adds},
+                )
+                delta_walls.append(time.perf_counter() - t0)
+            row["rebased_delta_commit_ms"] = round(min(delta_walls) * 1000, 1)
+            # v10: the CHECKPOINT commit — arrow-to-arrow
+            t0 = time.perf_counter()
+            prev = read_manifest(spark, root, 9)
+            adds = _files("r10", BATCH_FILES)
+            files_obj = st.rebase_files(prev["files"], adds)
+            m = {
+                "version": 10,
+                "action": "append",
+                "schema": '{"type":"struct","fields":[]}',
+                "files": files_obj,
+                "stats_cols": ["id"],
+                "stats": st.rebase_section(
+                    prev["stats"], _stats(adds), frozenset(), files_obj
+                ),
+            }
+            assert _try_commit(
+                spark, root, m, prev=prev, new_sizes={f: 1024 for f in adds}
+            )
+            row["rebased_ckpt_commit_s"] = round(time.perf_counter() - t0, 2)
+            assert engaged["n"] == 1, engaged  # exactly the checkpoint
+        finally:
+            st._to_parquet_rebase = orig_reb
+        # the SCALAR encode of the same checkpoint (the r11 cost):
+        # materialized dicts -> _to_parquet
+        m10 = read_manifest(spark, root, 10)
+        t0 = time.perf_counter()
+        st._to_parquet(st.materialize_manifest(m10))
+        row["scalar_ckpt_encode_s"] = round(time.perf_counter() - t0, 2)
+        # read-back sanity: the rebased checkpoint resolves correctly
+        assert len(m10["files"]) == n_files + 9 * BATCH_FILES
+        reb_results.append(row)
+        print(json.dumps(row))
+        shutil.rmtree(base_dir, ignore_errors=True)
+    print(json.dumps({"probe": "columnar_commit", "results": reb_results}))
     spark.stop()
 
 
