@@ -1593,6 +1593,20 @@ def _carry_partitions(
     if not pby:
         return
     manifest["partition_by"] = pby
+    files_obj = manifest["files"]
+    if (
+        isinstance(files_obj, _storage.RebasedFiles)
+        and files_obj.base is base.get("files")
+    ):
+        # rebased commit (r12): defer the merge; the encoder composes
+        # the layer columnar-side, O(changed) instead of O(live)
+        manifest["partitions"] = _storage.rebase_section(
+            base.get("partitions", {}),
+            new_entries or {},
+            files_obj.removes,
+            files_obj,
+        )
+        return
     live = set(manifest["files"])
     merged = {**base.get("partitions", {}), **(new_entries or {})}
     manifest["partitions"] = {f: v for f, v in merged.items() if f in live}
@@ -2527,6 +2541,46 @@ def _maybe_auto_compact(
                 return
 
 
+def _small_file_candidates(
+    m: dict, small_bytes: float
+) -> tuple[list[str], int] | None:
+    """OPTIMIZE's incremental candidate set off the sizes COLUMN (r12):
+    ``(sorted files under small_bytes, their byte sum)`` computed with
+    one pyarrow mask over the parquet-form base plus the delta chain's
+    O(fresh) size overlays — no 10M-entry dict is ever built, so the
+    selection wall tracks the TAIL size, not the table
+    (tools/vacuum_optimize_scale_probe.py). ``None`` when the manifest
+    has no columnar sizes view (plain/legacy forms, residuals, a file
+    without a recorded size) — the scalar `_live_sizes` path is the
+    semantics of record."""
+    sec = m.get("sizes")
+    h = getattr(sec, "arrow", None)
+    if h is None:
+        return None
+    try:
+        import pyarrow.compute as pc
+    except Exception:  # pragma: no cover - baked into the container
+        return None
+    tbl = h.tbl_fn()
+    if "z" not in tbl.schema.names:
+        return None
+    z = tbl.column("z")
+    if z.null_count:
+        return None  # a pre-upgrade file without a size: scalar path stats it
+    stats_ov, parts_ov, sizes_ov, removed = h.chain()
+    mask = pc.less(z, small_bytes)
+    names = tbl.column("f").filter(mask).to_pylist()
+    zs = z.filter(mask).to_pylist()
+    out: dict[str, int] = {}
+    for f, s in zip(names, zs):
+        if f not in removed and f not in sizes_ov:
+            out[f] = int(s)
+    for f, s in sizes_ov.items():
+        if s is not None and s < small_bytes:
+            out[f] = int(s)
+    return sorted(out), sum(out.values())
+
+
 def _live_sizes(spark: SparkSession, root: str, m: dict) -> dict[str, int]:
     """Byte sizes of a resolved manifest's live files — manifest
     metadata (``sizes``, recorded by :func:`_resolve_sizes` at every
@@ -2892,16 +2946,14 @@ def snapshot_optimize(
     # file count: OPTIMIZE is the op that PURGES vectors (materializes the
     # subtraction into clean files), restoring the plain one-pass scan
     has_dv = bool(m.get("dv"))
-    if len(m["files"]) < 2 and not has_dv:
+    if _approx_files_len(m["files"]) < 2 and not has_dv:
         return None
-    # size discovery is manifest metadata (_resolve_sizes records every
-    # live file's bytes at commit); the filesystem is consulted only for
-    # files a pre-upgrade manifest predates
-    sizes = _live_sizes(spark, root, m)
     tgt_bytes = target_file_mb * 1024 * 1024
     full_rewrite = full or bool(cluster_by or zorder_by)
     if full_rewrite:
-        rewrite, keep = list(m["files"]), []
+        # inherently O(table): every row is re-read and re-laid-out
+        sizes = _live_sizes(spark, root, m)
+        rewrite, has_keep = list(m["files"]), False
         want = max(1, math.ceil(sum(sizes.values()) / tgt_bytes))
         if len(rewrite) <= want and not (cluster_by or zorder_by or has_dv):
             return None
@@ -2912,26 +2964,40 @@ def snapshot_optimize(
         small_bytes = (
             small_file_mb if small_file_mb is not None else target_file_mb / 2
         ) * 1024 * 1024
-        touched: set[str] = set()
-        if has_dv:
-            touched = {
-                r["file"]
-                for r in spark.read.parquet(
-                    *[_abs_file(root, p) for p in m["dv"]]
-                )
-                .select("file")
-                .distinct()
-                .collect()
-            }  # O(#touched files) driver metadata, the _plan_scan bound
-        rewrite = [
-            f
-            for f in m["files"]
-            if sizes[f] < small_bytes or _rel_key(f) in touched
-        ]
-        keep = [f for f in m["files"] if f not in set(rewrite)]
-        want = max(1, math.ceil(sum(sizes[f] for f in rewrite) / tgt_bytes))
-        if not rewrite or (len(rewrite) <= want and not has_dv):
-            return None
+        cand = None if has_dv else _small_file_candidates(m, small_bytes)
+        if cand is not None:
+            # columnar selection (r12): the small tail and its byte sum
+            # come off the sizes COLUMN — O(tail) Python, no 10M-entry
+            # dict build (tools/vacuum_optimize_scale_probe.py)
+            rewrite, rewrite_bytes = cand
+            want = max(1, math.ceil(rewrite_bytes / tgt_bytes))
+            has_keep = _approx_files_len(m["files"]) - len(rewrite) > 0
+            if not rewrite or len(rewrite) <= want:
+                return None
+        else:
+            sizes = _live_sizes(spark, root, m)
+            touched: set[str] = set()
+            if has_dv:
+                touched = {
+                    r["file"]
+                    for r in spark.read.parquet(
+                        *[_abs_file(root, p) for p in m["dv"]]
+                    )
+                    .select("file")
+                    .distinct()
+                    .collect()
+                }  # O(#touched files) driver metadata, the _plan_scan bound
+            rewrite = [
+                f
+                for f in m["files"]
+                if sizes[f] < small_bytes or _rel_key(f) in touched
+            ]
+            has_keep = len(rewrite) < len(m["files"])
+            want = max(
+                1, math.ceil(sum(sizes[f] for f in rewrite) / tgt_bytes)
+            )
+            if not rewrite or (len(rewrite) <= want and not has_dv):
+                return None
     schema = StructType.fromJson(json.loads(m["schema"]))
     cur = _plan_scan(spark, root, m, rewrite, schema)
     if cluster_by:
@@ -3032,25 +3098,27 @@ def snapshot_optimize(
                 )
             except IOError:
                 return None
-        added = sorted(set(base["files"]) - set(m["files"]))
+        # REBASED (r12): files/stats/partitions defer — kept files (and
+        # any concurrently appended ones, already in the rebased base)
+        # pass through as base entries minus the rewritten set, so the
+        # commit's Python work is O(rewritten + fresh), not O(live)
         manifest = {
             "version": base_v + 1,
             "action": "optimize",
             "schema": m["schema"],
-            "files": sorted(set(new_files) | set(added) | set(keep)),
+            "files": _storage.rebase_files(
+                base["files"], new_files, frozenset(rewrite)
+            ),
         }
         if stats_cols:
-            base_stats = base.get("stats", {})
             manifest["stats_cols"] = list(stats_cols)
             # kept (never-read) files carry their stats verbatim
-            manifest["stats"] = {
-                **{
-                    f: base_stats[f]
-                    for f in (*added, *keep)
-                    if f in base_stats
-                },
-                **(new_stats or {}),
-            }
+            manifest["stats"] = _storage.rebase_section(
+                base.get("stats", {}),
+                new_stats or {},
+                frozenset(rewrite),
+                manifest["files"],
+            )
         if bloom:
             # appended commits' sidecars are exactly the bloom files the
             # rebased base gained over the version we packed
@@ -3061,7 +3129,9 @@ def snapshot_optimize(
             # an incremental pack must retain the prior sidecars — they
             # hold the kept files' entries (rewritten files' entries go
             # inert: pruning only consults files the manifest still lists)
-            prior_sidecars = set(bloom.get("files", [])) if keep else set()
+            prior_sidecars = (
+                set(bloom.get("files", [])) if has_keep else set()
+            )
             manifest["bloom"] = {
                 **bloom,
                 "files": sorted(

@@ -1783,20 +1783,27 @@ def _rebase_encode(raw: dict, rf: RebasedFiles) -> bytes:
     else:
         kept = tbl
 
-    # ---- base-row values for rewritten files (small gather) ----------
+    # ---- base-row values for emit files present in the base ----------
+    # Needed by (a) rewritten files (a chain overlay replaced ONE
+    # section's entry; the others keep their base values) and (b) an
+    # add of a file already live in the base and never removed —
+    # resolution keeps its untouched entries, so the encoder must too.
+    # A file in A ∩ R (removed at some point, re-added later) must NOT
+    # fall back: resolution popped its entries at the remove.
+    emit_names = sorted(emit)
     base_rows: dict[str, dict] = {}
-    if rewritten:
-        pos = pc.index_in(
-            pa.array(rewritten, type=pa.string()), value_set=fcol
-        )
-        if pos.null_count:
-            raise _RebaseIneligible  # claimed rewrite of a non-base file
-        sub = tbl.take(pos).to_pydict()
-        for i, f in enumerate(rewritten):
+    pos = pc.index_in(
+        pa.array(emit_names, type=pa.string()), value_set=fcol
+    )
+    hit = [(f, p.as_py()) for f, p in zip(emit_names, pos) if p.is_valid]
+    if not set(rewritten) <= {f for f, _ in hit}:
+        raise _RebaseIneligible  # claimed rewrite of a non-base file
+    if hit:
+        sub = tbl.take(pa.array([p for _, p in hit])).to_pydict()
+        for i, (f, _p) in enumerate(hit):
             base_rows[f] = {c: sub[c][i] for c in sub}
 
     # ---- per-emit-file final entries ---------------------------------
-    emit_names = sorted(emit)
     keys = spec.get("stat_keys", [])
     skinds = spec.get("stat_kinds", [])
     pkinds = spec.get("part_kinds", [])
@@ -1830,12 +1837,25 @@ def _rebase_encode(raw: dict, rf: RebasedFiles) -> bytes:
 
     _ABSENT = object()
 
+    def _check_widths(entries):
+        # EVERY emitted tuple must fit the base layout exactly — checked
+        # up front because a zero-width base (a partitions dict with no
+        # recorded tuples) has NO p{j} columns for the builder loop to
+        # catch drift in, and values would silently vanish (r12
+        # property-found)
+        for p in entries:
+            if p is not _ABSENT and p is not None and len(p) != len(pkinds):
+                raise _RebaseIneligible
+
     def _entry(f: str, ov: dict, base_decode):
         if f in ov:
             return ov[f]
-        if f in base_rows:
+        if f not in R and f in base_rows:
+            # untouched base entry of a rewritten-in-another-section or
+            # added-while-live file; a removed-then-re-added file (in R)
+            # must NOT resurrect it — resolution popped it at the remove
             return base_decode(base_rows[f])
-        return _ABSENT  # genuinely new file without an entry
+        return _ABSENT  # new file (or re-add) without an entry
 
     # ---- emit table, column-for-column matching the base schema ------
     cols: dict = {}
@@ -1849,6 +1869,8 @@ def _rebase_encode(raw: dict, rf: RebasedFiles) -> bytes:
         if has["partitions"]
         else None
     )
+    if pentries is not None:
+        _check_widths(pentries)
     zentries = (
         [_entry(f, sizes_ov, lambda row: row.get("z")) for f in emit_names]
         if has["sizes"]

@@ -345,13 +345,51 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # CALIBRATION-NORMALIZED regression gate (r12 verdict #5): the
+    # committed BENCH_DETAIL.json is the PREVIOUS round's record; each
+    # shared leg's wall is compared after dividing out the box-speed
+    # ratio (the r9/r10/r11 drift re-adjudications were all the box).
+    # Legs >1.25x normalized are flagged in the compact line so a real
+    # regression is visible the round it lands, not a round later.
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        prev_cal = float(prev.get("calibration_wall") or 0)
+        prev_q = prev.get("queries") or {}
+        if prev_cal > 0 and calibration_wall > 0 and prev.get("sf") == sf:
+            box_ratio = calibration_wall / prev_cal
+            norm = {
+                k: round(v / (prev_q[k] * box_ratio), 3)
+                for k, v in timings.items()
+                if prev_q.get(k)
+            }
+            detail["normalized_vs_prev"] = norm
+            detail["prev_calibration_wall"] = prev_cal
+            # sub-100ms legs wobble from scheduling noise alone; only
+            # flag legs with enough signal to mean anything
+            flagged = sorted(
+                k
+                for k, r in norm.items()
+                if r > 1.25 and timings[k] >= 0.1
+            )
+            detail["regressed_legs"] = flagged
+    except (OSError, ValueError, KeyError):
+        pass  # first run / foreign detail file: no baseline to gate on
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError:
         pass  # read-only checkout: the compact stdout line still reports
-    compact = {k: v for k, v in detail.items() if k != "queries"}
+    compact = {
+        k: v
+        for k, v in detail.items()
+        if k not in ("queries", "normalized_vs_prev")
+    }
+    if "regressed_legs" in detail:
+        # keep the compact line under the driver's stdout budget
+        compact["regressed_legs"] = detail["regressed_legs"][:8]
+        compact["n_regressed"] = len(detail["regressed_legs"])
     compact["detail"] = "BENCH_DETAIL.json"
     print(json.dumps(compact))
     spark.stop()

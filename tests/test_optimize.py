@@ -308,3 +308,67 @@ def test_optimize_recovers_legacy_nondot_residue(spark, tmp_path):
         for r in spark.read.parquet(dest).collect()
     )
     assert rows_after == rows_before
+
+
+def test_snapshot_optimize_columnar_selection_engages(spark, tmp_path):
+    """Under the parquet manifest form the incremental OPTIMIZE must
+    pick its small-file tail off the sizes COLUMN (r12:
+    _small_file_candidates) — engagement asserted, selection equal to
+    the scalar _live_sizes path, and the rebased commit correct
+    end-to-end (rows preserved, kept files verbatim, fresh stats)."""
+    import math
+
+    from aws_logs_parquet_converter_spark import storage as stmod
+    from aws_logs_parquet_converter_spark.plans import snapshots as snap
+    from aws_logs_parquet_converter_spark.plans.snapshots import (
+        read_manifest,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "t")
+    old = stmod.MANIFEST_COMPACT_MIN_BYTES
+    stmod.MANIFEST_COMPACT_MIN_BYTES = 200
+    engaged = []
+    orig = snap._small_file_candidates
+
+    def spy(m, sb):
+        r = orig(m, sb)
+        engaged.append(r is not None)
+        return r
+
+    snap._small_file_candidates = spy
+    try:
+        for i in range(6):
+            snapshot_write(
+                spark.range(i * 200, (i + 1) * 200)
+                .selectExpr("id", "id * 2 as v")
+                .repartition(20),
+                root,
+                stats_cols=["id"],
+            )
+        m = read_manifest(spark, root, 6)
+        assert isinstance(m.get("sizes"), stmod.LazySection)
+        small_bytes = 64 * 1024 * 1024 / 2
+        fast = orig(m, small_bytes)
+        assert fast is not None, "columnar selection ineligible"
+        sizes = snap._live_sizes(spark, root, m)
+        want = sorted(f for f in m["files"] if sizes[f] < small_bytes)
+        assert fast[0] == want
+        assert fast[1] == sum(sizes[f] for f in want)
+
+        v = snapshot_optimize(spark, root, target_file_mb=64)
+        assert v == 7
+        assert engaged and engaged[-1], "optimize took the scalar path"
+        got = snapshot_read(spark, root)
+        assert got.count() == 1200
+        m7 = read_manifest(spark, root, 7)
+        assert len(m7["files"]) < len(m["files"])
+        # fresh stats cover every file (kept carried + packed collected)
+        assert set(m7["stats"]) == set(m7["files"])
+        # repeated run is a no-op
+        assert snapshot_optimize(spark, root, target_file_mb=64) is None
+    finally:
+        snap._small_file_candidates = orig
+        stmod.MANIFEST_COMPACT_MIN_BYTES = old

@@ -792,6 +792,11 @@ def test_rebase_encoder_equals_scalar_encoder(data):
             ]
             if removed_pool and data.draw(st.booleans()):
                 adds.append(data.draw(st.sampled_from(removed_pool)))
+            if live and data.draw(st.booleans()):
+                # add of a file ALREADY LIVE (no remove): resolution
+                # keeps its untouched entries — the r12 self-review
+                # shape the encoder must not drop
+                adds.append(data.draw(st.sampled_from(live)))
             removed_pool = [
                 f for f in removed_pool + removes if f not in adds
             ]
@@ -839,6 +844,8 @@ def test_rebase_encoder_equals_scalar_encoder(data):
                 f"data/e{layer}/{i:02d}.parquet"
                 for i in range(data.draw(st.integers(0, 3)))
             ]
+            if live and data.draw(st.integers(0, 3)) == 0:
+                new_files.append(data.draw(st.sampled_from(live)))
             rem = (
                 set(
                     data.draw(
@@ -890,8 +897,24 @@ def test_rebase_encoder_equals_scalar_encoder(data):
             cur = commit
 
         blob = stmod._to_parquet_rebase(dict(cur))
-        # engagement: this generator only builds claimable shapes
-        assert blob is not None, "rebase encoder silently fell back"
+        # ENGAGEMENT: the fast path must take every shape it claims.
+        # Degenerate bases legitimately fall back: a value-typed column
+        # the base encoder could only infer as the arrow NULL type (no
+        # non-None partition value anywhere / no "x" stat entry at all)
+        # cannot absorb a later real value, and a zero-width partitions
+        # dict has no columns for tuples to land in.
+        typed_parts = not with_parts or any(
+            v[0] is not None for v in (full.get("partitions") or {}).values()
+        )
+        typed_stats = not with_stats or any(
+            "x" in e for e in (full.get("stats") or {}).values()
+        )
+        # "mixed" draws can produce an all-int base column that a later
+        # string value cannot land in — a correct fallback, not rot
+        if typed_parts and typed_stats and types != "mixed":
+            assert blob is not None, "rebase encoder silently fell back"
+        if blob is None:
+            return  # scalar path: covered by the resolution properties
         got = stmod.materialize_manifest(stmod.decode_manifest_bytes(blob))
         truth_m = stmod.materialize_manifest(dict(cur))
         want = stmod.materialize_manifest(

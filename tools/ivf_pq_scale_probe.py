@@ -134,6 +134,120 @@ def main() -> None:
         finally:
             shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"probe": "ivf_pq_scale", "rows": out}))
+
+    # --- recall@10 vs nprobe (r12 verdict #3): the nprobe=2 default as
+    # a MEASURED point on the recall/latency curve, not a fixture
+    # artifact. Two corpora: the real sf0.1 embeddings table (what the
+    # registry queries serve) and the 100x synthetic decade (200k
+    # vectors — the scale the sqrt rule is for). Ground truth = exact
+    # brute-force cosine top-10 over the same queries.
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    def _recall_curve(em, n, label, planted=False):
+        work = tempfile.mkdtemp(prefix=f"ivfpq_recall_{label}_")
+        emb_path = f"{work}/emb"
+        em.write.parquet(emb_path)
+        em = spark.read.parquet(emb_path)
+        nlist = ivf_coarse_k(n)
+        t0 = time.perf_counter()
+        cents = kmeans_train(em, k=nlist, n_iters=2, impl="blas")
+        assigned = kmeans_assign(em, cents, impl="blas").select(
+            "vec_id", "cluster"
+        )
+        assigned.write.parquet(f"{work}/assign")
+        cents.write.parquet(f"{work}/cents")
+        cb = pq_train_codebooks(em, k=16, n_iters=3)
+        cb.write.parquet(f"{work}/cb")
+        pq_encode(em, spark.read.parquet(f"{work}/cb")).write.parquet(
+            f"{work}/codes"
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+        cents_r = spark.read.parquet(f"{work}/cents")
+        assigned_r = spark.read.parquet(f"{work}/assign")
+        cb_r = spark.read.parquet(f"{work}/cb")
+        codes_r = spark.read.parquet(f"{work}/codes")
+        nq, kk = 40, 10
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(
+                em, em.where(F.col("vec_id") < nq), k=kk
+            ).collect()
+        }
+        # planted near-dup pairs inside the query window (synth corpora:
+        # id%10==1 is a cos>=0.999 twin of id-1) — the band the operator
+        # contractually serves; mid-band recall on an UNSTRUCTURED
+        # corpus is low by design (neighbors at cos~0.3 scatter across
+        # cells; the same honesty note as test_midband_recall_window)
+        twins = (
+            [
+                (q, q - 1 if q % 10 == 1 else q + 1)
+                for q in range(nq)
+                if q % 10 in (0, 1)
+                and 0 <= (q - 1 if q % 10 == 1 else q + 1) < n
+            ]
+            if planted
+            else []  # real testdata embeddings plant no twins
+        )
+        rows = []
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.perf_counter()
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_pq_topk(
+                    em, n_queries=nq, k=kk, shortlist=100, nprobe=nprobe,
+                    coarse=cents_r, assigned=assigned_r,
+                    codebook=cb_r, codes=codes_r,
+                ).collect()
+            }
+            wall = round(time.perf_counter() - t0, 2)
+            rec = round(len(got & truth) / len(truth), 3)
+            twin_rec = (
+                round(sum(1 for p in twins if p in got) / len(twins), 3)
+                if twins
+                else None
+            )
+            rows.append(
+                {
+                    "corpus": label, "n": n, "nlist": nlist,
+                    "nprobe": nprobe, "recall_at_10": rec,
+                    "planted_twin_recall": twin_rec,
+                    "serve_wall_s": wall, "build_wall_s": build_s,
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+        shutil.rmtree(work, ignore_errors=True)
+        return rows
+
+    curve = []
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_sf = emb.count()
+    curve += _recall_curve(emb, n_sf, "sf0.1")
+    if 100 in DECADES:
+        n_big = N_VECS_BASE * 100
+        curve += _recall_curve(
+            synth_embeddings(spark, n_big).select("vec_id", "embedding"),
+            n_big,
+            "synth100x",
+            planted=True,
+        )
+    # pinned at the LARGER scale (the floors the nprobe=2 default rests
+    # on): the PLANTED near-dup band — the operator's contract — must
+    # retrieve, and brute-force recall must be monotone in nprobe (the
+    # dial works). Mid-band absolute recall on unstructured corpora is
+    # published, not pinned: it is low by design (see honesty note).
+    by_np = {
+        r["nprobe"]: r for r in curve if r["corpus"] == "synth100x"
+    }
+    if by_np:
+        assert by_np[2]["planted_twin_recall"] >= 0.75, by_np[2]
+        rs = [by_np[p]["recall_at_10"] for p in (1, 2, 4, 8)]
+        assert all(b >= a - 0.05 for a, b in zip(rs, rs[1:])), rs
+    print(json.dumps({"probe": "ivf_pq_recall_curve", "rows": curve}))
     spark.stop()
 
 
