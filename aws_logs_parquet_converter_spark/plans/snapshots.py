@@ -3537,14 +3537,17 @@ def snapshot_merge(
             base, base_v = _rebase_base(
                 spark, root, m, "snapshot_merge", _added_can_match
             )
-        kept = set(base["files"]) - set(candidates)
+        removed = frozenset(candidates)
+        has_kept = _approx_files_len(base["files"]) - len(removed) > 0
         manifest = {
             "version": base_v + 1,
             "action": "merge",
             "schema": merged_schema.json(),
-            "files": sorted(kept | set(new_files)),
+            # rebased (r12): kept files pass through as base entries —
+            # commit Python work is O(rewritten + fresh), not O(live)
+            "files": _storage.rebase_files(base["files"], new_files, removed),
         }
-        if base.get("dv") and kept:
+        if base.get("dv") and has_kept:
             # same carry rule as the copy-on-write delete: kept files may
             # hold vector entries; stale entries for rewritten files are
             # harmless and OPTIMIZE purges them
@@ -3562,11 +3565,9 @@ def snapshot_merge(
             manifest["batch_ids"] = base["batch_ids"]
         if stats_cols:
             manifest["stats_cols"] = list(stats_cols)
-            manifest["stats"] = {
-                f: s
-                for f, s in {**base.get("stats", {}), **new_stats}.items()
-                if f in set(manifest["files"])
-            }
+            manifest["stats"] = _storage.rebase_section(
+                base.get("stats", {}), new_stats, removed, manifest["files"]
+            )
         _carry_partitions(manifest, base)
         if _try_commit(spark, root, manifest, prev=base, new_sizes=new_sizes):
             return base_v + 1
@@ -3789,14 +3790,16 @@ def snapshot_delete(
             base, base_v = _rebase_base(
                 spark, root, m, "snapshot_delete", added_can_match
             )
-        kept = set(base["files"]) - set(candidates)
+        removed = frozenset(candidates)
+        has_kept = _approx_files_len(base["files"]) - len(removed) > 0
         manifest = {
             "version": base_v + 1,
             "action": "delete",
             "schema": m["schema"],
-            "files": sorted(kept | set(new_files)),
+            # rebased (r12): O(rewritten + fresh) commit work
+            "files": _storage.rebase_files(base["files"], new_files, removed),
         }
-        if base.get("dv") and kept:
+        if base.get("dv") and has_kept:
             # kept files may carry vector entries — dropping them would
             # resurrect deleted rows. Entries for rewritten files go stale
             # (they reference files no longer scanned — harmless); OPTIMIZE
@@ -3815,11 +3818,9 @@ def snapshot_delete(
             manifest["batch_ids"] = base["batch_ids"]
         if stats_cols:
             manifest["stats_cols"] = list(stats_cols)
-            manifest["stats"] = {
-                f: s
-                for f, s in {**base.get("stats", {}), **new_stats}.items()
-                if f in set(manifest["files"])
-            }
+            manifest["stats"] = _storage.rebase_section(
+                base.get("stats", {}), new_stats, removed, manifest["files"]
+            )
         # survivor rewrites are unpartitioned files: they simply carry no
         # partition values (never pruned), while untouched files keep
         # theirs — pruning stays exact
@@ -3984,22 +3985,20 @@ def snapshot_update(
             base, base_v = _rebase_base(
                 spark, root, m, "snapshot_update", added_can_match
             )
-        kept = (
-            set(base["files"])
-            if mode == "dv"
-            else set(base["files"]) - set(candidates)
-        )
+        removed = frozenset() if mode == "dv" else frozenset(candidates)
+        has_kept = _approx_files_len(base["files"]) - len(removed) > 0
         manifest = {
             "version": base_v + 1,
             "action": "update",
             "schema": m["schema"],
-            "files": sorted(kept | set(new_files)),
+            # rebased (r12): O(rewritten + fresh) commit work
+            "files": _storage.rebase_files(base["files"], new_files, removed),
         }
         # dv mode always carries (its own vector is the update); cow mode
         # carries prior vectors only while untouched files remain — stale
         # entries for rewritten files are harmless, OPTIMIZE purges them
         dv_carry = set(base.get("dv", [])) | set(new_dv)
-        if dv_carry and (mode == "dv" or kept):
+        if dv_carry and (mode == "dv" or has_kept):
             manifest["dv"] = sorted(dv_carry)
         if base.get("bloom"):
             # NOTE for dv-mode: the fresh sidecar makes the UPDATED copies
@@ -4018,11 +4017,9 @@ def snapshot_update(
             manifest["batch_ids"] = base["batch_ids"]
         if stats_cols:
             manifest["stats_cols"] = list(stats_cols)
-            manifest["stats"] = {
-                f: s
-                for f, s in {**base.get("stats", {}), **new_stats}.items()
-                if f in set(manifest["files"])
-            }
+            manifest["stats"] = _storage.rebase_section(
+                base.get("stats", {}), new_stats, removed, manifest["files"]
+            )
         _carry_partitions(manifest, base)
         if _try_commit(spark, root, manifest, prev=base, new_sizes=new_sizes):
             return base_v + 1

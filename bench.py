@@ -96,6 +96,8 @@ EAGER_LEGS = [
     "stream_cdf_materialized_view",  # CDC: feed -> signed deltas -> view table
     # round-9 streaming features
     "stream_rate_limited_source",  # maxFilesPerTrigger-governed catch-up drain
+    # round-12: the nested-JSON format through the same streaming path
+    "stream_cloudtrail_compaction",  # from_json + Records fan-out drain
 ]
 
 # Write-only-timed legs added after r3 (seeded state builds on the first
