@@ -147,19 +147,23 @@ def parse_cloudtrail_lines(lines: DataFrame, value_col: str = "value") -> DataFr
     exactly one dead-letter row (``error_line`` = raw line). Blank lines
     are dropped, matching the engine-wide contract."""
     v = F.trim(F.col(value_col))
-    doc = F.from_json(v, _DOC_TYPE)
+    null_rec = F.array(F.lit(None).cast(_RECORD_TYPE))
+    # from_json is the expensive expression here — bind it ONCE in its
+    # own projection (Catalyst's CollapseProject keeps non-cheap exprs
+    # with multiple downstream references un-inlined, so the parse runs
+    # once per line, not once per consumer; verified in the plan)
+    parsed = lines.where(F.length(v) > 0).select(
+        v.alias("_line"),
+        F.from_json(v, _DOC_TYPE)["Records"].alias("_recs"),
+    )
     # ok <=> the document parsed AND carried a Records array (a non-array
     # Records coerces to NULL under from_json's PERMISSIVE mode, exactly
     # the json_type(j,'$.Records')='ARRAY' test oracle-side)
-    ok = doc["Records"].isNotNull()
-    null_rec = F.array(F.lit(None).cast(_RECORD_TYPE))
-    rows = (
-        lines.where(F.length(v) > 0)
-        .select(
-            v.alias("_line"),
-            ok.alias("_ok"),
-            F.explode(F.when(ok, doc["Records"]).otherwise(null_rec)).alias("r"),
-        )
+    ok = F.col("_recs").isNotNull()
+    rows = parsed.select(
+        "_line",
+        ok.alias("_ok"),
+        F.explode(F.when(ok, F.col("_recs")).otherwise(null_rec)).alias("r"),
     )
     cols = []
     for name, path, cast in _FIELDS:
