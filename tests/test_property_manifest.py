@@ -910,8 +910,11 @@ def test_rebase_encoder_equals_scalar_encoder(data):
             "x" in e for e in (full.get("stats") or {}).values()
         )
         # "mixed" draws can produce an all-int base column that a later
-        # string value cannot land in — a correct fallback, not rot
-        if typed_parts and typed_stats and types != "mixed":
+        # string value cannot land in — a correct fallback, not rot.
+        # An EMPTY final live set is also a correct fallback: the size
+        # gate (est * 40 < MANIFEST_COMPACT_MIN_BYTES) routes a 0-file
+        # manifest to the plain-JSON encoder, which always wins there.
+        if typed_parts and typed_stats and types != "mixed" and live:
             assert blob is not None, "rebase encoder silently fell back"
         if blob is None:
             return  # scalar path: covered by the resolution properties
