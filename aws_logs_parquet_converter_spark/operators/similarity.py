@@ -512,25 +512,19 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:
-    """Per-label mean vector -> (label, centroid array<double>)."""
-    ex = embeddings.select(
-        "label", F.posexplode("embedding").alias("pos0", "v")
-    ).withColumn("pos", F.col("pos0") + 1)
-    s = ex.groupBy("label", "pos").agg(
-        F.sum(F.round(F.col("v").cast("double") * 1e7).cast("bigint")).alias("sc"),
-        F.count("*").alias("n"),
+    """Per-label mean vector -> (label, centroid array<double>).
+
+    r12: the corpus has the module-fixed width (``DIM`` — the same
+    contract the rp-LSH hyperplane literals and PQ subspace slices
+    assume), so the mean is ONE hash aggregate with per-dimension exact
+    integer sums (:func:`_mean_by_cluster`) instead of posexplode to
+    (label, pos) cells plus a second aggregation — one exchange of k
+    rows, not two over n*dim cells. float->double cast per element is
+    exact, so values match the cell path and the oracle bit-for-bit."""
+    e = embeddings.select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cell = ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias("c")
-    return (
-        s.select("label", "pos", cell)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda x: x["c"],
-            ).alias("centroid")
-        )
-    )
+    return _mean_by_cluster(e, ["label"], "emb", DIM).select("label", "centroid")
 
 
 # SQL fragment shared by the centroid-consuming oracles below.
@@ -579,36 +573,21 @@ _CENTROID_CTE = """
     ),
 )
 def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: per-row argmax against the packed centroid broadcast — the
+    # previous form shuffled the n*k crossJoin through a vec_id window
+    # (an exchange plus sort of k copies of the corpus); this one carries
+    # zero exchanges after the centroid aggregate. Same score fold, same
+    # (score DESC, cluster) tiebreak => identical rows.
     e = spread_input(load_table(spark, sf_dir, "embeddings"))
-    mul = lambda a, b: a * b  # noqa: E731
-    add = lambda acc, x: acc + x  # noqa: E731
-    cents = label_centroids(e).select(
-        F.col("label").alias("cluster"),
-        "centroid",
-        (
-            F.lit(0.5)
-            * F.aggregate(
-                F.zip_with(F.col("centroid"), F.col("centroid"), mul),
-                F.lit(0.0),
-                add,
-            )
-        ).alias("half_cnorm"),
-    )
-    pairs = e.select(
+    cents = label_centroids(e).select(F.col("label").alias("cluster"), "centroid")
+    return e.select(
         "vec_id",
         F.col("label").alias("own_label"),
         F.col("embedding").cast("array<double>").alias("emb"),
-    ).crossJoin(F.broadcast(cents))
-    score = (
-        F.aggregate(F.zip_with(F.col("emb"), F.col("centroid"), mul), F.lit(0.0), add)
-        - F.col("half_cnorm")
-    ).alias("score")
-    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cluster"))
-    return (
-        pairs.select("vec_id", "own_label", "cluster", score)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "own_label", F.col("cluster").alias("assigned_cluster"))
+    ).crossJoin(F.broadcast(_pack_collect(cents))).select(
+        "vec_id",
+        "own_label",
+        _argmax_cluster(F.col("emb"), F.col("cs")).alias("assigned_cluster"),
     )
 
 
@@ -666,96 +645,304 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_pack(cents: DataFrame) -> DataFrame:
+    """ONE-row frame packing every centroid into an array of
+    ``(cluster, centroid, half_cnorm)`` structs (cluster-ascending).
+
+    This is the broadcast operand of the shuffle-free assign (r12, guide
+    §2.4): instead of ``crossJoin(broadcast(k rows))`` multiplying the
+    corpus k-fold and collapsing it back through a ``groupBy(vec_id)``
+    hash EXCHANGE, the single array row broadcasts and each corpus row
+    computes its argmax locally — the assign stage carries zero
+    exchanges and materializes no (row, centroid) pairs. half-norms are
+    precomputed here exactly as the old ``c2`` projection did, so every
+    double that reaches a comparison is bit-identical to the unrolled
+    DuckDB oracle."""
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    return cents.select(
+        F.struct(
+            F.col("cluster"),
+            F.col("centroid"),
+            (
+                F.lit(0.5)
+                * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
+            ).alias("half_cnorm"),
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("cs"))
+
+
+def _pack_local(spark: SparkSession, rows, with_m: bool = False) -> DataFrame:
+    """Driver-side packed-centroid frame from COLLECTED rows that already
+    carry ``half_cnorm`` (computed by the canonical Spark expression in
+    the collect query — no driver float arithmetic): the LocalRelation
+    equivalent of :func:`_centroid_pack` / :func:`_codebook_pack`.
+    Broadcasting a LocalRelation never launches a job, which is what
+    makes a Lloyd's round a single-job operation. ``with_m`` groups the
+    rows per subspace id (the PQ codebook shape)."""
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+            T.StructField("half_cnorm", T.DoubleType()),
+        ]
+    )
+    cent_key = "centroid" if "centroid" in rows[0].__fields__ else "c_sub"
+    if with_m:
+        by_m: dict[int, list] = {}
+        for r in rows:
+            by_m.setdefault(r["m"], []).append(
+                (int(r["cluster"]), list(r[cent_key]), float(r["half_cnorm"]))
+            )
+        data = [
+            (m, sorted(cs, key=lambda t: t[0])) for m, cs in sorted(by_m.items())
+        ]
+        schema = T.StructType(
+            [T.StructField("m", T.IntegerType()), T.StructField("cs", T.ArrayType(st))]
+        )
+        return spark.createDataFrame(data, schema)
+    packed = sorted(
+        ((int(r["cluster"]), list(r[cent_key]), float(r["half_cnorm"])) for r in rows),
+        key=lambda t: t[0],
+    )
+    return spark.createDataFrame(
+        [(packed,)], T.StructType([T.StructField("cs", T.ArrayType(st))])
+    )
+
+
+def _pack_collect(cents: DataFrame, with_m: bool = False) -> DataFrame:
+    """Pack a k-row centroid frame (or k x M_SUB codebook, ``with_m``)
+    for the single-row argmax broadcast, choosing the cheaper of two
+    routes by the frame's provenance:
+
+    - a frame whose lineage is already driver-local (the LocalRelations
+      the trainings return) is collected and rebuilt via
+      :func:`_pack_local` — the collect is driver-side only and packing
+      + broadcasting launch NO job, which is what makes a Lloyd's round
+      a single-job operation;
+    - a distributed frame (the persisted parquet index read by the
+      ``*_indexed`` / append / incremental serving paths) keeps the
+      IN-PLAN pack aggregate (:func:`_centroid_pack` /
+      :func:`_codebook_pack`), so the physical plan retains the
+      ``FileScan`` of ``/coarse`` / ``/codebook`` / ``/centroids`` — the
+      plan-asserted evidence (tests/test_plans.py) that serving reads
+      the persisted index rather than re-deriving it, and the k-row pack
+      rows never transit py4j.
+
+    Half-norms come from the canonical ``0.5 * dot`` expression in both
+    routes — never driver float arithmetic."""
+    spark = cents.sparkSession
+    if "LocalRelation" not in cents._jdf.queryExecution().optimizedPlan().toString():
+        return _codebook_pack(cents) if with_m else _centroid_pack(cents)
+    if with_m:
+        rows = cents.select(
+            "m", "cluster", "c_sub", F.col("half_n").alias("half_cnorm")
+        ).collect()
+    else:
+        half = (F.lit(0.5) * dot(F.col("centroid"), F.col("centroid"))).alias(
+            "half_cnorm"
+        )
+        rows = cents.select("cluster", "centroid", half).collect()
+    return _pack_local(spark, rows, with_m=with_m)
+
+
+def _cents_local(spark: SparkSession, rows) -> DataFrame:
+    """(cluster, centroid) LocalRelation from collected centroid rows —
+    the frame shape :func:`_blas_assign` consumes (it collects the k-row
+    matrix driver-side anyway, so a LocalRelation costs it nothing)."""
+    return spark.createDataFrame(
+        [(int(r["cluster"]), list(r["centroid"])) for r in rows],
+        "cluster int, centroid array<double>",
+    )
+
+
+def _codebook_pack(cb: DataFrame) -> DataFrame:
+    """(m, cs): per-subspace packed codeword arrays — the M_SUB-row
+    broadcast operand of the shuffle-free subspace argmax (the codebook
+    sibling of :func:`_centroid_pack`). Accepts the in-loop codebook
+    shape (m, cluster, c_sub); half-norms are recomputed here with the
+    same ``0.5 * dot(c_sub, c_sub)`` expression the join form used."""
+    return (
+        cb.select(
+            "m",
+            F.struct(
+                F.col("cluster"),
+                F.col("c_sub").alias("centroid"),
+                (F.lit(0.5) * dot(F.col("c_sub"), F.col("c_sub"))).alias(
+                    "half_cnorm"
+                ),
+            ).alias("c"),
+        )
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list("c")).alias("cs"))
+    )
+
+
+def _argmax_cluster(emb_col: Column, cs_col: Column) -> Column:
+    """``max_by(cluster, (score, -cluster))`` over a packed centroid
+    array, evaluated per row: score = dot(emb, centroid) - half_cnorm
+    with the same sequential zip_with/aggregate fold as the join form,
+    tiebreak toward the smaller cluster id via the -cluster struct
+    field. ``array_max`` on ``struct(score, -cluster, cluster)`` compares
+    fields left-to-right — exactly the ordering ``max_by`` used."""
+    mul = lambda a, b: a * b  # noqa: E731
+    add = lambda acc, x: acc + x  # noqa: E731
+    return F.array_max(
+        F.transform(
+            cs_col,
+            lambda c: F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(emb_col, c["centroid"], mul), F.lit(0.0), add
+                    )
+                    - c["half_cnorm"]
+                ).alias("score"),
+                (-c["cluster"]).alias("neg_cluster"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )["cluster"]
+
+
+def _mean_by_cluster(
+    assigned: DataFrame, keys: list[str], emb_col: str, dim: int
+) -> DataFrame:
+    """Exact per-cluster mean vectors in ONE hash aggregate (r12): with a
+    fixed embedding width the per-dimension sums become ``dim`` ordinary
+    ``sum`` columns keyed on the cluster id — partial (map-side)
+    aggregation collapses each task to k rows before the single
+    exchange, replacing the posexplode-to-(cluster, pos) cells plus
+    second (cluster) aggregation (two exchanges, n*dim generated rows).
+    Arithmetic is unchanged: exact 1e-7-scaled integer sums per
+    dimension (order-independent), divided by the member count — every
+    value equals the cell path's and the oracle's."""
+    sums = [
+        F.sum(F.round(F.col(emb_col)[d] * 1e7).cast("bigint")).alias(f"_s{d}")
+        for d in range(dim)
+    ]
+    out = assigned.groupBy(*keys).agg(*sums, F.count("*").alias("n_members"))
+    centroid = F.array(
+        *[
+            (F.col(f"_s{d}").cast("double") / F.lit(1e7)) / F.col("n_members")
+            for d in range(dim)
+        ]
+    ).alias("centroid")
+    return out.select(*keys, centroid, "n_members")
+
+
 def kmeans_train(
-    embeddings: DataFrame, k: int = 4, n_iters: int = 3, impl: str = "native"
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iters: int = 3,
+    impl: str = "native",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column.
 
     Per iteration (composing the registered assign/centroid steps into the
     full training loop):
 
-    * **assign**: centroids (k rows, half-norms precomputed) broadcast; the
-      nearest centroid comes from ``max_by(cluster, (score, -cluster))`` in
-      a plain hash aggregate keyed on vec_id — map-side partial max, so the
-      broadcast-cross rows collapse per partition and neither a window sort
-      nor a join-back touches the corpus. ``any_value(emb)`` rides along
-      (all copies per vec_id are identical), so recompute needs NO join.
-    * **recompute**: posexplode to (cluster, dim) cells, exact 1e-7-scaled
-      integer sums (order-independent => identical at any partition count).
-    * **lineage**: the k-row centroid frame is ``localCheckpoint``-ed each
-      round, so iteration N's plan does not replay rounds 1..N-1 (same
-      skeleton as graph.connected_components).
+    * **assign**: the k centroids (half-norms precomputed) pack into ONE
+      broadcast array row (:func:`_centroid_pack`) and each corpus row
+      computes ``max_by(cluster, (score, -cluster))`` locally
+      (:func:`_argmax_cluster`) — the assign stage is SHUFFLE-FREE (r12;
+      previously a k-fold crossJoin collapsed back through a
+      ``groupBy(vec_id)`` exchange of the whole corpus per round).
+    * **recompute**: exact 1e-7-scaled integer sums per dimension
+      (order-independent => identical at any partition count). With a
+      known fixed width (``dim=...``, every similarity call site) this is
+      ONE hash aggregate keyed on cluster (:func:`_mean_by_cluster`);
+      ``dim=None`` keeps the dynamic posexplode cell path.
+    * **lineage / iteration cost**: each round COLLECTS the k centroid
+      rows to the driver (bounded: k is clamped by SEM_MAX_K /
+      ceil(sqrt(n)) — the same k-row driver materialization
+      ``_blas_assign`` has always done) and rebuilds them as a
+      LocalRelation, so one Lloyd's round is exactly ONE Spark job (scan
+      + local argmax + one aggregate exchange + k-row collect): no
+      per-round ``localCheckpoint`` block writes and no separate
+      broadcast-exchange job — a LocalRelation broadcast is driver-local
+      (r12; previously ~3 jobs and 3 exchanges per round). Half-norms
+      are computed INSIDE the collect query with the canonical
+      ``0.5 * dot`` expression, so no driver-side float arithmetic ever
+      enters the comparison path.
 
     Determinism end-to-end: md5-ranked init, integer-scaled sums, explicit
-    argmax tiebreak toward the smaller cluster id.
+    argmax tiebreak toward the smaller cluster id; the r12 rewrites are
+    value-identical (same fold order, same tiebreak, exact double
+    round-trip through collect), so the unrolled DuckDB oracles are
+    unchanged.
     """
+    spark = embeddings.sparkSession
     e = spread_input(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     h = hash60(F.col("vec_id").cast("string"), seed="km")
     w0 = Window.orderBy("h", "vec_id")
-    cents = (
+    half = (F.lit(0.5) * dot(F.col("centroid"), F.col("centroid"))).alias(
+        "half_cnorm"
+    )
+    rows = (
         e.select("vec_id", "emb", h.alias("h"))
         .orderBy("h", "vec_id")
         .limit(k)
-        .select((F.row_number().over(w0) - 1).alias("cluster"), F.col("emb").alias("centroid"))
-        .localCheckpoint()
+        .select(
+            (F.row_number().over(w0) - 1).alias("cluster"),
+            F.col("emb").alias("centroid"),
+        )
+        .select("cluster", "centroid", half)
+        .collect()  # k seed rows; halves computed by the canonical expr
     )
-    mul = lambda a, b: a * b  # noqa: E731
-    add = lambda acc, x: acc + x  # noqa: E731
     for _ in range(n_iters):
         if impl == "blas":
-            assigned = _blas_assign(e, cents)
+            assigned = _blas_assign(e, _cents_local(spark, rows))
         else:
-            c2 = cents.select(
-                "cluster",
-                "centroid",
-                (
-                    F.lit(0.5)
-                    * F.aggregate(
-                        F.zip_with("centroid", "centroid", mul), F.lit(0.0), add
-                    )
-                ).alias("half_cnorm"),
+            # shuffle-free assign (r12): one-row centroid-array broadcast +
+            # per-row argmax — no (row x centroid) materialization, no
+            # groupBy(vec_id) exchange (guide §2.4). Scores and tiebreak
+            # are expression-identical to the old crossJoin/max_by form.
+            assigned = e.crossJoin(F.broadcast(_pack_local(spark, rows))).select(
+                "vec_id",
+                "emb",
+                _argmax_cluster(F.col("emb"), F.col("cs")).alias("cluster"),
             )
-            score = (
-                F.aggregate(F.zip_with("emb", "centroid", mul), F.lit(0.0), add)
-                - F.col("half_cnorm")
+        if dim is not None:
+            # fixed-width corpus: ONE aggregation for the recompute
+            recompute = _mean_by_cluster(assigned, ["cluster"], "emb", dim)
+        else:
+            # dynamic-width fallback: the original cell path
+            ex = assigned.select(
+                "cluster", F.posexplode("emb").alias("pos", "v")
             )
-            assigned = (
-                e.crossJoin(F.broadcast(c2))
-                .select("vec_id", "emb", "cluster", score.alias("score"))
-                .groupBy("vec_id")
+            cell = ex.groupBy("cluster", "pos").agg(
+                F.sum(F.round(F.col("v") * 1e7).cast("bigint")).alias("sc"),
+                F.count("*").alias("n"),
+            )
+            recompute = (
+                cell.select(
+                    "cluster",
+                    "pos",
+                    ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias(
+                        "c"
+                    ),
+                    F.col("n").alias("n_members"),
+                )
+                .groupBy("cluster")
                 .agg(
-                    F.max_by(
-                        "cluster", F.struct(F.col("score"), -F.col("cluster"))
-                    ).alias("cluster"),
-                    F.any_value("emb").alias("emb"),
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                        lambda x: x["c"],
+                    ).alias("centroid"),
+                    F.first("n_members").alias("n_members"),
                 )
             )
-        ex = assigned.select(
-            "cluster", F.posexplode("emb").alias("pos", "v")
-        )
-        cell = ex.groupBy("cluster", "pos").agg(
-            F.sum(F.round(F.col("v") * 1e7).cast("bigint")).alias("sc"),
-            F.count("*").alias("n"),
-        )
-        cents = (
-            cell.select(
-                "cluster",
-                "pos",
-                ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias("c"),
-                F.col("n").alias("n_members"),
-            )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-                ).alias("centroid"),
-                F.first("n_members").alias("n_members"),
-            )
-            .localCheckpoint()
-        )
-    return cents.select("cluster", "n_members", "centroid")
+        # ONE job per round: this collect is the round's only action
+        rows = recompute.select("cluster", "centroid", "n_members", half).collect()
+    return spark.createDataFrame(
+        [(r["cluster"], r["n_members"], r["centroid"]) for r in rows],
+        "cluster int, n_members bigint, centroid array<double>",
+    )
 
 
 
@@ -850,7 +1037,7 @@ def _kmeans_oracle(k: int = 4, n_iters: int = 3) -> str:
     ),
 )
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kmeans_train(load_table(spark, sf_dir, "embeddings"), k=4, n_iters=3)
+    return kmeans_train(load_table(spark, sf_dir, "embeddings"), k=4, n_iters=3, dim=DIM)
 
 
 # ---------------------------------------------------------------------------
@@ -948,12 +1135,12 @@ def _blas_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
 def kmeans_assign(
     embeddings: DataFrame, cents: DataFrame, impl: str = "native"
 ) -> DataFrame:
-    """One broadcast-assign pass against trained centroids: each vector's
-    nearest centroid via ``max_by`` in a plain hash aggregate (map-side
-    partial max — the broadcast-cross rows collapse per partition, no
-    window sort, no join-back). Returns ``(vec_id, cluster, emb, nrm)``.
-    Cost is O(n * k) dot products with NO shuffle of anything wider than
-    the output row; k is bounded by the broadcast clamp (SEM_MAX_K).
+    """One broadcast-assign pass against trained centroids: the packed
+    centroid array broadcasts as a single row and each vector computes
+    its argmax locally (r12 — zero exchanges; the earlier crossJoin/
+    ``max_by`` form re-shuffled the corpus by vec_id). Returns
+    ``(vec_id, cluster, emb, nrm)``. Cost is O(n * k) dot products with
+    NO shuffle at all; k is bounded by the broadcast clamp (SEM_MAX_K).
     ``impl="blas"`` swaps the score evaluation for the Arrow-batched
     numpy kernel (:func:`_blas_assign`) — the measured ~50x hot-loop win
     once auto-sized k reaches the thousands."""
@@ -962,29 +1149,15 @@ def kmeans_assign(
     )
     if impl == "blas":
         return _blas_assign(e, cents)
-    mul = lambda a, b: a * b  # noqa: E731
-    add = lambda acc, x: acc + x  # noqa: E731
-    c2 = cents.select(
-        "cluster",
-        "centroid",
-        (
-            F.lit(0.5)
-            * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
-        ).alias("half_cnorm"),
-    )
-    score = (
-        F.aggregate(F.zip_with("emb", "centroid", mul), F.lit(0.0), add)
-        - F.col("half_cnorm")
-    )
+    # r12: one-row centroid-array broadcast + per-row argmax — the assign
+    # pass now carries ZERO exchanges (the crossJoin/max_by form re-
+    # shuffled the corpus by vec_id); scores/tiebreak identical.
     return (
-        e.crossJoin(F.broadcast(c2))
-        .select("vec_id", "emb", "cluster", score.alias("score"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias(
-                "cluster"
-            ),
-            F.any_value("emb").alias("emb"),
+        e.crossJoin(F.broadcast(_pack_collect(cents)))
+        .select(
+            "vec_id",
+            _argmax_cluster(F.col("emb"), F.col("cs")).alias("cluster"),
+            "emb",
         )
         .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
     )
@@ -1020,9 +1193,15 @@ def semantic_dedup(
     sim_kmeans_train, and the pair join is a plain equi-join on cluster
     (no cartesian, no all-corpus shuffle of anything wider than
     (vec_id, cluster, emb))."""
+    # r12: pin the spread corpus for this call's duration (iterative-ML
+    # working set; recomputed every invocation) — training rounds, the
+    # assign pass and both pair-join sides otherwise each replay the
+    # scan + spread repartition. The sizing count() doubles as the
+    # materialization action.
+    embeddings = spread_input(embeddings).localCheckpoint(eager=False)
     if k is None:
         k = semantic_k(embeddings.count())
-    cents = kmeans_train(embeddings, k=k, n_iters=n_iters, impl=impl)
+    cents = kmeans_train(embeddings, k=k, n_iters=n_iters, impl=impl, dim=DIM)
     assigned = (
         kmeans_assign(embeddings, cents, impl=impl)
         # assignment appears THREE times downstream (both pair-join sides
@@ -1139,7 +1318,7 @@ def build_semantic_index(old_corpus: DataFrame, path: str, n_iters: int = 2) -> 
     so the day-2 pair confirm needs no corpus join-back). Training reads
     the old corpus exactly once, here."""
     k = semantic_k(old_corpus.count())
-    cents = kmeans_train(old_corpus, k=k, n_iters=n_iters)
+    cents = kmeans_train(old_corpus, k=k, n_iters=n_iters, dim=DIM)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents_r = old_corpus.sparkSession.read.parquet(f"{path}/centroids")
     kmeans_assign(old_corpus, cents_r).write.mode("overwrite").parquet(
@@ -1294,7 +1473,7 @@ def _semantic_stream_state_for(spark: SparkSession, sf_dir: str) -> tuple:
         )
     ).select("vec_id", "embedding")
     cents_path = tempfile.mkdtemp(prefix="semstream_cents_")
-    kmeans_train(old, k=semantic_k(old.count()), n_iters=2).write.mode(
+    kmeans_train(old, k=semantic_k(old.count()), n_iters=2, dim=DIM).write.mode(
         "overwrite"
     ).parquet(cents_path)
     index_root = tempfile.mkdtemp(prefix="semstream_idx_")
@@ -1549,7 +1728,8 @@ def pq_train_codebooks(
     Same determinism skeleton as :func:`kmeans_train` — md5-ranked init
     (the first ``k`` vectors by hash60 seed every subspace), exact
     1e-7-scaled integer centroid sums, argmax tiebreak toward the smaller
-    cluster id, ``localCheckpoint`` lineage truncation per round — which
+    cluster id, k x M_SUB-row collect + LocalRelation per round (r12:
+    one job and one exchange per round, no checkpoint blocks) — which
     makes the whole training loop bit-reproducible and therefore
     UNROLLABLE into a DuckDB oracle (``_pq_trained_cb_cte``): the
     registered query stays value-hash-checked even though training is
@@ -1565,57 +1745,40 @@ def pq_train_codebooks(
         .limit(k)
         .select("vec_id", (F.row_number().over(w0) - 1).alias("cluster"))
     )
-    cents = (
+    spark = embeddings.sparkSession
+    half = (F.lit(0.5) * dot(F.col("c_sub"), F.col("c_sub"))).alias("half_cnorm")
+    rows = (
         sub.join(F.broadcast(seeds), "vec_id")
         .select("m", "cluster", F.col("sub_vec").alias("c_sub"))
-        .localCheckpoint()
+        .select("m", "cluster", "c_sub", half)
+        .collect()  # k x M_SUB seed rows; halves by the canonical expr
     )
     for _ in range(n_iters):
-        c2 = cents.select(
+        # r12: per-subspace packed codeword arrays broadcast (M_SUB
+        # LocalRelation rows — broadcasting them launches no job) and
+        # each (vec, m) row computes its argmax locally — the old form
+        # materialized 16 candidates per row and collapsed them through a
+        # groupBy(vec_id, m) exchange of the whole subvector corpus.
+        asg = sub.join(
+            F.broadcast(_pack_local(spark, rows, with_m=True)), "m"
+        ).select(
             "m",
-            "cluster",
-            "c_sub",
-            (F.lit(0.5) * dot(F.col("c_sub"), F.col("c_sub"))).alias("half_n"),
-        )
-        scored = sub.join(F.broadcast(c2), "m").select(
-            "vec_id",
-            "m",
-            "cluster",
-            (dot(F.col("sub_vec"), F.col("c_sub")) - F.col("half_n")).alias("score"),
             "sub_vec",
+            _argmax_cluster(F.col("sub_vec"), F.col("cs")).alias("cluster"),
         )
-        asg = scored.groupBy("vec_id", "m").agg(
-            F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias(
-                "cluster"
-            ),
-            F.any_value("sub_vec").alias("sub_vec"),
+        # ONE hash aggregate for all 8 subspace recomputes ((m, cluster)
+        # keyed, SUB_DIM static sums) — replaces the posexplode cell pass
+        # plus second aggregation; identical exact-integer arithmetic.
+        # The k x M_SUB-row collect is the round's only action.
+        rows = (
+            _mean_by_cluster(asg, ["m", "cluster"], "sub_vec", SUB_DIM)
+            .select("m", "cluster", F.col("centroid").alias("c_sub"))
+            .select("m", "cluster", "c_sub", half)
+            .collect()
         )
-        ex = asg.select("m", "cluster", F.posexplode("sub_vec").alias("pos", "v"))
-        cell = ex.groupBy("m", "cluster", "pos").agg(
-            F.sum(F.round(F.col("v") * 1e7).cast("bigint")).alias("sc"),
-            F.count("*").alias("n"),
-        )
-        cents = (
-            cell.select(
-                "m",
-                "cluster",
-                "pos",
-                ((F.col("sc").cast("double") / F.lit(1e7)) / F.col("n")).alias("c"),
-            )
-            .groupBy("m", "cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda x: x["c"],
-                ).alias("c_sub")
-            )
-            .localCheckpoint()
-        )
-    return cents.select(
-        "m",
-        "cluster",
-        "c_sub",
-        (F.lit(0.5) * dot(F.col("c_sub"), F.col("c_sub"))).alias("half_n"),
+    return spark.createDataFrame(
+        [(r["m"], r["cluster"], r["c_sub"], r["half_cnorm"]) for r in rows],
+        "m int, cluster int, c_sub array<double>, half_n double",
     )
 
 
@@ -1623,21 +1786,20 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, m, code): nearest codeword per subspace.
 
     argmin L2 == argmax(v_m . c - |c|^2/2) with half-norms precomputed in
-    the codebook (same identity as sim_ivf_assign). One broadcast join +
-    one hash aggregate (max_by, map-side partial) — the corpus never
-    shuffles. The output is the PQ INDEX: 8 small ints (~8 bytes) per
+    the packed codebook (same identity as sim_ivf_assign). One broadcast
+    join on ``m`` + a per-row argmax (r12) — the corpus never shuffles
+    and no candidate rows materialize. The output is the PQ INDEX: 8 small ints (~8 bytes) per
     vector replacing 64 floats, a 32x shrink; raw vectors never appear in
     the ADC scan path again.
     """
     sub = _subvectors(spread_input(embeddings), "vec_id")
-    scored = sub.join(F.broadcast(codebook), "m").select(
+    # r12: M_SUB-row packed-codebook broadcast + per-row argmax — the
+    # encode pass now carries zero exchanges (previously 16 candidate
+    # rows per (vec, m) collapsed through a groupBy(vec_id, m) exchange).
+    return sub.join(F.broadcast(_pack_collect(codebook, with_m=True)), "m").select(
         "vec_id",
         "m",
-        "cluster",
-        (dot(F.col("sub_vec"), F.col("c_sub")) - F.col("half_n")).alias("score"),
-    )
-    return scored.groupBy("vec_id", "m").agg(
-        F.max_by("cluster", F.struct(F.col("score"), -F.col("cluster"))).alias("code")
+        _argmax_cluster(F.col("sub_vec"), F.col("cs")).alias("code"),
     )
 
 
@@ -2013,28 +2175,36 @@ def _ivf_probes(
     )
     mul = lambda a, b: a * b  # noqa: E731
     add = lambda acc, x: acc + x  # noqa: E731
-    c2 = cents.select(
-        "cluster",
-        "centroid",
-        (
-            F.lit(0.5)
-            * F.aggregate(F.zip_with("centroid", "centroid", mul), F.lit(0.0), add)
-        ).alias("half_cnorm"),
+    # r12: per-row top-nprobe via a sorted (neg-score, cluster) struct
+    # array sliced to nprobe — same (score DESC, cluster ASC) order the
+    # row_number window used, without shuffling the (query x centroid)
+    # rows through a window exchange.
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    (
+                        -(
+                            F.aggregate(
+                                F.zip_with("q_emb", c["centroid"], mul),
+                                F.lit(0.0),
+                                add,
+                            )
+                            - c["half_cnorm"]
+                        )
+                    ).alias("neg_score"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
     )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cluster"))
     return (
-        q.crossJoin(F.broadcast(c2))
-        .select(
-            "query_id",
-            "cluster",
-            (
-                F.aggregate(F.zip_with("q_emb", "centroid", mul), F.lit(0.0), add)
-                - F.col("half_cnorm")
-            ).alias("score"),
-        )
-        .withColumn("prn", F.row_number().over(wp))
-        .where(F.col("prn") <= nprobe)
-        .select("query_id", "cluster")
+        q.crossJoin(F.broadcast(_pack_collect(cents)))
+        .select("query_id", F.explode(ranked).alias("t"))
+        .select("query_id", F.col("t.cluster").alias("cluster"))
     )
 
 
@@ -2080,21 +2250,26 @@ def ivf_pq_topk(
     # the four index pieces are injectable (the serving shape: train/
     # assign/encode offline once — tools/ivf_pq_scale_probe.py times the
     # per-query path alone against a frozen parquet index)
+    fuse = coarse is None and assigned is None and codes is None
+    if fuse:
+        # r12: pin the projected corpus in the block manager for the
+        # DURATION OF THIS CALL (the standard iterative-ML working-set
+        # cache — Spark MLlib's own KMeans does the same): every Lloyd's
+        # round, both trainings, the encode and the re-rank otherwise
+        # re-run the parquet scan + spread repartition, one extra AQE
+        # stage-job each. eager=False lets the sizing count() double as
+        # the materialization action. Recomputed per invocation — never
+        # a cross-run memo.
+        embeddings = spread_input(embeddings).localCheckpoint(eager=False)
     cents = (
         kmeans_train(
             embeddings, k=ivf_coarse_k(embeddings.count()),
-            n_iters=coarse_iters, impl=impl,
+            n_iters=coarse_iters, impl=impl, dim=DIM,
         )
         if coarse is None
         else coarse
     )
-    assigned = (
-        kmeans_assign(embeddings, cents, impl=impl)
-        if assigned is None
-        else assigned
-    ).select("vec_id", "cluster")
     cb = pq_train_codebooks(embeddings, k=16, n_iters=3) if codebook is None else codebook
-    codes = pq_encode(embeddings, cb) if codes is None else codes
 
     probes = _ivf_probes(embeddings, cents, n_queries, nprobe)
     qsub = _subvectors(embeddings.where(F.col("vec_id") < n_queries), "query_id")
@@ -2106,7 +2281,47 @@ def ivf_pq_topk(
         .cast("bigint")
         .alias("val"),
     )
-    cand = codes.join(assigned, "vec_id").join(F.broadcast(probes), "cluster")
+    if fuse:
+        # r12: build the INVERTED-LIST layout directly — coarse argmax and
+        # PQ codes computed in ONE narrow pass per vector (the natural
+        # IVFPQ index shape: codes stored per coarse cell), so the
+        # (codes x assigned) vec_id equi-join disappears from the plan
+        # entirely. Values are the same two argmaxes; only the attach is
+        # fused.
+        emb = F.col("embedding").cast("array<double>")
+        e2 = (
+            spread_input(embeddings)
+            .crossJoin(F.broadcast(_pack_collect(cents)))
+            .select(
+                "vec_id",
+                "embedding",
+                _argmax_cluster(emb, F.col("cs")).alias("cluster"),
+            )
+        )
+        subs = F.array(
+            *[F.slice(emb, m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)]
+        )
+        codes_c = (
+            e2.select(
+                "vec_id", "cluster", F.posexplode(subs).alias("m", "sub_vec")
+            )
+            .join(F.broadcast(_pack_collect(cb, with_m=True)), "m")
+            .select(
+                "vec_id",
+                "cluster",
+                "m",
+                _argmax_cluster(F.col("sub_vec"), F.col("cs")).alias("code"),
+            )
+        )
+        cand = codes_c.join(F.broadcast(probes), "cluster")
+    else:
+        assigned = (
+            kmeans_assign(embeddings, cents, impl=impl)
+            if assigned is None
+            else assigned
+        ).select("vec_id", "cluster")
+        codes = pq_encode(embeddings, cb) if codes is None else codes
+        cand = codes.join(assigned, "vec_id").join(F.broadcast(probes), "cluster")
     scored = (
         cand.join(
             F.broadcast(lut),
@@ -2115,6 +2330,11 @@ def ivf_pq_topk(
             & (F.col("code") == F.col("codeword")),
         )
         .where(F.col("vec_id") != F.col("query_id"))
+        # r12 (guide §2.4): partition ONCE by query_id — hash(query_id)
+        # clustering satisfies both the (query_id, vec_id) aggregate and
+        # the query_id shortlist window, so the plan carries one exchange
+        # where groupBy-then-window used to re-shuffle.
+        .repartition("query_id")
         .groupBy("query_id", "vec_id")
         .agg(F.sum("val").alias("score"))
     )
@@ -2689,8 +2909,12 @@ def _cluster_outlier_oracle(n_iters: int = 2) -> str:
     ),
 )
 def sim_outlier_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_train(e, k=semantic_k(e.count()), n_iters=2)
+    # r12: per-call working-set pin (see semantic_dedup) — training, the
+    # assign pass and the scoring join share one materialized corpus.
+    e = spread_input(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
+    cents = kmeans_train(e, k=semantic_k(e.count()), n_iters=2, dim=DIM)
     assigned = kmeans_assign(e, cents)  # (vec_id, cluster, emb, nrm)
     scored = assigned.join(F.broadcast(cents.select("cluster", "centroid")), "cluster").select(
         "vec_id",
@@ -2718,7 +2942,7 @@ def build_ivf_pq_index(embeddings: DataFrame, path: str) -> None:
     half). Both trainings and both encodes read the raw vectors exactly
     once, HERE; the serving query never does."""
     spark = embeddings.sparkSession
-    cents = kmeans_train(embeddings, k=ivf_coarse_k(embeddings.count()), n_iters=2)
+    cents = kmeans_train(embeddings, k=ivf_coarse_k(embeddings.count()), n_iters=2, dim=DIM)
     cents.write.mode("overwrite").parquet(f"{path}/coarse")
     kmeans_assign(embeddings, spark.read.parquet(f"{path}/coarse")).select(
         "vec_id", "cluster"

@@ -100,11 +100,18 @@ def test_no_driver_side_collect_in_operators():
             "itself stays distributed",
         ),
         "operators/similarity.py": (
-            1,
-            "_blas_assign materializes the K-ROW centroid matrix driver-"
-            "side for the Arrow-batched matmul kernel — k is broadcast-"
-            "clamped (SEM_MAX_K), never corpus-sized; the corpus itself "
-            "streams through mapInPandas",
+            7,
+            "every collect is a K-ROW centroid/codebook frame, never the "
+            "corpus: _blas_assign materializes the k-row centroid matrix "
+            "for the Arrow-batched matmul kernel; the Lloyd's loops "
+            "(kmeans_train / pq_train_codebooks) collect the k-row (or "
+            "k x M_SUB-row) means each round and rebuild them as "
+            "LocalRelations so the next round's argmax broadcast launches "
+            "no job (r12 — one job per training round instead of "
+            "checkpoint + broadcast sub-jobs); _pack_collect does the same "
+            "for serving-path packs. k is broadcast-clamped (SEM_MAX_K / "
+            "ceil(sqrt(n)) coarse lists), never corpus-sized; the corpus "
+            "itself always stays distributed",
         ),
         "plans/snapshots.py": (
             9,
