@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .chain_cache import session_chain_cache
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -96,23 +98,25 @@ ALB_LOG_SCHEMA = StructType(
 ALB_LOG_COLUMNS = [f.name for f in ALB_LOG_SCHEMA.fields]
 
 
-def parse_alb_log_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
-    """Raw ALB access-log lines -> typed 30-column table (29 + error_line)."""
+@session_chain_cache
+def parse_alb_log_lines(value_col: str = "value"):
+    """Raw ALB access-log lines -> typed 30-column table (29 + error_line).
+
+    Column tree built once per session (chain_cache); public shape stays
+    ``parse_alb_log_lines(lines, value_col="value")``."""
     line = F.regexp_replace(F.col(value_col), r"(?U)^\s+|\s+$", "")
-    df = lines.where(F.length(line) > 0).select(line.alias("_line"))
-    df = df.withColumn("_matched", F.regexp_extract(F.col("_line"), ALB_LOG_PATTERN, 0))
-    df = df.withColumn(
-        "_tok",
-        F.when(
-            F.col("_matched") != "",
-            F.split(
-                # _matched is exactly the matched prefix, so full anchoring is
-                # correct here (trailing additions never reach this rewrite)
-                F.regexp_replace(
-                    F.col("_matched"), "^" + ALB_LOG_PATTERN + "$", _REPLACEMENT
-                ),
-                _SEP,
+    line_nonempty = F.length(line) > 0
+    line_aliased = line.alias("_line")
+    matched = F.regexp_extract(F.col("_line"), ALB_LOG_PATTERN, 0)
+    tok = F.when(
+        F.col("_matched") != "",
+        F.split(
+            # _matched is exactly the matched prefix, so full anchoring is
+            # correct here (trailing additions never reach this rewrite)
+            F.regexp_replace(
+                F.col("_matched"), "^" + ALB_LOG_PATTERN + "$", _REPLACEMENT
             ),
+            _SEP,
         ),
     )
     ok = F.col("_tok").isNotNull()
@@ -129,4 +133,10 @@ def parse_alb_log_lines(lines: DataFrame, value_col: str = "value") -> DataFrame
             c = c.try_cast(cast)
         cols.append(F.when(ok, c).alias(name))
     cols.append(F.when(~ok, F.col("_line")).alias("error_line"))
-    return df.select(*cols)
+
+    def apply(lines: DataFrame) -> DataFrame:
+        df = lines.where(line_nonempty).select(line_aliased)
+        df = df.withColumn("_matched", matched).withColumn("_tok", tok)
+        return df.select(*cols)
+
+    return apply

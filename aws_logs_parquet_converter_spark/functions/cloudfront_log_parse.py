@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .chain_cache import session_chain_cache
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -87,21 +89,22 @@ CLOUDFRONT_LOG_SCHEMA = StructType(
 CLOUDFRONT_LOG_COLUMNS = [f.name for f in CLOUDFRONT_LOG_SCHEMA.fields]
 
 
-def parse_cloudfront_log_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+@session_chain_cache
+def parse_cloudfront_log_lines(value_col: str = "value"):
     """Raw CloudFront log lines -> typed 33-column table (+ error_line).
 
     One `split` on tab is the whole parse (the format never embeds tabs in
     fields — values are URL-encoded). Stays entirely inside whole-stage
     codegen: no Python workers, no shuffle. Wrong-arity lines dead-letter
     with the raw text preserved; ``#``-comment and blank lines are dropped.
+    Column tree built once per session (chain_cache); public shape stays
+    ``parse_cloudfront_log_lines(lines, value_col="value")``.
     """
     line = F.col(value_col)
-    df = (
-        lines.where(F.length(F.trim(line)) > 0)
-        .where(~F.startswith(F.ltrim(line), F.lit("#")))
-        .select(line.alias("_line"))
-    )
-    df = df.withColumn("_tok", F.split(F.col("_line"), "\t"))
+    line_nonempty = F.length(F.trim(line)) > 0
+    not_comment = ~F.startswith(F.ltrim(line), F.lit("#"))
+    line_aliased = line.alias("_line")
+    tok = F.split(F.col("_line"), "\t")
     ok = F.size("_tok") == _N_FIELDS
 
     def _raw(i: int) -> Column:
@@ -117,4 +120,10 @@ def parse_cloudfront_log_lines(lines: DataFrame, value_col: str = "value") -> Da
             c = c.try_cast(cast)
         cols.append(F.when(ok, c).alias(name))
     cols.append(F.when(~ok, F.col("_line")).alias("error_line"))
-    return df.select(*cols)
+
+    def apply(lines: DataFrame) -> DataFrame:
+        df = lines.where(line_nonempty).where(not_comment).select(line_aliased)
+        df = df.withColumn("_tok", tok)
+        return df.select(*cols)
+
+    return apply

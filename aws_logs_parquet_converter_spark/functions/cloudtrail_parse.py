@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .chain_cache import session_chain_cache
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -138,33 +140,32 @@ CLOUDTRAIL_LOG_SCHEMA = StructType(
 OUTPUT_COLUMNS = tuple(f.name for f in CLOUDTRAIL_LOG_SCHEMA.fields)
 
 
-def parse_cloudtrail_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+@session_chain_cache
+def parse_cloudtrail_lines(value_col: str = "value"):
     """Typed CloudTrail record table from raw JSON lines.
 
     ONE narrow pass, no union split: ``from_json`` binds the document
     schema; good documents explode their Records array, bad lines ride
     through the same explode as a single NULL element so each yields
     exactly one dead-letter row (``error_line`` = raw line). Blank lines
-    are dropped, matching the engine-wide contract."""
+    are dropped, matching the engine-wide contract. Column tree built
+    once per session (chain_cache); public shape stays
+    ``parse_cloudtrail_lines(lines, value_col="value")``."""
     v = F.trim(F.col(value_col))
+    v_nonempty = F.length(v) > 0
     null_rec = F.array(F.lit(None).cast(_RECORD_TYPE))
     # from_json is the expensive expression here — bind it ONCE in its
     # own projection (Catalyst's CollapseProject keeps non-cheap exprs
     # with multiple downstream references un-inlined, so the parse runs
     # once per line, not once per consumer; verified in the plan)
-    parsed = lines.where(F.length(v) > 0).select(
-        v.alias("_line"),
-        F.from_json(v, _DOC_TYPE)["Records"].alias("_recs"),
-    )
+    line_aliased = v.alias("_line")
+    recs = F.from_json(v, _DOC_TYPE)["Records"].alias("_recs")
     # ok <=> the document parsed AND carried a Records array (a non-array
     # Records coerces to NULL under from_json's PERMISSIVE mode, exactly
     # the json_type(j,'$.Records')='ARRAY' test oracle-side)
     ok = F.col("_recs").isNotNull()
-    rows = parsed.select(
-        "_line",
-        ok.alias("_ok"),
-        F.explode(F.when(ok, F.col("_recs")).otherwise(null_rec)).alias("r"),
-    )
+    exploded = F.explode(F.when(ok, F.col("_recs")).otherwise(null_rec)).alias("r")
+    ok_aliased = ok.alias("_ok")
     cols = []
     for name, path, cast in _FIELDS:
         e = F.col("r").getField(path.split(".")[0])
@@ -174,4 +175,10 @@ def parse_cloudtrail_lines(lines: DataFrame, value_col: str = "value") -> DataFr
             e = F.to_timestamp(e)
         cols.append(F.when(F.col("_ok"), e).alias(name))
     cols.append(F.when(~F.col("_ok"), F.col("_line")).alias("error_line"))
-    return rows.select(*cols)
+
+    def apply(lines: DataFrame) -> DataFrame:
+        parsed = lines.where(v_nonempty).select(line_aliased, recs)
+        rows = parsed.select("_line", ok_aliased, exploded)
+        return rows.select(*cols)
+
+    return apply

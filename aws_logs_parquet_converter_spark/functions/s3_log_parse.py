@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .chain_cache import session_chain_cache
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -146,32 +148,34 @@ def _parse_time(time_group: Column) -> Column:
     return F.try_to_timestamp(body, F.lit("dd/MMM/yyyy:HH:mm:ss"))
 
 
-def parse_s3_access_log_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+@session_chain_cache
+def parse_s3_access_log_lines(value_col: str = "value"):
     """Parse a DataFrame of raw log lines into the 27-column typed table.
 
     Input: one string column (default ``value``, as produced by
     ``spark.read.text``). Output: ``S3_ACCESS_LOG_SCHEMA`` — entirely native
-    expressions, single stage, no shuffle.
+    expressions, single stage, no shuffle. Public shape stays
+    ``parse_s3_access_log_lines(lines, value_col="value")``; the Column
+    tree is built once per session (chain_cache) so per-micro-batch
+    streaming calls don't rebuild ~150 py4j expressions each trigger.
     """
     # Python str.strip() semantics (reference :135): strip ALL whitespace
     # (unicode-aware — (?U) makes Java's \s match e.g.   like Python's
     # str.strip does), drop empty; F.trim only handles spaces.
     line = F.regexp_replace(F.col(value_col), r"(?U)^\s+|\s+$", "")
-    df = lines.where(F.length(line) > 0).select(line.alias("_line"))
+    line_nonempty = F.length(line) > 0
+    line_aliased = line.alias("_line")
 
     # Regex exec #1: matched substring (search semantics; '' = no match).
-    df = df.withColumn("_matched", F.regexp_extract(F.col("_line"), S3_ACCESS_LOG_PATTERN, 0))
+    matched = F.regexp_extract(F.col("_line"), S3_ACCESS_LOG_PATTERN, 0)
     # Regex exec #2: rewrite the matched text into \x01-joined groups, split once.
-    df = df.withColumn(
-        "_tok",
-        F.when(
-            F.col("_matched") != "",
-            F.split(
-                F.regexp_replace(
-                    F.col("_matched"), "^" + S3_ACCESS_LOG_PATTERN + "$", _REPLACEMENT
-                ),
-                _SEP,
+    tok = F.when(
+        F.col("_matched") != "",
+        F.split(
+            F.regexp_replace(
+                F.col("_matched"), "^" + S3_ACCESS_LOG_PATTERN + "$", _REPLACEMENT
             ),
+            _SEP,
         ),
     )
 
@@ -195,4 +199,9 @@ def parse_s3_access_log_lines(lines: DataFrame, value_col: str = "value") -> Dat
                 c = c.try_cast(cast)
             cols.append(F.when(ok, c).alias(name))
 
-    return df.select(*cols)
+    def apply(lines: DataFrame) -> DataFrame:
+        df = lines.where(line_nonempty).select(line_aliased)
+        df = df.withColumn("_matched", matched).withColumn("_tok", tok)
+        return df.select(*cols)
+
+    return apply

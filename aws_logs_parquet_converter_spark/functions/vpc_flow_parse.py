@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .chain_cache import session_chain_cache
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -70,16 +72,20 @@ VPC_FLOW_SCHEMA = StructType(
 VPC_FLOW_COLUMNS = [f.name for f in VPC_FLOW_SCHEMA.fields]
 
 
-def parse_vpc_flow_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+@session_chain_cache
+def parse_vpc_flow_lines(value_col: str = "value"):
     """Raw flow-log lines -> typed 15-column table (14 fields + error_line).
 
     No regex at all: the default format is strictly single-space separated,
     so one `split` + arity check is the whole parse. Unparseable lines
     (wrong field count) dead-letter with the raw text preserved.
+    Column tree built once per session (chain_cache); public shape stays
+    ``parse_vpc_flow_lines(lines, value_col="value")``.
     """
     line = F.regexp_replace(F.col(value_col), r"(?U)^\s+|\s+$", "")
-    df = lines.where(F.length(line) > 0).select(line.alias("_line"))
-    df = df.withColumn("_tok", F.split(F.col("_line"), " "))
+    line_nonempty = F.length(line) > 0
+    line_aliased = line.alias("_line")
+    tok = F.split(F.col("_line"), " ")
     ok = F.size("_tok") == _N_FIELDS
 
     def _field(i: int, cast: str | None) -> Column:
@@ -95,4 +101,10 @@ def parse_vpc_flow_lines(lines: DataFrame, value_col: str = "value") -> DataFram
         for i, (name, cast) in enumerate(_FIELDS)
     ]
     cols.append(F.when(~ok, F.col("_line")).alias("error_line"))
-    return df.select(*cols)
+
+    def apply(lines: DataFrame) -> DataFrame:
+        df = lines.where(line_nonempty).select(line_aliased)
+        df = df.withColumn("_tok", tok)
+        return df.select(*cols)
+
+    return apply

@@ -358,9 +358,10 @@ def test_log_file_stream_is_incremental_and_keeps_dead_letters(spark, tmp_path):
     )
     assert got_dead == want_dead
     # incrementality: some day partition accreted commits from more than
-    # one micro-batch (each batch owns its own batch=N subdirectory)
+    # one micro-batch (each batch owns its own batch=N subtree; day dirs
+    # nest inside it since the r12 static-subtree overwrite)
     per_part = {}
-    for f in glob.glob(dest + "/day=*/batch=*/*.parquet"):
+    for f in glob.glob(dest + "/batch=*/day=*/*.parquet"):
         part = f.split("/day=")[1].split("/")[0]
         per_part.setdefault(part, set()).add(f.split("/batch=")[1].split("/")[0])
     assert max(len(b) for b in per_part.values()) > 1, per_part
