@@ -22,11 +22,18 @@ from .dedup import spread_input
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Deterministic (sequential) double-precision dot product of two arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Deterministic (sequential) double-precision dot product of two
+    arrays. Memoized per session on the operand expression strings —
+    each HOF lambda costs ~15 ms of py4j to build and hot construction
+    paths (training loops, pair confirms) ask for the same tree
+    repeatedly."""
+    return _session_memo(
+        ("dot", str(a), str(b)),
+        lambda: F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -732,9 +739,15 @@ def _pack_collect(cents: DataFrame, with_m: bool = False) -> DataFrame:
       rows never transit py4j.
 
     Half-norms come from the canonical ``0.5 * dot`` expression in both
-    routes — never driver float arithmetic."""
+    routes — never driver float arithmetic. Frames returned by the
+    trainings carry their pack prebuilt (``_r12_pack`` / ``_r12_pack_m``,
+    from the rows the training already collected) — the zero-work fast
+    path."""
+    pre = getattr(cents, "_r12_pack_m" if with_m else "_r12_pack", None)
+    if pre is not None:
+        return pre
     spark = cents.sparkSession
-    if "LocalRelation" not in cents._jdf.queryExecution().optimizedPlan().toString():
+    if "LocalRelation" not in cents._jdf.queryExecution().analyzed().toString():
         return _codebook_pack(cents) if with_m else _centroid_pack(cents)
     if with_m:
         rows = cents.select(
@@ -780,30 +793,61 @@ def _codebook_pack(cb: DataFrame) -> DataFrame:
     )
 
 
+#: session-keyed memo for the Column trees below — building a
+#: higher-order-function expression costs ~15 ms of py4j per lambda, and
+#: the training loops + eager query constructions were rebuilding the
+#: same trees dozens of times per leg (a measured ~2 s of the
+#: construction wall on sim_ann_ivf_pq). Unresolved Columns are plain
+#: expression trees, reusable across DataFrames; keyed by applicationId
+#: so a restarted context never sees another context's objects.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _session_memo(suffix: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (sc.applicationId if sc is not None else None,) + suffix
+    v = _EXPR_CACHE.get(key)
+    if v is None:
+        v = build()
+        _EXPR_CACHE[key] = v
+        if len(_EXPR_CACHE) > 128:  # drop entries from dead contexts
+            for k in [k for k in _EXPR_CACHE if k[0] != key[0]]:
+                del _EXPR_CACHE[k]
+    return v
+
+
 def _argmax_cluster(emb_col: Column, cs_col: Column) -> Column:
     """``max_by(cluster, (score, -cluster))`` over a packed centroid
     array, evaluated per row: score = dot(emb, centroid) - half_cnorm
     with the same sequential zip_with/aggregate fold as the join form,
     tiebreak toward the smaller cluster id via the -cluster struct
     field. ``array_max`` on ``struct(score, -cluster, cluster)`` compares
-    fields left-to-right — exactly the ordering ``max_by`` used."""
-    mul = lambda a, b: a * b  # noqa: E731
-    add = lambda acc, x: acc + x  # noqa: E731
-    return F.array_max(
-        F.transform(
-            cs_col,
-            lambda c: F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(emb_col, c["centroid"], mul), F.lit(0.0), add
-                    )
-                    - c["half_cnorm"]
-                ).alias("score"),
-                (-c["cluster"]).alias("neg_cluster"),
-                c["cluster"].alias("cluster"),
-            ),
-        )
-    )["cluster"]
+    fields left-to-right — exactly the ordering ``max_by`` used.
+    Memoized per session on the operand expression strings (the tree is a
+    pure function of its operands)."""
+
+    def build() -> Column:
+        mul = lambda a, b: a * b  # noqa: E731
+        add = lambda acc, x: acc + x  # noqa: E731
+        return F.array_max(
+            F.transform(
+                cs_col,
+                lambda c: F.struct(
+                    (
+                        F.aggregate(
+                            F.zip_with(emb_col, c["centroid"], mul), F.lit(0.0), add
+                        )
+                        - c["half_cnorm"]
+                    ).alias("score"),
+                    (-c["cluster"]).alias("neg_cluster"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )["cluster"]
+
+    return _session_memo(("argmax", str(emb_col), str(cs_col)), build)
 
 
 def _mean_by_cluster(
@@ -817,18 +861,25 @@ def _mean_by_cluster(
     second (cluster) aggregation (two exchanges, n*dim generated rows).
     Arithmetic is unchanged: exact 1e-7-scaled integer sums per
     dimension (order-independent), divided by the member count — every
-    value equals the cell path's and the oracle's."""
-    sums = [
-        F.sum(F.round(F.col(emb_col)[d] * 1e7).cast("bigint")).alias(f"_s{d}")
-        for d in range(dim)
-    ]
+    value equals the cell path's and the oracle's. The ~2*dim Column
+    builds are memoized per session (pure function of (emb_col, dim))."""
+    sums, centroid = _session_memo(
+        ("meanexprs", emb_col, dim),
+        lambda: (
+            [
+                F.sum(F.round(F.col(emb_col)[d] * 1e7).cast("bigint")).alias(f"_s{d}")
+                for d in range(dim)
+            ],
+            F.array(
+                *[
+                    (F.col(f"_s{d}").cast("double") / F.lit(1e7))
+                    / F.col("n_members")
+                    for d in range(dim)
+                ]
+            ).alias("centroid"),
+        ),
+    )
     out = assigned.groupBy(*keys).agg(*sums, F.count("*").alias("n_members"))
-    centroid = F.array(
-        *[
-            (F.col(f"_s{d}").cast("double") / F.lit(1e7)) / F.col("n_members")
-            for d in range(dim)
-        ]
-    ).alias("centroid")
     return out.select(*keys, centroid, "n_members")
 
 
@@ -939,10 +990,16 @@ def kmeans_train(
             )
         # ONE job per round: this collect is the round's only action
         rows = recompute.select("cluster", "centroid", "n_members", half).collect()
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(r["cluster"], r["n_members"], r["centroid"]) for r in rows],
         "cluster int, n_members bigint, centroid array<double>",
     )
+    # the rows are already driver-side: build the argmax pack here so
+    # downstream consumers (kmeans_assign / _ivf_probes / the fused
+    # encode) never re-collect this frame — each re-collect cost a full
+    # analyze + py4j row transfer + createDataFrame per consumer
+    out._r12_pack = _pack_local(spark, rows)
+    return out
 
 
 
@@ -1776,10 +1833,14 @@ def pq_train_codebooks(
             .select("m", "cluster", "c_sub", half)
             .collect()
         )
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(r["m"], r["cluster"], r["c_sub"], r["half_cnorm"]) for r in rows],
         "m int, cluster int, c_sub array<double>, half_n double",
     )
+    # rows already driver-side: prebuild the per-subspace pack so the
+    # encode consumers never re-collect this frame (see kmeans_train)
+    out._r12_pack_m = _pack_local(spark, rows, with_m=True)
+    return out
 
 
 def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
