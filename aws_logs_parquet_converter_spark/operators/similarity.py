@@ -21,6 +21,78 @@ from ..functions.text import hash60, sql_hash60
 from .dedup import spread_input
 
 
+#: Per-task input target for the similarity working sets (bytes of source
+#: data per task). The k-means/PQ/LSH passes do O(k * dim) interpreted
+#: arithmetic per row, so ~512 KB of vectors (~1-2k rows) is already a
+#: healthy scheduling quantum (~50-100 ms of compute); spreading a small
+#: corpus across EVERY core instead costs more in per-task scheduling than
+#: the parallelism returns (measured: the r12 training legs spent more
+#: wall in 32-task stage overhead than in compute — ~1000 tasks per
+#: sim_ann_ivf_pq run over a 2000-row corpus). Env-tunable; the target is
+#: derived from INPUT SIZE (optimizer stats, no job), so at production
+#: scale the partition count still reaches every core (capped at
+#: defaultParallelism) and this is exactly the old behavior.
+import os as _os
+
+SIM_SPREAD_BYTES_PER_TASK = int(
+    _os.environ.get("SPARK_GRAFT_SIM_SPREAD_BYTES", str(512 * 1024))
+)
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Size-adaptive spread for similarity working sets (guide §2:
+    partitioning derived from input size, not a constant): widen an
+    under-partitioned input to ``ceil(bytes / SIM_SPREAD_BYTES_PER_TASK)``
+    partitions, capped at ``defaultParallelism`` — never narrower than it
+    already is, never wider than the cores. ``bytes`` comes from the
+    optimizer's size statistics (driver-side, launches no job). Frames a
+    sizing call already spread carry ``_r12_sized`` and pass through, so
+    an inner training never re-widens its caller's pinned corpus.
+    Row-placement is irrelevant to every consumer here (per-row argmax /
+    bucketing; order-independent integer-sum centroid recomputes), so the
+    partition count is free to vary with input size."""
+    if getattr(docs, "_r12_sized", False):
+        return docs
+    sc = docs.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        nbytes = int(
+            docs._jdf.queryExecution().analyzed().stats().sizeInBytes()
+        )
+    except Exception:
+        return spread_input(docs)
+    if nbytes <= 0 or nbytes > (1 << 50):  # unknown/defaulted estimate
+        return spread_input(docs)
+    target = max(1, min(cores, -(-nbytes // SIM_SPREAD_BYTES_PER_TASK)))
+    # natural split count from the same stats (bytes / maxPartitionBytes):
+    # at production scale the scan already has >= target partitions and
+    # the repartition is skipped; probing the REAL partition count via
+    # df.rdd costs ~150 ms of full physical planning per call (guide §1 —
+    # the probe was slower than the work it sized).
+    from .dedup import _parse_bytes
+
+    max_split = _parse_bytes(
+        docs.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+    )
+    if max(1, -(-nbytes // max_split)) < target:
+        docs = docs.repartition(target)
+    docs._r12_sized = True
+    return docs
+
+
+def _pin(docs: DataFrame) -> DataFrame:
+    """Spread (size-adaptively) then ``localCheckpoint(eager=False)`` a
+    per-call working set, re-marking the checkpointed frame as sized —
+    ``localCheckpoint`` returns a new object, and without the mark an
+    inner training's :func:`_spread` would re-widen the pinned corpus
+    (a checkpointed plan has no size statistics to re-derive it from)."""
+    pinned = _spread(docs).localCheckpoint(eager=False)
+    pinned._r12_sized = True
+    return pinned
+
+
 def dot(a: Column, b: Column) -> Column:
     """Deterministic (sequential) double-precision dot product of two
     arrays. Memoized per session on the operand expression strings —
@@ -57,7 +129,7 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("q_nrm"),
     )
-    e = spread_input(embeddings).select(
+    e = _spread(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("e_vec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("e_nrm"),
@@ -99,7 +171,7 @@ def ivf_topk_by_label(
         F.col("embedding").alias("q_vec"),
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
     )
-    e = spread_input(embeddings).select(
+    e = _spread(embeddings).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("e_label"),
         F.col("embedding").alias("e_vec"),
@@ -188,7 +260,7 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per vector (row level), dot-only per pair: a per-pair
     # cosine() would recompute both norms inside the pair loop (3x the
     # interpreted array work)
-    n = spread_input(em).select(
+    n = _spread(em).select(
         "vec_id",
         "label",
         "embedding",
@@ -362,7 +434,7 @@ def rplsh_pairs(
     collision odds — see rplsh_bits)."""
     if bits is None:
         bits = rplsh_bits(embeddings.count())
-    base = spread_input(embeddings).select(
+    base = _spread(embeddings).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -585,7 +657,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (an exchange plus sort of k copies of the corpus); this one carries
     # zero exchanges after the centroid aggregate. Same score fold, same
     # (score DESC, cluster) tiebreak => identical rows.
-    e = spread_input(load_table(spark, sf_dir, "embeddings"))
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     cents = label_centroids(e).select(F.col("label").alias("cluster"), "centroid")
     return e.select(
         "vec_id",
@@ -761,6 +833,31 @@ def _pack_collect(cents: DataFrame, with_m: bool = False) -> DataFrame:
     return _pack_local(spark, rows, with_m=with_m)
 
 
+def preload_pack(df: DataFrame, with_m: bool = False) -> DataFrame:
+    """Collect a PERSISTED centroid/codebook frame once and attach its
+    packed broadcast operand (``_r12_pack`` / ``_r12_pack_m``), so every
+    later :func:`_pack_collect` on the frame is the zero-work fast path.
+
+    This is the per-stream-run hoist for foreachBatch serving loops
+    (guide §4.5's init-once rule applied at the plan level): a streaming
+    query whose centroids are FROZEN for its whole lifetime should read
+    and pack them once per run, not once per micro-batch — the per-batch
+    in-plan pack re-reads the parquet and pays an aggregate stage inside
+    every trigger's broadcast sub-job. Half-norms come from the canonical
+    ``0.5 * dot`` expression inside the collect query (never driver float
+    arithmetic), and collected doubles round-trip exactly, so assigns
+    against the preloaded pack are bit-identical to the in-plan form."""
+    spark = df.sparkSession
+    half = lambda c: (F.lit(0.5) * dot(F.col(c), F.col(c))).alias("half_cnorm")  # noqa: E731
+    if with_m:
+        rows = df.select("m", "cluster", "c_sub", half("c_sub")).collect()
+        df._r12_pack_m = _pack_local(spark, rows, with_m=True)
+    else:
+        rows = df.select("cluster", "centroid", half("centroid")).collect()
+        df._r12_pack = _pack_local(spark, rows)
+    return df
+
+
 def _cents_local(spark: SparkSession, rows) -> DataFrame:
     """(cluster, centroid) LocalRelation from collected centroid rows —
     the frame shape :func:`_blas_assign` consumes (it collects the k-row
@@ -926,7 +1023,7 @@ def kmeans_train(
     unchanged.
     """
     spark = embeddings.sparkSession
-    e = spread_input(embeddings).select(
+    e = _spread(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     h = hash60(F.col("vec_id").cast("string"), seed="km")
@@ -1201,7 +1298,7 @@ def kmeans_assign(
     ``impl="blas"`` swaps the score evaluation for the Arrow-batched
     numpy kernel (:func:`_blas_assign`) — the measured ~50x hot-loop win
     once auto-sized k reaches the thousands."""
-    e = spread_input(embeddings).select(
+    e = _spread(embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     if impl == "blas":
@@ -1255,7 +1352,7 @@ def semantic_dedup(
     # assign pass and both pair-join sides otherwise each replay the
     # scan + spread repartition. The sizing count() doubles as the
     # materialization action.
-    embeddings = spread_input(embeddings).localCheckpoint(eager=False)
+    embeddings = _pin(embeddings)
     if k is None:
         k = semantic_k(embeddings.count())
     cents = kmeans_train(embeddings, k=k, n_iters=n_iters, impl=impl, dim=DIM)
@@ -1449,6 +1546,7 @@ def semantic_stream_batch(
     pairs_root: str,
     threshold: float = 0.35,
     batch_app: str | None = None,
+    cents: DataFrame | None = None,
 ) -> None:
     """One micro-batch of STREAMING semantic dedup — a two-table
     exactly-once transaction built from snapshot batch commits:
@@ -1473,7 +1571,13 @@ def semantic_stream_batch(
     version makes the reconstruction impossible (snapshot_read raises
     rather than silently diverging). Retain at least as long as the
     checkpoint's maximum redelivery lag, the same rule Delta documents
-    for streaming sources over vacuumed tables."""
+    for streaming sources over vacuumed tables.
+
+    ``cents`` (optional) is the centroid frame preloaded once per stream
+    run by the caller (:func:`preload_pack` — the centroids are frozen
+    for the stream's lifetime, so per-batch re-reads are pure overhead);
+    when omitted the batch reads ``cents_path`` itself, the pre-r12
+    shape."""
     from ..plans.snapshots import (
         snapshot_read,
         snapshot_version_of_batch,
@@ -1481,7 +1585,8 @@ def semantic_stream_batch(
     )
 
     spark = bdf.sparkSession
-    cents = spark.read.parquet(cents_path)
+    if cents is None:
+        cents = spark.read.parquet(cents_path)
     assigned = kmeans_assign(bdf, cents)
     v = snapshot_write(
         assigned, index_root, batch_id=int(batch_id), batch_app=batch_app
@@ -1524,7 +1629,7 @@ def _semantic_stream_state_for(spark: SparkSession, sf_dir: str) -> tuple:
     old = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < SEM_APPEND_SPLIT
     )
-    new = spread_input(
+    new = _spread(
         load_table(spark, sf_dir, "embeddings").where(
             F.col("vec_id") >= SEM_APPEND_SPLIT
         )
@@ -1602,13 +1707,19 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("embedding", ArrayType(FloatType())),
         ]
     )
+    # centroids are FROZEN for the stream's lifetime: read + pack them
+    # ONCE per run (k-row collect, LocalRelation broadcast) instead of a
+    # per-micro-batch parquet re-read + in-plan pack aggregate — the
+    # per-trigger serving cost drops by one scan and one aggregate stage
+    # per batch; assigns are bit-identical (preload_pack).
+    cents = preload_pack(spark.read.parquet(cents_path))
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{arrive}/b*")
         .writeStream.foreachBatch(
             lambda bdf, bid: semantic_stream_batch(
-                bdf, bid, cents_path, index_root, pairs_root
+                bdf, bid, cents_path, index_root, pairs_root, cents=cents
             )
         )
         .option(
@@ -1793,7 +1904,7 @@ def pq_train_codebooks(
     iterative. Output schema matches :func:`pq_codebook`:
     (m, cluster, c_sub, half_n), |k x M_SUB| rows, broadcast everywhere.
     """
-    sub = _subvectors(spread_input(embeddings), "vec_id")
+    sub = _subvectors(_spread(embeddings), "vec_id")
     h = hash60(F.col("vec_id").cast("string"), seed="pq")
     w0 = Window.orderBy("h", "vec_id")
     seeds = (
@@ -1853,7 +1964,7 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
     vector replacing 64 floats, a 32x shrink; raw vectors never appear in
     the ADC scan path again.
     """
-    sub = _subvectors(spread_input(embeddings), "vec_id")
+    sub = _subvectors(_spread(embeddings), "vec_id")
     # r12: M_SUB-row packed-codebook broadcast + per-row argmax — the
     # encode pass now carries zero exchanges (previously 16 candidate
     # rows per (vec, m) collapsed through a groupBy(vec_id, m) exchange).
@@ -2229,7 +2340,7 @@ def _ivf_probes(
     Shared by :func:`ivf_pq_topk` and tools/ivf_pq_scale_probe.py so the
     measured candidate count can never desynchronize from what serving
     actually scans."""
-    e = spread_input(embeddings)
+    e = _spread(embeddings)
     q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
@@ -2321,7 +2432,7 @@ def ivf_pq_topk(
         # stage-job each. eager=False lets the sizing count() double as
         # the materialization action. Recomputed per invocation — never
         # a cross-run memo.
-        embeddings = spread_input(embeddings).localCheckpoint(eager=False)
+        embeddings = _pin(embeddings)
     cents = (
         kmeans_train(
             embeddings, k=ivf_coarse_k(embeddings.count()),
@@ -2351,7 +2462,7 @@ def ivf_pq_topk(
         # fused.
         emb = F.col("embedding").cast("array<double>")
         e2 = (
-            spread_input(embeddings)
+            _spread(embeddings)
             .crossJoin(F.broadcast(_pack_collect(cents)))
             .select(
                 "vec_id",
@@ -2690,7 +2801,7 @@ def build_rplsh_index(
     is read exactly once, here; daily probes read only these two narrow
     tables plus the day's batch."""
     spark = embeddings.sparkSession
-    base = spread_input(embeddings.where(F.col("vec_id") < split)).select(
+    base = _spread(embeddings.where(F.col("vec_id") < split)).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -2705,7 +2816,7 @@ def rplsh_append_batch(spark: SparkSession, path: str, batch: DataFrame) -> None
     """Daily index maintenance: hash the new batch with the frozen
     hyperplanes/width and APPEND its rows to both index tables. No re-hash
     of old vectors, no index rewrite — per-day cost is O(|batch|)."""
-    base = spread_input(batch).select(
+    base = _spread(batch).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -2730,7 +2841,7 @@ def incremental_rplsh_pairs(
     new-vs-new — a vector duplicated within today's batch must not slip
     through), exactly the restriction :func:`rplsh_pairs` + a batch filter
     would compute, at batch-sized cost."""
-    b_base = spread_input(batch).select(
+    b_base = _spread(batch).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -2882,7 +2993,7 @@ OUTLIER_K = 25
     ),
 )
 def sim_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread_input(load_table(spark, sf_dir, "embeddings")).select(
+    e = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cell = e.select(F.posexplode("emb").alias("pos", "v"))
@@ -2972,9 +3083,7 @@ def _cluster_outlier_oracle(n_iters: int = 2) -> str:
 def sim_outlier_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: per-call working-set pin (see semantic_dedup) — training, the
     # assign pass and the scoring join share one materialized corpus.
-    e = spread_input(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=False
-    )
+    e = _pin(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_train(e, k=semantic_k(e.count()), n_iters=2, dim=DIM)
     assigned = kmeans_assign(e, cents)  # (vec_id, cluster, emb, nrm)
     scored = assigned.join(F.broadcast(cents.select("cluster", "centroid")), "cluster").select(

@@ -100,9 +100,13 @@ def test_no_driver_side_collect_in_operators():
             "itself stays distributed",
         ),
         "operators/similarity.py": (
-            7,
+            9,
             "every collect is a K-ROW centroid/codebook frame, never the "
-            "corpus: _blas_assign materializes the k-row centroid matrix "
+            "corpus: preload_pack (r12) collects the persisted k-row "
+            "centroid/codebook table once per STREAM RUN so foreachBatch "
+            "serving loops stop re-reading + re-packing it every "
+            "micro-batch (2 call sites: vector and subspace form); "
+            "_blas_assign materializes the k-row centroid matrix "
             "for the Arrow-batched matmul kernel; the Lloyd's loops "
             "(kmeans_train / pq_train_codebooks) collect the k-row (or "
             "k x M_SUB-row) means each round and rebuild them as "
