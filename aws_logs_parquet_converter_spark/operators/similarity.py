@@ -434,7 +434,14 @@ def rplsh_pairs(
     collision odds — see rplsh_bits)."""
     if bits is None:
         bits = rplsh_bits(embeddings.count())
-    base = _spread(embeddings).select(
+    # FULL-WIDTH spread (the dedup/text compute-bound class), not the
+    # size-adaptive similarity sizing: sign-LSH hashing does 64 interpreted
+    # plane-dot folds per row, the self-join recomputes the bucket frame
+    # TWICE, and the exact-cosine confirm runs over the (larger-than-n)
+    # candidate set — measured min-of-5 at sf0.1: 1.40 s full-width vs
+    # 2.13 s at the 512 KiB/task sizing (r12; the same class split that
+    # kept dedup_levenshtein at full width).
+    base = spread_input(embeddings).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -2836,7 +2843,9 @@ def build_rplsh_index(
     is read exactly once, here; daily probes read only these two narrow
     tables plus the day's batch."""
     spark = embeddings.sparkSession
-    base = _spread(embeddings.where(F.col("vec_id") < split)).select(
+    # full-width spread: same compute-bound class as rplsh_pairs (the
+    # hashing pass is the identical 64-plane-dot fold per row)
+    base = spread_input(embeddings.where(F.col("vec_id") < split)).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -2851,7 +2860,7 @@ def rplsh_append_batch(spark: SparkSession, path: str, batch: DataFrame) -> None
     """Daily index maintenance: hash the new batch with the frozen
     hyperplanes/width and APPEND its rows to both index tables. No re-hash
     of old vectors, no index rewrite — per-day cost is O(|batch|)."""
-    base = _spread(batch).select(
+    base = spread_input(batch).select(  # compute-bound hashing class
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -2876,7 +2885,7 @@ def incremental_rplsh_pairs(
     new-vs-new — a vector duplicated within today's batch must not slip
     through), exactly the restriction :func:`rplsh_pairs` + a batch filter
     would compute, at batch-sized cost."""
-    b_base = _spread(batch).select(
+    b_base = spread_input(batch).select(  # compute-bound hashing class
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
