@@ -788,13 +788,13 @@ def _pack_local(spark: SparkSession, rows, with_m: bool = False) -> DataFrame:
         schema = T.StructType(
             [T.StructField("m", T.IntegerType()), T.StructField("cs", T.ArrayType(st))]
         )
-        return spark.createDataFrame(data, schema)
+        return _local_df(spark, data, schema)
     packed = sorted(
         ((int(r["cluster"]), list(r[cent_key]), float(r["half_cnorm"])) for r in rows),
         key=lambda t: t[0],
     )
-    return spark.createDataFrame(
-        [(packed,)], T.StructType([T.StructField("cs", T.ArrayType(st))])
+    return _local_df(
+        spark, [(packed,)], T.StructType([T.StructField("cs", T.ArrayType(st))])
     )
 
 
@@ -865,14 +865,207 @@ def preload_pack(df: DataFrame, with_m: bool = False) -> DataFrame:
     return df
 
 
-def _cents_local(spark: SparkSession, rows) -> DataFrame:
-    """(cluster, centroid) LocalRelation from collected centroid rows —
-    the frame shape :func:`_blas_assign` consumes (it collects the k-row
-    matrix driver-side anyway, so a LocalRelation costs it nothing)."""
+def _local_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Single-partition driver-local frame. ``spark.createDataFrame(list)``
+    parallelizes to ``defaultParallelism`` slices, so BROADCASTING such a
+    frame runs a 32-task job over mostly-empty partitions — measured
+    0.25 s per broadcast at local[32], once per Lloyd's round / pack
+    consumer (r13; the r12 notes assumed a LocalRelation, but PySpark's
+    createDataFrame is RDD-backed). One slice makes it a 1-task job."""
     return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
+def _cents_local(spark: SparkSession, rows) -> DataFrame:
+    """(cluster, centroid) driver-local frame from collected centroid rows —
+    the frame shape :func:`_blas_assign` consumes (it collects the k-row
+    matrix driver-side anyway, so a local frame costs it nothing)."""
+    return _local_df(
+        spark,
         [(int(r["cluster"]), list(r["centroid"])) for r in rows],
         "cluster int, centroid array<double>",
     )
+
+
+# --- r13: bit-exact vectorized assign/encode kernels -------------------------
+#
+# The per-row score of every assign/encode pass is the SEQUENTIAL
+# double fold ``((0.0 + e0*c0) + e1*c1) + ...`` minus the precomputed
+# half-norm — the expression the DuckDB oracles unroll. The native
+# Catalyst evaluation of that fold is an interpreted CodegenFallback
+# higher-order function (measured ~0.4 s per training round over 2 000
+# rows at k=45; unrolling it into codegen-able Adds was measured and
+# REJECTED: Spark's codegen emits ~1 KB of Java per multiply-add term,
+# and janino compiling the k x dim unroll OOMs multi-GB driver heaps).
+# ``np.add.accumulate`` is numpy's guaranteed-sequential fold, so the
+# same arithmetic vectorizes over an Arrow batch at C speed while
+# producing BIT-IDENTICAL doubles:
+#
+# - products ``E * C[j]`` are the same IEEE multiplies;
+# - ``np.add.accumulate(..., axis=1)[:, -1]`` adds them left-to-right —
+#   the fold order — and the trailing ``+ 0.0`` collapses the one
+#   representable difference vs Catalyst's 0.0-seeded fold (an
+#   all-(-0.0) chain yields -0.0 where the seeded fold yields +0.0;
+#   ``x + 0.0`` maps -0.0 to +0.0 and is exact for every other x);
+# - argmax keeps the first maximum over cluster-ascending ids — exactly
+#   ``max_by(cluster, (score, -cluster))``'s smaller-id tiebreak.
+#
+# Half-norms are NEVER recomputed here: they ride in from the collected
+# rows, where the canonical ``0.5 * dot`` Spark expression produced them.
+
+
+def _rows_np(rows):
+    """(ids, C, half) numpy views of collected centroid rows
+    (cluster-ascending). Collected doubles round-trip exactly."""
+    import numpy as np
+
+    srt = sorted(rows, key=lambda r: int(r["cluster"]))
+    key = "centroid" if "centroid" in srt[0].__fields__ else "c_sub"
+    ids = np.array([int(r["cluster"]) for r in srt], dtype=np.int64)
+    C = np.array([list(r[key]) for r in srt], dtype=np.float64)
+    half = np.array([float(r["half_cnorm"]) for r in srt], dtype=np.float64)
+    return ids, C, half
+
+
+def _rows_np_m(rows):
+    """Per-subspace (ids, C, half) dict from collected codebook rows."""
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), []).append(r)
+    return {m: _rows_np(rs) for m, rs in sorted(by_m.items())}
+
+
+def _seq_scores_best(E, ids, C, half):
+    """First-max argmax of the sequential-fold scores: returns the
+    winning cluster id per row of ``E``. O(n) memory — one running best,
+    never an (n, k) score matrix, so k at the SEM_MAX_K clamp streams."""
+    import numpy as np
+
+    best_s = None
+    best_j = None
+    for j in range(len(ids)):
+        s = np.add.accumulate(E * C[j], axis=1)[:, -1] + 0.0 - half[j]
+        if best_s is None:
+            best_s = s
+            best_j = np.zeros(len(s), dtype=np.int64)
+        else:
+            m = s > best_s
+            np.copyto(best_s, s, where=m)
+            best_j[m] = j
+    return ids[best_j]
+
+
+def _seq_nrm(E):
+    """sqrt of the sequential-fold self-dot — bit-identical to
+    ``F.sqrt(dot(emb, emb))`` (squares are never -0.0, sqrt is a single
+    correctly-rounded IEEE op)."""
+    import numpy as np
+
+    return np.sqrt(np.add.accumulate(E * E, axis=1)[:, -1])
+
+
+def _seq_assign_kernel(e: DataFrame, rows, with_nrm: bool = False) -> DataFrame:
+    """Arrow-batched assign against driver-collected centroid rows:
+    (vec_id, cluster, emb[, nrm]) with values bit-identical to the
+    broadcast-pack argmax expression (see the block comment above). The
+    centroid matrix ships as an RDD broadcast (driver-local, launches no
+    job — the packed-frame broadcast it replaces ran a parallelize job
+    per round), k is broadcast-clamped as ever (SEM_MAX_K), and the
+    corpus stays distributed."""
+    spark = e.sparkSession
+    bc = spark.sparkContext.broadcast(_rows_np(rows))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, C, half = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["emb"].to_numpy())
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cluster": _seq_scores_best(E, ids, C, half).astype("int32"),
+                "emb": pdf["emb"],
+            }
+            if with_nrm:
+                out["nrm"] = _seq_nrm(E)
+            yield pd.DataFrame(out)
+
+    schema = "vec_id bigint, cluster int, emb array<double>"
+    if with_nrm:
+        schema += ", nrm double"
+    return e.select("vec_id", "emb").mapInPandas(fn, schema)
+
+
+def _seq_pq_kernel(
+    embeddings: DataFrame, rows_m, coarse_rows=None, emit: str = "codes"
+) -> DataFrame:
+    """Arrow-batched per-subspace encode against driver-collected codebook
+    rows; slices each vector into its M_SUB contiguous subspaces in the
+    kernel (replacing the posexplode + per-m pack join) and computes the
+    per-subspace argmax with the same sequential fold.
+
+    emit="codes": (vec_id, m, code) — the pq_encode shape.
+    emit="train": (m, cluster, sub_vec) — the training-round recompute
+    input (sub_vec echoes through Arrow exactly).
+    With ``coarse_rows`` the COARSE argmax is fused into the same pass
+    (the inverted-list build): (vec_id, cluster, m, code)."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (_rows_np_m(rows_m), _rows_np(coarse_rows) if coarse_rows else None)
+    )
+    emb = F.col("embedding").cast("array<double>").alias("emb") \
+        if "emb" not in embeddings.columns else F.col("emb")
+    src = embeddings.select("vec_id", emb)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        per_m, coarse = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["emb"].to_numpy())
+            n = E.shape[0]
+            parts = []
+            cl = (
+                _seq_scores_best(E, *coarse).astype("int32")
+                if coarse is not None
+                else None
+            )
+            for m, (ids, C, half) in per_m.items():
+                Em = E[:, m * SUB_DIM : (m + 1) * SUB_DIM]
+                best = _seq_scores_best(Em, ids, C, half).astype("int32")
+                if emit == "train":
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "m": np.full(n, m, dtype="int32"),
+                                "cluster": best,
+                                "sub_vec": list(np.ascontiguousarray(Em)),
+                            }
+                        )
+                    )
+                else:
+                    out = {"vec_id": pdf["vec_id"]}
+                    if cl is not None:
+                        out["cluster"] = cl
+                    out["m"] = np.full(n, m, dtype="int32")
+                    out["code"] = best
+                    parts.append(pd.DataFrame(out))
+            yield pd.concat(parts)
+
+    if emit == "train":
+        schema = "m int, cluster int, sub_vec array<double>"
+    elif coarse_rows is not None:
+        schema = "vec_id bigint, cluster int, m int, code int"
+    else:
+        schema = "vec_id bigint, m int, code int"
+    return src.mapInPandas(fn, schema)
 
 
 def _codebook_pack(cb: DataFrame) -> DataFrame:
@@ -1053,15 +1246,13 @@ def kmeans_train(
         if impl == "blas":
             assigned = _blas_assign(e, _cents_local(spark, rows))
         else:
-            # shuffle-free assign (r12): one-row centroid-array broadcast +
-            # per-row argmax — no (row x centroid) materialization, no
-            # groupBy(vec_id) exchange (guide §2.4). Scores and tiebreak
-            # are expression-identical to the old crossJoin/max_by form.
-            assigned = e.crossJoin(F.broadcast(_pack_local(spark, rows))).select(
-                "vec_id",
-                "emb",
-                _argmax_cluster(F.col("emb"), F.col("cs")).alias("cluster"),
-            )
+            # shuffle-free assign: the sequential-fold argmax evaluated by
+            # the Arrow kernel (r13) — bit-identical scores and tiebreak
+            # (see _seq_assign_kernel), no (row x centroid)
+            # materialization, no groupBy(vec_id) exchange (guide §2.4),
+            # and no pack-broadcast job per round (the r12 packed-frame
+            # broadcast ran a 32-task parallelize job each round).
+            assigned = _seq_assign_kernel(e, rows)
         if dim is not None:
             # fixed-width corpus: ONE aggregation for the recompute
             recompute = _mean_by_cluster(assigned, ["cluster"], "emb", dim)
@@ -1094,7 +1285,8 @@ def kmeans_train(
             )
         # ONE job per round: this collect is the round's only action
         rows = recompute.select("cluster", "centroid", "n_members", half).collect()
-    out = spark.createDataFrame(
+    out = _local_df(
+        spark,
         [(r["cluster"], r["n_members"], r["centroid"]) for r in rows],
         "cluster int, n_members bigint, centroid array<double>",
     )
@@ -1103,6 +1295,7 @@ def kmeans_train(
     # encode) never re-collect this frame — each re-collect cost a full
     # analyze + py4j row transfer + createDataFrame per consumer
     out._r12_pack = _pack_local(spark, rows)
+    out._r13_rows = rows  # the same k rows, for the Arrow assign kernel
     return out
 
 
@@ -1310,9 +1503,20 @@ def kmeans_assign(
     )
     if impl == "blas":
         return _blas_assign(e, cents)
+    rows = getattr(cents, "_r13_rows", None)
+    if rows is not None:
+        # r13: trained frames carry their k collected rows — the assign
+        # runs as the bit-exact Arrow sequential-fold kernel (no pack
+        # broadcast job, no interpreted per-row fold). Column order
+        # matches the expression form below.
+        return _seq_assign_kernel(e, rows, with_nrm=True).select(
+            "vec_id", "cluster", "emb", "nrm"
+        )
     # r12: one-row centroid-array broadcast + per-row argmax — the assign
-    # pass now carries ZERO exchanges (the crossJoin/max_by form re-
-    # shuffled the corpus by vec_id); scores/tiebreak identical.
+    # pass carries ZERO exchanges (the crossJoin/max_by form re-shuffled
+    # the corpus by vec_id); scores/tiebreak identical. Kept for frames
+    # whose centroids are NOT driver-side (persisted-index serving paths,
+    # where the plan must retain the index FileScan).
     return (
         e.crossJoin(F.broadcast(_pack_collect(cents)))
         .select(
@@ -1928,19 +2132,14 @@ def pq_train_codebooks(
         .select("m", "cluster", "c_sub", half)
         .collect()  # k x M_SUB seed rows; halves by the canonical expr
     )
+    corpus = _spread(embeddings)
     for _ in range(n_iters):
-        # r12: per-subspace packed codeword arrays broadcast (M_SUB
-        # LocalRelation rows — broadcasting them launches no job) and
-        # each (vec, m) row computes its argmax locally — the old form
-        # materialized 16 candidates per row and collapsed them through a
-        # groupBy(vec_id, m) exchange of the whole subvector corpus.
-        asg = sub.join(
-            F.broadcast(_pack_local(spark, rows, with_m=True)), "m"
-        ).select(
-            "m",
-            "sub_vec",
-            _argmax_cluster(F.col("sub_vec"), F.col("cs")).alias("cluster"),
-        )
+        # r13: per-subspace argmax via the Arrow sequential-fold kernel —
+        # slicing, per-m codeword argmax and the sub_vec echo all happen
+        # in one vectorized pass (bit-identical scores/tiebreak; see
+        # _seq_pq_kernel). Replaces the posexplode + per-m pack join +
+        # interpreted per-row fold, and the pack-broadcast job per round.
+        asg = _seq_pq_kernel(corpus, rows, emit="train")
         # ONE hash aggregate for all 8 subspace recomputes ((m, cluster)
         # keyed, SUB_DIM static sums) — replaces the posexplode cell pass
         # plus second aggregation; identical exact-integer arithmetic.
@@ -1951,13 +2150,15 @@ def pq_train_codebooks(
             .select("m", "cluster", "c_sub", half)
             .collect()
         )
-    out = spark.createDataFrame(
+    out = _local_df(
+        spark,
         [(r["m"], r["cluster"], r["c_sub"], r["half_cnorm"]) for r in rows],
         "m int, cluster int, c_sub array<double>, half_n double",
     )
     # rows already driver-side: prebuild the per-subspace pack so the
     # encode consumers never re-collect this frame (see kmeans_train)
     out._r12_pack_m = _pack_local(spark, rows, with_m=True)
+    out._r13_rows_m = rows  # the same rows, for the Arrow encode kernel
     return out
 
 
@@ -1971,10 +2172,18 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
     vector replacing 64 floats, a 32x shrink; raw vectors never appear in
     the ADC scan path again.
     """
+    rows_m = getattr(codebook, "_r13_rows_m", None)
+    if rows_m is not None:
+        # r13: freshly-trained codebooks carry their collected rows — the
+        # encode runs as the bit-exact Arrow kernel (slices + per-m argmax
+        # in one pass; no posexplode, no pack-broadcast job).
+        return _seq_pq_kernel(_spread(embeddings), rows_m, emit="codes")
     sub = _subvectors(_spread(embeddings), "vec_id")
     # r12: M_SUB-row packed-codebook broadcast + per-row argmax — the
-    # encode pass now carries zero exchanges (previously 16 candidate
-    # rows per (vec, m) collapsed through a groupBy(vec_id, m) exchange).
+    # encode pass carries zero exchanges (previously 16 candidate rows
+    # per (vec, m) collapsed through a groupBy(vec_id, m) exchange).
+    # Kept for persisted-index codebooks (parquet-backed frames), where
+    # the plan must retain the index FileScan.
     return sub.join(F.broadcast(_pack_collect(codebook, with_m=True)), "m").select(
         "vec_id",
         "m",
@@ -2500,33 +2709,40 @@ def ivf_pq_topk(
         # PQ codes computed in ONE narrow pass per vector (the natural
         # IVFPQ index shape: codes stored per coarse cell), so the
         # (codes x assigned) vec_id equi-join disappears from the plan
-        # entirely. Values are the same two argmaxes; only the attach is
-        # fused.
-        emb = F.col("embedding").cast("array<double>")
-        e2 = (
-            _spread(embeddings)
-            .crossJoin(F.broadcast(_pack_collect(cents)))
-            .select(
-                "vec_id",
-                "embedding",
-                _argmax_cluster(emb, F.col("cs")).alias("cluster"),
+        # entirely. r13: that one pass is the fused Arrow kernel (coarse
+        # argmax + all 8 subspace argmaxes per batch, bit-identical; both
+        # trainings' rows are already driver-side) — no pack broadcasts,
+        # no posexplode, no interpreted folds.
+        rows_c = getattr(cents, "_r13_rows", None)
+        rows_m = getattr(cb, "_r13_rows_m", None)
+        if rows_c is not None and rows_m is not None:
+            codes_c = _seq_pq_kernel(embeddings, rows_m, coarse_rows=rows_c)
+        else:
+            emb = F.col("embedding").cast("array<double>")
+            e2 = (
+                _spread(embeddings)
+                .crossJoin(F.broadcast(_pack_collect(cents)))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    _argmax_cluster(emb, F.col("cs")).alias("cluster"),
+                )
             )
-        )
-        subs = F.array(
-            *[F.slice(emb, m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)]
-        )
-        codes_c = (
-            e2.select(
-                "vec_id", "cluster", F.posexplode(subs).alias("m", "sub_vec")
+            subs = F.array(
+                *[F.slice(emb, m * SUB_DIM + 1, SUB_DIM) for m in range(M_SUB)]
             )
-            .join(F.broadcast(_pack_collect(cb, with_m=True)), "m")
-            .select(
-                "vec_id",
-                "cluster",
-                "m",
-                _argmax_cluster(F.col("sub_vec"), F.col("cs")).alias("code"),
+            codes_c = (
+                e2.select(
+                    "vec_id", "cluster", F.posexplode(subs).alias("m", "sub_vec")
+                )
+                .join(F.broadcast(_pack_collect(cb, with_m=True)), "m")
+                .select(
+                    "vec_id",
+                    "cluster",
+                    "m",
+                    _argmax_cluster(F.col("sub_vec"), F.col("cs")).alias("code"),
+                )
             )
-        )
         cand = codes_c.join(F.broadcast(probes), "cluster")
     else:
         assigned = (
