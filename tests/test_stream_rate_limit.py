@@ -408,3 +408,52 @@ def test_mid_stream_widening_fails_with_restart_instruction(spark, tmp_path):
     got = spark.read.schema("a long, b double").parquet(dest)
     assert got.count() == 8
     assert sorted(r.a for r in got.collect()) == list(range(8))
+
+
+def test_drain_progress_accumulates_past_recent_buffer():
+    """r13 (verdict r12 #3): the drain wait must ACCUMULATE progress per
+    batchId, not re-sum ``recentProgress`` — that property is a bounded
+    buffer (default 100 updates), so a catch-up drain of more batches
+    than the buffer holds would undercount forever and burn the full
+    deadline. Simulate a 250-micro-batch drain through a stub whose
+    recentProgress window slides like the real one."""
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        _drain_progress_rows,
+    )
+
+    class _SlidingStub:
+        """Yields progress for batches 0..249, 10 rows each, exposing only
+        the LAST 100 updates at any poll — the real buffer semantics."""
+
+        def __init__(self, n_batches: int, window: int = 100):
+            self._all = [
+                {"batchId": i, "numInputRows": 10} for i in range(n_batches)
+            ]
+            self._window = window
+            self._served = 0
+
+        @property
+        def recentProgress(self):
+            # each poll reveals ~40 more committed batches (faster than the
+            # 0.1 s poll tick could ever observe them individually)
+            self._served = min(len(self._all), self._served + 40)
+            lo = max(0, self._served - self._window)
+            return self._all[lo : self._served]
+
+    stub = _SlidingStub(250)
+    done = _drain_progress_rows(stub, expected=2500, deadline_s=30)
+    assert done == 2500  # every batch counted exactly once
+
+
+def test_drain_progress_counts_each_batch_once():
+    """Replayed/overlapping buffer views must not double-count a batch."""
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        _drain_progress_rows,
+    )
+
+    class _RepeatStub:
+        @property
+        def recentProgress(self):
+            return [{"batchId": 0, "numInputRows": 7}, {"batchId": 1, "numInputRows": 5}]
+
+    assert _drain_progress_rows(_RepeatStub(), expected=12, deadline_s=10) == 12
