@@ -340,6 +340,11 @@ def main() -> None:
         "calibration_wall": calibration_wall,
         "queries": timings,
         "sf": sf,
+        # r13 (verdict r12 #5): stamp the core count so the regression
+        # gate below never compares runs at different widths — the
+        # driver's 8-core run after its 32-core run used to flag exactly
+        # the legs that parallelize.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "n_legs": len(timings),
     }
     if compression_ratio is not None:
@@ -358,7 +363,15 @@ def main() -> None:
             prev = json.load(f)
         prev_cal = float(prev.get("calibration_wall") or 0)
         prev_q = prev.get("queries") or {}
-        if prev_cal > 0 and calibration_wall > 0 and prev.get("sf") == sf:
+        # gate ONLY against a baseline recorded at the same sf AND core
+        # count (a prev file without a cpus stamp predates r13 and is not
+        # comparable — skip rather than false-alarm)
+        if (
+            prev_cal > 0
+            and calibration_wall > 0
+            and prev.get("sf") == sf
+            and prev.get("cpus") == detail["cpus"]
+        ):
             box_ratio = calibration_wall / prev_cal
             norm = {
                 k: round(v / (prev_q[k] * box_ratio), 3)
