@@ -39,11 +39,27 @@ SIM_SPREAD_BYTES_PER_TASK = int(
 )
 
 
-def _spread(docs: DataFrame) -> DataFrame:
+#: Per-task input target for the sign-LSH BATCH paths (rplsh_append_batch /
+#: incremental_rplsh_pairs). These are per-row-COMPUTE-bound (64 plane-dot
+#: folds per row — the r12 fourth pass measured the 512 KiB similarity
+#: sizing 1.5x slower here and reverted them to full width), but the
+#: full-width choice was only validated at fixture batch sizes where the
+#: "batch" is most of the corpus (ADVICE r12): on a large cluster a tiny
+#: daily batch would round-robin into mostly-empty partitions. 16 KiB/task
+#: (~30 vectors) reproduces full width at every measured fixture point
+#: (640 KB batch -> 40 -> capped at cores) while a genuinely tiny batch
+#: stops fanning out to the whole cluster. Env-tunable.
+RPLSH_BATCH_BYTES_PER_TASK = int(
+    _os.environ.get("SPARK_GRAFT_RPLSH_BATCH_BYTES", str(16 * 1024))
+)
+
+
+def _spread(docs: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """Size-adaptive spread for similarity working sets (guide §2:
     partitioning derived from input size, not a constant): widen an
-    under-partitioned input to ``ceil(bytes / SIM_SPREAD_BYTES_PER_TASK)``
-    partitions, capped at ``defaultParallelism`` — never narrower than it
+    under-partitioned input to ``ceil(bytes / bytes_per_task)``
+    partitions (default ``SIM_SPREAD_BYTES_PER_TASK``), capped at
+    ``defaultParallelism`` — never narrower than it
     already is, never wider than the cores. ``bytes`` comes from the
     optimizer's size statistics (driver-side, launches no job). Frames a
     sizing call already spread carry ``_r12_sized`` and pass through, so
@@ -63,7 +79,8 @@ def _spread(docs: DataFrame) -> DataFrame:
         return spread_input(docs)
     if nbytes <= 0 or nbytes > (1 << 50):  # unknown/defaulted estimate
         return spread_input(docs)
-    target = max(1, min(cores, -(-nbytes // SIM_SPREAD_BYTES_PER_TASK)))
+    quantum = bytes_per_task or SIM_SPREAD_BYTES_PER_TASK
+    target = max(1, min(cores, -(-nbytes // quantum)))
     # natural split count from the same stats (bytes / maxPartitionBytes):
     # at production scale the scan already has >= target partitions and
     # the repartition is skipped; probing the REAL partition count via
@@ -3076,7 +3093,10 @@ def rplsh_append_batch(spark: SparkSession, path: str, batch: DataFrame) -> None
     """Daily index maintenance: hash the new batch with the frozen
     hyperplanes/width and APPEND its rows to both index tables. No re-hash
     of old vectors, no index rewrite — per-day cost is O(|batch|)."""
-    base = spread_input(batch).select(  # compute-bound hashing class
+    base = _spread(batch, RPLSH_BATCH_BYTES_PER_TASK).select(
+        # compute-bound hashing class, batch-size-capped (ADVICE r12):
+        # full width at every measured fixture point, but a tiny daily
+        # batch no longer fans out to mostly-empty cluster partitions
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -3101,7 +3121,8 @@ def incremental_rplsh_pairs(
     new-vs-new — a vector duplicated within today's batch must not slip
     through), exactly the restriction :func:`rplsh_pairs` + a batch filter
     would compute, at batch-sized cost."""
-    b_base = spread_input(batch).select(  # compute-bound hashing class
+    b_base = _spread(batch, RPLSH_BATCH_BYTES_PER_TASK).select(
+        # compute-bound hashing class, batch-size-capped (ADVICE r12)
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
