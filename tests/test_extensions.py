@@ -734,3 +734,105 @@ def test_blas_assign_agrees_with_native(spark):
     assert cn.keys() == cb.keys()
     for c in cn:
         assert max(abs(a - b) for a, b in zip(cn[c], cb[c])) < 1e-9
+
+
+def test_seq_kernel_matches_expression_assign(spark):
+    """r13: the Arrow sequential-fold assign kernel must be BIT-identical
+    to the broadcast-pack argmax expression it replaced — same fold order
+    (np.add.accumulate + trailing +0.0), same smaller-cluster tiebreak.
+    Compares full (vec_id, cluster, nrm) output on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        DIM,
+        _argmax_cluster,
+        _pack_local,
+        _seq_assign_kernel,
+        dot,
+        kmeans_train,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_train(em, k=8, n_iters=2, dim=DIM)
+    half = (F.lit(0.5) * dot(F.col("centroid"), F.col("centroid"))).alias(
+        "half_cnorm"
+    )
+    rows = cents.select("cluster", "centroid", half).collect()
+    e = em.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    kern = {
+        r["vec_id"]: (r["cluster"], r["nrm"])
+        for r in _seq_assign_kernel(e, rows, with_nrm=True).collect()
+    }
+    expr = {
+        r["vec_id"]: (r["cluster"], r["nrm"])
+        for r in e.crossJoin(
+            F.broadcast(_pack_local(spark, rows))
+        )
+        .select(
+            "vec_id",
+            _argmax_cluster(F.col("emb"), F.col("cs")).alias("cluster"),
+            F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm"),
+        )
+        .collect()
+    }
+    assert kern == expr  # exact equality including the float64 norms
+
+
+def test_seq_pq_kernel_matches_expression_encode(spark):
+    """r13: the fused per-subspace encode kernel must reproduce the
+    pack-join + argmax expression form code-for-code."""
+    from pyspark.sql import functions as F
+
+    from aws_logs_parquet_converter_spark.catalog import load_table
+    from aws_logs_parquet_converter_spark.operators.similarity import (
+        _argmax_cluster,
+        _pack_collect,
+        _seq_pq_kernel,
+        _subvectors,
+        pq_train_codebooks,
+    )
+
+    em = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_train_codebooks(em, k=16, n_iters=2)
+    kern = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in _seq_pq_kernel(em, cb._r13_rows_m, emit="codes").collect()
+    }
+    sub = _subvectors(em, "vec_id")
+    expr = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in sub.join(
+            F.broadcast(_pack_collect(cb, with_m=True)), "m"
+        )
+        .select(
+            "vec_id",
+            "m",
+            _argmax_cluster(F.col("sub_vec"), F.col("cs")).alias("code"),
+        )
+        .collect()
+    }
+    assert kern == expr
+
+
+def test_stateful_width_rule(spark):
+    """r13: the stateful-stream state-partition rule is input-size-derived
+    and clamped to [1, defaultParallelism]."""
+    from aws_logs_parquet_converter_spark.streaming.events import (
+        STREAM_STATE_BYTES_PER_PARTITION,
+        stateful_width,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    w = stateful_width(spark, "/root/testdata/sf0.001")
+    assert 1 <= w <= cores
+    import os
+
+    nbytes = os.path.getsize("/root/testdata/sf0.001/events.parquet")
+    assert w == max(
+        1, min(cores, -(-nbytes // STREAM_STATE_BYTES_PER_PARTITION))
+    )
+    # a missing source falls back to full width, never a crash
+    assert stateful_width(spark, "/nonexistent") == cores
