@@ -792,7 +792,11 @@ def _pack_local(spark: SparkSession, rows, with_m: bool = False) -> DataFrame:
             T.StructField("half_cnorm", T.DoubleType()),
         ]
     )
-    cent_key = "centroid" if "centroid" in rows[0].__fields__ else "c_sub"
+    cent_key = (
+        "centroid"
+        if not rows or "centroid" in rows[0].__fields__
+        else "c_sub"
+    )
     if with_m:
         by_m: dict[int, list] = {}
         for r in rows:
@@ -956,7 +960,11 @@ def _rows_np_m(rows):
 def _seq_scores_best(E, ids, C, half):
     """First-max argmax of the sequential-fold scores: returns the
     winning cluster id per row of ``E``. O(n) memory — one running best,
-    never an (n, k) score matrix, so k at the SEM_MAX_K clamp streams."""
+    never an (n, k) score matrix, so k at the SEM_MAX_K clamp streams.
+    NaN scores (possible only from non-finite inputs) follow Catalyst's
+    total ordering — NaN compares GREATER than every double — so a NaN
+    score beats any finite best and the first (smallest-id) NaN wins,
+    exactly like the struct-ordering argmax it replaces."""
     import numpy as np
 
     best_s = None
@@ -967,7 +975,7 @@ def _seq_scores_best(E, ids, C, half):
             best_s = s
             best_j = np.zeros(len(s), dtype=np.int64)
         else:
-            m = s > best_s
+            m = (s > best_s) | (np.isnan(s) & ~np.isnan(best_s))
             np.copyto(best_s, s, where=m)
             best_j[m] = j
     return ids[best_j]
@@ -1262,7 +1270,7 @@ def kmeans_train(
     for _ in range(n_iters):
         if impl == "blas":
             assigned = _blas_assign(e, _cents_local(spark, rows))
-        else:
+        elif rows:
             # shuffle-free assign: the sequential-fold argmax evaluated by
             # the Arrow kernel (r13) — bit-identical scores and tiebreak
             # (see _seq_assign_kernel), no (row x centroid)
@@ -1270,6 +1278,14 @@ def kmeans_train(
             # and no pack-broadcast job per round (the r12 packed-frame
             # broadcast ran a 32-task parallelize job each round).
             assigned = _seq_assign_kernel(e, rows)
+        else:
+            # empty corpus (no seed rows): the expression form yields the
+            # empty result the pre-r13 path produced
+            assigned = e.crossJoin(F.broadcast(_pack_local(spark, rows))).select(
+                "vec_id",
+                "emb",
+                _argmax_cluster(F.col("emb"), F.col("cs")).alias("cluster"),
+            )
         if dim is not None:
             # fixed-width corpus: ONE aggregation for the recompute
             recompute = _mean_by_cluster(assigned, ["cluster"], "emb", dim)
@@ -1521,14 +1537,12 @@ def kmeans_assign(
     if impl == "blas":
         return _blas_assign(e, cents)
     rows = getattr(cents, "_r13_rows", None)
-    if rows is not None:
+    if rows:
         # r13: trained frames carry their k collected rows — the assign
         # runs as the bit-exact Arrow sequential-fold kernel (no pack
         # broadcast job, no interpreted per-row fold). Column order
         # matches the expression form below.
-        return _seq_assign_kernel(e, rows, with_nrm=True).select(
-            "vec_id", "cluster", "emb", "nrm"
-        )
+        return _seq_assign_kernel(e, rows, with_nrm=True)
     # r12: one-row centroid-array broadcast + per-row argmax — the assign
     # pass carries ZERO exchanges (the crossJoin/max_by form re-shuffled
     # the corpus by vec_id); scores/tiebreak identical. Kept for frames
@@ -2132,7 +2146,8 @@ def pq_train_codebooks(
     iterative. Output schema matches :func:`pq_codebook`:
     (m, cluster, c_sub, half_n), |k x M_SUB| rows, broadcast everywhere.
     """
-    sub = _subvectors(_spread(embeddings), "vec_id")
+    corpus = _spread(embeddings)
+    sub = _subvectors(corpus, "vec_id")
     h = hash60(F.col("vec_id").cast("string"), seed="pq")
     w0 = Window.orderBy("h", "vec_id")
     seeds = (
@@ -2149,7 +2164,6 @@ def pq_train_codebooks(
         .select("m", "cluster", "c_sub", half)
         .collect()  # k x M_SUB seed rows; halves by the canonical expr
     )
-    corpus = _spread(embeddings)
     for _ in range(n_iters):
         # r13: per-subspace argmax via the Arrow sequential-fold kernel —
         # slicing, per-m codeword argmax and the sub_vec echo all happen
@@ -2190,7 +2204,7 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
     the ADC scan path again.
     """
     rows_m = getattr(codebook, "_r13_rows_m", None)
-    if rows_m is not None:
+    if rows_m:
         # r13: freshly-trained codebooks carry their collected rows — the
         # encode runs as the bit-exact Arrow kernel (slices + per-m argmax
         # in one pass; no posexplode, no pack-broadcast job).
@@ -2732,7 +2746,7 @@ def ivf_pq_topk(
         # no posexplode, no interpreted folds.
         rows_c = getattr(cents, "_r13_rows", None)
         rows_m = getattr(cb, "_r13_rows_m", None)
-        if rows_c is not None and rows_m is not None:
+        if rows_c and rows_m:
             codes_c = _seq_pq_kernel(embeddings, rows_m, coarse_rows=rows_c)
         else:
             emb = F.col("embedding").cast("array<double>")

@@ -14,6 +14,7 @@ re-running a whole day instead).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,22 +95,26 @@ def stateful_width(spark: SparkSession, sf_dir: str) -> int:
     """Size-derived state-partition count for the event-stream gates:
     ceil(source bytes / STREAM_STATE_BYTES_PER_PARTITION), clamped to
     [1, defaultParallelism]."""
-    import os as _os
-
-    path = _os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, "events.parquet")
     try:
-        if _os.path.isdir(path):
+        if os.path.isdir(path):
             nbytes = sum(
-                _os.path.getsize(_os.path.join(r, f))
-                for r, _, fs in _os.walk(path)
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
                 for f in fs
             )
         else:
-            nbytes = _os.path.getsize(path)
+            nbytes = os.path.getsize(path)
     except OSError:
         return spark.sparkContext.defaultParallelism
     cores = spark.sparkContext.defaultParallelism
     return max(1, min(cores, -(-nbytes // STREAM_STATE_BYTES_PER_PARTITION)))
+
+
+#: serializes the set-drain-restore of the session-global shuffle-partition
+#: conf below: two gates driven concurrently on one session would otherwise
+#: race the save/restore and could leave a narrowed width behind
+_STATE_WIDTH_LOCK = threading.Lock()
 
 
 def run_available_now(
@@ -129,10 +134,7 @@ def run_available_now(
     cents sums; dedup of identical duplicate rows), which is what the
     batch-twin oracles already require."""
     spark = result.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions") if state_width else None
-    if state_width:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
-    try:
+    if not state_width:
         q = (
             result.writeStream.format("memory")
             .queryName(query_name)
@@ -142,8 +144,21 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev is not None:
+        return q
+    with _STATE_WIDTH_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
+        try:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
 
